@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed here as a named
+  * query over the driver testdata star schema, with a DuckDB-equivalent
+  * oracle in `oracleSql` (same aliases, same deterministic ORDER BY; money
+  * aggregates via exact DECIMAL casts so hashes match across engines).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Relational.factEnrich(t(spark, d, "orders"), t(spark, d, "lineitem"),
+      t(spark, d, "customer"), t(spark, d, "nation"), t(spark, d, "region"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4-family multi-aggregate (sums/avgs/counts) over the fact table.
+    "q1_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(t(s, dir, "lineitem"))),
+
+    // Flagship fact transform: J1 grain + J2/J3 left-join enrich + COALESCE
+    // + CASE bucketing + date derivations (§2.2, §2.3, §2.7).
+    "q_fact_enrich" -> ((s, dir) =>
+      Relational.factEnrich(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+
+    // A1/A2 duplicate detection: GROUP BY key HAVING count>1.
+    "q_dup_check" -> ((s, dir) =>
+      Relational.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
+
+    // A3/P3 amount-mismatch quality check with float tolerance.
+    "q_amount_mismatch" -> ((s, dir) =>
+      Relational.amountMismatch(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+
+    // J4/J6 anti-join: orders with no line items.
+    "q_orders_no_lineitem" -> ((s, dir) =>
+      Relational.antiJoin(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          "o_orderkey", "l_orderkey")
+        .select(col("o_orderkey").as("order_id"),
+          dec2(col("o_totalprice")).as("total_amount"),
+          col("o_orderstatus").as("payment_status"))
+        .orderBy("order_id")),
+
+    // J7 inactive-customer detection (cutoff fixed for determinism).
+    "q_inactive_customers" -> ((s, dir) =>
+      Relational.inactiveCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
+        "2000-01-01")),
+
+    // A4 hourly multi-aggregate with exact COUNT(DISTINCT).
+    "q_hourly_metrics" -> ((s, dir) =>
+      Relational.hourlyMetrics(t(s, dir, "events"))),
+
+    // A6 revenue by category.
+    "q_category_revenue" -> ((s, dir) =>
+      Relational.categoryRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))),
+
+    // A7 average order value by tier (COALESCE default tier).
+    "q_tier_aov" -> ((s, dir) =>
+      Relational.tierAov(t(s, dir, "orders"), t(s, dir, "customer"))),
+
+    // A8 geographic distribution.
+    "q_geo_distribution" -> ((s, dir) =>
+      Relational.geoDistribution(t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"), t(s, dir, "region"))),
+
+    // W1 top-10 products (deterministic tie-break).
+    "q_top_products" -> ((s, dir) =>
+      Relational.topProducts(t(s, dir, "lineitem"), t(s, dir, "part"), 10)),
+
+    // W2 revenue trend + 7-day moving average window.
+    "q_revenue_trend" -> ((s, dir) =>
+      Relational.revenueTrend(t(s, dir, "lineitem"), t(s, dir, "part"),
+        "2001-01-01")),
+
+    // J5/S5 MERGE semantics: full-outer + coalesce upsert of two hourly
+    // aggregates (even/odd event_id halves → MATCHED and NOT MATCHED rows).
+    "q_merge_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def agg(df: DataFrame): DataFrame = df
+        .groupBy(date_trunc("hour", col("ts")).as("metric_hour"))
+        .agg(count(lit(1)).as("total_events"),
+          sumMeasure(col("value")).as("total_value"))
+      Relational.mergeHourly(
+        agg(ev.filter(col("event_id") % 2 === 0)),
+        agg(ev.filter(col("event_id") % 2 === 1)))
+    })
+  )
+
+  /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
+    * same ORDER BY). Decimal/rounding policy mirrors graft.package helpers.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_fact_enrich" ->
+      """SELECT o_orderkey AS order_id, l_linenumber AS line_no,
+        | o_custkey AS customer_id,
+        | coalesce(c_mktsegment, 'UNKNOWN') AS customer_tier,
+        | CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        | l_partkey AS product_id, l_quantity AS quantity,
+        | CAST(l_extendedprice AS DECIMAL(18,2)) AS line_total,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+        | o_orderstatus AS payment_status,
+        | coalesce(n_name, 'NO NATION') AS nation,
+        | coalesce(r_name, 'NO REGION') AS region,
+        | CASE WHEN r_name IN ('AMERICA','EUROPE') THEN 'WEST'
+        |      WHEN r_name IN ('ASIA','MIDDLE EAST') THEN 'EAST'
+        |      ELSE 'OTHER' END AS trade_zone
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY order_id, line_no""".stripMargin,
+
+    "q_dup_check" ->
+      """SELECT l_orderkey, count(*) AS cnt
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_amount_mismatch" ->
+      """WITH calc AS (
+        |  SELECT l_orderkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS calculated_total
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey AS order_id, calculated_total,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+        | CAST(abs(calculated_total - CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS diff
+        |FROM orders JOIN calc ON o_orderkey = l_orderkey
+        |WHERE abs(calculated_total - CAST(o_totalprice AS DECIMAL(18,2))) > 0.01
+        |ORDER BY order_id""".stripMargin,
+
+    "q_orders_no_lineitem" ->
+      """SELECT o_orderkey AS order_id,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+        | o_orderstatus AS payment_status
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY order_id""".stripMargin,
+
+    "q_inactive_customers" ->
+      """WITH last AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order_date
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey AS customer_id, c_name AS name, last_order_date
+        |FROM customer LEFT JOIN last ON c_custkey = o_custkey
+        |WHERE last_order_date IS NULL OR last_order_date < DATE '2000-01-01'
+        |ORDER BY customer_id""".stripMargin,
+
+    "q_hourly_metrics" ->
+      """SELECT date_trunc('hour', ts) AS metric_hour,
+        | count(DISTINCT event_id) AS total_events,
+        | count(DISTINCT user_id) AS unique_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_category_revenue" ->
+      """SELECT p_type AS category,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | sum(l_quantity) AS units_sold
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tier_aov" ->
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS customer_tier,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_order_value,
+        | count(*) AS n_orders
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_geo_distribution" ->
+      """SELECT r_name AS region,
+        | count(*) AS total_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        | count(DISTINCT o_custkey) AS unique_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_products" ->
+      """SELECT p_partkey AS product_id, p_name AS product_name,
+        | sum(l_quantity) AS units_sold,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2
+        |ORDER BY units_sold DESC, product_id
+        |LIMIT 10""".stripMargin,
+
+    "q_revenue_trend" ->
+      """WITH daily AS (
+        |  SELECT p_type AS category, CAST(l_shipdate AS DATE) AS ship_date,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '2001-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT category, ship_date, revenue,
+        | CAST(sum(revenue) OVER w AS DOUBLE)/count(*) OVER w AS revenue_ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY category ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY category, ship_date""".stripMargin,
+
+    "q_merge_hourly" ->
+      """WITH t AS (
+        |  SELECT date_trunc('hour', ts) AS metric_hour, count(*) AS total_events,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |s AS (
+        |  SELECT date_trunc('hour', ts) AS metric_hour, count(*) AS total_events,
+        |   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(t.metric_hour, s.metric_hour) AS metric_hour,
+        | coalesce(t.total_events, 0) + coalesce(s.total_events, 0) AS total_events,
+        | CAST(coalesce(t.total_value, 0) + coalesce(s.total_value, 0) AS DECIMAL(18,6)) AS total_value
+        |FROM t FULL OUTER JOIN s ON t.metric_hour = s.metric_hour
+        |ORDER BY metric_hour""".stripMargin
+  )
 }

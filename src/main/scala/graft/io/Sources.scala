@@ -1,0 +1,112 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for every input the engine consumes.
+  *
+  * Two families (FIXTURES.md):
+  *  - the driver-mounted TPC-H-ish parquet star schema (`table`), used by
+  *    SparkEntry.queries / the DuckDB oracle / the bench;
+  *  - reference-shaped e-commerce inputs (NDJSON orders, CSV dims) whose
+  *    contracts come from the reference generators
+  *    (reference: generate_order.py:51-53, generate_customers.py:12,
+  *    generate_product.py:12) and the explicit load schema
+  *    (reference: order_processing_incremental.py:56-74 — autodetect=False,
+  *    so we also pin schemas and never infer). SURVEY.md §2.1 S1-S3.
+  */
+object Sources {
+
+  /** Driver testdata table: `<dir>/<name>.parquet` (TESTDATA.md).
+    *
+    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
+    * as raw longs (legacy conf) and rebuild a microsecond TimestampType with
+    * integer division — `DIV` stays in long space (ns since epoch ≈ 1.7e18
+    * overflows double mantissa, so a double roundtrip would corrupt it).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000L)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Orders NDJSON schema — reference: order_processing_incremental.py:56-74.
+    * BigQuery INTEGER → LongType, FLOAT → DoubleType (money stays double for
+    * semantic parity with the reference's ROUND/ABS tolerance checks,
+    * SURVEY.md §1.2).
+    */
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("order_id", StringType, nullable = false),
+    StructField("customer_id", StringType, nullable = false),
+    StructField("order_timestamp", TimestampType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("product_id", StringType),
+      StructField("quantity", LongType),
+      StructField("unit_price", DoubleType)
+    ))), nullable = true),
+    StructField("total_amount", DoubleType, nullable = false),
+    StructField("payment_status", StringType, nullable = true),
+    StructField("shipping_address", StructType(Seq(
+      StructField("street", StringType),
+      StructField("city", StringType),
+      StructField("state", StringType),
+      StructField("zipcode", StringType),
+      StructField("country", StringType)
+    )), nullable = true)
+  ))
+
+  /** dim_products CSV schema — reference: generate_product.py:12. */
+  val productsSchema: StructType = StructType(Seq(
+    StructField("product_id", StringType, nullable = false),
+    StructField("product_name", StringType),
+    StructField("category", StringType),
+    StructField("price", DoubleType),
+    StructField("stock_level", LongType)
+  ))
+
+  /** dim_customers CSV schema — reference: generate_customers.py:12. */
+  val customersSchema: StructType = StructType(Seq(
+    StructField("customer_id", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("email", StringType),
+    StructField("registration_date", DateType),
+    StructField("customer_tier", StringType)
+  ))
+
+  /** NDJSON order load, explicit schema, no autodetect (S2).
+    * `pathGlobFilter` reproduces the reference's `.json`-only filename
+    * predicate (P6 — reference: order_processing_incremental.py:224).
+    */
+  def readOrdersJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ordersSchema)
+      .option("pathGlobFilter", "*.json")
+      .json(path)
+
+  /** CSV dimension load with header (S3). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Archive processed files: move everything matching the glob from
+    * `landing` to `archive/<batchId>/` (S6 — reference:
+    * order_processing_incremental.py:213-227). Uses the Hadoop FileSystem
+    * API so the same code works on local disk, HDFS, or object stores.
+    * Returns the number of files moved.
+    */
+  def archiveFiles(spark: SparkSession, landing: String, archive: String,
+                   batchId: String, suffix: String = ".json"): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(landing)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return 0
+    val dst = new Path(archive, batchId)
+    fs.mkdirs(dst)
+    val files = fs.listStatus(src).filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+    files.foreach(s => fs.rename(s.getPath, new Path(dst, s.getPath.getName)))
+    files.length
+  }
+}

@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2-§2.7) realized over the
+  * driver testdata star schema (FIXTURES.md §B maps each reference concept
+  * onto these tables). All functions are pure DataFrame → DataFrame so unit
+  * tests can feed in-memory frames.
+  *
+  * Scale posture: dimension sides (`nation`, `region`) are explicitly
+  * broadcast; `customer`/`part` are left to AQE (auto-broadcast under the
+  * threshold at test scale, shuffled-hash/sort-merge beyond). Fact-fact
+  * joins key on the natural join column so Catalyst can reuse one shuffle
+  * across stages. Every output is deterministically ordered because the
+  * oracle compare is order-sensitive.
+  */
+object Relational {
+
+  /** Pricing summary — the reference's multi-aggregate shape (A4 family:
+    * reference order_processing_incremental.py:184-192) over lineitem:
+    * grouped sums/averages/counts. TPC-H Q1 silhouette.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        dec4(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** The flagship fact transform (reference:
+    * order_processing_incremental.py:131-169): per-line-item grain (J1 —
+    * lineitem IS the exploded items array, FIXTURES.md §B), left-join dim
+    * enrichment with COALESCE defaults (J2/J3 + §2.7), date/hour derivation,
+    * CASE region bucketing with membership predicates (P4), line totals.
+    */
+  def factEnrich(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+                 nation: DataFrame, region: DataFrame): DataFrame = {
+    val tradeZone =
+      when(col("r_name").isin("AMERICA", "EUROPE"), "WEST")
+        .when(col("r_name").isin("ASIA", "MIDDLE EAST"), "EAST")
+        .otherwise("OTHER")
+    orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("o_custkey").as("customer_id"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("customer_tier"),
+        to_date(col("o_orderdate")).as("order_date"),
+        month(col("o_orderdate")).as("order_month"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").as("quantity"),
+        dec2(col("l_extendedprice")).as("line_total"),
+        dec2(col("o_totalprice")).as("total_amount"),
+        col("o_orderstatus").as("payment_status"),
+        coalesce(col("n_name"), lit("NO NATION")).as("nation"),
+        coalesce(col("r_name"), lit("NO REGION")).as("region"),
+        tradeZone.as("trade_zone"))
+      .orderBy("order_id", "line_no")
+  }
+
+  /** Duplicate detection (A1/A2 — reference:
+    * order_processing_incremental.py:84-88): GROUP BY key HAVING count>1.
+    */
+  def duplicates(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy(keys.map(col): _*)
+
+  /** Amount-mismatch check (A3/P3 — reference:
+    * order_processing_incremental.py:96-124): recompute each order's total
+    * from its line items and flag |calc - total| > 0.01. Line-item recompute
+    * is a map-side-combinable partial aggregate keyed on the join key, so
+    * the shuffle for the agg is reused by the join.
+    */
+  def amountMismatch(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val calc = lineitem.groupBy("l_orderkey")
+      .agg(sumMoney(col("l_extendedprice")).as("calculated_total"))
+    orders
+      .join(calc, orders("o_orderkey") === calc("l_orderkey"))
+      .filter(abs(col("calculated_total") - dec2(col("o_totalprice"))) > 0.01)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("calculated_total"),
+        dec2(col("o_totalprice")).as("total_amount"),
+        dec2(abs(col("calculated_total") - dec2(col("o_totalprice")))).as("diff"))
+      .orderBy("order_id")
+  }
+
+  /** Anti-join (J4 idempotency guard / J6 missing-reference shape —
+    * reference: order_processing_incremental.py:165-168; README.md:127):
+    * rows of `left` with no match in `right`.
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    left.join(right, left(leftKey) === right(rightKey), "left_anti")
+
+  /** Inactive customers (J7 — reference README.md:112,141): customers whose
+    * latest order predates the cutoff, or who never ordered. One shuffle
+    * (group on o_custkey), then a broadcast-eligible join back to customer.
+    */
+  def inactiveCustomers(customer: DataFrame, orders: DataFrame, cutoffDate: String): DataFrame = {
+    val lastOrder = orders.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_order_date"))
+    customer
+      .join(lastOrder, customer("c_custkey") === lastOrder("o_custkey"), "left")
+      .filter(col("last_order_date").isNull || col("last_order_date") < to_date(lit(cutoffDate)))
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
+        col("last_order_date"))
+      .orderBy("customer_id")
+  }
+
+  /** Hourly multi-aggregate (A4 — reference:
+    * order_processing_incremental.py:184-192): TIMESTAMP_TRUNC(hour) bucket,
+    * COUNT DISTINCT ids, SUM/AVG of the measure. Exact COUNT(DISTINCT) for
+    * oracle parity; `hourlyMetricsApprox` is the 100 TB-scale variant.
+    */
+  def hourlyMetrics(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("metric_hour"))
+      .agg(
+        countDistinct(col("event_id")).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sumMeasure(col("value")).as("total_value"),
+        (sum(dec6(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy("metric_hour")
+
+  /** Scale variant of A4: HLL sketches instead of exact distincts — one
+    * pass, no per-key distinct expansion; the drop-in choice at 100 TB.
+    */
+  def hourlyMetricsApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("metric_hour"))
+      .agg(
+        approx_count_distinct(col("event_id")).as("total_events"),
+        approx_count_distinct(col("user_id")).as("unique_users"),
+        sumMeasure(col("value")).as("total_value"))
+      .orderBy("metric_hour")
+
+  /** Category revenue (A6 — reference README.md:135, agg_category_revenue
+    * README.md:81): revenue per product category.
+    */
+  def categoryRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_type").as("category"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"),
+        sum("l_quantity").as("units_sold"))
+      .orderBy("category")
+
+  /** Average order value by customer tier (A7 — reference README.md:137). */
+  def tierAov(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("customer_tier"))
+      .agg(avgMoney(col("o_totalprice")).as("avg_order_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("customer_tier")
+
+  /** Geographic distribution (A8 — reference README.md:138): order count and
+    * revenue by region with the CASE trade-zone bucketing (P4).
+    */
+  def geoDistribution(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("total_orders"),
+        sumMoney(col("o_totalprice")).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("unique_customers"))
+      .orderBy("region")
+
+  /** Top-K selling products (W1 — reference README.md:136). Deterministic
+    * tie-break on product_id. At scale the grouped aggregate is tiny
+    * relative to the fact, so the global sort-limit is a TakeOrderedAndProject
+    * (per-partition top-K + driver merge), not a full sort.
+    */
+  def topProducts(lineitem: DataFrame, part: DataFrame, k: Int = 10): DataFrame =
+    lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey").as("product_id"), col("p_name").as("product_name"))
+      .agg(sum("l_quantity").as("units_sold"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("units_sold").desc, col("product_id"))
+      .limit(k)
+
+  /** Revenue trend with smoothing (W2 — reference README.md:114,143): daily
+    * revenue per category over a trailing window, plus a 7-day moving
+    * average. The moving average divides an exact decimal window sum by the
+    * window row count — deterministic across engines.
+    */
+  def revenueTrend(lineitem: DataFrame, part: DataFrame, fromDate: String): DataFrame = {
+    val daily = lineitem
+      .filter(col("l_shipdate") >= to_date(lit(fromDate)))
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_type").as("category"), to_date(col("l_shipdate")).as("ship_date"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy("category").orderBy("ship_date").rowsBetween(-6, 0)
+    daily
+      .withColumn("revenue_ma7",
+        sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w))
+      .orderBy("category", "ship_date")
+  }
+
+  /** MERGE semantics (J5/S5 — reference:
+    * order_processing_incremental.py:182-204): combine a target aggregate
+    * with a source delta keyed on metric_hour; MATCHED → additive update,
+    * NOT MATCHED → insert. Realized as a full-outer join + per-column
+    * coalesce — the pure-Spark upsert. (The pipeline's physical sink uses
+    * dynamic partition overwrite instead; see pipeline.Incremental.)
+    */
+  def mergeHourly(target: DataFrame, source: DataFrame): DataFrame = {
+    val t = target.select(col("metric_hour").as("t_hour"),
+      col("total_events").as("t_events"), col("total_value").as("t_value"))
+    val s = source.select(col("metric_hour").as("s_hour"),
+      col("total_events").as("s_events"), col("total_value").as("s_value"))
+    t.join(s, t("t_hour") === s("s_hour"), "full_outer")
+      .select(
+        coalesce(col("t_hour"), col("s_hour")).as("metric_hour"),
+        (coalesce(col("t_events"), lit(0L)) + coalesce(col("s_events"), lit(0L))).as("total_events"),
+        dec6(coalesce(col("t_value"), lit(0)) + coalesce(col("s_value"), lit(0))).as("total_value"))
+      .orderBy("metric_hour")
+  }
+}

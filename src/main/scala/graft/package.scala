@@ -1,0 +1,41 @@
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic numeric helpers.
+  *
+  * The driver hash-compares our parquet output against a DuckDB oracle
+  * (BASELINE.md). Raw double SUMs are summation-order-dependent, so two
+  * engines (or two runs) can differ in the last bits and hash-mismatch.
+  * Policy: aggregate money through exact DECIMAL casts (order-independent),
+  * and derive any double output (averages, ratios) from those exact sums
+  * with a fixed scalar expression, rounded to a stable number of digits.
+  */
+package object graft {
+  /** Exact 2-dp decimal view of a money column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact 4-dp decimal (products of two 2-dp decimals — no rounding). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact 6-dp decimal view of an arbitrary-precision double column. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent money sum, normalized back to DECIMAL(18,2)
+    * (Spark widens sum(decimal(18,2)) to decimal(28,2); DuckDB to
+    * decimal(38,2) — the explicit cast aligns both schemas).
+    */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+
+  /** Order-independent sum for measure doubles (6-dp). */
+  def sumMeasure(c: Column): Column = sum(dec6(c)).cast(DecimalType(18, 6))
+
+  /** Deterministic mean of a money column: exact decimal sum, then one
+    * double division — bit-identical across engines. Deliberately NOT
+    * rounded: round() implementations diverge at half-boundaries
+    * (Spark exact-BigDecimal HALF_UP vs DuckDB scaled-multiply), while a
+    * single IEEE division on identical inputs is exact parity.
+    */
+  def avgMoney(c: Column): Column =
+    sum(dec2(c)).cast("double") / count(lit(1))
+}
