@@ -1,0 +1,33 @@
+package graft.ops.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level text primitives. All codegen'd built-ins — no UDFs —
+  * so they stay inside whole-stage codegen and need no shuffle (SURVEY.md
+  * §7.4 "shuffle-minimal" posture: per-document work is embarrassingly
+  * parallel map work).
+  */
+object TextFns {
+
+  /** Whitespace tokenization (single-space contract of the synthetic docs). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as an array column, computed with higher-order
+    * functions (no explode, no shuffle). Docs shorter than n shingle to an
+    * empty array. 1-based `sequence` start mirrors the SQL oracle exactly.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish sub-token split: letter runs, digit runs, single punctuation. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Count of regex matches (codegen'd; used for stopword/punct ratios). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+}

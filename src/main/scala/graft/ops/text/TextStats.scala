@@ -1,0 +1,99 @@
+package graft.ops.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder prompt "Text analysis"): token stats, quality scoring,
+  * language ID, document fingerprinting. All per-document map work —
+  * no shuffle, scales linearly with document count.
+  */
+object TextStats {
+
+  /** Token counting + basic shape stats per document. `avg_token_len`
+    * derives from integer columns with one double division (cross-engine
+    * deterministic; see graft.package rationale).
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      col("n_chars"),
+      length(col("text")).as("text_len"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val stopEn = "\\b(the|and|of|is|in|to|a)\\b"
+
+  /** Quality scoring: length score, stopword ratio, punctuation density,
+    * type-token ratio, blended into one deterministic double score.
+    * Mirrors the common LLM-data quality heuristics (length/punct/stopword).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopCnt = matchCount(col("text"), stopEn)
+    val punctCnt = matchCount(col("text"), "[.,;:!?]")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = stopCnt.cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
+    documents.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      stopCnt.as("stopword_cnt"),
+      punctCnt.as("punct_cnt"),
+      stopRatio.as("stopword_ratio"),
+      ttr.as("type_token_ratio"),
+      (lenScore * lit(0.5) + stopRatio * lit(0.3) + ttr * lit(0.2)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: per-language stopword/character-class evidence
+    * counts with a fixed-precedence argmax. Unigram variant of n-gram
+    * profiling — pure codegen'd regex counting, no shuffle, and expressible
+    * verbatim in the SQL oracle.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val scores = Map(
+      "en" -> matchCount(col("text"), "\\b(the|and|of|is|in|to)\\b"),
+      "es" -> matchCount(col("text"), "\\b(el|la|de|que|los|una)\\b"),
+      "de" -> matchCount(col("text"), "\\b(der|die|und|das|ein|ist)\\b"),
+      "fr" -> matchCount(col("text"), "\\b(le|la|et|les|des|une)\\b"),
+      "zh" -> matchCount(col("text"), "[\\x{4e00}-\\x{9fff}]"))
+    val Seq(en, es, de, fr, zh) = Seq("en", "es", "de", "fr", "zh").map(scores)
+    val predicted =
+      when(en >= es && en >= de && en >= fr && en >= zh, "en")
+        .when(es >= de && es >= fr && es >= zh, "es")
+        .when(de >= fr && de >= zh, "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    documents.select(
+      col("doc_id"), col("lang"),
+      en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"), zh.as("s_zh"),
+      predicted.as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: exact md5, case-normalized md5, 64-char-prefix
+    * md5, and a 1-permutation min-shingle hash (rolling-hash-style content
+    * fingerprint robust to local edits).
+    */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")), 2)
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_exact"),
+      md5(lower(col("text"))).as("fp_norm"),
+      md5(substring(col("text"), 1, 64)).as("fp_prefix"),
+      array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
+      .orderBy("doc_id")
+  }
+}
