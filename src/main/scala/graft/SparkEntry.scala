@@ -25,25 +25,34 @@ object SparkEntry {
       t(spark, d, "customer"), t(spark, d, "nation"), t(spark, d, "region"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each wrapper appends the oracle-compare's deterministic ORDER BY here —
+    * NOT inside the production operator — so pipeline use of the same
+    * functions is sort-free (VERDICT r1 item 9).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A4-family multi-aggregate (sums/avgs/counts) over the fact table.
     "q1_pricing_summary" -> ((s, dir) =>
-      Relational.pricingSummary(t(s, dir, "lineitem"))),
+      Relational.pricingSummary(t(s, dir, "lineitem"))
+        .orderBy("l_returnflag", "l_linestatus")),
 
     // Flagship fact transform: J1 grain + J2/J3 left-join enrich + COALESCE
     // + CASE bucketing + date derivations (§2.2, §2.3, §2.7).
     "q_fact_enrich" -> ((s, dir) =>
       Relational.factEnrich(t(s, dir, "orders"), t(s, dir, "lineitem"),
-        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
+        .orderBy("order_id", "line_no")),
 
     // A1/A2 duplicate detection: GROUP BY key HAVING count>1.
     "q_dup_check" -> ((s, dir) =>
-      Relational.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))),
+      Relational.duplicates(t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy("l_orderkey")),
 
     // A3/P3 amount-mismatch quality check with float tolerance.
     "q_amount_mismatch" -> ((s, dir) =>
-      Relational.amountMismatch(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+      Relational.amountMismatch(t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .orderBy("order_id")),
 
     // J4/J6 anti-join: orders with no line items.
     "q_orders_no_lineitem" -> ((s, dir) =>
@@ -57,24 +66,26 @@ object SparkEntry {
     // J7 inactive-customer detection (cutoff fixed for determinism).
     "q_inactive_customers" -> ((s, dir) =>
       Relational.inactiveCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
-        "2000-01-01")),
+        "2000-01-01").orderBy("customer_id")),
 
     // A4 hourly multi-aggregate with exact COUNT(DISTINCT).
     "q_hourly_metrics" -> ((s, dir) =>
-      Relational.hourlyMetrics(t(s, dir, "events"))),
+      Relational.hourlyMetrics(t(s, dir, "events")).orderBy("metric_hour")),
 
     // A6 revenue by category.
     "q_category_revenue" -> ((s, dir) =>
-      Relational.categoryRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))),
+      Relational.categoryRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("category")),
 
     // A7 average order value by tier (COALESCE default tier).
     "q_tier_aov" -> ((s, dir) =>
-      Relational.tierAov(t(s, dir, "orders"), t(s, dir, "customer"))),
+      Relational.tierAov(t(s, dir, "orders"), t(s, dir, "customer"))
+        .orderBy("customer_tier")),
 
     // A8 geographic distribution.
     "q_geo_distribution" -> ((s, dir) =>
       Relational.geoDistribution(t(s, dir, "orders"), t(s, dir, "customer"),
-        t(s, dir, "nation"), t(s, dir, "region"))),
+        t(s, dir, "nation"), t(s, dir, "region")).orderBy("region")),
 
     // W1 top-10 products (deterministic tie-break).
     "q_top_products" -> ((s, dir) =>
@@ -83,7 +94,7 @@ object SparkEntry {
     // W2 revenue trend + 7-day moving average window.
     "q_revenue_trend" -> ((s, dir) =>
       Relational.revenueTrend(t(s, dir, "lineitem"), t(s, dir, "part"),
-        "2001-01-01")),
+        "2001-01-01").orderBy("category", "ship_date")),
 
     // J5/S5 MERGE semantics: full-outer + coalesce upsert of two hourly
     // aggregates (even/odd event_id halves → MATCHED and NOT MATCHED rows).
@@ -96,6 +107,7 @@ object SparkEntry {
       Relational.mergeHourly(
         agg(ev.filter(col("event_id") % 2 === 0)),
         agg(ev.filter(col("event_id") % 2 === 1)))
+        .orderBy("metric_hour")
     })
   )
 

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * broadcast; `customer`/`part` are left to AQE (auto-broadcast under the
   * threshold at test scale, shuffled-hash/sort-merge beyond). Fact-fact
   * joins key on the natural join column so Catalyst can reuse one shuffle
-  * across stages. Every output is deterministically ordered because the
-  * oracle compare is order-sensitive.
+  * across stages. Production operators are sort-free — the driver-oracle's
+  * deterministic ORDER BY lives in the SparkEntry wrappers only, so these
+  * plans carry no global sort when used as pipeline stages (a full sort of
+  * the fact table would be the scale bottleneck at 100 TB). The one
+  * exception is `topProducts`, whose sort-limit IS the operator (it compiles
+  * to TakeOrderedAndProject, not a full sort).
   */
 object Relational {
 
@@ -33,7 +37,6 @@ object Relational {
         avg("l_quantity").as("avg_qty"),
         avgMoney(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** The flagship fact transform (reference:
     * order_processing_incremental.py:131-169): per-line-item grain (J1 —
@@ -67,7 +70,6 @@ object Relational {
         coalesce(col("n_name"), lit("NO NATION")).as("nation"),
         coalesce(col("r_name"), lit("NO REGION")).as("region"),
         tradeZone.as("trade_zone"))
-      .orderBy("order_id", "line_no")
   }
 
   /** Duplicate detection (A1/A2 — reference:
@@ -77,7 +79,6 @@ object Relational {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
-      .orderBy(keys.map(col): _*)
 
   /** Amount-mismatch check (A3/P3 — reference:
     * order_processing_incremental.py:96-124): recompute each order's total
@@ -96,7 +97,6 @@ object Relational {
         col("calculated_total"),
         dec2(col("o_totalprice")).as("total_amount"),
         dec2(abs(col("calculated_total") - dec2(col("o_totalprice")))).as("diff"))
-      .orderBy("order_id")
   }
 
   /** Anti-join (J4 idempotency guard / J6 missing-reference shape —
@@ -118,7 +118,6 @@ object Relational {
       .filter(col("last_order_date").isNull || col("last_order_date") < to_date(lit(cutoffDate)))
       .select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
         col("last_order_date"))
-      .orderBy("customer_id")
   }
 
   /** Hourly multi-aggregate (A4 — reference:
@@ -134,7 +133,6 @@ object Relational {
         countDistinct(col("user_id")).as("unique_users"),
         sumMeasure(col("value")).as("total_value"),
         (sum(dec6(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
-      .orderBy("metric_hour")
 
   /** Scale variant of A4: HLL sketches instead of exact distincts — one
     * pass, no per-key distinct expansion; the drop-in choice at 100 TB.
@@ -146,7 +144,6 @@ object Relational {
         approx_count_distinct(col("event_id")).as("total_events"),
         approx_count_distinct(col("user_id")).as("unique_users"),
         sumMeasure(col("value")).as("total_value"))
-      .orderBy("metric_hour")
 
   /** Category revenue (A6 — reference README.md:135, agg_category_revenue
     * README.md:81): revenue per product category.
@@ -157,7 +154,6 @@ object Relational {
       .groupBy(col("p_type").as("category"))
       .agg(sumMoney(col("l_extendedprice")).as("revenue"),
         sum("l_quantity").as("units_sold"))
-      .orderBy("category")
 
   /** Average order value by customer tier (A7 — reference README.md:137). */
   def tierAov(orders: DataFrame, customer: DataFrame): DataFrame =
@@ -166,7 +162,6 @@ object Relational {
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("customer_tier"))
       .agg(avgMoney(col("o_totalprice")).as("avg_order_value"),
         count(lit(1)).as("n_orders"))
-      .orderBy("customer_tier")
 
   /** Geographic distribution (A8 — reference README.md:138): order count and
     * revenue by region with the CASE trade-zone bucketing (P4).
@@ -181,7 +176,6 @@ object Relational {
       .agg(count(lit(1)).as("total_orders"),
         sumMoney(col("o_totalprice")).as("total_revenue"),
         countDistinct(col("o_custkey")).as("unique_customers"))
-      .orderBy("region")
 
   /** Top-K selling products (W1 — reference README.md:136). Deterministic
     * tie-break on product_id. At scale the grouped aggregate is tiny
@@ -212,7 +206,6 @@ object Relational {
     daily
       .withColumn("revenue_ma7",
         sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w))
-      .orderBy("category", "ship_date")
   }
 
   /** MERGE semantics (J5/S5 — reference:
@@ -232,6 +225,5 @@ object Relational {
         coalesce(col("t_hour"), col("s_hour")).as("metric_hour"),
         (coalesce(col("t_events"), lit(0L)) + coalesce(col("s_events"), lit(0L))).as("total_events"),
         dec6(coalesce(col("t_value"), lit(0)) + coalesce(col("s_value"), lit(0))).as("total_value"))
-      .orderBy("metric_hour")
   }
 }

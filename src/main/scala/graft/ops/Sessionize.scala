@@ -42,5 +42,4 @@ object Sessionize {
         min("ts_ms").as("session_start_ms"),
         (max("ts_ms") - min("ts_ms")).as("duration_ms"),
         sumMeasure(col("value")).as("total_value"))
-      .orderBy("user_id", "session_seq")
 }

@@ -28,7 +28,6 @@ object TextStats {
       size(bpeTokens(col("text"))).as("n_bpe_tokens"),
       ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
         .as("avg_token_len"))
-      .orderBy("doc_id")
   }
 
   private val stopEn = "\\b(the|and|of|is|in|to|a)\\b"
@@ -53,7 +52,6 @@ object TextStats {
       stopRatio.as("stopword_ratio"),
       ttr.as("type_token_ratio"),
       (lenScore * lit(0.5) + stopRatio * lit(0.3) + ttr * lit(0.2)).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** Language-ID heuristic: per-language stopword/character-class evidence
@@ -79,7 +77,6 @@ object TextStats {
       col("doc_id"), col("lang"),
       en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"), zh.as("s_zh"),
       predicted.as("predicted_lang"))
-      .orderBy("doc_id")
   }
 
   /** Document fingerprints: exact md5, case-normalized md5, 64-char-prefix
@@ -94,6 +91,5 @@ object TextStats {
       md5(lower(col("text"))).as("fp_norm"),
       md5(substring(col("text"), 1, 64)).as("fp_prefix"),
       array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
-      .orderBy("doc_id")
   }
 }
