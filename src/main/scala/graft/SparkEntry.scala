@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
-import graft.ops.Relational
+import graft.ops.{Relational, Sessionize}
+import graft.ops.text.{Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,7 +109,37 @@ object SparkEntry {
         agg(ev.filter(col("event_id") % 2 === 0)),
         agg(ev.filter(col("event_id") % 2 === 1)))
         .orderBy("metric_hour")
-    })
+    }),
+
+    // Text analysis: token counting (whitespace + BPE-ish regex split).
+    "q_token_stats" -> ((s, dir) =>
+      TextStats.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Text analysis: quality scoring (length/stopword/punct/TTR blend).
+    "q_quality_score" -> ((s, dir) =>
+      TextStats.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Text analysis: n-gram-heuristic language ID.
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Text analysis: content fingerprints (exact/normalized/prefix/min-shingle).
+    "q_fingerprints" -> ((s, dir) =>
+      TextStats.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Gap-based sessionization over the events stream (30-min gap).
+    "q_session_stats" -> ((s, dir) =>
+      Sessionize.sessionStats(t(s, dir, "events"), 30)
+        .orderBy("user_id", "session_seq")),
+
+    // Exact dedup: normalized-content hash groups with representative + count.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents")).orderBy("keep_doc_id")),
+
+    // MinHash-LSH near-dup pairs: banded bucket join + exact-Jaccard verify.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), k = 16, bands = 8,
+        threshold = 0.5).orderBy("doc_a", "doc_b"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -252,6 +283,131 @@ object SparkEntry {
         | coalesce(t.total_events, 0) + coalesce(s.total_events, 0) AS total_events,
         | CAST(coalesce(t.total_value, 0) + coalesce(s.total_value, 0) AS DECIMAL(18,6)) AS total_value
         |FROM t FULL OUTER JOIN s ON t.metric_hour = s.metric_hour
-        |ORDER BY metric_hour""".stripMargin
+        |ORDER BY metric_hour""".stripMargin,
+
+    // split(text,' ') ≡ string_split; regexp_extract_all full-match lists
+    // have identical semantics in Spark (Java regex) and DuckDB (RE2) for
+    // these patterns. avg_token_len derives from ints with one double
+    // division — deterministic (graft.package policy).
+    "q_token_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        | length(text) AS text_len,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |   len(string_split(text, ' ')) AS n_tokens,
+        |   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |   len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS stopword_cnt,
+        |   len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, stopword_cnt, punct_cnt,
+        | CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+        | CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        | least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |   + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |   + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |   len(regexp_extract_all(text, '\b(the|and|of|is|in|to)\b')) AS s_en,
+        |   len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')) AS s_es,
+        |   len(regexp_extract_all(text, '\b(der|die|und|das|ein|ist)\b')) AS s_de,
+        |   len(regexp_extract_all(text, '\b(le|la|et|les|des|une)\b')) AS s_fr,
+        |   len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Word-2-gram shingles: 1-based slice toks[i:i+1] (inclusive end) ≡
+    // Spark slice(toks,i,2); md5 hex is lowercase in both engines, and min
+    // over fixed-length hex ≡ min over the 128-bit value.
+    "q_fingerprints" ->
+      """SELECT doc_id,
+        | md5(text) AS fp_exact,
+        | md5(lower(text)) AS fp_norm,
+        | md5(substring(text, 1, 64)) AS fp_prefix,
+        | CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+        |   list_aggregate(
+        |     [md5(array_to_string(toks[i:i+1], ' '))
+        |      for i in generate_series(1, len(toks) - 1)], 'min')
+        | ELSE NULL END AS fp_min_shingle
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Millisecond-epoch ordering and gap arithmetic on both sides; 30-min
+    // gap = 1_800_000 ms.
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+        |l AS (
+        |  SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms
+        |  FROM e),
+        |n AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                 THEN 1 ELSE 0 END AS is_new
+        |  FROM l),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM n)
+        |SELECT user_id, session_seq,
+        | count(*) AS n_events,
+        | min(ts_ms) AS session_start_ms,
+        | max(ts_ms) - min(ts_ms) AS duration_ms,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp_norm,
+        | min(doc_id) AS keep_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    // Replicates the Spark MinHash-LSH deterministically: same md5
+    // "permutations" (p || ':' || shingle), same 8 bands × 2 rows, same
+    // bucket-join candidate generation, same exact-Jaccard verify. Jaccard
+    // is one int/int double division — identical in both engines.
+    "q_dedup_minhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |   list_distinct([array_to_string(toks[i:i+1], ' ')
+        |                  for i in generate_series(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |   [list_aggregate(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)), 'min')
+        |    for p in generate_series(0, 15)] AS sigs
+        |  FROM base),
+        |bands AS (
+        |  SELECT doc_id, j AS band_idx,
+        |   md5(sigs[2*j + 1] || '|' || sigs[2*j + 2]) AS band_key
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

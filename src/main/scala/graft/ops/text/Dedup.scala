@@ -1,0 +1,113 @@
+package graft.ops.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (hash-groupBy) and MinHash-LSH near-dup (the scale-correct
+  * banded form — shuffle on band-hash keys, compare only within buckets,
+  * never an all-pairs cross join).
+  *
+  * All hashing is md5-based so the DuckDB oracle can replicate every stage
+  * bit-for-bit: a fixed-length lowercase hex string compares lexicographically
+  * exactly like the underlying 128-bit integer, so `min` over hex strings is
+  * a valid minhash "permutation" in both engines.
+  *
+  * Scale posture (100 TB): signature computation is per-document map work
+  * (codegen'd HOFs, no UDFs). The only shuffles are (a) the posexplode'd
+  * band table keyed on (band_idx, band_key) — data volume b rows/doc of
+  * ~50 bytes; (b) candidate-pair dedup; (c) the verify join back to shingle
+  * sets keyed on doc_id. Bucket skew (a viral boilerplate string landing
+  * millions of docs in one band bucket) is the known hazard — mitigate with
+  * AQE skew-join or salt-split of oversized buckets; at fixture scale the
+  * plain plan is correct.
+  */
+object Dedup {
+
+  /** Distinct word-2-gram shingle set of a text column. */
+  def shingleSet(text: Column, n: Int = 2): Column =
+    array_distinct(shingles(tokens(text), n))
+
+  /** Exact dedup summary: one row per normalized-content fingerprint with
+    * the representative (minimum) doc_id and the copy count. The kept
+    * corpus is `docs.dropDuplicates("fp_norm")` on the same fingerprint;
+    * this summary form is what the oracle checks.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(lower(col("text"))).as("fp_norm"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** k minhash signature columns: for permutation p, min over shingles of
+    * md5("p:" ++ shingle). Pure map work.
+    */
+  private def signatureCols(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map { p =>
+      array_min(transform(sh, s => md5(concat(lit(p + ":"), s))))
+    }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Stages: shingle sets → k minhash signatures → b band keys of r rows
+    * (k = b*r) → posexplode to (doc_id, band_idx, band_key) → self-join on
+    * the band key (candidate generation INSIDE buckets only) → exact
+    * Jaccard verification on the shingle sets → filter >= threshold.
+    *
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, one row per verified
+    * near-dup pair. Jaccard is |A∩B| / |A∪B| as one int/int double division
+    * — bit-identical across engines.
+    */
+  def nearDupPairs(documents: DataFrame, k: Int = 16, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val sh = shingleSet(col("text"))
+    val sigs = signatureCols(sh, k)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|", sigs.slice(j * r, j * r + r): _*))
+    }
+    val bandTable = documents
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val a = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val setsA = documents.select(col("doc_id").as("doc_a"), sh.as("sh_a"))
+    val setsB = documents.select(col("doc_id").as("doc_b"), sh.as("sh_b"))
+    candidates
+      .join(setsA, "doc_a")
+      .join(setsB, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup fingerprint: 32-bit signed simhash over token md5s.
+    * Each token votes its md5-derived bit pattern; the sign of each bit's
+    * vote sum forms the fingerprint. Docs within small Hamming distance are
+    * near-dups. Map-only; grouping by fingerprint (or by fingerprint bands)
+    * finds clusters without pairwise comparison.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = tokens(text)
+    // Per-bit vote: sum over tokens of +1/-1 depending on the md5 bit
+    // (one hex nibble covers 4 bits; conv(nibble,16,10) yields 0-15).
+    val votes = (0 until bits).map { i =>
+      aggregate(toks, lit(0L), (acc, t) => {
+        val nibble = substring(md5(t), i / 4 + 1, 1)
+        val bit = shiftright(conv(nibble, 16, 10).cast("long"), 3 - (i % 4)) % 2
+        acc + when(bit === 1, 1L).otherwise(-1L)
+      })
+    }
+    val fingerprint = votes.zipWithIndex.map { case (v, i) =>
+      when(v > 0, lit(1L) * (1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    fingerprint
+  }
+}
