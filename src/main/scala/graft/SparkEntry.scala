@@ -139,7 +139,16 @@ object SparkEntry {
     // MinHash-LSH near-dup pairs: banded bucket join + exact-Jaccard verify.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 16, bands = 8,
-        threshold = 0.5).orderBy("doc_a", "doc_b"))
+        threshold = 0.5).orderBy("doc_a", "doc_b")),
+
+    // Brute-force cosine top-5 for 10 query vectors over the embedding
+    // corpus: broadcast linear scan + map-side partial TopK Aggregator.
+    "q_similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.bruteForceTopK(emb, q, 5).orderBy("q_id", "rank")
+    })
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -408,6 +417,32 @@ object SparkEntry {
         |FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Ordered left-fold inner sums via list_reduce — the exact IEEE
+    // operation sequence of the Spark aggregate() HOF, so sim is
+    // bit-identical. (0.0 + x == x, so Spark's 0-seeded fold matches
+    // DuckDB's first-element-seeded list_reduce.)
+    "q_similarity_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q_id, v.vec_id AS neighbor_id,
+        |   list_reduce([CAST(qe[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(qe))], (x, y) -> x + y) AS dot,
+        |   list_reduce([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+        |             for i in generate_series(1, len(qe))], (x, y) -> x + y) AS nq,
+        |   list_reduce([CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(v.embedding))], (x, y) -> x + y) AS nv
+        |  FROM q, embeddings v),
+        |s AS (
+        |  SELECT q_id, neighbor_id, dot / (sqrt(nq) * sqrt(nv)) AS sim
+        |  FROM p)
+        |SELECT q_id,
+        | CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+        | neighbor_id, sim
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY q_id, rank""".stripMargin
   )
 }
