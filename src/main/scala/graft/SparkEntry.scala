@@ -43,7 +43,9 @@ object SparkEntry {
     "q_fact_enrich" -> ((s, dir) =>
       Relational.factEnrich(t(s, dir, "orders"), t(s, dir, "lineitem"),
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"))
-        .orderBy("order_id", "line_no")),
+        // (order_id, line_no) is NOT unique in the synthetic lineitem —
+        // extend the sort key until it is total, or the compare flakes.
+        .orderBy("order_id", "line_no", "product_id", "quantity", "line_total")),
 
     // A1/A2 duplicate detection: GROUP BY key HAVING count>1.
     "q_dup_check" -> ((s, dir) =>
@@ -141,6 +143,15 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 16, bands = 8,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
 
+    // J1/P5/A3 nested-data path: nest lineitem into items arrays, LEFT-join
+    // onto orders, per-row HOF array-aggregate total, explode_outer back to
+    // line grain with struct-field projections. Itemless orders keep one
+    // row with NULL line fields (the LEFT JOIN UNNEST semantics).
+    "q_nested_roundtrip" -> ((s, dir) =>
+      ops.Nested.nestedRoundtrip(t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .orderBy(col("order_id"), col("line_no").asc_nulls_first,
+          col("product_id"), col("quantity"), col("unit_price"))),
+
     // Brute-force cosine top-5 for 10 query vectors over the embedding
     // corpus: broadcast linear scan + map-side partial TopK Aggregator.
     "q_similarity_topk" -> ((s, dir) => {
@@ -187,7 +198,7 @@ object SparkEntry {
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY order_id, line_no""".stripMargin,
+        |ORDER BY order_id, line_no, product_id, quantity, line_total""".stripMargin,
 
     "q_dup_check" ->
       """SELECT l_orderkey, count(*) AS cnt
@@ -300,10 +311,10 @@ object SparkEntry {
     // division — deterministic (graft.package policy).
     "q_token_stats" ->
       """SELECT doc_id, lang, n_chars,
-        | length(text) AS text_len,
-        | len(string_split(text, ' ')) AS n_tokens,
-        | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | CAST(length(text) AS INT) AS text_len,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
         | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |   / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -311,10 +322,10 @@ object SparkEntry {
     "q_quality_score" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |   len(string_split(text, ' ')) AS n_tokens,
-        |   len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |   len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS stopword_cnt,
-        |   len(regexp_extract_all(text, '[.,;:!?]')) AS punct_cnt
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt,
+        |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_cnt
         |  FROM documents)
         |SELECT doc_id, n_tokens, stopword_cnt, punct_cnt,
         | CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -327,11 +338,11 @@ object SparkEntry {
     "q_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
-        |   len(regexp_extract_all(text, '\b(the|and|of|is|in|to)\b')) AS s_en,
-        |   len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')) AS s_es,
-        |   len(regexp_extract_all(text, '\b(der|die|und|das|ein|ist)\b')) AS s_de,
-        |   len(regexp_extract_all(text, '\b(le|la|et|les|des|une)\b')) AS s_fr,
-        |   len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to)\b')) AS INT) AS s_en,
+        |   CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')) AS INT) AS s_es,
+        |   CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ein|ist)\b')) AS INT) AS s_de,
+        |   CAST(len(regexp_extract_all(text, '\b(le|la|et|les|des|une)\b')) AS INT) AS s_fr,
+        |   CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INT) AS s_zh
         |  FROM documents)
         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
         | CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -418,6 +429,27 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // LEFT JOIN LATERAL unnest keeps itemless orders (J1 semantics);
+    // decimal-first products keep the HOF total exact on both engines.
+    "q_nested_roundtrip" ->
+      """WITH nested AS (
+        |  SELECT l_orderkey AS oid,
+        |   list(struct_pack(line_no := l_linenumber, product_id := l_partkey,
+        |                    quantity := l_quantity,
+        |                    unit_price := CAST(l_extendedprice AS DECIMAL(18,2)))) AS items
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderkey AS order_id, CAST(len(items) AS INT) AS n_items,
+        |   CAST(list_sum(list_transform(items,
+        |     x -> CAST(CAST(x.quantity AS DECIMAL(18,2)) * x.unit_price AS DECIMAL(28,2)))) AS DECIMAL(18,2)) AS calc_total,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount, items
+        |  FROM orders LEFT JOIN nested ON o_orderkey = oid)
+        |SELECT order_id, n_items, calc_total, total_amount,
+        | t.item.line_no AS line_no, t.item.product_id AS product_id,
+        | t.item.quantity AS quantity, t.item.unit_price AS unit_price
+        |FROM j LEFT JOIN LATERAL (SELECT unnest(items) AS item) t ON TRUE
+        |ORDER BY order_id, line_no ASC NULLS FIRST, product_id, quantity, unit_price""".stripMargin,
 
     // Ordered left-fold inner sums via list_reduce — the exact IEEE
     // operation sequence of the Spark aggregate() HOF, so sim is
