@@ -152,6 +152,21 @@ object SparkEntry {
         .orderBy(col("order_id"), col("line_no").asc_nulls_first,
           col("product_id"), col("quantity"), col("unit_price"))),
 
+    // A2/A9 quality framework: audit table from four checks, summarized
+    // by (check_type, severity) — deterministic columns only (uuid and
+    // timestamp stay out of the compare).
+    "q_quality_summary" -> ((s, dir) =>
+      ops.Quality.qualitySummary(ops.Quality.qualityChecks(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "customer"), t(s, dir, "part")))
+        .orderBy("check_type", "severity")),
+
+    // A10 low-stock alert: high demand + low inventory (p_size proxies
+    // stock in the testdata schema).
+    "q_low_stock" -> ((s, dir) =>
+      ops.Quality.lowStock(t(s, dir, "lineitem"), t(s, dir, "part"), 800.0, 10)
+        .orderBy("product_id")),
+
     // Brute-force cosine top-5 for 10 query vectors over the embedding
     // corpus: broadcast linear scan + map-side partial TopK Aggregator.
     "q_similarity_topk" -> ((s, dir) => {
@@ -450,6 +465,43 @@ object SparkEntry {
         | t.item.quantity AS quantity, t.item.unit_price AS unit_price
         |FROM j LEFT JOIN LATERAL (SELECT unnest(items) AS item) t ON TRUE
         |ORDER BY order_id, line_no ASC NULLS FIRST, product_id, quantity, unit_price""".stripMargin,
+
+    "q_quality_summary" ->
+      """WITH dup AS (
+        |  SELECT count(*) AS n FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING count(*) > 1)),
+        |mism AS (
+        |  SELECT count(*) AS n FROM (
+        |    SELECT 1
+        |    FROM orders JOIN (
+        |      SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ct
+        |      FROM lineitem GROUP BY 1) c ON o_orderkey = l_orderkey
+        |    WHERE abs(ct - CAST(o_totalprice AS DECIMAL(18,2))) > 0.01)),
+        |mc AS (
+        |  SELECT count(*) AS n FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |mp AS (
+        |  SELECT count(*) AS n FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |SELECT * FROM (
+        |  SELECT 'duplicate_line_item' AS check_type, 'critical' AS severity,
+        |         n AS n_violations FROM dup WHERE n > 0
+        |  UNION ALL SELECT 'amount_mismatch', 'warning', n FROM mism WHERE n > 0
+        |  UNION ALL SELECT 'missing_customer', 'warning', n FROM mc WHERE n > 0
+        |  UNION ALL SELECT 'missing_product', 'warning', n FROM mp WHERE n > 0)
+        |ORDER BY check_type, severity""".stripMargin,
+
+    "q_low_stock" ->
+      """WITH d AS (
+        |  SELECT l_partkey, sum(l_quantity) AS units_sold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_partkey AS product_id, p_name AS product_name,
+        |       units_sold, p_size AS stock_level
+        |FROM d JOIN part ON l_partkey = p_partkey
+        |WHERE units_sold >= 800 AND p_size <= 10
+        |ORDER BY product_id""".stripMargin,
 
     // Ordered left-fold inner sums via list_reduce — the exact IEEE
     // operation sequence of the Spark aggregate() HOF, so sim is
