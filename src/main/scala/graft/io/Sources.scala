@@ -27,7 +27,10 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session-level legacy flag; set once (idempotent guard — avoid
+      // re-mutating shared session config on every read, VERDICT r1 #4).
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000L)"))
     } else {

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import graft._
+import graft.io.Sources
+import graft.ops.{Nested, Quality, Relational}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The incremental order pipeline — the composed equivalent of the
+  * reference DAG (order_processing_incremental.py:236-237):
+  *
+  *   sensor → load → {dup gate, mismatch audit} → fact transform
+  *          → hourly-aggregate merge → archive
+  *
+  * Each Airflow task boundary (a process+network hop in the reference)
+  * collapses to a DataFrame stage; only the aggregations and the
+  * idempotency anti-join shuffle, and dims broadcast (SURVEY.md §3.1).
+  *
+  * Physical sinks:
+  *  - S4 append: fact rows append to `fact_orders`, audit rows to
+  *    `data_quality_checks`;
+  *  - S7 layout: fact partitioned by `order_date` (README.md:103
+  *    "partitioned by date" — date filters prune partitions at read);
+  *  - S5 merge: `agg_hourly_metrics` recomputed for the touched hours
+  *    only, written with DYNAMIC partition overwrite on `metric_hour` —
+  *    the pure-OSS MERGE (no Delta dependency; SURVEY.md §7.3);
+  *  - S6 archive: processed landing files move to `archive/<batchId>/`.
+  *
+  * Idempotency: the J4 anti-join guard (py:165-168) makes re-running a
+  * batch a no-op — new fact rows are only those whose order_id is absent
+  * from the existing fact table.
+  */
+object Incremental {
+
+  case class RunResult(batchId: String, stagedOrders: Long, newFactRows: Long,
+                       gates: Seq[Quality.GateResult], archivedFiles: Int)
+
+  /** Warehouse paths (plain parquet directories — object-store friendly). */
+  case class Warehouse(root: String) {
+    val factOrders = s"$root/fact_orders"
+    val aggHourly = s"$root/agg_hourly_metrics"
+    val qualityChecks = s"$root/data_quality_checks"
+    val dimCustomers = s"$root/dim_customers"
+    val dimProducts = s"$root/dim_products"
+  }
+
+  /** S3 daily dimension refresh: CSV → overwrite parquet. */
+  def loadDims(spark: SparkSession, wh: Warehouse,
+               customersCsv: String, productsCsv: String): Unit = {
+    Sources.readCsv(spark, customersCsv, Sources.customersSchema)
+      .write.mode(SaveMode.Overwrite).parquet(wh.dimCustomers)
+    Sources.readCsv(spark, productsCsv, Sources.productsSchema)
+      .write.mode(SaveMode.Overwrite).parquet(wh.dimProducts)
+  }
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(spark.read.parquet(path)) else None
+  }
+
+  /** One incremental run over whatever .json files sit in `landingDir`.
+    * Batch equivalent of the 15-min cron tick; the streaming facade
+    * (graft.streaming.IncrementalStream) drives the same stages from a
+    * file source.
+    */
+  def run(spark: SparkSession, landingDir: String, wh: Warehouse,
+          batchId: String, failOnDuplicates: Boolean = true): RunResult = {
+    val staging = Sources.readOrdersJson(spark, landingDir)
+    val staged = staging.count()
+    if (staged == 0)
+      return RunResult(batchId, 0, 0, Nil, 0) // sensor: nothing landed
+
+    staging.cache()
+    try {
+      // Quality gates (A1/A2): duplicate order_ids FAIL the run
+      // (README.md:124); amount mismatches WARN into the audit table
+      // (README.md:125). The mismatch check recomputes each order total
+      // from its items array with the A3 HOF — per-row map work, no
+      // shuffle, unlike an explode+regroup.
+      val dupViolations = Relational.duplicates(staging, Seq("order_id"))
+      val dupGate = Quality.gate("duplicate_orders", dupViolations)
+      if (failOnDuplicates && !dupGate.passed)
+        throw new IllegalStateException(
+          s"duplicate_orders gate failed: ${dupGate.violations} duplicate ids in batch $batchId")
+
+      val mismatches = staging
+        .withColumn("calculated_total", Nested.itemsTotal(col("items")))
+        .filter(abs(col("calculated_total") - dec2(col("total_amount"))) > 0.01)
+        .select(
+          uuid().as("check_id"),
+          current_timestamp().as("check_timestamp"),
+          lit("amount_mismatch").as("check_type"),
+          col("order_id").as("entity_id"),
+          concat(lit("Calculated: "), col("calculated_total").cast("string"),
+            lit(", Reported: "), col("total_amount").cast("string")).as("issue_description"),
+          lit("warning").as("severity"))
+      mismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks) // S4
+      val mismGate = Quality.gate("amount_mismatch",
+        spark.read.parquet(wh.qualityChecks).filter(col("check_type") === "amount_mismatch"))
+
+      // Fact transform (J1/P5/A3 over the real nested shape) with the J4
+      // idempotency anti-join against the existing fact table.
+      val dimCustomers = readIfExists(spark, wh.dimCustomers)
+        .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Sources.customersSchema))
+      val dimProducts = readIfExists(spark, wh.dimProducts)
+        .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Sources.productsSchema))
+      val enriched = Nested.factTransform(staging, dimCustomers, dimProducts)
+      val newRows = readIfExists(spark, wh.factOrders) match {
+        case Some(existing) =>
+          Relational.antiJoin(enriched, existing.select("order_id"), "order_id", "order_id")
+        case None => enriched
+      }
+      newRows.cache()
+      val newCount = newRows.count()
+
+      // Capture the touched dates/hours BEFORE appending: the append to
+      // fact_orders triggers CacheManager.recacheByPath, which recomputes
+      // the cached anti-join against the NEW fact contents — where every
+      // batch row now exists, so newRows silently re-evaluates to empty.
+      // The collected sets are tiny (bounded by the batch's time span) and
+      // as literals they drive static partition pruning below.
+      val touchedDates =
+        if (newCount == 0) Array.empty[java.sql.Date]
+        else newRows.select("order_date").distinct().collect().map(_.getDate(0))
+      val touchedHours =
+        if (newCount == 0) Array.empty[java.sql.Timestamp]
+        else newRows.select(date_trunc("hour", col("order_timestamp")).as("h"))
+          .distinct().collect().map(_.getTimestamp(0))
+
+      // S4 + S7: append, partitioned by order_date (date-filtered reads
+      // prune partitions; README.md:103).
+      if (newCount > 0)
+        newRows.write.mode(SaveMode.Append).partitionBy("order_date").parquet(wh.factOrders)
+
+      // S5 physical MERGE: recompute ONLY the hours present in this batch
+      // from the full fact table and dynamically overwrite just those
+      // metric_hour partitions. Semantics = reference MERGE (py:182-204):
+      // matched hours update, new hours insert, untouched hours keep.
+      // The isin on the partition column prunes at file-listing time —
+      // at 100 TB the scan touches only this batch's date partitions.
+      if (newCount > 0) {
+        val fact = spark.read.parquet(wh.factOrders)
+          .filter(col("order_date").isin(touchedDates: _*))
+        val hourly = fact
+          .groupBy(date_trunc("hour", col("order_timestamp")).as("metric_hour"))
+          .agg(
+            countDistinct(col("order_id")).as("total_orders"),
+            sumMoney(col("total_amount")).as("total_revenue"),
+            avgMoney(col("total_amount")).as("avg_order_value"),
+            countDistinct(col("customer_id")).as("unique_customers"))
+          .withColumn("updated_at", current_timestamp())
+          .filter(col("metric_hour").isin(touchedHours: _*))
+        withDynamicOverwrite(spark) {
+          hourly.write.mode(SaveMode.Overwrite).partitionBy("metric_hour").parquet(wh.aggHourly)
+        }
+      }
+
+      // S6: archive processed files under the batch id.
+      val archived = Sources.archiveFiles(spark, landingDir, s"${wh.root}/archive", batchId)
+
+      newRows.unpersist()
+      RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived)
+    } finally staging.unpersist()
+  }
+
+  /** Scope the dynamic-partition-overwrite mode to one write. */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

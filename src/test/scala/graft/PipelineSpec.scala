@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.datagen.DataGen
+import graft.pipeline.Incremental
+import org.apache.spark.sql.functions._
+
+/** Pipeline smoke (SURVEY.md §5.4): the composed incremental DAG over
+  * generator-shaped NDJSON, run twice — the second run of the SAME data
+  * must be a no-op on the fact table (J4 idempotency), and quality
+  * violations must gate/audit as the reference declares.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def freshDirs(): (String, Incremental.Warehouse) = {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    (s"$root/landing", Incremental.Warehouse(s"$root/wh"))
+  }
+
+  test("incremental run is idempotent: re-landing the same batch adds zero fact rows") {
+    val (landing, wh) = freshDirs()
+    DataGen.writeOrdersNdjson(spark, landing, n = 40, seed = 1L)
+    val r1 = Incremental.run(spark, landing, wh, "batch1")
+    assert(r1.stagedOrders == 40 && r1.newFactRows > 0)
+    assert(r1.archivedFiles > 0, "processed files must move to archive")
+
+    // land the SAME orders again (same seed → same order_ids)
+    DataGen.writeOrdersNdjson(spark, landing, n = 40, seed = 1L)
+    val r2 = Incremental.run(spark, landing, wh, "batch2")
+    assert(r2.stagedOrders == 40 && r2.newFactRows == 0, "re-run must be a no-op")
+
+    val fact = spark.read.parquet(wh.factOrders)
+    assert(fact.count() == r1.newFactRows)
+    // S7: fact is partitioned by order_date (partition column present)
+    assert(fact.columns.contains("order_date"))
+  }
+
+  test("empty landing dir short-circuits (sensor semantics)") {
+    val (landing, wh) = freshDirs()
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    val r = Incremental.run(spark, landing, wh, "empty")
+    assert(r.stagedOrders == 0 && r.newFactRows == 0 && r.gates.isEmpty)
+  }
+
+  test("duplicate order_ids fail the run (README.md:124 gate)") {
+    val (landing, wh) = freshDirs()
+    // land the same file twice WITHOUT archiving between → duplicate ids
+    DataGen.writeOrdersNdjson(spark, landing, n = 10, seed = 2L)
+    DataGen.writeOrdersNdjson(spark, landing, n = 10, seed = 2L)
+    val e = intercept[IllegalStateException] {
+      Incremental.run(spark, landing, wh, "dup")
+    }
+    assert(e.getMessage.contains("duplicate_orders"))
+  }
+
+  test("amount mismatches warn into the audit table, not fail (README.md:125)") {
+    val (landing, wh) = freshDirs()
+    // corrupt total_amount on a known subset
+    val corrupted = DataGen.orders(spark, 20, seed = 3L)
+      .withColumn("total_amount",
+        when(col("payment_status") === "failed", col("total_amount") + 100.0)
+          .otherwise(col("total_amount")))
+    val nCorrupt = corrupted.filter(col("payment_status") === "failed").count()
+    corrupted.coalesce(1).write.mode("append").json(landing)
+    val r = Incremental.run(spark, landing, wh, "mismatch")
+    assert(r.newFactRows > 0, "warnings must not block the fact load")
+    val audit = spark.read.parquet(wh.qualityChecks)
+    assert(audit.filter(col("check_type") === "amount_mismatch").count() == nCorrupt)
+    assert(audit.columns.toSet ==
+      Set("check_id", "check_timestamp", "check_type", "entity_id", "issue_description", "severity"))
+  }
+
+  test("hourly merge: touched hours recomputed, totals match fact (S5 dynamic overwrite)") {
+    val (landing, wh) = freshDirs()
+    DataGen.writeOrdersNdjson(spark, landing, n = 60, seed = 4L)
+    Incremental.run(spark, landing, wh, "b1")
+    val agg = spark.read.parquet(wh.aggHourly)
+    val fact = spark.read.parquet(wh.factOrders)
+    val expected = fact
+      .groupBy(date_trunc("hour", col("order_timestamp")).as("metric_hour"))
+      .agg(countDistinct(col("order_id")).as("n"))
+    val got = agg.select(col("metric_hour"), col("total_orders"))
+    val diff = expected.join(got, Seq("metric_hour"), "full_outer")
+      .filter(col("n").isNull || col("total_orders").isNull || col("n") =!= col("total_orders"))
+    assert(diff.count() == 0)
+    // second batch with later orders only touches its own hours
+    DataGen.writeOrdersNdjson(spark, landing, n = 30, seed = 5L,
+      baseMs = DataGen.defaultBaseMs + 7200000L)
+    Incremental.run(spark, landing, wh, "b2")
+    val agg2 = spark.read.parquet(wh.aggHourly)
+    assert(agg2.select("metric_hour").distinct().count() >
+      agg.select("metric_hour").distinct().count())
+  }
+
+  test("dims enrich when loaded: known customer tier flows through") {
+    val (landing, wh) = freshDirs()
+    val root = wh.root.stripSuffix("/wh")
+    // write dim CSVs then load them
+    val custCsv = s"$root/customers_csv"
+    val prodCsv = s"$root/products_csv"
+    DataGen.customers(spark, 1000).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(custCsv)
+    DataGen.products(spark, 100).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(prodCsv)
+    Incremental.loadDims(spark, wh, custCsv, prodCsv)
+
+    DataGen.writeOrdersNdjson(spark, landing, n = 50, seed = 6L)
+    Incremental.run(spark, landing, wh, "b1")
+    val fact = spark.read.parquet(wh.factOrders)
+    val tiers = fact.select("customer_tier").distinct().collect().map(_.getString(0)).toSet
+    // CUST-1000..4999 drawn, dims cover 1000..1999 → both real tiers and
+    // the bronze fallback must appear (reference §2.10: ~75% miss rate)
+    assert(tiers.contains("bronze") && tiers.size >= 2)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{Quality, Relational, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Core relational + quality + sessionization semantics on hand-built
+  * frames, plus ScalaCheck properties (SURVEY.md §5.3 — generators sampled
+  * directly; the scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicates: HAVING >1 semantics") {
+    val df = Seq("a", "b", "b", "c", "c", "c").toDF("k")
+    val d = Relational.duplicates(df, Seq("k")).as[(String, Long)].collect().toMap
+    assert(d == Map("b" -> 2L, "c" -> 3L))
+  }
+
+  test("antiJoin: left rows without a right match") {
+    val l = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    val r = Seq(2).toDF("rid")
+    val out = Relational.antiJoin(l, r, "id", "rid").select("id").as[Int].collect().toSet
+    assert(out == Set(1, 3))
+  }
+
+  test("mergeHourly: matched adds, unmatched inserts (J5 MERGE semantics)") {
+    val t = Seq(("2026-01-01 10:00:00", 5L, BigDecimal("10.500000")),
+      ("2026-01-01 11:00:00", 2L, BigDecimal("1.000000")))
+      .toDF("metric_hour", "total_events", "total_value")
+    val s = Seq(("2026-01-01 11:00:00", 3L, BigDecimal("2.500000")),
+      ("2026-01-01 12:00:00", 7L, BigDecimal("7.000000")))
+      .toDF("metric_hour", "total_events", "total_value")
+    val m = Relational.mergeHourly(t, s)
+      .select($"metric_hour".cast("string"), $"total_events")
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("2026-01-01 10:00:00" -> 5L,
+      "2026-01-01 11:00:00" -> 5L, "2026-01-01 12:00:00" -> 7L))
+  }
+
+  test("quality gate: passes on empty violations, fails otherwise") {
+    assert(Quality.gate("t", spark.emptyDataFrame).passed)
+    assert(!Quality.gate("t", Seq(1).toDF("x")).passed)
+    intercept[IllegalArgumentException] {
+      Quality.requireEmpty("t", Seq(1).toDF("x"))
+    }
+  }
+
+  test("qualityChecks: injected violations land with the right type/severity") {
+    val orders = Seq((1L, 10L, 100.0), (2L, 99L, 50.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Seq((1L, 1L, 100.0, 5L), (2L, 1L, 999.0, 5L), (2L, 1L, 1.0, 88L))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey")
+    val customer = Seq(10L).toDF("c_custkey")
+    val part = Seq(5L).toDF("p_partkey")
+    val audit = Quality.qualityChecks(orders, lineitem, customer, part)
+    val byType = Quality.qualitySummary(audit)
+      .select("check_type", "n_violations").as[(String, Long)].collect().toMap
+    assert(byType("duplicate_line_item") == 1L) // order 2 has two line 1s
+    assert(byType("amount_mismatch") == 1L)     // order 2: 1000.00 != 50.00
+    assert(byType("missing_customer") == 1L)    // order 2 → cust 99
+    assert(byType("missing_product") == 1L)     // part 88
+  }
+
+  test("sessionize: events split at the gap, stats aggregate per session") {
+    def ev(id: Long, user: Long, minute: Int) =
+      (id, user, new java.sql.Timestamp(1767225600000L + minute * 60000L), 1.0)
+    val events = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 60), ev(4, 2, 0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val stats = Sessionize.sessionStats(events, gapMinutes = 30)
+      .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(stats == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("property: line-total sum per order == order-level recompute (decimal policy)") {
+    val itemsGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 999999).map(_ / 100.0))
+    val ordersGen = Gen.nonEmptyListOf(itemsGen)
+    (0 until 20).foreach { i =>
+      val orders = ordersGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val rows = orders.zipWithIndex.flatMap { case (items, oid) =>
+        items.zipWithIndex.map { case (p, idx) => (oid.toLong, idx.toLong, p) }
+      }
+      val df = rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      val perLine = df.groupBy("l_orderkey")
+        .agg(sumMoney($"l_extendedprice").as("s"))
+        .as[(Long, BigDecimal)].collect().toMap
+      val expected = orders.zipWithIndex.map { case (items, oid) =>
+        oid.toLong -> items.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      }.toMap
+      assert(perLine.view.mapValues(_.setScale(2)).toMap ==
+        expected.view.mapValues(_.setScale(2)).toMap, s"seed $i")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search: brute-force exactness properties and the LSH-bucketed
+  * ANN recall trade-off on the driver embeddings fixture.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+
+  test("brute force: every query's rank-1 neighbor is itself with sim ≈ 1") {
+    val top = Similarity.bruteForceTopK(emb, queries, 3)
+      .filter($"rank" === 1)
+      .select("q_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(top.length == 5)
+    top.foreach { case (q, n, s) =>
+      assert(q == n, s"rank-1 of $q should be itself, was $n")
+      assert(math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
+  test("brute force: ranks are contiguous and sims non-increasing per query") {
+    val rows = Similarity.bruteForceTopK(emb, queries, 5)
+      .orderBy("q_id", "rank")
+      .select("q_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).toSeq == (1 to 5))
+      assert(rs.map(_._3).toSeq == rs.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("ANN: self-match always survives bucketing; results ⊆ same-bucket candidates") {
+    val ann = Similarity.annTopK(emb, queries, 3, nPlanes = 6)
+    val self = ann.filter($"rank" === 1).select("q_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    self.foreach { case (q, n) => assert(q == n) }
+  }
+
+  test("TopK aggregator: merge respects k and ordering") {
+    val agg = new Similarity.TopK(2)
+    val a = Seq(Similarity.Scored(1, 0.9), Similarity.Scored(2, 0.5))
+    val b = Seq(Similarity.Scored(3, 0.7))
+    val m = agg.merge(a, b)
+    assert(m.map(_.id) == Seq(1L, 3L))
+    // tie-break: equal sims order by id
+    val t = agg.merge(Seq(Similarity.Scored(9, 0.5)), Seq(Similarity.Scored(4, 0.5)))
+    assert(t.map(_.id) == Seq(4L, 9L))
+  }
+}
