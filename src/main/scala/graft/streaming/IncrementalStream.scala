@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.io.Sources
+import graft.ops.Nested
+import graft.pipeline.Incremental
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming facade over the incremental pipeline (S1 —
+  * VERDICT r1 Missing #10).
+  *
+  * The reference's "streaming" is a 15-minute cron + GCS file sensor +
+  * archive-after-process (order_processing_incremental.py:29,36-45,213-227).
+  * The Spark-native equivalent is a file-source stream:
+  *  - new-file discovery per micro-batch replaces the sensor poll;
+  *  - `Trigger.AvailableNow` replaces one cron tick (drain everything that
+  *    has landed, then stop — restart every 15 min for exact parity), or
+  *    `Trigger.ProcessingTime("15 minutes")` for a resident driver;
+  *  - `cleanSource=archive` + `sourceArchiveDir` replaces the GCS rename
+  *    loop (files move after they are committed to the checkpoint);
+  *  - the checkpoint's file log replaces the J4 anti-join for cross-run
+  *    idempotency (a file is never reprocessed, so exactly-once appends
+  *    without rescanning the fact table — cheaper at 100 TB than the
+  *    batch pipeline's anti-join, which must shuffle against the fact).
+  */
+object IncrementalStream {
+
+  /** File-source order stream with the explicit nested schema (S2) and
+    * `.json`-only filename predicate (P6).
+    */
+  def ordersStream(spark: SparkSession, landingDir: String,
+                   archiveDir: Option[String] = None,
+                   maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val base = spark.readStream
+      .schema(Sources.ordersSchema)
+      .option("pathGlobFilter", "*.json")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val withArchive = archiveDir match {
+      case Some(dir) => base
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", dir)
+      case None => base
+    }
+    withArchive.json(landingDir)
+  }
+
+  /** Drain the landing dir once (one cron tick) through the same fact
+    * transform the batch pipeline uses, appending to the warehouse via
+    * foreachBatch. Blocks until the drain completes.
+    */
+  def runAvailableNow(spark: SparkSession, landingDir: String,
+                      wh: Incremental.Warehouse, checkpoint: String,
+                      archiveDir: Option[String] = None): StreamingQuery = {
+    val dimCustomers = readDimOr(spark, wh.dimCustomers, Sources.customersSchema)
+    val dimProducts = readDimOr(spark, wh.dimProducts, Sources.productsSchema)
+    val q = ordersStream(spark, landingDir, archiveDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Nested.factTransform(batch, dimCustomers, dimProducts)
+            .write.mode(SaveMode.Append).partitionBy("order_date")
+            .parquet(wh.factOrders)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  private def readDimOr(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Event-time hourly metrics as a true stream (the A4 aggregate with
+    * late-data handling the reference lacks — its `DATE(...) = CURRENT_DATE`
+    * filter silently drops orders that cross midnight, SURVEY.md §2.8):
+    * watermarked tumbling window, approx distincts (exact COUNT DISTINCT
+    * is not incrementally maintainable without keeping full id sets).
+    */
+  def hourlyMetricsStream(orders: DataFrame, watermark: String = "2 hours"): DataFrame =
+    orders
+      .withWatermark("order_timestamp", watermark)
+      .groupBy(window(col("order_timestamp"), "1 hour").as("w"))
+      .agg(
+        approx_count_distinct(col("order_id")).as("total_orders"),
+        sum(col("total_amount")).as("total_revenue"),
+        approx_count_distinct(col("customer_id")).as("unique_customers"))
+      .select(col("w.start").as("metric_hour"), col("total_orders"),
+        col("total_revenue"), col("unique_customers"))
+
+  /** Streaming twin of graft.ops.Sessionize: built-in session_window with
+    * the same gap semantics — state is bounded by the watermark, sessions
+    * close gapMinutes after their last event.
+    */
+  def sessionStream(events: DataFrame, gapMinutes: Int,
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+}

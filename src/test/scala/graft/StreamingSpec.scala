@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.datagen.DataGen
+import graft.ops.Multimodal
+import graft.pipeline.Incremental
+import graft.streaming.IncrementalStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** S1 streaming facade + multimodal plumbing. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow drain: landing files flow through the fact transform once") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val landing = s"$root/landing"
+    val wh = Incremental.Warehouse(s"$root/wh")
+    DataGen.writeOrdersNdjson(spark, landing, n = 25, seed = 11L)
+    IncrementalStream.runAvailableNow(spark, landing, wh, s"$root/ckpt")
+    val fact = spark.read.parquet(wh.factOrders)
+    val lineCount = fact.count()
+    assert(lineCount > 0 && fact.select("order_id").distinct().count() == 25)
+
+    // restart with NO new files: checkpoint must prevent reprocessing
+    IncrementalStream.runAvailableNow(spark, landing, wh, s"$root/ckpt")
+    assert(spark.read.parquet(wh.factOrders).count() == lineCount,
+      "checkpointed files must not be reprocessed")
+  }
+
+  test("session_window stream matches batch sessionization on closed sessions") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    mem.addData((1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(60), 1.0), (2L, ts(0), 1.0))
+    // events far past the watermark close the earlier sessions
+    mem.addData((1L, ts(600), 1.0))
+    val sessions = IncrementalStream.sessionStream(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      // closed sessions: user1 {2 events}, {1 event}; user2 {1 event}
+      assert(out == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.decodeFeatures(media.repartition(4))
+    assert(feats.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "width", "height", "duration_ms", "embedding"))
+    val twice = Multimodal.decodeFeatures(media.repartition(2))
+    def key(f: Multimodal.MediaFeatures) =
+      (f.media_id, f.kind, f.n_bytes, f.width, f.height, f.duration_ms, f.embedding.toSeq)
+    val a = feats.collect().map(key).sortBy(_._1).toSeq
+    val b = twice.collect().map(key).sortBy(_._1).toSeq
+    assert(a.length == docs.count() && a == b, "decode must not depend on partitioning")
+    // images have no duration; payload length matches text bytes
+    val img = feats.filter($"kind" === "image")
+    assert(img.filter($"duration_ms" =!= 0).count() == 0)
+  }
+
+  test("multimodal: payload stats never decode (pure column expressions)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val stats = Multimodal.payloadStats(media.toDF())
+    val row = stats.orderBy("media_id").head()
+    assert(row.getAs[String]("content_sha256").length == 64)
+    assert(stats.count() == 10)
+  }
+}
