@@ -18,6 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session warmup: first-job scheduler/codegen/parquet-reader init would
+    // otherwise land entirely on whichever query happens to run first and
+    // distort its number (~5s on this box). Steady-state per-query times
+    // are what the baseline comparison is about.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    io.Sources.table(spark, sfDir, "region").groupBy("r_name").count().collect()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -40,35 +40,41 @@ object Dedup {
       .groupBy(md5(lower(col("text"))).as("fp_norm"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** k minhash signature columns: for permutation p, min over shingles of
-    * md5("p:" ++ shingle). Pure map work.
-    */
-  private def signatureCols(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map { p =>
-      array_min(transform(sh, s => md5(concat(lit(p + ":"), s))))
-    }
-
   /** MinHash-LSH near-duplicate pairs.
     *
-    * Stages: shingle sets → k minhash signatures → b band keys of r rows
-    * (k = b*r) → posexplode to (doc_id, band_idx, band_key) → self-join on
-    * the band key (candidate generation INSIDE buckets only) → exact
-    * Jaccard verification on the shingle sets → filter >= threshold.
+    * Stages: explode distinct shingles → k minhash "permutations" as ONE
+    * grouped aggregate of k `min(md5(p || ':' || shingle))` columns →
+    * b band keys of r rows (k = b*r) → posexplode to (doc_id, band_idx,
+    * band_key) → self-join on the band key (candidate generation INSIDE
+    * buckets only) → exact Jaccard verification on the shingle sets →
+    * filter >= threshold.
+    *
+    * Why the explode+groupBy shape: k per-document `array_min(transform(…))`
+    * HOF columns would each re-inline the whole shingle pipeline — a k-fold
+    * expression-tree blowup that measured ~100× slower at sf0.1. The
+    * grouped min is map-side combinable, so the shuffle carries one
+    * k-column row per document regardless of shingle count — also the
+    * right plan at 100 TB.
     *
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, one row per verified
     * near-dup pair. Jaccard is |A∩B| / |A∪B| as one int/int double division
-    * — bit-identical across engines.
+    * — bit-identical across engines. Docs with no shingles (< n+1 tokens)
+    * drop out at the explode — they can never be near-dup candidates.
     */
   def nearDupPairs(documents: DataFrame, k: Int = 16, bands: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val sh = shingleSet(col("text"))
-    val sigs = signatureCols(sh, k)
-    val bandCols = (0 until bands).map { j =>
-      md5(concat_ws("|", sigs.slice(j * r, j * r + r): _*))
+    val exploded = documents
+      .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
+    val sigAggs = (0 until k).map { p =>
+      min(md5(concat(lit(p + ":"), col("s")))).as(s"sig_$p")
     }
-    val bandTable = documents
+    val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i")): _*))
+    }
+    val bandTable = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     val a = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
     val b = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
@@ -76,11 +82,10 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val setsA = documents.select(col("doc_id").as("doc_a"), sh.as("sh_a"))
-    val setsB = documents.select(col("doc_id").as("doc_b"), sh.as("sh_b"))
+    val sets = documents.select(col("doc_id"), shingleSet(col("text")).as("sh"))
     candidates
-      .join(setsA, "doc_a")
-      .join(setsB, "doc_b")
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
