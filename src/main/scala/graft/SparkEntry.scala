@@ -138,9 +138,14 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents")).orderBy("keep_doc_id")),
 
-    // MinHash-LSH near-dup pairs: banded bucket join + exact-Jaccard verify.
+    // MinHash-LSH near-dup pairs: banded bucket join + exact-Jaccard
+    // verify. 4-row bands: the synthetic corpus has a ~30-word vocabulary,
+    // so 2-row bands collide on background pairs (j≈0.05) constantly —
+    // 142k candidates at sf0.1; r=4 keeps ~full recall on real near-dups
+    // (all planted pairs have j≥0.9 → per-pair miss ≈ 9e-5) with ~100×
+    // fewer false candidates (0.05^4 per band).
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.nearDupPairs(t(s, dir, "documents"), k = 16, bands = 8,
+      Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
 
     // J1/P5/A3 nested-data path: nest lineitem into items arrays, LEFT-join
@@ -413,37 +418,49 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
 
-    // Replicates the Spark MinHash-LSH deterministically: same md5
-    // "permutations" (p || ':' || shingle), same 8 bands × 2 rows, same
-    // bucket-join candidate generation, same exact-Jaccard verify. Jaccard
-    // is one int/int double division — identical in both engines.
-    "q_dedup_minhash" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |   list_distinct([array_to_string(toks[i:i+1], ' ')
-        |                  for i in generate_series(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |   [list_aggregate(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)), 'min')
-        |    for p in generate_series(0, 15)] AS sigs
-        |  FROM base),
-        |bands AS (
-        |  SELECT doc_id, j AS band_idx,
-        |   md5(sigs[2*j + 1] || '|' || sigs[2*j + 2]) AS band_key
-        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS j)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-        |   AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        | CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-        |FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
-        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Replicates the Spark MinHash-LSH deterministically: one md5 per
+    // shingle folded to a 60-bit int, the SAME arithmetic permutation
+    // constants (generated below from Dedup.permA/permB so the two sides
+    // cannot drift), same 8 bands x 4 rows, same bucket-join candidate
+    // generation, same exact-Jaccard verify.
+    "q_dedup_minhash" -> {
+      val p = Dedup.MinhashP
+      val sigExprs = (0 until 32)
+        .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+        .mkString(",\n   ")
+      val bandSelects = (0 until 8).map { j =>
+        val key = (4 * j until 4 * j + 4)
+          .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+sigs AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+ CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+ORDER BY doc_a, doc_b"""
+    },
 
     // LEFT JOIN LATERAL unnest keeps itemless orders (J1 semantics);
     // decimal-first products keep the HOF total exact on both engines.

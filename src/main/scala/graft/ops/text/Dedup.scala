@@ -40,21 +40,34 @@ object Dedup {
       .groupBy(md5(lower(col("text"))).as("fp_norm"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Mersenne prime modulus for the arithmetic minhash permutations. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic permutation constants, shared verbatim by the Spark
+    * operator and the generated oracle SQL: a_i = 1103515245^(i+1) mod p
+    * (nonzero, "random" over Z_p), b_i = (12345*(i+1) + 67890) mod p.
+    */
+  def permA(i: Int): Long =
+    BigInt(1103515245L).modPow(BigInt(i + 1), BigInt(MinhashP)).toLong
+  def permB(i: Int): Long = (12345L * (i + 1) + 67890L) % MinhashP
+
   /** MinHash-LSH near-duplicate pairs.
     *
-    * Stages: explode distinct shingles → k minhash "permutations" as ONE
-    * grouped aggregate of k `min(md5(p || ':' || shingle))` columns →
-    * b band keys of r rows (k = b*r) → posexplode to (doc_id, band_idx,
-    * band_key) → self-join on the band key (candidate generation INSIDE
-    * buckets only) → exact Jaccard verification on the shingle sets →
-    * filter >= threshold.
+    * Stages: explode shingles → ONE md5 per shingle, folded to a 60-bit int
+    * → k arithmetic permutations `(a_i*h + b_i) mod p` as ONE grouped
+    * aggregate of k `min(...)` columns → b band keys of r rows (k = b*r) →
+    * posexplode to (doc_id, band_idx, band_key) → self-join on the band key
+    * (candidate generation INSIDE buckets only) → exact Jaccard
+    * verification on the shingle sets → filter >= threshold.
     *
-    * Why the explode+groupBy shape: k per-document `array_min(transform(…))`
-    * HOF columns would each re-inline the whole shingle pipeline — a k-fold
-    * expression-tree blowup that measured ~100× slower at sf0.1. The
-    * grouped min is map-side combinable, so the shuffle carries one
-    * k-column row per document regardless of shingle count — also the
-    * right plan at 100 TB.
+    * Two performance lessons are baked into this shape (measured at sf0.1):
+    *  - k per-document `array_min(transform(…))` HOF columns each re-inline
+    *    the whole shingle pipeline — a k-fold expression blowup, ~100×
+    *    slower than the exploded grouped min, which is also map-side
+    *    combinable (the shuffle carries one k-column row per document);
+    *  - hashing each shingle k times (md5 per permutation) costs k·|corpus
+    *    shingles| digests; one digest + k integer transforms is ~k× cheaper
+    *    and equally valid minhash (universal-hash family over Z_p).
     *
     * Output: (doc_a, doc_b, jaccard), doc_a < doc_b, one row per verified
     * near-dup pair. Jaccard is |A∩B| / |A∪B| as one int/int double division
@@ -65,14 +78,21 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
+    // Non-distinct shingles feed the mins: min() is duplicate-insensitive,
+    // so a per-document array_distinct would be wasted work here (the
+    // verify stage below still uses true distinct sets for exact Jaccard).
+    // 15 hex chars = 60 bits — fits a long; reduced mod p so a_i*h below
+    // stays within int64 (a_i, h < 2^31 → product < 2^62).
     val exploded = documents
-      .select(col("doc_id"), explode(shingleSet(col("text"))).as("s"))
-    val sigAggs = (0 until k).map { p =>
-      min(md5(concat(lit(p + ":"), col("s")))).as(s"sig_$p")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
+    val sigAggs = (0 until k).map { i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % MinhashP).as(s"sig_$i")
     }
     val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { j =>
-      md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i")): _*))
+      md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i").cast("string")): _*))
     }
     val bandTable = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))

@@ -16,11 +16,13 @@ object TextFns {
   /** Word n-gram shingles as an array column, computed with higher-order
     * functions (no explode, no shuffle). Docs shorter than n shingle to an
     * empty array. 1-based `sequence` start mirrors the SQL oracle exactly.
+    * Built from O(1) `element_at` lookups — `slice` would copy an n-element
+    * array per shingle, which measurably drags the dedup pipeline.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
       .otherwise(array().cast("array<string>"))
 
   /** BPE-ish sub-token split: letter runs, digit runs, single punctuation. */
