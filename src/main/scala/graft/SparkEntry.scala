@@ -189,8 +189,8 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | avg(l_quantity) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
         | count(*) AS count_order
@@ -205,8 +205,8 @@ object SparkEntry {
         | CAST(o_orderdate AS DATE) AS order_date,
         | CAST(month(o_orderdate) AS INTEGER) AS order_month,
         | l_partkey AS product_id, l_quantity AS quantity,
-        | CAST(l_extendedprice AS DECIMAL(18,2)) AS line_total,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS line_total,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
         | o_orderstatus AS payment_status,
         | coalesce(n_name, 'NO NATION') AS nation,
         | coalesce(r_name, 'NO REGION') AS region,
@@ -230,16 +230,17 @@ object SparkEntry {
         |  SELECT l_orderkey,
         |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS calculated_total
         |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT o_orderkey AS order_id, calculated_total,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
-        | CAST(abs(calculated_total - CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS diff
+        |SELECT o_orderkey AS order_id,
+        | CAST(calculated_total AS DOUBLE) AS calculated_total,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+        | CAST(CAST(abs(calculated_total - CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS diff
         |FROM orders JOIN calc ON o_orderkey = l_orderkey
         |WHERE abs(calculated_total - CAST(o_totalprice AS DECIMAL(18,2))) > 0.01
         |ORDER BY order_id""".stripMargin,
 
     "q_orders_no_lineitem" ->
       """SELECT o_orderkey AS order_id,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
         | o_orderstatus AS payment_status
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
@@ -258,14 +259,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS metric_hour,
         | count(DISTINCT event_id) AS total_events,
         | count(DISTINCT user_id) AS unique_users,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_category_revenue" ->
       """SELECT p_type AS category,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | sum(l_quantity) AS units_sold
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -280,7 +281,7 @@ object SparkEntry {
     "q_geo_distribution" ->
       """SELECT r_name AS region,
         | count(*) AS total_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         | count(DISTINCT o_custkey) AS unique_customers
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -291,7 +292,7 @@ object SparkEntry {
     "q_top_products" ->
       """SELECT p_partkey AS product_id, p_name AS product_name,
         | sum(l_quantity) AS units_sold,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1, 2
         |ORDER BY units_sold DESC, product_id
@@ -304,7 +305,7 @@ object SparkEntry {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= DATE '2001-01-01'
         |  GROUP BY 1, 2)
-        |SELECT category, ship_date, revenue,
+        |SELECT category, ship_date, CAST(revenue AS DOUBLE) AS revenue,
         | CAST(sum(revenue) OVER w AS DOUBLE)/count(*) OVER w AS revenue_ma7
         |FROM daily
         |WINDOW w AS (PARTITION BY category ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -321,7 +322,7 @@ object SparkEntry {
         |  FROM events WHERE event_id % 2 = 1 GROUP BY 1)
         |SELECT coalesce(t.metric_hour, s.metric_hour) AS metric_hour,
         | coalesce(t.total_events, 0) + coalesce(s.total_events, 0) AS total_events,
-        | CAST(coalesce(t.total_value, 0) + coalesce(s.total_value, 0) AS DECIMAL(18,6)) AS total_value
+        | CAST(CAST(coalesce(t.total_value, 0) + coalesce(s.total_value, 0) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
         |FROM t FULL OUTER JOIN s ON t.metric_hour = s.metric_hour
         |ORDER BY metric_hour""".stripMargin,
 
@@ -408,7 +409,7 @@ object SparkEntry {
         | count(*) AS n_events,
         | min(ts_ms) AS session_start_ms,
         | max(ts_ms) - min(ts_ms) AS duration_ms,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
 
@@ -477,9 +478,12 @@ ORDER BY doc_a, doc_b"""
         |     x -> CAST(CAST(x.quantity AS DECIMAL(18,2)) * x.unit_price AS DECIMAL(28,2)))) AS DECIMAL(18,2)) AS calc_total,
         |   CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount, items
         |  FROM orders LEFT JOIN nested ON o_orderkey = oid)
-        |SELECT order_id, n_items, calc_total, total_amount,
+        |SELECT order_id, n_items,
+        | CAST(calc_total AS DOUBLE) AS calc_total,
+        | CAST(total_amount AS DOUBLE) AS total_amount,
         | t.item.line_no AS line_no, t.item.product_id AS product_id,
-        | t.item.quantity AS quantity, t.item.unit_price AS unit_price
+        | t.item.quantity AS quantity,
+        | CAST(t.item.unit_price AS DOUBLE) AS unit_price
         |FROM j LEFT JOIN LATERAL (SELECT unnest(items) AS item) t ON TRUE
         |ORDER BY order_id, line_no ASC NULLS FIRST, product_id, quantity, unit_price""".stripMargin,
 

@@ -1,9 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The driver's hash compare reads our parquet through pyarrow (DECIMAL →
+    * python Decimal, str "154828.60") but the oracle through duckdb→pandas
+    * (DECIMAL → float64, str "154828.6") — any decimal value with a trailing
+    * zero in its scale digits mismatches on representation alone (all nine
+    * r2 hash-misses were exactly the queries with decimal outputs). Policy:
+    * aggregate in exact DECIMAL (order-independent), but emit DOUBLE — the
+    * decimal→double cast is correctly rounded in both engines, so values are
+    * bit-identical and both sides stringify as float64. oracleSql carries the
+    * matching outer CAST(... AS DOUBLE).
+    */
+  def doubleize(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        // tz-naive like DuckDB's TIMESTAMP: pyarrow reads Spark's default
+        // isAdjustedToUTC=true as timestamp[us, tz=UTC] → str mismatch.
+        case TimestampType  => col(f.name).cast("timestamp_ntz").as(f.name)
+        case _              => col(f.name)
+      }
+    }: _*)
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,12 +35,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // int64 micros keeps the arrow schema identical to DuckDB's TIMESTAMP
+      // (INT96 reads back as timestamp[ns]).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try doubleize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
