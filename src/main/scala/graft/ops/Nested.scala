@@ -81,9 +81,8 @@ object Nested {
                     dimProducts: DataFrame): DataFrame = {
     val region =
       when(col("shipping_address.state").isin("CA", "OR", "WA"), "West")
-        .when(col("shipping_address.state").isin("NY", "NJ", "MA"), "East")
-        .when(col("shipping_address.state").isin("TX", "AZ"), "South")
-        .when(col("shipping_address.state").isin("IL", "OH", "MI"), "Midwest")
+        .when(col("shipping_address.state").isin("NY", "NJ", "PA"), "East")
+        .when(col("shipping_address.state").isin("TX", "AZ", "NM"), "South")
         .otherwise("Other")
     stagingOrders
       .select(col("*"), explode_outer(col("items")).as("item"))

@@ -94,10 +94,12 @@ object Incremental {
           col("order_id").as("entity_id"),
           concat(lit("Calculated: "), col("calculated_total").cast("string"),
             lit(", Reported: "), col("total_amount").cast("string")).as("issue_description"),
-          lit("warning").as("severity"))
-      mismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks) // S4
-      val mismGate = Quality.gate("amount_mismatch",
-        spark.read.parquet(wh.qualityChecks).filter(col("check_type") === "amount_mismatch"))
+          lit("warning").as("severity"),
+          lit(batchId).as("batch_id"))
+      mismatches.cache()
+      // Gate on THIS batch's violations only — the cumulative audit table
+      // would report all history (and double-count re-runs).
+      val mismGate = Quality.gate("amount_mismatch", mismatches)
 
       // Fact transform (J1/P5/A3 over the real nested shape) with the J4
       // idempotency anti-join against the existing fact table.
@@ -129,6 +131,16 @@ object Incremental {
         if (newCount == 0) Array.empty[java.sql.Timestamp]
         else newRows.select(date_trunc("hour", col("order_timestamp")).as("h"))
           .distinct().collect().map(_.getTimestamp(0))
+
+      // S4 audit append, idempotent like the fact load: skipped when this
+      // batch adds no fact rows (a pure re-run) or when this batch_id is
+      // already recorded — re-running a batch must not duplicate audit rows.
+      val alreadyAudited = readIfExists(spark, wh.qualityChecks).exists(df =>
+        df.columns.contains("batch_id") &&
+          df.filter(col("batch_id") === batchId).limit(1).count() > 0)
+      if (newCount > 0 && !alreadyAudited && mismGate.violations > 0)
+        mismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks)
+      mismatches.unpersist()
 
       // S4 + S7: append, partitioned by order_date (date-filtered reads
       // prune partitions; README.md:103).

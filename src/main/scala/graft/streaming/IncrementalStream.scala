@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft._
 import graft.io.Sources
 import graft.ops.Nested
 import graft.pipeline.Incremental
@@ -91,7 +92,10 @@ object IncrementalStream {
       .groupBy(window(col("order_timestamp"), "1 hour").as("w"))
       .agg(
         approx_count_distinct(col("order_id")).as("total_orders"),
-        sum(col("total_amount")).as("total_revenue"),
+        // Same exact-decimal money policy as the batch S5 merge (sumMoney),
+        // so streaming and batch hourly revenue agree to the cent; only the
+        // approx distincts deviate (documented above).
+        sumMoney(col("total_amount")).as("total_revenue"),
         approx_count_distinct(col("customer_id")).as("unique_customers"))
       .select(col("w.start").as("metric_hour"), col("total_orders"),
         col("total_revenue"), col("unique_customers"))

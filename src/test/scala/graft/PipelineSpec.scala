@@ -68,7 +68,17 @@ class PipelineSpec extends SparkSpec {
     val audit = spark.read.parquet(wh.qualityChecks)
     assert(audit.filter(col("check_type") === "amount_mismatch").count() == nCorrupt)
     assert(audit.columns.toSet ==
-      Set("check_id", "check_timestamp", "check_type", "entity_id", "issue_description", "severity"))
+      Set("check_id", "check_timestamp", "check_type", "entity_id",
+        "issue_description", "severity", "batch_id"))
+    // gate reports batch-local violations, not cumulative table history
+    assert(r.gates.find(_.checkType == "amount_mismatch").get.violations == nCorrupt)
+
+    // re-landing the already-loaded batch must not re-append audit rows
+    corrupted.coalesce(1).write.mode("append").json(landing)
+    val r2 = Incremental.run(spark, landing, wh, "mismatch_rerun")
+    assert(r2.newFactRows == 0)
+    assert(spark.read.parquet(wh.qualityChecks)
+      .filter(col("check_type") === "amount_mismatch").count() == nCorrupt)
   }
 
   test("hourly merge: touched hours recomputed, totals match fact (S5 dynamic overwrite)") {
