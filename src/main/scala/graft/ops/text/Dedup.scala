@@ -78,13 +78,26 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    // Non-distinct shingles feed the mins: min() is duplicate-insensitive,
-    // so a per-document array_distinct would be wasted work here (the
-    // verify stage below still uses true distinct sets for exact Jaccard).
+    val spark = documents.sparkSession
+    // The shingle pipeline (tokenize → n-gram → md5) is the expensive map
+    // stage; compute it ONCE over the distinct shingle set (min() is
+    // duplicate-insensitive, so signatures over the distinct set equal
+    // signatures over the multiset) and persist. Both band self-join sides
+    // and both Jaccard-verify joins reuse the cached relation instead of
+    // re-running the whole text pipeline 4x. At warehouse scale this cache
+    // is the materialized signature/shingle table a real dedup job would
+    // write between the sketch and probe phases. The input is repartitioned
+    // first: a landing corpus often arrives as few fat files and the hash
+    // work is embarrassingly parallel — without this the whole map stage
+    // runs on however few tasks the file split yields.
+    val sets = documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .cache()
     // 15 hex chars = 60 bits — fits a long; reduced mod p so a_i*h below
     // stays within int64 (a_i, h < 2^31 → product < 2^62).
-    val exploded = documents
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+    val exploded = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"),
         (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
     val sigAggs = (0 until k).map { i =>
@@ -96,13 +109,13 @@ object Dedup {
     }
     val bandTable = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .cache()
     val a = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
     val b = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sets = documents.select(col("doc_id"), shingleSet(col("text")).as("sh"))
     candidates
       .join(sets.toDF("doc_a", "sh_a"), "doc_a")
       .join(sets.toDF("doc_b", "sh_b"), "doc_b")
