@@ -19,6 +19,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(spark, dir, name)
 
+  /** DuckDB ordered-fold dot product over two list columns — the exact IEEE
+    * operation sequence of the Spark `aggregate()` HOF (Similarity's numeric
+    * policy), so derived cosines are bit-identical across engines.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -179,6 +187,29 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ops.Similarity.bruteForceTopK(emb, q, 5).orderBy("q_id", "rank")
+    }),
+
+    // SimHash near-dup: banded 60-bit shingle fingerprints, Hamming verify.
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // Exact 3-gram Jaccard near-dup via lossless prefix filtering — the
+    // oracle computes naive all-pairs; results must be identical.
+    "q_jaccard_ngram" -> ((s, dir) =>
+      Dedup.jaccardNearDup(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // Embedding-cosine near-dup: hyperplane-LSH banded candidates + exact
+    // cosine verify (the oracle replicates the same plane constants).
+    "q_embed_neardup" -> ((s, dir) =>
+      ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"))
+        .orderBy("vec_a", "vec_b")),
+
+    // IVF ANN top-5: deterministic cells (first 16 vectors), 4-probe search.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.ivfTopK(emb, q, 5).orderBy("q_id", "rank")
     })
   )
 
@@ -528,6 +559,143 @@ ORDER BY doc_a, doc_b"""
     // operation sequence of the Spark aggregate() HOF, so sim is
     // bit-identical. (0.0 + x == x, so Spark's 0-seeded fold matches
     // DuckDB's first-element-seeded list_reduce.)
+    // Replicates simhashPairs deterministically: same 60-bit md5-prefix
+    // feature hash, same ±1 bit votes, same 4×15-bit banding, same Hamming
+    // verify — generated from Dedup's constants so the sides cannot drift.
+    "q_dedup_simhash" -> {
+      val bits = Dedup.SimhashBits
+      val bands = 4
+      val width = bits / bands
+      val votes = (0 until bits)
+        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+        .mkString(",\n   ")
+      val fp = (0 until bits)
+        .map(i => s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until bands)
+        .map(j => s"SELECT doc_id, fp, $j AS band_idx, " +
+          s"(fp >> ${j * width}) & ${(1L << width) - 1} AS band_val FROM fps")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+  SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+votes AS (
+  SELECT doc_id,
+   $votes
+  FROM h GROUP BY doc_id),
+fps AS (
+  SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+FROM cand JOIN fps x ON doc_a = x.doc_id JOIN fps y ON doc_b = y.doc_id
+WHERE bit_count(xor(x.fp, y.fp)) <= 6
+ORDER BY doc_a, doc_b"""
+    },
+
+    // Naive ALL-PAIRS exact Jaccard — deliberately not the prefix-filtered
+    // plan: the Spark side's filter is lossless, so the outputs must agree.
+    "q_jaccard_ngram" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replicates embeddingNearDup with the SAME hyperplane constants as SQL
+    // literals (Double.toString round-trips exactly, and the sign test's
+    // ordered-fold dot is bit-identical), so bucket bits — and therefore
+    // the candidate set — match the Spark side exactly.
+    "q_embed_neardup" -> {
+      val nPlanes = 16
+      val bands = 4
+      val r = nPlanes / bands
+      val planes = ops.Similarity.hyperplanes(nPlanes, 64, 7L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      val bandSelects = (0 until bands)
+        .map(j => s"SELECT vec_id, $j AS band_idx, " +
+          s"(bucket >> ${j * r}) & ${(1L << r) - 1} AS band_val FROM buck")
+        .mkString("\n  UNION ALL ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id),
+s AS (
+  SELECT vec_a, vec_b,
+    ${duckDot("x.embedding", "y.embedding")} /
+      (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) AS sim
+  FROM cand JOIN embeddings x ON vec_a = x.vec_id
+            JOIN embeddings y ON vec_b = y.vec_id)
+SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35
+ORDER BY vec_a, vec_b"""
+    },
+
+    // Replicates ivfTopK: deterministic centroid seeds (vec_id < 16),
+    // argmax assignment (ties to lowest cell), 4-probe, exact cosine rank.
+    "q_ann_ivf" ->
+      s"""WITH cent AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+asg AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT v.vec_id, c.cell, v.embedding,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        ${duckDot("v.embedding", "c.ce")} /
+          (sqrt(${duckDot("v.embedding", "v.embedding")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+        c.cell) AS rn
+    FROM embeddings v, cent c) WHERE rn = 1),
+probes AS (
+  SELECT q_id, qe, cell FROM (
+    SELECT q.q_id, q.qe, c.cell,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        ${duckDot("q.qe", "c.ce")} /
+          (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+        c.cell) AS rn
+    FROM q, cent c) WHERE rn <= 4),
+s AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+    ${duckDot("p.qe", "a.embedding")} /
+      (sqrt(${duckDot("p.qe", "p.qe")}) * sqrt(${duckDot("a.embedding", "a.embedding")})) AS sim
+  FROM probes p JOIN asg a USING (cell))
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+  neighbor_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+ORDER BY q_id, rank""",
+
     "q_similarity_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -90,8 +90,11 @@ object Similarity {
         col("s.id").as("neighbor_id"), col("s.sim").as("sim"))
   }
 
-  /** Deterministic pseudo-random unit-free hyperplanes for LSH bucketing. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic pseudo-random unit-free hyperplanes for LSH bucketing.
+    * Public so the oracle-SQL generator can embed the SAME plane constants
+    * as literals — both engines then compute identical sign bits.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
@@ -130,5 +133,95 @@ object Similarity {
       .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "s")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
         col("s.id").as("neighbor_id"), col("s.sim").as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-banded: hash every vector
+    * to an `nPlanes`-bit hyperplane signature, band the signature, generate
+    * candidates only inside matching (band_idx, band_val) buckets (equi-join
+    * — never an all-pairs cross join), then verify candidates with exact
+    * cosine and keep pairs >= threshold.
+    *
+    * Output: (vec_a, vec_b, sim), vec_a < vec_b. Recall < 1 by design —
+    * a near-dup pair is missed iff every band has a flipped sign bit; with
+    * r = nPlanes/bands bits per band and per-bit collision prob 1 - θ/π,
+    * recall = 1 - (1 - (1-θ/π)^r)^bands. Raise `bands` (or lower `r`) for
+    * recall, raise `r` for candidate pruning: at 100 TB the knob to turn is
+    * r (each extra bit halves random-pair candidates).
+    */
+  def embeddingNearDup(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.35, dim: Int = 64,
+                       seed: Long = 7L): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val spark = corpus.sparkSession
+    // Signature computation is the expensive per-row map stage (nPlanes
+    // ordered-fold dot products); repartition for parallelism on few-file
+    // inputs and cache — the band self-join and both verify joins reuse it.
+    val bucketed = corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
+      .cache()
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+    }
+    val bandTable = bucketed
+      .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = bandTable.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
+    val b = bandTable.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    candidates
+      .join(bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** IVF (inverted-file) ANN top-k — the partition-pruning scale path.
+    *
+    * "Training" is deterministic: the first `nCells` corpus vectors (by
+    * vec_id) seed the cells. Every corpus vector is assigned to its highest-
+    * cosine centroid via a map-side-combinable `max_by` aggregate (partial
+    * argmax per partition — the shuffle carries one row per vector, never
+    * the corpus × nCells cross product; ties break to the lowest cell id).
+    * Queries probe their `nProbe` nearest cells; exact cosine + rank runs
+    * only inside probed cells. At 100 TB the cell assignment is the
+    * partition key of the stored index — probing prunes (nCells - nProbe) /
+    * nCells of the corpus from the scan, the IVF trade: recall < 1 when a
+    * true neighbor lives in an unprobed cell.
+    *
+    * Output: (q_id, rank, neighbor_id, sim), rank 1-based best-first.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("c_emb")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("csim"), (-col("cell")).as("tie"))).as("m"))
+      .select(col("m.cell").as("cell"), col("vec_id"), col("m.embedding").as("embedding"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("cell"), col("q_id"), col("q_emb"))
+    probes.join(assigned, "cell")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
   }
 }

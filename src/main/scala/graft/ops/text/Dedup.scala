@@ -126,26 +126,119 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash near-dup fingerprint: 32-bit signed simhash over token md5s.
-    * Each token votes its md5-derived bit pattern; the sign of each bit's
-    * vote sum forms the fingerprint. Docs within small Hamming distance are
-    * near-dups. Map-only; grouping by fingerprint (or by fingerprint bands)
-    * finds clusters without pairwise comparison.
+  /** SimHash fingerprint width: 60 bits (= the 15-hex-char md5 prefix that
+    * fits a signed long, shared with the minhash pipeline). Raw tokens are
+    * too coarse a feature for the synthetic corpus (a ~30-word vocabulary
+    * makes every doc's token distribution similar — measured hamming between
+    * unrelated docs clusters at 6-8 of 32 bits); word-2-gram shingles carry
+    * order and push unrelated docs to hamming >= 14 of 60 while true
+    * near-dups stay <= 6.
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = tokens(text)
-    // Per-bit vote: sum over tokens of +1/-1 depending on the md5 bit
-    // (one hex nibble covers 4 bits; conv(nibble,16,10) yields 0-15).
-    val votes = (0 until bits).map { i =>
-      aggregate(toks, lit(0L), (acc, t) => {
-        val nibble = substring(md5(t), i / 4 + 1, 1)
-        val bit = shiftright(conv(nibble, 16, 10).cast("long"), 3 - (i % 4)) % 2
-        acc + when(bit === 1, 1L).otherwise(-1L)
-      })
+  val SimhashBits = 60
+
+  /** 60-bit SimHash fingerprints, one row per document: (doc_id, fp).
+    *
+    * Scale shape mirrors nearDupPairs: explode shingles → ONE md5 per
+    * shingle occurrence folded to a 60-bit int → 60 signed bit-votes as ONE
+    * grouped aggregate (map-side-combinable ±1 sums) → sign per bit forms
+    * the fingerprint. Shingle frequency weights votes naturally (multiset
+    * explode, no distinct). Pure map + one groupBy shuffle of one 60-column
+    * row per doc — no pairwise work.
+    */
+  def simhashDocs(documents: DataFrame): DataFrame = {
+    val ex = documents
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$i")
     }
-    val fingerprint = votes.zipWithIndex.map { case (v, i) =>
-      when(v > 0, lit(1L) * (1L << i)).otherwise(0L)
+    val fp = (0 until SimhashBits).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    fingerprint
+    ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into `bands`
+    * 15-bit bands; candidate pairs share at least one exact band (equi-join
+    * on (band_idx, band_val) — bucketed, never all-pairs), then verify by
+    * exact Hamming distance over the full fingerprint.
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= maxHamming.
+    * A band match requires 15 consecutive identical bits, so docs within
+    * hamming d of 60 bits are found when their d flipped bits avoid one
+    * band — certain for d < bands, near-certain for the d <= 6 regime the
+    * threshold targets.
+    */
+  def simhashPairs(documents: DataFrame, bands: Int = 4,
+                   maxHamming: Int = 6): DataFrame = {
+    require(SimhashBits % bands == 0, s"$SimhashBits bits not divisible by $bands bands")
+    val width = SimhashBits / bands
+    val mask = (1L << width) - 1
+    val fps = simhashDocs(documents).cache()
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("fp"), j * width).bitwiseAND(lit(mask))
+    }
+    val bandTable = fps
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = bandTable.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = bandTable.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(fps.toDF("doc_a", "fp_a"), "doc_a")
+      .join(fps.toDF("doc_b", "fp_b"), "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-style)
+    * — the third dedup family: exact set similarity without sketching.
+    *
+    * Shingles are globally ordered by (document frequency asc, shingle) and
+    * each doc indexes only its first |s| - ceil(t*|s|) + 1 shingles in that
+    * order. Any pair with J >= t must share an indexed (prefix) shingle —
+    * if all common shingles sat in A's suffix of size ceil(t*|A|) - 1, then
+    * |A∩B| <= ceil(t*|A|) - 1 < t*|A| <= t*|A∪B|, contradicting J >= t —
+    * so the inverted-index join over prefixes is LOSSLESS: output equals
+    * the all-pairs result the oracle computes, at a fraction of the pairs.
+    * Rare-first ordering makes prefixes low-frequency, keeping the inverted
+    * index's per-key bucket small (the skew lever at 100 TB).
+    */
+  def jaccardNearDup(documents: DataFrame, n: Int = 3,
+                     threshold: Double = 0.6): DataFrame = {
+    val spark = documents.sparkSession
+    val sets = documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefixes = ex.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "s")
+    val a = prefixes.select(col("s"), col("doc_id").as("doc_a"))
+    val b = prefixes.select(col("s"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 }

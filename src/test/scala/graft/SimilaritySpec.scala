@@ -42,6 +42,38 @@ class SimilaritySpec extends SparkSpec {
     self.foreach { case (q, n) => assert(q == n) }
   }
 
+  test("embeddingNearDup: subset of exact all-pairs; planted duplicate found") {
+    // Plant an exact duplicate of vector 0 under a fresh id: cosine 1.0,
+    // identical sign bits in every band → must survive bucketing.
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0)
+    val planted = emb.unionByName(
+      Seq((9999L, v0, -1)).toDF("vec_id", "embedding", "label"))
+    val pairs = Similarity.embeddingNearDup(planted, threshold = 0.35)
+      .select("vec_a", "vec_b", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, s) => a == 0L && b == 9999L && s > 0.999999 })
+    // Every reported pair really clears the threshold (verify step is exact).
+    pairs.foreach { case (_, _, s) => assert(s >= 0.35) }
+  }
+
+  test("ivfTopK: self-match survives probing; ranks contiguous; sims match brute force") {
+    val ivf = Similarity.ivfTopK(emb, queries, 3)
+    val rows = ivf.orderBy("q_id", "rank")
+      .select("q_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).toSeq == (1 to rs.length))
+      // rank-1 is the query itself: its own cell is always its top probe
+      assert(rs.head._3 == q)
+    }
+    // IVF sims are exact cosines: any (q, neighbor) IVF returns must carry
+    // the same sim brute force computes for that pair.
+    val bf = Similarity.bruteForceTopK(emb, queries, emb.count().toInt)
+      .select("q_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => ((q, n), s) }.toMap
+    rows.foreach { case (q, _, n, s) => assert(bf((q, n)) == s) }
+  }
+
   test("TopK aggregator: merge respects k and ordering") {
     val agg = new Similarity.TopK(2)
     val a = Seq(Similarity.Scored(1, 0.9), Similarity.Scored(2, 0.5))

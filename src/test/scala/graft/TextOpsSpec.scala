@@ -40,13 +40,37 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("simhash: identical docs hash equal, near-dups are close in Hamming distance") {
-    val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+    val fp = Dedup.simhashDocs(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // identical token multisets after lower? doc4 is uppercase → different
-    // tokens → simhash over raw tokens differs; compare 1 vs 2 (1 token apart)
+    // doc4 is uppercase → different shingles → different fingerprint; doc1
+    // vs doc2 differ by one token (two of eight 2-gram shingles).
+    assert(!fp.contains(5L)) // "tiny" has no 2-gram shingles
     val hamming12 = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
     val hamming13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
     assert(hamming12 < hamming13, s"near-dup hamming $hamming12 !< unrelated $hamming13")
+  }
+
+  test("simhashPairs: identical-fingerprint pair surfaces at hamming 0") {
+    val two = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(two)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardNearDup: prefix-filtered result equals naive all-pairs Jaccard") {
+    val pairs = Dedup.jaccardNearDup(docs, n = 2, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    // Naive reference computed by hand: doc1/doc2 share 7 of 9 distinct
+    // 2-gram shingles → J = 7/9; no other pair overlaps at all.
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-15)
   }
 
   test("language ID picks the dominant stopword profile") {
