@@ -8,10 +8,13 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,7 +35,10 @@ object Prof {
         val run = si.taskMetrics.executorRunTime / 1e3
         val cpu = si.taskMetrics.executorCpuTime / 1e9
         val wall = (for { s <- si.submissionTime; c <- si.completionTime } yield (c - s) / 1e3).getOrElse(-1.0)
-        println(f"[prof]     stage ${si.stageId} (${si.numTasks} tasks, wall $wall%.2fs, run $run%.2fs, cpu $cpu%.2fs): ${si.name.takeWhile(_ != '\n').take(80)}")
+        val det = si.details.linesIterator
+          .filter(l => l.contains("graft") || l.contains("Dataset"))
+          .take(2).mkString(" <- ")
+        println(f"[prof]     stage ${si.stageId} (${si.numTasks} tasks, wall $wall%.2fs, run $run%.2fs, cpu $cpu%.2fs): ${si.name.takeWhile(_ != '\n').take(60)} | $det")
       }
     })
     val fn = SparkEntry.queries(name)

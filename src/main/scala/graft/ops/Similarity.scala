@@ -158,10 +158,14 @@ object Similarity {
     // Signature computation is the expensive per-row map stage (nPlanes
     // ordered-fold dot products); repartition for parallelism on few-file
     // inputs and cache — the band self-join and both verify joins reuse it.
+    // norm is precomputed per vector, not per pair: sim below is then
+    // dot/(norm_a*norm_b) — the identical IEEE ops to cosine() (sqrt each,
+    // then multiply), at a third of the per-candidate fold work.
     val bucketed = corpus
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
-        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
+        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"),
+        sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm"))
       .cache()
     val bandCols = (0 until bands).map { j =>
       shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
@@ -175,9 +179,11 @@ object Similarity {
       .select("vec_a", "vec_b")
       .distinct()
     candidates
-      .join(bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .join(bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), "vec_a")
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), "vec_b")
+      .withColumn("sim", dotOrdered(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }

@@ -26,9 +26,13 @@ import TextFns._
   */
 object Dedup {
 
-  /** Distinct word-2-gram shingle set of a text column. */
-  def shingleSet(text: Column, n: Int = 2): Column =
-    array_distinct(shingles(tokens(text), n))
+  /** Distinct word-n-gram shingle set of a PRE-TOKENIZED array column.
+    * Callers must stage `tokens(text)` as its own projection first — passing
+    * the split expression here would inline it into every element_at of the
+    * shingle lambda (one re-tokenization per shingle element; ~10× cost).
+    */
+  def shingleSet(toks: Column, n: Int = 2): Column =
+    array_distinct(shingles(toks, n))
 
   /** Exact dedup summary: one row per normalized-content fingerprint with
     * the representative (minimum) doc_id and the copy count. The kept
@@ -90,9 +94,16 @@ object Dedup {
     // first: a landing corpus often arrives as few fat files and the hash
     // work is embarrassingly parallel — without this the whole map stage
     // runs on however few tasks the file split yields.
+    // Tokens are materialized as their own projection before shingling:
+    // passing `tokens(text)` straight into the shingle HOF inlines the
+    // split() into EVERY element_at of the lambda body (~3n re-splits of
+    // the document per shingle — measured ~10× the whole pipeline's cost).
+    // As a separate non-cheap alias, CollapseProject keeps it staged and
+    // each row splits once.
     val sets = documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 2)).as("sh"))
       .cache()
     // 15 hex chars = 60 bits — fits a long; reduced mod p so a_i*h below
     // stays within int64 (a_i, h < 2^31 → product < 2^62).
@@ -147,7 +158,8 @@ object Dedup {
     */
   def simhashDocs(documents: DataFrame): DataFrame = {
     val ex = documents
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until SimhashBits).map { i =>
@@ -213,31 +225,69 @@ object Dedup {
   def jaccardNearDup(documents: DataFrame, n: Int = 3,
                      threshold: Double = 0.6): DataFrame = {
     val spark = documents.sparkSession
+    // Shingles are folded to 64-bit hashes at the source: every downstream
+    // shuffle, join key, window sort, and intersect then works on longs
+    // instead of ~20-byte strings (xxhash64 collisions are negligible at
+    // any realistic shingle cardinality: P ≈ n²/2⁶⁵). The intersect count
+    // over hashed distinct sets equals the string-set count the oracle
+    // computes. The empty-set filter is applied ABOVE the cache: below it,
+    // predicate pushdown drags the filter's full shingle expression beneath
+    // the repartition exchange, re-running the whole pipeline serially
+    // inside the single-partition file scan (measured 4.2 s at sf0.1).
     val sets = documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("toks"), n), s => xxhash64(s))).as("sh"))
       .cache()
+      .filter(size(col("sh")) > 0)
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    // Document frequency via count-over-window instead of a groupBy + join:
+    // the exploded table shuffles ONCE on s (the join form shuffles it
+    // twice — once to aggregate df, once to join it back).
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefixes = ex.join(dfreq, "s")
-      .withColumn("rn", row_number().over(w))
+    // Cached: both sides of the candidate self-join otherwise re-run the
+    // whole explode + doc-frequency + window subtree.
+    val prefixes = ex
+      .withColumn("df", count(lit(1)).over(wS))
+      .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "s")
-    val a = prefixes.select(col("s"), col("doc_id").as("doc_a"))
-    val b = prefixes.select(col("s"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, "s")
+      .select("doc_id", "sz", "s", "rn")
+      .cache()
+    val a = prefixes.select(col("s"), col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val b = prefixes.select(col("s"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"), col("rn").as("rn_b"))
+    // Candidate pruning, all lossless for J >= t (PPJoin, Xiao et al.):
+    //  - length filter: t·max(|A|,|B|) <= |A∩B| <= min(|A|,|B|);
+    //  - positional filter: min(rn_a)/min(rn_b) locate the pair's EARLIEST
+    //    co-prefix shingle in the global order (both minima come from the
+    //    same row — later shared shingles rank later in both docs, and no
+    //    common shingle precedes it, else it would be an earlier co-prefix
+    //    row); overlap <= 1 + min(|A|-i, |B|-j) must reach the J >= t
+    //    overlap requirement ceil(t/(1+t)·(|A|+|B|)).
+    val alphaF = threshold / (1.0 + threshold)
+    val candidates = a.join(b.hint("shuffle_hash"), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b")) &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("rn_a").as("ia"), min("rn_b").as("jb"),
+        first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
+      .filter(lit(1) + least(col("sz_a") - col("ia"), col("sz_b") - col("jb")) >=
+        ceil(lit(alphaF) * (col("sz_a") + col("sz_b"))))
+      .select("doc_a", "doc_b", "sz_a", "sz_b")
+    // Verify with ONE array_intersect: |A∪B| = |A| + |B| - |A∩B| for the
+    // distinct sets, so the union scan is redundant (identical int result
+    // to the oracle's len(list_distinct(list_concat(...)))).
     candidates
-      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .join(sets.toDF("doc_a", "sh_a").hint("shuffle_hash"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b").hint("shuffle_hash"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

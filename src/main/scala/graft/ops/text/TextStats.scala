@@ -17,17 +17,22 @@ object TextStats {
     * deterministic; see graft.package rationale).
     */
   def tokenStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
-      col("doc_id"),
-      col("lang"),
-      col("n_chars"),
-      length(col("text")).as("text_len"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
-      ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
-        .as("avg_token_len"))
+    // tokens staged as their own projection: inlining the split() would
+    // re-tokenize the document once per referencing expression (see
+    // Dedup.nearDupPairs).
+    val toks = col("toks")
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        length(col("text")).as("text_len"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+        ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+          .as("avg_token_len"))
   }
 
   private val stopEn = "\\b(the|and|of|is|in|to|a)\\b"
@@ -37,14 +42,14 @@ object TextStats {
     * Mirrors the common LLM-data quality heuristics (length/punct/stopword).
     */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     val nTok = size(toks)
     val stopCnt = matchCount(col("text"), stopEn)
     val punctCnt = matchCount(col("text"), "[.,;:!?]")
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = stopCnt.cast("double") / nTok
     val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
-    documents.select(
+    documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       stopCnt.as("stopword_cnt"),
@@ -84,12 +89,13 @@ object TextStats {
     * fingerprint robust to local edits).
     */
   def fingerprints(documents: DataFrame): DataFrame = {
-    val sh = shingles(tokens(col("text")), 2)
-    documents.select(
-      col("doc_id"),
-      md5(col("text")).as("fp_exact"),
-      md5(lower(col("text"))).as("fp_norm"),
-      md5(substring(col("text"), 1, 64)).as("fp_prefix"),
-      array_min(transform(sh, s => md5(s))).as("fp_min_shingle"))
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(lower(col("text"))).as("fp_norm"),
+        md5(substring(col("text"), 1, 64)).as("fp_prefix"),
+        array_min(transform(shingles(col("toks"), 2), s => md5(s))).as("fp_min_shingle"))
   }
 }
