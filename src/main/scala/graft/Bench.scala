@@ -15,6 +15,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Keep AQE from coalescing CPU-dense, byte-light shuffles (hashed
+      // shingles, candidate pairs) below core count: the 1m default merges
+      // them to ~4 tasks and strands the other cores. No effect at real
+      // scale, where partitions dwarf 64k.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,6 +38,7 @@ object Verify {
       // int64 micros keeps the arrow schema identical to DuckDB's TIMESTAMP
       // (INT96 reads back as timestamp[ns]).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

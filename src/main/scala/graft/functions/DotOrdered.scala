@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Ordered dot product of two float/double array columns as a native
+  * codegen'd Catalyst expression: Σ aᵢ·bᵢ accumulated strictly
+  * left-to-right in double precision.
+  *
+  * Numerically identical to the `aggregate(zip_with(a, b, (x, y) =>
+  * x.cast(double) * y.cast(double)), 0.0, _ + _)` HOF it replaces (same
+  * IEEE operation sequence, and 0.0 + x == x, so it also matches DuckDB's
+  * first-element-seeded `list_reduce` — see Similarity's numeric policy),
+  * but ~2 orders of magnitude faster: the HOF path is interpreted per
+  * element with boxed lambda invocations and per-call array allocation
+  * (measured ~300 µs per 64-dim pair — 145 s of CPU for one near-dup
+  * verify at sf0.1), while this compiles to a primitive loop over the
+  * ArrayData (no allocation, no boxing) in both eval and codegen paths.
+  *
+  * Null arrays propagate null (BinaryExpression contract); arrays are
+  * expected element-dense (embedding columns) — null elements read as 0.
+  * Lengths may differ; the fold runs over the common prefix, matching
+  * zip_with-then-aggregate on equal-length inputs (the only shape the
+  * similarity operators produce).
+  */
+case class DotOrdered(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_ordered expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val fx = isFloat(left)
+    val fy = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $getX * $getY;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotOrdered {
+
+  val fnName = "graft_dot_ordered"
+
+  /** Idempotently register the expression on a session's temp function
+    * registry (the public seam for custom expressions without a
+    * SparkSessionExtensions hook at session build time).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        fnName, exprs => DotOrdered(exprs.head, exprs(1)), "built-in")
+
+  /** Column-API entry point; registers on the active session on first use. */
+  def apply(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function(fnName, a, b)
+  }
+}

@@ -57,13 +57,12 @@ object Similarity {
 
   /** Ordered left-fold dot product: per-element double products (exact for
     * float inputs — 24-bit × 24-bit mantissas fit in 53 bits), summed
-    * strictly left-to-right. Deterministic and engine-portable.
+    * strictly left-to-right. Deterministic and engine-portable. Backed by
+    * the codegen'd [[graft.functions.DotOrdered]] expression — identical
+    * IEEE sequence to the aggregate/zip_with HOF form, ~100× faster.
     */
   private def dotOrdered(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.DotOrdered(a, b)
 
   /** Cosine similarity of two float-array columns (ordered-fold inner sums). */
   def cosine(a: Column, b: Column): Column =
@@ -106,9 +105,7 @@ object Similarity {
   def hyperplaneBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = dotOrdered(emb, typedLit(p.toSeq))
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
