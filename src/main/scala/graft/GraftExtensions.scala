@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotOrdered
+
+/** SparkSessionExtensions hook — registers graft's custom Catalyst
+  * expressions at session build time, so a cluster deployment enables the
+  * library's functions with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * and SQL users can call them directly (`SELECT graft_dot_ordered(a, b)`).
+  * Interactive/embedded sessions that were built without the extension get
+  * the same functions lazily via [[graft.functions.DotOrdered.register]]
+  * (called on first Column-API use); both paths install the identical
+  * builder, so the routes can mix freely.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier(DotOrdered.fnName),
+      new ExpressionInfo(classOf[DotOrdered].getName, DotOrdered.fnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotOrdered(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.DotOrdered
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expression semantics: the codegen'd ordered dot product
+  * must be bit-identical to the interpreted HOF fold it replaced (that
+  * equivalence is what keeps the DuckDB oracle parity intact).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_ordered: known values via Column API and SQL registration") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val viaColumn = df.select(DotOrdered($"a", $"b")).head.getDouble(0)
+    assert(viaColumn == 32.0)
+    DotOrdered.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_dot_ordered(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
+  test("dot_ordered: bit-identical to the ordered HOF fold on random float vectors") {
+    val rng = new scala.util.Random(2026)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat() * 20f - 10f),
+      Array.fill(64)(rng.nextFloat() * 20f - 10f)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      DotOrdered($"a", $"b").as("fast"),
+      aggregate(
+        zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (fast, hof) =>
+      // exact equality required: same IEEE operation sequence
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+}
