@@ -169,17 +169,19 @@ object Similarity {
     }
     val bandTable = bucketed
       .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    // shuffle_hash hints: the band table and the bucketed corpus must never
+    // broadcast (driver collect of corpus-scale relations at 100 TB).
     val a = bandTable.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_a"))
     val b = bandTable.select(col("band_idx"), col("band_val"), col("vec_id").as("vec_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_val"))
+    val candidates = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
     candidates
       .join(bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("norm").as("norm_a")), "vec_a")
+        col("norm").as("norm_a")).hint("shuffle_hash"), "vec_a")
       .join(bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("norm").as("norm_b")), "vec_b")
+        col("norm").as("norm_b")).hint("shuffle_hash"), "vec_b")
       .withColumn("sim", dotOrdered(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")

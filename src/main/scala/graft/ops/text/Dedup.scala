@@ -121,15 +121,19 @@ object Dedup {
     val bandTable = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
       .cache()
+    // shuffle_hash hints: cache-derived size estimates otherwise broadcast
+    // the per-doc band table and the full shingle-set relation — a driver
+    // collect of corpus-sized data at real scale. Keyed hash shuffles are
+    // the 100 TB plan (and measure fine at fixture scale).
     val a = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
     val b = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_key"))
+    val candidates = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
     candidates
-      .join(sets.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sets.toDF("doc_b", "sh_b"), "doc_b")
+      .join(sets.toDF("doc_a", "sh_a").hint("shuffle_hash"), "doc_a")
+      .join(sets.toDF("doc_b", "sh_b").hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -195,15 +199,16 @@ object Dedup {
     }
     val bandTable = fps
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    // shuffle_hash hints: same broadcast-of-corpus hazard as nearDupPairs.
     val a = bandTable.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"))
     val b = bandTable.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_val"))
+    val candidates = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
     candidates
-      .join(fps.toDF("doc_a", "fp_a"), "doc_a")
-      .join(fps.toDF("doc_b", "fp_b"), "doc_b")
+      .join(fps.toDF("doc_a", "fp_a").hint("shuffle_hash"), "doc_a")
+      .join(fps.toDF("doc_b", "fp_b").hint("shuffle_hash"), "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
