@@ -255,10 +255,16 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("df"), col("s"))
     // Cached: both sides of the candidate self-join otherwise re-run the
     // whole explode + doc-frequency + window subtree.
+    // All three ceil() pruning bounds below are loosened by 1e-9 before
+    // rounding: a threshold whose double representation sits a hair ABOVE
+    // the true rational (or a product that rounds up) would otherwise ceil
+    // one too high and falsely prune a J == t pair. The loosening only
+    // admits extra candidates — the exact-Jaccard verify still decides.
+    val eps = 1e-9
     val prefixes = ex
       .withColumn("df", count(lit(1)).over(wS))
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
       .select("doc_id", "sz", "s", "rn")
       .cache()
     val a = prefixes.select(col("s"), col("doc_id").as("doc_a"),
@@ -276,13 +282,13 @@ object Dedup {
     val alphaF = threshold / (1.0 + threshold)
     val candidates = a.join(b.hint("shuffle_hash"), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b")) &&
-        col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b") - eps) &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
       .groupBy("doc_a", "doc_b")
       .agg(min("rn_a").as("ia"), min("rn_b").as("jb"),
         first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
       .filter(lit(1) + least(col("sz_a") - col("ia"), col("sz_b") - col("jb")) >=
-        ceil(lit(alphaF) * (col("sz_a") + col("sz_b"))))
+        ceil(lit(alphaF) * (col("sz_a") + col("sz_b")) - eps))
       .select("doc_a", "doc_b", "sz_a", "sz_b")
     // Verify with ONE array_intersect: |A∪B| = |A| + |B| - |A∩B| for the
     // distinct sets, so the union scan is redundant (identical int result

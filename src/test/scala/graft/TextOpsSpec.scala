@@ -73,6 +73,49 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-15)
   }
 
+  test("jaccardNearDup is lossless on the fixture corpus: equals naive all-pairs") {
+    // The PPJoin prefix/length/positional filters must only prune pairs
+    // that cannot reach the threshold. Compare against a filter-free
+    // cross-join ground truth on the real sf0.001 documents.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.6, 0.7)) {
+      val fast = Dedup.jaccardNearDup(docs, n = 3, threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sets = docs
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .select($"doc_id",
+          array_distinct(transform(TextFns.shingles($"toks", 3), s => xxhash64(s))).as("sh"))
+        .filter(size($"sh") > 0)
+      val naive = sets.toDF("doc_a", "sh_a")
+        .crossJoin(sets.toDF("doc_b", "sh_b"))
+        .filter($"doc_a" < $"doc_b")
+        .filter(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")) >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"threshold $t: prefix-filtered ${fast.size} != naive ${naive.size}")
+    }
+  }
+
+  test("simhashPairs candidate recall: every pair within maxHamming that shares a band is found") {
+    // Band-join completeness check on the fixture corpus: brute-force the
+    // fingerprints, recompute band membership, and confirm simhashPairs
+    // returns exactly the band-sharing low-Hamming pairs.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = Dedup.simhashDocs(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bands = 4
+    val width = Dedup.SimhashBits / bands
+    val mask = (1L << width) - 1
+    def bandVals(f: Long): Seq[Long] = (0 until bands).map(j => (f >> (j * width)) & mask)
+    val expected = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 6
+      if bandVals(fa).zip(bandVals(fb)).exists { case (x, y) => x == y }
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("language ID picks the dominant stopword profile") {
     val sample = Seq(
       (1L, "en", "the cat and the dog is in to the house of things"),
