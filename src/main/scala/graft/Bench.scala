@@ -29,6 +29,11 @@ object Bench {
     // are what the baseline comparison is about.
     spark.range(1000).selectExpr("sum(id)").collect()
     io.Sources.table(spark, sfDir, "region").groupBy("r_name").count().collect()
+    // Touch every fixture table once (file listing + parquet footer) so
+    // per-query numbers measure the query, not first-read metadata I/O.
+    Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+      .foreach(t => io.Sources.table(spark, sfDir, t).schema)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -41,6 +46,9 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
       val secs = (System.nanoTime() - t0) / 1e9
+      // The dedup/similarity operators cache intermediates; drop them so a
+      // query's pinned blocks don't pressure every later query's memory.
+      spark.catalog.clearCache()
       (name, if (err.isEmpty) secs else -1.0, err)
     }
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
