@@ -112,4 +112,22 @@ object IncrementalStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Streaming twin of graft.ops.text.Dedup.exactDedup: drop re-arrivals of
+    * the same normalized content within the watermark horizon. State holds
+    * one fingerprint per kept doc and is evicted past the watermark — the
+    * bounded-state streaming form of exact dedup (cross-horizon dedup stays
+    * a batch job over the landed corpus, same hash).
+    *
+    * Input needs (doc_id, text, event_time); output keeps the first arrival
+    * per fingerprint with its fingerprint attached.
+    */
+  def exactDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp_norm", md5(lower(col("text"))))
+      .withWatermark("event_time", watermark)
+      // NOT plain dropDuplicates: with a non-event-time key that would keep
+      // fingerprint state forever. The WithinWatermark form evicts state
+      // once the horizon passes a kept fingerprint's arrival time.
+      .dropDuplicatesWithinWatermark("fp_norm")
 }

@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: re-arrivals within the watermark are dropped") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    mem.addData(
+      (1L, "same content", ts(0)),
+      (2L, "Same Content", ts(1)), // case-normalized duplicate of 1
+      (3L, "different content", ts(2)))
+    val deduped = IncrementalStream.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later batch re-sends doc 1's content — still within watermark
+      mem.addData((4L, "same content", ts(3)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"expected first arrivals only, got $kept")
+    } finally q.stop()
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
