@@ -77,9 +77,19 @@ object Dedup {
     * near-dup pair. Jaccard is |A∩B| / |A∪B| as one int/int double division
     * — bit-identical across engines. Docs with no shingles (< n+1 tokens)
     * drop out at the explode — they can never be near-dup candidates.
+    *
+    * `maxBucketSize` is the skew lever for real corpora: a band bucket with
+    * m docs emits m² candidate pairs, and viral boilerplate (cookie
+    * banners, license headers) lands millions of docs in one bucket. The
+    * production answer (as in Gopher/Dolma-style dedup) is to DROP buckets
+    * over the cap — their members are boilerplate clusters, not the
+    * near-dup tail this operator hunts — keeping the join's per-key fan-out
+    * bounded. Default keeps every bucket (exact LSH semantics, what the
+    * oracle checks).
     */
   def nearDupPairs(documents: DataFrame, k: Int = 16, bands: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val spark = documents.sparkSession
@@ -118,9 +128,21 @@ object Dedup {
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i").cast("string")): _*))
     }
-    val bandTable = sigs
+    val bandTableAll = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
       .cache()
+    val bandTable =
+      if (maxBucketSize == Long.MaxValue) bandTableAll
+      else {
+        // count-over-window shuffles the band table once on its own join
+        // key; oversized (boilerplate) buckets drop before the self-join.
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_key")
+        bandTableAll
+          .withColumn("bucket_n", count(lit(1)).over(wBucket))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select("doc_id", "band_idx", "band_key")
+      }
     // shuffle_hash hints: cache-derived size estimates otherwise broadcast
     // the per-doc band table and the full shingle-set relation — a driver
     // collect of corpus-sized data at real scale. Keyed hash shuffles are
@@ -228,7 +250,8 @@ object Dedup {
     * index's per-key bucket small (the skew lever at 100 TB).
     */
   def jaccardNearDup(documents: DataFrame, n: Int = 3,
-                     threshold: Double = 0.6): DataFrame = {
+                     threshold: Double = 0.6,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
     val spark = documents.sparkSession
     // Shingles are folded to 64-bit hashes at the source: every downstream
     // shuffle, join key, window sort, and intersect then works on longs
@@ -261,8 +284,16 @@ object Dedup {
     // one too high and falsely prune a J == t pair. The loosening only
     // admits extra candidates — the exact-Jaccard verify still decides.
     val eps = 1e-9
+    // maxDf is the skew lever: a shingle appearing in m docs contributes m²
+    // join pairs, so corpus-wide boilerplate shingles dominate the index.
+    // Dropping df > maxDf rows from the INDEX trades recall (a pair whose
+    // only shared prefix shingle is a stop-shingle is missed) for a bounded
+    // per-key fan-out; rn shrinks with the index so the positional bound
+    // only loosens (no false prunes). Default keeps everything — the exact,
+    // oracle-checked semantics.
     val prefixes = ex
       .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
       .select("doc_id", "sz", "s", "rn")

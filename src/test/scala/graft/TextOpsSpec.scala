@@ -116,6 +116,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("minhash maxBucketSize drops oversized (boilerplate) buckets") {
+    // five identical docs: every band bucket has all 5 members
+    val same = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val all = Dedup.nearDupPairs(same, k = 16, bands = 8, threshold = 0.5)
+    assert(all.count() == 10) // C(5,2)
+    val capped = Dedup.nearDupPairs(same, k = 16, bands = 8, threshold = 0.5,
+      maxBucketSize = 4)
+    assert(capped.count() == 0, "buckets over the cap must drop entirely")
+  }
+
+  test("jaccard maxDf drops stop-shingles from the index") {
+    // doc 3 shares only the ubiquitous shingle with 1/2; capping df at 2
+    // removes that shingle from the index, so only the true pair remains.
+    val corpus = Seq(
+      (1L, "common one two three four"),
+      (2L, "common one two three five"),
+      (3L, "common one nine ten eleven")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardNearDup(corpus, n = 2, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 2L)))
+    val capped = Dedup.jaccardNearDup(corpus, n = 2, threshold = 0.4, maxDf = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), "true pair survives via its rare shingles")
+  }
+
   test("language ID picks the dominant stopword profile") {
     val sample = Seq(
       (1L, "en", "the cat and the dog is in to the house of things"),
