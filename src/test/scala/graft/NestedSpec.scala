@@ -64,6 +64,23 @@ class NestedSpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("J3: missing product leaves NULL name/category; present product enriches") {
+    // Reference shape: ~99% of order product_ids are absent from
+    // dim_products (generate_product.py:14 vs generate_order.py:24) — the
+    // left join's NULL path is the dominant case, not the edge.
+    val mixed = Seq(
+      Order("o9", "CUST-1", ts,
+        Seq(Item("PROD-1000", 1, 10.0), Item("PROD-9999", 2, 5.0)),
+        20.0, "completed", addr)).toDF()
+    val fact = Nested.factTransform(mixed,
+      DataGen.customers(spark, 0), DataGen.products(spark, 1))
+      .select("product_id", "product_name", "category")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fact("PROD-1000") == (("Product 1000", fact("PROD-1000")._2)) &&
+      fact("PROD-1000")._2 != null)
+    assert(fact("PROD-9999") == ((null, null)))
+  }
+
   test("J2-path: missing customer dim falls back to bronze tier") {
     val fact = Nested.factTransform(orders,
       DataGen.customers(spark, 0), DataGen.products(spark, 0))
