@@ -210,6 +210,16 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ops.Similarity.ivfTopK(emb, q, 5).orderBy("q_id", "rank")
+    }),
+
+    // LSH-bucketed ANN top-5: exact-bucket candidates (8 sign bits),
+    // exact cosine + TopK within the bucket (the oracle shares the plane
+    // constants, so the candidate sets match exactly).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.annTopK(emb, q, 5).orderBy("q_id", "rank")
     })
   )
 
@@ -659,6 +669,40 @@ s AS (
             JOIN embeddings y ON vec_b = y.vec_id)
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35
 ORDER BY vec_a, vec_b"""
+    },
+
+    // Replicates annTopK: the SAME 8 hyperplanes (seed 42) as literals,
+    // full-bucket equality join, exact cosine, row_number rank.
+    "q_ann_lsh" -> {
+      val planes = ops.Similarity.hyperplanes(8, 64, 42L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+q AS (
+  SELECT b.vec_id AS q_id, e.embedding AS qe, b.bucket
+  FROM buck b JOIN embeddings e ON b.vec_id = e.vec_id WHERE b.vec_id < 10),
+s AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM q JOIN buck cb ON q.bucket = cb.bucket
+         JOIN embeddings v ON cb.vec_id = v.vec_id)
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+  neighbor_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+ORDER BY q_id, rank"""
     },
 
     // Replicates ivfTopK: deterministic centroid seeds (vec_id < 16),
