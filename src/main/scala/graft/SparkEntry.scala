@@ -220,7 +220,15 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ops.Similarity.annTopK(emb, q, 5).orderBy("q_id", "rank")
-    })
+    }),
+
+    // Multimodal metadata pass: typed binary columns, no decode — the
+    // decode stage itself is deliberately non-oracle (stubbed codec),
+    // covered by StreamingSpec instead.
+    "q_media_stats" -> ((s, dir) =>
+      ops.Multimodal.payloadStats(
+        ops.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())
+        .orderBy("media_id"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -739,6 +747,17 @@ SELECT q_id,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 ORDER BY q_id, rank""",
+
+    // sha256(VARCHAR) hashes the UTF-8 bytes — identical to Spark's
+    // sha2(encode(text, 'UTF-8'), 256) over the synthesized payload.
+    "q_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS content_sha256
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_similarity_topk" ->
       """WITH q AS (
