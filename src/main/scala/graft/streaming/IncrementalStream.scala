@@ -4,9 +4,9 @@ import graft._
 import graft.io.Sources
 import graft.ops.Nested
 import graft.pipeline.Incremental
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming facade over the incremental pipeline (S1 —
   * VERDICT r1 Missing #10).
@@ -112,6 +112,64 @@ object IncrementalStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** One open gap-session per user held in managed state. */
+  case class SessionAcc(startMs: Long, lastMs: Long, nEvents: Long, totalValue: Double)
+
+  /** A closed session, emitted when the gap (or the watermark) closes it. */
+  case class ClosedSession(user_id: Long, session_start_ms: Long,
+                           session_end_ms: Long, n_events: Long, total_value: Double)
+
+  /** Custom-state sessionizer: the `flatMapGroupsWithState` form of
+    * `sessionStream`, for session semantics the built-in `session_window`
+    * cannot express (per-user state is arbitrary code here — caps on
+    * session length, value-dependent gaps, enrichment would all slot in).
+    *
+    * State per user is ONE open session (start, last, count, total); a
+    * micro-batch's events fold in event-time order, closing the open
+    * session whenever the gap is exceeded; `EventTimeTimeout` at
+    * last + gap emits the final session once the watermark passes it, so
+    * state is bounded by the watermark exactly like session_window.
+    * In-order arrivals match `sessionStream` and the batch
+    * `Sessionize.sessionStats` exactly; a late event that would bridge two
+    * already-closed sessions re-opens neither (append-mode emission is
+    * final) — the documented divergence of the custom-state form.
+    */
+  def sessionStreamCustomState(events: DataFrame, gapMinutes: Int,
+                               watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      // the watermark column itself must survive projection up to the
+      // stateful operator; epoch conversion happens inside the fold
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var acc = state.getOption.orNull
+          if (rows.isEmpty && state.hasTimedOut && acc != null) {
+            // watermark passed last + gap: the open session is final
+            closed += ClosedSession(userId, acc.startMs, acc.lastMs, acc.nEvents, acc.totalValue)
+            state.remove()
+          } else {
+            rows.toSeq.map(r => (r._2.getTime, r._3)).sortBy(_._1).foreach { case (ts, v) =>
+              if (acc == null) acc = SessionAcc(ts, ts, 1L, v)
+              else if (ts - acc.lastMs > gapMs) {
+                closed += ClosedSession(userId, acc.startMs, acc.lastMs, acc.nEvents, acc.totalValue)
+                acc = SessionAcc(ts, ts, 1L, v)
+              } else acc = SessionAcc(acc.startMs, ts, acc.nEvents + 1L, acc.totalValue + v)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastMs + gapMs)
+          }
+          closed.iterator
+      }
+  }
 
   /** Streaming twin of graft.ops.text.Dedup.exactDedup: drop re-arrivals of
     * the same normalized content within the watermark horizon. State holds

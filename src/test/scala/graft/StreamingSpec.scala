@@ -49,6 +49,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches session_window on closed sessions") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(60), 4.0), (2L, ts(0), 8.0))
+    mem.addData((1L, ts(600), 16.0))
+    val sessions = IncrementalStream.sessionStreamCustomState(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_custom")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_custom")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // closed: user1 {ts0,ts10}=3.0, {ts60}=4.0; user2 {ts0}=8.0
+      assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: re-arrivals within the watermark are dropped") {
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val base = DataGen.defaultBaseMs
