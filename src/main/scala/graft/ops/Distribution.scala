@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-distribution utilities: the two levers the relational operators
+  * reference for 100 TB shapes — bucketed layouts for shuffle-free
+  * co-located joins, and key salting for skew.
+  *
+  * Reference tie-in: README.md:103 declares the fact table "clustered by
+  * customer_id" (BigQuery clustering). The Spark-native equivalent for a
+  * managed table is `bucketBy`: both sides of a recurring equi-join are
+  * written pre-hashed into the same bucket count, and every later join on
+  * that key plans with ZERO Exchange on either side — at warehouse scale
+  * this converts the nightly fact↔dim or fact↔fact joins from full-corpus
+  * shuffles into local zips.
+  */
+object Distribution {
+
+  /** Write `df` as a managed bucketed table (sorted within buckets for
+    * sort-merge-ready layout). Spark's bucketed format requires
+    * `saveAsTable` (a catalog entry), not a bare parquet path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucketed tables on their bucket key. The plan this
+    * produces carries no Exchange on either side (asserted in
+    * DistributionSpec) — the bucketed layout IS the shuffle, paid once at
+    * write time and amortized over every subsequent join.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Salted join for skewed keys: a hot key (one customer with 10⁸ fact
+    * rows) lands its entire volume in ONE reduce task under a plain hash
+    * join. Salting splits each key into `salts` sub-keys: the big (skewed)
+    * side gets a DETERMINISTIC salt derived from row content — xxhash64
+    * spreads a hot key's rows uniformly without an RNG (rand() would break
+    * retry/replay determinism) — and the small side is replicated once per
+    * salt, so every (key, salt) pair joins correctly. Result rows are
+    * identical to the unsalted join; only the partitioning changes. This is
+    * the manual form of what AQE skew-join does adaptively — useful when
+    * the skew is known ahead of time or AQE's thresholds don't trigger.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}
