@@ -62,6 +62,51 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame: fixed-size excerpt + its position. */
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long,
+                   frame_bytes: Array[Byte])
+
+  /** Frame sampling for video/audio payloads: emit up to `nFrames` evenly
+    * spaced excerpts per asset. The STUB "frame" is a deterministic byte
+    * slice at the sampled offset (a real codec seeks and decodes there
+    * instead — same iterator shape, same output schema). One input row
+    * fans out to ≤ nFrames small rows, so downstream per-frame work
+    * (embedding, OCR, captioning) shuffles freely while the original blob
+    * stays behind.
+    */
+  def frameSample(media: Dataset[MediaRow], nFrames: Int,
+                  frameBytes: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val dur = fakeDecode(row).duration_ms
+      if (dur <= 0 || row.payload.isEmpty) Iterator.empty
+      else (0 until nFrames).iterator.map { i =>
+        val offMs = dur * i / nFrames
+        val offByte = ((row.payload.length.toLong * i) / nFrames).toInt
+        val end = math.min(offByte + frameBytes, row.payload.length)
+        Frame(row.media_id, i, offMs,
+          java.util.Arrays.copyOfRange(row.payload, offByte, end))
+      }
+    }
+  }
+
+  /** Resize stub for image features: rescale the decoded width/height to
+    * fit `maxSide` preserving aspect ratio (a real impl resamples pixels;
+    * the geometry arithmetic and schema are the real contract).
+    */
+  def resizeFeatures(features: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val side = math.max(f.width, f.height)
+      if (side <= maxSide) f
+      else {
+        val scale = maxSide.toDouble / side
+        f.copy(width = math.max(1, math.round(f.width * scale).toInt),
+          height = math.max(1, math.round(f.height * scale).toInt))
+      }
+    }
+  }
+
   /** Column-level metadata pass (no decode): cheap stats that should NOT
     * pay the decode cost — pure codegen'd expressions over the binary.
     */

@@ -109,6 +109,35 @@ class StreamingSpec extends SparkSpec {
     assert(img.filter($"duration_ms" =!= 0).count() == 0)
   }
 
+  test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val frames = Multimodal.frameSample(media, nFrames = 4).collect()
+    // only audio/video assets (duration > 0) produce frames, 4 each
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.nonEmpty && byId.values.forall(_.length == 4))
+    assert(frames.forall(f => f.frame_bytes.nonEmpty && f.offset_ms >= 0))
+    // deterministic offsets: idx 0 starts at byte 0
+    assert(frames.filter(_.frame_idx == 0).forall(_.offset_ms == 0))
+
+    val feats = Multimodal.decodeFeatures(media)
+    val resized = Multimodal.resizeFeatures(feats, maxSide = 256).collect()
+    resized.foreach { f =>
+      assert(math.max(f.width, f.height) <= 256)
+      assert(f.width >= 1 && f.height >= 1)
+    }
+    // exact geometry contract for the shrunk ones: dims are the rounded
+    // uniform rescale (aspect preserved up to integer rounding, floor 1)
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    resized.filter(f => math.max(orig(f.media_id).width, orig(f.media_id).height) > 256)
+      .foreach { f =>
+        val o = orig(f.media_id)
+        val scale = 256.0 / math.max(o.width, o.height)
+        assert(f.width == math.max(1, math.round(o.width * scale).toInt))
+        assert(f.height == math.max(1, math.round(o.height * scale).toInt))
+      }
+  }
+
   test("multimodal: payload stats never decode (pure column expressions)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
     val media = Multimodal.mediaFromDocuments(spark, docs)
