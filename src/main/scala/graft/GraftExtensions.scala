@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotOrdered
+import graft.functions.{DotOrdered, RollingMinHash}
 
 /** SparkSessionExtensions hook — registers graft's custom Catalyst
   * expressions at session build time, so a cluster deployment enables the
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotOrdered].getName, DotOrdered.fnName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotOrdered(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier(RollingMinHash.fnName),
+      new ExpressionInfo(classOf[RollingMinHash].getName, RollingMinHash.fnName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingMinHash(exprs.head, exprs(1).eval().asInstanceOf[Int])))
   }
 }

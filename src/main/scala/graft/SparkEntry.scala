@@ -228,7 +228,19 @@ object SparkEntry {
     "q_media_stats" -> ((s, dir) =>
       ops.Multimodal.payloadStats(
         ops.Multimodal.mediaFromDocuments(s, t(s, dir, "documents")).toDF())
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Rabin-Karp rolling-hash fingerprint (codegen'd O(n) expression):
+    // min over 8-token sliding windows of the polynomial token-hash.
+    "q_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.text.TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"),
+            tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % 2147483647L).as("lh"))
+        .select(col("doc_id"),
+          functions.RollingMinHash(col("lh"), 8).as("fp_rolling"))
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -747,6 +759,26 @@ SELECT q_id,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 ORDER BY q_id, rank""",
+
+    // The direct O(n·w) window fold — list_reduce's first-element seeding
+    // matches the expression's H = h0; H = H*B + h accumulation, and the
+    // rolling subtract-leading-term form is modularly identical to it.
+    "q_rolling_fp" -> {
+      val b = functions.RollingMinHash.B
+      val m = functions.RollingMinHash.M
+      s"""WITH lh AS (
+  SELECT doc_id,
+    [CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $m
+     for t in string_split(text, ' ')] AS lh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN len(lh) = 0 THEN NULL
+       WHEN len(lh) < 8 THEN list_reduce(lh, (a, b) -> (a * $b + b) % $m)
+       ELSE list_min([list_reduce(lh[i:i+7], (a, b) -> (a * $b + b) % $m)
+                      for i in generate_series(1, len(lh) - 7)])
+  END AS fp_rolling
+FROM lh ORDER BY doc_id"""
+    },
 
     // sha256(VARCHAR) hashes the UTF-8 bytes — identical to Spark's
     // sha2(encode(text, 'UTF-8'), 256) over the synthesized payload.

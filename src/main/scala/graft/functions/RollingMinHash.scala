@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Rolling-hash document fingerprint: the minimum over all `window`-length
+  * sliding windows of a polynomial hash of pre-hashed tokens —
+  * Rabin-Karp content fingerprinting, robust to edits outside the
+  * minimizing window.
+  *
+  * Window hash: H(i) = Σ_{j<w} h[i+j]·B^{w-1-j} mod M, with B = 257 and
+  * M = 2³¹−1 (products stay under 2⁶³). The codegen path maintains H
+  * incrementally — H(i+1) = (H(i) − h[i]·B^{w-1})·B + h[i+w] mod M — so
+  * the scan is O(n), not O(n·w); modular identities make it equal the
+  * direct left fold `(acc·B + h) mod M` the oracle computes, element for
+  * element. Arrays shorter than the window hash as one window over all
+  * elements (matching list_reduce's first-element seeding); empty arrays
+  * yield NULL.
+  */
+case class RollingMinHash(child: Expression, window: Int) extends UnaryExpression {
+
+  import RollingMinHash.{B, M}
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if window > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"rolling_min_hash expects array<bigint> and a positive window, got " +
+        s"${child.dataType.catalogString} / window=$window")
+  }
+
+  /** B^(w-1) mod M, for the rolling leading-term subtraction. */
+  private lazy val bPowW1: Long = {
+    var p = 1L
+    (1 until window).foreach(_ => p = p * B % M)
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val w = math.min(window, n)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + arr.getLong(i)) % M; i += 1 }
+    var min = h
+    i = w
+    while (i < n) {
+      h = ((h - arr.getLong(i - w) * bPowW1 % M) % M + M) % M
+      h = (h * B + arr.getLong(i)) % M
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val arr = childGen.value
+    val n = ctx.freshName("n")
+    val w = ctx.freshName("w")
+    val h = ctx.freshName("h")
+    val min = ctx.freshName("min")
+    val i = ctx.freshName("i")
+    val body =
+      s"""
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) {
+         |  final int $n = $arr.numElements();
+         |  if ($n == 0) { ${ev.isNull} = true; } else {
+         |    final int $w = java.lang.Math.min($window, $n);
+         |    long $h = 0L;
+         |    for (int $i = 0; $i < $w; $i++) { $h = ($h * ${B}L + $arr.getLong($i)) % ${M}L; }
+         |    long $min = $h;
+         |    for (int $i = $w; $i < $n; $i++) {
+         |      $h = (($h - $arr.getLong($i - $w) * ${bPowW1}L % ${M}L) % ${M}L + ${M}L) % ${M}L;
+         |      $h = ($h * ${B}L + $arr.getLong($i)) % ${M}L;
+         |      if ($h < $min) { $min = $h; }
+         |    }
+         |    ${ev.value} = $min;
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code"${childGen.code}\n$body")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  /** Polynomial base and Mersenne modulus, shared with the oracle SQL. */
+  val B = 257L
+  val M: Long = (1L << 31) - 1
+
+  val fnName = "graft_rolling_min_hash"
+
+  /** Idempotent session registration (window arrives as a foldable int). */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        fnName,
+        exprs => RollingMinHash(exprs.head,
+          exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
+
+  /** Column-API entry point; registers on the active session on first use. */
+  def apply(tokenHashes: Column, window: Int): Column = {
+    register(SparkSession.active)
+    call_function(fnName, tokenHashes, org.apache.spark.sql.functions.lit(window))
+  }
+}

@@ -22,6 +22,25 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == 11.0)
   }
 
+  test("rolling_min_hash: equals the direct window fold; edge cases") {
+    import graft.functions.RollingMinHash
+    import RollingMinHash.{B, M}
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(30)(Array.fill(rng.nextInt(20) + 1)(rng.nextLong().abs % M)) ++
+      Seq(Array.empty[Long], Array(5L), Array(1L, 2L, 3L)) // shorter than window
+    val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "lh")
+    val got = df.select($"id", RollingMinHash($"lh", 8).as("fp"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def fold(xs: Seq[Long]): Long = xs.tail.foldLeft(xs.head)((a, b) => (a * B + b) % M)
+    rows.zipWithIndex.foreach { case (a, i) =>
+      val expected =
+        if (a.isEmpty) None
+        else if (a.length <= 8) Some(fold(a.toSeq))
+        else Some(a.toSeq.sliding(8).map(w => fold(w)).min)
+      assert(got(i) == expected, s"row $i: ${got(i)} != $expected")
+    }
+  }
+
   test("dot_ordered: bit-identical to the ordered HOF fold on random float vectors") {
     val rng = new scala.util.Random(2026)
     val rows = Seq.fill(50)((
