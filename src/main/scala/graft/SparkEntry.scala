@@ -237,7 +237,8 @@ object SparkEntry {
         .select(col("doc_id"), graft.ops.text.TextFns.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           transform(col("toks"),
-            tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % 2147483647L).as("lh"))
+            tk => conv(substring(md5(tk), 1, 15), 16, 10).cast("long")
+              % functions.RollingMinHash.M).as("lh"))
         .select(col("doc_id"),
           functions.RollingMinHash(col("lh"), 8).as("fp_rolling"))
         .orderBy("doc_id"))

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * direct left fold `(acc·B + h) mod M` the oracle computes, element for
   * element. Arrays shorter than the window hash as one window over all
   * elements (matching list_reduce's first-element seeding); empty arrays
-  * yield NULL.
+  * yield NULL. Inputs are normalized into [0, M) on read — full-range
+  * hashes (raw xxhash64, negatives) would otherwise overflow the
+  * leading-term product and break the rolling == fold identity; callers
+  * that pre-reduce mod M (like q_rolling_fp and its oracle twin) see
+  * identical results with or without the normalization.
   */
 case class RollingMinHash(child: Expression, window: Int) extends UnaryExpression {
 
@@ -47,15 +51,16 @@ case class RollingMinHash(child: Expression, window: Int) extends UnaryExpressio
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
+    def at(i: Int): Long = (arr.getLong(i) % M + M) % M
     val w = math.min(window, n)
     var h = 0L
     var i = 0
-    while (i < w) { h = (h * B + arr.getLong(i)) % M; i += 1 }
+    while (i < w) { h = (h * B + at(i)) % M; i += 1 }
     var min = h
     i = w
     while (i < n) {
-      h = ((h - arr.getLong(i - w) * bPowW1 % M) % M + M) % M
-      h = (h * B + arr.getLong(i)) % M
+      h = ((h - at(i - w) * bPowW1 % M) % M + M) % M
+      h = (h * B + at(i)) % M
       if (h < min) min = h
       i += 1
     }
@@ -80,11 +85,13 @@ case class RollingMinHash(child: Expression, window: Int) extends UnaryExpressio
          |  if ($n == 0) { ${ev.isNull} = true; } else {
          |    final int $w = java.lang.Math.min($window, $n);
          |    long $h = 0L;
-         |    for (int $i = 0; $i < $w; $i++) { $h = ($h * ${B}L + $arr.getLong($i)) % ${M}L; }
+         |    for (int $i = 0; $i < $w; $i++) {
+         |      $h = ($h * ${B}L + ($arr.getLong($i) % ${M}L + ${M}L) % ${M}L) % ${M}L;
+         |    }
          |    long $min = $h;
          |    for (int $i = $w; $i < $n; $i++) {
-         |      $h = (($h - $arr.getLong($i - $w) * ${bPowW1}L % ${M}L) % ${M}L + ${M}L) % ${M}L;
-         |      $h = ($h * ${B}L + $arr.getLong($i)) % ${M}L;
+         |      $h = (($h - ($arr.getLong($i - $w) % ${M}L + ${M}L) % ${M}L * ${bPowW1}L % ${M}L) % ${M}L + ${M}L) % ${M}L;
+         |      $h = ($h * ${B}L + ($arr.getLong($i) % ${M}L + ${M}L) % ${M}L) % ${M}L;
          |      if ($h < $min) { $min = $h; }
          |    }
          |    ${ev.value} = $min;

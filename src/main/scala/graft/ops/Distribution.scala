@@ -52,6 +52,14 @@ object Distribution {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // Join types that emit small-side rows independently of a big-side
+    // match (right/full outer, right semi/anti) would return one row per
+    // REPLICA of the small side — refuse them rather than silently
+    // multiply results.
+    val safe = Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports big-side-preserving join types only, got '$joinType'")
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
     val replicatedSmall = small.withColumn("_salt",

@@ -26,14 +26,6 @@ import TextFns._
   */
 object Dedup {
 
-  /** Distinct word-n-gram shingle set of a PRE-TOKENIZED array column.
-    * Callers must stage `tokens(text)` as its own projection first — passing
-    * the split expression here would inline it into every element_at of the
-    * shingle lambda (one re-tokenization per shingle element; ~10× cost).
-    */
-  def shingleSet(toks: Column, n: Int = 2): Column =
-    array_distinct(shingles(toks, n))
-
   /** Exact dedup summary: one row per normalized-content fingerprint with
     * the representative (minimum) doc_id and the copy count. The kept
     * corpus is `docs.dropDuplicates("fp_norm")` on the same fingerprint;

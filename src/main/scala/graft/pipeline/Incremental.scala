@@ -132,14 +132,22 @@ object Incremental {
         else newRows.select(date_trunc("hour", col("order_timestamp")).as("h"))
           .distinct().collect().map(_.getTimestamp(0))
 
-      // S4 audit append, idempotent like the fact load: skipped when this
-      // batch adds no fact rows (a pure re-run) or when this batch_id is
-      // already recorded — re-running a batch must not duplicate audit rows.
+      // S4 audit append, idempotent like the fact load: only mismatches on
+      // orders this run actually adds (semi-join against the anti-joined
+      // new rows — a partial re-land would otherwise re-append audit rows
+      // for every previously landed order), and never twice for one
+      // batch_id. Runs BEFORE the fact append, while the cached anti-join
+      // still reflects the pre-append fact table.
       val alreadyAudited = readIfExists(spark, wh.qualityChecks).exists(df =>
         df.columns.contains("batch_id") &&
           df.filter(col("batch_id") === batchId).limit(1).count() > 0)
-      if (newCount > 0 && !alreadyAudited && mismGate.violations > 0)
-        mismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks)
+      if (newCount > 0 && !alreadyAudited && mismGate.violations > 0) {
+        val newMismatches = mismatches.join(
+          newRows.select(col("order_id")).distinct(),
+          mismatches("entity_id") === col("order_id"), "left_semi")
+        if (newMismatches.limit(1).count() > 0)
+          newMismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks)
+      }
       mismatches.unpersist()
 
       // S4 + S7: append, partitioned by order_date (date-filtered reads

@@ -41,6 +41,18 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_min_hash: full-range and negative inputs normalize like pre-reduced ones") {
+    import graft.functions.RollingMinHash
+    import RollingMinHash.M
+    val rng = new scala.util.Random(11)
+    val raw = Array.fill(20)(rng.nextLong()) // full int64 range, negatives included
+    val reduced = raw.map(x => ((x % M) + M) % M)
+    val df = Seq((0, raw), (1, reduced)).toDF("id", "lh")
+    val fps = df.select($"id", RollingMinHash($"lh", 8).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fps(0) == fps(1))
+  }
+
   test("dot_ordered: bit-identical to the ordered HOF fold on random float vectors") {
     val rng = new scala.util.Random(2026)
     val rows = Seq.fill(50)((

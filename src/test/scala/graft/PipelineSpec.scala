@@ -79,6 +79,17 @@ class PipelineSpec extends SparkSpec {
     assert(r2.newFactRows == 0)
     assert(spark.read.parquet(wh.qualityChecks)
       .filter(col("check_type") === "amount_mismatch").count() == nCorrupt)
+
+    // PARTIAL re-land: old (already audited) orders plus one genuinely new
+    // clean order under a fresh batch_id — the audit gains nothing (the
+    // semi-join restricts mismatch rows to this run's NEW orders).
+    val fresh = DataGen.orders(spark, 1, seed = 99L)
+    corrupted.unionByName(fresh).coalesce(1).write.mode("append").json(landing)
+    val r3 = Incremental.run(spark, landing, wh, "mismatch_partial")
+    assert(r3.newFactRows > 0, "the new order must load")
+    assert(spark.read.parquet(wh.qualityChecks)
+      .filter(col("check_type") === "amount_mismatch").count() == nCorrupt,
+      "partial re-land must not re-audit previously landed orders")
   }
 
   test("hourly merge: touched hours recomputed, totals match fact (S5 dynamic overwrite)") {
