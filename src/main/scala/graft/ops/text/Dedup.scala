@@ -15,6 +15,13 @@ import TextFns._
   * exactly like the underlying 128-bit integer, so `min` over hex strings is
   * a valid minhash "permutation" in both engines.
   *
+  * Cache lifecycle: the near-dup operators cache intermediate relations
+  * (shingle sets, fingerprints, prefixes) that several join branches
+  * reuse; the blocks live until the session evicts them or the caller
+  * clears them (`spark.catalog.clearCache()` between unrelated jobs, as
+  * Bench/Verify do). At warehouse scale the equivalents are materialized
+  * signature tables written between the sketch and probe phases.
+  *
   * Scale posture (100 TB): signature computation is per-document map work
   * (codegen'd HOFs, no UDFs). The only shuffles are (a) the posexplode'd
   * band table keyed on (band_idx, band_key) — data volume b rows/doc of
