@@ -20,15 +20,16 @@ import graft.functions.{DotOrdered, RollingMinHash}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Builders are shared with the temp-function registration path
+    // (DotOrdered.register / RollingMinHash.register) and validate arity
+    // and literal-ness with descriptive errors.
     ext.injectFunction((
       new FunctionIdentifier(DotOrdered.fnName),
       new ExpressionInfo(classOf[DotOrdered].getName, DotOrdered.fnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotOrdered(exprs.head, exprs(1))))
+      DotOrdered.builder))
     ext.injectFunction((
       new FunctionIdentifier(RollingMinHash.fnName),
       new ExpressionInfo(classOf[RollingMinHash].getName, RollingMinHash.fnName),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingMinHash(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+      RollingMinHash.builder))
   }
 }

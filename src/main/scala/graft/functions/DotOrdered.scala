@@ -89,6 +89,19 @@ object DotOrdered {
 
   val fnName = "graft_dot_ordered"
 
+  /** SQL-path expression builder, shared by the temp-function registry and
+    * [[graft.GraftExtensions]]. Validates arity up front so a miscalled
+    * `graft_dot_ordered(a)` fails with a clear message at analysis, not an
+    * IndexOutOfBounds from `exprs(1)`.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$fnName expects exactly 2 arguments (array<float|double>, " +
+          s"array<float|double>), got ${exprs.length}")
+    DotOrdered(exprs.head, exprs(1))
+  }
+
   /** Idempotently register the expression on a session's temp function
     * registry (the public seam for custom expressions without a
     * SparkSessionExtensions hook at session build time).
@@ -96,9 +109,19 @@ object DotOrdered {
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fnName, exprs => DotOrdered(exprs.head, exprs(1)), "built-in")
+        fnName, builder, "built-in")
 
-  /** Column-API entry point; registers on the active session on first use. */
+  /** Column-API entry point; registers on the active session on first use.
+    *
+    * Single-session assumption: registration targets `SparkSession.active`
+    * (the session of the current thread / most recently created). In a
+    * multi-session application where the Column is analyzed by a DIFFERENT
+    * session than the active one, resolution can fail with an
+    * unresolved-function error — there, install the function at session
+    * build time via `spark.sql.extensions=graft.GraftExtensions` (the
+    * injection path registers on every session that sets it) instead of
+    * relying on this lazy hook.
+    */
   def apply(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function(fnName, a, b)

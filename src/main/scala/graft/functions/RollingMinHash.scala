@@ -112,16 +112,43 @@ object RollingMinHash {
 
   val fnName = "graft_rolling_min_hash"
 
+  /** SQL-path expression builder, shared by the temp-function registry and
+    * [[graft.GraftExtensions]]. The window argument must be a foldable
+    * integral literal (`8`, `8L`, CAST(8 AS INT)...); anything else —
+    * wrong arity, a column reference, a string — fails here with a
+    * descriptive message instead of a ClassCastException deep in analysis.
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$fnName expects exactly 2 arguments (array<bigint>, window), " +
+          s"got ${exprs.length}")
+    val winExpr = exprs(1)
+    if (!winExpr.foldable)
+      throw new IllegalArgumentException(
+        s"$fnName window must be a literal integer, got non-foldable ${winExpr.sql}")
+    val window = winExpr.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fnName window must be an integer literal, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}: ${winExpr.sql}")
+    }
+    RollingMinHash(exprs.head, window)
+  }
+
   /** Idempotent session registration (window arrives as a foldable int). */
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fnName,
-        exprs => RollingMinHash(exprs.head,
-          exprs(1).eval().asInstanceOf[Int]),
-        "built-in")
+        fnName, builder, "built-in")
 
-  /** Column-API entry point; registers on the active session on first use. */
+  /** Column-API entry point; registers on the active session on first use.
+    * Single-session assumption as [[DotOrdered.apply]]: multi-session
+    * applications should install `graft.GraftExtensions` at build time.
+    */
   def apply(tokenHashes: Column, window: Int): Column = {
     register(SparkSession.active)
     call_function(fnName, tokenHashes, org.apache.spark.sql.functions.lit(window))

@@ -60,10 +60,16 @@ object Distribution {
       "left_semi", "leftanti", "left_anti")
     require(safe.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports big-side-preserving join types only, got '$joinType'")
-    val saltedBig = big.withColumn("_salt",
+    // Pick a salt column name neither input already has — a hard-coded
+    // "_salt" would silently overwrite (and then drop) a real column.
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = Iterator.from(0)
+      .map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(!taken.contains(_)).get
+    val saltedBig = big.withColumn(saltCol,
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
-    val replicatedSmall = small.withColumn("_salt",
+    val replicatedSmall = small.withColumn(saltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    saltedBig.join(replicatedSmall, Seq(key, "_salt"), joinType).drop("_salt")
+    saltedBig.join(replicatedSmall, Seq(key, saltCol), joinType).drop(saltCol)
   }
 }

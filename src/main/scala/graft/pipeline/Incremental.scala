@@ -138,9 +138,19 @@ object Incremental {
       // for every previously landed order), and never twice for one
       // batch_id. Runs BEFORE the fact append, while the cached anti-join
       // still reflects the pre-append fact table.
-      val alreadyAudited = readIfExists(spark, wh.qualityChecks).exists(df =>
-        df.columns.contains("batch_id") &&
-          df.filter(col("batch_id") === batchId).limit(1).count() > 0)
+      // mergeSchema: the guard must see batch_id even when the OLDEST files
+      // in a pre-existing warehouse predate that column — the default
+      // single-file schema pick could omit it, making the guard report
+      // false and a crash-rerun re-append this batch's audit rows.
+      val alreadyAudited = {
+        val p = new org.apache.hadoop.fs.Path(wh.qualityChecks)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+          val df = spark.read.option("mergeSchema", "true").parquet(wh.qualityChecks)
+          df.columns.contains("batch_id") &&
+            df.filter(col("batch_id") === batchId).limit(1).count() > 0
+        } else false
+      }
       if (newCount > 0 && !alreadyAudited && mismGate.violations > 0) {
         val newMismatches = mismatches.join(
           newRows.select(col("order_id")).distinct(),

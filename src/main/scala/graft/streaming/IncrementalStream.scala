@@ -131,9 +131,17 @@ object IncrementalStream {
     * last + gap emits the final session once the watermark passes it, so
     * state is bounded by the watermark exactly like session_window.
     * In-order arrivals match `sessionStream` and the batch
-    * `Sessionize.sessionStats` exactly; a late event that would bridge two
-    * already-closed sessions re-opens neither (append-mode emission is
-    * final) — the documented divergence of the custom-state form.
+    * `Sessionize.sessionStats` exactly. Cross-batch out-of-order behavior
+    * (events above the watermark, so not dropped, arriving in a later
+    * micro-batch than neighbors with larger timestamps):
+    *  - a late event within `gap` of the open session folds in with
+    *    `startMs = min(startMs, ts)` / `lastMs = max(lastMs, ts)` — the
+    *    session's bounds only ever widen, never regress;
+    *  - a late event that would bridge two already-closed sessions
+    *    re-opens neither (append-mode emission is final);
+    *  - a late event more than `gap` older than the open session's start
+    *    merges into it (min/max fold) rather than retro-creating an
+    *    earlier separate session — the bounded-state trade-off.
     */
   def sessionStreamCustomState(events: DataFrame, gapMinutes: Int,
                                watermark: String = "1 hour"): Dataset[ClosedSession] = {
@@ -162,7 +170,14 @@ object IncrementalStream {
               else if (ts - acc.lastMs > gapMs) {
                 closed += ClosedSession(userId, acc.startMs, acc.lastMs, acc.nEvents, acc.totalValue)
                 acc = SessionAcc(ts, ts, 1L, v)
-              } else acc = SessionAcc(acc.startMs, ts, acc.nEvents + 1L, acc.totalValue + v)
+              } else {
+                // min/max fold: a cross-batch out-of-order event (ts below
+                // lastMs or even startMs) widens the open session instead of
+                // regressing lastMs — end >= start always holds, and the next
+                // gap test compares against the true max event time.
+                acc = SessionAcc(math.min(acc.startMs, ts), math.max(acc.lastMs, ts),
+                  acc.nEvents + 1L, acc.totalValue + v)
+              }
             }
             state.update(acc)
             state.setTimeoutTimestamp(acc.lastMs + gapMs)

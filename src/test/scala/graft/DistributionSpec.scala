@@ -65,4 +65,15 @@ class DistributionSpec extends SparkSpec {
       .select("key", "v", "tag").as[(String, Long, String)].collect().toSet
     assert(out == Set(("a", 1L, "A"), ("b", 2L, null)))
   }
+
+  test("salted join preserves a user column named _salt") {
+    // pre-fix, the internal salt overwrote (then dropped) this column
+    val big = Seq(("a", 1L, "keep-me"), ("b", 2L, "me-too")).toDF("key", "v", "_salt")
+    val small = Seq(("a", "A")).toDF("key", "tag")
+    val out = Distribution.saltedJoin(big, small, "key", salts = 4, joinType = "left")
+    assert(out.columns.count(_ == "_salt") == 1)
+    val got = out.select("key", "v", "_salt", "tag")
+      .as[(String, Long, String, String)].collect().toSet
+    assert(got == Set(("a", 1L, "keep-me", "A"), ("b", 2L, "me-too", null)))
+  }
 }

@@ -41,6 +41,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL-path builders: BIGINT window literal accepted, bad calls fail clearly") {
+    import graft.functions.{DotOrdered, RollingMinHash}
+    DotOrdered.register(spark)
+    RollingMinHash.register(spark)
+    val df = Seq((0, Array(1L, 2L, 3L))).toDF("id", "lh")
+    df.createOrReplaceTempView("fn_builder_t")
+    // 8 parses as an INT literal; 8L-equivalent BIGINT must also work
+    // (pre-fix this threw ClassCastException: Long cannot be cast to Int)
+    val viaBigint = spark.sql(
+      s"SELECT ${RollingMinHash.fnName}(lh, CAST(8 AS BIGINT)) FROM fn_builder_t")
+      .collect().head.getLong(0)
+    val viaInt = spark.sql(
+      s"SELECT ${RollingMinHash.fnName}(lh, 8) FROM fn_builder_t")
+      .collect().head.getLong(0)
+    assert(viaBigint == viaInt)
+    // wrong arity and non-literal window fail with descriptive messages,
+    // not IndexOutOfBounds / ClassCastException
+    def failsWith(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains(fragment)),
+        s"expected '$fragment' in error chain, got: ${chain(e).mkString(" | ")}")
+    }
+    failsWith(s"SELECT ${RollingMinHash.fnName}(lh) FROM fn_builder_t",
+      "exactly 2 arguments")
+    failsWith(s"SELECT ${RollingMinHash.fnName}(lh, id) FROM fn_builder_t",
+      "literal integer")
+    failsWith(s"SELECT ${DotOrdered.fnName}(lh) FROM fn_builder_t",
+      "exactly 2 arguments")
+  }
+
   test("rolling_min_hash: full-range and negative inputs normalize like pre-reduced ones") {
     import graft.functions.RollingMinHash
     import RollingMinHash.M

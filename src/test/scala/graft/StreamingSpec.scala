@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer: cross-batch out-of-order events widen, never regress") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def ms(min: Int) = base + min * 60000L
+    // batch 1 opens a session [10, 20]
+    mem.addData((1L, ts(10), 1.0), (1L, ts(20), 1.0))
+    val sessions = IncrementalStream.sessionStreamCustomState(
+      mem.toDF().toDF("user_id", "ts", "value"), gapMinutes = 30, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives out of order but above the watermark: ts(5) is
+      // earlier than the open session's start, ts(15) is inside its span.
+      // The min/max fold must widen the session to [5, 20], not regress
+      // lastMs to 15 (which would corrupt the next gap test and could
+      // emit end < start).
+      mem.addData((1L, ts(15), 1.0), (1L, ts(5), 1.0))
+      q.processAllAvailable()
+      // batch 3 closes it (600 is > gap past 20, and advances the watermark)
+      mem.addData((1L, ts(600), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo")
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((ms(5), ms(20), 4L)),
+        s"expected one widened session [5,20] with 4 events, got $out")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: re-arrivals within the watermark are dropped") {
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     val base = DataGen.defaultBaseMs
