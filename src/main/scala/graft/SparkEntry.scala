@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.ops.{Relational, Sessionize}
-import graft.ops.text.{Dedup, TextStats}
+import graft.ops.text.{Corpus, Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -241,7 +241,41 @@ object SparkEntry {
               % functions.RollingMinHash.M).as("lh"))
         .select(col("doc_id"),
           functions.RollingMinHash(col("lh"), 8).as("fp_rolling"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition rule: duplicate word-2-gram ratio per doc.
+    "q_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Corpus vocabulary: term/document frequency, top-100 by tf.
+    "q_vocab" -> ((s, dir) => Corpus.vocab(t(s, dir, "documents"))),
+
+    // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
+    "q_chunks" -> ((s, dir) =>
+      Corpus.chunkDocs(t(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic hash split (80/10/10 by md5-prefix bucket).
+    "q_hash_split" -> ((s, dir) =>
+      Corpus.hashSplit(t(s, dir, "documents"))
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
+
+    // PII scrub over text with planted (deterministically derived) PII:
+    // the synthetic corpus carries no emails/IPs/phones, so the query
+    // derives one of each from doc_id/n_chars before scrubbing — both
+    // engines derive, count, and redact identically (RE2-safe patterns).
+    "q_pii_scrub" -> ((s, dir) => {
+      val derived = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("u"), col("doc_id").cast("string"), lit("@ex-mail.org ip 10.0."),
+          (col("n_chars") % 200).cast("string"), lit(".7 tel 416-555-"),
+          lpad((col("n_chars") % 10000).cast("string"), 4, "0"),
+          lit(" "), col("text")).as("text"))
+      Corpus.piiScrub(derived)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text")).as("scrub_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -812,6 +846,72 @@ FROM lh ORDER BY doc_id"""
         | neighbor_id, sim
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
-        |ORDER BY q_id, rank""".stripMargin
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |     [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)]
+        |   ELSE [] END AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id,
+        | CAST(len(ng) AS INT) AS n_ngrams,
+        | CAST(len(list_distinct(ng)) AS INT) AS n_distinct_ngrams,
+        | CASE WHEN len(ng) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng)
+        |      ELSE 0.0 END AS dup_ngram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+
+    // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive
+    // slice bounds = Spark's slice(toks, i*24+1, 32), both truncate at the
+    // array end).
+    "q_chunks" ->
+      """WITH n AS (
+        |  SELECT doc_id, toks,
+        |   CASE WHEN len(toks) <= 32 THEN 1
+        |        ELSE CAST(floor((len(toks) - 32 + 23) / CAST(24 AS DOUBLE)) AS INT) + 1
+        |   END AS n_chunks
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        | CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS INT) AS chunk_len,
+        | md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // thresholds: 80% -> 0xcccc, 90% -> 0xe666 of the 16-bit bucket space;
+    // lowercase-hex lexicographic compare == numeric compare.
+    "q_hash_split" ->
+      """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same derivation, same RE2-safe patterns, same replace order as the
+    // Spark side; DuckDB regexp_replace needs the 'g' flag for replace-all.
+    "q_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   'u' || CAST(doc_id AS VARCHAR) || '@ex-mail.org ip 10.0.' ||
+        |   CAST(n_chars % 200 AS VARCHAR) || '.7 tel 416-555-' ||
+        |   lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') || ' ' || text AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

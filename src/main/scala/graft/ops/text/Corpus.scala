@@ -1,0 +1,137 @@
+package graft.ops.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Corpus-preparation operators for the training-data pipeline surface:
+  * repetition scoring (Gopher-style filter rule), vocabulary statistics,
+  * fixed-window document chunking, deterministic train/val/test splitting,
+  * and PII scrubbing.
+  *
+  * Scale posture: repetition/chunking/splitting/scrubbing are per-document
+  * map work (codegen'd built-ins, no UDFs, no shuffle — linear in corpus
+  * size, embarrassingly parallel). `vocab` is the one shuffle in this
+  * module: an exploded token groupBy with map-side partial aggregation, so
+  * the shuffle carries one row per (partition, distinct term) — bounded by
+  * vocabulary size, not corpus size — and top-k compiles to
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * never a full sort).
+  */
+object Corpus {
+
+  /** Within-document repetition: the duplicate word-n-gram ratio, the
+    * signal behind Gopher's repetition filter rules (boilerplate and
+    * looping generations score high). Docs with fewer than n tokens have
+    * no n-grams and score 0.
+    */
+  def repetitionStats(documents: DataFrame, n: Int = 2): DataFrame = {
+    val ng = col("ng")
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ng", shingles(col("toks"), n))
+      .select(
+        col("doc_id"),
+        size(ng).as("n_ngrams"),
+        size(array_distinct(ng)).as("n_distinct_ngrams"),
+        when(size(ng) > 0,
+          lit(1.0) - size(array_distinct(ng)).cast("double") / size(ng))
+          .otherwise(lit(0.0)).as("dup_ngram_ratio"))
+  }
+
+  /** Corpus vocabulary: term frequency (total occurrences) and document
+    * frequency per term, top `limit` by tf with a deterministic term
+    * tie-break. The df count is exact COUNT(DISTINCT doc_id) — at real
+    * scale swap for approx_count_distinct, the standard trade (same
+    * escape hatch as Relational.hourlyMetricsApprox).
+    */
+  def vocab(documents: DataFrame, limit: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(limit)
+
+  /** Fixed-window token chunking with overlap — the context-window
+    * packing step of a pretraining pipeline. Chunk i covers tokens
+    * [i*stride+1, i*stride+window] (1-based, truncated at the document's
+    * end); every token belongs to at least one chunk, consecutive chunks
+    * overlap by window-stride tokens. Documents shorter than one window
+    * produce exactly one chunk.
+    *
+    * Output: (doc_id, chunk_idx, chunk_len, chunk_fp) where chunk_fp is
+    * the md5 of the space-joined chunk — enough for the oracle to verify
+    * the exact token content of every chunk without shipping the arrays.
+    */
+  def chunkDocs(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col("toks"))
+    // chunks beyond the first: ceil((n - window) / stride), in integer
+    // arithmetic (floor of the loosened numerator) — double division then
+    // floor is exact at any realistic token count (n < 2^52).
+    val extra = floor(((n - lit(window) + lit(stride - 1)).cast("double") / lit(stride)))
+      .cast("int")
+    val nChunks = when(n <= lit(window), lit(1)).otherwise(extra + lit(1))
+    val chunk = slice(col("toks"), col("chunk_idx") * lit(stride) + lit(1), lit(window))
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(chunk).as("chunk_len"),
+        md5(concat_ws(" ", chunk)).as("chunk_fp"))
+  }
+
+  /** Deterministic hash-based train/val/test split: bucket = the first 4
+    * hex chars of md5(id) (16 bits, uniform), compared lexicographically
+    * against percentage thresholds. Properties that matter for corpus
+    * curation: stable (a document's split never changes as the corpus
+    * grows — no rand(), no row ordering dependence), engine-portable
+    * (md5 hex is identical everywhere, so the oracle and any downstream
+    * consumer agree row for row), and shuffle-free.
+    */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages train=$trainPct val=$valPct")
+    val trainHi = f"${65536L * trainPct / 100}%04x"
+    val valHi = f"${65536L * (trainPct + valPct) / 100}%04x"
+    df.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("bucket") < trainHi, "train")
+          .when(col("bucket") < valHi, "val")
+          .otherwise("test"))
+  }
+
+  /** PII patterns, RE2-safe (no lookaround, no backreferences) so the
+    * exact same pattern strings run in Spark (java.util.regex) and the
+    * DuckDB oracle (RE2) with identical matches.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrubbing: count then redact emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers with typed placeholders. Counts are taken
+    * on the original text (each category independent); redaction applies
+    * email → ip → phone so an address form never partially matches a later
+    * pattern. Pure per-row regex work — codegen'd, no shuffle.
+    */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", matchCount(t, EmailRe))
+      .withColumn("n_ips", matchCount(t, Ipv4Re))
+      .withColumn("n_phones", matchCount(t, PhoneRe))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.text.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators: repetition, vocab, chunking, hash split,
+  * PII scrubbing.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("repetitionStats: duplicate 2-gram ratio on known docs") {
+    val out = Corpus.repetitionStats(docs(
+      1L -> "a b a b",          // 2-grams: [a b, b a, a b] -> 3 total, 2 distinct
+      2L -> "x y z",            // all distinct
+      3L -> "w w w w w",        // [w w] x4 -> 4 total, 1 distinct
+      4L -> "solo"))            // no 2-grams
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3, 2, 1.0 - 2.0 / 3)))
+    assert(out(2L) == ((2, 2, 0.0)))
+    assert(out(3L) == ((4, 1, 0.75)))
+    assert(out(4L) == ((0, 0, 0.0)))
+  }
+
+  test("vocab: tf/df counts with deterministic ordering") {
+    val out = Corpus.vocab(docs(
+      1L -> "a a b",
+      2L -> "b c",
+      3L -> "b"))
+      .as[(String, Long, Long)].collect().toSeq
+    // tf: b=3, a=2, c=1; df: b=3, a=1, c=1; ordered tf desc then term
+    assert(out == Seq(("b", 3L, 3L), ("a", 2L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("chunkDocs: boundaries, overlap, and full coverage") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val out = Corpus.chunkDocs(docs(
+      1L -> toks(3),   // n < window -> 1 chunk of 3
+      2L -> toks(4),   // n == window -> 1 chunk of 4
+      3L -> toks(10),  // 1 + ceil(6/3) = 3 chunks: [1-4],[4-7],[7-10]
+      4L -> toks(11)), // 1 + ceil(7/3) = 4 chunks, last = [10-11] len 2
+      window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_len")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq(3))
+    assert(out(2L) == Seq(4))
+    assert(out(3L) == Seq(4, 4, 4))
+    assert(out(4L) == Seq(4, 4, 4, 2))
+    // coverage: with stride <= window every token index is inside some chunk
+    // (last chunk starts at stride*(nChunks-1)+1 <= n-window+stride <= n)
+    val fps = Corpus.chunkDocs(docs(5L -> toks(10)), window = 4, stride = 3)
+      .select("chunk_fp").as[String].collect()
+    assert(fps.distinct.length == 3, "distinct chunks must hash distinctly")
+  }
+
+  test("hashSplit: deterministic, complete, and roughly proportioned") {
+    val ids = (1L to 2000L).toDF("doc_id")
+    val out = Corpus.hashSplit(ids).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("train", "val", "test"))
+    assert(out.values.sum == 2000L)
+    val trainFrac = out("train").toDouble / 2000
+    val valFrac = out("val").toDouble / 2000
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"train frac $trainFrac")
+    assert(math.abs(valFrac - 0.1) < 0.03, s"val frac $valFrac")
+    // stability: the same id maps to the same split on every evaluation
+    val twice = Corpus.hashSplit(ids).select("doc_id", "split")
+      .union(Corpus.hashSplit(ids).select("doc_id", "split"))
+      .distinct().count()
+    assert(twice == 2000L, "split assignment must be deterministic per id")
+  }
+
+  test("piiScrub: counts and redacts emails, IPs, and phone numbers") {
+    val out = Corpus.piiScrub(docs(
+      1L -> "mail john.doe@foo.co.uk from 10.1.2.3 then call 555-123-4567 ok",
+      2L -> "no pii here at all",
+      3L -> "two mails a@b.io c.d@e-f.org one ip 192.168.0.255"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((1, 1, 1)))
+    assert(out(1L)._2 == "mail <EMAIL> from <IP> then call <PHONE> ok")
+    assert(out(2L)._1 == ((0, 0, 0)))
+    assert(out(2L)._2 == "no pii here at all")
+    assert(out(3L)._1 == ((2, 1, 0)))
+    assert(out(3L)._2 == "two mails <EMAIL> <EMAIL> one ip <IP>")
+  }
+}
