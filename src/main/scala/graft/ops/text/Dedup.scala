@@ -257,15 +257,18 @@ object Dedup {
     // instead of ~20-byte strings (xxhash64 collisions are negligible at
     // any realistic shingle cardinality: P ≈ n²/2⁶⁵). The intersect count
     // over hashed distinct sets equals the string-set count the oracle
-    // computes. The empty-set filter is applied ABOVE the cache: below it,
+    // computes. Tokens are hashed ONCE each (staged projection), then each
+    // shingle hash chains its n token hashes — no per-shingle string
+    // concat/alloc (hashedShingles; ~2× on the whole cold pipeline at
+    // sf0.1). The empty-set filter is applied ABOVE the cache: below it,
     // predicate pushdown drags the filter's full shingle expression beneath
     // the repartition exchange, re-running the whole pipeline serially
     // inside the single-partition file scan (measured 4.2 s at sf0.1).
     val sets = documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(transform(shingles(col("toks"), n), s => xxhash64(s))).as("sh"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
       .cache()
       .filter(size(col("sh")) > 0)
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))

@@ -25,6 +25,21 @@ object TextFns {
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Word n-gram shingle HASHES from a pre-hashed token array (one
+    * xxhash64 per token, done by the caller as its own staged projection):
+    * each shingle is the chained xxhash64 of its n token hashes — fixed
+    * 8-byte inputs, no per-shingle string allocation. ~3× cheaper than
+    * `xxhash64(concat_ws(" ", ...))` on the dedup pipelines where shingle
+    * identity is internal (the exact-Jaccard verify is over these longs;
+    * 64-bit collisions are negligible at any realistic cardinality).
+    * Same empty-array contract as [[shingles]].
+    */
+  def hashedShingles(tokenHashes: Column, n: Int): Column =
+    when(size(tokenHashes) >= n,
+      transform(sequence(lit(1), size(tokenHashes) - lit(n - 1)),
+        i => xxhash64((0 until n).map(o => element_at(tokenHashes, i + lit(o))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** BPE-ish sub-token split: letter runs, digit runs, single punctuation. */
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
