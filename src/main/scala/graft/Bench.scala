@@ -20,6 +20,7 @@ object Bench {
       // them to ~4 tasks and strands the other cores. No effect at real
       // scale, where partitions dwarf 64k.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

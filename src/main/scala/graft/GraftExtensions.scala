@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{DotOrdered, RollingMinHash}
+import graft.plans.DateFilterRewrite
 
 /** SparkSessionExtensions hook — registers graft's custom Catalyst
   * expressions at session build time, so a cluster deployment enables the
@@ -31,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(RollingMinHash.fnName),
       new ExpressionInfo(classOf[RollingMinHash].getName, RollingMinHash.fnName),
       RollingMinHash.builder))
+    // Sargable date filters: rewrites to_date(ts) ⋈ literal into timestamp
+    // ranges inside the operator-optimization batch, BEFORE filter pushdown
+    // and partition pruning see the plan.
+    ext.injectOptimizerRule(_ => DateFilterRewrite)
   }
 }
