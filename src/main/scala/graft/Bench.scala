@@ -43,14 +43,22 @@ object Bench {
         case c => c.toString
       } + "\""
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // The dedup/similarity operators cache intermediates; drop them so a
-      // query's pinned blocks don't pressure every later query's memory.
-      spark.catalog.clearCache()
-      (name, if (err.isEmpty) secs else -1.0, err)
+      // Two reps per query, report the min: a transient external load
+      // spike (the round-3 record was ~7x inflated by one) distorts a
+      // single-shot time but rarely both reps. clearCache between reps
+      // keeps both runs cold-cache (the dedup/similarity operators cache
+      // intermediates; dropping them also stops a query's pinned blocks
+      // pressuring every later query's memory).
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (secs, err)
+      }
+      val err = reps.collectFirst { case (_, Some(e)) => e }
+      (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err)
     }
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
