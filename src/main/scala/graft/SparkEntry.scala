@@ -259,6 +259,35 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
+    // longest documents per language, ranked by token count.
+    "q_topk_per_lang" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        TextStats.tokenStats(t(s, dir, "documents"))
+          .select("lang", "doc_id", "n_tokens"),
+        Seq("lang"), Seq(col("n_tokens").desc, col("doc_id").asc), 5)
+        .orderBy("lang", "rank")),
+
+    // As-of join (point-in-time feature enrich): odd events pick up the
+    // latest preceding even event's value per user. Right side pre-deduped
+    // to one row per (user, ts) — the operator's tie contract. Oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val right = ev.filter(col("event_id") % 2 === 0)
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "event_id")
+      val left = ev.filter(col("event_id") % 2 === 1)
+        .select("user_id", "ts", "event_id")
+      ops.Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"),
+          unix_millis(col("asof_ts")).as("asof_ts_ms"))
+        .orderBy("event_id")
+    }),
+
     // PII scrub over text with planted (deterministically derived) PII:
     // the synthetic corpus carries no emails/IPs/phones, so the query
     // derives one of each from doc_id/n_chars before scrubbing — both
@@ -894,6 +923,30 @@ FROM lh ORDER BY doc_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_lang" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, doc_id, n_tokens,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS INT) AS rank
+        |FROM b
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_id % 2 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |l AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 1)
+        |SELECT l.event_id, l.user_id, r.value AS asof_value,
+        | epoch_ms(r.ts) AS asof_ts_ms
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // Same derivation, same RE2-safe patterns, same replace order as the
     // Spark side; DuckDB regexp_replace needs the 'g' flag for replace-all.

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,6 +190,24 @@ object Relational {
         sumMoney(col("l_extendedprice")).as("revenue"))
       .orderBy(col("units_sold").desc, col("product_id"))
       .limit(k)
+
+  /** Top-K rows per group (the W1 top-k generalized to per-partition
+    * leaderboards — top docs per language, top products per category...).
+    * Ranked with `row_number`, so `orderCols` should end in a unique
+    * tie-break column for deterministic output.
+    *
+    * Scale shape: Spark ≥3.5 plans the rank-filter pattern as
+    * WindowGroupLimit — each map task keeps only k rows per group BEFORE
+    * the shuffle (asserted in RelationalSpec), so the exchange carries
+    * O(groups · k), not the corpus.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** Revenue trend with smoothing (W2 — reference README.md:114,143): daily
     * revenue per category over a trailing window, plus a 7-day moving

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators beyond the reference's equi-join surface: the as-of
+  * join every feature/training pipeline eventually needs (enrich each
+  * event with the most recent state at or before its timestamp —
+  * point-in-time-correct features, no leakage from the future).
+  */
+object Temporal {
+
+  /** Left as-of join: each left row gains the payload of the LATEST right
+    * row with the same `key` and `right.ts <= left.ts` (NULLs when no such
+    * row). Matches DuckDB/kdb ASOF LEFT JOIN semantics, which is exactly
+    * what the oracle runs.
+    *
+    * Scale shape — this is the part that matters at 100 TB: the naive
+    * formulations are a range join (`l JOIN r ON key AND r.ts <= l.ts`
+    * then max-per-left — quadratic blowup per hot key) or a per-key
+    * collect. This implementation instead UNIONs the two sides and fills
+    * the payload with `last(_, ignoreNulls)` over a
+    * (partitionBy key, orderBy ts, rows unbounded-preceding..current)
+    * window: ONE hash shuffle of left+right on the key, one sort within
+    * partitions, zero row multiplication — the same plan Spark gives any
+    * windowed aggregate, at any key cardinality. Right rows sort before
+    * left rows on timestamp ties (`_side` 0 < 1), so a right row AT the
+    * left timestamp is visible to it, per as-of convention. Known skew
+    * lever: a single pathological key serializes into one task's sort —
+    * the standard remedy is range-bucketing ts within the hot key and
+    * carrying bucket-boundary state forward, not salting (order matters).
+    *
+    * Ties WITHIN the right side at the same (key, ts) are the caller's
+    * contract to resolve (pre-dedup to one row per (key, ts)) — `last()`
+    * over an ambiguous sort is nondeterministic, same as any ASOF engine.
+    *
+    * @param rightPayload right columns to carry (prefixed `asof_` in the
+    *                     output, alongside `asof_<ts>` = the matched ts)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val extraL = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val pay = rightPayload :+ ts
+    require(!rightPayload.contains(ts), s"payload already includes '$ts'")
+    val collisions = extraL.toSet.intersect(pay.map(prefix + _).toSet)
+    require(collisions.isEmpty, s"output name collision: $collisions")
+
+    // The payload travels as ONE struct so every output column comes from
+    // the SAME matched right row — per-column ignoreNulls fills would mix
+    // rows whenever a right payload column is legitimately NULL.
+    val payStruct = org.apache.spark.sql.types.StructType(pay.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val l = left.select(
+      col(key) +: col(ts) +: lit(1).as("_side") +:
+        (extraL.map(col) :+ lit(null).cast(payStruct).as("_asof")): _*)
+    val r = right.select(
+      col(key) +: col(ts) +: lit(0).as("_side") +:
+        (extraL.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(pay.map(col): _*).as("_asof")): _*)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((key +: ts +: extraL).map(col) ++
+        pay.map(c => col(s"_asof.`$c`").as(prefix + c)): _*)
+  }
+}

@@ -72,6 +72,23 @@ class RelationalSpec extends SparkSpec {
     assert(stats == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("topKPerGroup: correct leaderboards and WindowGroupLimit pushdown") {
+    val rng = new scala.util.Random(17)
+    val df = Seq.tabulate(500)(i => (s"g${i % 7}", i.toLong, rng.nextInt(100)))
+      .toDF("grp", "id", "score")
+    val out = graft.ops.Relational.topKPerGroup(
+      df, Seq("grp"), Seq($"score".desc, $"id".asc), 3)
+    val got = out.select("grp", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = df.as[(String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (-r._3, r._2)).take(3).map(_._2).toSet).toMap
+    assert(got == expected)
+    // rank<=k over row_number must plan the pre-shuffle group-limit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit in the physical plan")
+  }
+
   test("property: line-total sum per order == order-level recompute (decimal policy)") {
     val itemsGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 999999).map(_ / 100.0))
     val ordersGen = Gen.nonEmptyListOf(itemsGen)

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+
+/** As-of join: point-in-time correctness, tie handling, null payloads,
+  * and equivalence with the naive range-join formulation.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val left = Seq((1L, ts(0), "l0"), (1L, ts(1), "l1"), (1L, ts(6), "l6"),
+      (1L, ts(12), "l12"), (2L, ts(5), "other-user"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(1), 10.0), (1L, ts(5), 50.0), (1L, ts(10), 100.0),
+      (2L, ts(9), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select("tag", "asof_value")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("l0").isEmpty, "no right row at or before l0")
+    assert(out("l1").contains(10.0), "right row AT the left ts must match")
+    assert(out("l6").contains(50.0))
+    assert(out("l12").contains(100.0))
+    assert(out("other-user").isEmpty, "keys must not leak across users")
+  }
+
+  test("asOfJoin payload columns all come from the same matched row") {
+    // the ts(5) right row carries a NULL value: a per-column fill would
+    // take value from ts(1) but asof_ts from ts(5) — the struct fill must
+    // keep them together
+    val left = Seq((1L, ts(6))).toDF("user_id", "ts")
+    val right = Seq((1L, ts(1), Some(10.0)), (1L, ts(5), None))
+      .toDF("user_id", "ts", "value")
+    val row = Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select("asof_value", "asof_ts").collect().head
+    assert(row.isNullAt(0), "matched row's value IS null")
+    assert(row.getTimestamp(1) == ts(5), "matched ts is the latest <= left ts")
+  }
+
+  test("asOfJoin equals the naive range-join formulation on random data") {
+    val rng = new scala.util.Random(404)
+    val left = Seq.fill(300)((rng.nextInt(8).toLong, ts(rng.nextInt(100)), rng.nextInt(1000)))
+      .toDF("user_id", "ts", "pay")
+    // unique (user, ts) on the right, as the operator contract requires
+    val right = Seq.fill(300)((rng.nextInt(8).toLong, ts(rng.nextInt(100)), rng.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "value")
+    val fast = Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select("user_id", "ts", "pay", "asof_value", "asof_ts")
+      .collect().map(_.toSeq).toSeq
+    // naive: range join then keep the max right ts per left row
+    val naive = {
+      val l = left.withColumn("_lid", monotonically_increasing_id())
+      val j = l.join(right.withColumnRenamed("ts", "rts").withColumnRenamed("user_id", "ruid"),
+        col("user_id") === col("ruid") && col("rts") <= col("ts"), "left")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("_lid").orderBy(col("rts").desc_nulls_last)
+      j.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"), col("pay"),
+          col("value").as("asof_value"), col("rts").as("asof_ts"))
+        .collect().map(_.toSeq).toSeq
+    }
+    def sortKey(s: Seq[Any]) = s.map(String.valueOf).mkString("|")
+    assert(fast.sortBy(sortKey) == naive.sortBy(sortKey))
+  }
+
+  test("asOfJoin plans one shuffle and no join operator") {
+    val left = Seq((1L, ts(0), "x")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "value")
+    val plan = Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
+  }
+}
