@@ -259,6 +259,11 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Corpus shape stats: exact interpolated percentiles per language
+    // (bit-parity with DuckDB quantile_cont).
+    "q_corpus_stats" -> ((s, dir) =>
+      Corpus.corpusStats(t(s, dir, "documents")).orderBy("lang")),
+
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
     "q_topk_per_lang" -> ((s, dir) =>
@@ -923,6 +928,14 @@ FROM lh ORDER BY doc_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | quantile_cont(n_chars, 0.25) AS p25_chars,
+        | median(n_chars) AS median_chars,
+        | quantile_cont(n_chars, 0.9) AS p90_chars,
+        | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_topk_per_lang" ->
       """WITH b AS (

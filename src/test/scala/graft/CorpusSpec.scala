@@ -74,6 +74,16 @@ class CorpusSpec extends SparkSpec {
     assert(twice == 2000L, "split assignment must be deterministic per id")
   }
 
+  test("corpusStats: exact interpolated percentiles on a known group") {
+    val df = Seq(("en", 10L), ("en", 20L), ("en", 30L), ("en", 40L), ("de", 7L))
+      .toDF("lang", "n_chars")
+    val out = Corpus.corpusStats(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // en: p25 at rank 0.25*3 = 0.75 -> 10 + 0.75*10 = 17.5; median 25; p90 = 37.0
+    assert(out("en") == ((4L, 17.5, 25.0, 37.0)))
+    assert(out("de") == ((1L, 7.0, 7.0, 7.0)))
+  }
+
   test("piiScrub: counts and redacts emails, IPs, and phone numbers") {
     val out = Corpus.piiScrub(docs(
       1L -> "mail john.doe@foo.co.uk from 10.1.2.3 then call 555-123-4567 ok",
