@@ -115,4 +115,15 @@ object DataGen {
   def writeOrdersNdjson(spark: SparkSession, dir: String, n: Int, seed: Long,
                         baseMs: Long = defaultBaseMs): Unit =
     orders(spark, n, seed, baseMs).coalesce(1).write.mode("append").json(dir)
+
+  /** Write dims as header CSVs (the generator → landing contract of
+    * generate_customers.py / generate_product.py) for daily-batch tests.
+    */
+  def writeCustomersCsv(spark: SparkSession, dir: String, n: Int, seed: Long): Unit =
+    customers(spark, n, seed).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(dir)
+
+  def writeProductsCsv(spark: SparkSession, dir: String, n: Int, seed: Long): Unit =
+    products(spark, n, seed).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(dir)
 }

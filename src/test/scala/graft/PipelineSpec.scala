@@ -134,4 +134,39 @@ class PipelineSpec extends SparkSpec {
     // the bronze fallback must appear (reference §2.10: ~75% miss rate)
     assert(tiers.contains("bronze") && tiers.size >= 2)
   }
+
+  test("daily batch: dims refresh + all five reports land (SURVEY §3.2)") {
+    import graft.pipeline.Daily
+    val (landing, wh) = freshDirs()
+    val csvRoot = Files.createTempDirectory("graft_daily_csv").toString
+    DataGen.writeCustomersCsv(spark, s"$csvRoot/customers", n = 200, seed = 9L)
+    DataGen.writeProductsCsv(spark, s"$csvRoot/products", n = 100, seed = 9L)
+    DataGen.writeOrdersNdjson(spark, landing, n = 60, seed = 9L)
+    Incremental.run(spark, landing, wh, "b1")
+
+    // orders land around 2026-01-01; a 30-day window from Jan 15 keeps
+    // every ordering customer active
+    val r = Daily.runDaily(spark, wh, s"$csvRoot/customers", s"$csvRoot/products",
+      asOf = "2026-01-15")
+    val dimCount = spark.read.parquet(wh.dimCustomers).count()
+    assert(r.inactiveCustomers > 0 && r.inactiveCustomers <= dimCount,
+      "customers without recent orders must report inactive")
+    // every report directory is present and re-readable
+    for (name <- Seq("inactive_customers", "low_stock", "revenue_trends",
+      "top_products", "quality_summary"))
+      spark.read.parquet(Daily.reportPath(wh, name)).schema // throws if absent
+    assert(r.topProducts > 0 && r.topProducts <= 10)
+    assert(r.trendRows > 0, "orders within the 90-day window must trend")
+    // inactive = dim customers minus those with an order in the window
+    val activeIds = spark.read.parquet(wh.factOrders)
+      .select("customer_id").distinct()
+      .join(spark.read.parquet(wh.dimCustomers), Seq("customer_id"), "left_semi")
+      .count()
+    assert(r.inactiveCustomers == dimCount - activeIds)
+
+    // re-running the same day is idempotent (reports are snapshots)
+    val r2 = Daily.runDaily(spark, wh, s"$csvRoot/customers", s"$csvRoot/products",
+      asOf = "2026-01-15")
+    assert(r2 == r)
+  }
 }
