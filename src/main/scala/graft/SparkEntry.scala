@@ -259,6 +259,13 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Near-dup clustering: connected components (min-label propagation)
+    // over the exact-Jaccard pair list; oracle = recursive-CTE reachability.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterComponents(
+        Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
+        .orderBy("doc_id")),
+
     // Corpus shape stats: exact interpolated percentiles per language
     // (bit-parity with DuckDB quantile_cont).
     "q_corpus_stats" -> ((s, dir) =>
@@ -716,6 +723,31 @@ ORDER BY doc_a, doc_b"""
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same pair list as q_jaccard_ngram's oracle, then connected
+    // components as recursive-CTE reachability: reach(u,v) = "u reaches
+    // v"; component = min reachable node. UNION (not ALL) dedups paths so
+    // the recursion terminates.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+        |SELECT u AS doc_id, min(v) AS component
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
 
     // Replicates embeddingNearDup with the SAME hyperplane constants as SQL
     // literals (Double.toString round-trips exactly, and the sign test's

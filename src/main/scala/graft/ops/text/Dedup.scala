@@ -162,6 +162,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into an actual deduped corpus: every doc in a
+    * component keeps/drops together, with `component` (= the min doc_id
+    * reachable) as the cluster's canonical representative.
+    *
+    * Distributed min-label propagation: each iteration every node takes
+    * the min of its own label and its neighbors' (one join + one grouped
+    * min over the symmetric edge list), until a fixpoint. Iterations =
+    * graph diameter; near-dup clusters are short chains, so convergence
+    * is fast (the large-star/small-star contraction is the documented
+    * upgrade for adversarially long chains at 100 TB). Per-iteration
+    * `localCheckpoint` cuts the lineage so plan size stays O(1) across
+    * iterations (executor-local blocks — rerun the job on executor loss,
+    * the standard trade for iterative jobs; use reliable checkpointing on
+    * a real cluster for long chains). The fixpoint test is a `limit(1)`
+    * existence probe, not a full count.
+    *
+    * Input: (doc_a, doc_b) pairs from any near-dup family. Output:
+    * (doc_id, component) for every doc appearing in some pair — docs with
+    * no near-dup are implicitly their own singleton component.
+    */
+  def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"component labels did not converge in $maxIter iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
   /** SimHash fingerprint width: 60 bits (= the 15-hex-char md5 prefix that
     * fits a signed long, shared with the minhash pipeline). Raw tokens are
     * too coarse a feature for the synthetic corpus (a ~30-word vocabulary

@@ -161,4 +161,40 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(r.fieldIndex("n_distinct_tokens")) == 3)
     assert(r.getInt(r.fieldIndex("text_len")) == 8)
   }
+
+  test("clusterComponents: chains converge to the min label") {
+    // two components: a 5-chain (needs multiple propagation rounds) and a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.ops.text.Dedup.clusterComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterComponents: equals union-find on random graphs") {
+    val rng = new scala.util.Random(2027)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val pairs = Seq.fill(50) {
+        val a = rng.nextInt(n).toLong; val b = rng.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = graft.ops.text.Dedup.clusterComponents(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
