@@ -184,11 +184,17 @@ object Dedup {
     * no near-dup are implicitly their own singleton component.
     */
   def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Symmetrize with ONE explode over ONE evaluation of `pairs` (a
+    // union of two selects would run the upstream near-dup pipeline
+    // twice before any cache materializes), then checkpoint eagerly —
+    // every iteration reuses the materialized edge list.
     val edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -196,19 +202,20 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(edges("u").as("id"), col("label"), lit(0).as("self"))
+      // The node's previous label rides along (`self` marker) so the
+      // convergence probe is a filter over the checkpointed result — no
+      // separate probe join per iteration.
+      val next = labels.withColumn("self", lit(1))
+        .unionByName(msgs)
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          max(when(col("self") === 1, col("label"))).as("prev"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0
+      labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
     require(converged, s"component labels did not converge in $maxIter iterations")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
