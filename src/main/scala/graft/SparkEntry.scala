@@ -259,6 +259,10 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Rule-based corpus filter with auditable per-doc fired-rule list.
+    "q_corpus_filter" -> ((s, dir) =>
+      Corpus.filterCorpus(t(s, dir, "documents")).orderBy("doc_id")),
+
     // Near-dup clustering: connected components (min-label propagation)
     // over the exact-Jaccard pair list; oracle = recursive-CTE reachability.
     "q_dedup_clusters" -> ((s, dir) =>
@@ -960,6 +964,34 @@ FROM lh ORDER BY doc_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_filter" ->
+      """WITH g AS (
+        |  SELECT doc_id, toks,
+        |   CASE WHEN len(toks) >= 2 THEN
+        |     [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks) - 1)]
+        |   ELSE [] END AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |   CAST(len(toks) AS INT) AS n_tokens,
+        |   CASE WHEN len(ng) > 0
+        |        THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng)
+        |        ELSE 0.0 END AS dup_ngram_ratio,
+        |   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_ngram_ratio, type_token_ratio,
+        | concat_ws(',',
+        |   CASE WHEN n_tokens < 20 THEN 'too_short' END,
+        |   CASE WHEN n_tokens > 90 THEN 'too_long' END,
+        |   CASE WHEN dup_ngram_ratio > 0.06 THEN 'repetitive' END,
+        |   CASE WHEN type_token_ratio < 0.45 THEN 'low_diversity' END) = '' AS keep,
+        | concat_ws(',',
+        |   CASE WHEN n_tokens < 20 THEN 'too_short' END,
+        |   CASE WHEN n_tokens > 90 THEN 'too_long' END,
+        |   CASE WHEN dup_ngram_ratio > 0.06 THEN 'repetitive' END,
+        |   CASE WHEN type_token_ratio < 0.45 THEN 'low_diversity' END) AS reasons
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,

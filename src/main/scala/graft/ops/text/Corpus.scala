@@ -108,6 +108,45 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Rule-based corpus filter (the Gopher/Dolma-style "mixer" gate):
+    * every document gets a keep/drop decision plus the list of fired
+    * rules, so curation is auditable (drop-rate per rule, per source) and
+    * re-runnable with different thresholds. Pure per-document map work —
+    * the decision column composes the same staged signals the individual
+    * operators expose (token counts, duplicate-n-gram ratio, type-token
+    * ratio), computed once per doc.
+    *
+    * `reasons` is a comma-joined, fixed-order string (concat_ws skips
+    * non-fired NULL slots identically in Spark and DuckDB), empty when
+    * kept.
+    */
+  def filterCorpus(documents: DataFrame, minTokens: Int = 20,
+                   maxTokens: Int = 90, maxDupRatio: Double = 0.06,
+                   minTtr: Double = 0.45): DataFrame = {
+    val toks = col("toks")
+    val ng = col("ng")
+    val nTok = size(toks)
+    val dupRatio = when(size(ng) > 0,
+      lit(1.0) - size(array_distinct(ng)).cast("double") / size(ng))
+      .otherwise(lit(0.0))
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val reasons = concat_ws(",",
+      when(nTok < minTokens, "too_short"),
+      when(nTok > maxTokens, "too_long"),
+      when(dupRatio > maxDupRatio, "repetitive"),
+      when(ttr < minTtr, "low_diversity"))
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("ng", shingles(toks, 2))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        dupRatio.as("dup_ngram_ratio"),
+        ttr.as("type_token_ratio"),
+        (reasons === "").as("keep"),
+        reasons.as("reasons"))
+  }
+
   /** Per-language corpus shape statistics with exact interpolated
     * percentiles — the distribution snapshot a curation run reports per
     * shard. Exact `percentile` buffers each group's value multiset, which

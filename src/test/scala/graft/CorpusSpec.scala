@@ -74,6 +74,22 @@ class CorpusSpec extends SparkSpec {
     assert(twice == 2000L, "split assignment must be deterministic per id")
   }
 
+  test("filterCorpus: rules fire with the right reasons, in order") {
+    val many = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Corpus.filterCorpus(docs(
+      1L -> "short doc",                          // too_short (and low ttr? 2 distinct/2 = 1.0 no)
+      2L -> many,                                 // 100 tokens -> too_long
+      3L -> (Seq.fill(30)("a b").mkString(" ") + " c"), // repetitive + low_diversity
+      4L -> (1 to 50).map(i => s"u$i").mkString(" ")))  // clean
+      .select("doc_id", "keep", "reasons")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) == ((false, "too_short")))
+    assert(out(2L) == ((false, "too_long")))
+    assert(out(3L)._1 == false)
+    assert(out(3L)._2 == "repetitive,low_diversity", s"got ${out(3L)._2}")
+    assert(out(4L) == ((true, "")))
+  }
+
   test("corpusStats: exact interpolated percentiles on a known group") {
     val df = Seq(("en", 10L), ("en", 20L), ("en", 30L), ("en", 40L), ("de", 7L))
       .toDF("lang", "n_chars")
