@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotOrdered, RollingMinHash}
+import graft.functions.{BloomFns, DotOrdered, RollingMinHash}
 import graft.plans.DateFilterRewrite
 
 /** SparkSessionExtensions hook — registers graft's custom Catalyst
@@ -32,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(RollingMinHash.fnName),
       new ExpressionInfo(classOf[RollingMinHash].getName, RollingMinHash.fnName),
       RollingMinHash.builder))
+    ext.injectFunction((
+      new FunctionIdentifier(BloomFns.aggFnName),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, BloomFns.aggFnName),
+      BloomFns.aggBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier(BloomFns.mightContainFnName),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, BloomFns.mightContainFnName),
+      BloomFns.mightContainBuilder))
     // Sargable date filters: rewrites to_date(ts) ⋈ literal into timestamp
     // ranges inside the operator-optimization batch, BEFORE filter pushdown
     // and partition pruning see the plan.

@@ -74,6 +74,17 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // J4 via the bloom-prefiltered route: identical result to the plain
+    // anti-join (the bloom only routes rows), same oracle shape as
+    // q_orders_no_lineitem — proving the runtime-filter path is exact.
+    "q_bloom_anti" -> ((s, dir) =>
+      ops.Distribution.bloomAntiJoin(
+        t(s, dir, "orders"), t(s, dir, "lineitem"), "o_orderkey", "l_orderkey")
+        .select(col("o_orderkey").as("order_id"),
+          dec2(col("o_totalprice")).as("total_amount"),
+          col("o_orderstatus").as("payment_status"))
+        .orderBy("order_id")),
+
     // J7 inactive-customer detection (cutoff fixed for determinism).
     "q_inactive_customers" -> ((s, dir) =>
       Relational.inactiveCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
@@ -380,6 +391,15 @@ object SparkEntry {
         |ORDER BY order_id""".stripMargin,
 
     "q_orders_no_lineitem" ->
+      """SELECT o_orderkey AS order_id,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+        | o_orderstatus AS payment_status
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY order_id""".stripMargin,
+
+    // Same oracle as q_orders_no_lineitem: the bloom route must be exact.
+    "q_bloom_anti" ->
       """SELECT o_orderkey AS order_id,
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
         | o_orderstatus AS payment_status

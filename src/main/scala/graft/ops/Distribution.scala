@@ -72,4 +72,48 @@ object Distribution {
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, saltCol), joinType).drop(saltCol)
   }
+
+  /** Bloom-prefiltered anti-join — the runtime-filter pattern applied to
+    * the reference's J4 idempotency guard, where it matters most at
+    * 100 TB: `staged ANTI JOIN fact ON order_id` shuffles the ENTIRE fact
+    * table every 15-minute run just to prove most staged rows are new.
+    *
+    * Instead: (1) build a bloom sketch of the filter side's keys as a
+    * distributed aggregate (map-side partial blooms, one merged row — the
+    * filter side is SCANNED but never SHUFFLED); (2) inline the sketch as
+    * a binary literal and probe it in the big side's scan (codegen'd
+    * `might_contain`, no UDF); (3) rows the bloom rejects are DEFINITELY
+    * new (blooms have no false negatives) and skip the join entirely;
+    * only the `maybe` sliver (true matches + fpp false positives) goes
+    * through the exact anti-join. Result is EXACTLY the plain anti-join —
+    * the bloom only routes rows — which is what the oracle checks.
+    * NULL big-side keys route to the maybe branch, preserving anti-join's
+    * null semantics (a null key never matches, so the row is kept).
+    *
+    * `expectedItems` sizes the sketch (default 1% fpp at that count); the
+    * sketch itself transits the driver (~1.2 MB per 10⁶ keys at 1%) —
+    * the same trade Spark's own InjectRuntimeFilter makes.
+    */
+  def bloomAntiJoin(big: DataFrame, filterSide: DataFrame,
+                    bigKey: String, filterKey: String,
+                    expectedItems: Long = 1000000L): DataFrame = {
+    import graft.functions.BloomFns
+    val spark = big.sparkSession
+    BloomFns.register(spark)
+    val bfRow = filterSide
+      .agg(call_function(BloomFns.aggFnName, xxhash64(col(filterKey)),
+        lit(expectedItems)).as("bf"))
+      .head()
+    // empty/all-null filter side → no keys can match → everything is new
+    if (bfRow.isNullAt(0)) return big
+    val bf = bfRow.getAs[Array[Byte]](0)
+    val flagged = big.withColumn("_in_bloom",
+      call_function(BloomFns.mightContainFnName, lit(bf), xxhash64(col(bigKey))))
+    val definiteNew = flagged.filter(col("_in_bloom") === false).drop("_in_bloom")
+    val maybe = flagged.filter(col("_in_bloom") === true || col("_in_bloom").isNull)
+      .drop("_in_bloom")
+    definiteNew.unionByName(
+      maybe.join(filterSide.select(col(filterKey)),
+        maybe(bigKey) === col(filterKey), "left_anti"))
+  }
 }

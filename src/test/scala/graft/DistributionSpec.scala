@@ -66,6 +66,24 @@ class DistributionSpec extends SparkSpec {
     assert(out == Set(("a", 1L, "A"), ("b", 2L, null)))
   }
 
+  test("bloomAntiJoin returns exactly the plain anti-join result") {
+    val rng = new scala.util.Random(31)
+    val big = (1L to 3000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    // ~1/3 of big's keys present on the filter side, plus keys big lacks
+    val filter = (1L to 3000L).filter(_ => rng.nextBoolean()).take(1000)
+      .concat(Seq(99991L, 99992L)).toDF("fk")
+    val plain = big.join(filter, big("k") === col("fk"), "left_anti")
+      .select("k").as[Long].collect().sorted.toSeq
+    val bloomed = Distribution.bloomAntiJoin(big, filter, "k", "fk",
+      expectedItems = 2000L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(bloomed == plain)
+    // empty filter side: everything is new
+    val none = Distribution.bloomAntiJoin(big, filter.filter(col("fk") < 0L), "k", "fk")
+      .count()
+    assert(none == 3000L)
+  }
+
   test("salted join preserves a user column named _salt") {
     // pre-fix, the internal salt overwrote (then dropped) this column
     val big = Seq(("a", 1L, "keep-me"), ("b", 2L, "me-too")).toDF("key", "v", "_salt")
