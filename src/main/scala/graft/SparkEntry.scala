@@ -85,6 +85,29 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // JSON property extraction from the events props column (the S2
+    // family's in-row JSON path: get_json_object + cast + aggregate).
+    "q_event_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+        .orderBy("event_type")),
+
+    // Supplier geography rollup (completes fixture-table coverage):
+    // broadcast dim chain supplier→nation→region, money-exact balances.
+    "q_supplier_geo" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumMoney(col("s_acctbal")).cast("double").as("total_acctbal"))
+        .orderBy("region")),
+
     // J7 inactive-customer detection (cutoff fixed for determinism).
     "q_inactive_customers" -> ((s, dir) =>
       Relational.inactiveCustomers(t(s, dir, "customer"), t(s, dir, "orders"),
@@ -397,6 +420,25 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_id""".stripMargin,
+
+    // get_json_object('$.k') ≡ DuckDB json_extract_string(props, '$.k');
+    // avg from exact sum / count so both engines do one IEEE division.
+    "q_event_props" ->
+      """SELECT event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |   / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_supplier_geo" ->
+      """SELECT r_name AS region,
+        | count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same oracle as q_orders_no_lineitem: the bloom route must be exact.
     "q_bloom_anti" ->

@@ -112,8 +112,10 @@ object Distribution {
     val definiteNew = flagged.filter(col("_in_bloom") === false).drop("_in_bloom")
     val maybe = flagged.filter(col("_in_bloom") === true || col("_in_bloom").isNull)
       .drop("_in_bloom")
+    // rename the probe column so bigKey == filterKey resolves unambiguously
+    // (left_anti output carries only left columns, so the name vanishes)
+    val filterKeys = filterSide.select(col(filterKey).as("_bloom_fk"))
     definiteNew.unionByName(
-      maybe.join(filterSide.select(col(filterKey)),
-        maybe(bigKey) === col(filterKey), "left_anti"))
+      maybe.join(filterKeys, maybe(bigKey) === filterKeys("_bloom_fk"), "left_anti"))
   }
 }

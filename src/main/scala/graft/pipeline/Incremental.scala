@@ -110,9 +110,14 @@ object Incremental {
         .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Sources.productsSchema))
       val enriched = Nested.factTransform(staging, dimCustomers, dimProducts)
+      // J4 guard via the bloom-prefiltered route (Distribution.bloomAntiJoin):
+      // result is EXACTLY the plain anti-join, but the fact table is only
+      // scanned (map-side partial blooms), never shuffled — the dominant
+      // cost of a 15-minute cadence against a 100 TB fact otherwise.
       val newRows = readIfExists(spark, wh.factOrders) match {
         case Some(existing) =>
-          Relational.antiJoin(enriched, existing.select("order_id"), "order_id", "order_id")
+          ops.Distribution.bloomAntiJoin(enriched, existing.select("order_id"),
+            "order_id", "order_id")
         case None => enriched
       }
       newRows.cache()

@@ -82,6 +82,12 @@ class DistributionSpec extends SparkSpec {
     val none = Distribution.bloomAntiJoin(big, filter.filter(col("fk") < 0L), "k", "fk")
       .count()
     assert(none == 3000L)
+    // identical column names on both sides must resolve (the pipeline's
+    // J4 guard joins order_id against order_id)
+    val sameName = Distribution.bloomAntiJoin(
+      big.withColumnRenamed("k", "id"), filter.withColumnRenamed("fk", "id"),
+      "id", "id").select("id").as[Long].collect().sorted.toSeq
+    assert(sameName == plain)
   }
 
   test("salted join preserves a user column named _salt") {
