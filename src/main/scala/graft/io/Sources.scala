@@ -89,6 +89,25 @@ object Sources {
       .option("pathGlobFilter", "*.json")
       .json(path)
 
+  /** S2 load with schema-violation surfacing: PERMISSIVE parse that keeps
+    * each malformed source line in `_corrupt_record` instead of silently
+    * nulling fields — the reference's load-time schema validation
+    * (README.md:126: BigQuery `autodetect=False` + REQUIRED modes make
+    * the load job reject nonconforming rows and fail the task). The
+    * pipeline gates on `filter(_corrupt_record IS NOT NULL)` before the
+    * transform. The corrupt column rides alongside the declared schema —
+    * callers drop it once the gate passes.
+    */
+  val CorruptCol = "_graft_corrupt"
+
+  def readOrdersJsonValidated(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(ordersSchema.add(CorruptCol, StringType))
+      .option("pathGlobFilter", "*.json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
   /** CSV dimension load with header (S3). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)

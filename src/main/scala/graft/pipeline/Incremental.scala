@@ -66,13 +66,24 @@ object Incremental {
     */
   def run(spark: SparkSession, landingDir: String, wh: Warehouse,
           batchId: String, failOnDuplicates: Boolean = true): RunResult = {
-    val staging = Sources.readOrdersJson(spark, landingDir)
-    val staged = staging.count()
+    val stagingRaw = Sources.readOrdersJsonValidated(spark, landingDir)
+    val staged = stagingRaw.count()
     if (staged == 0)
       return RunResult(batchId, 0, 0, Nil, 0) // sensor: nothing landed
 
-    staging.cache()
+    stagingRaw.cache()
     try {
+      // Schema-validation gate (README.md:126): a malformed NDJSON line
+      // fails the load, like BigQuery's schema-checked load job would.
+      // Gate BEFORE any transform — a corrupt line parses every declared
+      // field as NULL and would otherwise flow into the fact silently.
+      val corrupt = Quality.gate("schema_violations",
+        stagingRaw.filter(col(Sources.CorruptCol).isNotNull))
+      if (!corrupt.passed)
+        throw new IllegalStateException(
+          s"schema_violations gate failed: ${corrupt.violations} malformed lines in batch $batchId")
+      val staging = stagingRaw.drop(Sources.CorruptCol)
+
       // Quality gates (A1/A2): duplicate order_ids FAIL the run
       // (README.md:124); amount mismatches WARN into the audit table
       // (README.md:125). The mismatch check recomputes each order total
@@ -198,7 +209,7 @@ object Incremental {
 
       newRows.unpersist()
       RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived)
-    } finally staging.unpersist()
+    } finally stagingRaw.unpersist()
   }
 
   /** Scope the dynamic-partition-overwrite mode to one write. */

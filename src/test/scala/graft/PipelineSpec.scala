@@ -135,6 +135,20 @@ class PipelineSpec extends SparkSpec {
     assert(tiers.contains("bronze") && tiers.size >= 2)
   }
 
+  test("malformed NDJSON lines fail the schema-validation gate (README.md:126)") {
+    val (landing, wh) = freshDirs()
+    DataGen.writeOrdersNdjson(spark, landing, n = 5, seed = 8L)
+    // append a structurally broken line to the landing dir
+    val bad = java.nio.file.Paths.get(landing, "bad.json")
+    Files.write(bad, "{not valid json at all\n".getBytes)
+    val e = intercept[IllegalStateException] {
+      Incremental.run(spark, landing, wh, "corrupt")
+    }
+    assert(e.getMessage.contains("schema_violations"))
+    // the failed run must not have landed anything
+    assert(!new java.io.File(wh.factOrders).exists())
+  }
+
   test("daily batch: dims refresh + all five reports land (SURVEY §3.2)") {
     import graft.pipeline.Daily
     val (landing, wh) = freshDirs()
