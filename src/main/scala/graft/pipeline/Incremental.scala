@@ -212,8 +212,10 @@ object Incremental {
     } finally stagingRaw.unpersist()
   }
 
-  /** Scope the dynamic-partition-overwrite mode to one write. */
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+  /** Scope the dynamic-partition-overwrite mode to one write. Shared with
+    * the streaming facade's foreachBatch hourly merge.
+    */
+  private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

@@ -100,6 +100,40 @@ object IncrementalStream {
       .select(col("w.start").as("metric_hour"), col("total_orders"),
         col("total_revenue"), col("unique_customers"))
 
+  /** S5 as a true stream: maintain `agg_hourly_metrics` from the order
+    * stream end-to-end. The watermarked hourly aggregate runs in UPDATE
+    * mode, so each micro-batch emits the RUNNING totals of exactly the
+    * hours that batch touched; foreachBatch lands them with dynamic
+    * partition overwrite on `metric_hour` — touched hours update, new
+    * hours insert, untouched hours keep, i.e. the reference's MERGE
+    * (py:182-204) maintained incrementally with state bounded by the
+    * watermark. Revenue stays exact (decimal sums); the distinct counts
+    * are HLL sketches (approx_count_distinct) because exact COUNT
+    * DISTINCT is not incrementally maintainable without unbounded id
+    * sets — the documented trade, same as `hourlyMetricsStream`.
+    */
+  def runHourlyMergeStream(spark: SparkSession, landingDir: String,
+                           aggPath: String, checkpoint: String,
+                           watermark: String = "2 hours"): StreamingQuery = {
+    val hourly = hourlyMetricsStream(ordersStream(spark, landingDir), watermark)
+    val q = hourly.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Incremental.withDynamicOverwrite(batch.sparkSession) {
+            batch.write.mode(SaveMode.Overwrite)
+              .partitionBy("metric_hour").parquet(aggPath)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming twin of graft.ops.Sessionize: built-in session_window with
     * the same gap semantics — state is bounded by the watermark, sessions
     * close gapMinutes after their last event.

@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
       "checkpointed files must not be reprocessed")
   }
 
+  test("streaming hourly merge: two drains maintain exact running revenue per hour") {
+    val root = Files.createTempDirectory("graft_hms").toString
+    val landing = s"$root/landing"
+    val aggPath = s"$root/agg_hourly"
+    // wave 1, then wave 2 with DIFFERENT orders (some same hour): touched
+    // hours must update to the running total, untouched hours must keep
+    DataGen.writeOrdersNdjson(spark, landing, n = 20, seed = 21L)
+    IncrementalStream.runHourlyMergeStream(spark, landing, aggPath, s"$root/ckpt")
+    DataGen.writeOrdersNdjson(spark, landing, n = 20, seed = 22L)
+    IncrementalStream.runHourlyMergeStream(spark, landing, aggPath, s"$root/ckpt")
+
+    val got = spark.read.parquet(aggPath)
+      .select(col("metric_hour").cast("long").as("h"),
+        col("total_revenue").cast("double").as("rev"))
+      .as[(Long, Double)].collect().toMap
+    // exact recompute over ALL landed orders (revenue is decimal-exact in
+    // both paths; the approx distincts are excluded from the comparison)
+    val expected = DataGen.orders(spark, 20, seed = 21L)
+      .unionByName(DataGen.orders(spark, 20, seed = 22L))
+      .groupBy(date_trunc("hour", col("order_timestamp")).as("metric_hour"))
+      .agg(sumMoney(col("total_amount")).cast("double").as("rev"))
+      .select(col("metric_hour").cast("long"), col("rev"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == expected, s"streaming merge diverged: $got vs $expected")
+  }
+
   test("session_window stream matches batch sessionization on closed sessions") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val base = DataGen.defaultBaseMs
