@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.datagen.DataGen
+import graft.pipeline.Incremental
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: catch scale hazards at spec time, before
+  * they reach a cluster.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a broadcast cross join: a
+    * provably tiny build side scanned linearly against the corpus (the
+    * brute-force similarity baseline and IVF/LSH centroid assignment —
+    * documented designs, not accidents).
+    */
+  private val allowedCross = Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh")
+
+  test("no query plans a cartesian product or an unexpected nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!allowedCross(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — if intentional, allow-list it")
+    }
+  }
+
+  test("fact table date partitioning prunes at the scan (S7)") {
+    val root = Files.createTempDirectory("graft_prune").toString
+    val landing = s"$root/landing"
+    val wh = Incremental.Warehouse(s"$root/wh")
+    DataGen.writeOrdersNdjson(spark, landing, n = 30, seed = 12L)
+    Incremental.run(spark, landing, wh, "b1")
+    val fact = spark.read.parquet(wh.factOrders)
+    val aDate = fact.select("order_date").head().getDate(0)
+    val q = fact.filter(col("order_date") === aDate)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("order_date"),
+      s"expected a partition filter on order_date in:\n$scan")
+    // the filter must NOT appear as a data filter (it is a partition
+    // column — pruned at listing, not scanned-and-filtered)
+    val dataFilters = "DataFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    assert(!dataFilters.contains("order_date"),
+      s"order_date leaked into data filters: $dataFilters")
+  }
+}
