@@ -85,6 +85,16 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // Ordered funnel over events (earliest-per-type chain semantics).
+    "q_funnel" -> ((s, dir) =>
+      ops.Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("step")),
+
+    // Weekly cohort retention matrix (first-event cohorts).
+    "q_retention" -> ((s, dir) =>
+      ops.Events.retention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")),
+
     // JSON property extraction from the events props column (the S2
     // family's in-row JSON path: get_json_object + cast + aggregate).
     "q_event_props" -> ((s, dir) =>
@@ -420,6 +430,42 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_id""".stripMargin,
+
+    // Earliest-per-type chain funnel: min ts per (user, step type), then
+    // strict-ordering reach conditions — identical fold on both sides.
+    "q_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |   min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |   count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
+        |   count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+        |              THEN 1 END) AS n1,
+        |   count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+        |               AND t2 IS NOT NULL AND t1 < t2 THEN 1 END) AS n2
+        |  FROM m)
+        |SELECT step, step_name,
+        | CAST(CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS BIGINT) AS n_users
+        |FROM c, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step, step_name)
+        |ORDER BY step""".stripMargin,
+
+    // Millisecond arithmetic: unix_millis ≡ epoch_ms, one double division
+    // + floor on both sides.
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts,
+        |   date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_week,
+        | CAST(floor((epoch_ms(e.ts) - epoch_ms(f.first_ts)) / 604800000.0) AS INT) AS week_offset,
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |WHERE floor((epoch_ms(e.ts) - epoch_ms(f.first_ts)) / 604800000.0) BETWEEN 0 AND 8
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // get_json_object('$.k') ≡ DuckDB json_extract_string(props, '$.k');
     // avg from exact sum / count so both engines do one IEEE division.

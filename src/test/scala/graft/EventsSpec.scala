@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Events
+
+/** Funnel and cohort-retention semantics on hand-built event streams. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("funnel: strict ordering on earliest-per-type chains") {
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(10), "purchase"),
+      // u2 clicks BEFORE viewing -> stops at step 1
+      (2L, ts(5), "click"), (2L, ts(10), "view"),
+      // u3 views only
+      (3L, ts(0), "view"),
+      // u4 purchase first, then view+click in order -> reaches step 2
+      (4L, ts(0), "purchase"), (4L, ts(1), "view"), (4L, ts(2), "click"),
+      // u5 never views -> counts nowhere
+      (5L, ts(0), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: simultaneous events do not advance (strict <)") {
+    val events = Seq((1L, ts(0), "view"), (1L, ts(0), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "view", 1L), (2, "click", 0L)))
+  }
+
+  test("retention: cohorts by first-event week, offsets count distinct users") {
+    def wts(week: Int, min: Int) =
+      new Timestamp(1700000000000L + week * 7L * 24 * 3600 * 1000 + min * 60000L)
+    val events = Seq(
+      (1L, wts(0, 0)), (1L, wts(1, 0)), (1L, wts(3, 0)), // active w0, w1, w3
+      (2L, wts(0, 30)), (2L, wts(0, 40)),                // only w0
+      (3L, wts(1, 0)), (3L, wts(2, 0)))                  // later cohort
+      .toDF("user_id", "ts")
+    val out = Events.retention(events)
+      .select("cohort_week", "week_offset", "n_active")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2)))
+      .toSet
+    // cohort A = week of u1/u2's first events; cohort B = u3's
+    val byCohort = out.groupBy(_._1)
+    assert(byCohort.size == 2)
+    val Seq(a, b) = byCohort.keys.toSeq.sorted
+    val aMatrix = out.filter(_._1 == a).map(t => t._2 -> t._3).toMap
+    assert(aMatrix == Map(0 -> 2L, 1 -> 1L, 3 -> 1L))
+    val bMatrix = out.filter(_._1 == b).map(t => t._2 -> t._3).toMap
+    assert(bMatrix == Map(0 -> 1L, 1 -> 1L))
+  }
+}
