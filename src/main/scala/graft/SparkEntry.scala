@@ -85,6 +85,23 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // Pivoted counts (explicit value list — no discovery pass).
+    "q_pivot" -> ((s, dir) =>
+      Relational.eventPivot(t(s, dir, "events"),
+        Seq("view", "click", "purchase", "signup", "error"))
+        .orderBy("user_bucket")),
+
+    // ROLLUP subtotals + grouping id over nation × category revenue.
+    "q_rollup" -> ((s, dir) =>
+      Relational.revenueRollup(t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "supplier"), t(s, dir, "nation"))
+        .orderBy(col("grp"), col("nation").asc_nulls_first,
+          col("category").asc_nulls_first)),
+
+    // Mean/stddev from explicit exact sums (bit-identical formula).
+    "q_value_stats" -> ((s, dir) =>
+      Relational.valueStats(t(s, dir, "events")).orderBy("event_type")),
+
     // Ordered funnel over events (earliest-per-type chain semantics).
     "q_funnel" -> ((s, dir) =>
       ops.Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
@@ -430,6 +447,47 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_id""".stripMargin,
+
+    // Pivot ≡ conditional aggregation (column-per-type counts).
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        | CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        | CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        | CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        | CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        | CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // grouping_id bit order: first rollup column is the MSB in both
+    // engines (explicit GROUPING arithmetic keeps it unambiguous).
+    "q_rollup" ->
+      """SELECT n_name AS nation, p_type AS category,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines,
+        | CAST(GROUPING(n_name) * 2 + GROUPING(p_type) AS INT) AS grp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, p_type)
+        |ORDER BY grp, nation NULLS FIRST, category NULLS FIRST""".stripMargin,
+
+    // stddev from exact integer sums of cent-scaled values: built-in
+    // stddev merge orders differ across engines, and even wide-decimal →
+    // double conversion rounds differently (1-ulp divergence measured) —
+    // int64 sums + one shared double formula are bit-identical.
+    "q_value_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        | CAST(sx AS DOUBLE) / 100.0 / n AS mean,
+        | sqrt((CAST(sxx AS DOUBLE) / 10000.0 -
+        |       (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0) / n)
+        |      / (n - 1)) AS stddev
+        |FROM s ORDER BY event_type""".stripMargin,
 
     // Earliest-per-type chain funnel: min ts per (user, step type), then
     // strict-ordering reach conditions — identical fold on both sides.

@@ -209,6 +209,59 @@ object Relational {
       .filter(col("rank") <= k)
   }
 
+  /** Pivoted event counts: one row per user-id bucket, one column per
+    * event type. The explicit value list matters at scale: without it
+    * Spark runs an extra distinct-collect job over the corpus just to
+    * discover the columns.
+    */
+  def eventPivot(events: DataFrame, types: Seq[String],
+                 buckets: Int = 10): DataFrame =
+    events
+      .withColumn("user_bucket", pmod(col("user_id"), lit(buckets)).cast("int"))
+      .groupBy("user_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+
+  /** Region × category revenue with ROLLUP subtotals and a grouping id —
+    * the grouping-sets family the reference lacks. One Expand + one
+    * aggregate; subtotal rows shuffle with the same keys (NULL-padded),
+    * so it stays a single exchange.
+    */
+  def revenueRollup(lineitem: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .rollup(col("n_name").as("nation"), col("p_type").as("category"))
+      .agg(sumMoney(col("l_extendedprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().cast("int").as("grp"))
+
+  /** Mean and sample standard deviation from EXPLICIT exact sums —
+    * sqrt((Σx² − (Σx)²/n) / (n−1)) evaluated as one double formula over
+    * EXACT INTEGER sums of cent-scaled values, so both engines produce
+    * bit-identical doubles. Two reasons for integers over decimals:
+    * built-in stddev implementations differ in merge order across
+    * engines, and wide-decimal → double conversion itself rounds
+    * differently (Java correctly-rounded vs int128/scale two-step) —
+    * measured a 1-ulp divergence on Σx². The 2-dp measure column scales
+    * to int64 exactly; sums are map-side combinable, one shuffle.
+    */
+  def valueStats(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cents).as("sx"),
+        sum(cents * cents).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / 100.0 / col("n")).as("mean"),
+        sqrt((col("sxx").cast("double") / 10000.0 -
+          (col("sx").cast("double") / 100.0) * (col("sx").cast("double") / 100.0)
+            / col("n")) / (col("n") - lit(1))).as("stddev"))
+  }
+
   /** Revenue trend with smoothing (W2 — reference README.md:114,143): daily
     * revenue per category over a trailing window, plus a 7-day moving
     * average. The moving average divides an exact decimal window sum by the
