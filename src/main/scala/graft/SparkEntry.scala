@@ -85,6 +85,16 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // RANGE-frame trailing 7-day moving average (calendar span, not rows).
+    "q_range_ma" -> ((s, dir) =>
+      Relational.rangeMovingAvg(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("category", "ship_date")),
+
+    // Ranking family: dense_rank / percent_rank / ntile quartiles.
+    "q_product_ranks" -> ((s, dir) =>
+      Relational.productRanks(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("product_id")),
+
     // Pivoted counts (explicit value list — no discovery pass).
     "q_pivot" -> ((s, dir) =>
       Relational.eventPivot(t(s, dir, "events"),
@@ -447,6 +457,36 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_id""".stripMargin,
+
+    // RANGE frame ordered on days-since-epoch — identical numeric frame
+    // bounds on both sides; average = exact window sum / window count.
+    "q_range_ma" ->
+      """WITH daily AS (
+        |  SELECT p_type AS category, l_shipdate AS ship_date,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT category, ship_date, CAST(revenue AS DOUBLE) AS revenue,
+        | CAST(CAST(sum(revenue) OVER w AS DOUBLE) / count(*) OVER w AS DOUBLE) AS revenue_ma7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY category
+        |             ORDER BY datediff('day', DATE '1970-01-01', ship_date)
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY category, ship_date""".stripMargin,
+
+    "q_product_ranks" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS product_id,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT product_id, CAST(revenue AS DOUBLE) AS revenue,
+        | CAST(dense_rank() OVER w AS INT) AS drank,
+        | percent_rank() OVER w AS prank,
+        | CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM rev
+        |WINDOW w AS (ORDER BY revenue DESC, product_id)
+        |ORDER BY product_id""".stripMargin,
 
     // Pivot ≡ conditional aggregation (column-per-type counts).
     "q_pivot" ->

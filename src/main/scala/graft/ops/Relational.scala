@@ -262,6 +262,49 @@ object Relational {
             / col("n")) / (col("n") - lit(1))).as("stddev"))
   }
 
+  /** Trailing-7-DAY range-frame moving average — unlike the W2 row frame,
+    * a RANGE frame spans calendar days even when some days have no rows
+    * (a rows(-6,0) frame would silently widen its time span across
+    * gaps). Ordering is days-since-epoch so the frame bound is numeric;
+    * the average divides an exact decimal window sum by the window row
+    * count (same policy as revenueTrend).
+    */
+  def rangeMovingAvg(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val daily = lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_type").as("category"), col("l_shipdate").as("ship_date"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("category")
+      .orderBy(datediff(col("ship_date"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    daily.select(col("category"), col("ship_date"),
+      col("revenue").cast("double").as("revenue"),
+      // cast the exact window sum to double BEFORE the division — the
+      // oracle divides doubles, and decimal-division-then-cast rounds
+      // differently (same policy as revenueTrend)
+      (sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w))
+        .as("revenue_ma7d"))
+  }
+
+  /** Ranking-function family over product revenue: dense_rank,
+    * percent_rank ((rank−1)/(n−1), exact double), and revenue quartiles
+    * via ntile(4). Total order (revenue desc, product_id) keeps every
+    * rank deterministic and engine-portable.
+    */
+  def productRanks(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey").as("product_id"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("product_id"))
+    revenue.select(col("product_id"), col("revenue").cast("double").as("revenue"),
+      dense_rank().over(w).as("drank"),
+      percent_rank().over(w).as("prank"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** Revenue trend with smoothing (W2 — reference README.md:114,143): daily
     * revenue per category over a trailing window, plus a 7-day moving
     * average. The moving average divides an exact decimal window sum by the
