@@ -14,9 +14,11 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plans legitimately contain a broadcast cross join: a
     * provably tiny build side scanned linearly against the corpus (the
     * brute-force similarity baseline and IVF/LSH centroid assignment —
-    * documented designs, not accidents).
+    * documented designs, not accidents), and q_funnel's constant-size
+    * 1-row-counts × k-row-steps unpivot.
     */
-  private val allowedCross = Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh")
+  private val allowedCross =
+    Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
