@@ -85,6 +85,22 @@ object SparkEntry {
           col("o_orderstatus").as("payment_status"))
         .orderBy("order_id")),
 
+    // Set operations (§2.6 — absent from the reference, part of the
+    // complete relational surface): customers ordering in BOTH halves of
+    // the key space (INTERSECT → plans as semi join) and high-value
+    // customers who never failed an order (EXCEPT → anti join).
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val both = o.filter(col("o_orderkey") % 2 === 0).select("o_custkey")
+        .intersect(o.filter(col("o_orderkey") % 2 === 1).select("o_custkey"))
+      val neverF = o.filter(col("o_totalprice") > 200000).select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      both.withColumn("set_kind", lit("both_halves"))
+        .unionByName(neverF.withColumn("set_kind", lit("high_value_never_f")))
+        .select(col("set_kind"), col("o_custkey").as("customer_id"))
+        .orderBy("set_kind", "customer_id")
+    }),
+
     // RANGE-frame trailing 7-day moving average (calendar span, not rows).
     "q_range_ma" -> ((s, dir) =>
       Relational.rangeMovingAvg(t(s, dir, "lineitem"), t(s, dir, "part"))
@@ -457,6 +473,18 @@ object SparkEntry {
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |ORDER BY order_id""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'both_halves' AS set_kind, o_custkey AS customer_id FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |UNION ALL
+        |SELECT 'high_value_never_f', o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY set_kind, customer_id""".stripMargin,
 
     // RANGE frame ordered on days-since-epoch — identical numeric frame
     // bounds on both sides; average = exact window sum / window count.
