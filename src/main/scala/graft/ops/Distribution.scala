@@ -73,6 +73,41 @@ object Distribution {
     saltedBig.join(replicatedSmall, Seq(key, saltCol), joinType).drop(saltCol)
   }
 
+  /** Compact a parquet directory's small files: every 15-minute append
+    * (the reference's cadence) lands another file per partition, and a
+    * year of that is ~35k files per partition — file-listing and task
+    * scheduling death at 100 TB. Rewrites each partition directory to
+    * `ceil(bytes / targetBytes)` files via a temp-dir swap (write temp →
+    * atomic-ish rename), preserving the `partitionBy` layout. Row content
+    * is unchanged (asserted in DistributionSpec); only file count and
+    * ordering change. Run it as the maintenance job between incremental
+    * appends — never concurrently with a writer.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     partitionCol: Option[String] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    fs.delete(tmp, true)
+    val writer = partitionCol match {
+      // repartition on the partition column so each output partition dir
+      // gets coherent files (not nFiles fragments per directory)
+      case Some(c) => df.repartition(nFiles, col(c)).write.partitionBy(c)
+      case None => df.repartition(nFiles).write
+    }
+    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    rows
+  }
+
   /** Bloom-prefiltered anti-join — the runtime-filter pattern applied to
     * the reference's J4 idempotency guard, where it matters most at
     * 100 TB: `staged ANTI JOIN fact ON order_id` shuffles the ENTIRE fact

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
 object Incremental {
 
   case class RunResult(batchId: String, stagedOrders: Long, newFactRows: Long,
-                       gates: Seq[Quality.GateResult], archivedFiles: Int)
+                       gates: Seq[Quality.GateResult], archivedFiles: Int,
+                       observed: Map[String, Any] = Map.empty)
 
   /** Warehouse paths (plain parquet directories — object-store friendly). */
   case class Warehouse(root: String) {
@@ -125,14 +126,23 @@ object Incremental {
       // result is EXACTLY the plain anti-join, but the fact table is only
       // scanned (map-side partial blooms), never shuffled — the dominant
       // cost of a 15-minute cadence against a 100 TB fact otherwise.
-      val newRows = readIfExists(spark, wh.factOrders) match {
+      val guarded = readIfExists(spark, wh.factOrders) match {
         case Some(existing) =>
           ops.Distribution.bloomAntiJoin(enriched, existing.select("order_id"),
             "order_id", "order_id")
         case None => enriched
       }
+      // Observation metrics ride the count() action below — revenue/line
+      // accounting per batch with ZERO extra jobs (the production way to
+      // emit per-run dataset metrics; an extra .agg() would rescan).
+      val obs = org.apache.spark.sql.Observation(s"incremental_$batchId")
+      val newRows = guarded.observe(obs,
+        count(lit(1)).as("n_lines"),
+        sum(col("line_total").cast("double")).as("revenue"),
+        count(when(col("product_name").isNull, 1)).as("n_missing_product"))
       newRows.cache()
       val newCount = newRows.count()
+      val observed = obs.get
 
       // Capture the touched dates/hours BEFORE appending: the append to
       // fact_orders triggers CacheManager.recacheByPath, which recomputes
@@ -208,7 +218,7 @@ object Incremental {
       val archived = Sources.archiveFiles(spark, landingDir, s"${wh.root}/archive", batchId)
 
       newRows.unpersist()
-      RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived)
+      RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived, observed)
     } finally stagingRaw.unpersist()
   }
 

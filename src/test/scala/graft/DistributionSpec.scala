@@ -90,6 +90,39 @@ class DistributionSpec extends SparkSpec {
     assert(sameName == plain)
   }
 
+  test("compactParquet: fewer files, identical rows, layout preserved") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$root/t"
+    // simulate many small appends across two partition values
+    (1 to 6).foreach { i =>
+      (1L to 50L).map(j => (i * 100L + j, if (j % 2 == 0) "a" else "b"))
+        .toDF("v", "part")
+        .repartition(4)
+        .write.mode("append").partitionBy("part").parquet(path)
+    }
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.map {
+        f => if (f.isDirectory) parquetFiles(f.getPath)
+             else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    val before = spark.read.parquet(path).as[(Long, String)].collect().sorted.toSeq
+    val filesBefore = parquetFiles(path)
+    val rows = graft.ops.Distribution.compactParquet(spark, path,
+      targetBytes = 1L << 30, partitionCol = Some("part"))
+    assert(rows == 300L)
+    val after = spark.read.parquet(path).as[(Long, String)].collect().sorted.toSeq
+    assert(after == before, "compaction must not change row content")
+    val filesAfter = parquetFiles(path)
+    assert(filesAfter < filesBefore,
+      s"expected fewer files, got $filesBefore -> $filesAfter")
+    // partition layout survives (partition dirs still present)
+    assert(new java.io.File(s"$path/part=a").exists &&
+      new java.io.File(s"$path/part=b").exists)
+  }
+
   test("salted join preserves a user column named _salt") {
     // pre-fix, the internal salt overwrote (then dropped) this column
     val big = Seq(("a", 1L, "keep-me"), ("b", 2L, "me-too")).toDF("key", "v", "_salt")

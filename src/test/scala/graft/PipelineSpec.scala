@@ -34,6 +34,10 @@ class PipelineSpec extends SparkSpec {
     assert(fact.count() == r1.newFactRows)
     // S7: fact is partitioned by order_date (partition column present)
     assert(fact.columns.contains("order_date"))
+    // Observation metrics rode the run's existing action (no extra job)
+    assert(r1.observed("n_lines") == r1.newFactRows)
+    assert(r1.observed("revenue").asInstanceOf[Double] > 0.0)
+    assert(r2.observed("n_lines") == 0L, "no-op re-run observes zero lines")
   }
 
   test("empty landing dir short-circuits (sensor semantics)") {
