@@ -134,6 +134,35 @@ object IncrementalStream {
     q
   }
 
+  /** Stream-stream attribution join: match each purchase to the views by
+    * the same user in the preceding `withinMinutes` — the conversion-
+    * attribution shape (and the fourth Structured Streaming join/state
+    * form in this module, next to windowed aggs, session state, and
+    * dedup state). Both sides are watermarked and the join condition
+    * carries a BOUNDED time interval, so Spark derives state-eviction
+    * watermarks for both buffers — without the interval bound a
+    * stream-stream join must buffer forever. Inner join: late/unmatched
+    * events age out of state and emit nothing.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      withinMinutes: Int,
+                      watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming twin of graft.ops.Sessionize: built-in session_window with
     * the same gap semantics — state is bounded by the watermark, sessions
     * close gapMinutes after their last event.

@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to in-window views") {
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val joined = IncrementalStream.attributionJoin(
+      views.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+      withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(0), 100L), (1L, ts(50), 101L), (2L, ts(0), 102L))
+      purchases.addData(
+        (1L, ts(20), 200L, 9.99),   // within 30m of view 100
+        (1L, ts(60), 201L, 5.00),   // within 30m of view 101 only
+        (2L, ts(45), 202L, 1.00),   // 45m after view 102 -> no match
+        (3L, ts(10), 203L, 2.00))   // user never viewed -> no match
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("view_id", "purchase_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 200L), (101L, 201L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("custom-state sessionizer: cross-batch out-of-order events widen, never regress") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val base = DataGen.defaultBaseMs
