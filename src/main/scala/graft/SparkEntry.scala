@@ -552,9 +552,10 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT event_type, n,
         | CAST(sx AS DOUBLE) / 100.0 / n AS mean,
-        | sqrt((CAST(sxx AS DOUBLE) / 10000.0 -
-        |       (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0) / n)
-        |      / (n - 1)) AS stddev
+        | CASE WHEN n > 1 THEN
+        |   sqrt((CAST(sxx AS DOUBLE) / 10000.0 -
+        |         (CAST(sx AS DOUBLE) / 100.0) * (CAST(sx AS DOUBLE) / 100.0) / n)
+        |        / (n - 1)) END AS stddev
         |FROM s ORDER BY event_type""".stripMargin,
 
     // Earliest-per-type chain funnel: min ts per (user, step type), then

@@ -90,21 +90,55 @@ object Distribution {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     fs.delete(tmp, true)
     val writer = partitionCol match {
-      // repartition on the partition column so each output partition dir
-      // gets coherent files (not nFiles fragments per directory)
-      case Some(c) => df.repartition(nFiles, col(c)).write.partitionBy(c)
-      case None => df.repartition(nFiles).write
+      case Some(c) =>
+        // Per-VALUE file sizing: repartitioning on the partition column
+        // alone would funnel each value's entire volume into one task →
+        // one (possibly huge) file per directory. Instead each value gets
+        // ceil(dirBytes / targetBytes) salt buckets from its own on-disk
+        // footprint, so a 10 GB date compacts to ~80 files while a 10 MB
+        // date gets exactly one.
+        val perValue = fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$c="))
+          .map { s =>
+            val v = s.getPath.getName.stripPrefix(s"$c=")
+            val b = fs.getContentSummary(s.getPath).getLength
+            (v, math.max(1L, math.ceil(b.toDouble / targetBytes).toLong))
+          }
+        val nTasks = math.max(1, perValue.map(_._2).sum.min(10000).toInt)
+        import spark.implicits._
+        val countsDf = broadcast(perValue.toDF("_cp_value", "_cp_files"))
+        val salted = df
+          .join(countsDf, col(c).cast("string") === col("_cp_value"), "left")
+          .withColumn("_cp_salt",
+            pmod(xxhash64(struct(df.columns.map(col): _*)),
+              coalesce(col("_cp_files"), lit(1L))))
+          .drop("_cp_value", "_cp_files")
+        salted.repartition(nTasks, col(c), col("_cp_salt"))
+          .drop("_cp_salt")
+          .write.partitionBy(c)
+      case None =>
+        val bytes = fs.getContentSummary(p).getLength
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        df.repartition(nFiles).write
     }
     writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // Swap via backup so a failed rename can never lose the only copy:
+    // FileSystem.rename reports many failures by returning FALSE, not
+    // throwing — the original stays recoverable at .bak until the new
+    // data is live.
+    val bak = new Path(p.getParent, s".${p.getName}_compact_bak")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"compact: could not move $p aside to $bak")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // restore; tmp left for inspection
+      throw new IllegalStateException(s"compact: rename $tmp -> $p failed; original restored")
+    }
+    fs.delete(bak, true)
     rows
   }
 
@@ -142,11 +176,15 @@ object Distribution {
     // empty/all-null filter side → no keys can match → everything is new
     if (bfRow.isNullAt(0)) return big
     val bf = bfRow.getAs[Array[Byte]](0)
-    val flagged = big.withColumn("_in_bloom",
+    // probe-flag column name must not collide with a real big-side column
+    val flagCol = Iterator.from(0)
+      .map(i => if (i == 0) "_in_bloom" else s"_in_bloom$i")
+      .find(!big.columns.contains(_)).get
+    val flagged = big.withColumn(flagCol,
       call_function(BloomFns.mightContainFnName, lit(bf), xxhash64(col(bigKey))))
-    val definiteNew = flagged.filter(col("_in_bloom") === false).drop("_in_bloom")
-    val maybe = flagged.filter(col("_in_bloom") === true || col("_in_bloom").isNull)
-      .drop("_in_bloom")
+    val definiteNew = flagged.filter(col(flagCol) === false).drop(flagCol)
+    val maybe = flagged.filter(col(flagCol) === true || col(flagCol).isNull)
+      .drop(flagCol)
     // rename the probe column so bigKey == filterKey resolves unambiguously
     // (left_anti output carries only left columns, so the name vanishes)
     val filterKeys = filterSide.select(col(filterKey).as("_bloom_fk"))

@@ -9,28 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Ordered funnel: how many users completed step 1, steps 1→2 (in
-    * time order), steps 1→2→3, ... A user counts for step k iff there
-    * exist events e₁ < e₂ < ... < e_k in strict timestamp order with the
-    * required types (the standard strict-ordering funnel; simultaneous
-    * events do not advance the funnel).
+  /** Ordered funnel, EARLIEST-PER-TYPE semantics: a user counts for step
+    * k iff the user's globally earliest event of each step type occurs
+    * in strictly increasing time order, t(s₁) < t(s₂) < ... < t(s_k)
+    * (simultaneous events do not advance; this is the "first touch"
+    * funnel many analytics products default to). NOTE this is stricter
+    * than the any-chain funnel (∃ e₁ < ... < e_k of the right types): a
+    * user who clicks, then views, then clicks again completes
+    * view→click under any-chain but NOT here — their earliest click
+    * precedes their earliest view. The any-chain form needs a per-user
+    * ordered scan (sessionize-style window pass, one extra sort); this
+    * form needs only conditional MINs.
     *
-    * Shape: ONE shuffle (groupBy user) with conditional MIN aggregates —
-    * the earliest reachable timestamp of each step is computed as a
-    * running conditional min per user, then one global conditional count.
-    * For step k we need min ts of a type-k event AFTER the step-(k-1)
-    * time; with only min/filter aggregates this is expressible per user
-    * as a fold: t₁ = min(ts | type=s₁), t_k = min(ts | type=s_k ∧ ts >
-    * t_{k-1}). A grouped fold like that needs the events sorted per
-    * user — sort_values inside collect would blow memory on hot users —
-    * so instead each t_k is one conditional-min agg over the SAME grouped
-    * pass, computed via a window-free two-phase trick: aggregate min ts
-    * per (user, type), then fold the k steps on the tiny per-user step
-    * row. Approximation caveat: folding per-(user,type) minima is the
-    * "earliest event of each type" funnel — exact for the strict form
-    * when each step type's earliest qualifying event works, which holds
-    * because if ANY ordered chain exists, the chain of earliest-after
-    * events exists (greedy exchange argument on min-ts chains).
+    * Shape: ONE shuffle (groupBy user) aggregating the earliest ts per
+    * (user, step type) as k conditional-min columns — map-side
+    * combinable, hot users cost one row — then one global conditional
+    * count over the k-column per-user row.
     *
     * Output: (step, step_name, n_users), step 1-based, monotonically
     * non-increasing user counts.
@@ -78,10 +72,11 @@ object Events {
 
   /** Cohort retention: users are cohorted by the week of their FIRST
     * event; retention(cohort, w) = how many of that cohort have any
-    * event in week w after their first. Two shuffles total: first-event
-    * per user (groupBy user), then the (cohort, offset) matrix (groupBy
-    * cohort/offset over the user-joined events — the join side is the
-    * tiny per-user first-week table, broadcast).
+    * event in week w after their first. The per-user first-event table
+    * joins back on user_id WITHOUT a broadcast hint: it has one row per
+    * distinct user — bounded by user count, not time — so at corpus
+    * scale it can be larger than any broadcast budget; both sides
+    * shuffle on user_id (or AQE broadcasts when it genuinely fits).
     */
   def retention(events: DataFrame, maxWeeks: Int = 8): DataFrame = {
     val firsts = events.groupBy("user_id")
@@ -90,7 +85,7 @@ object Events {
         date_trunc("week", col("first_ts")).as("cohort_week"),
         col("first_ts"))
     events
-      .join(broadcast(firsts), Seq("user_id"))
+      .join(firsts, Seq("user_id"))
       // millisecond arithmetic (unix_millis ≡ DuckDB epoch_ms) so week
       // boundaries land identically in both engines
       .select(col("cohort_week"),

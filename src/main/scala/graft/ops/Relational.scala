@@ -203,6 +203,8 @@ object Relational {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    orderCols: Seq[Column], k: Int): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "topKPerGroup emits a 'rank' column; input already has one — rename it first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("rank", row_number().over(w))
@@ -221,6 +223,9 @@ object Relational {
       .groupBy("user_bucket")
       .pivot("event_type", types)
       .agg(count(lit(1)))
+      // a (bucket, type) combination with no rows pivots to NULL, but the
+      // conditional-aggregation semantics (and the oracle) count it as 0
+      .na.fill(0L, types)
 
   /** Region × category revenue with ROLLUP subtotals and a grouping id —
     * the grouping-sets family the reference lacks. One Expand + one
@@ -247,6 +252,12 @@ object Relational {
     * differently (Java correctly-rounded vs int128/scale two-step) —
     * measured a 1-ulp divergence on Σx². The 2-dp measure column scales
     * to int64 exactly; sums are map-side combinable, one shuffle.
+    *
+    * Domain contract: Σ(cents²) must fit int64 — |value| ≤ ~$3·10⁵ per
+    * row at 10⁹ rows (Σ ≈ 9·10²⁰ would wrap silently in non-ANSI mode);
+    * corpora of larger measures should pre-scale or run ANSI. Groups
+    * with n = 1 report NULL stddev (the stddev_samp convention), not a
+    * 0/0 NaN.
     */
   def valueStats(events: DataFrame): DataFrame = {
     val cents = round(col("value") * 100).cast("long")
@@ -257,9 +268,10 @@ object Relational {
         sum(cents * cents).as("sxx"))
       .select(col("event_type"), col("n"),
         (col("sx").cast("double") / 100.0 / col("n")).as("mean"),
-        sqrt((col("sxx").cast("double") / 10000.0 -
-          (col("sx").cast("double") / 100.0) * (col("sx").cast("double") / 100.0)
-            / col("n")) / (col("n") - lit(1))).as("stddev"))
+        when(col("n") > 1,
+          sqrt((col("sxx").cast("double") / 10000.0 -
+            (col("sx").cast("double") / 100.0) * (col("sx").cast("double") / 100.0)
+              / col("n")) / (col("n") - lit(1)))).as("stddev"))
   }
 
   /** Trailing-7-DAY range-frame moving average — unlike the W2 row frame,

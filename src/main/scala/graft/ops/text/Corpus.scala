@@ -99,8 +99,13 @@ object Corpus {
                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages train=$trainPct val=$valPct")
-    val trainHi = f"${65536L * trainPct / 100}%04x"
-    val valHi = f"${65536L * (trainPct + valPct) / 100}%04x"
+    // 100% maps to 65536 = "10000" — five chars, which compares BELOW
+    // every 4-char hex bucket lexicographically and would misroute the
+    // whole split; "g" sorts after every hex digit and means "all".
+    def hi(pct: Int): String =
+      if (pct >= 100) "g" else f"${65536L * pct / 100}%04x"
+    val trainHi = hi(trainPct)
+    val valHi = hi(trainPct + valPct)
     df.withColumn("bucket", substring(md5(col(idCol).cast("string")), 1, 4))
       .withColumn("split",
         when(col("bucket") < trainHi, "train")

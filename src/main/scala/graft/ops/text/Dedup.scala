@@ -200,6 +200,7 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
+    var prevCheckpoint = labels
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"), lit(0).as("self"))
@@ -213,6 +214,10 @@ object Dedup {
           max(when(col("self") === 1, col("label"))).as("prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") < col("prev")).limit(1).count() == 0
+      // drop the superseded iteration's blocks — otherwise up to maxIter
+      // label tables sit in executor storage for the whole computation
+      prevCheckpoint.unpersist()
+      prevCheckpoint = next
       labels = next.select("id", "label")
       iter += 1
     }

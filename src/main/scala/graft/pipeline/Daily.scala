@@ -72,8 +72,10 @@ object Daily {
       .groupBy("region", "order_date")
       .agg(sumMoney(col("line_total")).as("revenue"))
     val w = Window.partitionBy("region").orderBy("order_date").rowsBetween(-6, 0)
+    // exact window sum cast to double BEFORE the division — repo-wide
+    // moving-average policy (decimal-division-then-cast rounds differently)
     daily.withColumn("revenue_ma7",
-      (sum(col("revenue")).over(w) / count(lit(1)).over(w)).cast("double"))
+      sum(col("revenue")).over(w).cast("double") / count(lit(1)).over(w))
   }
 
   /** W1 (README.md:136): top-k selling products. */

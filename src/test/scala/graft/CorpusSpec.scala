@@ -72,6 +72,12 @@ class CorpusSpec extends SparkSpec {
       .union(Corpus.hashSplit(ids).select("doc_id", "split"))
       .distinct().count()
     assert(twice == 2000L, "split assignment must be deterministic per id")
+    // boundary: percentages summing to 100 must not leak rows into "test"
+    // (65536 formats as 5-char "10000", which sorts below all hex buckets)
+    val full = Corpus.hashSplit(ids, trainPct = 90, valPct = 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(!full.contains("test"), s"100% split leaked test rows: $full")
+    assert(math.abs(full("val").toDouble / 2000 - 0.1) < 0.03)
   }
 
   test("filterCorpus: rules fire with the right reasons, in order") {
