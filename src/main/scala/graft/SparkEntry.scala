@@ -133,6 +133,11 @@ object SparkEntry {
       ops.Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // Classic any-chain strict funnel (greedy earliest-after fold).
+    "q_funnel_chain" -> ((s, dir) =>
+      ops.Events.funnelAnyChain(t(s, dir, "events"),
+        Seq("view", "click", "purchase")).orderBy("step")),
+
     // Weekly cohort retention matrix (first-event cohorts).
     "q_retention" -> ((s, dir) =>
       ops.Events.retention(t(s, dir, "events"))
@@ -575,6 +580,29 @@ object SparkEntry {
         |   count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
         |               AND t2 IS NOT NULL AND t1 < t2 THEN 1 END) AS n2
         |  FROM m)
+        |SELECT step, step_name,
+        | CAST(CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS BIGINT) AS n_users
+        |FROM c, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step, step_name)
+        |ORDER BY step""".stripMargin,
+
+    // Greedy earliest-after fold, one CTE per step; counts of non-null
+    // step timestamps from the final accumulator.
+    "q_funnel_chain" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |a0 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM f GROUP BY 1),
+        |a1 AS (
+        |  SELECT f.user_id, min(a0.t0) AS t0,
+        |   min(CASE WHEN event_type = 'click' AND ts > a0.t0 THEN ts END) AS t1
+        |  FROM f JOIN a0 ON f.user_id = a0.user_id GROUP BY 1),
+        |a2 AS (
+        |  SELECT f.user_id, min(a1.t0) AS t0, min(a1.t1) AS t1,
+        |   min(CASE WHEN event_type = 'purchase' AND ts > a1.t1 THEN ts END) AS t2
+        |  FROM f JOIN a1 ON f.user_id = a1.user_id GROUP BY 1),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM a2)
         |SELECT step, step_name,
         | CAST(CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS BIGINT) AS n_users
         |FROM c, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) AS s(step, step_name)

@@ -70,6 +70,48 @@ object Events {
           when(col("step") === i + 1, col(s"n$i"))).reduce(coalesce(_, _)).as("n_users"))
   }
 
+  /** Ordered funnel, ANY-CHAIN semantics (the classic strict funnel): a
+    * user counts for step k iff SOME events e₁ < e₂ < ... < e_k of the
+    * required types exist in strictly increasing time order. Computed by
+    * the greedy earliest-after fold — t₁ = min ts of type s₁,
+    * t_k = min ts of type s_k with ts > t_{k-1} — which is exact here
+    * (if any chain exists, replacing each element with the earliest
+    * qualifying one stays a valid chain; the exchange argument that does
+    * NOT hold for [[funnel]]'s global per-type minima).
+    *
+    * Shape: t_k depends on t_{k-1}, so each step is one conditional-min
+    * re-aggregation of the events against the per-user accumulator —
+    * k shuffles total (steps are few; each is map-side combinable).
+    * Use [[funnel]] when first-touch semantics suffice — it is one
+    * shuffle regardless of k.
+    */
+  def funnelAnyChain(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val filtered = events.filter(col("event_type").isin(steps: _*))
+      .select("user_id", "event_type", "ts")
+    val t0 = filtered.groupBy("user_id")
+      .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t0"))
+    val acc = steps.zipWithIndex.tail.foldLeft(t0) { case (prev, (s, i)) =>
+      val aggCols = (0 until i).map(j => first(col(s"t$j")).as(s"t$j")) :+
+        min(when(col("event_type") === s && col("ts") > col(s"t${i - 1}"),
+          col("ts"))).as(s"t$i")
+      filtered.join(prev, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+    }
+    val counts = acc.agg(
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
+      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepsDf = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
+    counts.crossJoin(stepsDf)
+      .select(col("step"), col("step_name"),
+        steps.indices.map(i =>
+          when(col("step") === i + 1, col(s"n$i"))).reduce(coalesce(_, _)).as("n_users"))
+  }
+
   /** Cohort retention: users are cohorted by the week of their FIRST
     * event; retention(cohort, w) = how many of that cohort have any
     * event in week w after their first. The per-user first-event table

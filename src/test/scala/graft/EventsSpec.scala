@@ -36,6 +36,23 @@ class EventsSpec extends SparkSpec {
     assert(out == Seq((1, "view", 1L), (2, "click", 0L)))
   }
 
+  test("funnelAnyChain: re-engaging users advance where first-touch does not") {
+    val events = Seq(
+      // click, THEN view, THEN click again: any-chain completes view→click
+      // via the SECOND click; first-touch stops at view (earliest click
+      // precedes earliest view)
+      (1L, ts(0), "click"), (1L, ts(5), "view"), (1L, ts(10), "click"),
+      // in-order user: both semantics agree
+      (2L, ts(0), "view"), (2L, ts(5), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val anyChain = Events.funnelAnyChain(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(anyChain == Seq((1, "view", 2L), (2, "click", 2L)))
+    val firstTouch = Events.funnel(events, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(firstTouch == Seq((1, "view", 2L), (2, "click", 1L)))
+  }
+
   test("retention: cohorts by first-event week, offsets count distinct users") {
     def wts(week: Int, min: Int) =
       new Timestamp(1700000000000L + week * 7L * 24 * 3600 * 1000 + min * 60000L)
