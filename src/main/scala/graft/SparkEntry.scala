@@ -27,6 +27,15 @@ object SparkEntry {
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
 
+  /** Mixture-resampling target weights for `q_mixture`, shared by the Spark
+    * operator and the generated oracle VALUES so the per-language bases and
+    * hash thresholds stay in lockstep. en downsamples (it dominates the
+    * fixture), de is an exact integer epoch, es/fr fractionally upsample,
+    * and zh is unlisted → dropped.
+    */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.25, "fr" -> 3.5)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -359,6 +368,27 @@ object SparkEntry {
     // over the exact-Jaccard pair list; oracle = recursive-CTE reachability.
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusterComponents(
+        Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
+        .orderBy("doc_id")),
+
+    // Per-doc top-3 distinctive terms (tf·N/df score; log-free so the
+    // doubles are bit-identical cross-engine).
+    "q_distinct_terms" -> ((s, dir) =>
+      Corpus.distinctiveTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "term_rank")),
+
+    // Mixture resampling: deterministic per-language replication to the
+    // MixWeights target distribution (zh unlisted → dropped).
+    "q_mixture" -> ((s, dir) =>
+      Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
+        .orderBy("doc_id", "copy_idx")),
+
+    // Survivorship: canonical representative + keep/drop flag for EVERY
+    // doc (clustered docs resolve to their component minimum; singletons
+    // keep themselves). Completes the dedup pipeline end-to-end.
+    "q_dedup_resolve" -> ((s, dir) =>
+      Dedup.resolveCanonical(
+        t(s, dir, "documents"),
         Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
         .orderBy("doc_id")),
 
@@ -1015,6 +1045,71 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // tf·(N/df): division then multiplication, both IEEE basic ops —
+    // identical expression tree on both sides → bit-identical doubles.
+    "q_distinct_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+        |  FROM scored)
+        |SELECT doc_id, term_rank, term, tf, df, score FROM r
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    // VALUES generated from the same MixWeights constant as the Spark
+    // side; same md5 16-bit bucket convention as q_hash_split.
+    "q_mixture" -> {
+      val vals = MixWeights.map { case (l, w) =>
+        val base = math.floor(w).toLong
+        val thresh = f"${(65536L * (w - math.floor(w))).toLong}%04x"
+        s"('$l', $base, '$thresh')"
+      }.mkString(", ")
+      s"""WITH w(lang, base, thresh) AS (VALUES $vals),
+         |d AS (
+         |  SELECT doc_id, documents.lang,
+         |    base + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thresh
+         |                THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents JOIN w ON documents.lang = w.lang)
+         |SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+         |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+         |FROM d WHERE n_copies >= 1 ORDER BY doc_id, copy_idx""".stripMargin
+    },
+
+    // Same reachability CTE, then survivorship: left join back to the full
+    // corpus, singletons are their own canonical.
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  coalesce(c.component, d.doc_id) AS canonical_id,
+        |  d.doc_id = coalesce(c.component, d.doc_id) AS is_kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Replicates embeddingNearDup with the SAME hyperplane constants as SQL
     // literals (Double.toString round-trips exactly, and the sign test's

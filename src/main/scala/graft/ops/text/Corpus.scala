@@ -170,6 +170,70 @@ object Corpus {
       expr("percentile(n_chars, 0.9)").as("p90_chars"),
       (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
 
+  /** Per-document distinctive terms: top-k terms by a rarity-weighted
+    * score, the selection step behind keyword extraction / topic tagging
+    * in a curation pipeline. The score is tf·(N/df) — classic tf-idf with
+    * the log dropped: ln() is a transcendental whose last ulp differs
+    * across libm implementations, while division and multiplication are
+    * IEEE-754 basic ops, correctly rounded everywhere, so this score is
+    * bit-identical in any engine (the log variant ranks identically —
+    * x ↦ ln is monotone — it only rescales the score).
+    *
+    * Scale: the doc×term explode is the dominant cost (linear in corpus
+    * tokens, map-side combinable into per-doc counts); the df table is
+    * vocabulary-sized → broadcast to the tf side, no second corpus
+    * shuffle; the per-doc top-k compiles to WindowGroupLimit (k rows per
+    * doc survive each partition BEFORE the window shuffle).
+    */
+  def distinctiveTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term_rank", "term", "tf", "df", "score")
+  }
+
+  /** Mixture resampling — the "data mixing" step that reweights corpus
+    * sources/languages to a target distribution by deterministic
+    * replication: weight w gives every doc ⌊w⌋ copies plus one more iff
+    * its 16-bit md5 bucket falls below frac(w) of the hash space (the
+    * same stable, engine-portable bucket as [[hashSplit]] — a doc's copy
+    * count never changes as the corpus grows and never depends on row
+    * order). Weight 0 / unlisted languages drop. Expected copy count per
+    * doc is exactly w (up to the 1/65536 threshold quantization).
+    *
+    * Scale: pure map + explode — no shuffle at all; replication factor
+    * is the mixture weight, decided per row from the hash, so the output
+    * is written straight back out without any driver-side sampling state.
+    */
+  def mixtureResample(documents: DataFrame, weights: Map[String, Double],
+      langCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w < 1000),
+      s"weights must be in [0, 1000), got $weights")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val nCopies = weights.foldLeft(lit(0L)) { case (acc, (lang, w)) =>
+      val base = math.floor(w).toLong
+      val thresh = f"${(65536L * (w - math.floor(w))).toLong}%04x"
+      when(col(langCol) === lang,
+        lit(base) + when(bucket < thresh, lit(1L)).otherwise(lit(0L)))
+        .otherwise(acc)
+    }
+    documents
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") >= 1)
+      .select(col(idCol), col(langCol), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
   /** PII patterns, RE2-safe (no lookaround, no backreferences) so the
     * exact same pattern strings run in Spark (java.util.regex) and the
     * DuckDB oracle (RE2) with identical matches.

@@ -225,6 +225,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
+  /** Survivorship resolution — the step that turns near-dup CLUSTERS into
+    * an actionable keep/drop decision per document. Every document gets a
+    * canonical representative: the minimum doc_id of its connected
+    * component (exactly the component label [[clusterComponents]] emits,
+    * since labels start as ids and propagate by min), or itself when it
+    * appears in no near-dup pair. `is_kept` marks the one survivor per
+    * cluster; filtering on it yields the deduplicated corpus.
+    *
+    * Scale: clusterComponents' output is one row per CLUSTERED doc (a
+    * small fraction of the corpus); the final left join back to the full
+    * corpus shuffles on doc_id — or broadcasts, when near-dups are rare
+    * enough, which AQE decides from the runtime size of the label table.
+    */
+  def resolveCanonical(documents: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val comp = clusterComponents(pairs, maxIter)
+    documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_kept", col("doc_id") === col("canonical_id"))
+  }
+
   /** SimHash fingerprint width: 60 bits (= the 15-hex-char md5 prefix that
     * fits a signed long, shared with the minhash pipeline). Raw tokens are
     * too coarse a feature for the synthetic corpus (a ~30-word vocabulary

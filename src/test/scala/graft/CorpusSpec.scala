@@ -106,6 +106,48 @@ class CorpusSpec extends SparkSpec {
     assert(out("de") == ((1L, 7.0, 7.0, 7.0)))
   }
 
+  test("distinctiveTerms: rare terms outrank common ones, k bounds output") {
+    // 'rare' appears in 1 of 3 docs (score 2*3/1=6 in doc 1); 'common'
+    // in all 3 (score 1*3/3=1); tie on score breaks by term asc.
+    val out = Corpus.distinctiveTerms(docs(
+      1L -> "rare rare common",
+      2L -> "common mid",
+      3L -> "common mid"), k = 2)
+      .select("doc_id", "term_rank", "term", "score")
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1, "rare", 6.0), (1L, 2, "common", 1.0),
+      (2L, 1, "mid", 1.5), (2L, 2, "common", 1.0),
+      (3L, 1, "mid", 1.5), (3L, 2, "common", 1.0)))
+  }
+
+  test("mixtureResample: integer weights replicate exactly, 0/unlisted drop") {
+    val langDocs = Seq((1L, "aa", "en"), (2L, "bb", "de"), (3L, "cc", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.mixtureResample(langDocs, Map("en" -> 3.0, "de" -> 1.0))
+      .select("doc_id", "lang", "copy_idx")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // en doc -> 3 copies, de doc -> 1 copy, zh unlisted -> dropped
+    assert(out == Seq((1L, "en", 1L), (1L, "en", 2L), (1L, "en", 3L),
+      (2L, "de", 1L)))
+  }
+
+  test("mixtureResample: fractional weight keeps the sub-threshold bucket fraction") {
+    val many = (1L to 400L).map(i => (i, "t", "en")).toDF("doc_id", "text", "lang")
+    val out = Corpus.mixtureResample(many, Map("en" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: exactly the docs whose 16-bit md5 bucket < 0x8000
+    val expected = (1L to 400L).filter { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val bucket = ((md(0) & 0xff) << 8) | (md(1) & 0xff)
+      bucket < 0x8000
+    }.toSet
+    assert(out == expected)
+    // and the rate is near one half on 400 uniform hashes
+    assert(math.abs(out.size - 200) < 40)
+  }
+
   test("piiScrub: counts and redacts emails, IPs, and phone numbers") {
     val out = Corpus.piiScrub(docs(
       1L -> "mail john.doe@foo.co.uk from 10.1.2.3 then call 555-123-4567 ok",

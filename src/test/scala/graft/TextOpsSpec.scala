@@ -172,6 +172,15 @@ class TextOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("resolveCanonical: cluster minimum survives, singletons keep themselves") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.ops.text.Dedup.resolveCanonical(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true)))
+  }
+
   test("clusterComponents: equals union-find on random graphs") {
     val rng = new scala.util.Random(2027)
     (0 until 3).foreach { trial =>
