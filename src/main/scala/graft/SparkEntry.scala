@@ -383,6 +383,17 @@ object SparkEntry {
       Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
         .orderBy("doc_id", "copy_idx")),
 
+    // Benchmark decontamination: distinct-3-gram overlap of each train
+    // doc against the held-out benchmark slice (doc_id % 97 == 0).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        n = 3, minOverlap = 2)
+        .orderBy("doc_id")
+    }),
+
     // Survivorship: canonical representative + keep/drop flag for EVERY
     // doc (clustered docs resolve to their component minimum; singletons
     // keep themselves). Completes the dedup pipeline end-to-end.
@@ -1045,6 +1056,24 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // Distinct 3-grams per doc (list_distinct mirrors array_distinct),
+    // probed against the union of benchmark shingles.
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM train) t
+        |  JOIN bench USING (s) GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  coalesce(o.n_overlap, 0) >= 2 AS contaminated
+        |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // tf·(N/df): division then multiplication, both IEEE basic ops —
     // identical expression tree on both sides → bit-identical doubles.

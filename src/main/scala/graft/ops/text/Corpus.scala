@@ -234,6 +234,39 @@ object Corpus {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
   }
 
+  /** Benchmark decontamination — flag training documents sharing word
+    * n-grams with an evaluation/benchmark set, the standard leakage scan
+    * before a pretraining run. Per train doc: the count of DISTINCT
+    * n-grams that appear anywhere in the benchmark, and a contaminated
+    * flag at `minOverlap`. Docs shorter than n tokens have no n-grams and
+    * report 0.
+    *
+    * Scale: the benchmark n-gram set is eval-suite-sized (millions of
+    * shingles at most) → broadcast to the corpus scan, so the whole probe
+    * is map-side: explode train shingles, hash-probe the broadcast set,
+    * one combinable per-doc count. No corpus-sized shuffle; the right
+    * join restoring zero-overlap docs shuffles doc_id only — or swap in
+    * a bloom of the benchmark set (functions/BloomFns) when even the
+    * exact set is too big to broadcast, accepting one-sided error.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val sh = (d: DataFrame) => array_distinct(shingles(tokens(col("text")), n))
+    val benchShingles = benchmark
+      .select(explode(sh(benchmark)).as("sh")).distinct()
+    val overlap = train
+      .select(col("doc_id"), explode(sh(train)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      // per-doc shingles are pre-distinct'd, so a plain count is the
+      // distinct-overlap count
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** PII patterns, RE2-safe (no lookaround, no backreferences) so the
     * exact same pattern strings run in Spark (java.util.regex) and the
     * DuckDB oracle (RE2) with identical matches.

@@ -148,6 +148,19 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(out.size - 200) < 40)
   }
 
+  test("decontaminate: distinct overlap counts, short docs report zero") {
+    val bench = docs(100L -> "the quick brown fox jumps")
+    val train = docs(
+      1L -> "the quick brown fox ran",   // shares 2 distinct 3-grams
+      2L -> "the quick brown",           // shares 1
+      3L -> "totally different words here",
+      4L -> "hi")                        // < 3 tokens: no 3-grams
+    val out = Corpus.decontaminate(train, bench, n = 3, minOverlap = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, true), (2L, 1L, false), (3L, 0L, false),
+      (4L, 0L, false)))
+  }
+
   test("piiScrub: counts and redacts emails, IPs, and phone numbers") {
     val out = Corpus.piiScrub(docs(
       1L -> "mail john.doe@foo.co.uk from 10.1.2.3 then call 555-123-4567 ok",
