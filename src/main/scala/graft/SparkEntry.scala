@@ -383,6 +383,14 @@ object SparkEntry {
       Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
         .orderBy("doc_id", "copy_idx")),
 
+    // Morton curve value for the part table's two independent filter
+    // dims — the clustering key writeZOrdered sorts by.
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          ops.Distribution.zValue(col("p_partkey"), col("p_size")).as("z"))
+        .orderBy("z", "p_partkey")),
+
     // Benchmark decontamination: distinct-3-gram overlap of each train
     // doc against the held-out benchmark slice (doc_id % 97 == 0).
     "q_decontaminate" -> ((s, dir) => {
@@ -1056,6 +1064,20 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // The identical shift/mask ladder, generated from the same constants.
+    "q_zorder" -> {
+      def spread(c: String): String = Seq(
+        (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+        (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+        (1, 0x5555555555555555L))
+        .foldLeft(s"(CAST($c AS BIGINT) & 2147483647)") {
+          case (x, (s, m)) => s"(($x | ($x << $s)) & $m)"
+        }
+      s"""SELECT p_partkey, p_size,
+         |  ${spread("p_partkey")} | (${spread("p_size")} << 1) AS z
+         |FROM part ORDER BY z, p_partkey""".stripMargin
+    },
 
     // Distinct 3-grams per doc (list_distinct mirrors array_distinct),
     // probed against the union of benchmark shingles.

@@ -90,6 +90,61 @@ class DistributionSpec extends SparkSpec {
     assert(sameName == plain)
   }
 
+  test("zValue: interleaves bits in Morton order") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Distribution.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // spread(2)=4, spread(3)=5 -> 4|(5<<1)=14; spread(5)=17 -> 5|(17<<1)=39
+    assert(out == Seq(0L, 1L, 2L, 3L, 14L, 39L))
+  }
+
+  test("zValue is monotone along each axis within the curve's locality blocks") {
+    // within any 2^k-aligned block, z of (a,b) < z of (a+block, b) etc.;
+    // spot-check global property: z is a bijection on a 32x32 grid
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val zs = grid.toDF("a", "b")
+      .select(Distribution.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSet
+    assert(zs.size == 1024 && zs.min == 0L && zs.max == 1023L)
+  }
+
+  test("writeZOrdered: per-file bounding boxes beat single-column layout on the off axis") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val n = 64
+    val grid = (for (a <- 0L until n; b <- 0L until n) yield (a, b))
+      .toDF("a", "b")
+    Distribution.writeZOrdered(grid, "a", "b", s"$root/z", nFiles = 16)
+    // the single-dimension alternative: range-partition + sort by `a` only
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$root/lin")
+    def boxes(path: String): Seq[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("a") - min("a") + 1).as("wa"), (max("b") - min("b") + 1).as("wb"))
+        .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSeq
+    val zB = boxes(s"$root/z")
+    val linB = boxes(s"$root/lin")
+    // z-order: every file's box is narrow on BOTH axes (< full domain);
+    // linear layout: narrow on a, but full-width on b for every file
+    assert(zB.forall { case (wa, wb) => wa < n && wb < n },
+      s"z boxes not tight on both axes: $zB")
+    assert(linB.forall { case (_, wb) => wb == n }, s"unexpected lin boxes: $linB")
+    // pruning proxy for a b-only predicate (b < n/4): count files whose
+    // footer [min_b, max_b] range intersects it — those are the files a
+    // stats-pruning scan must read
+    def survivors(path: String): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("b").as("lo"))
+        .filter(col("lo") < n / 4)
+        .count().toInt
+    val zSurv = survivors(s"$root/z")
+    val linSurv = survivors(s"$root/lin")
+    assert(linSurv == 16, s"linear layout should never prune on b, got $linSurv")
+    assert(zSurv * 2 <= linSurv, s"zSurv=$zSurv linSurv=$linSurv")
+  }
+
   test("compactParquet: fewer files, identical rows, layout preserved") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val path = s"$root/t"
