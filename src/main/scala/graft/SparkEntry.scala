@@ -383,6 +383,22 @@ object SparkEntry {
       Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
         .orderBy("doc_id", "copy_idx")),
 
+    // TPC-H Q3 shape: segment-filtered 3-way join, per-order revenue,
+    // top-10 (TakeOrderedAndProject).
+    "q_ship_priority" -> ((s, dir) =>
+      Relational.shippingPriority(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), "BUILDING", "1998-06-01")
+        .orderBy(desc("revenue"), asc("order_date"), asc("order_id"))
+        .limit(10)),
+
+    // TPC-H Q5 shape: six-way broadcast-dim chain with the same-nation
+    // customer/supplier condition.
+    "q_local_volume" -> ((s, dir) =>
+      Relational.localSupplierVolume(t(s, dir, "customer"), t(s, dir, "orders"),
+        t(s, dir, "lineitem"), t(s, dir, "supplier"), t(s, dir, "nation"),
+        t(s, dir, "region"), "ASIA", "1997-01-01", "1998-01-01")
+        .orderBy(desc("revenue"), asc("nation"))),
+
     // Morton curve value for the part table's two independent filter
     // dims — the clustering key writeZOrdered sorts by.
     "q_zorder" -> ((s, dir) =>
@@ -1064,6 +1080,36 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // Decimal-exact discounted revenue (q1's pattern); revenue DESC with
+    // order_id tie-break keeps the top-10 deterministic.
+    "q_ship_priority" ->
+      """SELECT l_orderkey AS order_id,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(o_orderdate AS DATE) AS order_date,
+        | o_orderpriority AS priority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, order_date, order_id LIMIT 10""".stripMargin,
+
+    "q_local_volume" ->
+      """SELECT n_name AS nation,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
 
     // The identical shift/mask ladder, generated from the same constants.
     "q_zorder" -> {

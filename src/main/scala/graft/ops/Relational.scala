@@ -299,6 +299,62 @@ object Relational {
         .as("revenue_ma7d"))
   }
 
+  /** Shipping-priority report (TPC-H Q3 shape): unshipped revenue of a
+    * market segment's orders as of a cutoff — a segment-filtered
+    * customer⋈orders⋈lineitem three-way join, grouped per order, top-10
+    * by revenue. Revenue is the discounted price summed through exact
+    * decimals (engine-portable, order-independent).
+    *
+    * Scale: the segment filter prunes customer BEFORE the join (pushed to
+    * the scan), the date filters prune both fact scans; customer⋈orders
+    * hashes on custkey, the result ⋈lineitem on orderkey; the top-10
+    * compiles to TakeOrderedAndProject — per-partition heaps, never a
+    * global sort of the grouped result.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, cutoff: String): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit(cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dec4(sum(dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount"))))).as("revenue"))
+      .select(col("l_orderkey").as("order_id"),
+        col("revenue"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority").as("priority"))
+
+  /** Local-supplier volume (TPC-H Q5 shape): per-nation revenue where the
+    * ordering customer and the line's supplier sit in the SAME nation of
+    * one region, over one order-year. Exercises the six-way
+    * dim-broadcast join chain plus a non-key equi-condition
+    * (c_nationkey = s_nationkey) enforced inside the supplier join.
+    *
+    * Scale: region/nation/supplier/customer are dimension-sized →
+    * broadcast to the fact chain (orders⋈lineitem is the only big-big
+    * hash); the year filter prunes the orders scan at the source.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String, yearStart: String,
+      yearEnd: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(yearStart) &&
+        col("o_orderdate") < lit(yearEnd))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(dec4(sum(dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount"))))).as("revenue"))
+
   /** Ranking-function family over product revenue: dense_rank,
     * percent_rank ((rank−1)/(n−1), exact double), and revenue quartiles
     * via ntile(4). Total order (revenue desc, product_id) keeps every

@@ -89,6 +89,48 @@ class RelationalSpec extends SparkSpec {
       "expected WindowGroupLimit in the physical plan")
   }
 
+  test("shippingPriority: top-10 plans as TakeOrderedAndProject, filters push to scans") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.ops.Relational.shippingPriority(
+      spark.read.parquet(s"$d/customer.parquet"),
+      spark.read.parquet(s"$d/orders.parquet"),
+      spark.read.parquet(s"$d/lineitem.parquet"),
+      "BUILDING", "1998-06-01")
+      .orderBy(desc("revenue"), asc("order_date"), asc("order_id")).limit(10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$plan")
+    assert(out.count() <= 10)
+  }
+
+  test("localSupplierVolume: same-nation condition enforced, dims broadcast") {
+    val d = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
+    val out = graft.ops.Relational.localSupplierVolume(
+      t("customer"), t("orders"), t("lineitem"), t("supplier"),
+      t("nation"), t("region"), "ASIA", "1997-01-01", "1998-01-01")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins:\n$plan")
+    // cross-check against an unhinted SQL equivalent on the same session
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(n).createOrReplaceTempView(s"v_$n"))
+    val expected = spark.sql(
+      """SELECT n_name AS nation,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM v_customer, v_orders, v_lineitem, v_supplier, v_nation, v_region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND o_orderdate >= '1997-01-01'
+        |  AND o_orderdate < '1998-01-01'
+        |GROUP BY 1""".stripMargin)
+      .as[(String, BigDecimal)].collect().toMap
+    val got = out.as[(String, BigDecimal)].collect().toMap
+    assert(got == expected)
+  }
+
   test("property: line-total sum per order == order-level recompute (decimal policy)") {
     val itemsGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 999999).map(_ / 100.0))
     val ordersGen = Gen.nonEmptyListOf(itemsGen)
