@@ -432,6 +432,15 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       Corpus.corpusStats(t(s, dir, "documents")).orderBy("lang")),
 
+    // 100 TB escape hatches, run as first-class queries. Sketches aren't
+    // cross-engine-comparable → no oracleSql entry (driver rows-only
+    // check); accuracy is bounded vs the exact twins in ScalaTest.
+    "q_corpus_stats_approx" -> ((s, dir) =>
+      Corpus.corpusStatsApprox(t(s, dir, "documents")).orderBy("lang")),
+    "q_hourly_approx" -> ((s, dir) =>
+      Relational.hourlyMetricsApprox(t(s, dir, "events"))
+        .orderBy("metric_hour")),
+
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
     "q_topk_per_lang" -> ((s, dir) =>

@@ -267,6 +267,23 @@ object Corpus {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Scale variant of [[corpusStats]]: t-digest `approx_percentile`
+    * (mergeable map-side partials, constant memory per group) instead of
+    * exact percentile's per-group value buffer — the drop-in choice when
+    * group cardinality or group size makes exact buffering unreasonable.
+    * Accuracy is bounded by the `accuracy` knob (1/accuracy relative
+    * rank error). Not oracle-comparable cross-engine (sketch
+    * implementations differ) → rows-only check; CorpusSpec bounds the
+    * error against the exact operator instead.
+    */
+  def corpusStatsApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+    documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      expr(s"approx_percentile(n_chars, 0.25, $accuracy)").as("p25_chars"),
+      expr(s"approx_percentile(n_chars, 0.5, $accuracy)").as("median_chars"),
+      expr(s"approx_percentile(n_chars, 0.9, $accuracy)").as("p90_chars"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+
   /** PII patterns, RE2-safe (no lookaround, no backreferences) so the
     * exact same pattern strings run in Spark (java.util.regex) and the
     * DuckDB oracle (RE2) with identical matches.

@@ -161,6 +161,19 @@ class CorpusSpec extends SparkSpec {
       (4L, 0L, false)))
   }
 
+  test("corpusStatsApprox tracks the exact percentiles on the fixture corpus") {
+    val docs = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Corpus.corpusStats(docs)
+      .select("lang", "median_chars").as[(String, Double)].collect().toMap
+    val approx = Corpus.corpusStatsApprox(docs)
+      .select("lang", "median_chars").as[(String, Long)].collect().toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, m) =>
+      assert(math.abs(approx(lang) - m) <= math.max(0.05 * m, 2.0),
+        s"$lang: approx ${approx(lang)} vs exact $m")
+    }
+  }
+
   test("piiScrub: counts and redacts emails, IPs, and phone numbers") {
     val out = Corpus.piiScrub(docs(
       1L -> "mail john.doe@foo.co.uk from 10.1.2.3 then call 555-123-4567 ok",

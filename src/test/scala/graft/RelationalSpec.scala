@@ -131,6 +131,21 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hourlyMetricsApprox: HLL counts within 5% of exact on the fixture") {
+    val events = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val exact = graft.ops.Relational.hourlyMetrics(events)
+      .select("metric_hour", "unique_users")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val approx = graft.ops.Relational.hourlyMetricsApprox(events)
+      .select("metric_hour", "unique_users")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (h, n) =>
+      assert(math.abs(approx(h) - n) <= math.max(0.05 * n, 3.0),
+        s"$h: approx ${approx(h)} vs exact $n")
+    }
+  }
+
   test("property: line-total sum per order == order-level recompute (decimal policy)") {
     val itemsGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 999999).map(_ / 100.0))
     val ordersGen = Gen.nonEmptyListOf(itemsGen)
