@@ -133,6 +133,13 @@ object SparkEntry {
         .orderBy(col("grp"), col("nation").asc_nulls_first,
           col("category").asc_nulls_first)),
 
+    // CUBE: all four grouping sets of nation × category in one Expand.
+    "q_cube" -> ((s, dir) =>
+      Relational.revenueCube(t(s, dir, "lineitem"), t(s, dir, "part"),
+        t(s, dir, "supplier"), t(s, dir, "nation"))
+        .orderBy(col("grp"), col("nation").asc_nulls_first,
+          col("category").asc_nulls_first)),
+
     // Mean/stddev from explicit exact sums (bit-identical formula).
     "q_value_stats" -> ((s, dir) =>
       Relational.valueStats(t(s, dir, "events")).orderBy("event_type")),
@@ -617,6 +624,18 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, p_type)
+        |ORDER BY grp, nation NULLS FIRST, category NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name AS nation, p_type AS category,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines,
+        | CAST(GROUPING(n_name) * 2 + GROUPING(p_type) AS INT) AS grp
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, p_type)
         |ORDER BY grp, nation NULLS FIRST, category NULLS FIRST""".stripMargin,
 
     // stddev from exact integer sums of cent-scaled values: built-in

@@ -243,6 +243,24 @@ object Relational {
         count(lit(1)).as("n_lines"),
         grouping_id().cast("int").as("grp"))
 
+  /** CUBE twin of [[revenueRollup]]: all four grouping sets — (nation,
+    * category), (nation), (category), () — in one pass. Spark plans
+    * grouping sets as a single Expand (one input scan multiplied per
+    * set) + one aggregate; at scale prefer CUBE over unioning four
+    * aggregations only when all marginals are actually consumed — Expand
+    * multiplies shuffle volume by the set count.
+    */
+  def revenueCube(lineitem: DataFrame, part: DataFrame,
+                  supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .cube(col("n_name").as("nation"), col("p_type").as("category"))
+      .agg(sumMoney(col("l_extendedprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().cast("int").as("grp"))
+
   /** Mean and sample standard deviation from EXPLICIT exact sums —
     * sqrt((Σx² − (Σx)²/n) / (n−1)) evaluated as one double formula over
     * EXACT INTEGER sums of cent-scaled values, so both engines produce

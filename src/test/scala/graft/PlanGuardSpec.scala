@@ -14,11 +14,13 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plans legitimately contain a broadcast cross join: a
     * provably tiny build side scanned linearly against the corpus (the
     * brute-force similarity baseline and IVF/LSH centroid assignment —
-    * documented designs, not accidents), and q_funnel's constant-size
-    * 1-row-counts × k-row-steps unpivot.
+    * documented designs, not accidents), the constant-size
+    * 1-row-counts × k-row-steps unpivot of the two funnels, and
+    * q_distinct_terms' 1-row corpus-count scalar joined to every score.
     */
   private val allowedCross =
-    Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel")
+    Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
+      "q_funnel_chain", "q_distinct_terms")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
