@@ -390,6 +390,21 @@ object SparkEntry {
       Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
         .orderBy("doc_id", "copy_idx")),
 
+    // Unkeyed interval join via bucket expansion (the bin-the-range
+    // strategy): every 50th event opens a 10-minute window; count events
+    // per window. Naive form would plan nested-loop.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val windows = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      ops.Temporal.intervalJoin(
+        ev.select("event_id", "ts"), windows,
+        "ts", "w_start", "w_end", bucketMs = 600000L)
+        .groupBy("window_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("window_id")
+    }),
+
     // TPC-H Q3 shape: segment-filtered 3-way join, per-order revenue,
     // top-10 (TakeOrderedAndProject).
     "q_ship_priority" -> ((s, dir) =>
@@ -1108,6 +1123,17 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native inequality join (IEJoin) is the oracle for the
+    // bucket-expansion strategy.
+    "q_interval_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS window_id, ts AS w_start,
+        |    ts + INTERVAL 10 MINUTE AS w_end
+        |  FROM events WHERE event_id % 50 = 0)
+        |SELECT window_id, count(*) AS n_events
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Decimal-exact discounted revenue (q1's pattern); revenue DESC with
     // order_id tie-break keeps the top-10 deterministic.

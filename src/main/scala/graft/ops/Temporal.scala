@@ -68,4 +68,41 @@ object Temporal {
       .select((key +: ts +: extraL).map(col) ++
         pay.map(c => col(s"_asof.`$c`").as(prefix + c)): _*)
   }
+
+  /** Interval (range) join: pair every point row with every interval row
+    * whose `[start, end)` contains the point's timestamp — the shape
+    * behind incident attribution, campaign windows, outage overlap.
+    *
+    * Scale shape: the naive formulation (`p JOIN i ON p.ts >= i.start AND
+    * p.ts < i.end`) has no equi-key, so Spark plans a broadcast
+    * NESTED-LOOP join — O(|points| × |intervals|) compares, unusable once
+    * intervals outgrow a broadcast. This implementation manufactures the
+    * equi-key: time is diced into fixed `bucketMs` buckets, each interval
+    * is exploded to one row per bucket it overlaps, each point maps to
+    * exactly ONE bucket, and the join becomes a plain hash equi-join on
+    * bucket id with the exact predicate re-applied post-join. Each
+    * (point, interval) pair can meet in at most one bucket (the point's),
+    * so no dedup is needed. Cost: interval replication ×
+    * ceil(len/bucketMs + 1) — pick bucketMs near the typical interval
+    * length so the expansion stays O(1) per interval while each point's
+    * bucket holds few candidate intervals. This is the standard
+    * bin-the-range trick (Databricks' range-join hint does the same
+    * under the hood).
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, tsCol: String,
+                   startCol: String, endCol: String, bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
+    val taken = points.columns.toSet ++ intervals.columns.toSet
+    require(!taken.contains("_bucket"), "input already has a _bucket column")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "point/interval column names must be disjoint")
+    val p = points.withColumn("_bucket",
+      floor(unix_millis(col(tsCol)) / bucketMs))
+    val i = intervals.withColumn("_bucket",
+      explode(sequence(floor(unix_millis(col(startCol)) / bucketMs),
+        floor((unix_millis(col(endCol)) - 1) / bucketMs))))
+    p.join(i, Seq("_bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bucket")
+  }
 }

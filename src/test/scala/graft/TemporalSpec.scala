@@ -70,6 +70,36 @@ class TemporalSpec extends SparkSpec {
     assert(fast.sortBy(sortKey) == naive.sortBy(sortKey))
   }
 
+  test("intervalJoin: boundary semantics [start, end) and bucket-straddling intervals") {
+    val points = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(10)), (4L, ts(15)))
+      .toDF("pid", "pts")
+    val ivals = Seq((10L, ts(0), ts(10)), (20L, ts(5), ts(16)), (30L, ts(11), ts(12)))
+      .toDF("wid", "w_start", "w_end")
+    // bucket = 3 min: intervals straddle several buckets
+    val out = Temporal.intervalJoin(points, ivals, "pts", "w_start", "w_end",
+      bucketMs = 3 * 60000L)
+      .select("pid", "wid").as[(Long, Long)].collect().toSet
+    // [start, end): ts(0) in 10 (not its end), ts(10) NOT in 10; ts(15) in 20
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
+  }
+
+  test("intervalJoin equals the naive inequality join on random data, no nested loop") {
+    val rng = new scala.util.Random(404)
+    val points = (1L to 300L).map(i => (i, ts(rng.nextInt(500)))).toDF("pid", "pts")
+    val ivals = (1L to 40L).map { i =>
+      val s = rng.nextInt(480); (i, ts(s), ts(s + 1 + rng.nextInt(40)))
+    }.toDF("wid", "w_start", "w_end")
+    val fast = Temporal.intervalJoin(points, ivals, "pts", "w_start", "w_end",
+      bucketMs = 10 * 60000L)
+    val naive = points.join(ivals,
+        col("pts") >= col("w_start") && col("pts") < col("w_end"))
+      .select("pid", "wid").as[(Long, Long)].collect().toSet
+    assert(fast.select("pid", "wid").as[(Long, Long)].collect().toSet == naive)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"range join not bucketed:\n$plan")
+  }
+
   test("asOfJoin plans one shuffle and no join operator") {
     val left = Seq((1L, ts(0), "x")).toDF("user_id", "ts", "tag")
     val right = Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "value")
