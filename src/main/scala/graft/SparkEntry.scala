@@ -1210,8 +1210,8 @@ ORDER BY doc_a, doc_b"""
         |    tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
         |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS term_rank
         |  FROM scored)
         |SELECT doc_id, term_rank, term, tf, df, score FROM r
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,

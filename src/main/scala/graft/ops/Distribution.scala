@@ -170,15 +170,23 @@ object Distribution {
     * all 64-bit integer ops (codegen'd built-ins, exact in any engine —
     * the oracle runs the identical ladder). 31 bits per dimension keeps
     * the result out of the sign bit, so BIGINT comparisons order the curve
-    * correctly everywhere.
+    * correctly everywhere. Out-of-domain inputs (negative, or >= 2^31)
+    * raise at execution rather than silently wrapping — a wrapped value
+    * lands at the far corner of the curve and quietly voids the tight
+    * per-file bounding boxes the layout exists for.
     */
   def zValue(a: Column, b: Column): Column = {
     def spread(c: Column): Column = {
+      val v = c.cast("long")
+      val checked = when(v < 0 || v > 0x7FFFFFFFL,
+        raise_error(concat(lit("zValue input out of [0, 2^31): "),
+          v.cast("string"))).cast("long"))
+        .otherwise(v)
       val masks = Seq(
         (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
         (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
         (1, 0x5555555555555555L))
-      masks.foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+      masks.foldLeft(checked) {
         case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
       }
     }

@@ -60,11 +60,19 @@ object Events {
       reached.zipWithIndex.map { case (r, i) =>
         count(when(r, lit(1))).as(s"n$i")
       }.tail: _*)
-    val spark = events.sparkSession
+    unpivotCounts(counts, steps)
+  }
+
+  /** Shared funnel tail: turn the single (n0..n_{k-1}) counts row into the
+    * (step, step_name, n_users) output. The crossJoin is 1-row × k-row —
+    * constant-size (allow-listed in PlanGuardSpec).
+    */
+  private def unpivotCounts(counts: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
     val stepsDf = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
-    counts.crossJoin(stepsDf) // 1-row × k-row: constant-size
+    counts.crossJoin(stepsDf)
       .select(col("step"), col("step_name"),
         steps.indices.map(i =>
           when(col("step") === i + 1, col(s"n$i"))).reduce(coalesce(_, _)).as("n_users"))
@@ -102,14 +110,7 @@ object Events {
     val counts = acc.agg(
       steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
       steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
-    val spark = events.sparkSession
-    import spark.implicits._
-    val stepsDf = steps.zipWithIndex
-      .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
-    counts.crossJoin(stepsDf)
-      .select(col("step"), col("step_name"),
-        steps.indices.map(i =>
-          when(col("step") === i + 1, col(s"n$i"))).reduce(coalesce(_, _)).as("n_users"))
+    unpivotCounts(counts, steps)
   }
 
   /** Cohort retention: users are cohorted by the week of their FIRST

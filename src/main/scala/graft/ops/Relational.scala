@@ -234,14 +234,24 @@ object Relational {
     */
   def revenueRollup(lineitem: DataFrame, part: DataFrame,
                     supplier: DataFrame, nation: DataFrame): DataFrame =
-    lineitem
+    groupedRevenue(lineitem, part, supplier, nation, _.rollup(_, _))
+
+  /** Shared join chain + agg for the grouping-sets family; `group` picks
+    * rollup vs cube so the two queries can never silently diverge.
+    */
+  private def groupedRevenue(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      group: (DataFrame, Column, Column) =>
+        org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
+    val joined = lineitem
       .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
       .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
       .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
-      .rollup(col("n_name").as("nation"), col("p_type").as("category"))
+    group(joined, col("n_name").as("nation"), col("p_type").as("category"))
       .agg(sumMoney(col("l_extendedprice")).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"),
         grouping_id().cast("int").as("grp"))
+  }
 
   /** CUBE twin of [[revenueRollup]]: all four grouping sets — (nation,
     * category), (nation), (category), () — in one pass. Spark plans
@@ -252,14 +262,7 @@ object Relational {
     */
   def revenueCube(lineitem: DataFrame, part: DataFrame,
                   supplier: DataFrame, nation: DataFrame): DataFrame =
-    lineitem
-      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
-      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
-      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
-      .cube(col("n_name").as("nation"), col("p_type").as("category"))
-      .agg(sumMoney(col("l_extendedprice")).cast("double").as("revenue"),
-        count(lit(1)).as("n_lines"),
-        grouping_id().cast("int").as("grp"))
+    groupedRevenue(lineitem, part, supplier, nation, _.cube(_, _))
 
   /** Mean and sample standard deviation from EXPLICIT exact sums —
     * sqrt((Σx² − (Σx)²/n) / (n−1)) evaluated as one double formula over
@@ -350,9 +353,10 @@ object Relational {
     * dim-broadcast join chain plus a non-key equi-condition
     * (c_nationkey = s_nationkey) enforced inside the supplier join.
     *
-    * Scale: region/nation/supplier/customer are dimension-sized →
-    * broadcast to the fact chain (orders⋈lineitem is the only big-big
-    * hash); the year filter prunes the orders scan at the source.
+    * Scale: region/nation/supplier are bounded dims → broadcast to the
+    * fact chain; customer is fact-proportional and left to AQE
+    * (auto-broadcast under the threshold, shuffled beyond — module
+    * policy); the year filter prunes the orders scan at the source.
     */
   def localSupplierVolume(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
@@ -362,7 +366,9 @@ object Relational {
       .filter(col("o_orderdate") >= lit(yearStart) &&
         col("o_orderdate") < lit(yearEnd))
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // customer is fact-proportional in TPC-H — left to AQE (module
+      // policy), unlike the bounded supplier/nation/region dims below
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supplier),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))

@@ -98,9 +98,16 @@ object Temporal {
       "point/interval column names must be disjoint")
     val p = points.withColumn("_bucket",
       floor(unix_millis(col(tsCol)) / bucketMs))
-    val i = intervals.withColumn("_bucket",
-      explode(sequence(floor(unix_millis(col(startCol)) / bucketMs),
-        floor((unix_millis(col(endCol)) - 1) / bucketMs))))
+    // Empty/inverted intervals ([start, end) with end <= start) match
+    // nothing — drop them BEFORE the explode: Spark's sequence() steps -1
+    // when start > stop, so a single dirty row (e.g. an epoch-zero end
+    // sentinel) would otherwise explode into millions of bucket rows that
+    // the exact predicate then discards.
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(floor(unix_millis(col(startCol)) / bucketMs),
+          floor((unix_millis(col(endCol)) - 1) / bucketMs))))
     p.join(i, Seq("_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")

@@ -186,19 +186,18 @@ object Corpus {
     * doc survive each partition BEFORE the window shuffle).
     */
   def distinctiveTerms(documents: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-    tf.join(broadcast(df), Seq("term"))
+    val scored = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * (col("n_docs").cast("double") / col("df")))
-      .withColumn("term_rank", row_number().over(w))
-      .filter(col("term_rank") <= k)
+    graft.ops.Relational
+      .topKPerGroup(scored, Seq("doc_id"), Seq(desc("score"), asc("term")), k)
+      .withColumnRenamed("rank", "term_rank")
       .select("doc_id", "term_rank", "term", "tf", "df", "score")
   }
 
@@ -251,11 +250,10 @@ object Corpus {
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int = 3,
       minOverlap: Int = 1): DataFrame = {
-    val sh = (d: DataFrame) => array_distinct(shingles(tokens(col("text")), n))
-    val benchShingles = benchmark
-      .select(explode(sh(benchmark)).as("sh")).distinct()
+    val sh = array_distinct(shingles(tokens(col("text")), n))
+    val benchShingles = benchmark.select(explode(sh).as("sh")).distinct()
     val overlap = train
-      .select(col("doc_id"), explode(sh(train)).as("sh"))
+      .select(col("doc_id"), explode(sh).as("sh"))
       .join(broadcast(benchShingles), Seq("sh"))
       // per-doc shingles are pre-distinct'd, so a plain count is the
       // distinct-overlap count

@@ -83,6 +83,16 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (4L, 20L)))
   }
 
+  test("intervalJoin drops inverted intervals instead of exploding them") {
+    val points = Seq((1L, ts(5))).toDF("pid", "pts")
+    // inverted (end before start by ~11 years of buckets) and empty
+    val ivals = Seq((1L, ts(0), new Timestamp(0L)), (2L, ts(5), ts(5)))
+      .toDF("wid", "w_start", "w_end")
+    val out = Temporal.intervalJoin(points, ivals, "pts", "w_start", "w_end",
+      bucketMs = 60000L)
+    assert(out.count() == 0)
+  }
+
   test("intervalJoin equals the naive inequality join on random data, no nested loop") {
     val rng = new scala.util.Random(404)
     val points = (1L to 300L).map(i => (i, ts(rng.nextInt(500)))).toDF("pid", "pts")
