@@ -390,6 +390,12 @@ object SparkEntry {
       Corpus.mixtureResample(t(s, dir, "documents"), MixWeights.toMap)
         .orderBy("doc_id", "copy_idx")),
 
+    // Skew audit: top-20 heaviest user_ids with row share — the
+    // measurement behind the salt/AQE decision.
+    "q_skew_audit" -> ((s, dir) =>
+      ops.Distribution.skewAudit(t(s, dir, "events"), "user_id", k = 20)
+        .orderBy("hot_rank")),
+
     // Unkeyed interval join via bucket expansion (the bin-the-range
     // strategy): every 50th event opens a 10-minute window; count events
     // per window. Naive form would plan nested-loop.
@@ -1123,6 +1129,16 @@ ORDER BY doc_a, doc_b"""
         |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
         |SELECT u AS doc_id, min(v) AS component
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    // hot_rank CAST AS INT (row_number is BIGINT in DuckDB, int32 in
+    // Spark); share = one double division on both sides.
+    "q_skew_audit" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS hot_rank,
+        |  user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
+        |FROM top, t ORDER BY hot_rank""".stripMargin,
 
     // DuckDB's native inequality join (IEJoin) is the oracle for the
     // bucket-expansion strategy.

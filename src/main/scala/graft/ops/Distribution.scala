@@ -163,6 +163,32 @@ object Distribution {
     * sketch itself transits the driver (~1.2 MB per 10⁶ keys at 1%) —
     * the same trade Spark's own InjectRuntimeFilter makes.
     */
+  /** Key-skew audit — the measurement that decides between a plain hash
+    * join, [[saltedJoin]], and AQE skew handling: the top-k heaviest keys
+    * of a prospective join/group column with each key's row count and
+    * share of the table. A `share` approaching 1/shufflePartitions means
+    * that key alone fills a reduce task; several such keys → salt or
+    * raise AQE's skew thresholds.
+    *
+    * Scale: one map-side-combinable count shuffle (one row per distinct
+    * key), top-k via TakeOrderedAndProject, and a constant k×1 join to
+    * attach the total — the audit never materializes more than k rows
+    * past the count.
+    */
+  def skewAudit(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .orderBy(desc("cnt"), asc(keyCol))
+      .limit(k)
+      .crossJoin(broadcast(total)) // k-row × 1-row: constant-size
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .withColumn("hot_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), asc(keyCol))))
+      .select(col("hot_rank"), col(keyCol), col("cnt"), col("share"))
+  }
+
   /** Morton (Z-order) interleave of the low 31 bits of two non-negative
     * integer dimensions into one 62-bit curve value — the multi-dimensional
     * clustering key behind Z-ordered layouts. Computed with the classic

@@ -90,6 +90,14 @@ class DistributionSpec extends SparkSpec {
     assert(sameName == plain)
   }
 
+  test("skewAudit: exact counts, shares, and deterministic hot ranking") {
+    val df = (Seq.fill(6)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L))
+      .toDF("k")
+    val out = Distribution.skewAudit(df, "k", k = 2)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1, 10L, 6L, 0.6), (2, 20L, 3L, 0.3)))
+  }
+
   test("zValue: interleaves bits in Morton order") {
     val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 5L))
       .toDF("a", "b")
