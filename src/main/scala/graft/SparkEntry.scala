@@ -435,6 +435,16 @@ object SparkEntry {
           ops.Distribution.zValue(col("p_partkey"), col("p_size")).as("z"))
         .orderBy("z", "p_partkey")),
 
+    // 3-D Morton value (partkey × size × whole-dollar price) — the
+    // multi-dimensional clustering key of zValueN.
+    "q_zorder3" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          floor(col("p_retailprice")).as("price_usd"),
+          ops.Distribution.zValueN(Seq(col("p_partkey"), col("p_size"),
+            floor(col("p_retailprice")))).as("z"))
+        .orderBy("z", "p_partkey")),
+
     // Benchmark decontamination: distinct-3-gram overlap of each train
     // doc against the held-out benchmark slice (doc_id % 97 == 0).
     "q_decontaminate" -> ((s, dir) => {
@@ -1192,6 +1202,20 @@ ORDER BY doc_a, doc_b"""
         }
       s"""SELECT p_partkey, p_size,
          |  ${spread("p_partkey")} | (${spread("p_size")} << 1) AS z
+         |FROM part ORDER BY z, p_partkey""".stripMargin
+    },
+
+    // Flat OR of the same (bit << i*k+d) terms as zValueN.
+    "q_zorder3" -> {
+      val dims = Seq("CAST(p_partkey AS BIGINT)", "CAST(p_size AS BIGINT)",
+        "CAST(floor(p_retailprice) AS BIGINT)")
+      val terms = for {
+        (x, d) <- dims.zipWithIndex
+        i <- 0 until 20
+      } yield s"((($x >> $i) & 1) << ${i * 3 + d})"
+      s"""SELECT p_partkey, p_size,
+         |  CAST(floor(p_retailprice) AS BIGINT) AS price_usd,
+         |  ${terms.mkString(" | ")} AS z
          |FROM part ORDER BY z, p_partkey""".stripMargin
     },
 

@@ -219,6 +219,34 @@ object Distribution {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** N-dimensional Morton interleave: bit i of dimension d lands at
+    * output bit i·k + d, using ⌊62/k⌋ bits per dimension (the 2-D case
+    * reproduces [[zValue]] bit for bit — property-tested). Built as a
+    * flat OR of shift/mask terms — all 64-bit integer ops, codegen'd,
+    * engine-exact. Same out-of-domain behavior as [[zValue]]: raise, not
+    * wrap. Practical k is 2-4: each extra dimension costs bits of
+    * per-dimension resolution (62/k), which is the curve's real trade —
+    * more pruned dimensions, coarser boxes per dimension.
+    */
+  def zValueN(dims: Seq[Column]): Column = {
+    val k = dims.size
+    require(k >= 2 && k <= 6, s"zValueN supports 2-6 dimensions, got $k")
+    val bits = 62 / k
+    val max = 1L << bits
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      v = {
+        val x = c.cast("long")
+        when(x < 0 || x >= max,
+          raise_error(concat(lit(s"zValueN dim $d out of [0, 2^$bits): "),
+            x.cast("string"))).cast("long"))
+          .otherwise(x)
+      }
+      i <- 0 until bits
+    } yield shiftleft(shiftright(v, i).bitwiseAND(lit(1L)), i * k + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Z-ordered parquet layout: range-partition then sort by the Morton
     * value of two filter dimensions, so every output file covers a tight
     * bounding BOX in (a, b) space — parquet footer min/max stats on BOTH

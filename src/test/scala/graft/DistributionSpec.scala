@@ -107,6 +107,23 @@ class DistributionSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 3L, 14L, 39L))
   }
 
+  test("zValueN reproduces the 2-D ladder bit for bit, and is a bijection in 3-D") {
+    val rng = new scala.util.Random(77)
+    val pairs = Seq.fill(200)((rng.nextInt(Int.MaxValue).toLong,
+      rng.nextInt(Int.MaxValue).toLong))
+    val both = pairs.toDF("a", "b")
+      .select(Distribution.zValue(col("a"), col("b")).as("ladder"),
+        Distribution.zValueN(Seq(col("a"), col("b"))).as("generic"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (l, g) => l == g })
+    val grid3 = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)
+    val zs = grid3.toDF("a", "b", "c")
+      .select(Distribution.zValueN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .as[Long].collect().toSet
+    assert(zs.size == 512 && zs.min == 0L && zs.max == 511L)
+  }
+
   test("zValue is monotone along each axis within the curve's locality blocks") {
     // within any 2^k-aligned block, z of (a,b) < z of (a+block, b) etc.;
     // spot-check global property: z is a bijection on a 32x32 grid
