@@ -142,27 +142,6 @@ object Distribution {
     rows
   }
 
-  /** Bloom-prefiltered anti-join — the runtime-filter pattern applied to
-    * the reference's J4 idempotency guard, where it matters most at
-    * 100 TB: `staged ANTI JOIN fact ON order_id` shuffles the ENTIRE fact
-    * table every 15-minute run just to prove most staged rows are new.
-    *
-    * Instead: (1) build a bloom sketch of the filter side's keys as a
-    * distributed aggregate (map-side partial blooms, one merged row — the
-    * filter side is SCANNED but never SHUFFLED); (2) inline the sketch as
-    * a binary literal and probe it in the big side's scan (codegen'd
-    * `might_contain`, no UDF); (3) rows the bloom rejects are DEFINITELY
-    * new (blooms have no false negatives) and skip the join entirely;
-    * only the `maybe` sliver (true matches + fpp false positives) goes
-    * through the exact anti-join. Result is EXACTLY the plain anti-join —
-    * the bloom only routes rows — which is what the oracle checks.
-    * NULL big-side keys route to the maybe branch, preserving anti-join's
-    * null semantics (a null key never matches, so the row is kept).
-    *
-    * `expectedItems` sizes the sketch (default 1% fpp at that count); the
-    * sketch itself transits the driver (~1.2 MB per 10⁶ keys at 1%) —
-    * the same trade Spark's own InjectRuntimeFilter makes.
-    */
   /** Key-skew audit — the measurement that decides between a plain hash
     * join, [[saltedJoin]], and AQE skew handling: the top-k heaviest keys
     * of a prospective join/group column with each key's row count and
@@ -176,6 +155,10 @@ object Distribution {
     * past the count.
     */
   def skewAudit(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    // the audit's own output names would silently shadow (share/hot_rank)
+    // or ambiguate (cnt/total) a key column of the same name
+    require(!Set("cnt", "total", "share", "hot_rank").contains(keyCol),
+      s"skewAudit emits cnt/total/share/hot_rank; rename key column '$keyCol' first")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     counts
@@ -270,6 +253,27 @@ object Distribution {
       .write.mode(mode).parquet(path)
   }
 
+  /** Bloom-prefiltered anti-join — the runtime-filter pattern applied to
+    * the reference's J4 idempotency guard, where it matters most at
+    * 100 TB: `staged ANTI JOIN fact ON order_id` shuffles the ENTIRE fact
+    * table every 15-minute run just to prove most staged rows are new.
+    *
+    * Instead: (1) build a bloom sketch of the filter side's keys as a
+    * distributed aggregate (map-side partial blooms, one merged row — the
+    * filter side is SCANNED but never SHUFFLED); (2) inline the sketch as
+    * a binary literal and probe it in the big side's scan (codegen'd
+    * `might_contain`, no UDF); (3) rows the bloom rejects are DEFINITELY
+    * new (blooms have no false negatives) and skip the join entirely;
+    * only the `maybe` sliver (true matches + fpp false positives) goes
+    * through the exact anti-join. Result is EXACTLY the plain anti-join —
+    * the bloom only routes rows — which is what the oracle checks.
+    * NULL big-side keys route to the maybe branch, preserving anti-join's
+    * null semantics (a null key never matches, so the row is kept).
+    *
+    * `expectedItems` sizes the sketch (default 1% fpp at that count); the
+    * sketch itself transits the driver (~1.2 MB per 10⁶ keys at 1%) —
+    * the same trade Spark's own InjectRuntimeFilter makes.
+    */
   def bloomAntiJoin(big: DataFrame, filterSide: DataFrame,
                     bigKey: String, filterKey: String,
                     expectedItems: Long = 1000000L): DataFrame = {
