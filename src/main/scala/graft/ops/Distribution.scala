@@ -274,6 +274,21 @@ object Distribution {
     * sketch itself transits the driver (~1.2 MB per 10⁶ keys at 1%) —
     * the same trade Spark's own InjectRuntimeFilter makes.
     */
+  /** N-dimensional [[writeZOrdered]]: same range-partition + local sort,
+    * keyed on [[zValueN]] over `cols` — every file covers a tight
+    * k-dimensional bounding box, at ⌊62/k⌋ bits of per-dimension
+    * resolution.
+    */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], path: String,
+                     nFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!df.columns.contains("_z"), "input already has a _z column")
+    df.withColumn("_z", zValueN(cols.map(col)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(path)
+  }
+
   def bloomAntiJoin(big: DataFrame, filterSide: DataFrame,
                     bigKey: String, filterKey: String,
                     expectedItems: Long = 1000000L): DataFrame = {

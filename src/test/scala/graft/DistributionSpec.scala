@@ -170,6 +170,33 @@ class DistributionSpec extends SparkSpec {
     assert(zSurv * 2 <= linSurv, s"zSurv=$zSurv linSurv=$linSurv")
   }
 
+  test("writeZOrderedN: 3-D layout prunes on the LAST axis where a-sorted cannot") {
+    // range boundaries are sampled, so files straddle curve octants and a
+    // per-file all-axes-tight assertion is too strict; assert the thing
+    // the layout is FOR — a predicate on the last dimension skips at
+    // least half the files, while the single-column layout reads them all
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    val n = 16
+    val grid = (for (a <- 0L until n; b <- 0L until n; c <- 0L until n)
+      yield (a, b, c)).toDF("a", "b", "c")
+    Distribution.writeZOrderedN(grid, Seq("a", "b", "c"), s"$root/z", nFiles = 32)
+    // (a, b) composite range — 256 distinct prefixes fill all 32 files,
+    // still full-width (never pruning) on c
+    grid.repartitionByRange(32, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.parquet(s"$root/lin")
+    def survivors(path: String): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("c").as("lo"))
+        .filter(col("lo") < n / 4)
+        .count().toInt
+    val zSurv = survivors(s"$root/z")
+    val linSurv = survivors(s"$root/lin")
+    assert(linSurv == 32, s"a-sorted layout should never prune on c, got $linSurv")
+    assert(zSurv * 2 <= linSurv, s"zSurv=$zSurv linSurv=$linSurv")
+  }
+
   test("compactParquet: fewer files, identical rows, layout preserved") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val path = s"$root/t"
