@@ -479,6 +479,12 @@ object SparkEntry {
       Relational.hourlyMetricsApprox(t(s, dir, "events"))
         .orderBy("metric_hour")),
 
+    // Character-entropy gibberish detector. log2 is transcendental →
+    // last-ulp libm divergence cross-engine (recorded oracle rule), so
+    // rows-only check; exact values pinned in TextOpsSpec instead.
+    "q_char_entropy" -> ((s, dir) =>
+      TextStats.charEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
     "q_topk_per_lang" -> ((s, dir) =>

@@ -59,6 +59,35 @@ object TextStats {
       (lenScore * lit(0.5) + stopRatio * lit(0.3) + ttr * lit(0.2)).as("quality_score"))
   }
 
+  /** Character-distribution entropy per document — the classic gibberish /
+    * boilerplate detector (natural prose sits near the language's
+    * characteristic entropy; runs of one symbol, base64 blobs, and
+    * keyboard mash sit far below or above it). Computed distributed:
+    * explode characters, one (doc, char) count aggregate, then
+    * -Σ p·log2(p) as a per-doc sum — two shuffles keyed on doc_id, both
+    * map-side combinable, counts bounded by alphabet size per doc.
+    *
+    * log2 is a transcendental: its last ulp differs across libm builds,
+    * so this column is NOT cross-engine hash-comparable (recorded oracle
+    * rule) — the query ships with a rows-only check and the spec pins
+    * exact values against the same JVM libm Spark uses.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val total = sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))
+    counts
+      .withColumn("p", col("cnt").cast("double") / total)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_distinct_chars"),
+        (-sum(col("p") * log(2.0, col("p")))).as("char_entropy_bits"))
+  }
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

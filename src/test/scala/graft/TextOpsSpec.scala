@@ -162,6 +162,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(r.fieldIndex("text_len")) == 8)
   }
 
+  test("charEntropy: uniform/degenerate distributions hit their exact entropies") {
+    val out = graft.ops.text.TextStats.charEntropy(Seq(
+      (1L, "aaaa"),     // one symbol: H = 0
+      (2L, "abab"),     // two equiprobable: H = 1 bit
+      (3L, "abcd"))     // four equiprobable: H = 2 bits
+      .toDF("doc_id", "text"))
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 1), (2L, 2), (3L, 4)))
+    val ent = out.map(_._3)
+    assert(math.abs(ent(0) - 0.0) < 1e-12 && math.abs(ent(1) - 1.0) < 1e-12 &&
+      math.abs(ent(2) - 2.0) < 1e-12, s"entropies $ent")
+  }
+
   test("clusterComponents: chains converge to the min label") {
     // two components: a 5-chain (needs multiple propagation rounds) and a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
