@@ -60,12 +60,18 @@ object Bench {
       val err = reps.collectFirst { case (_, Some(e)) => e }
       (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err)
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    // The harness records only the last ~2000 chars of output; round 4's
+    // full-precision line (~2.2k chars for 67 queries) overflowed that
+    // window and the official bench number was lost ("parsed": null).
+    // 2-decimal per-query times keep the line ~1.6k chars — centiseconds
+    // are already below this box's run-to-run noise.
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"${sfDir}"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"${sfDir}"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
