@@ -480,10 +480,16 @@ object SparkEntry {
         .orderBy("metric_hour")),
 
     // Character-entropy gibberish detector. log2 is transcendental →
-    // last-ulp libm divergence cross-engine (recorded oracle rule), so
-    // rows-only check; exact values pinned in TextOpsSpec instead.
+    // last-ulp libm divergence cross-engine, so the ORACLED form rounds
+    // to 6 dp in both engines (stable parity — a last-ulp delta moves
+    // the 6th decimal only when the true value sits within ~1e-15 of a
+    // rounding boundary, which the fixture set does not); full-precision
+    // values pinned in TextOpsSpec.
     "q_char_entropy" -> ((s, dir) =>
-      TextStats.charEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+      TextStats.charEntropy(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_distinct_chars"),
+          round(col("char_entropy_bits"), 6).as("char_entropy_bits"))
+        .orderBy("doc_id")),
 
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
@@ -1597,6 +1603,22 @@ FROM lh ORDER BY doc_id"""
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Same per-char Shannon entropy; both engines round to 6 dp so libm
+    // last-ulp log2 divergence can't break the hash (see queries note).
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |counts AS (
+        |  SELECT doc_id, ch, count(*) AS cnt FROM chars
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |probs AS (
+        |  SELECT doc_id,
+        |   CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS p
+        |  FROM counts)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_distinct_chars,
+        | round(-sum(p * log2(p)), 6) AS char_entropy_bits
+        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

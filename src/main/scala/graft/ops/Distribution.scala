@@ -73,6 +73,25 @@ object Distribution {
     saltedBig.join(replicatedSmall, Seq(key, saltCol), joinType).drop(saltCol)
   }
 
+  /** Audit-driven join — [[skewAudit]] wired into the [[saltedJoin]]
+    * decision, the measured-then-chosen form of the skew story: measure
+    * the big side's hottest key share; if it exceeds `maxShare` (i.e. one
+    * key alone would overfill a reduce task — 1/shufflePartitions is the
+    * natural threshold), salt; otherwise plain join. The audit costs one
+    * map-side-combinable count shuffle and moves ONE row to the driver —
+    * at 100 TB that is the cheap insurance against a 10⁸-row hot key
+    * sinking the whole join, and it is skipped entirely when the caller
+    * already knows the skew (call [[saltedJoin]] directly).
+    */
+  def adaptiveSkewJoin(big: DataFrame, small: DataFrame, key: String,
+                       maxShare: Double = 0.05, salts: Int = 16,
+                       joinType: String = "inner"): DataFrame = {
+    val hottest = skewAudit(big, key, k = 1)
+      .select(col("share")).collect().headOption.map(_.getDouble(0))
+    if (hottest.exists(_ > maxShare)) saltedJoin(big, small, key, salts, joinType)
+    else big.join(small, Seq(key), joinType)
+  }
+
   /** Compact a parquet directory's small files: every 15-minute append
     * (the reference's cadence) lands another file per partition, and a
     * year of that is ~35k files per partition — file-listing and task
@@ -80,8 +99,19 @@ object Distribution {
     * `ceil(bytes / targetBytes)` files via a temp-dir swap (write temp →
     * atomic-ish rename), preserving the `partitionBy` layout. Row content
     * is unchanged (asserted in DistributionSpec); only file count and
-    * ordering change. Run it as the maintenance job between incremental
-    * appends — never concurrently with a writer.
+    * ordering change.
+    *
+    * Concurrency contract — writers AND readers: the swap is two renames
+    * (live → .bak, tmp → live), so there is a sub-second window where the
+    * live path does not exist; a reader listing files in that window
+    * fails, and one that listed files BEFORE the swap fails later when its
+    * tasks open now-renamed files. Run compaction as the exclusive
+    * maintenance job between incremental appends, with no concurrent
+    * writer or reader on the dataset. Fully online compaction needs a
+    * metadata layer that commits file swaps atomically (a table format's
+    * snapshot/manifest — e.g. the pattern Iceberg/Delta use); a bare
+    * parquet directory cannot express it, which is exactly why those
+    * formats exist at warehouse scale.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024,
@@ -101,10 +131,18 @@ object Distribution {
         // ceil(dirBytes / targetBytes) salt buckets from its own on-disk
         // footprint, so a 10 GB date compacts to ~80 files while a 10 MB
         // date gets exactly one.
+        // Directory names are Hive-ESCAPED partition values: a space is
+        // %20, a colon %3A, and NULL is __HIVE_DEFAULT_PARTITION__. The
+        // data rows carry the UNESCAPED value, so match on the unescaped
+        // form (null via <=>) — comparing raw dir names would silently
+        // miss every such partition and fall back to one file per dir.
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         val perValue = fs.listStatus(p).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$c="))
           .map { s =>
-            val v = s.getPath.getName.stripPrefix(s"$c=")
+            val raw = s.getPath.getName.stripPrefix(s"$c=")
+            val v = if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+                    else ExternalCatalogUtils.unescapePathName(raw)
             val b = fs.getContentSummary(s.getPath).getLength
             (v, math.max(1L, math.ceil(b.toDouble / targetBytes).toLong))
           }
@@ -112,7 +150,7 @@ object Distribution {
         import spark.implicits._
         val countsDf = broadcast(perValue.toDF("_cp_value", "_cp_files"))
         val salted = df
-          .join(countsDf, col(c).cast("string") === col("_cp_value"), "left")
+          .join(countsDf, col(c).cast("string") <=> col("_cp_value"), "left")
           .withColumn("_cp_salt",
             pmod(xxhash64(struct(df.columns.map(col): _*)),
               coalesce(col("_cp_files"), lit(1L))))

@@ -33,16 +33,13 @@ object Events {
     require(steps.nonEmpty, "funnel needs at least one step")
     // per (user, step-type) earliest occurrence — one shuffle on user_id
     // with map-side combine; the per-user row is k columns wide
+    val minCols = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t$i")
+    }
     val mins = events
       .filter(col("event_type").isin(steps: _*))
       .groupBy("user_id")
-      .agg(
-        steps.zipWithIndex.map { case (s, i) =>
-          min(when(col("event_type") === s, col("ts"))).as(s"t$i")
-        }.head,
-        steps.zipWithIndex.map { case (s, i) =>
-          min(when(col("event_type") === s, col("ts"))).as(s"t$i")
-        }.tail: _*)
+      .agg(minCols.head, minCols.tail: _*)
     // greedy chain on the earliest-per-type minima: reached(k) iff
     // reached(k-1) and t_k strictly after t_{k-1}. NOTE this is the
     // "earliest event per type" funnel (each step's timestamp is the
@@ -53,13 +50,10 @@ object Events {
         acc && col(s"t$j").isNotNull && col(s"t$j") < col(s"t${j + 1}")
       }
     }
-    val counts = mins.agg(
-      reached.zipWithIndex.map { case (r, i) =>
-        count(when(r, lit(1))).as(s"n$i")
-      }.head,
-      reached.zipWithIndex.map { case (r, i) =>
-        count(when(r, lit(1))).as(s"n$i")
-      }.tail: _*)
+    val countCols = reached.zipWithIndex.map { case (r, i) =>
+      count(when(r, lit(1))).as(s"n$i")
+    }
+    val counts = mins.agg(countCols.head, countCols.tail: _*)
     unpivotCounts(counts, steps)
   }
 
@@ -107,9 +101,8 @@ object Events {
         .groupBy("user_id")
         .agg(aggCols.head, aggCols.tail: _*)
     }
-    val counts = acc.agg(
-      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).head,
-      steps.indices.map(i => count(col(s"t$i")).as(s"n$i")).tail: _*)
+    val countCols = steps.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val counts = acc.agg(countCols.head, countCols.tail: _*)
     unpivotCounts(counts, steps)
   }
 

@@ -167,62 +167,103 @@ object Dedup {
     * component keeps/drops together, with `component` (= the min doc_id
     * reachable) as the cluster's canonical representative.
     *
-    * Distributed min-label propagation: each iteration every node takes
-    * the min of its own label and its neighbors' (one join + one grouped
-    * min over the symmetric edge list), until a fixpoint. Iterations =
-    * graph diameter; near-dup clusters are short chains, so convergence
-    * is fast (the large-star/small-star contraction is the documented
-    * upgrade for adversarially long chains at 100 TB). Per-iteration
-    * `localCheckpoint` cuts the lineage so plan size stays O(1) across
-    * iterations (executor-local blocks — rerun the job on executor loss,
-    * the standard trade for iterative jobs; use reliable checkpointing on
-    * a real cluster for long chains). The fixpoint test is a `limit(1)`
-    * existence probe, not a full count.
+    * Alternating large-star/small-star contraction (the two-operation
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires every edge
+    * toward the minimum id seen in its neighborhood —
+    *
+    *   large-star: per node u, connect every LARGER neighbor to
+    *               m = min(N(u) ∪ {u})  (pointer-doubling across chains)
+    *   small-star: per node u, connect every smaller-or-equal neighbor
+    *               (and u itself) to m
+    *
+    * — until the edge set is a fixpoint, which is exactly a star forest
+    * rooted at each component's minimum id. Rounds are O(log n) even on
+    * adversarial chain/path graphs (where plain min-label propagation
+    * needs diameter = O(n) rounds and used to hard-fail here past 25 —
+    * a real 100 TB failure mode, since one pathological dup chain in a
+    * web-scale corpus would sink the whole job). Each half-round is one
+    * grouped min + one join + one distinct over the edge list; edges
+    * carry two longs, never document content. Per-round `localCheckpoint`
+    * cuts lineage so plan size stays O(1) across rounds (executor-local
+    * blocks — rerun the job on executor loss, the standard trade for
+    * iterative jobs; use reliable checkpointing on a real cluster).
     *
     * Input: (doc_a, doc_b) pairs from any near-dup family. Output:
     * (doc_id, component) for every doc appearing in some pair — docs with
     * no near-dup are implicitly their own singleton component.
     */
   def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Symmetrize with ONE explode over ONE evaluation of `pairs` (a
-    // union of two selects would run the upstream near-dup pipeline
-    // twice before any cache materializes), then checkpoint eagerly —
-    // every iteration reuses the materialized edge list.
-    val edges = pairs
-      .select(explode(array(
-        struct(col("doc_a").as("u"), col("doc_b").as("v")),
-        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // ONE evaluation of `pairs` (the upstream near-dup pipeline is the
+    // expensive part) feeds both derived tables below.
+    val base = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // Node set from the RAW pairs (before self-pair removal) so every doc
+    // that appears in some pair gets a label row, self-paired docs included.
+    val nodes = base
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Canonical orientation (larger endpoint first) halves the edge list
+    // vs a symmetric one and is the form small-star consumes directly.
+    var edges = base
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
+    base.unpersist()
+
+    // per node u over the SYMMETRIC neighborhood: every neighbor v > u
+    // re-points to m = min(N(u) ∪ {u}); emitted (v, m) stays canonical
+    // since v > u >= m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // per node u over its smaller neighbors (the canonical list as-is):
+    // every v ∈ N(u) and u itself re-point to m = min(N(u)); both emitted
+    // shapes stay canonical (v >= m with v = m dropped; u > m always).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
     var converged = false
     var iter = 0
-    var prevCheckpoint = labels
+    var cnt = edges.count()
     while (!converged && iter < maxIter) {
-      val msgs = edges.join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("id"), col("label"), lit(0).as("self"))
-      // The node's previous label rides along (`self` marker) so the
-      // convergence probe is a filter over the checkpointed result — no
-      // separate probe join per iteration.
-      val next = labels.withColumn("self", lit(1))
-        .unionByName(msgs)
-        .groupBy("id")
-        .agg(min("label").as("label"),
-          max(when(col("self") === 1, col("label"))).as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") < col("prev")).limit(1).count() == 0
-      // drop the superseded iteration's blocks — otherwise up to maxIter
-      // label tables sit in executor storage for the whole computation
-      prevCheckpoint.unpersist()
-      prevCheckpoint = next
-      labels = next.select("id", "label")
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      ls.unpersist()
+      // Both sides are distinct sets, so equal count + empty one-way
+      // except ⇔ set equality ⇔ fixpoint (= star forest).
+      val nextCnt = next.count()
+      converged = nextCnt == cnt &&
+        next.except(edges).limit(1).count() == 0
+      // drop the superseded round's blocks — otherwise up to maxIter
+      // edge tables sit in executor storage for the whole computation
+      edges.unpersist()
+      edges = next
+      cnt = nextCnt
       iter += 1
     }
     require(converged, s"component labels did not converge in $maxIter iterations")
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
+    // Fixpoint edges are exactly (member, component-min) — one row per
+    // non-root member. Roots and self-paired docs label themselves.
+    nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** Survivorship resolution — the step that turns near-dup CLUSTERS into

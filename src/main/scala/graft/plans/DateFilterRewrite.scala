@@ -126,10 +126,17 @@ object DateFilterRewrite extends Rule[LogicalPlan] {
     case f @ Filter(cond, _) =>
       val rewritten = cond transform {
         // ---- date_trunc(unit, ts) ⋈ aligned timestamp literal ----
-        case e @ EqualTo(TruncTs(u, ts, tz), Literal(t: Long, TimestampType)) =>
+        // Equality rewrites DUPLICATE the ts operand (ts >= lo AND ts < hi):
+        // a non-deterministic operand would be evaluated twice with
+        // different values, changing semantics — gate on ts.deterministic,
+        // as Spark's own operand-duplicating rewrites do. The single-
+        // comparison rewrites below keep one occurrence and need no guard.
+        case e @ EqualTo(TruncTs(u, ts, tz), Literal(t: Long, TimestampType))
+            if ts.deterministic =>
           truncBounds(u, t, tz).fold(e: Expression) { case (lo, hi) =>
             And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi)) }
-        case e @ EqualTo(Literal(t: Long, TimestampType), TruncTs(u, ts, tz)) =>
+        case e @ EqualTo(Literal(t: Long, TimestampType), TruncTs(u, ts, tz))
+            if ts.deterministic =>
           truncBounds(u, t, tz).fold(e: Expression) { case (lo, hi) =>
             And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi)) }
 
@@ -153,10 +160,12 @@ object DateFilterRewrite extends Rule[LogicalPlan] {
           if (aligned(u, t, tz)) GreaterThanOrEqual(ts, Literal(t, TimestampType)) else e
 
         // ---- year(ts) ⋈ integer literal ----
-        case e @ EqualTo(YearOfTs(ts, tz), Literal(y: Int, _)) =>
+        case e @ EqualTo(YearOfTs(ts, tz), Literal(y: Int, _))
+            if ts.deterministic =>
           (for (lo <- jan1(y, tz); hi <- jan1(y + 1, tz))
             yield And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi))).getOrElse(e)
-        case e @ EqualTo(Literal(y: Int, _), YearOfTs(ts, tz)) =>
+        case e @ EqualTo(Literal(y: Int, _), YearOfTs(ts, tz))
+            if ts.deterministic =>
           (for (lo <- jan1(y, tz); hi <- jan1(y + 1, tz))
             yield And(GreaterThanOrEqual(ts, lo), LessThan(ts, hi))).getOrElse(e)
         case e @ GreaterThanOrEqual(YearOfTs(ts, tz), Literal(y: Int, _)) =>

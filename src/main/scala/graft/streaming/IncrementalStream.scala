@@ -53,23 +53,52 @@ object IncrementalStream {
   def runAvailableNow(spark: SparkSession, landingDir: String,
                       wh: Incremental.Warehouse, checkpoint: String,
                       archiveDir: Option[String] = None): StreamingQuery = {
-    val dimCustomers = readDimOr(spark, wh.dimCustomers, Sources.customersSchema)
-    val dimProducts = readDimOr(spark, wh.dimProducts, Sources.productsSchema)
     val q = ordersStream(spark, landingDir, archiveDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Nested.factTransform(batch, dimCustomers, dimProducts)
-            .write.mode(SaveMode.Append).partitionBy("order_date")
-            .parquet(wh.factOrders)
-        }
-        ()
-      }
+      .foreachBatch(factAppendBatch(spark, wh))
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** Resident form of [[runAvailableNow]]: the same source, transform, and
+    * sink, but `Trigger.ProcessingTime` keeps the driver alive and polls
+    * the landing dir every `interval` — the reference's 15-minute cron as
+    * one long-lived query instead of repeated restarts (checkpoint
+    * recovery still covers a crash mid-run). Returns the RUNNING query;
+    * the caller owns its lifecycle (`stop()` / `awaitTermination`).
+    * Exercised (two live ticks, 1 s interval) in StreamingSpec.
+    */
+  def runResident(spark: SparkSession, landingDir: String,
+                  wh: Incremental.Warehouse, checkpoint: String,
+                  interval: String = "15 minutes",
+                  archiveDir: Option[String] = None): StreamingQuery =
+    ordersStream(spark, landingDir, archiveDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch(factAppendBatch(spark, wh))
+      .start()
+
+  /** Shared sink of the AvailableNow and resident runners: each micro-batch
+    * flows through the batch pipeline's fact transform and appends,
+    * date-partitioned, to the warehouse. Dims are resolved once at stream
+    * start (the cron-parity contract — a restart picks up refreshed dims).
+    */
+  private def factAppendBatch(spark: SparkSession,
+                              wh: Incremental.Warehouse): (DataFrame, Long) => Unit = {
+    val dimCustomers = readDimOr(spark, wh.dimCustomers, Sources.customersSchema)
+    val dimProducts = readDimOr(spark, wh.dimProducts, Sources.productsSchema)
+    (batch: DataFrame, _: Long) => {
+      if (!batch.isEmpty) {
+        Nested.factTransform(batch, dimCustomers, dimProducts)
+          .write.mode(SaveMode.Append).partitionBy("order_date")
+          .parquet(wh.factOrders)
+      }
+      ()
+    }
   }
 
   private def readDimOr(spark: SparkSession, path: String,

@@ -78,6 +78,31 @@ class DateFilterRewriteSpec extends SparkSpec {
     }
   }
 
+  test("non-deterministic ts operands suppress the duplicating equality rewrite") {
+    // the equality rewrite expands to (ts >= lo AND ts < hi) — TWO
+    // evaluations of ts. A non-deterministic operand would see two
+    // different values, so the rule must leave such filters alone.
+    val ndTs = timestamp_seconds((rand(7) * lit(1e9)).cast("long"))
+    val detTs = timestamp_seconds($"id" * 7200L)
+    def optimized(q: org.apache.spark.sql.Dataset[_]): String =
+      q.queryExecution.optimizedPlan.toString
+    withRule {
+      val nd = spark.range(100)
+        .filter(date_trunc("hour", ndTs) === tsLit("2020-01-03 04:00:00"))
+      assert(optimized(nd).contains("date_trunc"),
+        s"non-deterministic operand must stay unrewritten:\n${optimized(nd)}")
+      val ndYear = spark.range(100).filter(year(ndTs) === 2020)
+      assert(optimized(ndYear).contains("year"),
+        s"non-deterministic year operand must stay unrewritten:\n${optimized(ndYear)}")
+      // deterministic inline expressions still rewrite (guard is precise)
+      val det = spark.range(100)
+        .filter(date_trunc("hour", detTs) === tsLit("1970-01-03 04:00:00"))
+      assert(!optimized(det).contains("date_trunc"),
+        s"deterministic operand should rewrite:\n${optimized(det)}")
+      assert(det.count() == 1L) // id=26 → 52h = 1970-01-03 04:00 UTC exactly
+    }
+  }
+
   test("timezone- and DST-awareness") {
     val rows = Seq(
       // 23:00Z on Jan 2 = Jan 3 01:00 in Helsinki (UTC+2 in winter)

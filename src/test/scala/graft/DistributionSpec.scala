@@ -230,6 +230,90 @@ class DistributionSpec extends SparkSpec {
       new java.io.File(s"$path/part=b").exists)
   }
 
+  test("compactParquet: escaped and null partition values get their computed file counts") {
+    // partition values with ':' and '%' are Hive-escaped in directory
+    // names (%3A, %25) and NULL becomes __HIVE_DEFAULT_PARTITION__; the
+    // per-value byte budget must match them through the UNESCAPED value
+    // (pre-fix they silently fell back to one file per directory).
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_esc").toString
+    val path = s"$root/t"
+    (1 to 6).foreach { i =>
+      (1L to 60L).map { j =>
+        val part = j % 3 match {
+          case 0 => "a:b"
+          case 1 => "x%y"
+          case _ => null
+        }
+        (i * 100L + j, part)
+      }.toDF("v", "part")
+        .repartition(2)
+        .write.mode("append").partitionBy("part").parquet(path)
+    }
+    val before = spark.read.parquet(path).as[(Long, String)].collect()
+      .map(r => (r._1, Option(r._2))).sorted.toSeq
+    // small target → each ~6 KB value-dir computes SEVERAL files; the
+    // pre-fix fallback would produce exactly one per escaped/null dir
+    val rows = Distribution.compactParquet(spark, path,
+      targetBytes = 2048L, partitionCol = Some("part"))
+    assert(rows == 360L)
+    val after = spark.read.parquet(path).as[(Long, String)].collect()
+      .map(r => (r._1, Option(r._2))).sorted.toSeq
+    assert(after == before, "compaction must not change row content")
+    def files(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    for (d <- Seq("part=a%3Ab", "part=x%25y", "part=__HIVE_DEFAULT_PARTITION__")) {
+      assert(new java.io.File(s"$path/$d").exists, s"missing dir $d")
+      assert(files(s"$path/$d") >= 2,
+        s"$d should compact to its computed multi-file count, got ${files(s"$path/$d")}")
+    }
+  }
+
+  test("adaptiveSkewJoin: audit decides salting, result matches plain join") {
+    val big = (1L to 10000L)
+      .map(i => (if (i <= 9000) "hot" else s"k${i % 37}", i))
+      .toDF("key", "v")
+    val small = (0 until 37).map(i => (s"k$i", s"t$i")).concat(Seq(("hot", "H")))
+      .toDF("key", "tag")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // 90% share > threshold → salted path (small side replicated = Generate)
+    val salted = Distribution.adaptiveSkewJoin(big, small, "key", maxShare = 0.05)
+    assert(planOf(salted).contains("Generate"),
+      s"expected the salted (replicated-small-side) plan:\n${planOf(salted)}")
+    // uniform data under threshold → plain join, no replication
+    val uniform = (1L to 5000L).map(i => (s"k${i % 370}", i)).toDF("key", "v")
+    val plainPath = Distribution.adaptiveSkewJoin(uniform, small, "key", maxShare = 0.05)
+    assert(!planOf(plainPath).contains("Generate"),
+      s"uniform keys must take the plain join:\n${planOf(plainPath)}")
+    // correctness: salted result == plain join result
+    val expected = big.join(small, Seq("key")).select("key", "v", "tag")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val got = salted.select("key", "v", "tag")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("salting measurably flattens the hot key's reduce-task skew") {
+    // the measured half of the SURVEY §8 story: compare the max reduce-
+    // partition row count of the unsalted vs salted shuffle of the same
+    // skewed table — the salted distribution's biggest task must carry a
+    // small fraction of what the unsalted hot task carries.
+    val nPart = 16
+    val big = (1L to 20000L)
+      .map(i => (if (i <= 18000) "hot" else s"k${i % 97}", i))
+      .toDF("key", "v")
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("pid")).count()
+        .agg(max("count")).as[Long].head()
+    val unsalted = maxPartitionRows(big.repartition(nPart, col("key")))
+    val saltExpr = pmod(xxhash64(struct(big.columns.map(col): _*)), lit(16))
+    val saltedMax = maxPartitionRows(
+      big.withColumn("_s", saltExpr).repartition(nPart, col("key"), col("_s")))
+    assert(unsalted >= 18000L, s"hot key should pile into one task, got $unsalted")
+    assert(saltedMax * 4 <= unsalted,
+      s"salting should cut task-max at least 4x: $unsalted -> $saltedMax")
+  }
+
   test("salted join preserves a user column named _salt") {
     // pre-fix, the internal salt overwrote (then dropped) this column
     val big = Seq(("a", 1L, "keep-me"), ("b", 2L, "me-too")).toDF("key", "v", "_salt")

@@ -29,6 +29,34 @@ class StreamingSpec extends SparkSpec {
       "checkpointed files must not be reprocessed")
   }
 
+  test("resident ProcessingTime mode: a live query processes files across two ticks",
+      org.scalatest.Tag("Slow")) {
+    // the resident twin of the AvailableNow drain: ONE long-lived query,
+    // 1 s ticks (prod default is the reference's 15 min), with new files
+    // landing WHILE it runs — the second wave must flow through the same
+    // checkpoint without a restart.
+    val root = Files.createTempDirectory("graft_resident").toString
+    val landing = s"$root/landing"
+    val wh = Incremental.Warehouse(s"$root/wh")
+    def factOrderIds(): Long =
+      try spark.read.parquet(wh.factOrders).select("order_id").distinct().count()
+      catch { case _: Exception => -1L } // sink dir not created yet
+    def waitFor(cond: => Boolean, what: String, timeoutMs: Long = 60000L): Unit = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(cond, s"timed out waiting for $what")
+    }
+    DataGen.writeOrdersNdjson(spark, landing, n = 10, seed = 31L)
+    val q = IncrementalStream.runResident(spark, landing, wh, s"$root/ckpt",
+      interval = "1 second")
+    try {
+      waitFor(factOrderIds() == 10L, "tick 1 to land 10 orders")
+      DataGen.writeOrdersNdjson(spark, landing, n = 10, seed = 32L)
+      waitFor(factOrderIds() == 20L, "tick 2 to land 10 more orders")
+      assert(q.isActive, "resident query must still be running after both ticks")
+    } finally q.stop()
+  }
+
   test("streaming hourly merge: two drains maintain exact running revenue per hour") {
     val root = Files.createTempDirectory("graft_hms").toString
     val landing = s"$root/landing"

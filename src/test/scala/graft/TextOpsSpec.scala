@@ -194,6 +194,25 @@ class TextOpsSpec extends SparkSpec {
       (7L, 7L, true)))
   }
 
+  test("clusterComponents: 10k-node path graph converges in O(log n) rounds") {
+    // diameter 9999 — plain min-label propagation would need ~10k rounds
+    // and hard-fail; large-star/small-star must converge within 20.
+    val n = 10000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = graft.ops.text.Dedup.clusterComponents(pairs, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L),
+      s"all labels must be 0; bad: ${out.filterNot(_._2 == 0L).take(5).toSeq}")
+  }
+
+  test("clusterComponents: self-pairs label themselves") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val out = graft.ops.text.Dedup.clusterComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("clusterComponents: equals union-find on random graphs") {
     val rng = new scala.util.Random(2027)
     (0 until 3).foreach { trial =>
