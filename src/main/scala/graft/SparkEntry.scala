@@ -470,9 +470,13 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       Corpus.corpusStats(t(s, dir, "documents")).orderBy("lang")),
 
-    // 100 TB escape hatches, run as first-class queries. Sketches aren't
-    // cross-engine-comparable → no oracleSql entry (driver rows-only
-    // check); accuracy is bounded vs the exact twins in ScalaTest.
+    // 100 TB escape hatches, run as first-class queries.
+    // q_corpus_stats_approx IS oracled: with accuracy (10000) >= the
+    // group size, the Greenwald-Khanna sketch is exact and Spark's rank
+    // convention (ceil(p*n), min 1) equals DuckDB quantile_disc —
+    // verified cell-for-cell and at every small-n edge case. The HLL twin
+    // stays rows-only (sketch estimates are engine-specific by
+    // construction); accuracy is bounded vs the exact twin in ScalaTest.
     "q_corpus_stats_approx" -> ((s, dir) =>
       Corpus.corpusStatsApprox(t(s, dir, "documents")).orderBy("lang")),
     "q_hourly_approx" -> ((s, dir) =>
@@ -1604,6 +1608,17 @@ FROM lh ORDER BY doc_id"""
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // quantile_disc == approx_percentile in the exact (n <= accuracy)
+    // regime: both return the element at rank ceil(p*n) — see queries
+    // note. Valid at any SF where no lang group exceeds 10000 docs.
+    "q_corpus_stats_approx" ->
+      """SELECT lang, count(*) AS n_docs,
+        | quantile_disc(n_chars, 0.25) AS p25_chars,
+        | quantile_disc(n_chars, 0.5) AS median_chars,
+        | quantile_disc(n_chars, 0.9) AS p90_chars,
+        | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Same per-char Shannon entropy; both engines round to 6 dp so libm
     // last-ulp log2 divergence can't break the hash (see queries note).
