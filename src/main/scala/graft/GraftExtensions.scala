@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{BloomFns, DotOrdered, RollingMinHash}
+import graft.functions.{BloomFns, BqFloatStr, DotOrdered, RollingMinHash}
 import graft.plans.DateFilterRewrite
 
 /** SparkSessionExtensions hook — registers graft's custom Catalyst
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(RollingMinHash.fnName),
       new ExpressionInfo(classOf[RollingMinHash].getName, RollingMinHash.fnName),
       RollingMinHash.builder))
+    ext.injectFunction((
+      new FunctionIdentifier(BqFloatStr.fnName),
+      new ExpressionInfo(classOf[BqFloatStr].getName, BqFloatStr.fnName),
+      BqFloatStr.builder))
     ext.injectFunction((
       new FunctionIdentifier(BloomFns.aggFnName),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, BloomFns.aggFnName),

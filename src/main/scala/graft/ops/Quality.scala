@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft._
+import graft.functions.BqFloatStr
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -72,10 +73,13 @@ object Quality {
       "critical")
 
     val mism = Relational.amountMismatch(orders, lineitem)
+    // Message renders the money values as BigQuery would render the
+    // reference's FLOAT64 (py:108 CONCAT coerces FLOAT64→STRING): 100.00
+    // prints "100", not Spark's "100.0" — see functions.BqFloatFormat.
     val mismRows = auditRows(mism, "amount_mismatch",
       col("order_id"),
-      concat(lit("Calculated: "), col("calculated_total").cast("string"),
-        lit(", Reported: "), col("total_amount").cast("string")),
+      concat(lit("Calculated: "), BqFloatStr(col("calculated_total").cast("double")),
+        lit(", Reported: "), BqFloatStr(col("total_amount").cast("double"))),
       "warning")
 
     val noCust = Relational.antiJoin(orders, customer, "o_custkey", "c_custkey")

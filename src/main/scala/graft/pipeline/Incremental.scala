@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft._
+import graft.functions.BqFloatStr
 import graft.io.Sources
 import graft.ops.{Nested, Quality, Relational}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -104,8 +105,10 @@ object Incremental {
           current_timestamp().as("check_timestamp"),
           lit("amount_mismatch").as("check_type"),
           col("order_id").as("entity_id"),
-          concat(lit("Calculated: "), col("calculated_total").cast("string"),
-            lit(", Reported: "), col("total_amount").cast("string")).as("issue_description"),
+          // BigQuery-parity FLOAT64 rendering (py:108 CONCAT coercion):
+          // integral money prints "100", not Spark's "100.0".
+          concat(lit("Calculated: "), BqFloatStr(col("calculated_total").cast("double")),
+            lit(", Reported: "), BqFloatStr(col("total_amount").cast("double"))).as("issue_description"),
           lit("warning").as("severity"),
           lit(batchId).as("batch_id"))
       mismatches.cache()
@@ -221,6 +224,24 @@ object Incremental {
       RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived, observed)
     } finally stagingRaw.unpersist()
   }
+
+  /** `run` under the reference DAG's retry contract
+    * (order_processing_incremental.py:20-21: retries=2, retry_delay=5 min).
+    * Sound to wrap the WHOLE tick because every stage is idempotent: files
+    * are archived only after all writes succeed (a failed attempt leaves
+    * them in `landingDir` for the retry to re-stage), the fact append is
+    * anti-join guarded, the audit append is batch_id guarded, and the
+    * hourly aggregate is a keyed dynamic-partition overwrite. A retry after
+    * a partial failure therefore completes the batch exactly once.
+    */
+  def runWithRetries(spark: SparkSession, landingDir: String, wh: Warehouse,
+                     batchId: String, failOnDuplicates: Boolean = true,
+                     policy: RetryPolicy = RetryPolicy(),
+                     sleep: Long => Unit = Thread.sleep,
+                     onAttempt: RetryAttempt => Unit = _ => ()): RunResult =
+    Retry.withRetries(policy, sleep, onAttempt) { _ =>
+      run(spark, landingDir, wh, batchId, failOnDuplicates)
+    }
 
   /** Scope the dynamic-partition-overwrite mode to one write. Shared with
     * the streaming facade's foreachBatch hourly merge.

@@ -103,4 +103,53 @@ class FunctionsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(hof))
     }
   }
+
+  test("bq_float_str: pinned ZetaSQL renderings (FLOAT64→STRING parity)") {
+    import graft.functions.BqFloatFormat.render
+    // GoogleSQL/ZetaSQL shortest-round-trip %g: integral doubles drop the
+    // ".0" Spark would print; scientific uses lowercase e with a signed
+    // two-digit-minimum exponent; nan/inf lowercase; zero never signed.
+    val pinned = Seq(
+      100.0 -> "100", 123.45 -> "123.45", 0.1 -> "0.1", -2.5 -> "-2.5",
+      0.0 -> "0", -0.0 -> "0", 0.0001 -> "0.0001", 0.00001 -> "1e-05",
+      1e20 -> "1e+20", 1e15 -> "1e+15", 1.5e-5 -> "1.5e-05",
+      // 16 significant digits with exponent 15: %.15g fails round-trip,
+      // %.16g places it as plain notation (exp < precision)
+      1234567890123456.0 -> "1234567890123456",
+      Double.MaxValue -> "1.7976931348623157e+308",
+      Double.NaN -> "nan",
+      Double.PositiveInfinity -> "inf",
+      Double.NegativeInfinity -> "-inf")
+    pinned.foreach { case (d, want) =>
+      assert(render(d) == want, s"render($d) = ${render(d)}, want $want")
+    }
+  }
+
+  test("bq_float_str: round-trips every double; codegen and SQL paths agree") {
+    import graft.functions.{BqFloatFormat, BqFloatStr}
+    val rng = new scala.util.Random(612)
+    val doubles = Seq.fill(300)(rng.nextDouble() * math.pow(10, rng.nextInt(41) - 20) *
+      (if (rng.nextBoolean()) 1 else -1)) ++
+      Seq.fill(100)(java.lang.Double.longBitsToDouble(rng.nextLong()))
+        .filterNot(_.isNaN)
+    // shortest-round-trip guarantee: parse(render(d)) is bit-identical
+    doubles.foreach { d =>
+      val s = BqFloatFormat.render(d)
+      val back = java.lang.Double.parseDouble(s)
+      assert(java.lang.Double.doubleToRawLongBits(back) ==
+        java.lang.Double.doubleToRawLongBits(if (d == 0.0) math.abs(d) else d),
+        s"$d -> $s -> $back does not round-trip")
+    }
+    // expression (codegen) and SQL registration match the static renderer
+    val df = doubles.toDF("d")
+    df.select($"d", BqFloatStr($"d").as("s")).collect().foreach { r =>
+      assert(r.getString(1) == BqFloatFormat.render(r.getDouble(0)))
+    }
+    BqFloatStr.register(spark)
+    val viaSql = spark.sql("SELECT graft_bq_float_str(100.0D) AS s").head.getString(0)
+    assert(viaSql == "100")
+    // float input widens like a FLOAT64 cast would
+    val f = Seq(2.5f).toDF("f").select(BqFloatStr($"f")).head.getString(0)
+    assert(f == "2.5")
+  }
 }
