@@ -199,10 +199,12 @@ object Dedup {
     val base = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     // Node set from the RAW pairs (before self-pair removal) so every doc
     // that appears in some pair gets a label row, self-paired docs included.
+    // Lazy over the checkpointed base (consumed exactly once, in the final
+    // join) — an eager checkpoint here would cost one extra materialization
+    // job for data read a single time.
     val nodes = base
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-      .localCheckpoint(true)
     // Canonical orientation (larger endpoint first) halves the edge list
     // vs a symmetric one and is the form small-star consumes directly.
     var edges = base
@@ -211,7 +213,6 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    base.unpersist()
 
     // per node u over the SYMMETRIC neighborhood: every neighbor v > u
     // re-points to m = min(N(u) ∪ {u}); emitted (v, m) stays canonical
@@ -241,9 +242,11 @@ object Dedup {
     var iter = 0
     var cnt = edges.count()
     while (!converged && iter < maxIter) {
-      val ls = largeStar(edges).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
-      ls.unpersist()
+      // One materialization per round: small-star consumes large-star's
+      // plan directly (bounded depth — a handful of ops), and the round's
+      // single localCheckpoint on the composed result keeps lineage O(1)
+      // across rounds without paying an intermediate eager job.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // Both sides are distinct sets, so equal count + empty one-way
       // except ⇔ set equality ⇔ fixpoint (= star forest).
       val nextCnt = next.count()
