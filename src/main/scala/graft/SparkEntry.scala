@@ -367,6 +367,12 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Concat-and-split sequence packing: fixed-length pretraining
+    // sequences with boundary-straddling docs, bucketed for parallelism.
+    "q_pack" -> ((s, dir) =>
+      Corpus.packTokens(t(s, dir, "documents"), seqLen = 128, bucketChars = 1)
+        .orderBy("bucket", "seq_id", "doc_id")),
+
     // Rule-based corpus filter with auditable per-doc fired-rule list.
     "q_corpus_filter" -> ((s, dir) =>
       Corpus.filterCorpus(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1529,6 +1535,33 @@ FROM lh ORDER BY doc_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same md5-hex bucket convention as q_hash_split; the running sum
+    // partitions by bucket exactly like the Spark window, and the
+    // double-divide floor is exact integer division below 2^53.
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, h, n_tokens, substring(h, 1, 1) AS bucket,
+        |         COALESCE(CAST(sum(n_tokens) OVER (
+        |           PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS tok_offset
+        |  FROM d),
+        |s AS (
+        |  SELECT bucket, doc_id, tok_offset, n_tokens,
+        |         unnest(generate_series(
+        |           CAST(floor(tok_offset / 128.0) AS BIGINT),
+        |           CAST(floor((tok_offset + n_tokens - 1) / 128.0) AS BIGINT))) AS seq_id
+        |  FROM o)
+        |SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |       CAST(greatest(tok_offset - seq_id * 128, 0) AS BIGINT) AS tok_start,
+        |       CAST(least(tok_offset + n_tokens, (seq_id + 1) * 128) - seq_id * 128
+        |            AS BIGINT) AS tok_end
+        |FROM s ORDER BY bucket, seq_id, doc_id""".stripMargin,
 
     "q_corpus_filter" ->
       """WITH g AS (

@@ -113,6 +113,63 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Concat-and-split sequence packing — the standard pretraining step
+    * that turns a ragged corpus into fixed-length training sequences:
+    * documents are concatenated in a deterministic order and the token
+    * stream is cut every `seqLen` tokens, so documents may straddle a
+    * sequence boundary (each straddle emits one row per touched
+    * sequence). Output: one row per (document, sequence) incidence with
+    * the document's within-sequence token span `[tok_start, tok_end)`;
+    * every sequence except a bucket's last is exactly `seqLen` tokens —
+    * zero padding waste, the property that makes this layout the default
+    * for LLM pretraining over chunk-then-pad.
+    *
+    * Scale: a single GLOBAL concatenation order would serialize the
+    * cumulative sum through one partition — the classic 100 TB
+    * bottleneck. Instead documents are bucketed by the first
+    * `bucketChars` hex chars of md5(doc_id) (16^bucketChars independent
+    * streams; 1 char for test fixtures, 3-4 at corpus scale) and packed
+    * within each bucket: the running-sum window partitions by bucket, so
+    * the one shuffle hash-distributes buckets and each sorts locally.
+    * Order within a bucket is (md5, doc_id) — fully deterministic, stable
+    * under any input partitioning, and engine-portable (the md5-hex
+    * convention shared with [[hashSplit]]/[[mixtureResample]], which is
+    * what lets a DuckDB oracle reproduce the packing row for row). The
+    * boundary explode is narrow (no second shuffle); rows out = docs +
+    * boundary crossings.
+    */
+  def packTokens(documents: DataFrame, seqLen: Int = 128,
+                 bucketChars: Int = 1): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(bucketChars >= 1 && bucketChars <= 8,
+      s"bucketChars must be in [1,8], got $bucketChars")
+    import org.apache.spark.sql.expressions.Window
+    val L = lit(seqLen.toLong)
+    val cum = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(
+        col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", substring(col("h"), 1, bucketChars))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
+      // sequences this doc touches: floor(first_token/L) .. floor(last_token/L)
+      // (n_tokens >= 1 always — split("", " ") is [""] — so last = end - 1
+      // is well-defined); nonneg longs < 2^53, so double-divide + floor is
+      // exact integer division in both engines.
+      .withColumn("seq_id", explode(sequence(
+        floor(col("tok_offset") / L).cast("long"),
+        floor((col("tok_offset") + col("n_tokens") - lit(1L)) / L).cast("long"))))
+      .select(
+        col("bucket"),
+        col("seq_id"),
+        col("doc_id"),
+        greatest(col("tok_offset") - col("seq_id") * L, lit(0L)).as("tok_start"),
+        (least(col("tok_offset") + col("n_tokens"), (col("seq_id") + lit(1L)) * L)
+          - col("seq_id") * L).as("tok_end"))
+  }
+
   /** Rule-based corpus filter (the Gopher/Dolma-style "mixer" gate):
     * every document gets a keep/drop decision plus the list of fired
     * rules, so curation is auditable (drop-rate per rule, per source) and

@@ -80,6 +80,46 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(full("val").toDouble / 2000 - 0.1) < 0.03)
   }
 
+  test("packTokens: exact coverage, full sequences, partitioning-invariant") {
+    val rng = new scala.util.Random(19)
+    val corpus = docs((1L to 200L).map(i =>
+      i -> (1 to (rng.nextInt(40) + 1)).map(j => s"w$j").mkString(" ")): _*)
+    val L = 32
+    val packed = Corpus.packTokens(corpus, seqLen = L, bucketChars = 1)
+    val rows = packed.as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    // spans are well-formed and inside the sequence window
+    rows.foreach { case (b, seq, id, s, e) =>
+      assert(0 <= s && s < e && e <= L, s"bad span [$s,$e) for doc $id seq ($b,$seq)")
+    }
+    // every document's coverage across sequences equals its token count
+    val nTok = corpus.select($"doc_id",
+      size(split($"text", " ")).cast("long")).as[(Long, Long)].collect().toMap
+    rows.groupBy(_._3).foreach { case (id, rs) =>
+      assert(rs.map(r => r._5 - r._4).sum == nTok(id), s"doc $id coverage != n_tokens")
+      // a doc's touched sequences are consecutive within one bucket
+      val seqs = rs.map(r => (r._1, r._2)).sortBy(_._2)
+      assert(seqs.map(_._1).distinct.size == 1)
+      assert(seqs.map(_._2) == (seqs.head._2 to seqs.last._2))
+    }
+    // every sequence except each bucket's last carries exactly seqLen tokens
+    val perSeq = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(r => r._5 - r._4).sum }
+    val lastSeq = rows.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    perSeq.foreach { case ((b, seq), tot) =>
+      if (seq < lastSeq(b)) assert(tot == L, s"interior seq ($b,$seq) has $tot tokens")
+      else assert(tot <= L)
+    }
+    // sequence ids are dense from 0 per bucket
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.map(_._2).min == 0, s"bucket $b does not start at seq 0")
+    }
+    // deterministic under arbitrary input partitioning
+    val again = Corpus.packTokens(corpus.repartition(7), seqLen = L, bucketChars = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.sorted == again.sorted)
+  }
+
   test("filterCorpus: rules fire with the right reasons, in order") {
     val many = (1 to 100).map(i => s"w$i").mkString(" ")
     val out = Corpus.filterCorpus(docs(
