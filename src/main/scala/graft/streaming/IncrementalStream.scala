@@ -295,4 +295,135 @@ object IncrementalStream {
       // fingerprint state forever. The WithinWatermark form evicts state
       // once the horizon passes a kept fingerprint's arrival time.
       .dropDuplicatesWithinWatermark("fp_norm")
+
+  /** A streaming near-dup candidate: `sig_agreement` is the MinHash
+    * signature-agreement estimate of Jaccard similarity (the streaming
+    * stand-in for the batch pipeline's exact shingle-set verify — carrying
+    * shingle sets in state would make state size corpus-bound).
+    * `pair_time` is the later document's event time.
+    */
+  case class NearDupPair(doc_a: Long, doc_b: Long, sig_agreement: Double,
+                         pair_time: java.sql.Timestamp)
+
+  /** State-encoder types for the LSH buckets (public like [[SessionAcc]]:
+    * Spark's state codegen needs constructor access).
+    */
+  case class BucketEntry(docId: Long, sigs: Array[Long], eventMs: Long)
+  case class BucketState(entries: List[BucketEntry])
+
+  /** Streaming twin of graft.ops.text.Dedup.nearDupPairs: online MinHash-LSH
+    * near-duplicate detection of an incoming document stream against itself
+    * within the watermark horizon — the "dedup the crawl as it lands" op.
+    *
+    * Stages mirror the batch operator with streaming-appropriate physics:
+    *  - signatures are computed PER ROW with higher-order functions
+    *    (`array_min` over the permuted shingle hashes) instead of the batch
+    *    explode + grouped-min — same arithmetic (min over the distinct
+    *    shingle set with the shared `permA`/`permB` constants), zero
+    *    shuffle, so the map stage scales with input rate;
+    *  - the banded table groups by (band_idx, band_key) into
+    *    `flatMapGroupsWithState`: state per LSH bucket is the (doc_id,
+    *    signature, event-time) of documents seen within the watermark,
+    *    evicted by event-time timeout exactly like the sessionizer, so
+    *    state is horizon-bounded, never corpus-bounded;
+    *  - each arrival compares against its bucket's survivors (signature
+    *    agreement >= threshold emits a pair) and joins the bucket;
+    *    `maxBucketSize` caps boilerplate buckets — past the cap arrivals
+    *    still COMPARE but stop enrolling (the streaming form of the batch
+    *    operator's bucket drop);
+    *  - a pair colliding in several bands would emit from each group, so
+    *    each group emits only when its band is the pair's MINIMUM fully-
+    *    matching band — computable locally because state carries full
+    *    signatures — giving exactly-once pair emission without a second
+    *    stateful operator (which Spark's global-watermark correctness
+    *    check rejects after flatMapGroupsWithState). Caveat: a pair whose
+    *    minimum matching band sits in a CAPPED bucket that skipped
+    *    enrolling the earlier doc is missed — the price of the cap, like
+    *    the batch operator's bucket drop.
+    *
+    * Docs with fewer than 2 tokens have no shingles and are passed over,
+    * matching the batch operator (their signature would be empty).
+    * Within-batch arrivals fold in (event_time, doc_id) order, so output
+    * is deterministic for a given input; cross-horizon dedup stays a batch
+    * job over the landed corpus, like the exact twin above.
+    */
+  def nearDupPairsStream(docs: DataFrame, watermark: String = "1 hour",
+                         k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+                         maxBucketSize: Int = 1024): Dataset[NearDupPair] = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(maxBucketSize > 0, s"maxBucketSize must be positive")
+    val r = k / bands
+    import docs.sparkSession.implicits._
+    import graft.ops.text.Dedup.{permA, permB, MinhashP}
+    import graft.ops.text.TextFns.{shingles, tokens}
+
+    val hashed = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("event_time"),
+        transform(array_distinct(shingles(tokens(col("text")), 2)),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sigArr = array((0 until k).map(i =>
+      array_min(transform(col("hs"),
+        h => (lit(permA(i)) * h + lit(permB(i))) % MinhashP))): _*)
+    val bandKeys = array((0 until bands).map { j =>
+      md5(concat_ws("|",
+        (j * r until j * r + r).map(i => element_at(col("sigs"), i + 1).cast("string")): _*))
+    }: _*)
+    val banded = hashed
+      .select(col("doc_id"), col("event_time"), sigArr.as("sigs"))
+      .select(col("doc_id"), col("event_time"), col("sigs"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+      .withWatermark("event_time", watermark)
+
+    // the pair's canonical emitter: the lowest band index on which the two
+    // signatures agree position-for-position (any colliding group's own
+    // band fully matches by construction, so min exists and is unique)
+    def minMatchingBand(a: Array[Long], b: Array[Long]): Int = {
+      var j = 0
+      while (j < bands) {
+        var i = j * r
+        while (i < (j + 1) * r && a(i) == b(i)) i += 1
+        if (i == (j + 1) * r) return j
+        j += 1
+      }
+      -1
+    }
+
+    banded
+      .as[(Long, java.sql.Timestamp, Seq[Long], Int, String)]
+      .groupByKey(t => (t._4, t._5))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((bandIdx, _), rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(_.eventMs >= wm)
+          def rearm(): Unit =
+            if (entries.isEmpty) state.remove()
+            else { state.update(BucketState(entries)); state.setTimeoutTimestamp(wm + 60000L) }
+          if (rows.isEmpty && state.hasTimedOut) { rearm(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            rows.toSeq.sortBy(t => (t._2.getTime, t._1)).foreach { t =>
+              val (id, ts, sigSeq, _, _) = t
+              val sigs = sigSeq.toArray
+              entries.foreach { e =>
+                if (e.docId != id && minMatchingBand(e.sigs, sigs) == bandIdx) {
+                  var eq = 0
+                  var i = 0
+                  while (i < k) { if (e.sigs(i) == sigs(i)) eq += 1; i += 1 }
+                  val agreement = eq.toDouble / k
+                  if (agreement >= threshold)
+                    out += NearDupPair(math.min(e.docId, id), math.max(e.docId, id),
+                      agreement, ts)
+                }
+              }
+              if (entries.size < maxBucketSize)
+                entries = BucketEntry(id, sigs, ts.getTime) :: entries
+            }
+            rearm()
+            out.iterator
+          }
+      }
+  }
 }

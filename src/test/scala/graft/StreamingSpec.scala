@@ -203,6 +203,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: online pairs within the watermark, eviction past it") {
+    import IncrementalStream.NearDupPair
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val doc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val later = (1 to 40).map(i => s"qqq$i").mkString(" ")
+    val pairs = IncrementalStream.nearDupPairsStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"), watermark = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, doc, ts(0)), (2L, nearDup, ts(1)), (3L, other, ts(2)))
+      q.processAllAvailable()
+      mem.addData((4L, doc, ts(5))) // exact copy of 1, within the horizon
+      q.processAllAvailable()
+      mem.addData((5L, later, ts(60))) // advances the watermark past 1/2/4
+      q.processAllAvailable()
+      mem.addData((6L, doc, ts(61))) // copy of 1 AFTER eviction: no pair
+      q.processAllAvailable()
+
+      val got = spark.table("neardup_stream").as[NearDupPair].collect().toSeq
+      assert(got.map(p => (p.doc_a, p.doc_b)).toSet ==
+        Set((1L, 2L), (1L, 4L), (2L, 4L)),
+        s"unexpected pair set: ${got.map(p => (p.doc_a, p.doc_b)).toSet}")
+      assert(got.size == 3, "multi-band collisions must dedup to one row per pair")
+      // exact copies agree on every signature; the near dup clears threshold
+      got.find(p => (p.doc_a, p.doc_b) == ((1L, 4L))).foreach(p =>
+        assert(p.sig_agreement == 1.0))
+      assert(got.forall(_.sig_agreement >= 0.5))
+    } finally q.stop()
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
