@@ -120,6 +120,13 @@ class CorpusSpec extends SparkSpec {
     assert(rows.sorted == again.sorted)
   }
 
+  test("packTokens plans exactly one exchange: the bucket window shuffle") {
+    val corpus = docs((1L to 50L).map(i => i -> s"a b c d e$i"): _*)
+    val plan = Corpus.packTokens(corpus).queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one Exchange, found $n:\n$plan")
+  }
+
   test("filterCorpus: rules fire with the right reasons, in order") {
     val many = (1 to 100).map(i => s"w$i").mkString(" ")
     val out = Corpus.filterCorpus(docs(
@@ -199,6 +206,40 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 2L, true), (2L, 1L, false), (3L, 0L, false),
       (4L, 0L, false)))
+  }
+
+  test("decontaminateBloom: no false negatives, upper-bounds exact overlap") {
+    def sent(seed: Int, len: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to len).map(_ => s"w${r.nextInt(5000)}").mkString(" ")
+    }
+    val bench = docs((1001L to 1010L).map(i => i -> sent(i.toInt, 30)): _*)
+    // half the train docs embed a benchmark phrase, half are clean
+    val train = docs((1L to 40L).map { i =>
+      val clean = sent(2000 + i.toInt, 25)
+      val text = if (i % 2 == 0) {
+        val leak = sent(1001 + (i % 10).toInt, 30).split(" ").take(8).mkString(" ")
+        s"$clean $leak"
+      } else clean
+      i -> text
+    }: _*)
+    val exact = Corpus.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = Corpus.decontaminateBloom(train, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nOv, flagged)) =>
+      val (nMax, maybeFlag) = bloom(id)
+      assert(nMax >= nOv, s"doc $id: bloom bound $nMax below exact $nOv")
+      if (flagged) assert(maybeFlag, s"doc $id: bloom missed a contaminated doc")
+    }
+    // a well-sized sketch at fixture scale has no false positives at all
+    assert(bloom == exact.map { case (k, v) => k -> v })
+    assert(exact.count(_._2._2) == 20, "fixture should contaminate exactly half")
+    // empty benchmark: nothing flags
+    val none = Corpus.decontaminateBloom(train, docs(), n = 3)
+      .agg(sum(col("n_overlap_max")), max(col("maybe_contaminated"))).head()
+    assert(none.getLong(0) == 0L && !none.getBoolean(1))
   }
 
   test("corpusStatsApprox tracks the exact percentiles on the fixture corpus") {
