@@ -264,6 +264,16 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
 
+    // Incremental ingestion dedup: the odd-id half arrives as a batch and
+    // is flagged against the even-id corpus (asymmetric LSH, no
+    // corpus-self pairing).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.nearDupAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        k = 32, bands = 8, threshold = 0.5).orderBy("doc_inc", "doc_corp")
+    }),
+
     // J1/P5/A3 nested-data path: nest lineitem into items arrays, LEFT-join
     // onto orders, per-row HOF array-aggregate total, explode_outer back to
     // line grain with struct-field projections. Itemless orders keep one
@@ -1011,6 +1021,49 @@ FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
 ORDER BY doc_a, doc_b"""
+    },
+
+    // Asymmetric twin of the minhash oracle: one signature pipeline over
+    // all docs, sides split by id parity only at candidate generation —
+    // per-doc signature math is side-independent, so this equals the
+    // Spark operator's split-first shape exactly.
+    "q_dedup_incremental" -> {
+      val p = Dedup.MinhashP
+      val sigExprs = (0 until 32)
+        .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+        .mkString(",\n   ")
+      val bandSelects = (0 until 8).map { j =>
+        val key = (4 * j until 4 * j + 4)
+          .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+        s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+sigs AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_inc, c.doc_id AS doc_corp
+  FROM bands i JOIN bands c
+    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+   AND i.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+SELECT doc_inc, doc_corp,
+ CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+FROM cand JOIN base x ON doc_inc = x.doc_id JOIN base y ON doc_corp = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+ORDER BY doc_inc, doc_corp"""
     },
 
     // LEFT JOIN LATERAL unnest keeps itemless orders (J1 semantics);

@@ -54,6 +54,105 @@ object Dedup {
     BigInt(1103515245L).modPow(BigInt(i + 1), BigInt(MinhashP)).toLong
   def permB(i: Int): Long = (12345L * (i + 1) + 67890L) % MinhashP
 
+  /** Shared stage 1 of the near-dup family: (doc_id, sh) with sh the
+    * DISTINCT word-2-gram shingle set. The input is repartitioned first —
+    * a landing corpus often arrives as few fat files and the hash work is
+    * embarrassingly parallel. Tokens are materialized as their own
+    * projection before shingling: inlining `tokens(text)` into the
+    * shingle HOF re-splits the document per element (~10× the pipeline's
+    * cost, measured); as a separate non-cheap alias, CollapseProject
+    * keeps it staged and each row splits once.
+    */
+  private def shingleSets(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 2)).as("sh"))
+  }
+
+  /** Shared stage 2: the banded signature table (doc_id, band_idx,
+    * band_key). 15 hex chars = 60 bits — fits a long; reduced mod p so
+    * a_i*h stays within int64 (a_i, h < 2^31 → product < 2^62). The k
+    * permutation minima are ONE grouped aggregate (map-side combinable:
+    * the shuffle carries one k-column row per document), not k per-row
+    * HOF re-inlines of the shingle pipeline (~100× slower, measured).
+    */
+  private def bandTable(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val exploded = sets
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
+    val sigAggs = (0 until k).map { i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % MinhashP).as(s"sig_$i")
+    }
+    val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i").cast("string")): _*))
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Boilerplate shield shared by the band joins: drop LSH buckets larger
+    * than `cap` (count-over-window shuffles the band table once on its own
+    * join key; oversized buckets are boilerplate clusters, not the
+    * near-dup tail). `Long.MaxValue` keeps every bucket.
+    */
+  private def capBuckets(bandTable: DataFrame, cap: Long): DataFrame =
+    if (cap == Long.MaxValue) bandTable
+    else {
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_key")
+      bandTable
+        .withColumn("bucket_n", count(lit(1)).over(wBucket))
+        .filter(col("bucket_n") <= cap)
+        .select("doc_id", "band_idx", "band_key")
+    }
+
+  /** Asymmetric near-dup: flag INCOMING documents that near-duplicate an
+    * EXISTING corpus — the recurring-ingestion form of [[nearDupPairs]]
+    * (dedup today's crawl against everything already landed without
+    * re-pairing the corpus against itself). Output: (doc_inc, doc_corp,
+    * jaccard) for every cross pair at or above `threshold`; incoming docs
+    * absent from the output are genuinely new (anti-join on doc_inc keeps
+    * them). Equivalent to `nearDupPairs(corpus ∪ incoming)` restricted to
+    * cross-side pairs (TextOpsSpec asserts exactly that), at a fraction
+    * of the cost: no corpus×corpus candidate generation at all.
+    *
+    * Scale: each side computes signatures independently (map + one
+    * grouped min); the band join shuffles band-key rows of BOTH sides,
+    * but at steady state the incoming batch is a sliver of the corpus —
+    * and on a real deployment the corpus band table is the materialized
+    * signature table maintained incrementally (the caches here stand in
+    * for it, per the module scaladoc), so only the incoming side's
+    * signatures are computed per run. `maxBucketSize` caps CORPUS buckets
+    * (the boilerplate side); incoming buckets are batch-sized.
+    */
+  def nearDupAgainst(corpus: DataFrame, incoming: DataFrame,
+                     k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+                     maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val setsC = shingleSets(corpus).cache()
+    val setsI = shingleSets(incoming).cache()
+    val bandsC = capBuckets(bandTable(setsC, k, bands), maxBucketSize)
+    val bandsI = bandTable(setsI, k, bands)
+    val candidates = bandsI
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_inc"))
+      .join(bandsC.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_corp"))
+        .hint("shuffle_hash"), Seq("band_idx", "band_key"))
+      .select("doc_inc", "doc_corp")
+      .distinct()
+    candidates
+      .join(setsI.toDF("doc_inc", "sh_i").hint("shuffle_hash"), "doc_inc")
+      .join(setsC.toDF("doc_corp", "sh_c").hint("shuffle_hash"), "doc_corp")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_inc", "doc_corp", "jaccard")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Stages: explode shingles → ONE md5 per shingle, folded to a 60-bit int
@@ -90,8 +189,6 @@ object Dedup {
                    threshold: Double = 0.5,
                    maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val r = k / bands
-    val spark = documents.sparkSession
     // The shingle pipeline (tokenize → n-gram → md5) is the expensive map
     // stage; compute it ONCE over the distinct shingle set (min() is
     // duplicate-insensitive, so signatures over the distinct set equal
@@ -99,55 +196,17 @@ object Dedup {
     // and both Jaccard-verify joins reuse the cached relation instead of
     // re-running the whole text pipeline 4x. At warehouse scale this cache
     // is the materialized signature/shingle table a real dedup job would
-    // write between the sketch and probe phases. The input is repartitioned
-    // first: a landing corpus often arrives as few fat files and the hash
-    // work is embarrassingly parallel — without this the whole map stage
-    // runs on however few tasks the file split yields.
-    // Tokens are materialized as their own projection before shingling:
-    // passing `tokens(text)` straight into the shingle HOF inlines the
-    // split() into EVERY element_at of the lambda body (~3n re-splits of
-    // the document per shingle — measured ~10× the whole pipeline's cost).
-    // As a separate non-cheap alias, CollapseProject keeps it staged and
-    // each row splits once.
-    val sets = documents
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), 2)).as("sh"))
-      .cache()
-    // 15 hex chars = 60 bits — fits a long; reduced mod p so a_i*h below
-    // stays within int64 (a_i, h < 2^31 → product < 2^62).
-    val exploded = sets
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
-    val sigAggs = (0 until k).map { i =>
-      min((lit(permA(i)) * col("h") + lit(permB(i))) % MinhashP).as(s"sig_$i")
-    }
-    val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-    val bandCols = (0 until bands).map { j =>
-      md5(concat_ws("|", (j * r until j * r + r).map(i => col(s"sig_$i").cast("string")): _*))
-    }
-    val bandTableAll = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
-      .cache()
-    val bandTable =
-      if (maxBucketSize == Long.MaxValue) bandTableAll
-      else {
-        // count-over-window shuffles the band table once on its own join
-        // key; oversized (boilerplate) buckets drop before the self-join.
-        val wBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_key")
-        bandTableAll
-          .withColumn("bucket_n", count(lit(1)).over(wBucket))
-          .filter(col("bucket_n") <= maxBucketSize)
-          .select("doc_id", "band_idx", "band_key")
-      }
+    // write between the sketch and probe phases. (Repartitioning and
+    // token staging rationale: see shingleSets.)
+    val sets = shingleSets(documents).cache()
+    val bandTableAll = bandTable(sets, k, bands).cache()
+    val bandTable0 = capBuckets(bandTableAll, maxBucketSize)
     // shuffle_hash hints: cache-derived size estimates otherwise broadcast
     // the per-doc band table and the full shingle-set relation — a driver
     // collect of corpus-sized data at real scale. Keyed hash shuffles are
     // the 100 TB plan (and measure fine at fixture scale).
-    val a = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bandTable.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
+    val a = bandTable0.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bandTable0.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
     val candidates = a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")

@@ -39,6 +39,41 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDupAgainst equals union self-join restricted to cross pairs") {
+    // a corpus with internal near-dups and an incoming batch that dups
+    // some corpus docs, some of its own, and brings genuinely new content
+    def sent(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to 30).map(_ => s"w${r.nextInt(400)}").mkString(" ")
+    }
+    def mutate(s: String, at: Int) = {
+      val t = s.split(" "); t(at) = "MUT"; t.mkString(" ")
+    }
+    val corpusRows = (1L to 60L).map(i => i -> sent(i.toInt)) ++
+      Seq(61L -> mutate(sent(1), 3), 62L -> mutate(sent(2), 7)) // internal dups
+    val incomingRows = (101L to 120L).map(i => i -> sent(i.toInt)) ++
+      Seq(121L -> mutate(sent(5), 11), 122L -> mutate(sent(6), 2), // dup corpus
+        123L -> sent(9), // exact copy of corpus doc 9
+        124L -> mutate(sent(101), 4)) // dup another incoming doc
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val incoming = incomingRows.toDF("doc_id", "text")
+
+    val asym = Dedup.nearDupAgainst(corpus, incoming, k = 16, bands = 8,
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaUnion = Dedup.nearDupPairs(corpus.unionByName(incoming),
+      k = 16, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a <= 100 && b > 100 } // cross pairs only
+      .map { case (a, b, j) => (b, a, j) } // orient as (incoming, corpus)
+      .toSet
+    assert(asym == viaUnion, s"asym=$asym union=$viaUnion")
+    assert(asym.map(p => (p._1, p._2)).contains((123L, 9L)), "exact copy must pair")
+    assert(asym.exists(_._1 == 121L) && asym.exists(_._1 == 122L))
+    assert(!asym.exists(p => p._1 == 124L || p._2 == 124L),
+      "incoming-internal dup is not a cross pair")
+  }
+
   test("simhash: identical docs hash equal, near-dups are close in Hamming distance") {
     val fp = Dedup.simhashDocs(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
