@@ -26,7 +26,7 @@ object Verify {
         case TimestampType  => col(f.name).cast("timestamp_ntz").as(f.name)
         case _              => col(f.name)
       }
-    }: _*)
+    }.toIndexedSeq: _*)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -67,7 +67,7 @@ object Distribution {
       .map(i => if (i == 0) "_salt" else s"_salt$i")
       .find(!taken.contains(_)).get
     val saltedBig = big.withColumn(saltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicatedSmall = small.withColumn(saltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, saltCol), joinType).drop(saltCol)
@@ -152,7 +152,7 @@ object Distribution {
         val salted = df
           .join(countsDf, col(c).cast("string") <=> col("_cp_value"), "left")
           .withColumn("_cp_salt",
-            pmod(xxhash64(struct(df.columns.map(col): _*)),
+            pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)),
               coalesce(col("_cp_files"), lit(1L))))
           .drop("_cp_value", "_cp_files")
         salted.repartition(nTasks, col(c), col("_cp_salt"))

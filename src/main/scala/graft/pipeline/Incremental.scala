@@ -202,7 +202,7 @@ object Incremental {
       // at 100 TB the scan touches only this batch's date partitions.
       if (newCount > 0) {
         val fact = spark.read.parquet(wh.factOrders)
-          .filter(col("order_date").isin(touchedDates: _*))
+          .filter(col("order_date").isin(touchedDates.toIndexedSeq: _*))
         val hourly = fact
           .groupBy(date_trunc("hour", col("order_timestamp")).as("metric_hour"))
           .agg(
@@ -211,7 +211,7 @@ object Incremental {
             avgMoney(col("total_amount")).as("avg_order_value"),
             countDistinct(col("customer_id")).as("unique_customers"))
           .withColumn("updated_at", current_timestamp())
-          .filter(col("metric_hour").isin(touchedHours: _*))
+          .filter(col("metric_hour").isin(touchedHours.toIndexedSeq: _*))
         withDynamicOverwrite(spark) {
           hourly.write.mode(SaveMode.Overwrite).partitionBy("metric_hour").parquet(wh.aggHourly)
         }
