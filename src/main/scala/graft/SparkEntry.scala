@@ -377,6 +377,12 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Deterministic per-epoch training order (md5(epoch:doc_id) total
+    // order; the scale materialization is the range-partitioned writer).
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Corpus.epochShuffle(t(s, dir, "documents"), epoch = 3)
+        .select("doc_id", "shuffle_key").orderBy("shuffle_key", "doc_id")),
+
     // Concat-and-split sequence packing: fixed-length pretraining
     // sequences with boundary-straddling docs, bucketed for parallelism.
     "q_pack" -> ((s, dir) =>
@@ -1588,6 +1594,10 @@ FROM lh ORDER BY doc_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     // Same md5-hex bucket convention as q_hash_split; the running sum
     // partitions by bucket exactly like the Spark window, and the

@@ -322,6 +322,40 @@ object Corpus {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** Deterministic epoch shuffle — the training-order op: every
+    * pretraining epoch visits the corpus in a fresh pseudo-random order,
+    * and that order must be reproducible (resume-from-step, audits) and
+    * engine-portable. `shuffle_key = md5(epoch || ':' || doc_id)` is a
+    * per-epoch pseudo-random total order (ties impossible: the key is a
+    * bijection of the unique id for a fixed epoch, and doc_id breaks any
+    * md5-collision tie) — pure map work, no state, no rand().
+    *
+    * Ordering BY the key is the consumer's choice of physics: at fixture
+    * scale an ORDER BY; at 100 TB use [[writeEpochShuffled]], which
+    * range-partitions on the key and sorts within partitions — a single
+    * range exchange producing globally-ordered files (file i's keys all
+    * precede file i+1's), which is how an epoch's worth of training data
+    * is actually materialized. Never a global window rank: row_number
+    * over an unpartitioned ORDER BY serializes the corpus through one
+    * task.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
+
+  /** Materialize one epoch's training order: range-partition on the
+    * shuffle key into `nFiles` globally-ordered files (EpochShuffleSpec
+    * asserts cross-file ordering, determinism, and per-epoch difference).
+    */
+  def writeEpochShuffled(df: DataFrame, epoch: Int, path: String, nFiles: Int,
+      idCol: String = "doc_id"): Unit = {
+    require(!df.columns.contains("shuffle_key"), "input already has a shuffle_key column")
+    epochShuffle(df, epoch, idCol)
+      .repartitionByRange(nFiles, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   /** [[decontaminate]]'s scale escape hatch made concrete: when even the
     * benchmark's exact shingle set is too big to broadcast, probe a bloom
     * sketch of it instead. The benchmark side is scanned but never

@@ -208,6 +208,45 @@ class CorpusSpec extends SparkSpec {
       (4L, 0L, false)))
   }
 
+  test("epochShuffle: globally-ordered files, reproducible, epoch-distinct") {
+    import org.apache.spark.sql.functions.input_file_name
+    val corpus = docs((1L to 300L).map(i => i -> s"doc number $i"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuffle").toString
+
+    Corpus.writeEpochShuffled(corpus, epoch = 1, s"$dir/e1", nFiles = 5)
+    val back = spark.read.parquet(s"$dir/e1")
+      .select($"doc_id", $"shuffle_key", input_file_name().as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(back.length == 300 && back.map(_._1).distinct.length == 300)
+    // files are globally ordered: every file's key range is disjoint from
+    // and ordered against every other's — readers get one epoch order by
+    // concatenating files in key order
+    val ranges = back.groupBy(_._3).map { case (f, rs) =>
+      (rs.map(_._2).min, rs.map(_._2).max, f)
+    }.toSeq.sortBy(_._1)
+    assert(ranges.size == 5)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA, _), (loB, _, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+    // within a file, rows are key-sorted (parquet preserves write order)
+    back.groupBy(_._3).foreach { case (_, rs) =>
+      val keysInWriteOrder = rs.map(_._2).toSeq
+      assert(keysInWriteOrder == keysInWriteOrder.sorted)
+    }
+    // same epoch reproduces the identical order; a different epoch differs
+    val order1 = back.sortBy(_._2).map(_._1).toSeq
+    Corpus.writeEpochShuffled(corpus, epoch = 1, s"$dir/e1b", nFiles = 3)
+    val order1b = spark.read.parquet(s"$dir/e1b")
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order1b, "epoch order must not depend on file count")
+    Corpus.writeEpochShuffled(corpus, epoch = 2, s"$dir/e2", nFiles = 5)
+    val order2 = spark.read.parquet(s"$dir/e2")
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    assert(order1 != order2, "different epochs must produce different orders")
+    assert(order1.sorted == order2.sorted)
+  }
+
   test("decontaminateBloom: no false negatives, upper-bounds exact overlap") {
     def sent(seed: Int, len: Int) = {
       val r = new scala.util.Random(seed)
