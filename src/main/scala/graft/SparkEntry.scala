@@ -241,6 +241,10 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Per-source curation dashboard: volume, mean quality, exact-dup rate.
+    "q_source_stats" -> ((s, dir) =>
+      TextStats.sourceStats(t(s, dir, "documents")).orderBy("source")),
+
     // Text analysis: content fingerprints (exact/normalized/prefix/min-shingle).
     "q_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
@@ -921,6 +925,33 @@ object SparkEntry {
         |   + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
         |   + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // avg_quality follows the decimal-sum policy: per-doc scores are
+    // bit-identical (int-ratio arithmetic), DECIMAL(18,6) sums are
+    // order-independent, one double division at the end.
+    "q_source_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS DOUBLE)
+        |       / len(string_split(text, ' ')) * 0.3
+        |     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) * 0.2 AS quality_score
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   count(*) OVER (PARTITION BY md5(lower(text))) > 1
+        |     AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_drop
+        |  FROM documents)
+        |SELECT source,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+        | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+        |FROM f JOIN q USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_lang_id" ->
       """WITH s AS (

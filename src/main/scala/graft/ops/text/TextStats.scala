@@ -1,5 +1,6 @@
 package graft.ops.text
 
+import graft.dec6
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -126,5 +127,42 @@ object TextStats {
         md5(lower(col("text"))).as("fp_norm"),
         md5(substring(col("text"), 1, 64)).as("fp_prefix"),
         array_min(transform(shingles(col("toks"), 2), s => md5(s))).as("fp_min_shingle"))
+  }
+
+  /** Per-source corpus health — the curation dashboard that decides which
+    * sources to keep, reweight, or drop: document and token volume, mean
+    * quality score, and the exact-duplicate rate (docs that exact dedup
+    * would drop, i.e. non-minimum members of a corpus-wide fingerprint
+    * group — a high rate marks a mirror-heavy or boilerplate source).
+    *
+    * Mean quality routes through the exact-decimal sum policy
+    * (graft.package): per-doc scores are bit-identical across engines
+    * (int-ratio arithmetic only), and a DECIMAL(18,6) sum is
+    * order-independent, so the per-source mean hash-matches the oracle.
+    *
+    * Scale: one shuffle on the content fingerprint (window count), one
+    * doc_id join to attach scores, then a source-cardinality aggregate —
+    * all map-side combinable; no per-pair work anywhere.
+    */
+  def sourceStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(documents).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("fp")
+    val flagged = documents
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(lower(col("text"))).as("fp"))
+      .withColumn("is_drop",
+        count(lit(1)).over(w) > 1 && col("doc_id") =!= min("doc_id").over(w))
+    val nDrop = sum(when(col("is_drop"), 1L).otherwise(0L))
+    flagged.join(scored, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(dec6(col("quality_score"))).cast("double") / count(lit(1)))
+          .as("avg_quality"),
+        nDrop.as("n_dup_docs"),
+        (nDrop.cast("double") / count(lit(1))).as("dup_ratio"))
   }
 }

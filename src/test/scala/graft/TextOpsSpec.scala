@@ -177,6 +177,23 @@ class TextOpsSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)), "true pair survives via its rare shingles")
   }
 
+  test("sourceStats: volume, mean quality, exact-dup rate per source") {
+    val d = Seq(
+      (1L, "the quick brown fox", "web"),
+      (2L, "THE QUICK BROWN FOX", "web"), // normalized dup of 1 → drop
+      (3L, "the quick brown fox", "books"), // cross-source dup of 1 → drop
+      (4L, "something else entirely here now", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.sourceStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val (webDocs, webToks, webQ, webDups, webRatio) = out("web")
+    assert(webDocs == 2 && webToks == 8 && webDups == 1 && webRatio == 0.5)
+    assert(webQ > 0 && webQ <= 1.0)
+    val (bkDocs, bkToks, _, bkDups, bkRatio) = out("books")
+    assert(bkDocs == 2 && bkToks == 9 && bkDups == 1 && bkRatio == 0.5)
+  }
+
   test("language ID picks the dominant stopword profile") {
     val sample = Seq(
       (1L, "en", "the cat and the dog is in to the house of things"),
