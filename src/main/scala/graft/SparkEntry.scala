@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
-import graft.ops.{Relational, Sessionize}
+import graft.ops.{Relational, Sessionize, Similarity}
 import graft.ops.text.{Corpus, Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -244,6 +244,10 @@ object SparkEntry {
     // Per-source curation dashboard: volume, mean quality, exact-dup rate.
     "q_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(t(s, dir, "documents")).orderBy("source")),
+
+    // Embedding-table health: the validation pass before ANN indexing.
+    "q_embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(t(s, dir, "embeddings")).orderBy("label")),
 
     // Text analysis: content fingerprints (exact/normalized/prefix/min-shingle).
     "q_fingerprints" -> ((s, dir) =>
@@ -925,6 +929,25 @@ object SparkEntry {
         |   + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
         |   + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // norms are sqrt of the ordered-fold squared sum — both engines run
+    // the identical IEEE sequence and sqrt is correctly rounded, so
+    // min/max norms are bit-identical; all other columns are counts.
+    "q_embedding_stats" ->
+      """WITH v AS (
+        |  SELECT label, CAST(len(embedding) AS INT) AS dim,
+        |   sqrt(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |        for i in generate_series(1, len(embedding))], (x, y) -> x + y)) AS norm,
+        |   CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+        |        THEN 1 ELSE 0 END AS bad
+        |  FROM embeddings)
+        |SELECT label,
+        | CAST(count(*) AS BIGINT) AS n_vectors,
+        | min(dim) AS min_dim, max(dim) AS max_dim,
+        | CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        | CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+        | min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     // avg_quality follows the decimal-sum policy: per-doc scores are
     // bit-identical (int-ratio arithmetic), DECIMAL(18,6) sums are

@@ -69,6 +69,37 @@ object Similarity {
     dotOrdered(a, b) /
       (sqrt(dotOrdered(a, a)) * sqrt(dotOrdered(b, b)))
 
+  /** Embedding-table health check — the validation pass run before
+    * spending a cluster on ANN indexing or near-dup: per label, vector
+    * count, dimensionality spread (min ≠ max ⇒ ragged table, which would
+    * silently truncate ordered dot products), zero vectors (cosine is
+    * undefined — they poison normalization), non-finite elements, and the
+    * norm range. Pure map + one small aggregate; no pairwise work.
+    *
+    * Deliberately no mean norm: min/max/counts are order-independent and
+    * bit-identical cross-engine, while any double summation is
+    * order-dependent and a decimal detour is off-limits here (see the
+    * module's numeric-policy note) — a mean would cost hash parity for
+    * little diagnostic value over the range.
+    */
+  def embeddingStats(embeddings: DataFrame): DataFrame = {
+    val norm = sqrt(dotOrdered(col("embedding"), col("embedding")))
+    val nonfinite = exists(col("embedding"), x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    embeddings
+      .select(col("label"), size(col("embedding")).as("dim"), norm.as("norm"),
+        nonfinite.as("bad"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("dim")).as("min_dim"),
+        max(col("dim")).as("max_dim"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries` (q_id, q_emb),
     * the k nearest corpus rows (vec_id, embedding) by cosine.
     * Output: (q_id, rank, neighbor_id, sim), rank 1-based best-first.
