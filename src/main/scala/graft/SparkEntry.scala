@@ -935,7 +935,8 @@ object SparkEntry {
     // min/max norms are bit-identical; all other columns are counts.
     "q_embedding_stats" ->
       """WITH v AS (
-        |  SELECT label, CAST(len(embedding) AS INT) AS dim,
+        |  SELECT label, embedding IS NULL AS is_null,
+        |   CAST(len(embedding) AS INT) AS dim,
         |   sqrt(list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
         |        for i in generate_series(1, len(embedding))], (x, y) -> x + y)) AS norm,
         |   CASE WHEN len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
@@ -943,6 +944,7 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label,
         | CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         | min(dim) AS min_dim, max(dim) AS max_dim,
         | CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         | CAST(sum(bad) AS BIGINT) AS n_nonfinite,

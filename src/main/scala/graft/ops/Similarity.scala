@@ -87,11 +87,19 @@ object Similarity {
     val nonfinite = exists(col("embedding"), x =>
       isnan(x) || x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
     embeddings
-      .select(col("label"), size(col("embedding")).as("dim"), norm.as("norm"),
-        nonfinite.as("bad"))
+      .select(col("label"), col("embedding").isNull.as("is_null"),
+        // explicit null guard: legacy sizeOfNull confs return -1 for
+        // size(NULL), which would poison min_dim instead of being skipped
+        when(col("embedding").isNull, lit(null))
+          .otherwise(size(col("embedding"))).as("dim"),
+        norm.as("norm"), nonfinite.as("bad"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),
+        // NULL vectors are their own defect class (n_zero/n_nonfinite
+        // must not silently absorb or miss them); dim/norm aggregates
+        // skip them via null propagation
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
         min(col("dim")).as("min_dim"),
         max(col("dim")).as("max_dim"),
         sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),

@@ -339,9 +339,13 @@ object Corpus {
     * over an unpartitioned ORDER BY serializes the corpus through one
     * task.
     */
-  def epochShuffle(df: DataFrame, epoch: Int, idCol: String = "doc_id"): DataFrame =
+  def epochShuffle(df: DataFrame, epoch: Int, idCol: String = "doc_id"): DataFrame = {
+    // guard here, not only in the writer: withColumn would silently
+    // REPLACE an existing shuffle_key (e.g. a chained earlier epoch)
+    require(!df.columns.contains("shuffle_key"), "input already has a shuffle_key column")
     df.withColumn("shuffle_key",
       md5(concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))))
+  }
 
   /** Materialize one epoch's training order: range-partition on the
     * shuffle key into `nFiles` globally-ordered files (EpochShuffleSpec
@@ -349,7 +353,6 @@ object Corpus {
     */
   def writeEpochShuffled(df: DataFrame, epoch: Int, path: String, nFiles: Int,
       idCol: String = "doc_id"): Unit = {
-    require(!df.columns.contains("shuffle_key"), "input already has a shuffle_key column")
     epochShuffle(df, epoch, idCol)
       .repartitionByRange(nFiles, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")

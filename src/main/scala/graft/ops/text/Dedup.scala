@@ -110,6 +110,22 @@ object Dedup {
         .select("doc_id", "band_idx", "band_key")
     }
 
+  /** Shared stage 3: exact Jaccard verification of candidate id pairs
+    * against the cached shingle sets (|A∩B| / |A∪B| as one int/int double
+    * division — bit-identical across engines). `shuffle_hash` hints stop
+    * cache-derived stats from broadcasting the corpus-sized set relations.
+    */
+  private def verifyJaccard(candidates: DataFrame, setsA: DataFrame, setsB: DataFrame,
+                            aCol: String, bCol: String, threshold: Double): DataFrame =
+    candidates
+      .join(setsA.toDF(aCol, "sh_a").hint("shuffle_hash"), aCol)
+      .join(setsB.toDF(bCol, "sh_b").hint("shuffle_hash"), bCol)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(aCol, bCol, "jaccard")
+
   /** Asymmetric near-dup: flag INCOMING documents that near-duplicate an
     * EXISTING corpus — the recurring-ingestion form of [[nearDupPairs]]
     * (dedup today's crawl against everything already landed without
@@ -143,14 +159,7 @@ object Dedup {
         .hint("shuffle_hash"), Seq("band_idx", "band_key"))
       .select("doc_inc", "doc_corp")
       .distinct()
-    candidates
-      .join(setsI.toDF("doc_inc", "sh_i").hint("shuffle_hash"), "doc_inc")
-      .join(setsC.toDF("doc_corp", "sh_c").hint("shuffle_hash"), "doc_corp")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
-          size(array_union(col("sh_i"), col("sh_c"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_inc", "doc_corp", "jaccard")
+    verifyJaccard(candidates, setsI, setsC, "doc_inc", "doc_corp", threshold)
   }
 
   /** MinHash-LSH near-duplicate pairs.
@@ -211,14 +220,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    candidates
-      .join(sets.toDF("doc_a", "sh_a").hint("shuffle_hash"), "doc_a")
-      .join(sets.toDF("doc_b", "sh_b").hint("shuffle_hash"), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
   /** Connected components over a near-dup pair list — the step that turns

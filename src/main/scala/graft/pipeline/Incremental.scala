@@ -147,19 +147,21 @@ object Incremental {
       val newCount = newRows.count()
       val observed = obs.get
 
-      // Capture the touched dates/hours BEFORE appending: the append to
-      // fact_orders triggers CacheManager.recacheByPath, which recomputes
-      // the cached anti-join against the NEW fact contents — where every
-      // batch row now exists, so newRows silently re-evaluates to empty.
-      // The collected sets are tiny (bounded by the batch's time span) and
-      // as literals they drive static partition pruning below.
-      val touchedDates =
-        if (newCount == 0) Array.empty[java.sql.Date]
-        else newRows.select("order_date").distinct().collect().map(_.getDate(0))
-      val touchedHours =
-        if (newCount == 0) Array.empty[java.sql.Timestamp]
-        else newRows.select(date_trunc("hour", col("order_timestamp")).as("h"))
-          .distinct().collect().map(_.getTimestamp(0))
+      // Touched dates/hours come from the STAGED batch, not the
+      // anti-joined new rows: a crash-rerun (runWithRetries) re-stages a
+      // batch whose rows already landed in the fact (newCount == 0) but
+      // whose hourly overwrite may not have committed — deriving the
+      // literals from newRows would skip the merge below and leave
+      // agg_hourly stale forever. The collected sets are tiny (bounded by
+      // the batch's time span) and as literals they drive static partition
+      // pruning below. Collected BEFORE the append regardless (the append
+      // recaches the anti-join against the new fact contents).
+      val touchedDates = staging
+        .select(to_date(col("order_timestamp")).as("d")).distinct()
+        .collect().map(_.getDate(0))
+      val touchedHours = staging
+        .select(date_trunc("hour", col("order_timestamp")).as("h")).distinct()
+        .collect().map(_.getTimestamp(0))
 
       // S4 audit append, idempotent like the fact load: only mismatches on
       // orders this run actually adds (semi-join against the anti-joined
@@ -200,7 +202,12 @@ object Incremental {
       // matched hours update, new hours insert, untouched hours keep.
       // The isin on the partition column prunes at file-listing time —
       // at 100 TB the scan touches only this batch's date partitions.
-      if (newCount > 0) {
+      // Runs even when newCount == 0 (every staged row already in the
+      // fact): that is exactly the crash-rerun window where the fact
+      // append committed but this overwrite didn't, and recomputing
+      // already-correct hours is idempotent — a bounded recompute is the
+      // price of the retry contract.
+      if (touchedHours.nonEmpty && readIfExists(spark, wh.factOrders).nonEmpty) {
         val fact = spark.read.parquet(wh.factOrders)
           .filter(col("order_date").isin(touchedDates.toIndexedSeq: _*))
         val hourly = fact
@@ -231,8 +238,11 @@ object Incremental {
     * are archived only after all writes succeed (a failed attempt leaves
     * them in `landingDir` for the retry to re-stage), the fact append is
     * anti-join guarded, the audit append is batch_id guarded, and the
-    * hourly aggregate is a keyed dynamic-partition overwrite. A retry after
-    * a partial failure therefore completes the batch exactly once.
+    * hourly aggregate is a keyed dynamic-partition overwrite whose hour
+    * literals derive from the STAGED batch — so a crash between the fact
+    * append and the hourly merge still recomputes those hours on retry
+    * (newCount == 0 must not skip the merge). A retry after a partial
+    * failure therefore completes the batch exactly once.
     */
   def runWithRetries(spark: SparkSession, landingDir: String, wh: Warehouse,
                      batchId: String, failOnDuplicates: Boolean = true,

@@ -49,11 +49,17 @@ object Retry {
     * retried (a fatal JVM error propagates immediately, as Airflow's worker
     * death would). On exhaustion the LAST error is thrown with the earlier
     * ones attached as suppressed, so the failure report shows the whole
-    * history. `onAttempt` observes each execution (for audit logging).
+    * history. `onAttempt` observes each execution (for audit logging) and
+    * is BEST-EFFORT: an observer that itself throws (a flaky audit sink —
+    * exactly the environment retries exist for) must neither abort the
+    * remaining retries nor turn a committed success into a failure, so
+    * its non-fatal errors are swallowed (Airflow's callback contract).
     */
   def withRetries[T](policy: RetryPolicy = RetryPolicy(),
                      sleep: Long => Unit = Thread.sleep,
                      onAttempt: RetryAttempt => Unit = _ => ())(body: Int => T): T = {
+    def observe(a: RetryAttempt): Unit =
+      try onAttempt(a) catch { case NonFatal(_) => () }
     var previous: List[Throwable] = Nil
     var attempt = 1
     while (true) {
@@ -61,11 +67,11 @@ object Retry {
       if (delay > 0) sleep(delay)
       try {
         val out = body(attempt)
-        onAttempt(RetryAttempt(attempt, delay, None))
+        observe(RetryAttempt(attempt, delay, None))
         return out
       } catch {
         case NonFatal(e) =>
-          onAttempt(RetryAttempt(attempt, delay, Some(e.toString)))
+          observe(RetryAttempt(attempt, delay, Some(e.toString)))
           if (attempt > policy.retries) {
             previous.reverse.foreach(e.addSuppressed)
             throw e

@@ -84,22 +84,26 @@ object IncrementalStream {
 
   /** Shared sink of the AvailableNow and resident runners: each micro-batch
     * flows through the batch pipeline's fact transform and appends,
-    * date-partitioned, to the warehouse. Dims are resolved once at stream
-    * start (the cron-parity contract — a restart picks up refreshed dims).
+    * date-partitioned, to the warehouse. Dims are resolved PER MICRO-BATCH,
+    * not at stream start: a resident query outlives the daily dim refresh,
+    * and a DataFrame captured at start pins the file listing — the next
+    * batch after an overwrite would crash on deleted parquet files (or, if
+    * dims landed after start, enrich against the captured empty relation
+    * forever). Dims are dimension-sized; a fresh read per tick is noise
+    * next to the batch itself.
     */
   private def factAppendBatch(spark: SparkSession,
-                              wh: Incremental.Warehouse): (DataFrame, Long) => Unit = {
-    val dimCustomers = readDimOr(spark, wh.dimCustomers, Sources.customersSchema)
-    val dimProducts = readDimOr(spark, wh.dimProducts, Sources.productsSchema)
+                              wh: Incremental.Warehouse): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
       if (!batch.isEmpty) {
+        val dimCustomers = readDimOr(spark, wh.dimCustomers, Sources.customersSchema)
+        val dimProducts = readDimOr(spark, wh.dimProducts, Sources.productsSchema)
         Nested.factTransform(batch, dimCustomers, dimProducts)
           .write.mode(SaveMode.Append).partitionBy("order_date")
           .parquet(wh.factOrders)
       }
       ()
     }
-  }
 
   private def readDimOr(spark: SparkSession, path: String,
                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -343,6 +347,9 @@ object IncrementalStream {
     *
     * Docs with fewer than 2 tokens have no shingles and are passed over,
     * matching the batch operator (their signature would be empty).
+    * Re-deliveries of an already-enrolled doc_id refresh its horizon
+    * without re-emitting pairs (doc_id is assumed to identify content; a
+    * same-id content REVISION is a new document and needs a new id).
     * Within-batch arrivals fold in (event_time, doc_id) order, so output
     * is deterministic for a given input; cross-horizon dedup stays a batch
     * job over the landed corpus, like the exact twin above.
@@ -407,19 +414,26 @@ object IncrementalStream {
             rows.toSeq.sortBy(t => (t._2.getTime, t._1)).foreach { t =>
               val (id, ts, sigSeq, _, _) = t
               val sigs = sigSeq.toArray
-              entries.foreach { e =>
-                if (e.docId != id && minMatchingBand(e.sigs, sigs) == bandIdx) {
-                  var eq = 0
-                  var i = 0
-                  while (i < k) { if (e.sigs(i) == sigs(i)) eq += 1; i += 1 }
-                  val agreement = eq.toDouble / k
-                  if (agreement >= threshold)
-                    out += NearDupPair(math.min(e.docId, id), math.max(e.docId, id),
-                      agreement, ts)
+              // a re-delivered doc_id (re-crawl, replayed file) REFRESHES
+              // its entry's horizon but neither re-compares (its pairs
+              // were emitted on first arrival — re-emitting would break
+              // exactly-once) nor enrolls a duplicate copy
+              val (self, others) = entries.partition(_.docId == id)
+              if (self.isEmpty) {
+                others.foreach { e =>
+                  if (minMatchingBand(e.sigs, sigs) == bandIdx) {
+                    var eq = 0
+                    var i = 0
+                    while (i < k) { if (e.sigs(i) == sigs(i)) eq += 1; i += 1 }
+                    val agreement = eq.toDouble / k
+                    if (agreement >= threshold)
+                      out += NearDupPair(math.min(e.docId, id), math.max(e.docId, id),
+                        agreement, ts)
+                  }
                 }
               }
-              if (entries.size < maxBucketSize)
-                entries = BucketEntry(id, sigs, ts.getTime) :: entries
+              if (self.nonEmpty || others.size < maxBucketSize)
+                entries = BucketEntry(id, sigs, ts.getTime) :: others
             }
             rearm()
             out.iterator

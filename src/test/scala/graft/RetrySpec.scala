@@ -60,6 +60,17 @@ class RetrySpec extends SparkSpec {
     assert(slept.toSeq == Seq(100L, 200L, 350L, 350L))
   }
 
+  test("a throwing onAttempt observer neither aborts retries nor fails a success") {
+    var calls = 0
+    val out = Retry.withRetries(RetryPolicy(retries = 2, delayMillis = 0), _ => (),
+      _ => throw new RuntimeException("audit sink down")) { attempt =>
+      calls += 1
+      if (attempt < 2) throw new Boom(attempt)
+      "ok"
+    }
+    assert(out == "ok" && calls == 2)
+  }
+
   test("fatal errors are not retried") {
     var calls = 0
     intercept[InterruptedException] {

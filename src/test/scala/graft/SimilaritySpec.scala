@@ -19,24 +19,28 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(0f, 0f), 0),        // zero vector
       (3L, Array(1f, 0f), 0),        // norm 1
       (4L, Array(1f, Float.NaN), 1), // non-finite element
-      (5L, Array(1f, 0f, 0f), 1)     // ragged dim within label 1
+      (5L, Array(1f, 0f, 0f), 1),    // ragged dim within label 1
+      (6L, null.asInstanceOf[Array[Float]], 1) // NULL vector
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.embeddingStats(rows).orderBy("label").collect()
     assert(out.length == 2)
     val l0 = out(0)
-    assert(l0.getInt(0) == 0 && l0.getLong(1) == 3)
-    assert(l0.getInt(2) == 2 && l0.getInt(3) == 2, "label 0 dims are uniform")
-    assert(l0.getLong(4) == 1 && l0.getLong(5) == 0)
-    assert(l0.getDouble(6) == 0.0 && l0.getDouble(7) == 5.0)
+    assert(l0.getInt(0) == 0 && l0.getLong(1) == 3 && l0.getLong(2) == 0)
+    assert(l0.getInt(3) == 2 && l0.getInt(4) == 2, "label 0 dims are uniform")
+    assert(l0.getLong(5) == 1 && l0.getLong(6) == 0)
+    assert(l0.getDouble(7) == 0.0 && l0.getDouble(8) == 5.0)
     val l1 = out(1)
-    assert(l1.getInt(0) == 1 && l1.getLong(1) == 2)
-    assert(l1.getInt(2) == 2 && l1.getInt(3) == 3, "ragged dims must surface")
-    assert(l1.getLong(5) == 1, "NaN element must count as non-finite")
-    assert(l1.getDouble(6) == 1.0, "min skips the NaN norm (NaN sorts greatest)")
-    // fixture table is healthy: one label block, no zero/non-finite vectors
+    assert(l1.getInt(0) == 1 && l1.getLong(1) == 3)
+    assert(l1.getLong(2) == 1, "NULL vector must surface as its own defect class")
+    assert(l1.getInt(3) == 2 && l1.getInt(4) == 3,
+      "ragged dims must surface; the NULL vector must not poison min_dim")
+    assert(l1.getLong(5) == 0, "a NULL vector is not a zero vector")
+    assert(l1.getLong(6) == 1, "NaN element must count as non-finite")
+    assert(l1.getDouble(7) == 1.0, "min skips the NaN norm (NaN sorts greatest)")
+    // fixture table is healthy: one label block, no null/zero/non-finite
     val fx = Similarity.embeddingStats(emb)
-    assert(fx.filter($"n_zero" > 0 || $"n_nonfinite" > 0 || $"min_dim" =!= $"max_dim")
-      .count() == 0)
+    assert(fx.filter($"n_null" > 0 || $"n_zero" > 0 || $"n_nonfinite" > 0 ||
+      $"min_dim" =!= $"max_dim").count() == 0)
   }
 
   test("brute force: every query's rank-1 neighbor is itself with sim ≈ 1") {

@@ -221,6 +221,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((4L, doc, ts(5))) // exact copy of 1, within the horizon
       q.processAllAvailable()
+      mem.addData((4L, doc, ts(6))) // re-delivery: must NOT re-emit pairs
+      q.processAllAvailable()
       mem.addData((5L, later, ts(60))) // advances the watermark past 1/2/4
       q.processAllAvailable()
       mem.addData((6L, doc, ts(61))) // copy of 1 AFTER eviction: no pair
