@@ -35,6 +35,23 @@ object Bench {
     Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
       .foreach(t => io.Sources.table(spark, sfDir, t).schema)
+    // Codegen/JIT warmup on a 10-row in-memory corpus: the dedup family
+    // shares heavyweight generated-code shapes (tokenize→shingle→md5,
+    // band self-join, Jaccard verify, star-contraction rounds), and the
+    // session's one-time Janino+JIT cost for them (~6 s) used to land
+    // entirely on whichever family query happened to iterate FIRST out
+    // of the queries map — profiled at 11.1 s attributed vs ~4 s
+    // steady-state for q_dedup_clusters. Warm the shapes once so every
+    // query's number is its own.
+    locally {
+      import spark.implicits._
+      val warm = (0L until 10L)
+        .map(i => (i, s"warm fixture doc $i alpha beta gamma delta " * 3,
+          "en", "warm", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      ops.text.Dedup.resolveCanonical(warm, ops.text.Dedup.nearDupPairs(warm)).count()
+      spark.catalog.clearCache()
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

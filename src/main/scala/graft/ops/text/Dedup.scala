@@ -282,10 +282,12 @@ object Dedup {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // No trailing distinct: duplicate (u, v) rows are harmless to
+      // small-star's min-aggregate and its final distinct restores
+      // set-ness — one fewer exchange per round.
       sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     // per node u over its smaller neighbors (the canonical list as-is):
     // every v ∈ N(u) and u itself re-point to m = min(N(u)); both emitted
@@ -313,6 +315,8 @@ object Dedup {
       val nextCnt = next.count()
       converged = nextCnt == cnt &&
         next.except(edges).limit(1).count() == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter: edges $cnt -> $nextCnt converged=$converged")
       // drop the superseded round's blocks — otherwise up to maxIter
       // edge tables sit in executor storage for the whole computation
       edges.unpersist()
