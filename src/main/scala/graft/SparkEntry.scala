@@ -159,6 +159,24 @@ object SparkEntry {
       ops.Events.retention(t(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")),
 
+    // First-order Markov transition matrix over per-user journeys
+    // (lead() on the user stream; P(to|from) = one exact int/int division).
+    "q_transitions" -> ((s, dir) =>
+      ops.Events.transitions(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
+    // Dense hourly grid with zero-filled gaps (sequence-explode over the
+    // global span × event types; no hour silently missing).
+    "q_gapfill" -> ((s, dir) =>
+      ops.TimeSeries.gapFill(t(s, dir, "events"))
+        .orderBy("event_type", "metric_hour")),
+
+    // Trailing-24h z-score anomaly detection from exact integer moments
+    // (n, Σx, Σx² over the frame; one IEEE double tree both engines share).
+    "q_rate_anomaly" -> ((s, dir) =>
+      ops.TimeSeries.rateAnomaly(t(s, dir, "events"))
+        .orderBy("event_type", "metric_hour")),
+
     // JSON property extraction from the events props column (the S2
     // family's in-row JSON path: get_json_object + cast + aggregate).
     "q_event_props" -> ((s, dir) =>
@@ -236,6 +254,15 @@ object SparkEntry {
     // Text analysis: quality scoring (length/stopword/punct/TTR blend).
     "q_quality_score" -> ((s, dir) =>
       TextStats.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Per-language median quality gate: keep the top half of each
+    // language by blended quality score (discrete quantile threshold —
+    // an actual group element, broadcast back over the scan).
+    "q_quality_gate" -> ((s, dir) =>
+      Corpus.quantileGate(
+        TextStats.qualityScore(t(s, dir, "documents"), Seq("lang")),
+        "quality_score", "lang", p = 0.5)
+        .orderBy("doc_id")),
 
     // Text analysis: n-gram-heuristic language ID.
     "q_lang_id" -> ((s, dir) =>
@@ -337,6 +364,13 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ops.Similarity.ivfTopK(emb, q, 5).orderBy("q_id", "rank")
     }),
+
+    // Exact self-kNN majority-label audit (k=5, self excluded): the
+    // embedding-space label-noise detector. Brute-force baseline form;
+    // the same vote composes over ANN neighbors at corpus scale.
+    "q_knn_label" -> ((s, dir) =>
+      ops.Similarity.knnLabelAudit(t(s, dir, "embeddings"), k = 5)
+        .orderBy("vec_id")),
 
     // LSH-bucketed ANN top-5: exact-bucket candidates (8 sign bits),
     // exact cosine + TopK within the bucket (the oracle shares the plane
@@ -792,6 +826,71 @@ object SparkEntry {
         |WHERE floor((epoch_ms(e.ts) - epoch_ms(f.first_ts)) / 604800000.0) BETWEEN 0 AND 8
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Same journey order (ts, then event_id for simultaneous events);
+    // P(to|from) is one int/int double division in both engines.
+    "q_transitions" ->
+      """WITH j AS (
+        |  SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n_transitions,
+        | CAST(count(*) AS DOUBLE) /
+        |   CAST(sum(count(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+        |FROM j WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // generate_series is inclusive of both bounds, like Spark sequence().
+    "q_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS metric_hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS metric_hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.event_type, g.metric_hour, coalesce(h.n_events, 0) AS n_events
+        |FROM grid g LEFT JOIN hourly h USING (event_type, metric_hour)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors rateAnomaly's exact expression tree: integer frame sums
+    // (n, Σx, Σx²) then one shared IEEE double chain (divide, multiply,
+    // sqrt are correctly rounded — bit parity without any rounding).
+    "q_rate_anomaly" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS metric_hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS metric_hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT g.event_type, g.metric_hour, coalesce(h.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, metric_hour)),
+        |m AS (
+        |  SELECT event_type, metric_hour, n_events,
+        |   CAST(count(n_events) OVER w AS DOUBLE) AS nd,
+        |   CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+        |   CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS s2
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY metric_hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, metric_hour, n_events,
+        |   CASE WHEN nd = 24.0 THEN s1 / nd END AS mean_trailing,
+        |   CASE WHEN nd = 24.0
+        |         AND sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0)) > 0.0
+        |    THEN (CAST(n_events AS DOUBLE) - s1 / nd)
+        |           / sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))
+        |   END AS z_score
+        |  FROM m)
+        |SELECT event_type, metric_hour, n_events, mean_trailing, z_score,
+        | coalesce(abs(z_score) > 3.0, false) AS is_anomaly
+        |FROM z ORDER BY 1, 2""".stripMargin,
+
     // get_json_object('$.k') ≡ DuckDB json_extract_string(props, '$.k');
     // avg from exact sum / count so both engines do one IEEE division.
     "q_event_props" ->
@@ -929,6 +1028,32 @@ object SparkEntry {
         |   + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
         |   + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Same score pipeline as q_quality_score (plus lang); the per-lang
+    // median threshold is the DISCRETE quantile — an actual group
+    // element, = approx_percentile in the exact n <= accuracy regime
+    // (the q_corpus_stats_approx rank-convention equivalence).
+    "q_quality_gate" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt,
+        |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens, stopword_cnt, punct_cnt,
+        |   CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+        |   CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |  FROM b),
+        |th AS (
+        |  SELECT lang, quantile_disc(quality_score, 0.5) AS threshold
+        |  FROM q GROUP BY lang)
+        |SELECT q.*, th.threshold, q.quality_score >= th.threshold AS is_kept
+        |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
     // norms are sqrt of the ordered-fold squared sum — both engines run
     // the identical IEEE sequence and sqrt is correctly rounded, so
@@ -1550,6 +1675,28 @@ SELECT q_id,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 ORDER BY q_id, rank""",
+
+    // Replicates knnLabelAudit: full self-join minus self, exact cosine
+    // (same ordered-fold dots), top-5 by (sim DESC, id), majority vote
+    // with ties to the smallest label.
+    "q_knn_label" ->
+      s"""WITH s AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id, v.label AS n_label,
+    ${duckDot("q.embedding", "v.embedding")} /
+      (sqrt(${duckDot("q.embedding", "q.embedding")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id),
+topk AS (
+  SELECT q_id, n_label FROM s
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+votes AS (
+  SELECT q_id, n_label, count(*) AS n_votes FROM topk GROUP BY 1, 2),
+win AS (
+  SELECT q_id, n_label AS knn_label, n_votes FROM votes
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) = 1)
+SELECT w.q_id AS vec_id, e.label AS own_label, w.knn_label, w.n_votes,
+  e.label = w.knn_label AS is_agree
+FROM win w JOIN embeddings e ON w.q_id = e.vec_id
+ORDER BY vec_id""",
 
     // The direct O(n·w) window fold — list_reduce's first-element seeding
     // matches the expression's H = h0; H = H*B + h accumulation, and the

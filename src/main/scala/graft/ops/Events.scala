@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over the events stream table: ordered-step
@@ -131,5 +132,37 @@ object Events {
       .filter(col("week_offset").between(0, maxWeeks))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** First-order Markov transition matrix over per-user event journeys:
+    * for every consecutive (event, next event) pair within a user's
+    * time-ordered stream, the transition count and the conditional
+    * probability P(to | from). The standard "where do users go next"
+    * journey summary, and the input to Markov-chain attribution models.
+    *
+    * Tie-break: simultaneous events order by event_id, so the journey —
+    * and therefore the matrix — is fully deterministic and
+    * engine-portable. Each user's last event has no successor and emits
+    * nothing.
+    *
+    * Shape: ONE corpus-sized shuffle (the lead() window on user_id —
+    * per-user streams are session-sized, never skew-prone the way a
+    * groupBy on a hot content key is), then a map-side-combinable count
+    * aggregate to |types|² rows at most, and a final window over that
+    * constant-size matrix for the row-normalizing totals. P(to|from) is
+    * one int/int double division — exact parity cross-engine.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val matrix = events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val wFrom = Window.partitionBy("from_type")
+    matrix.select(col("from_type"), col("to_type"), col("n_transitions"),
+      (col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wFrom)).as("p_transition"))
   }
 }

@@ -115,6 +115,64 @@ object Similarity {
     * Plan shape: BroadcastNestedLoopJoin (the deliberate linear scan) →
     * partial TopK per partition → single k-row-per-query shuffle → explode.
     */
+  /** Majority-vote label agreement over ANY neighbor table — the standard
+    * embedding-space label audit: a vector whose k nearest neighbors
+    * mostly carry a different label is either mislabeled or sits on a
+    * class boundary, and LLM-data runs use exactly this signal to rank
+    * label noise for review. Composable by construction: feed it
+    * [[bruteForceTopK]] output for the exact audit, or [[annTopK]] /
+    * [[ivfTopK]] output when the corpus is too big to brute-force — the
+    * vote is oblivious to how neighbors were found.
+    *
+    * Ties break to the smallest label (deterministic, engine-portable).
+    * Output: (vec_id, own_label, knn_label, n_votes, is_agree).
+    *
+    * Shape: one equi-join attaching neighbor labels (AQE broadcasts the
+    * label table when it fits), then two map-side-combinable aggregates
+    * keyed on q_id — rows in = n·k, never n². No windows.
+    */
+  def labelAgreement(neighbors: DataFrame, labeled: DataFrame): DataFrame = {
+    val votes = neighbors
+      .join(labeled.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy("q_id")
+      .agg(max_by(struct(col("n_label"), col("n_votes")),
+        struct(col("n_votes"), -col("n_label"))).as("m"))
+      .select(col("q_id"), col("m.n_label").as("knn_label"),
+        col("m.n_votes").as("n_votes"))
+    votes
+      .join(labeled.select(col("vec_id").as("q_id"),
+        col("label").as("own_label")), "q_id")
+      .select(col("q_id").as("vec_id"), col("own_label"), col("knn_label"),
+        col("n_votes"),
+        (col("own_label") === col("knn_label")).as("is_agree"))
+  }
+
+  /** Exact self-kNN label audit: every vector against the full table,
+    * self excluded, majority vote via [[labelAgreement]]. This is the
+    * exactness BASELINE (O(n²) dot products, query side broadcast) —
+    * at corpus scale run the same vote over [[annTopK]]/[[ivfTopK]]
+    * neighbors instead; the brute-force form is for eval-sized label
+    * sets and for measuring the ANN variants' audit recall.
+    */
+  def knnLabelAudit(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val topk = udaf(new TopK(k))
+    val queries = embeddings.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val neighbors = embeddings
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id")) // self never votes
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("q_id"), col("vec_id").as("id"), col("sim"))
+      .groupBy("q_id")
+      .agg(topk(col("id"), col("sim")).as("topk"))
+      .select(col("q_id"), explode(col("topk")).as("s"))
+      .select(col("q_id"), col("s.id").as("neighbor_id"))
+    labelAgreement(neighbors, embeddings)
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopK(k))
     corpus

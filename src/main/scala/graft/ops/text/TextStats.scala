@@ -42,7 +42,8 @@ object TextStats {
     * type-token ratio, blended into one deterministic double score.
     * Mirrors the common LLM-data quality heuristics (length/punct/stopword).
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame,
+                   passthrough: Seq[String] = Nil): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks)
     val stopCnt = matchCount(col("text"), stopEn)
@@ -51,13 +52,14 @@ object TextStats {
     val stopRatio = stopCnt.cast("double") / nTok
     val lenScore = least(nTok.cast("double") / lit(100.0), lit(1.0))
     documents.withColumn("toks", tokens(col("text"))).select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      stopCnt.as("stopword_cnt"),
-      punctCnt.as("punct_cnt"),
-      stopRatio.as("stopword_ratio"),
-      ttr.as("type_token_ratio"),
-      (lenScore * lit(0.5) + stopRatio * lit(0.3) + ttr * lit(0.2)).as("quality_score"))
+      col("doc_id") +: passthrough.map(col) :++ Seq(
+        nTok.as("n_tokens"),
+        stopCnt.as("stopword_cnt"),
+        punctCnt.as("punct_cnt"),
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        (lenScore * lit(0.5) + stopRatio * lit(0.3) + ttr * lit(0.2))
+          .as("quality_score")): _*)
   }
 
   /** Character-distribution entropy per document — the classic gibberish /

@@ -308,4 +308,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L)._1 == ((2, 1, 0)))
     assert(out(3L)._2 == "two mails <EMAIL> <EMAIL> one ip <IP>")
   }
+
+  test("quantileGate: per-stratum discrete threshold, keep flags exact") {
+    val rows = Seq(
+      // lang en: scores 1,2,3,4,5 -> median element 3 -> keep 3,4,5
+      (1L, "en", 1.0), (2L, "en", 2.0), (3L, "en", 3.0),
+      (4L, "en", 4.0), (5L, "en", 5.0),
+      // lang fr: scores 10,20 -> rank ceil(0.5*2)=1 -> threshold 10, keep both
+      (6L, "fr", 10.0), (7L, "fr", 20.0))
+      .toDF("doc_id", "lang", "score")
+    val out = Corpus.quantileGate(rows, "score", "lang", p = 0.5)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 7, "every row emitted, flagged not filtered")
+    assert(out(1L) == ((3.0, false)) && out(2L) == ((3.0, false)))
+    assert(out(3L) == ((3.0, true)) && out(5L) == ((3.0, true)))
+    assert(out(6L) == ((10.0, true)) && out(7L) == ((10.0, true)),
+      "threshold is an actual element of the stratum (discrete quantile)")
+    // strata are independent: a low-score stratum keeps its own top half
+    val kept = out.collect { case (id, (_, true)) => id }.toSet
+    assert(kept == Set(3L, 4L, 5L, 6L, 7L))
+  }
 }

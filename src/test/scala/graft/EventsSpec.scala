@@ -75,4 +75,38 @@ class EventsSpec extends SparkSpec {
     val bMatrix = out.filter(_._1 == b).map(t => t._2 -> t._3).toMap
     assert(bMatrix == Map(0 -> 1L, 1 -> 1L))
   }
+
+  test("transitions: per-user consecutive pairs, row-normalized probabilities") {
+    val events = Seq(
+      // u1: view -> click -> purchase; u2: view -> view; u3: click only
+      (10L, 1L, ts(0), "view"), (11L, 1L, ts(5), "click"), (12L, 1L, ts(9), "purchase"),
+      (20L, 2L, ts(0), "view"), (21L, 2L, ts(3), "view"),
+      (30L, 3L, ts(0), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.transitions(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("click", "purchase") -> ((1L, 1.0))))
+    // u3's single event and each user's last event emit nothing
+    assert(!out.keySet.exists(_._1 == "purchase"))
+  }
+
+  test("transitions: simultaneous events order by event_id; probs sum to 1") {
+    val events = Seq(
+      // same ts: journey is a(id 1) -> b(id 2) -> c(id 3), not any other order
+      (1L, 7L, ts(0), "a"), (2L, 7L, ts(0), "b"), (3L, 7L, ts(0), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.transitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c")))
+    // row-normalization: per from_type the probabilities sum to exactly 1
+    val sums = Events.transitions(graft.io.Sources.table(spark, "/root/testdata/sf0.001", "events"))
+      .groupBy("from_type").sum("p_transition")
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
 }

@@ -13,14 +13,17 @@ class PlanGuardSpec extends SparkSpec {
 
   /** Queries whose plans legitimately contain a broadcast cross join: a
     * provably tiny build side scanned linearly against the corpus (the
-    * brute-force similarity baseline and IVF/LSH centroid assignment —
-    * documented designs, not accidents), the constant-size
-    * 1-row-counts × k-row-steps unpivot of the two funnels, and
-    * q_distinct_terms' 1-row corpus-count scalar joined to every score.
+    * brute-force similarity baseline, its self-kNN label audit, and
+    * IVF/LSH centroid assignment — documented designs, not accidents),
+    * the constant-size 1-row-counts × k-row-steps unpivot of the two
+    * funnels, q_distinct_terms' 1-row corpus-count scalar joined to
+    * every score, and the gap-fill grid's |types| × 1-row-bounds build
+    * (skewAudit's pattern, also inside q_rate_anomaly).
     */
   private val allowedCross =
     Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
-      "q_funnel_chain", "q_distinct_terms", "q_skew_audit")
+      "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
+      "q_knn_label", "q_gapfill", "q_rate_anomaly")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -114,4 +114,50 @@ class SimilaritySpec extends SparkSpec {
     val t = agg.merge(Seq(Similarity.Scored(9, 0.5)), Seq(Similarity.Scored(4, 0.5)))
     assert(t.map(_.id) == Seq(4L, 9L))
   }
+
+  test("knnLabelAudit: mislabeled vector disagrees with its cluster, self never votes") {
+    // two tight clusters on orthogonal axes; vec 3 sits in cluster A
+    // geometrically but carries cluster B's label
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0.00f), 0),
+      (2L, Array(1f, 0f, 0.01f), 0),
+      (3L, Array(1f, 0f, 0.02f), 1), // mislabeled
+      (4L, Array(0f, 1f, 0.00f), 1),
+      (5L, Array(0f, 1f, 0.01f), 1),
+      (6L, Array(0f, 1f, 0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAudit(rows, k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 6)
+    // vec 3's 2 nearest are 1 and 2 (label 0): majority disagrees
+    assert(out(3L) == ((1, 0, 2L, false)))
+    // vec 1's nearest are 2 and 3: vote splits 1-1, tie to SMALLEST label
+    assert(out(1L) == ((0, 0, 1L, true)))
+    // a clean cluster-B member agrees
+    assert(out(5L) == ((1, 1, 2L, true)))
+    // if self voted, every vector would trivially agree — 3 must not
+    assert(!out(3L)._4, "self-vote would mask the mislabel")
+  }
+
+  test("labelAgreement composes over ANN neighbors (same vote, pluggable source)") {
+    val emb5 = emb.filter($"vec_id" < 50)
+    val qs = emb5.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    // top-6 minus self re-ranked = top-5 excluding self (self, when
+    // present, always holds a rank — a bare `rank <= 5` filter would
+    // drop a legitimate 6th neighbor whenever self sat in the top 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    val neighbors = Similarity.bruteForceTopK(emb5, qs, 6)
+      .filter($"neighbor_id" =!= $"q_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select("q_id", "neighbor_id")
+    val viaGeneric = Similarity.labelAgreement(neighbors, emb5)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSet
+    val direct = Similarity.knnLabelAudit(emb5, k = 5)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSet
+    assert(viaGeneric == direct,
+      "vote over bruteForceTopK(k+1 minus self) equals the direct audit")
+  }
 }
