@@ -177,6 +177,39 @@ object SparkEntry {
       ops.TimeSeries.rateAnomaly(t(s, dir, "events"))
         .orderBy("event_type", "metric_hour")),
 
+    // One-pass per-column table profile (single aggregate: one Expand +
+    // one shuffle for all six columns' null/distinct/range stats).
+    "q_profile" -> ((s, dir) =>
+      ops.Profile.profile(t(s, dir, "events"))
+        .orderBy("col_name")),
+
+    // Equi-width 12-bin histogram of event values, empty bins zero-filled
+    // (bin edges and membership from one shared IEEE double tree).
+    "q_histogram" -> ((s, dir) =>
+      ops.Profile.histogram(t(s, dir, "events"), "value", nBins = 12)
+        .orderBy("bin")),
+
+    // Robust median/MAD outlier scoring per event type (discrete
+    // quantiles — actual group elements, bit-portable; t-digest past
+    // the accuracy cap at scale).
+    "q_mad_outliers" -> ((s, dir) =>
+      ops.Profile.madOutliers(t(s, dir, "events"), "value", "event_type")
+        .orderBy("event_id")),
+
+    // Keyed snapshot diff (CDC classification) between two derived order
+    // snapshots: dropped keys, new keys, and price-bumped rows.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val old = ord.filter(col("o_orderkey") % 5 =!= 0)
+      val nw = ord.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 2 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+      Relational.snapshotDiff(old, nw, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON property extraction from the events props column (the S2
     // family's in-row JSON path: get_json_object + cast + aggregate).
     "q_event_props" -> ((s, dir) =>
@@ -890,6 +923,88 @@ object SparkEntry {
         |SELECT event_type, metric_hour, n_events, mean_trailing, z_score,
         | coalesce(abs(z_score) > 3.0, false) AS is_anomaly
         |FROM z ORDER BY 1, 2""".stripMargin,
+
+    // One UNION ALL branch per profiled column; numeric min/max as
+    // DOUBLE, NULL for non-numeric columns (never a string rendering —
+    // engines disagree on double/timestamp to-string).
+    "q_profile" -> {
+      val branch = (c: String, numeric: Boolean) => {
+        val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+   count(DISTINCT $c) AS n_distinct, $mn AS min_num, $mx AS max_num
+ FROM events"""
+      }
+      Seq("event_id" -> true, "ts" -> false, "user_id" -> true,
+        "event_type" -> false, "value" -> true, "props" -> false)
+        .map((branch).tupled)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // Same bounds, same width, same floor/least tree; empty bins
+    // restored from generate_series, max value in the last bin.
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(CASE WHEN b.hi = b.lo THEN 0.0
+        |    ELSE least(floor((CAST(value AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 12.0)), 11.0)
+        |   END AS INT) AS bin, count(*) AS n
+        |  FROM events, b WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 11)) AS bin, lo, hi FROM b)
+        |SELECT g.bin,
+        | g.lo + CAST(g.bin AS DOUBLE) * ((g.hi - g.lo) / 12.0) AS bin_lo,
+        | CASE WHEN g.bin = 11 THEN g.hi
+        |  ELSE g.lo + CAST(g.bin + 1 AS DOUBLE) * ((g.hi - g.lo) / 12.0) END AS bin_hi,
+        | coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
+
+    // Discrete medians (quantile_disc = approx_percentile in the exact
+    // regime); abs/subtract/divide are IEEE basic ops — bit parity.
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.*, m.med, abs(CAST(e.value AS DOUBLE) - m.med) AS abs_dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(abs_dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.ts, d.user_id, d.value, d.props,
+        | d.med, mad.mad,
+        | CASE WHEN mad.mad > 0.0 THEN d.abs_dev / mad.mad END AS robust_z,
+        | coalesce(CASE WHEN mad.mad > 0.0 THEN d.abs_dev / mad.mad END > 3.5,
+        |          false) AS is_outlier
+        |FROM d JOIN mad USING (event_type) ORDER BY event_id""".stripMargin,
+
+    // Null-safe per-column comparison (IS DISTINCT FROM ≡ NOT(<=>));
+    // presence flags, not data-column null probes.
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, true AS in_old
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |nw AS (
+        |  SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+        |        ELSE o_totalprice END AS o_totalprice,
+        |   o_orderstatus, true AS in_new
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        | old.o_totalprice AS old_o_totalprice,
+        | old.o_orderstatus AS old_o_orderstatus,
+        | nw.o_totalprice AS new_o_totalprice,
+        | nw.o_orderstatus AS new_o_orderstatus,
+        | CASE WHEN old.in_old IS NULL THEN 'added'
+        |      WHEN nw.in_new IS NULL THEN 'removed'
+        |      WHEN old.o_totalprice IS DISTINCT FROM nw.o_totalprice
+        |        OR old.o_orderstatus IS DISTINCT FROM nw.o_orderstatus
+        |       THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // get_json_object('$.k') ≡ DuckDB json_extract_string(props, '$.k');
     // avg from exact sum / count so both engines do one IEEE division.

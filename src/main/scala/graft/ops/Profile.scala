@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Dataset profiling — the "what is in this table?" pass a pipeline runs
+  * before trusting a new source: per-column null/distinct/range stats,
+  * value histograms, and robust (median/MAD) outlier scoring. The
+  * reference's quality framework stops at row-level checks
+  * (order_processing_incremental.py:79-124); these are the table-level
+  * companions, built as single aggregates so profiling 100 TB costs a
+  * scan, not a job per column.
+  */
+object Profile {
+
+  /** One-pass per-column profile: row count, null count, exact distinct
+    * count, and numeric min/max (NULL for non-numeric columns). All
+    * columns are profiled in ONE aggregate — the multi-countDistinct
+    * plans a single Expand (rows × profiled columns) and one shuffle,
+    * not a job per column. At 100 TB swap exact distincts for
+    * `approx_count_distinct` (HLL, engine-specific estimates — the
+    * hourly-approx trade) if the Expand multiplication bites; nulls and
+    * min/max stay exact either way.
+    *
+    * Output: (col_name, n_rows, n_nulls, n_distinct, min_num, max_num),
+    * one row per profiled column (`col_name`, not `column` — COLUMN is a
+    * reserved word in ANSI engines the oracle runs on).
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    def numeric(c: String): Boolean =
+      df.schema(c).dataType.isInstanceOf[NumericType]
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: cs.flatMap { c =>
+      val v = col(c)
+      val (mn, mx) =
+        if (numeric(c)) (min(v).cast("double"), max(v).cast("double"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      Seq(
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(v).as(s"__distinct_$c"),
+        mn.as(s"__min_$c"), mx.as(s"__max_$c"))
+    }
+    val packed = cs.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__distinct_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"), col(s"__max_$c").as("max_num"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(packed: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Equi-width histogram with zero-filled bins: `nBins` buckets over the
+    * exact [min, max] of `valueCol`, every bin present even when empty
+    * (the gapFill property — downstream charting and drift comparison
+    * need aligned, dense bins). The max value lands in the LAST bin
+    * (right edge inclusive there, half-open elsewhere).
+    *
+    * Bin assignment is one shared IEEE double tree (subtract, divide,
+    * floor — all correctly rounded), so bucket membership is
+    * bit-identical cross-engine. A constant column (min = max) puts
+    * every row in bin 0.
+    *
+    * Shape: one 1-row bounds aggregate broadcast over the scan (the
+    * corpus-side cross join has a single-row build — the
+    * q_distinct_terms pattern), one map-side-combinable bin count, and a
+    * constant-size bin grid left join to restore empty bins.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("lo"), max(v).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBins.toDouble)
+    val bin = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(floor((v - col("lo")) / width), lit(nBins - 1.0)))
+      .cast("int")
+    val counts = df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds)) // corpus x 1-row build: constant-size
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val grid = bounds
+      .select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+        col("lo"), col("hi"))
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("lo") + col("bin").cast("double") * width).as("bin_lo"),
+        when(col("bin") === nBins - 1, col("hi"))
+          .otherwise(col("lo") + (col("bin") + 1).cast("double") * width)
+          .as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Robust per-group outlier scoring via median/MAD — the
+    * distribution-free alternative to z-scores when the metric has heavy
+    * tails (one whale order would inflate a mean/stddev gate into
+    * uselessness; the median and MAD barely move). Flags rows whose
+    * |value − median| exceeds `k` × MAD of their group.
+    *
+    * Both medians are DISCRETE quantiles (actual group elements, rank
+    * ⌈n/2⌉ — the quantileGate convention): element identity makes the
+    * scores bit-portable cross-engine where interpolated midpoints of
+    * arbitrary doubles could diverge in the last ulp, and past
+    * `accuracy` the same expression degrades into the mergeable t-digest
+    * sketch instead of buffering the group. A zero-MAD group (over half
+    * the group at the median) yields NULL scores, never ±∞.
+    *
+    * Shape: two aggregate passes (median of values, then median of
+    * absolute deviations), each a map-side-combinable sketch at scale;
+    * per-group results broadcast back over the scan. No per-group
+    * window over the corpus.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, byCol: String,
+                  k: Double = 3.5, accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(byCol))
+      .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE), 0.5, $accuracy)")
+        .as("med"))
+    val withMed = df.join(broadcast(med), Seq(byCol))
+      .withColumn("abs_dev", abs(v - col("med")))
+    val mad = withMed.groupBy(col(byCol))
+      .agg(expr(s"approx_percentile(abs_dev, 0.5, $accuracy)").as("mad"))
+    withMed.join(broadcast(mad), Seq(byCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0d, col("abs_dev") / col("mad")))
+      .withColumn("is_outlier",
+        coalesce(col("robust_z") > k, lit(false)))
+      .drop("abs_dev")
+  }
+}

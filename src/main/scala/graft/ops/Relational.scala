@@ -432,4 +432,43 @@ object Relational {
         (coalesce(col("t_events"), lit(0L)) + coalesce(col("s_events"), lit(0L))).as("total_events"),
         dec6(coalesce(col("t_value"), lit(0)) + coalesce(col("s_value"), lit(0))).as("total_value"))
   }
+
+  /** Keyed snapshot diff — the CDC primitive behind "what changed between
+    * yesterday's landed table and today's?": every key classified as
+    * added (new only), removed (old only), changed (present in both with
+    * some compared column differing), or unchanged. Comparison is
+    * null-safe per column (NULL → NULL is unchanged, NULL → value is a
+    * change), so schema-nullable columns diff correctly.
+    *
+    * Shape: ONE key-partitioned shuffle (the full-outer sort-merge join —
+    * at 100 TB the two snapshots of the same table co-locate for free
+    * when written bucketed by the key, planning zero Exchange; see
+    * Distribution.writeBucketed). Presence flags are literals attached
+    * before the join, never an `isNull` probe on data columns — a
+    * legitimately-NULL row can't masquerade as absent.
+    *
+    * Output: key columns, change_type, and each compared column as an
+    * (old_`c`, new_`c`) pair.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val o = oldDf.select((keys.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")) :+
+      lit(true).as("__in_old")): _*)
+    val n = newDf.select((keys.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")) :+
+      lit(true).as("__in_new")): _*)
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_old", "__in_new")
+  }
 }

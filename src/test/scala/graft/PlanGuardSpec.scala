@@ -17,13 +17,14 @@ class PlanGuardSpec extends SparkSpec {
     * IVF/LSH centroid assignment — documented designs, not accidents),
     * the constant-size 1-row-counts × k-row-steps unpivot of the two
     * funnels, q_distinct_terms' 1-row corpus-count scalar joined to
-    * every score, and the gap-fill grid's |types| × 1-row-bounds build
-    * (skewAudit's pattern, also inside q_rate_anomaly).
+    * every score, the gap-fill grid's |types| × 1-row-bounds build
+    * (skewAudit's pattern, also inside q_rate_anomaly), and the
+    * histogram's 1-row bounds broadcast over the value scan.
     */
   private val allowedCross =
     Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
       "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
-      "q_knn_label", "q_gapfill", "q_rate_anomaly")
+      "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -165,4 +165,30 @@ class RelationalSpec extends SparkSpec {
         expected.view.mapValues(_.setScale(2)).toMap, s"seed $i")
     }
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe comparison") {
+    val old = Seq(
+      (1L, Some(10.0), "A"), // unchanged
+      (2L, Some(20.0), "A"), // price changes
+      (3L, None, "A"),       // NULL -> value = changed (null-safe)
+      (4L, Some(40.0), "A")) // removed
+      .toDF("k", "price", "status")
+    val nw = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(25.0), "A"),
+      (3L, Some(30.0), "A"),
+      (5L, Some(50.0), "B")) // added
+      .toDF("k", "price", "status")
+    val out = Relational.snapshotDiff(old, nw, Seq("k"), Seq("price", "status"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(5))
+      .toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // NULL == NULL must be unchanged, not changed (null-safe <=>)
+    val o2 = Seq((9L, Option.empty[Double], "X")).toDF("k", "price", "status")
+    val d2 = Relational.snapshotDiff(o2, o2, Seq("k"), Seq("price", "status"))
+      .collect()
+    assert(d2.length == 1 && d2(0).getString(5) == "unchanged")
+  }
 }
