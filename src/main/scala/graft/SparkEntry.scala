@@ -189,6 +189,24 @@ object SparkEntry {
       ops.Profile.histogram(t(s, dir, "events"), "value", nBins = 12)
         .orderBy("bin")),
 
+    // Distribution drift between the first and second half-month of
+    // event values: shared bins, both shares, TV/χ² terms (log-free).
+    "q_hist_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      ops.Profile.histogramDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value", nBins = 10).orderBy("bin")
+    }),
+
+    // Quality-weighted deterministic sampling: each doc keeps with
+    // probability = its quality score (stable md5 draw, zero shuffle).
+    "q_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(
+        TextStats.qualityScore(t(s, dir, "documents"), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("quality_score")),
+        "quality_score").orderBy("doc_id")),
+
     // Robust median/MAD outlier scoring per event type (discrete
     // quantiles — actual group elements, bit-portable; t-digest past
     // the accuracy cap at scale).
@@ -960,6 +978,69 @@ object SparkEntry {
         |  ELSE g.lo + CAST(g.bin + 1 AS DOUBLE) * ((g.hi - g.lo) / 12.0) END AS bin_hi,
         | coalesce(c.n, 0) AS n
         |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
+
+    // Shared union-wide bounds, the same bin tree per side, then pure
+    // division/multiplication drift terms (TV and chi2; PSI's ln() is a
+    // transcendental and stays out per the parity rule).
+    "q_hist_drift" ->
+      """WITH o AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |nw AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi
+        |      FROM (SELECT x FROM o UNION ALL SELECT x FROM nw)),
+        |oc AS (SELECT CAST(CASE WHEN b.hi = b.lo THEN 0.0
+        |         ELSE least(floor((x - b.lo) / ((b.hi - b.lo) / 10.0)), 9.0)
+        |        END AS INT) AS bin, count(*) AS n_old FROM o, b GROUP BY 1),
+        |nc AS (SELECT CAST(CASE WHEN b.hi = b.lo THEN 0.0
+        |         ELSE least(floor((x - b.lo) / ((b.hi - b.lo) / 10.0)), 9.0)
+        |        END AS INT) AS bin, count(*) AS n_new FROM nw, b GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 9)) AS bin, lo, hi FROM b),
+        |j AS (SELECT g.bin,
+        |       g.lo + CAST(g.bin AS DOUBLE) * ((g.hi - g.lo) / 10.0) AS bin_lo,
+        |       CASE WHEN g.bin = 9 THEN g.hi
+        |        ELSE g.lo + CAST(g.bin + 1 AS DOUBLE) * ((g.hi - g.lo) / 10.0) END AS bin_hi,
+        |       coalesce(oc.n_old, 0) AS n_old, coalesce(nc.n_new, 0) AS n_new
+        |      FROM g LEFT JOIN oc USING (bin) LEFT JOIN nc USING (bin)),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+        |             CAST(sum(n_new) AS BIGINT) AS tot_new FROM j)
+        |SELECT j.bin, j.bin_lo, j.bin_hi, j.n_old, j.n_new,
+        | CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE) AS p_old,
+        | CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE) AS p_new,
+        | abs(CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |   - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE)) AS share_drift,
+        | CASE WHEN CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE) > 0.0
+        |  THEN (CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |        - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE))
+        |     * (CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |        - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE))
+        |     / (CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE))
+        | END AS chi2_term
+        |FROM j, t ORDER BY bin""".stripMargin,
+
+    // Same md5 16-bit draw as the Spark side (hash-split convention,
+    // numeric form); u and the quality score share one expression tree.
+    "q_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |  FROM b),
+        |u AS (
+        |  SELECT doc_id, lang, quality_score,
+        |   CAST(CAST(concat('0x', substr(md5(concat('ws', ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS DOUBLE)
+        |     / 65536.0 AS sample_u
+        |  FROM q)
+        |SELECT doc_id, lang, quality_score, sample_u,
+        | sample_u < quality_score AS is_sampled
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // Discrete medians (quantile_disc = approx_percentile in the exact
     // regime); abs/subtract/divide are IEEE basic ops — bit parity.

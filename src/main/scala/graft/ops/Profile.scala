@@ -73,24 +73,84 @@ object Profile {
     val v = col(valueCol).cast("double")
     val bounds = df.filter(v.isNotNull)
       .agg(min(v).as("lo"), max(v).as("hi"))
+    val counts = binCounts(df, valueCol, nBins, bounds)
+    binGrid(bounds, nBins).join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Shared bin assignment: one corpus×1-row bounds broadcast, one
+    * map-side-combinable count keyed on the bin id.
+    */
+  private def binCounts(df: DataFrame, valueCol: String, nBins: Int,
+                        bounds: DataFrame): DataFrame = {
+    val v = col(valueCol).cast("double")
     val width = (col("hi") - col("lo")) / lit(nBins.toDouble)
     val bin = when(col("hi") === col("lo"), lit(0))
       .otherwise(least(floor((v - col("lo")) / width), lit(nBins - 1.0)))
       .cast("int")
-    val counts = df.filter(v.isNotNull)
+    df.filter(v.isNotNull)
       .crossJoin(broadcast(bounds)) // corpus x 1-row build: constant-size
       .select(bin.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    val grid = bounds
+  }
+
+  /** Dense bin grid with edges; the max value's bin closes at `hi`. */
+  private def binGrid(bounds: DataFrame, nBins: Int): DataFrame = {
+    val width = (col("hi") - col("lo")) / lit(nBins.toDouble)
+    bounds
       .select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
         col("lo"), col("hi"))
-    grid.join(counts, Seq("bin"), "left")
       .select(col("bin"),
         (col("lo") + col("bin").cast("double") * width).as("bin_lo"),
         when(col("bin") === nBins - 1, col("hi"))
           .otherwise(col("lo") + (col("bin") + 1).cast("double") * width)
-          .as("bin_hi"),
-        coalesce(col("n"), lit(0L)).as("n"))
+          .as("bin_hi"))
+  }
+
+  /** Distribution drift between two snapshots of the same metric — the
+    * "did yesterday's corpus look like today's?" check a curation
+    * pipeline runs before trusting a refreshed source. Both snapshots
+    * are binned on ONE shared grid (bounds from their union, so the
+    * comparison is aligned by construction), then each bin reports both
+    * counts, both shares, the share drift |p_new − p_old| (sum/2 =
+    * total variation distance), and the χ² term (p_new − p_old)²/p_old
+    * (NULL where the old side is empty — no Laplace smoothing baked in).
+    * Everything after the integer counts is division/multiplication on
+    * one shared tree — bit-portable; deliberately NOT PSI, whose ln()
+    * is a transcendental (the recorded parity rule).
+    *
+    * Shape: one union-wide bounds aggregate and two map-side-combinable
+    * bin counts over the scans; the grid join and 1-row totals
+    * broadcast are constant-size.
+    */
+  def histogramDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+                     nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = col(valueCol).cast("double")
+    val bounds = oldDf.select(v.as("x"))
+      .unionByName(newDf.select(v.as("x")))
+      .filter(col("x").isNotNull)
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val o = binCounts(oldDf, valueCol, nBins, bounds)
+      .withColumnRenamed("n", "n_old")
+    val n = binCounts(newDf, valueCol, nBins, bounds)
+      .withColumnRenamed("n", "n_new")
+    val joined = binGrid(bounds, nBins)
+      .join(o, Seq("bin"), "left").join(n, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val pOld = col("n_old").cast("double") / col("tot_old").cast("double")
+    val pNew = col("n_new").cast("double") / col("tot_new").cast("double")
+    joined.crossJoin(broadcast(totals)) // nBins x 1-row: constant-size
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        col("n_old"), col("n_new"),
+        pOld.as("p_old"), pNew.as("p_new"),
+        abs(pNew - pOld).as("share_drift"),
+        when(pOld > 0d, (pNew - pOld) * (pNew - pOld) / pOld).as("chi2_term"))
   }
 
   /** Robust per-group outlier scoring via median/MAD — the

@@ -464,6 +464,30 @@ object Corpus {
     * corpus (a window partitioned by language would funnel whole
     * languages through single executors).
     */
+  /** Deterministic per-row Bernoulli sampling with a per-ROW probability
+    * column — "sample proportionally to quality": each row draws a
+    * stable uniform u from the first 16 bits of md5(salt:id) and keeps
+    * iff u < prob. Generalizes [[mixtureResample]]'s per-LANGUAGE
+    * constant weights to row-level probabilities (a quality score, a
+    * source trust factor), with the same guarantees: stable under corpus
+    * growth and row order, engine-portable (md5-hex convention), and
+    * shuffle-free — the decision is made in the scan, so 100 TB samples
+    * without any coordination state. Change `salt` to redraw an
+    * independent sample. Emits `sample_u` and an `is_sampled` flag
+    * (filter on it for the sample; the flag form keeps audits and
+    * oracles row-count stable). Probabilities ≥ 1 always keep; ≤ 0
+    * never do.
+    */
+  def weightedSample(df: DataFrame, probCol: String,
+                     idCol: String = "doc_id",
+                     salt: String = "ws"): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 4),
+      16, 10).cast("long")
+    df.withColumn("sample_u", bucket.cast("double") / lit(65536.0))
+      .withColumn("is_sampled", col("sample_u") < col(probCol))
+  }
+
   def quantileGate(df: DataFrame, valueCol: String, strataCol: String,
                    p: Double = 0.5, accuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0,1), got $p")

@@ -330,4 +330,27 @@ class CorpusSpec extends SparkSpec {
     val kept = out.collect { case (id, (_, true)) => id }.toSet
     assert(kept == Set(3L, 4L, 5L, 6L, 7L))
   }
+
+  test("weightedSample: deterministic, boundary probabilities, rate tracks the weight") {
+    val n = 4000
+    val rows = (0L until n).map(i => (i, 0.3)).toDF("doc_id", "p")
+    val a = Corpus.weightedSample(rows, "p").filter(col("is_sampled"))
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.weightedSample(rows, "p").filter(col("is_sampled"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same salt => identical sample")
+    // expected rate 0.3; md5 16-bit buckets are uniform (±4 sd tolerance)
+    val sd = math.sqrt(n * 0.3 * 0.7)
+    assert(math.abs(a.size - n * 0.3) <= 4 * sd, s"got ${a.size} of $n")
+    // a different salt draws an INDEPENDENT sample
+    val c = Corpus.weightedSample(rows, "p", salt = "ws2")
+      .filter(col("is_sampled")).select("doc_id").as[Long].collect().toSet
+    assert(c != a)
+    // p >= 1 always keeps, p <= 0 never does
+    val edge = Seq((1L, 1.0), (2L, 0.0), (3L, 1.5), (4L, -0.1))
+      .toDF("doc_id", "p")
+    val kept2 = Corpus.weightedSample(edge, "p").filter(col("is_sampled"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 3L))
+  }
 }

@@ -24,7 +24,8 @@ class PlanGuardSpec extends SparkSpec {
   private val allowedCross =
     Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
       "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
-      "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram")
+      "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram",
+      "q_hist_drift")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -53,6 +53,26 @@ class ProfileSpec extends SparkSpec {
     assert(c == Map(0 -> 3L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
   }
 
+  test("histogramDrift: aligned bins, shares, TV and chi2 terms; empty-old bin is null chi2") {
+    // old: uniform over [0,10); new: mass shifted into the top bin plus
+    // a value beyond old's range (bounds come from the UNION)
+    val oldDf = (0 until 10).map(_.toDouble).toDF("x")
+    val newDf = (Seq.fill(8)(19.0) ++ Seq(1.0, 3.0)).toDF("x")
+    val out = Profile.histogramDrift(oldDf, newDf, "x", nBins = 2)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(3), r.getLong(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), Option(r.get(8)))))
+      .toMap
+    // union bounds [0, 19], 2 bins of width 9.5: old all in bin 0
+    val (nOld0, nNew0, pOld0, pNew0, tv0, chi0) = out(0)
+    assert(nOld0 == 10L && nNew0 == 2L)
+    assert(pOld0 == 1.0 && pNew0 == 0.2 && tv0 == 0.8)
+    assert(chi0.contains(0.8 * 0.8 / 1.0))
+    val (nOld1, nNew1, pOld1, pNew1, tv1, chi1) = out(1)
+    assert(nOld1 == 0L && nNew1 == 8L && pOld1 == 0.0 && pNew1 == 0.8)
+    assert(tv1 == 0.8 && chi1.isEmpty, "empty old bin: chi2 undefined, not Inf")
+  }
+
   test("madOutliers: whale value flags, median/MAD unmoved by the outlier") {
     // group a: 9 values around 10 (MAD 1), one whale at 1000
     val a = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
