@@ -26,18 +26,31 @@ object TimeSeries {
     * aggregate — post-aggregate it is at most grid-sized (years of
     * hours × type cardinality ≈ 10⁶ rows), never corpus-sized.
     */
-  def gapFill(events: DataFrame): DataFrame = {
-    val hourly = events
+  def gapFill(events: DataFrame): DataFrame =
+    gapFillCounts(hourlyCounts(events))
+
+  /** Hourly counts per type — the one corpus-sized, map-side-combinable
+    * aggregate of the family (also maintained incrementally by the
+    * streaming twin, streaming/IncrementalStream.runHourlyCountsStream).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("metric_hour"))
       .agg(count(lit(1)).as("n_events"))
-    val bounds = events.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
-    val grid = events.select("event_type").distinct()
+
+  /** Dense grid over an ALREADY-AGGREGATED (event_type, metric_hour,
+    * n_events) table: bounds and the type set come from the counts
+    * themselves, so batch gapFill(events) and the streaming-maintained
+    * counts table fill identically.
+    */
+  def gapFillCounts(counts: DataFrame): DataFrame = {
+    val bounds = counts.agg(
+      min(col("metric_hour")).as("lo"), max(col("metric_hour")).as("hi"))
+    val grid = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds)) // k-type × 1-row: constant-size
       .select(col("event_type"),
         explode(expr("sequence(lo, hi, interval 1 hour)")).as("metric_hour"))
-    grid.join(broadcast(hourly), Seq("event_type", "metric_hour"), "left")
+    grid.join(broadcast(counts), Seq("event_type", "metric_hour"), "left")
       .select(col("event_type"), col("metric_hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
@@ -64,6 +77,14 @@ object TimeSeries {
     * a per-type partition always fits an executor; no global window.
     */
   def rateAnomaly(events: DataFrame, window: Int = 24,
+                  threshold: Double = 3.0): DataFrame =
+    scoreSeries(gapFill(events), window, threshold)
+
+  /** The scoring half, over any dense (event_type, metric_hour, n_events)
+    * series — batch rateAnomaly and the streaming-maintained counts table
+    * share this verbatim, so their scores are identical by construction.
+    */
+  def scoreSeries(filled: DataFrame, window: Int = 24,
                   threshold: Double = 3.0): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val w = Window.partitionBy("event_type").orderBy("metric_hour")
@@ -78,7 +99,7 @@ object TimeSeries {
     val sd = sqrt(variance)
     val z = when(nd === window.toDouble && sd > 0d,
       (col("n_events").cast("double") - mean) / sd)
-    gapFill(events)
+    filled
       .withColumn("mean_trailing", when(nd === window.toDouble, mean))
       .withColumn("z_score", z)
       .select(col("event_type"), col("metric_hour"), col("n_events"),

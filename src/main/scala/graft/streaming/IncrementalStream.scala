@@ -167,6 +167,50 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming half of the rate-anomaly monitor: maintain the per-type
+    * hourly counts table incrementally from the event stream. The
+    * watermarked windowed count runs in UPDATE mode (each micro-batch
+    * emits running totals for exactly the (type, hour) pairs it touched
+    * — late arrivals within the watermark revise their hour); dynamic
+    * partition overwrite on BOTH keys lands them without disturbing
+    * untouched pairs. Scoring stays a batch pass over the maintained
+    * table — `TimeSeries.scoreSeries(TimeSeries.gapFillCounts(read))` —
+    * because a trailing 24-CLOSED-hour baseline is a lookback over
+    * settled history, exactly how production monitors run (maintain
+    * state incrementally, score on refresh). Counts here are plain
+    * COUNT(*) — incrementally maintainable exactly, no HLL trade.
+    */
+  def runHourlyCountsStream(spark: SparkSession, events: DataFrame,
+                            countsPath: String, checkpoint: String,
+                            watermark: String = "2 hours"): StreamingQuery = {
+    val hourly = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("w.start").as("metric_hour"),
+        col("n_events"))
+    val q = hourly.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Incremental.withDynamicOverwrite(batch.sparkSession) {
+            // partition on (hour, type): update mode emits only touched
+            // pairs, so overwriting an hour-level partition would drop
+            // that hour's OTHER types — the leaf must be the update grain
+            batch.write.mode(SaveMode.Overwrite)
+              .partitionBy("metric_hour", "event_type")
+              .parquet(countsPath)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-stream attribution join: match each purchase to the views by
     * the same user in the preceding `withinMinutes` — the conversion-
     * attribution shape (and the fourth Structured Streaming join/state

@@ -83,6 +83,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"streaming merge diverged: $got vs $expected")
   }
 
+  test("streaming hourly counts: two waves + late revision match batch; scores identical") {
+    val root = Files.createTempDirectory("graft_rates").toString
+    val countsPath = s"$root/counts"
+    val base = DataGen.defaultBaseMs / 3600000L * 3600000L
+    def ev(id: Long, hour: Int, min: Int, tp: String) =
+      (id, new java.sql.Timestamp(base + hour * 3600000L + min * 60000L), tp)
+    // wave 1: hours 0-4 for type a (3/hour), hour 1 for type b
+    val wave1 = (0 until 5).flatMap(h =>
+      (0 until 3).map(i => ev(h * 10L + i, h, i, "a"))) :+ ev(100L, 1, 5, "b")
+    // wave 2: a NEW hour 5 burst, plus a LATE arrival revising hour 4
+    val wave2 = (0 until 9).map(i => ev(200L + i, 5, i, "a")) :+ ev(300L, 4, 50, "a")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def drain(): Unit =
+      IncrementalStream.runHourlyCountsStream(spark,
+        mem.toDF().toDF("event_id", "ts", "event_type"),
+        countsPath, s"$root/ckpt", watermark = "6 hours")
+    mem.addData(wave1: _*)
+    drain()
+    mem.addData(wave2: _*)
+    drain()
+
+    val all = (wave1 ++ wave2).toDF("event_id", "ts", "event_type")
+    val got = spark.read.parquet(countsPath)
+      .select(col("event_type"), col("metric_hour").cast("long"), col("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+    val expected = graft.ops.TimeSeries.hourlyCounts(all)
+      .select(col("event_type"), col("metric_hour").cast("long"), col("n_events"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"maintained counts diverged (late revision lost?): $got vs $expected")
+    // the batch scorer over the maintained table == batch rateAnomaly
+    val maintained = spark.read.parquet(countsPath)
+      .select(col("event_type"), col("metric_hour").cast("timestamp").as("metric_hour"),
+        col("n_events"))
+    val scoredStream = graft.ops.TimeSeries.scoreSeries(
+      graft.ops.TimeSeries.gapFillCounts(maintained), window = 3)
+      .select(col("event_type"), col("metric_hour").cast("long"),
+        col("n_events"), col("z_score"), col("is_anomaly"))
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSet
+    val scoredBatch = graft.ops.TimeSeries.rateAnomaly(all, window = 3)
+      .select(col("event_type"), col("metric_hour").cast("long"),
+        col("n_events"), col("z_score"), col("is_anomaly"))
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSet
+    assert(scoredStream == scoredBatch)
+  }
+
   test("session_window stream matches batch sessionization on closed sessions") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val base = DataGen.defaultBaseMs
