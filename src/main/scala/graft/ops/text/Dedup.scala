@@ -256,8 +256,10 @@ object Dedup {
     */
   def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // ONE evaluation of `pairs` (the upstream near-dup pipeline is the
-    // expensive part) feeds both derived tables below.
-    val base = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // expensive part) feeds both derived tables below. Lazy: the first
+    // action over `edges` computes and caches it in the same job; the
+    // final `nodes` join reads the cached blocks.
+    val base = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
     // Node set from the RAW pairs (before self-pair removal) so every doc
     // that appears in some pair gets a label row, self-paired docs included.
     // Lazy over the checkpointed base (consumed exactly once, in the final
@@ -273,7 +275,9 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy: the `edges.count()` below materializes it — an eager
+      // checkpoint would schedule the same work as a separate job
+      .localCheckpoint(false)
 
     // per node u over the SYMMETRIC neighborhood: every neighbor v > u
     // re-points to m = min(N(u) ∪ {u}); emitted (v, m) stays canonical
@@ -306,10 +310,11 @@ object Dedup {
     var cnt = edges.count()
     while (!converged && iter < maxIter) {
       // One materialization per round: small-star consumes large-star's
-      // plan directly (bounded depth — a handful of ops), and the round's
-      // single localCheckpoint on the composed result keeps lineage O(1)
-      // across rounds without paying an intermediate eager job.
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // plan directly (bounded depth — a handful of ops), the round's
+      // single LAZY localCheckpoint keeps lineage O(1) across rounds,
+      // and the count below doubles as its materializing action — one
+      // job per round where the eager form paid two.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // Both sides are distinct sets, so equal count + empty one-way
       // except ⇔ set equality ⇔ fixpoint (= star forest).
       val nextCnt = next.count()
