@@ -1248,7 +1248,9 @@ object SparkEntry {
         |th AS (
         |  SELECT lang, quantile_disc(quality_score, 0.5) AS threshold
         |  FROM q GROUP BY lang)
-        |SELECT q.*, th.threshold, q.quality_score >= th.threshold AS is_kept
+        |SELECT q.lang, q.doc_id, q.n_tokens, q.stopword_cnt, q.punct_cnt,
+        | q.stopword_ratio, q.type_token_ratio, q.quality_score,
+        | th.threshold, q.quality_score >= th.threshold AS is_kept
         |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
     // norms are sqrt of the ordered-fold squared sum — both engines run

@@ -443,27 +443,6 @@ object Corpus {
           PhoneRe, "<PHONE>"))
   }
 
-  /** Per-stratum quantile gate — "keep the top (1−p) of each language by
-    * quality score": each row is flagged against the p-th quantile of
-    * `valueCol` WITHIN its stratum, the relative quality cut curation
-    * runs use when an absolute threshold would starve low-resource
-    * languages. Emits every row with its stratum threshold and keep flag
-    * (filter on `is_kept` for the gated corpus).
-    *
-    * The threshold is the discrete quantile (an actual element of the
-    * group — `approx_percentile` at rank ⌈p·n⌉), NOT an interpolated
-    * midpoint: a discrete threshold compares bit-exactly cross-engine
-    * for any value distribution, and at 100 TB group sizes beyond
-    * `accuracy` the same expression degrades gracefully into the
-    * t-digest sketch (mergeable, map-side) instead of buffering the
-    * group — the corpusStatsApprox trade, same documented exact regime
-    * (n ≤ accuracy ⇒ equals DuckDB quantile_disc).
-    *
-    * Shape: one map-side-combinable aggregate to |strata| threshold rows,
-    * broadcast back over the scan — never a per-stratum window over the
-    * corpus (a window partitioned by language would funnel whole
-    * languages through single executors).
-    */
   /** Deterministic per-row Bernoulli sampling with a per-ROW probability
     * column — "sample proportionally to quality": each row draws a
     * stable uniform u from the first 16 bits of md5(salt:id) and keeps
@@ -488,6 +467,27 @@ object Corpus {
       .withColumn("is_sampled", col("sample_u") < col(probCol))
   }
 
+  /** Per-stratum quantile gate — "keep the top (1−p) of each language by
+    * quality score": each row is flagged against the p-th quantile of
+    * `valueCol` WITHIN its stratum, the relative quality cut curation
+    * runs use when an absolute threshold would starve low-resource
+    * languages. Emits every row with its stratum threshold and keep flag
+    * (filter on `is_kept` for the gated corpus).
+    *
+    * The threshold is the discrete quantile (an actual element of the
+    * group — `approx_percentile` at rank ⌈p·n⌉), NOT an interpolated
+    * midpoint: a discrete threshold compares bit-exactly cross-engine
+    * for any value distribution, and at 100 TB group sizes beyond
+    * `accuracy` the same expression degrades gracefully into the
+    * t-digest sketch (mergeable, map-side) instead of buffering the
+    * group — the corpusStatsApprox trade, same documented exact regime
+    * (n ≤ accuracy ⇒ equals DuckDB quantile_disc).
+    *
+    * Shape: one map-side-combinable aggregate to |strata| threshold rows,
+    * broadcast back over the scan — never a per-stratum window over the
+    * corpus (a window partitioned by language would funnel whole
+    * languages through single executors).
+    */
   def quantileGate(df: DataFrame, valueCol: String, strataCol: String,
                    p: Double = 0.5, accuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0,1), got $p")

@@ -254,6 +254,18 @@ object Dedup {
     * (doc_id, component) for every doc appearing in some pair — docs with
     * no near-dup are implicitly their own singleton component.
     */
+  /** Free the executor blocks behind a localCheckpoint'd Dataset.
+    * `Dataset.unpersist` only uncaches CacheManager plans and silently
+    * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
+    * wrapped RDD and must be unpersisted there.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // ONE evaluation of `pairs` (the upstream near-dup pipeline is the
     // expensive part) feeds both derived tables below. Lazy: the first
@@ -322,9 +334,15 @@ object Dedup {
         next.except(edges).limit(1).count() == 0
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $iter: edges $cnt -> $nextCnt converged=$converged")
-      // drop the superseded round's blocks — otherwise up to maxIter
-      // edge tables sit in executor storage for the whole computation
-      edges.unpersist()
+      // Drop the superseded round's blocks — otherwise up to maxIter edge
+      // tables sit in executor storage for the whole computation. NOTE
+      // Dataset.unpersist is a no-op here (it only uncaches
+      // CacheManager-registered plans; a localCheckpoint pins the
+      // underlying RDD's blocks directly), so free the RDD itself. The
+      // final round's edges and `base` stay pinned until the result is
+      // consumed — ContextCleaner reclaims them on GC, the standard
+      // lifecycle for blocks a lazy result still reads.
+      unpersistCheckpoint(edges)
       edges = next
       cnt = nextCnt
       iter += 1
