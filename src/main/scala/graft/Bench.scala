@@ -88,21 +88,29 @@ object Bench {
     }
     // The harness records only the last ~2000 chars of output; round 4's
     // full-precision line (~2.2k chars for 67 queries) overflowed that
-    // window and the official bench number was lost ("parsed": null).
-    // 2-decimal per-query times keep the line ~1.6k chars — centiseconds
-    // are already below this box's run-to-run noise.
+    // window and the official bench number was lost ("parsed": null").
+    // With 80+ queries even 2-decimal times flirt with the window again,
+    // so the line is aggressively compacted: trailing zeros trimmed
+    // ("0.50"→"0.5", "2.00"→"2"), failures/errors omitted when zero, and
+    // the sf path reduced to its basename. Centiseconds are already below
+    // this box's run-to-run noise.
     // Locale.ROOT: the default-locale f"" interpolator would emit comma
     // decimals ("12,34") on de_DE/fr_FR boxes — invalid JSON, the exact
     // "parsed": null failure this line format exists to prevent.
-    def num(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def num(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 2) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"${sfDir}"}""")
+    val failJson = if (failures == 0) "" else s""","failures":$failures,"errors":$errs"""
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$failJson,"sf":"$sfName"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

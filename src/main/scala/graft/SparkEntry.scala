@@ -470,6 +470,19 @@ object SparkEntry {
       Corpus.hashSplit(t(s, dir, "documents"))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // Leakage-safe split: hashSplit keyed by the near-dup cluster
+    // canonical, so near-duplicate docs never straddle train/val/test.
+    "q_group_split" -> ((s, dir) =>
+      Corpus.groupSafeSplit(t(s, dir, "documents"),
+        Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
+        .select("doc_id", "canonical_id", "split").orderBy("doc_id")),
+
+    // Exact stratified sample: exactly 20 docs per language in stable
+    // md5(salt:id) order (rank compiles to WindowGroupLimit).
+    "q_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(t(s, dir, "documents"), "lang", n = 20)
+        .select("lang", "sample_rank", "doc_id").orderBy("lang", "sample_rank")),
+
     // Deterministic per-epoch training order (md5(epoch:doc_id) total
     // order; the scale materialization is the range-partitioned writer).
     "q_epoch_shuffle" -> ((s, dir) =>
@@ -638,6 +651,14 @@ object SparkEntry {
           unix_millis(col("asof_ts")).as("asof_ts_ms"))
         .orderBy("event_id")
     }),
+
+    // SCD Type-2 dimension history: per-customer status/priority version
+    // intervals rebuilt from the order stream (one window shuffle).
+    "q_scd2" -> ((s, dir) =>
+      ops.Temporal.scd2(t(s, dir, "orders"), key = "o_custkey",
+        ts = "o_orderdate", attrs = Seq("o_orderstatus", "o_orderpriority"),
+        tieBreak = Seq("o_orderkey"))
+        .orderBy("o_custkey", "version")),
 
     // PII scrub over text with planted (deterministically derived) PII:
     // the synthetic corpus carries no emails/IPs/phones, so the query
@@ -1999,6 +2020,65 @@ FROM lh ORDER BY doc_id"""
     "q_epoch_shuffle" ->
       """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // Same reachability CTE as q_dedup_clusters for the cluster canonical,
+    // then the q_hash_split bucket thresholds keyed by canonical_id.
+    "q_group_split" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        |canon AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, canonical_id,
+        |  CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM canon ORDER BY doc_id""".stripMargin,
+
+    // row_number is BIGINT in DuckDB, int32 in Spark → CAST AS INT.
+    "q_stratified" ->
+      """SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    // Change rows via null-safe lag compare (IS DISTINCT FROM ≡ Spark's
+    // <=> negation), then validity intervals via lead over the survivors —
+    // both windows share one (key, ts, tiebreak) order, as in the operator.
+    "q_scd2" ->
+      """WITH marked AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
+        |    (row_number() OVER w = 1
+        |     OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+        |     OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |  o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER w2 AS effective_to,
+        |  lead(o_orderdate) OVER w2 IS NULL AS is_current,
+        |  row_number() OVER w2 AS version
+        |FROM marked WHERE chg
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
 
     // Same md5-hex bucket convention as q_hash_split; the running sum
     // partitions by bucket exactly like the Spark window, and the

@@ -69,6 +69,61 @@ object Temporal {
         pay.map(c => col(s"_asof.`$c`").as(prefix + c)): _*)
   }
 
+  /** Slowly-changing-dimension Type-2 history builder: collapse a stream
+    * of per-key observations (snapshots, change events — anything with a
+    * key, a timestamp, and tracked attributes) into validity intervals.
+    * Consecutive observations with identical attribute values merge into
+    * one version; any change (including a return to an earlier value)
+    * opens a new version. Output: one row per version with
+    * `effective_from` (first observation at these values),
+    * `effective_to` (next version's start, NULL while current — the
+    * half-open [from, to) convention), `is_current`, and a 1-based
+    * `version` per key. This is the standard dimension-history op the
+    * reference's daily dim reloads silently lack (they overwrite in
+    * place, losing history — reference load_dim_tables.py's
+    * WRITE_TRUNCATE).
+    *
+    * Scale shape: ONE hash shuffle of the observation stream on `key`,
+    * one sort within partitions — the change-marking lag, the version
+    * row_number, and the closing lead all share the same
+    * (partitionBy key, orderBy ts+tieBreak) window spec, and the filter
+    * between them preserves ordering, so Catalyst plans a single
+    * Exchange+Sort for the whole thing (TemporalSpec asserts it). No row
+    * multiplication, no driver state; per-key history length bounds the
+    * task memory, the same contract as any windowed op.
+    *
+    * Null-safe change detection (`<=>`): NULL → value and value → NULL
+    * are version changes, NULL → NULL is not. Ties within (key, ts,
+    * tieBreak) are the caller's contract to resolve, same as [[asOfJoin]].
+    *
+    * @param tieBreak extra ordering columns making the per-key order
+    *                 total (e.g. a source sequence number) — required for
+    *                 determinism whenever `ts` alone can tie.
+    */
+  def scd2(observations: DataFrame, key: String, ts: String,
+           attrs: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    val order = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    // first row per key: lag of a constant marker is NULL exactly there —
+    // cheaper than a row_number comparison and shares the same window
+    val firstRow = lag(lit(1), 1).over(w).isNull
+    val changed = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    observations
+      .select((key +: ts +: attrs) .map(col) ++ tieBreak.map(col): _*)
+      .withColumn("_new_version", firstRow || changed)
+      .filter(col("_new_version"))
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select((key +: attrs).map(col) ++
+        Seq(col("effective_from"), col("effective_to"),
+          col("is_current"), col("version")): _*)
+  }
+
   /** Interval (range) join: pair every point row with every interval row
     * whose `[start, end)` contains the point's timestamp — the shape
     * behind incident attribution, campaign windows, outage overlap.

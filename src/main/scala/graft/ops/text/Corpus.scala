@@ -467,6 +467,60 @@ object Corpus {
       .withColumn("is_sampled", col("sample_u") < col(probCol))
   }
 
+  /** Leakage-safe train/val/test split: [[hashSplit]] keyed by the
+    * near-dup CLUSTER rather than the document, so two near-duplicate
+    * documents can never land in different splits — the eval-leakage
+    * failure mode of naive per-doc splitting (a test doc's near-twin in
+    * train inflates every benchmark number). Composes the dedup pipeline:
+    * `pairs` is any near-dup pair table (MinHash, SimHash, Jaccard,
+    * embedding — same contract as [[Dedup.resolveCanonical]]); each doc's
+    * split key is its cluster canonical id (itself for singletons), and
+    * the split decision is the same stable md5 bucket as [[hashSplit]] —
+    * so the split is invariant to corpus growth EXCEPT when growth merges
+    * clusters, which is exactly the invariant you want (a new near-dup of
+    * a test doc must follow it into test).
+    *
+    * Scale: clustering cost is the pair table's (see
+    * [[Dedup.clusterComponents]]); the split itself adds one doc_id-keyed
+    * join and pure map work.
+    */
+  def groupSafeSplit(documents: DataFrame, pairs: DataFrame,
+                     trainPct: Int = 80, valPct: Int = 10,
+                     maxIter: Int = 25): DataFrame = {
+    val canon = Dedup.resolveCanonical(documents, pairs, maxIter)
+      .select(col("doc_id"), col("canonical_id"))
+    hashSplit(documents.join(canon, Seq("doc_id")), idCol = "canonical_id",
+      trainPct = trainPct, valPct = valPct)
+  }
+
+  /** Exact stratified sampling: exactly `min(n, |stratum|)` rows per
+    * stratum, chosen by a stable pseudo-random order — the corpus-audit /
+    * eval-set op where Bernoulli sampling (`sampleBy`, [[weightedSample]])
+    * is the wrong tool because the output SIZE must be exact (a 500-doc
+    * human-review batch per language, a fixed-size eval shard). The
+    * per-stratum order is md5(salt:id) with an id tie-break — stable
+    * under corpus growth ONLY in distribution (adding docs can displace
+    * picks, necessarily: exact-n is rank-based); change `salt` for an
+    * independent redraw. Emits `sample_rank` (1-based within stratum).
+    *
+    * Scale: delegates to [[graft.ops.Relational.topKPerGroup]], so the
+    * rank compiles to WindowGroupLimit — each input partition keeps at
+    * most n rows per stratum BEFORE the shuffle, and the exchange carries
+    * O(strata × n × partitions) rows, not the corpus. Never a global
+    * sort, never a per-stratum collect.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, n: Int,
+                       idCol: String = "doc_id", salt: String = "ss"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("_u"), "input already has a _u column")
+    graft.ops.Relational.topKPerGroup(
+      df.withColumn("_u",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))),
+      Seq(strataCol), Seq(col("_u").asc, col(idCol).asc), n)
+      .withColumnRenamed("rank", "sample_rank")
+      .drop("_u")
+  }
+
   /** Per-stratum quantile gate — "keep the top (1−p) of each language by
     * quality score": each row is flagged against the p-th quantile of
     * `valueCol` WITHIN its stratum, the relative quality cut curation

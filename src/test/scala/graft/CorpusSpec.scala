@@ -353,4 +353,45 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(1L, 3L))
   }
+
+  test("groupSafeSplit: near-dup cluster members always share a split") {
+    val d = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (chained) and {7,8}; the rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Corpus.groupSafeSplit(d, pairs)
+      .select("doc_id", "canonical_id", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(7L)._1 == 7L && out(8L)._1 == 7L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1,
+      "cluster {1,2,3} must land in one split")
+    assert(out(7L)._2 == out(8L)._2, "cluster {7,8} must land in one split")
+    // singletons key by themselves → identical decision to plain hashSplit
+    val plain = Corpus.hashSplit(d).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(4L, 5L, 6L, 9L, 10L, 11L, 12L).foreach { i =>
+      assert(out(i)._1 == i && out(i)._2 == plain(i),
+        s"singleton $i must split exactly like hashSplit")
+    }
+  }
+
+  test("stratifiedSample: exact per-stratum counts, contiguous ranks, salt redraw") {
+    val d = ((1L to 60L).map(i => (i, "a")) ++ (61L to 63L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSample(d, "lang", n = 5)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("a" -> 5L, "b" -> 3L),
+      "exactly min(n, |stratum|) rows per stratum")
+    val ranks = out.filter(col("lang") === "a")
+      .select("sample_rank").as[Int].collect().sorted.toSeq
+    assert(ranks == (1 to 5), s"ranks must be contiguous 1..n, got $ranks")
+    // deterministic: same salt → identical pick; fresh salt → different pick
+    val again = Corpus.stratifiedSample(d, "lang", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    val redraw = Corpus.stratifiedSample(d, "lang", n = 5, salt = "ss2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(redraw != again, "a different salt must redraw the sample")
+  }
 }

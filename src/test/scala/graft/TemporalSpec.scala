@@ -119,4 +119,49 @@ class TemporalSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
   }
+
+  test("scd2 collapses runs, reopens on return, closes intervals half-open") {
+    // key 1 observes A A B A: runs collapse, the return to A is a NEW
+    // version (type-2), each effective_to is the next version's start
+    val obs = Seq(
+      (1L, ts(0), "A", 10L), (1L, ts(1), "A", 11L), (1L, ts(2), "B", 12L),
+      (1L, ts(3), "A", 13L),
+      (2L, ts(5), "X", 20L))
+      .toDF("k", "ts", "status", "seq")
+    val out = Temporal.scd2(obs, "k", "ts", Seq("status"), Seq("seq"))
+      .orderBy("k", "version")
+      .select("k", "status", "effective_from", "effective_to", "is_current", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, "A", ts(0), Some(ts(2)), false, 1L),
+      (1L, "B", ts(2), Some(ts(3)), false, 2L),
+      (1L, "A", ts(3), None, true, 3L),
+      (2L, "X", ts(5), None, true, 1L)))
+  }
+
+  test("scd2 change detection is null-safe across every tracked attribute") {
+    // null→null is NOT a change; null→value and value→null are; a change
+    // in EITHER attribute opens a version
+    val obs = Seq(
+      (1L, ts(0), None, "p1"), (1L, ts(1), None, "p1"),       // no change
+      (1L, ts(2), Some("A"), "p1"),                            // null→A
+      (1L, ts(3), Some("A"), "p2"),                            // second attr
+      (1L, ts(4), None, "p2"))                                 // A→null
+      .toDF("k", "ts", "status", "prio")
+    val out = Temporal.scd2(obs, "k", "ts", Seq("status", "prio"))
+      .orderBy("version")
+      .collect().map(r => (Option(r.getString(1)), r.getString(2), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (None, "p1", 1L), (Some("A"), "p1", 2L), (Some("A"), "p2", 3L),
+      (None, "p2", 4L)))
+  }
+
+  test("scd2 plans exactly one shuffle for mark + filter + close + version") {
+    val obs = Seq((1L, ts(0), "A", 1L)).toDF("k", "ts", "status", "seq")
+    val plan = Temporal.scd2(obs, "k", "ts", Seq("status"), Seq("seq"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
+  }
 }
