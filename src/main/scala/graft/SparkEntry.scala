@@ -27,6 +27,52 @@ object SparkEntry {
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
 
+  /** Shared oracle CTE chain reproducing `Dedup.nearDupPairs(k = 32,
+    * bands = 8, threshold = 0.5)` over `documents` as a `mpairs` relation
+    * (doc_a < doc_b, exact verified jaccard ≥ 0.5) — same md5-derived
+    * shingle hashes, integer permutations, and band keys as the Spark
+    * operator, so candidate sets agree exactly. Used by `q_dedup_minhash`
+    * and spliced into `q_group_split`'s reachability oracle.
+    */
+  private lazy val MinhashPairCtes: String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until 32)
+      .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+      .mkString(",\n   ")
+    val bandSelects = (0 until 8).map { j =>
+      val key = (4 * j until 4 * j + 4)
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+sigs AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+mpairs AS (
+  SELECT doc_a, doc_b,
+   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+     / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+     / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)"""
+  }
+
   /** Mixture-resampling target weights for `q_mixture`, shared by the Spark
     * operator and the generated oracle VALUES so the per-language bases and
     * hash thresholds stay in lockstep. en downsamples (it dominates the
@@ -472,9 +518,14 @@ object SparkEntry {
 
     // Leakage-safe split: hashSplit keyed by the near-dup cluster
     // canonical, so near-duplicate docs never straddle train/val/test.
+    // Pairs come from MinHash-LSH — the scalable pair source a 100 TB
+    // split would actually use (and the bench then measures the split's
+    // own cost, not a second copy of the PPJoin pipeline that
+    // q_dedup_clusters already measures).
     "q_group_split" -> ((s, dir) =>
       Corpus.groupSafeSplit(t(s, dir, "documents"),
-        Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
+        Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
+          threshold = 0.5))
         .select("doc_id", "canonical_id", "split").orderBy("doc_id")),
 
     // Exact stratified sample: exactly 20 docs per language in stable
@@ -1390,44 +1441,8 @@ object SparkEntry {
     // constants (generated below from Dedup.permA/permB so the two sides
     // cannot drift), same 8 bands x 4 rows, same bucket-join candidate
     // generation, same exact-Jaccard verify.
-    "q_dedup_minhash" -> {
-      val p = Dedup.MinhashP
-      val sigExprs = (0 until 32)
-        .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
-        .mkString(",\n   ")
-      val bandSelects = (0 until 8).map { j =>
-        val key = (4 * j until 4 * j + 4)
-          .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
-        s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH base AS (
-  SELECT doc_id,
-   list_distinct([array_to_string(toks[i:i+1], ' ')
-                  for i in generate_series(1, len(toks) - 1)]) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-hashes AS (
-  SELECT doc_id,
-   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
-sigs AS (
-  SELECT doc_id,
-   $sigExprs
-  FROM hashes GROUP BY doc_id),
-bands AS (
-  $bandSelects),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b,
- CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-FROM cand JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
-ORDER BY doc_a, doc_b"""
-    },
+    "q_dedup_minhash" ->
+      s"WITH $MinhashPairCtes\nSELECT doc_a, doc_b, jaccard FROM mpairs ORDER BY doc_a, doc_b",
 
     // Asymmetric twin of the minhash oracle: one signature pipeline over
     // all docs, sides split by id parity only at candidate generation —
@@ -2021,35 +2036,27 @@ FROM lh ORDER BY doc_id"""
       """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
-    // Same reachability CTE as q_dedup_clusters for the cluster canonical,
-    // then the q_hash_split bucket thresholds keyed by canonical_id.
+    // MinHash pair CTEs (shared with q_dedup_minhash) feed the
+    // q_dedup_clusters-style reachability for the cluster canonical, then
+    // the q_hash_split bucket thresholds keyed by canonical_id.
     "q_group_split" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
-        |canon AS (
-        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-        |SELECT doc_id, canonical_id,
-        |  CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-        |       WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM canon ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $MinhashPairCtes,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION ALL SELECT doc_b, doc_a FROM mpairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, canonical_id,
+  CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+       WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+FROM canon ORDER BY doc_id""",
 
     // row_number is BIGINT in DuckDB, int32 in Spark → CAST AS INT.
     "q_stratified" ->
