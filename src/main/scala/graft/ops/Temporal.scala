@@ -124,6 +124,47 @@ object Temporal {
           col("is_current"), col("version")): _*)
   }
 
+  /** Incremental [[scd2]] maintenance — apply a batch of NEW observations
+    * to an existing SCD2 history without recomputing untouched keys: the
+    * MERGE form a 15-minute incremental pipeline actually runs. Keys
+    * absent from the batch pass through UNTOUCHED (no window, no sort);
+    * keys present have their history replayed as observations (one row
+    * per version at `effective_from`) union'd with the batch and re-run
+    * through [[scd2]] — collapsing is idempotent, so replaying collapsed
+    * versions is exact.
+    *
+    * Contract (the append-only arrival order every SCD2 merge assumes):
+    * a batch observation must not predate its key's latest
+    * `effective_from`. A late-arriving observation older than that can
+    * split the wrong interval — because versions BETWEEN the original
+    * observations were collapsed away, the replay cannot know a value
+    * recurred after the late row's position (classic SCD2 limitation;
+    * full recompute from raw observations is the repair path).
+    * Replayed rows carry NULL tie-break columns, which sort before any
+    * batch row at the same timestamp (asc = NULLS FIRST), so an equal-ts
+    * batch observation counts as the later arrival.
+    *
+    * Scale shape: `touched` is batch-key-sized → broadcast semi/anti
+    * joins against the history, so the full history is never shuffled;
+    * the scd2 recompute windows only over touched keys' (short)
+    * histories plus the batch. The streaming twin
+    * (IncrementalStream.runScd2Stream) adds the physical half: history
+    * bucketed by key hash, dynamic partition overwrite of touched
+    * buckets only.
+    */
+  def scd2Apply(history: DataFrame, newObs: DataFrame, key: String,
+                ts: String, attrs: Seq[String],
+                tieBreak: Seq[String] = Nil): DataFrame = {
+    val touched = newObs.select(col(key)).distinct()
+    val replay = history.join(broadcast(touched), Seq(key), "left_semi")
+      .select(col(key) +: col("effective_from").as(ts) +: (attrs.map(col) ++
+        tieBreak.map(c => lit(null).cast(newObs.schema(c).dataType).as(c))): _*)
+    val obs = newObs.select(
+      col(key) +: col(ts) +: (attrs.map(col) ++ tieBreak.map(col)): _*)
+    val untouched = history.join(broadcast(touched), Seq(key), "left_anti")
+    untouched.unionByName(scd2(replay.unionByName(obs), key, ts, attrs, tieBreak))
+  }
+
   /** Interval (range) join: pair every point row with every interval row
     * whose `[start, end)` contains the point's timestamp — the shape
     * behind incident attribution, campaign windows, outage overlap.

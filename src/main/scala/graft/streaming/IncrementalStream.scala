@@ -211,6 +211,65 @@ object IncrementalStream {
     q
   }
 
+  /** Streaming SCD2 maintenance: keep a Type-2 dimension-history table
+    * (graft.ops.Temporal.scd2) current from an observation stream. Each
+    * micro-batch flows through `Temporal.scd2Apply` — untouched keys pass
+    * through, touched keys replay+merge — and lands via dynamic partition
+    * overwrite on `key_bucket` = hash(key) % nBuckets: only buckets
+    * containing a touched key are rewritten (including their untouched
+    * cohabitant keys — the rewrite amplification is historySize/nBuckets
+    * per touched bucket, tuned by nBuckets), everything else is untouched
+    * on disk. This is the physical MERGE the reference's upsert cadence
+    * implies, applied to dimension HISTORY instead of overwrite-in-place
+    * (which loses it). Arrival-order contract is scd2Apply's: batches
+    * must not deliver observations older than a key's latest version
+    * start; event-time ordering ACROSS batches is the file producer's
+    * responsibility (the checkpoint guarantees each file exactly once, in
+    * landing order).
+    */
+  def runScd2Stream(spark: SparkSession, obsStream: DataFrame,
+                    historyPath: String, checkpoint: String, key: String,
+                    ts: String, attrs: Seq[String],
+                    tieBreak: Seq[String] = Nil,
+                    nBuckets: Int = 16): StreamingQuery = {
+    import graft.ops.Temporal
+    val q = obsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val bucket = pmod(xxhash64(col(key)), lit(nBuckets.toLong))
+          val p = new org.apache.hadoop.fs.Path(historyPath)
+          val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val hasHistory = fs.exists(p) && fs.listStatus(p).nonEmpty
+          // only buckets a batch key hashes into are read AND rewritten;
+          // at scale the read side also prunes to those partitions
+          val touchedBuckets = batch.select(bucket.as("b"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          val affected =
+            if (hasHistory)
+              sp.read.parquet(historyPath)
+                .filter(col("key_bucket").isin(touchedBuckets.toSeq: _*))
+                .drop("key_bucket")
+            else {
+              val hist = Temporal.scd2(batch.limit(0), key, ts, attrs, tieBreak)
+              hist.filter(lit(false))
+            }
+          val next = Temporal.scd2Apply(affected, batch, key, ts, attrs, tieBreak)
+            .withColumn("key_bucket", bucket)
+          Incremental.withDynamicOverwrite(sp) {
+            next.write.mode(SaveMode.Overwrite)
+              .partitionBy("key_bucket").parquet(historyPath)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-stream attribution join: match each purchase to the views by
     * the same user in the preceding `withinMinutes` — the conversion-
     * attribution shape (and the fourth Structured Streaming join/state

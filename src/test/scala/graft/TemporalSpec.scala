@@ -157,6 +157,45 @@ class TemporalSpec extends SparkSpec {
       (None, "p2", 4L)))
   }
 
+  test("scd2Apply: incremental merge equals full recompute on in-order batches") {
+    val rng = new scala.util.Random(77)
+    // 20 keys × ~25 obs over ts 0..99, unique global seq as tie-break
+    val obs = (0 until 500).map { i =>
+      (rng.nextInt(20).toLong, ts(rng.nextInt(100)),
+        s"v${rng.nextInt(3)}", i.toLong)
+    }
+    val (first, rest) = obs.partition(_._2.getTime < ts(50).getTime)
+    val cols = Seq("k", "ts", "status", "seq")
+    val history = Temporal.scd2(first.toDF(cols: _*), "k", "ts",
+      Seq("status"), Seq("seq"))
+    val applied = Temporal.scd2Apply(history, rest.toDF(cols: _*), "k", "ts",
+      Seq("status"), Seq("seq"))
+    val full = Temporal.scd2(obs.toDF(cols: _*), "k", "ts",
+      Seq("status"), Seq("seq"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "status", "effective_from", "effective_to", "is_current", "version")
+        .collect().map(_.toSeq).toSet
+    assert(snap(applied) == snap(full),
+      "incremental apply must equal the full recompute")
+  }
+
+  test("scd2Apply leaves untouched keys' history rows byte-identical") {
+    val history = Temporal.scd2(
+      Seq((1L, ts(0), "A"), (1L, ts(1), "B"), (2L, ts(0), "X"))
+        .toDF("k", "ts", "status"),
+      "k", "ts", Seq("status"))
+    val applied = Temporal.scd2Apply(history,
+      Seq((1L, ts(5), "C")).toDF("k", "ts", "status"), "k", "ts", Seq("status"))
+    // key 2 was not in the batch: its row must pass through unchanged
+    val k2 = applied.filter($"k" === 2L).collect().map(_.toSeq).toSet
+    val orig = history.filter($"k" === 2L).collect().map(_.toSeq).toSet
+    assert(k2 == orig)
+    // key 1 gained version 3 and its old current row closed
+    val k1 = applied.filter($"k" === 1L).orderBy("version")
+      .select("status", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k1 == Seq(("A", false), ("B", false), ("C", true)))
+  }
+
   test("scd2 plans exactly one shuffle for mark + filter + close + version") {
     val obs = Seq((1L, ts(0), "A", 1L)).toDF("k", "ts", "status", "seq")
     val plan = Temporal.scd2(obs, "k", "ts", Seq("status"), Seq("seq"))
