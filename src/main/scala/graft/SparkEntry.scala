@@ -703,6 +703,20 @@ mpairs AS (
         .orderBy("event_id")
     }),
 
+    // Edit-distance self-join (entity resolution): all document-prefix
+    // pairs within Levenshtein distance 2, via Ed-Join prefix filtering +
+    // exact verify. Oracle is the naive all-pairs scan.
+    // q=3: the fixture vocabulary is ~30 words, so 2-grams are all common
+    // (113 distinct, median df 631 at sf0.1) and prefix buckets blow up;
+    // trigrams are 375/76 — the "raise q on low-diversity corpora" lever
+    // the operator documents.
+    "q_edit_pairs" -> ((s, dir) =>
+      ops.text.Fuzzy.editDistanceJoin(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
+        "doc_id", "s", maxDist = 2, q = 3)
+        .orderBy("id_a", "id_b")),
+
     // SCD Type-2 dimension history: per-customer status/priority version
     // intervals rebuilt from the order stream (one window shuffle).
     "q_scd2" -> ((s, dir) =>
@@ -2066,6 +2080,16 @@ FROM canon ORDER BY doc_id""",
         |      ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    // Naive all-pairs oracle for the prefix-filtered join; levenshtein is
+    // BIGINT in DuckDB, int32 in Spark → CAST AS INT.
+    "q_edit_pairs" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Change rows via null-safe lag compare (IS DISTINCT FROM ≡ Spark's
     // <=> negation), then validity intervals via lead over the survivors —

@@ -1,0 +1,126 @@
+package graft.ops.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching: the edit-distance self-join behind entity
+  * resolution and near-identical record detection (customer names, product
+  * titles, URLs) — the string-similarity member of the dedup family, next
+  * to the set-similarity (Jaccard/MinHash) and vector (SimHash, embedding)
+  * members in [[Dedup]]/[[graft.ops.Similarity]].
+  */
+object Fuzzy {
+
+  /** All pairs of rows whose strings are within Levenshtein distance
+    * `maxDist` — exact (lossless candidate generation + exact verify),
+    * never a quadratic scan.
+    *
+    * Shape (Ed-Join's prefix filtering, Xiao/Wang/Lin VLDB'08, re-expressed
+    * relationally):
+    *  1. positional q-gram MULTISET per string, computed per row with
+    *     array HOFs (occurrence index distinguishes repeated grams) — no
+    *     shuffle, no UDF;
+    *  2. global gram frequencies (vocabulary-sized → broadcast back);
+    *  3. each string keeps only its `q·maxDist + 1` RAREST (gram, occ)
+    *     elements under the (freq, gram, occ) total order — the prefix.
+    *     Two strings within distance `maxDist` differ in at most `q·maxDist`
+    *     gram positions, so their prefixes must share an element: joining
+    *     prefixes on (gram, occ) loses no true pair, while the rarest-first
+    *     order keeps join buckets small (a hot gram lands in a prefix only
+    *     when a string has nothing rarer). The rank compiles to
+    *     WindowGroupLimit (pre-shuffle top-k, same machinery as
+    *     [[graft.ops.Relational.topKPerGroup]]);
+    *  4. candidates (equi-join on (gram, occ) + length band) are verified
+    *     with the codegen'd `levenshtein` — the filter is for cost only,
+    *     correctness comes from the verify.
+    * Strings too short to carry `q·maxDist + 1` grams can defeat the count
+    * bound (two 2-char strings at distance 2 share nothing), so they pair
+    * through a LENGTH-BUCKET equi-join instead (each short string explodes
+    * to its `2·maxDist + 1` admissible partner lengths — the intervalJoin
+    * bucket trick, still never a nested loop). A corpus of ONLY such
+    * strings degenerates to the per-length quadratic problem it inherently
+    * is.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, one row per qualifying pair.
+    *
+    * Scale: the gram explode is O(total chars) map work; the only
+    * corpus-sized shuffles are the prefix self-join (rarest-gram buckets)
+    * and the pair distinct. Gram frequencies are |Σ|^q rows — broadcast.
+    * Same skew posture as the shingle joins in [[Dedup]]: a pathological
+    * gram distribution shows up as a hot (gram, occ) bucket; the lever is
+    * raising q (rarer grams), since dropping buckets would break
+    * losslessness.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val prefixLen = q * maxDist + 1
+    val id = col(idCol)
+    val s = col(strCol)
+
+    val base = df.select(id.as("_id"), s.as("_s"), length(s).as("_len"),
+      (length(s) - lit(q) + lit(1)).as("_ng"))
+    // strings with at most q·maxDist grams can share zero grams yet still
+    // be within maxDist — they go through the length-bucket path
+    val long = base.filter(col("_ng") > lit(q * maxDist))
+    val short = base.filter(col("_ng") <= lit(q * maxDist))
+
+    // positional gram multiset: (gram, occurrence-within-string); occ is
+    // computed against the prefix of the gram array so repeats are
+    // distinguished without any shuffle
+    val grams = transform(sequence(lit(1), col("_ng")),
+      i => col("_s").substr(i, lit(q)))
+    val gramOcc = transform(grams, (g, i) =>
+      struct(g.as("g"),
+        size(filter(slice(grams, lit(1), i + lit(1)), y => y === g)).as("occ")))
+    // candidates carry IDS ONLY: on a gram-poor corpus the prefix filter
+    // can pass millions of pairs, and hashing/deduping (id, id) longs is
+    // several times cheaper than dragging both 20+-char strings through
+    // the join and the distinct — strings rejoin exactly once, after the
+    // pair set is deduped (two more keyed joins; at corpus scale that is
+    // the standard trade against materializing strings per candidate)
+    val exploded = long
+      .select(col("_id"), col("_len"), explode(gramOcc).as("go"))
+      .select(col("_id"), col("_len"),
+        col("go.g").as("g"), col("go.occ").as("occ"))
+
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("_gdf"))
+    val prefix = graft.ops.Relational.topKPerGroup(
+      exploded.join(broadcast(freq), Seq("g")),
+      Seq("_id"), Seq(asc("_gdf"), asc("g"), asc("occ")), prefixLen)
+      .drop("rank", "_gdf")
+
+    val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
+      col("g"), col("occ"))
+    val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
+      col("g"), col("occ"))
+    val longCand = a.join(b.hint("shuffle_hash"), Seq("g", "occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .select("id_a", "id_b")
+
+    // short strings: equi-join on candidate length (2·maxDist+1 buckets per
+    // short string), against EVERY string in the band — short-long pairs
+    // once from the short side, short-short pairs twice then distinct'd
+    val shortCand = short
+      .select(col("_id").as("id_s"),
+        explode(sequence(col("_len") - lit(maxDist),
+          col("_len") + lit(maxDist))).as("_tl"))
+      .join(base.select(col("_id").as("id_o"), col("_len").as("_tl")),
+        Seq("_tl"))
+      .filter(col("id_s") =!= col("id_o"))
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+
+    val strings = base.select(col("_id"), col("_s"))
+    longCand.unionByName(shortCand).distinct()
+      .join(strings.select(col("_id").as("id_a"), col("_s").as("_sa")), Seq("id_a"))
+      .join(strings.select(col("_id").as("id_b"), col("_s").as("_sb")), Seq("id_b"))
+      // threshold form = banded DP, O(maxDist·n) per pair instead of
+      // O(n²); returns -1 when the distance exceeds the threshold
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
+}

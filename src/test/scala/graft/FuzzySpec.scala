@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.text.Fuzzy
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join: losslessness of the Ed-Join prefix filter
+  * against the naive all-pairs scan, short-string handling, and plan shape
+  * (equi-joins only — no nested loop anywhere).
+  */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dist = lev(sa, sb)
+      if dist <= d
+    } yield (ia, ib, dist)).toSet
+  }
+
+  private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2) =
+    Fuzzy.editDistanceJoin(rows.toDF("id", "s"), "id", "s", maxDist = d, q = q)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("known pairs: exact dups, single edits, and misses") {
+    val rows = Seq(1L -> "spark engine", 2L -> "spark engine",
+      3L -> "spark enginX", 4L -> "spork enginX", 5L -> "completely different")
+    val got = run(rows, d = 1)
+    assert(got.contains((1L, 2L, 0)), "exact duplicate at distance 0")
+    assert(got.contains((1L, 3L, 1)) && got.contains((2L, 3L, 1)))
+    assert(got.contains((3L, 4L, 1)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(got == naive(rows, 1))
+  }
+
+  test("prefix filter is lossless vs naive all-pairs on mutated random strings") {
+    val rng = new scala.util.Random(1234)
+    val alpha = "abcdefg"
+    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
+    // seed strings plus mutated near-copies (insert/delete/substitute), so
+    // the truth set is rich at every distance 0..3
+    val seeds = Seq.fill(40)(word())
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
+        case 1 if t.length > 2 => t.take(i) + t.drop(i + 1)
+        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
+      }
+    }
+    val rows = (seeds ++ seeds.map(mutate(_, 1)) ++ seeds.map(mutate(_, 2)) ++
+      seeds.map(mutate(_, 3))).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    for (d <- Seq(1, 2)) {
+      assert(run(rows, d) == naive(rows, d), s"divergence at maxDist=$d")
+    }
+    // q=3 must agree too (prefix length scales with q)
+    assert(run(rows, 2, q = 3) == naive(rows, 2))
+  }
+
+  test("short strings pair through the length buckets, never lost") {
+    // with q=2, d=2 the gram-count bound is defeated below 6 chars:
+    // "ab" vs "cd" share no grams yet sit at distance 2
+    val rows = Seq(1L -> "ab", 2L -> "cd", 3L -> "abxyz", 4L -> "cdxyz",
+      5L -> "a very much longer string")
+    val got = run(rows, d = 2)
+    assert(got == naive(rows, 2))
+    assert(got.contains((1L, 2L, 2)), "gram-free short pair must survive")
+  }
+
+  test("plans equi-joins only: no nested loop or cartesian product") {
+    val rows = Seq(1L -> "ab", 2L -> "abcdefghij")
+    val plan = Fuzzy.editDistanceJoin(rows.toDF("id", "s"), "id", "s", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fuzzy join must stay equi-keyed:\n$plan")
+  }
+}
