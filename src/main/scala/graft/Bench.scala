@@ -102,15 +102,20 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 2) }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
     val failJson = if (failures == 0) "" else s""","failures":$failures,"errors":$errs"""
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$failJson,"sf":"$sfName"}""")
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$failJson,"sf":"$sfName"}"""
+    }
+    // adaptive precision: drop to deciseconds only if centiseconds would
+    // overflow the record window (still far below run-to-run noise)
+    println(Iterator(2, 1).map(line).find(_.length <= 1950).getOrElse(line(0)))
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

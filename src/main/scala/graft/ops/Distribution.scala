@@ -110,8 +110,11 @@ object Distribution {
     * writer or reader on the dataset. Fully online compaction needs a
     * metadata layer that commits file swaps atomically (a table format's
     * snapshot/manifest — e.g. the pattern Iceberg/Delta use); a bare
-    * parquet directory cannot express it, which is exactly why those
-    * formats exist at warehouse scale.
+    * parquet directory cannot express it. That layer exists here as
+    * [[graft.io.Manifest]] — `Manifest.compact` is the reader-safe form
+    * of this operation for tables that opt into snapshot commits; this
+    * bare-directory variant remains for partitioned layouts owned by the
+    * exclusive-maintenance-window contract above.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024,

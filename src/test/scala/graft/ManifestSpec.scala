@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Manifest
+import org.apache.spark.sql.functions._
+
+/** Snapshot-committed table: reader-safe swap semantics, crash-dir
+  * invisibility, compaction, and retention.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft_manifest").toString + "/t"
+
+  test("write/read roundtrip; a new snapshot replaces without disturbing readers") {
+    val t = tmp()
+    val v1 = Manifest.write((1L to 10L).toDF("x"), t)
+    assert(v1 == 1)
+    assert(Manifest.read(spark, t).count() == 10)
+    // a reader resolved on v1 keeps its files across the v2 commit
+    val pinned = spark.read.parquet(s"$t/v1")
+    val v2 = Manifest.write((1L to 3L).toDF("x"), t)
+    assert(v2 == 2)
+    assert(pinned.count() == 10, "pre-swap reader must be undisturbed")
+    assert(Manifest.read(spark, t).count() == 3, "new readers see the new snapshot")
+  }
+
+  test("an uncommitted (crashed) snapshot dir is invisible and its version never reused") {
+    val t = tmp()
+    Manifest.write((1L to 5L).toDF("x"), t)
+    // simulate a writer that died after writing data, before the marker
+    (99L to 99L).toDF("x").write.parquet(s"$t/v2")
+    assert(Manifest.read(spark, t).count() == 5, "uncommitted dir must be ignored")
+    assert(Manifest.currentVersion(spark, t).contains(1))
+    // the next commit skips past the dead dir instead of reusing v2
+    val v = Manifest.write((1L to 7L).toDF("x"), t)
+    assert(v == 3)
+    assert(Manifest.read(spark, t).count() == 7)
+  }
+
+  test("compact rewrites to the computed file count with identical rows, as a new snapshot") {
+    val t = tmp()
+    Manifest.commit(spark, t) { dir =>
+      spark.range(1000).toDF("x").repartition(8).write.parquet(dir)
+    }
+    def files(v: Int) = new java.io.File(s"$t/v$v").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(1) == 8)
+    // huge target → everything fits one file
+    val v = Manifest.compact(spark, t, targetBytes = 1L << 30)
+    assert(v == 2 && files(2) == 1)
+    val before = spark.read.parquet(s"$t/v1").as[Long].collect().sorted.toSeq
+    val after = Manifest.read(spark, t).as[Long].collect().sorted.toSeq
+    assert(before == after, "compaction must not change row content")
+  }
+
+  test("vacuum keeps the newest snapshots and drops marker before data") {
+    val t = tmp()
+    (1 to 4).foreach(i => Manifest.write((1L to i.toLong).toDF("x"), t))
+    Manifest.vacuum(spark, t, keep = 2)
+    assert(!new java.io.File(s"$t/v1").exists() && !new java.io.File(s"$t/v2").exists())
+    assert(new java.io.File(s"$t/v3").exists() && new java.io.File(s"$t/v4").exists())
+    assert(Manifest.read(spark, t).count() == 4)
+    assert(Manifest.currentVersion(spark, t).contains(4))
+  }
+}
