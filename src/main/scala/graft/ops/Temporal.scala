@@ -37,9 +37,18 @@ object Temporal {
     *
     * @param rightPayload right columns to carry (prefixed `asof_` in the
     *                     output, alongside `asof_<ts>` = the matched ts)
+    * @param direction    "backward" (default): latest right row with
+    *                     `right.ts <= left.ts` — the point-in-time-correct
+    *                     feature lookup; "forward": EARLIEST right row with
+    *                     `right.ts >= left.ts` — next-event attribution
+    *                     (time-to-response, next price tick). Same plan
+    *                     either way: only the traversal order flips.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+               rightPayload: Seq[String], prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
     val extraL = left.columns.filterNot(c => c == key || c == ts).toSeq
     val pay = rightPayload :+ ts
     require(!rightPayload.contains(ts), s"payload already includes '$ts'")
@@ -59,8 +68,13 @@ object Temporal {
         (extraL.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
           struct(pay.map(col): _*).as("_asof")): _*)
 
+    // backward walks time ascending (latest right at-or-before each left
+    // row); forward walks it descending (earliest right at-or-after) —
+    // right rows sort before left rows on timestamp ties in both, so an
+    // equal-ts right row is visible to the left row per as-of convention
+    val tsOrder = if (direction == "backward") col(ts).asc else col(ts).desc
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))

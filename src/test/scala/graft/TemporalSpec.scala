@@ -120,6 +120,42 @@ class TemporalSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one Exchange, got $exchanges:\n$plan")
   }
 
+  test("asOfJoin forward picks the earliest right row at or after each left ts") {
+    val left = Seq((1L, ts(0), "l0"), (1L, ts(5), "l5"), (1L, ts(11), "l11"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(1), 10.0), (1L, ts(5), 50.0), (1L, ts(10), 100.0))
+      .toDF("user_id", "ts", "value")
+    val out = Temporal.asOfJoin(left, right, "user_id", "ts", Seq("value"),
+      direction = "forward")
+      .select("tag", "asof_value")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("l0").contains(10.0), "earliest right after l0 is ts(1)")
+    assert(out("l5").contains(50.0), "right row AT the left ts must match")
+    assert(out("l11").isEmpty, "no right row at or after l11")
+    // random equivalence vs the naive forward formulation
+    val rng = new scala.util.Random(99)
+    val rl = Seq.fill(200)((rng.nextInt(6).toLong, ts(rng.nextInt(80)), rng.nextInt(999)))
+      .toDF("user_id", "ts", "pay")
+    val rr = Seq.fill(200)((rng.nextInt(6).toLong, ts(rng.nextInt(80)), rng.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "value")
+    val fast = Temporal.asOfJoin(rl, rr, "user_id", "ts", Seq("value"),
+      direction = "forward")
+      .select("user_id", "ts", "pay", "asof_value", "asof_ts")
+      .collect().map(_.toSeq).toSet
+    val naive = {
+      val j = rl.join(rr.withColumnRenamed("ts", "rts").withColumnRenamed("user_id", "ruid"),
+        col("user_id") === col("ruid") && col("rts") >= col("ts"), "left")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts", "pay").orderBy(col("rts").asc)
+      j.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"), col("pay"),
+          col("value").as("asof_value"), col("rts").as("asof_ts"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(fast == naive)
+  }
+
   test("scd2 collapses runs, reopens on return, closes intervals half-open") {
     // key 1 observes A A B A: runs collapse, the return to A is a NEW
     // version (type-2), each effective_to is the next version's start
