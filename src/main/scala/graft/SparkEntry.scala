@@ -638,10 +638,13 @@ mpairs AS (
     // Survivorship: canonical representative + keep/drop flag for EVERY
     // doc (clustered docs resolve to their component minimum; singletons
     // keep themselves). Completes the dedup pipeline end-to-end.
+    // Pairs from MinHash-LSH (the 100 TB pair source), like q_group_split;
+    // the PPJoin pipeline keeps its own dedicated query (q_dedup_clusters).
     "q_dedup_resolve" -> ((s, dir) =>
       Dedup.resolveCanonical(
         t(s, dir, "documents"),
-        Dedup.jaccardNearDup(t(s, dir, "documents"), n = 3, threshold = 0.6))
+        Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
+          threshold = 0.5))
         .orderBy("doc_id")),
 
     // Corpus shape stats: exact interpolated percentiles per language
@@ -1788,29 +1791,20 @@ ORDER BY doc_a, doc_b"""
     // Same reachability CTE, then survivorship: left join back to the full
     // corpus, singletons are their own canonical.
     "q_dedup_resolve" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-        |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
-        |SELECT d.doc_id,
-        |  coalesce(c.component, d.doc_id) AS canonical_id,
-        |  d.doc_id = coalesce(c.component, d.doc_id) AS is_kept
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $MinhashPairCtes,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION ALL SELECT doc_b, doc_a FROM mpairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+  coalesce(c.component, d.doc_id) AS canonical_id,
+  d.doc_id = coalesce(c.component, d.doc_id) AS is_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id""",
 
     // Replicates embeddingNearDup with the SAME hyperplane constants as SQL
     // literals (Double.toString round-trips exactly, and the sign test's
