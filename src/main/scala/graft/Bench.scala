@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main — one JSON line per run over SPARK_GRAFT_SF_DIR.
   *
@@ -50,6 +51,13 @@ object Bench {
           "en", "warm", 120L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       ops.text.Dedup.resolveCanonical(warm, ops.text.Dedup.nearDupPairs(warm)).count()
+      // the fuzzy join's generated-code shapes (nested transform/filter/
+      // slice gram multisets, banded levenshtein) are disjoint from the
+      // dedup family's — warm them too so q_edit_pairs' rep 1 isn't the
+      // one paying the session's Janino+JIT bill
+      ops.text.Fuzzy.editDistanceJoin(
+        warm.select(col("doc_id"), col("text").substr(1, 20).as("s")),
+        "doc_id", "s", maxDist = 2, q = 3).count()
       spark.catalog.clearCache()
     }
     def jstr(s: String): String =

@@ -706,6 +706,23 @@ mpairs AS (
         .orderBy("event_id")
     }),
 
+    // Relational CEP: count view→click→purchase pattern OCCURRENCES per
+    // user (each step within 12h of the previous) — instance counts, vs
+    // the funnels' user counts.
+    "q_seq_match" -> ((s, dir) =>
+      ops.Events.sequenceMatches(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), withinMs = 12L * 3600000)
+        .orderBy("user_id")),
+
+    // Symmetric int8 embedding quantization (the 4x ANN memory lever);
+    // q_vec rendered as a comma string so the compare is list-layout-free.
+    "q_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("q_scale"),
+          concat_ws(",", transform(col("q_vec"), x => x.cast("string")))
+            .as("q_str"))
+        .orderBy("vec_id")),
+
     // Edit-distance self-join (entity resolution): all document-prefix
     // pairs within Levenshtein distance 2, via Ed-Join prefix filtering +
     // exact verify. Oracle is the naive all-pairs scan.
@@ -2074,6 +2091,32 @@ FROM canon ORDER BY doc_id""",
         |      ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    // epoch-ms band arithmetic on both sides (identical integer compares,
+    // no interval-semantics drift).
+    "q_seq_match" ->
+      """WITH e0 AS (SELECT user_id, epoch_ms(ts) AS t0 FROM events WHERE event_type = 'view'),
+        |     e1 AS (SELECT user_id, epoch_ms(ts) AS t1 FROM events WHERE event_type = 'click'),
+        |     e2 AS (SELECT user_id, epoch_ms(ts) AS t2 FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, count(*) AS n_matches
+        |FROM e0 a
+        |JOIN e1 b ON a.user_id = b.user_id AND b.t1 > a.t0 AND b.t1 - a.t0 <= 43200000
+        |JOIN e2 c ON b.user_id = c.user_id AND c.t2 > b.t1 AND c.t2 - b.t1 <= 43200000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    // abs/max/divide/multiply/floor are IEEE basic ops — bit-identical
+    // cross-engine (round() stays banned); int8 values print identically.
+    "q_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+        |         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |         ELSE 0.0 END AS q_scale
+        |  FROM embeddings)
+        |SELECT vec_id, q_scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS INT)), ',') AS q_str
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // Naive all-pairs oracle for the prefix-filtered join; levenshtein is
     // BIGINT in DuckDB, int32 in Spark → CAST AS INT.

@@ -165,4 +165,40 @@ object Events {
       (col("n_transitions").cast("double") /
         sum(col("n_transitions")).over(wFrom)).as("p_transition"))
   }
+
+  /** Relational CEP — count ordered pattern OCCURRENCES per user: tuples
+    * of k events matching `steps` in order, strictly increasing in time,
+    * each step within `withinMs` of its predecessor. Complements the
+    * funnels (which count USERS reaching each step) with the
+    * instance-count form behind "how many view→click→purchase journeys
+    * completed inside 2 h" — MATCH_RECOGNIZE's all-matches mode for a
+    * fixed sequence pattern, as k−1 banded self-joins.
+    *
+    * Shape: every join is user-keyed (the time band is a post-join
+    * filter on an equi-join, never a nested loop); each step's relation
+    * is pre-filtered to its own type, so join inputs are type-sliced,
+    * not the whole log. Occurrence counting is combinatorial BY
+    * SEMANTICS (m matching tuples per user cost m rows before the
+    * count): the time band is what bounds it — per user, candidates per
+    * step are the events inside one `withinMs` window. A hot user with
+    * dense repeats inside the band is the skew case; the lever is
+    * tightening `withinMs` or capping per-(user, step) events upstream,
+    * both visible in the audit this query feeds.
+    */
+  def sequenceMatches(events: DataFrame, steps: Seq[String],
+                      withinMs: Long): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val stepDfs = steps.zipWithIndex.map { case (tp, i) =>
+      events.filter(col("event_type") === tp)
+        .select(col("user_id"), unix_millis(col("ts")).as(s"_t$i"))
+    }
+    val chained = stepDfs.zipWithIndex.tail.foldLeft(stepDfs.head) {
+      case (acc, (step, i)) =>
+        acc.join(step, Seq("user_id"))
+          .filter(col(s"_t$i") > col(s"_t${i - 1}") &&
+            col(s"_t$i") - col(s"_t${i - 1}") <= withinMs)
+    }
+    chained.groupBy("user_id").agg(count(lit(1)).as("n_matches"))
+  }
 }

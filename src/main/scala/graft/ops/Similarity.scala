@@ -339,4 +339,30 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), col("sim"))
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× memory/IO compression before ANN serving (a 100 TB
+    * embedding table becomes 25 TB; bucket probes read a quarter of the
+    * bytes). Per vector: `q_scale = 127 / max(|x|)` and
+    * `q_i = floor(x_i · q_scale + 0.5)` ∈ [−127, 127] (round-half-up via
+    * floor — `round()` is banned by the cross-engine parity rules, while
+    * abs/max/division/multiplication/floor are IEEE basic ops, correctly
+    * rounded everywhere, so the quantized table is bit-identical in any
+    * engine). The all-zero vector gets `q_scale = 0` and a zero q-vector
+    * (it has no direction — [[embeddingStats]] flags such rows upstream;
+    * same contract for non-finite elements, which that pass must remove).
+    *
+    * Quantized cosine needs no dequantization: the scales cancel, and
+    * int8 dots over ≤ 2^37 dims are EXACT in double arithmetic, so
+    * quantized scores are deterministic — SimilaritySpec bounds their
+    * error against exact cosine. Pure map work, zero shuffle.
+    */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val emb = col(vecCol)
+    val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
+    df.withColumn("q_scale",
+        when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0)))
+      .withColumn("q_vec", transform(emb, x =>
+        floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("int")))
+  }
 }

@@ -95,6 +95,36 @@ class EventsSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == "purchase"))
   }
 
+  test("sequenceMatches: occurrence counts, band bounds, strict order, user isolation") {
+    val events = Seq(
+      // u1: one full a->b->c inside the band
+      (1L, ts(0), "a"), (1L, ts(5), "b"), (1L, ts(9), "c"),
+      // u2: two b's inside the band -> TWO occurrences through the same a,c
+      (2L, ts(0), "a"), (2L, ts(3), "b"), (2L, ts(5), "b"), (2L, ts(9), "c"),
+      // u3: c arrives outside the 10-minute band from b
+      (3L, ts(0), "a"), (3L, ts(5), "b"), (3L, ts(20), "c"),
+      // u4: b simultaneous with a -> strict > excludes it
+      (4L, ts(0), "a"), (4L, ts(0), "b"), (4L, ts(5), "c"),
+      // u5: right types, wrong order
+      (5L, ts(0), "c"), (5L, ts(1), "b"), (5L, ts(2), "a"))
+      .zipWithIndex.map { case ((u, t, tp), i) => (i.toLong, u, t, tp) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.sequenceMatches(events, Seq("a", "b", "c"),
+      withinMs = 10 * 60000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L),
+      s"expected u1=1, u2=2 and nobody else, got $out")
+  }
+
+  test("sequenceMatches plans user-keyed equi-joins, no nested loop") {
+    val events = Seq((1L, 1L, ts(0), "a"), (2L, 1L, ts(1), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val plan = Events.sequenceMatches(events, Seq("a", "b"), 60000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"must stay equi-keyed:\n$plan")
+  }
+
   test("transitions: simultaneous events order by event_id; probs sum to 1") {
     val events = Seq(
       // same ts: journey is a(id 1) -> b(id 2) -> c(id 3), not any other order

@@ -160,4 +160,48 @@ class SimilaritySpec extends SparkSpec {
     assert(viaGeneric == direct,
       "vote over bruteForceTopK(k+1 minus self) equals the direct audit")
   }
+
+  test("quantizeEmbeddings: range, reconstruction bound, zero vector, cosine fidelity") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.1f, 0.1f, 0.1f, 0.1f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector edge
+      (4L, Array(-2.0f, 1.0f, 0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(vecs)
+      .select("vec_id", "q_scale", "q_vec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toList
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // the max-|x| element always maps to ±127; everything stays in range
+    assert(byId(1L)._2 == Seq(64, -127, 32, 0))
+    assert(byId(4L)._2.head == -127)
+    assert(out.forall(_._3.forall(q => q >= -127 && q <= 127)))
+    // zero vector: scale 0, all-zero q-vector (no direction to preserve)
+    assert(byId(3L) == ((0.0, Seq(0, 0, 0, 0))))
+    // reconstruction: |x - q/scale| <= 0.5/scale elementwise
+    for ((id, (scale, qs)) <- byId if id != 3L) {
+      val orig = vecs.filter($"vec_id" === id)
+        .select("embedding").as[Array[Float]].head()
+      orig.zip(qs).foreach { case (x, qv) =>
+        assert(math.abs(x - qv / scale) <= 0.5 / scale + 1e-12,
+          s"vec $id: $x vs ${qv / scale}")
+      }
+    }
+    // quantized cosine tracks exact cosine on the fixture table (int dots
+    // are exact in double; error is pure quantization noise)
+    val emb = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeEmbeddings(emb).filter($"q_scale" > 0)
+      .select($"vec_id", $"embedding", $"q_vec".cast("array<float>").as("qf"))
+    val pairs = q.limit(20).crossJoin(
+        q.limit(20).select($"vec_id".as("vid2"), $"embedding".as("e2"), $"qf".as("qf2")))
+      .filter($"vec_id" < $"vid2")
+      .select(
+        Similarity.cosine($"embedding", $"e2").as("exact"),
+        Similarity.cosine($"qf", $"qf2").as("quant"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (e, qc) =>
+      assert(math.abs(e - qc) < 0.02, s"cosine drift too large: $e vs $qc")
+    }
+  }
 }
