@@ -462,6 +462,19 @@ mpairs AS (
       ops.Similarity.ivfTopK(emb, q, 5).orderBy("q_id", "rank")
     }),
 
+    // Quantization wired into the ANN path: the SAME IVF pipeline over
+    // int8-quantized vectors (cast back to float — values are small
+    // exact ints, and per-vector scales cancel inside cosine), proving
+    // the 4x-compressed serving path end-to-end at exact cross-engine
+    // parity — int dots are exact in double, so even the sims hash-match.
+    "q_ann_quantized" -> ((s, dir) => {
+      val qz = Similarity.quantizeEmbeddings(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("q_vec").cast("array<float>").as("embedding"))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.ivfTopK(qz, q, 5).orderBy("q_id", "rank")
+    }),
+
     // Exact self-kNN majority-label audit (k=5, self excluded): the
     // embedding-space label-noise detector. Brute-force baseline form;
     // the same vote composes over ANN neighbors at corpus scale.
@@ -1915,6 +1928,53 @@ asg AS (
           (sqrt(${duckDot("v.embedding", "v.embedding")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
         c.cell) AS rn
     FROM embeddings v, cent c) WHERE rn = 1),
+probes AS (
+  SELECT q_id, qe, cell FROM (
+    SELECT q.q_id, q.qe, c.cell,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        ${duckDot("q.qe", "c.ce")} /
+          (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+        c.cell) AS rn
+    FROM q, cent c) WHERE rn <= 4),
+s AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+    ${duckDot("p.qe", "a.embedding")} /
+      (sqrt(${duckDot("p.qe", "p.qe")}) * sqrt(${duckDot("a.embedding", "a.embedding")})) AS sim
+  FROM probes p JOIN asg a USING (cell))
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+  neighbor_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+ORDER BY q_id, rank""",
+
+    // The q_ann_ivf oracle verbatim, over the quantized table (q_quantize's
+    // CTE emitting DOUBLE lists — int-valued, so float/double paths agree
+    // bit for bit).
+    "q_ann_quantized" ->
+      s"""WITH qs AS (
+  SELECT vec_id, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         ELSE 0.0 END AS q_scale
+  FROM embeddings),
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> floor(CAST(x AS DOUBLE) * q_scale + 0.5)) AS embedding
+  FROM qs),
+cent AS (
+  SELECT vec_id AS cell, embedding AS ce FROM qe WHERE vec_id < 16),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM qe WHERE vec_id < 10),
+asg AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT v.vec_id, c.cell, v.embedding,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        ${duckDot("v.embedding", "c.ce")} /
+          (sqrt(${duckDot("v.embedding", "v.embedding")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+        c.cell) AS rn
+    FROM qe v, cent c) WHERE rn = 1),
 probes AS (
   SELECT q_id, qe, cell FROM (
     SELECT q.q_id, q.qe, c.cell,

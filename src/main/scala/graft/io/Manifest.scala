@@ -129,6 +129,29 @@ object Manifest {
     }
   }
 
+  /** Read a SPECIFIC committed snapshot — time travel across the
+    * retention window (audits, incident replay, [[diff]]).
+    */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val f = fs(spark, table)
+    require(f.exists(new Path(s"$table/_commit-v$version")),
+      s"version $version is not committed under $table")
+    spark.read.parquet(s"$table/v$version")
+  }
+
+  /** CDC classification between two committed snapshots — what changed
+    * between dim reload N and N+1: [[graft.ops.Relational.snapshotDiff]]
+    * (full-outer null-safe compare) applied to the table's own history,
+    * which is exactly what the snapshot layer exists to make possible
+    * (a bare overwritten directory has no "previous version" to diff).
+    */
+  def diff(spark: SparkSession, table: String, oldVersion: Int,
+           newVersion: Int, keys: Seq[String],
+           compareCols: Seq[String]): DataFrame =
+    graft.ops.Relational.snapshotDiff(
+      readVersion(spark, table, oldVersion),
+      readVersion(spark, table, newVersion), keys, compareCols)
+
   /** Drop all but the newest `keep` committed snapshots (marker first,
     * then the data dir, so a reader that resolved before the vacuum can
     * lose files only after its snapshot left the retention window — the

@@ -55,6 +55,19 @@ class ManifestSpec extends SparkSpec {
     assert(before == after, "compaction must not change row content")
   }
 
+  test("readVersion time-travels; diff classifies changes between snapshots") {
+    val t = tmp()
+    Manifest.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    Manifest.write(Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), t)
+    assert(Manifest.readVersion(spark, t, 1).count() == 3)
+    intercept[IllegalArgumentException](Manifest.readVersion(spark, t, 9))
+    val d = Manifest.diff(spark, t, 1, 2, Seq("k"), Seq("v"))
+      .select("k", "change_type")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $d")
+  }
+
   test("vacuum keeps the newest snapshots and drops marker before data") {
     val t = tmp()
     (1 to 4).foreach(i => Manifest.write((1L to i.toLong).toDF("x"), t))
