@@ -223,6 +223,12 @@ mpairs AS (
       ops.TimeSeries.rateAnomaly(t(s, dir, "events"))
         .orderBy("event_type", "metric_hour")),
 
+    // Seasonal-naive (t−24h) forecast backtest: MAE/bias per type from
+    // exact integer error sums — the capacity-planning baseline.
+    "q_forecast_backtest" -> ((s, dir) =>
+      ops.TimeSeries.seasonalNaiveBacktest(t(s, dir, "events"))
+        .orderBy("event_type")),
+
     // One-pass per-column table profile (single aggregate: one Expand +
     // one shuffle for all six columns' null/distinct/range stats).
     "q_profile" -> ((s, dir) =>
@@ -1023,6 +1029,31 @@ mpairs AS (
         |SELECT g.event_type, g.metric_hour, coalesce(h.n_events, 0) AS n_events
         |FROM grid g LEFT JOIN hourly h USING (event_type, metric_hour)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q_gapfill's grid + one lag(24) per type; error sums stay integral
+    // (HUGEINT sums cast back to DOUBLE only at the final division).
+    "q_forecast_backtest" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS metric_hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, bounds b),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS metric_hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |filled AS (
+        |  SELECT g.event_type, g.metric_hour, coalesce(h.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, metric_hour)),
+        |lagged AS (
+        |  SELECT event_type, n_events,
+        |    lag(n_events, 24) OVER (PARTITION BY event_type ORDER BY metric_hour) AS forecast
+        |  FROM filled)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(abs(n_events - forecast)) AS DOUBLE) / count(*) AS mae,
+        |  CAST(sum(n_events - forecast) AS DOUBLE) / count(*) AS bias
+        |FROM lagged WHERE forecast IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Mirrors rateAnomaly's exact expression tree: integer frame sums
     // (n, Σx, Σx²) then one shared IEEE double chain (divide, multiply,

@@ -106,4 +106,40 @@ object TimeSeries {
         col("mean_trailing"), col("z_score"),
         coalesce(abs(col("z_score")) > threshold, lit(false)).as("is_anomaly"))
   }
+
+  /** Seasonal-naive forecast backtest — the capacity-planning baseline
+    * every volume forecast gets judged against: predict each hour's count
+    * with the count one season earlier (same hour yesterday for
+    * `seasonHours` = 24), then score the prediction per type over the
+    * evaluated span. A model that can't beat this has no signal.
+    *
+    * Error metrics stay in EXACT integer arithmetic (counts, absolute
+    * diffs, signed sums — no per-row double accumulation whose order
+    * could drift cross-engine); MAE/bias emerge from one int-sum / count
+    * division each, the established parity pattern. Hours with no
+    * seasonal predecessor (the first season of the span) are excluded
+    * from scoring, not zero-filled — a missing baseline is not a zero
+    * forecast.
+    *
+    * Shape: dense grid (gapFill) → one per-type lag window (same single
+    * shuffle as [[scoreSeries]]) → one map-side-combinable aggregate to
+    * |types| rows.
+    */
+  def seasonalNaiveBacktest(events: DataFrame,
+                            seasonHours: Int = 24): DataFrame = {
+    require(seasonHours >= 1, s"seasonHours must be >= 1, got $seasonHours")
+    val w = Window.partitionBy("event_type").orderBy("metric_hour")
+    val err = col("n_events") - col("forecast")
+    gapFill(events)
+      .withColumn("forecast", lag(col("n_events"), seasonHours).over(w))
+      .filter(col("forecast").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(abs(err)).as("sum_abs_err"),
+        sum(err).as("sum_err"))
+      .select(col("event_type"), col("n_hours"),
+        (col("sum_abs_err").cast("double") / col("n_hours")).as("mae"),
+        (col("sum_err").cast("double") / col("n_hours")).as("bias"))
+  }
 }

@@ -75,4 +75,23 @@ class TimeSeriesSpec extends SparkSpec {
     // steady alternation never flags
     (24 until 30).foreach(h => assert(!out(hts(h))._2, s"hour $h"))
   }
+
+  test("seasonalNaiveBacktest: perfectly seasonal series scores zero, shifts score exactly") {
+    // type a: perfect 24h seasonality (h%24 events per hour) over 3 days
+    //   -> every forecast exact, mae = 0, bias = 0
+    // type b: day 1 constant 2/hour, days 2-3 constant 5/hour -> the 24
+    //   day-2 forecasts err by +3, day-3 forecasts are exact:
+    //   mae = 3*24/48 = 1.5, bias = +1.5
+    val a = (0 until 72).flatMap(h =>
+      (0 until (h % 24) + 1).map(i => (h * 100L + i, hts(h, i), "a")))
+    val b = (0 until 72).flatMap { h =>
+      val n = if (h < 24) 2 else 5
+      (0 until n).map(i => (10000L + h * 100L + i, hts(h, i), "b"))
+    }
+    val out = TimeSeries.seasonalNaiveBacktest((a ++ b).toDF("event_id", "ts", "event_type"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((48L, 0.0, 0.0)), s"got ${out("a")}")
+    assert(out("b") == ((48L, 1.5, 1.5)), s"got ${out("b")}")
+  }
 }
