@@ -725,6 +725,24 @@ mpairs AS (
         .orderBy("event_id")
     }),
 
+    // Largest-remainder pro-rata allocation: a 1%-of-order rebate (cents)
+    // split across line items by price, parts summing exactly per order —
+    // pure integer arithmetic, bit-identical cross-engine. The fixture's
+    // (orderkey, linenumber) is NOT unique; (… partkey, suppkey) is, and
+    // both the tie-break and the output order need the full unique key.
+    "q_allocate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+        col("l_partkey").as("part_id"), col("l_suppkey").as("supp_id"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("w_c"))
+      val amounts = li.groupBy("order_id")
+        .agg(expr("sum(w_c) div 100").as("amount_c"))
+      Relational.allocateProRata(li.join(amounts, Seq("order_id")),
+        "order_id", "w_c", "amount_c", Seq("line_no", "part_id", "supp_id"))
+        .select("order_id", "line_no", "part_id", "supp_id", "w_c", "amount_c", "alloc")
+        .orderBy("order_id", "line_no", "part_id", "supp_id")
+    }),
+
     // Relational CEP: count view→click→purchase pattern OCCURRENCES per
     // user (each step within 12h of the previous) — instance counts, vs
     // the funnels' user counts.
@@ -2182,6 +2200,33 @@ FROM canon ORDER BY doc_id""",
         |      ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    // Hamilton's method in pure integer SQL; DuckDB's HUGEINT-widened
+    // window sums cast back to BIGINT at the end.
+    "q_allocate" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |    l_partkey AS part_id, l_suppkey AS supp_id,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_c
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT order_id, CAST(sum(w_c) AS BIGINT) AS W,
+        |    CAST(sum(w_c) AS BIGINT) // 100 AS amount_c
+        |  FROM li GROUP BY order_id),
+        |j AS (
+        |  SELECT li.order_id, li.line_no, li.part_id, li.supp_id, li.w_c, g.amount_c,
+        |    (g.amount_c * li.w_c) // g.W AS base_c,
+        |    (g.amount_c * li.w_c) % g.W AS rem
+        |  FROM li JOIN g USING (order_id)),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY order_id
+        |      ORDER BY rem DESC, line_no, part_id, supp_id) AS rk,
+        |    sum(base_c) OVER (PARTITION BY order_id) AS used
+        |  FROM j)
+        |SELECT order_id, line_no, part_id, supp_id, w_c, amount_c,
+        |  CAST(base_c + CASE WHEN rk <= amount_c - used THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY order_id, line_no, part_id, supp_id""".stripMargin,
 
     // epoch-ms band arithmetic on both sides (identical integer compares,
     // no interval-semantics drift).

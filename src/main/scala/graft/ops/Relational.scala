@@ -433,6 +433,46 @@ object Relational {
         dec6(coalesce(col("t_value"), lit(0)) + coalesce(col("s_value"), lit(0))).as("total_value"))
   }
 
+  /** Largest-remainder pro-rata allocation — split a per-group integer
+    * amount across the group's rows proportionally to a weight, such that
+    * the parts SUM EXACTLY to the amount (the invariant naive
+    * `round(amount·w/W)` violates): rebate across line items, cost across
+    * cost centers, budget across partitions. Each row gets
+    * `floor(amount·w_i / W)`; the leftover cents (always < group size) go
+    * one each to the rows with the largest integer remainders
+    * `(amount·w_i) mod W`, tie-broken by `tieBreak` — Hamilton's method,
+    * entirely in integer arithmetic, so the result is deterministic and
+    * bit-identical cross-engine by construction (no floating point
+    * anywhere). Every part is within 1 unit of its exact proportional
+    * share.
+    *
+    * Inputs: `weightCol`/`amountCol` are integer columns (amounts in
+    * cents per the money policy), `amountCol` constant within each group,
+    * weights ≥ 0 with a positive group sum. Caller keeps
+    * `amount · max(W)` inside Long (at cents scale that allows
+    * trillion-dollar groups).
+    *
+    * Shape: ONE group shuffle — the group-sum windows and the remainder
+    * rank share the same partitioning, so Catalyst plans a single
+    * Exchange (+ one sort for the rank).
+    */
+  def allocateProRata(df: DataFrame, groupCol: String, weightCol: String,
+                      amountCol: String, tieBreak: Seq[String]): DataFrame = {
+    require(tieBreak.nonEmpty, "allocateProRata needs tie-break columns")
+    val wg = Window.partitionBy(groupCol)
+    val rk = Window.partitionBy(groupCol)
+      .orderBy(col("_rem").desc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn("_W", sum(col(weightCol)).over(wg))
+      .withColumn("_base", expr(s"($amountCol * $weightCol) div _W"))
+      .withColumn("_rem", expr(s"($amountCol * $weightCol) % _W"))
+      .withColumn("_used", sum(col("_base")).over(wg))
+      .withColumn("_rank", row_number().over(rk))
+      .withColumn("alloc",
+        col("_base") + when(col("_rank") <= col(amountCol) - col("_used"), 1L)
+          .otherwise(0L))
+      .drop("_W", "_base", "_rem", "_used", "_rank")
+  }
+
   /** Keyed snapshot diff — the CDC primitive behind "what changed between
     * yesterday's landed table and today's?": every key classified as
     * added (new only), removed (old only), changed (present in both with

@@ -25,7 +25,11 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
       "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
       "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram",
-      "q_hist_drift")
+      "q_hist_drift",
+      // q_ann_ivf's centroid cross-builds over the quantized table
+      "q_ann_quantized",
+      // the gap-fill grid build (types × 1-row bounds), like q_gapfill
+      "q_forecast_backtest")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -191,4 +191,37 @@ class RelationalSpec extends SparkSpec {
       .collect()
     assert(d2.length == 1 && d2(0).getString(5) == "unchanged")
   }
+
+  test("allocateProRata: exact sums, ±1 of proportional share, remainder placement") {
+    // crafted: amount 10 over equal weights (1,1,1) -> bases 3+3+3, one
+    // leftover cent to the lowest tie-break (all remainders equal)
+    val eq = Seq((1L, 1, 1L, 10L), (1L, 2, 1L, 10L), (1L, 3, 1L, 10L))
+      .toDF("g", "row_id", "w", "amt")
+    val got = Relational.allocateProRata(eq, "g", "w", "amt", Seq("row_id"))
+      .select("row_id", "alloc")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 3L, 3 -> 3L))
+    // random groups: invariants hold everywhere
+    val rng = new scala.util.Random(2024)
+    val rows = (1 to 400).map { i =>
+      (i % 17L, i, rng.nextInt(1000).toLong, 0L)
+    }
+    val amounts = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (rs.map(_._3).sum / 7 + 1)
+    }
+    val df = rows.map { case (g, id, w, _) => (g, id, w, amounts(g)) }
+      .toDF("g", "row_id", "w", "amt")
+    val out = Relational.allocateProRata(df, "g", "w", "amt", Seq("row_id"))
+      .select("g", "row_id", "w", "amt", "alloc")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._5).sum == amounts(g), s"group $g must sum exactly")
+      val wTot = rs.map(_._3).sum.toDouble
+      rs.foreach { case (_, id, w, amt, alloc) =>
+        val exact = amt * w / wTot
+        assert(math.abs(alloc - exact) <= 1.0 + 1e-9,
+          s"group $g row $id: $alloc vs exact $exact")
+      }
+    }
+  }
 }
