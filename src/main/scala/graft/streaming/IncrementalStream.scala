@@ -299,6 +299,49 @@ object IncrementalStream {
         col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Streaming twin of graft.ops.Events.sequenceMatches: detect completed
+    * step patterns ONLINE via cascaded stream-stream interval joins (the
+    * fifth streaming join/state form here, and the one Spark only allows
+    * since multiple-stateful-operator support landed): each step slice is
+    * watermarked, every join carries a bounded time interval, so every
+    * join buffer evicts at the watermark — state is horizon-bounded at
+    * each stage, never log-bounded. Emits one row PER COMPLETED
+    * OCCURRENCE (ids + timestamps of every step) as soon as the final
+    * step arrives; aggregate downstream for per-user counts (kept
+    * un-aggregated here so the emission grain matches the batch
+    * operator's tuple semantics).
+    */
+  def sequenceMatchesStream(events: DataFrame, steps: Seq[String],
+                            withinMs: Long,
+                            watermark: String = "1 hour"): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    val slices = steps.zipWithIndex.map { case (tp, i) =>
+      events.filter(col("event_type") === tp)
+        .select(col("user_id").as(s"u$i"), col("ts").as(s"t$i"),
+          col("event_id").as(s"id$i"))
+        .withWatermark(s"t$i", watermark)
+    }
+    val chained = slices.zipWithIndex.tail.foldLeft(slices.head) {
+      case (acc, (step, i)) =>
+        acc.join(step,
+            col(s"u${i - 1}") === col(s"u$i") &&
+              col(s"t$i") > col(s"t${i - 1}") &&
+              col(s"t$i") <= col(s"t${i - 1}") +
+                expr(s"INTERVAL $withinMs MILLISECONDS"))
+          // each stream may carry at most ONE event-time column into the
+          // next stateful operator: the consumed step's timestamp is
+          // demoted to epoch millis (its watermark already did its job in
+          // THIS join); the newest step's column stays the event time
+          .withColumn(s"t${i - 1}_ms", unix_millis(col(s"t${i - 1}")))
+          .drop(s"t${i - 1}", s"u${i - 1}")
+    }
+    val last = steps.size - 1
+    chained
+      .withColumn(s"t${last}_ms", unix_millis(col(s"t$last")))
+      .select(col(s"u$last").as("user_id") +:
+        steps.indices.flatMap(i => Seq(col(s"id$i"), col(s"t${i}_ms"))): _*)
+  }
+
   /** Streaming twin of graft.ops.Sessionize: built-in session_window with
     * the same gap semantics — state is bounded by the watermark, sessions
     * close gapMinutes after their last event.

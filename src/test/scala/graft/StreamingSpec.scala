@@ -165,6 +165,39 @@ class StreamingSpec extends SparkSpec {
     assert(maintained.columns.contains("key_bucket"))
   }
 
+  test("streaming sequence match: cascaded interval joins equal the batch instance count") {
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // u1: one full a->b->c; u2: two b's -> two occurrences; u3: c too late
+    val wave1 = Seq((1L, 1L, ts(0), "a"), (2L, 1L, ts(5), "b"),
+      (10L, 2L, ts(0), "a"), (11L, 2L, ts(3), "b"), (12L, 2L, ts(5), "b"),
+      (20L, 3L, ts(0), "a"), (21L, 3L, ts(5), "b"))
+    // wave 2 completes u1 and u2 across the batch boundary; u3 misses band
+    val wave2 = Seq((3L, 1L, ts(9), "c"), (13L, 2L, ts(9), "c"),
+      (22L, 3L, ts(40), "c"))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)](spark)
+    val out = IncrementalStream.sequenceMatchesStream(
+      mem.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      Seq("a", "b", "c"), withinMs = 10 * 60000L, watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("seqm")
+      .outputMode("append").start()
+    try {
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      mem.addData(wave2: _*)
+      q.processAllAvailable()
+      val got = spark.table("seqm")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = graft.ops.Events.sequenceMatches(
+        (wave1 ++ wave2).toDF("event_id", "user_id", "ts", "event_type"),
+        Seq("a", "b", "c"), withinMs = 10 * 60000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(expected == Map(1L -> 1L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("session_window stream matches batch sessionization on closed sessions") {
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
     val base = DataGen.defaultBaseMs
