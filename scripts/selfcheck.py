@@ -50,5 +50,15 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
     else:
         print(f"OK   {name}: {len(got)} rows")
+# a Verify SUBSET dump rewrites oracle_sql.json with only the filtered
+# queries; result dirs not covered by the oracle mean this check is NOT
+# validating everything sitting in outDir — say so loudly
+extra = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)) and d not in oracle)
+if extra:
+    print(f"NOTE: {len(extra)} result dirs not in oracle_sql.json "
+          f"(rows-only queries are expected here; MANY names means a "
+          f"subset dump was reused): {', '.join(extra[:5])}"
+          + (" ..." if len(extra) > 5 else ""))
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)

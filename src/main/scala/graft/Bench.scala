@@ -114,12 +114,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    val failJson = if (failures == 0) "" else s""","failures":$failures,"errors":$errs"""
     val sfName = new java.io.File(sfDir).getName
+    // "failures"/"errors" stay present even when zero/empty: every prior
+    // round's recorded line carried them, and changing the clean-run
+    // schema is exactly the kind of parse break this line must not risk
     def line(dp: Int): String = {
       val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs$failJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
     // adaptive precision: drop to deciseconds only if centiseconds would
     // overflow the record window (still far below run-to-run noise)

@@ -73,6 +73,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // subset mode shrinks oracle_sql.json: re-checking a previously-full
+    // outDir would silently validate only the subset (selfcheck iterates
+    // the oracle keys) — make the reuse hazard loud
+    if (only.isDefined)
+      System.err.println(s"[verify] SUBSET dump (${only.get.size} queries): " +
+        s"$outDir/oracle_sql.json now lists only these — do not reuse this " +
+        "outDir for a full check without re-running Verify unfiltered")
     spark.stop()
   }
 }

@@ -155,18 +155,39 @@ object Manifest {
   /** Drop all but the newest `keep` committed snapshots (marker first,
     * then the data dir, so a reader that resolved before the vacuum can
     * lose files only after its snapshot left the retention window — the
-    * retention contract every snapshot table has).
+    * retention contract every snapshot table has). Also reclaims
+    * crashed-writer dirs: an UNCOMMITTED `v<N>/` with N below the newest
+    * committed version is provably dead — its number was skipped by
+    * every later writer and, under the single-maintenance-writer
+    * contract, nobody is still filling it — so its storage (potentially
+    * a whole snapshot's worth per crash) is released here rather than
+    * leaking forever. An uncommitted dir ABOVE the newest marker is left
+    * alone: that is what an in-flight commit looks like. A never-written
+    * table path is a no-op.
     */
   def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val f = fs(spark, table)
-    val versions = f.listStatus(new Path(table)).toSeq
+    val p = new Path(table)
+    if (!f.exists(p)) return
+    val listing = f.listStatus(p).toSeq
+    val committed = listing
       .collect { case st if st.isFile =>
         st.getPath.getName match { case MarkerRe(n) => Some(n.toInt); case _ => None }
       }.flatten.sorted
-    versions.dropRight(keep).foreach { v =>
+    committed.dropRight(keep).foreach { v =>
       f.delete(new Path(s"$table/_commit-v$v"), false)
       f.delete(new Path(s"$table/v$v"), true)
+    }
+    val newest = committed.lastOption.getOrElse(Int.MinValue)
+    val committedSet = committed.toSet
+    listing.foreach { st =>
+      st.getPath.getName match {
+        case DirRe(n) if st.isDirectory &&
+          !committedSet.contains(n.toInt) && n.toInt < newest =>
+          f.delete(st.getPath, true)
+        case _ => ()
+      }
     }
   }
 }

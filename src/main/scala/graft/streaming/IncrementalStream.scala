@@ -242,7 +242,29 @@ object IncrementalStream {
           val bucket = pmod(xxhash64(col(key)), lit(nBuckets.toLong))
           val p = new org.apache.hadoop.fs.Path(historyPath)
           val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-          val hasHistory = fs.exists(p) && fs.listStatus(p).nonEmpty
+          // "has history" = has DATA: a crash between marker creation and
+          // the first data write must not send the next run down the
+          // read-parquet path of an empty dir
+          val hasHistory = fs.exists(p) &&
+            fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
+          // bucket membership is baked into the on-disk layout: a restart
+          // with a DIFFERENT nBuckets would read the wrong buckets and
+          // silently fork keys' histories — pin the count in a marker
+          // file on first write (underscore prefix: invisible to Spark
+          // readers) and refuse a mismatch thereafter
+          val marker = new org.apache.hadoop.fs.Path(historyPath, "_graft_nbuckets")
+          if (hasHistory && fs.exists(marker)) {
+            val in = fs.open(marker)
+            val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+            finally in.close()
+            require(stored == nBuckets,
+              s"history at $historyPath was bucketed with nBuckets=$stored; " +
+                s"got $nBuckets — pass the original value (re-bucketing needs a rewrite)")
+          } else {
+            val out = fs.create(marker, true)
+            out.write(nBuckets.toString.getBytes("UTF-8"))
+            out.close()
+          }
           // only buckets a batch key hashes into are read AND rewritten;
           // at scale the read side also prunes to those partitions
           val touchedBuckets = batch.select(bucket.as("b"))
@@ -252,10 +274,10 @@ object IncrementalStream {
               sp.read.parquet(historyPath)
                 .filter(col("key_bucket").isin(touchedBuckets.toSeq: _*))
                 .drop("key_bucket")
-            else {
-              val hist = Temporal.scd2(batch.limit(0), key, ts, attrs, tieBreak)
-              hist.filter(lit(false))
-            }
+            else
+              // exists only to donate its schema: scd2 of a limit(0)
+              // batch is empty by construction
+              Temporal.scd2(batch.limit(0), key, ts, attrs, tieBreak)
           val next = Temporal.scd2Apply(affected, batch, key, ts, attrs, tieBreak)
             .withColumn("key_bucket", bucket)
           Incremental.withDynamicOverwrite(sp) {

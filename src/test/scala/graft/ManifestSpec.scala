@@ -77,4 +77,20 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, t).count() == 4)
     assert(Manifest.currentVersion(spark, t).contains(4))
   }
+
+  test("vacuum reclaims dead crashed-writer dirs, spares in-flight ones, no-ops on missing") {
+    val t = tmp()
+    Manifest.vacuum(spark, t) // never-written table: no-op, no throw
+    Manifest.write((1L to 5L).toDF("x"), t)
+    // crashed writer at v2 (no marker), then a successful v3 commit
+    (9L to 9L).toDF("x").write.parquet(s"$t/v2")
+    Manifest.write((1L to 2L).toDF("x"), t)
+    // crashed-looking dir ABOVE the newest marker = in-flight: keep it
+    (8L to 8L).toDF("x").write.parquet(s"$t/v9")
+    Manifest.vacuum(spark, t, keep = 2)
+    assert(!new java.io.File(s"$t/v2").exists(), "dead uncommitted dir must be reclaimed")
+    assert(new java.io.File(s"$t/v9").exists(), "in-flight dir must be spared")
+    assert(new java.io.File(s"$t/v1").exists() && new java.io.File(s"$t/v3").exists())
+    assert(Manifest.read(spark, t).count() == 2)
+  }
 }

@@ -163,6 +163,16 @@ class StreamingSpec extends SparkSpec {
       "maintained history must equal the batch recompute")
     // the physical layout is bucketed for partial overwrite
     assert(maintained.columns.contains("key_bucket"))
+    // a restart with a different nBuckets would read the wrong buckets
+    // and fork histories — the pinned bucket count must refuse it
+    mem.addData((1L, ts(9), "Z", 9L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalStream.runScd2Stream(spark,
+        mem.toDF().toDF("k", "ts", "status", "seq"),
+        histPath, s"$root/ckpt", key = "k", ts = "ts",
+        attrs = Seq("status"), tieBreak = Seq("seq"), nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("nBuckets"), s"got: ${ex.getMessage}")
   }
 
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
