@@ -73,6 +73,27 @@ mpairs AS (
      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)"""
   }
 
+  /** Full SCD2 rebuild over orders — shared by `q_scd2` and (because the
+    * incremental merge equals the full recompute under in-order arrival)
+    * `q_scd2_apply`.
+    */
+  private val Scd2OracleSql: String =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
+      |    (row_number() OVER w = 1
+      |     OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+      |     OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, o_orderstatus, o_orderpriority,
+      |  o_orderdate AS effective_from,
+      |  lead(o_orderdate) OVER w2 AS effective_to,
+      |  lead(o_orderdate) OVER w2 IS NULL AS is_current,
+      |  row_number() OVER w2 AS version
+      |FROM marked WHERE chg
+      |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
   /** Mixture-resampling target weights for `q_mixture`, shared by the Spark
     * operator and the generated oracle VALUES so the per-language bases and
     * hash thresholds stay in lockstep. en downsamples (it dominates the
@@ -781,6 +802,22 @@ mpairs AS (
         ts = "o_orderdate", attrs = Seq("o_orderstatus", "o_orderpriority"),
         tieBreak = Seq("o_orderkey"))
         .orderBy("o_custkey", "version")),
+
+    // The INCREMENTAL path under the driver oracle: history built from
+    // pre-1998 orders, the rest applied as a batch — under in-order
+    // arrival the merge is exactly the full recompute, so the oracle is
+    // q_scd2's SQL verbatim.
+    "q_scd2_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val attrs = Seq("o_orderstatus", "o_orderpriority")
+      val history = ops.Temporal.scd2(
+        o.filter(col("o_orderdate") < "1998-01-01"),
+        "o_custkey", "o_orderdate", attrs, Seq("o_orderkey"))
+      ops.Temporal.scd2Apply(history,
+        o.filter(col("o_orderdate") >= "1998-01-01"),
+        "o_custkey", "o_orderdate", attrs, Seq("o_orderkey"))
+        .orderBy("o_custkey", "version")
+    }),
 
     // PII scrub over text with planted (deterministically derived) PII:
     // the synthetic corpus carries no emails/IPs/phones, so the query
@@ -2267,22 +2304,11 @@ FROM canon ORDER BY doc_id""",
     // Change rows via null-safe lag compare (IS DISTINCT FROM ≡ Spark's
     // <=> negation), then validity intervals via lead over the survivors —
     // both windows share one (key, ts, tiebreak) order, as in the operator.
-    "q_scd2" ->
-      """WITH marked AS (
-        |  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
-        |    (row_number() OVER w = 1
-        |     OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
-        |     OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-        |SELECT o_custkey, o_orderstatus, o_orderpriority,
-        |  o_orderdate AS effective_from,
-        |  lead(o_orderdate) OVER w2 AS effective_to,
-        |  lead(o_orderdate) OVER w2 IS NULL AS is_current,
-        |  row_number() OVER w2 AS version
-        |FROM marked WHERE chg
-        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, version""".stripMargin,
+    "q_scd2" -> Scd2OracleSql,
+
+    // Incremental ≡ full recompute under in-order arrival (the scd2Apply
+    // contract, property-tested in TemporalSpec) — same oracle verbatim.
+    "q_scd2_apply" -> Scd2OracleSql,
 
     // Same md5-hex bucket convention as q_hash_split; the running sum
     // partitions by bucket exactly like the Spark window, and the
