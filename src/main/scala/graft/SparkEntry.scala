@@ -746,6 +746,17 @@ mpairs AS (
         .orderBy("event_id")
     }),
 
+    // Declarative expectation suite over orders: five rule kinds in one
+    // aggregate pass; thresholds chosen so some fire and some pass.
+    "q_expectations" -> ((s, dir) =>
+      ops.Quality.expectations(t(s, dir, "orders"), Seq(
+        ops.Quality.NotNull("o_custkey"),
+        ops.Quality.InRange("o_totalprice", 0, 100000),
+        ops.Quality.InSet("o_orderstatus", Seq("F", "O")),
+        ops.Quality.MatchesRe("o_orderpriority", "^[1-3]-[A-Z]+$"),
+        ops.Quality.Unique("o_orderkey")))
+        .orderBy("rule")),
+
     // Largest-remainder pro-rata allocation: a 1%-of-order rebate (cents)
     // split across line items by price, parts summing exactly per order —
     // pure integer arithmetic, bit-identical cross-engine. The fixture's
@@ -2237,6 +2248,26 @@ FROM canon ORDER BY doc_id""",
         |      ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
+    // One aggregate row unpivoted by UNION ALL; HUGEINT sums cast back.
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |    AND NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) AS v4
+        |  FROM orders)
+        |SELECT rule, col_name, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule, 'o_custkey' AS col_name, n, v0 AS v FROM a
+        |  UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', n, v1 FROM a
+        |  UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n, v2 FROM a
+        |  UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority', n, v3 FROM a
+        |  UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', n, v4 FROM a)
+        |ORDER BY rule""".stripMargin,
 
     // Hamilton's method in pure integer SQL; DuckDB's HUGEINT-widened
     // window sums cast back to BIGINT at the end.

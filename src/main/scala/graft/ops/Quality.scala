@@ -120,4 +120,71 @@ object Quality {
       .filter(col("p_size") <= stockMax)
       .select(col("p_partkey").as("product_id"), col("p_name").as("product_name"),
         col("units_sold"), col("p_size").as("stock_level"))
+
+  /** Declarative per-column expectation, for [[expectations]]. Null
+    * handling is factored: `InRange`/`InSet`/`MatchesRe` skip NULLs (pair
+    * with `NotNull` when nulls are themselves violations), `Unique`
+    * counts duplicate non-null occurrences beyond the first.
+    */
+  sealed trait Expectation { def id: String; def column: String }
+  final case class NotNull(column: String) extends Expectation {
+    val id = s"not_null($column)"
+  }
+  final case class InRange(column: String, lo: Double, hi: Double) extends Expectation {
+    val id = s"in_range($column)"
+  }
+  final case class InSet(column: String, values: Seq[String]) extends Expectation {
+    val id = s"in_set($column)"
+  }
+  /** RE2-safe patterns only (no lookaround/backreferences) — the same
+    * portability contract as Corpus's PII regexes.
+    */
+  final case class MatchesRe(column: String, re: String) extends Expectation {
+    val id = s"matches($column)"
+  }
+  final case class Unique(column: String) extends Expectation {
+    val id = s"unique($column)"
+  }
+
+  /** Declarative expectation-suite runner — the generic form of the
+    * hardcoded [[qualityChecks]]: every rule is evaluated in ONE
+    * aggregate pass over the table (conditional counts, map-side
+    * combinable; each `Unique` adds a distinct count, which Catalyst
+    * plans as one Expand over the same scan — never a second read), then
+    * the single counts row unpivots to one report row per rule. Feed the
+    * failures into [[gate]]/[[requireEmpty]] for the fail-fast form.
+    *
+    * Output: (rule, col_name, n_rows, n_violations, pass), one row per
+    * rule, deterministic.
+    */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.map(_.id).distinct.size == rules.size,
+      s"duplicate rule ids in ${rules.map(_.id)}")
+    val vio: Expectation => org.apache.spark.sql.Column = {
+      case NotNull(c) => count(when(col(c).isNull, 1))
+      case InRange(c, lo, hi) =>
+        count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1))
+      case InSet(c, vs) =>
+        count(when(col(c).isNotNull && !col(c).isin(vs: _*), 1))
+      case MatchesRe(c, re) =>
+        count(when(col(c).isNotNull && !col(c).rlike(re), 1))
+      case Unique(c) => count(col(c)) - countDistinct(col(c))
+    }
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case (r, i) => vio(r).as(s"_v$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.zipWithIndex
+      .map { case (r, i) => (i, r.id, r.column) }
+      .toDF("_i", "rule", "col_name")
+    // 1-row × |rules| constant-size build, the funnel-unpivot pattern
+    row.crossJoin(ruleDf)
+      .select(col("rule"), col("col_name"), col("_n").as("n_rows"),
+        rules.indices.map(i =>
+          when(col("_i") === i, col(s"_v$i"))).reduce(coalesce(_, _))
+          .as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
 }

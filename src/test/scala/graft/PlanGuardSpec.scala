@@ -29,7 +29,9 @@ class PlanGuardSpec extends SparkSpec {
       // q_ann_ivf's centroid cross-builds over the quantized table
       "q_ann_quantized",
       // the gap-fill grid build (types × 1-row bounds), like q_gapfill
-      "q_forecast_backtest")
+      "q_forecast_backtest",
+      // the funnel-unpivot pattern: 1 counts row × |rules| constant build
+      "q_expectations")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -192,6 +192,37 @@ class RelationalSpec extends SparkSpec {
     assert(d2.length == 1 && d2(0).getString(5) == "unchanged")
   }
 
+  test("expectations: every rule kind counts its violations, nulls routed correctly") {
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("A"), Some("ok-1")),
+      (Some(1L), Some(-5.0), Some("B"), Some("ok-2")),   // range + set violations
+      (None, Some(200.0), Some("A"), None),              // null key + range violation
+      (Some(3L), None, Some("Z"), Some("bad value")))    // set + regex violations
+      .toDF("k", "price", "status", "tag")
+    val out = Quality.expectations(df, Seq(
+      Quality.NotNull("k"),
+      Quality.InRange("price", 0, 100),
+      Quality.InSet("status", Seq("A", "B")),
+      Quality.MatchesRe("tag", "^ok-[0-9]$"),
+      Quality.Unique("k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("not_null(k)") == ((4L, 1L, false)))
+    // -5 and 200 out of [0,100]; NULL price skipped (NotNull's job)
+    assert(out("in_range(price)") == ((4L, 2L, false)))
+    assert(out("in_set(status)") == ((4L, 1L, false)))
+    // "bad value" fails the pattern; NULL tag skipped
+    assert(out("matches(tag)") == ((4L, 1L, false)))
+    // k=1 appears twice -> one duplicate beyond the first; null k ignored
+    assert(out("unique(k)") == ((4L, 1L, false)))
+    // all-clean table: every rule passes
+    val clean = Quality.expectations(
+      Seq((1L, 5.0)).toDF("k", "price"),
+      Seq(Quality.NotNull("k"), Quality.InRange("price", 0, 10)))
+      .collect().map(_.getBoolean(4))
+    assert(clean.forall(identity))
+  }
+
   test("allocateProRata: exact sums, ±1 of proportional share, remainder placement") {
     // crafted: amount 10 over equal weights (1,1,1) -> bases 3+3+3, one
     // leftover cent to the lowest tie-break (all remainders equal)
