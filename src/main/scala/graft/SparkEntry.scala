@@ -283,8 +283,15 @@ mpairs AS (
     // Robust median/MAD outlier scoring per event type (discrete
     // quantiles — actual group elements, bit-portable; t-digest past
     // the accuracy cap at scale).
+    // accuracy 100k: the GK sketch is exact (≡ DuckDB quantile_disc) only
+    // while group size ≤ accuracy — sf0.1's ~20k-row event-type groups
+    // cross the default 10k knob and a borderline row flips (caught by
+    // the sf0.1 self-check sweep). The operator default stays 10k as the
+    // documented scale trade; the ORACLE-COMPARED query pins the exact
+    // regime through every fixture scale.
     "q_mad_outliers" -> ((s, dir) =>
-      ops.Profile.madOutliers(t(s, dir, "events"), "value", "event_type")
+      ops.Profile.madOutliers(t(s, dir, "events"), "value", "event_type",
+        accuracy = 100000)
         .orderBy("event_id")),
 
     // Keyed snapshot diff (CDC classification) between two derived order
