@@ -123,9 +123,12 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
-    // adaptive precision: drop to deciseconds only if centiseconds would
-    // overflow the record window (still far below run-to-run noise)
-    println(Iterator(2, 1).map(line).find(_.length <= 1950).getOrElse(line(0)))
+    // adaptive precision: drop to deciseconds (then whole seconds) only
+    // when a finer line would overflow the ~2000-char record window.
+    // 1985 leaves a slim margin while keeping deciseconds viable at ~95
+    // queries — whole seconds lose the per-query signal entirely and are
+    // strictly a last resort.
+    println(Iterator(2, 1).map(line).find(_.length <= 1985).getOrElse(line(0)))
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
