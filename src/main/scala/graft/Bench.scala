@@ -132,11 +132,16 @@ object Bench {
     // The recorded stdout line is size-capped; the UNCAPPED millisecond
     // detail goes to a repo file (judge-readable like PLANS.md), so
     // per-query data survives any future precision downgrade of the line.
+    // Anchored to the repo root (cwd must hold build.sbt) — writing to an
+    // arbitrary cwd would silently strand the committed copy stale.
     try {
-      val detail = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 3) }
-        .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"queries_ms_precision":$detail}""" + "\n")
+      if (new java.io.File("build.sbt").isFile) {
+        val detail = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 3) }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"queries_ms_precision":$detail}""" + "\n")
+      } else System.err.println(
+        "[bench] cwd is not the repo root; skipping BENCH_DETAIL.json")
     } catch { case _: Exception => () } // detail file is best-effort
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -2270,9 +2270,9 @@ FROM canon ORDER BY doc_id""",
         |  FROM orders)
         |SELECT rule, col_name, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
         |  SELECT 'not_null(o_custkey)' AS rule, 'o_custkey' AS col_name, n, v0 AS v FROM a
-        |  UNION ALL SELECT 'in_range(o_totalprice)', 'o_totalprice', n, v1 FROM a
-        |  UNION ALL SELECT 'in_set(o_orderstatus)', 'o_orderstatus', n, v2 FROM a
-        |  UNION ALL SELECT 'matches(o_orderpriority)', 'o_orderpriority', n, v3 FROM a
+        |  UNION ALL SELECT 'in_range(o_totalprice,0.0,100000.0)', 'o_totalprice', n, v1 FROM a
+        |  UNION ALL SELECT 'in_set(o_orderstatus,F|O)', 'o_orderstatus', n, v2 FROM a
+        |  UNION ALL SELECT 'matches(o_orderpriority,^[1-3]-[A-Z]+$)', 'o_orderpriority', n, v3 FROM a
         |  UNION ALL SELECT 'unique(o_orderkey)', 'o_orderkey', n, v4 FROM a)
         |ORDER BY rule""".stripMargin,
 

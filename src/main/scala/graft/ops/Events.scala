@@ -69,8 +69,8 @@ object Events {
       .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
     counts.crossJoin(stepsDf)
       .select(col("step"), col("step_name"),
-        steps.indices.map(i =>
-          when(col("step") === i + 1, col(s"n$i"))).reduce(coalesce(_, _)).as("n_users"))
+        graft.pickByIndex(col("step") - 1, steps.indices.map(i => col(s"n$i")))
+          .as("n_users"))
   }
 
   /** Ordered funnel, ANY-CHAIN semantics (the classic strict funnel): a

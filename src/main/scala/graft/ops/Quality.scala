@@ -130,17 +130,21 @@ object Quality {
   final case class NotNull(column: String) extends Expectation {
     val id = s"not_null($column)"
   }
+  // parameterized ids: two same-kind rules on one column (a warn band and
+  // a hard band, a strict and a lenient pattern) are a legitimate suite,
+  // so the parameters must distinguish them — and they make the report
+  // row self-describing
   final case class InRange(column: String, lo: Double, hi: Double) extends Expectation {
-    val id = s"in_range($column)"
+    val id = s"in_range($column,$lo,$hi)"
   }
   final case class InSet(column: String, values: Seq[String]) extends Expectation {
-    val id = s"in_set($column)"
+    val id = s"in_set($column,${values.mkString("|")})"
   }
   /** RE2-safe patterns only (no lookaround/backreferences) — the same
     * portability contract as Corpus's PII regexes.
     */
   final case class MatchesRe(column: String, re: String) extends Expectation {
-    val id = s"matches($column)"
+    val id = s"matches($column,$re)"
   }
   final case class Unique(column: String) extends Expectation {
     val id = s"unique($column)"
@@ -182,8 +186,7 @@ object Quality {
     // 1-row × |rules| constant-size build, the funnel-unpivot pattern
     row.crossJoin(ruleDf)
       .select(col("rule"), col("col_name"), col("_n").as("n_rows"),
-        rules.indices.map(i =>
-          when(col("_i") === i, col(s"_v$i"))).reduce(coalesce(_, _))
+        pickByIndex(col("_i"), rules.indices.map(i => col(s"_v$i")))
           .as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }

@@ -38,4 +38,15 @@ package object graft {
     */
   def avgMoney(c: Column): Column =
     sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** The 1-row-unpivot selector: given an index column and one value
+    * column per index, yield index i's value. The shared core of the
+    * crossJoin-a-label-table unpivot pattern (Events funnels, Quality
+    * expectations) — the crossJoin itself stays at the call site, where
+    * its 1×k constant size is documented and PlanGuard-allow-listed.
+    */
+  def pickByIndex(idx: Column, values: Seq[Column]): Column =
+    values.zipWithIndex
+      .map { case (c, i) => when(idx === i, c) }
+      .reduce(coalesce(_, _))
 }

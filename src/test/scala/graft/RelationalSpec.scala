@@ -209,10 +209,10 @@ class RelationalSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(out("not_null(k)") == ((4L, 1L, false)))
     // -5 and 200 out of [0,100]; NULL price skipped (NotNull's job)
-    assert(out("in_range(price)") == ((4L, 2L, false)))
-    assert(out("in_set(status)") == ((4L, 1L, false)))
+    assert(out("in_range(price,0.0,100.0)") == ((4L, 2L, false)))
+    assert(out("in_set(status,A|B)") == ((4L, 1L, false)))
     // "bad value" fails the pattern; NULL tag skipped
-    assert(out("matches(tag)") == ((4L, 1L, false)))
+    assert(out("matches(tag,^ok-[0-9]$)") == ((4L, 1L, false)))
     // k=1 appears twice -> one duplicate beyond the first; null k ignored
     assert(out("unique(k)") == ((4L, 1L, false)))
     // all-clean table: every rule passes
@@ -221,6 +221,14 @@ class RelationalSpec extends SparkSpec {
       Seq(Quality.NotNull("k"), Quality.InRange("price", 0, 10)))
       .collect().map(_.getBoolean(4))
     assert(clean.forall(identity))
+    // two same-kind rules on one column (warn band + hard band) are a
+    // legitimate suite — parameterized ids keep them distinct
+    val bands = Quality.expectations(
+      Seq((1L, 150.0), (2L, 1500.0)).toDF("k", "price"),
+      Seq(Quality.InRange("price", 0, 100), Quality.InRange("price", 0, 1000)))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(bands == Map("in_range(price,0.0,100.0)" -> 2L,
+      "in_range(price,0.0,1000.0)" -> 1L))
   }
 
   test("allocateProRata: exact sums, ±1 of proportional share, remainder placement") {
