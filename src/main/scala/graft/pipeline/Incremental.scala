@@ -55,6 +55,31 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).parquet(wh.dimProducts)
   }
 
+  /** Snapshot-table paths for the reader-safe dim refresh. */
+  def dimCustomersSnap(wh: Warehouse): String = s"${wh.root}/dim_customers_snap"
+  def dimProductsSnap(wh: Warehouse): String = s"${wh.root}/dim_products_snap"
+
+  /** Reader-safe dim refresh: [[loadDims]] reproduces the reference's
+    * WRITE_TRUNCATE semantics on a bare directory, so a query whose file
+    * listing pinned the OLD dim snapshot crashes mid-flight when the
+    * overwrite deletes its files — tolerable for the reference's
+    * midnight-batch window, fatal once resident streams and ad-hoc
+    * readers share the warehouse (ManifestSpec demonstrates the crash
+    * and this fix side by side). This variant lands each dim as a
+    * [[graft.io.Manifest]] snapshot commit instead: in-flight readers
+    * keep their version's files, new readers resolve the fresh one, and
+    * `Manifest.vacuum` bounds retention during maintenance.
+    */
+  def loadDimsManifest(spark: SparkSession, wh: Warehouse,
+                       customersCsv: String, productsCsv: String): Unit = {
+    graft.io.Manifest.write(
+      Sources.readCsv(spark, customersCsv, Sources.customersSchema),
+      dimCustomersSnap(wh))
+    graft.io.Manifest.write(
+      Sources.readCsv(spark, productsCsv, Sources.productsSchema),
+      dimProductsSnap(wh))
+  }
+
   private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

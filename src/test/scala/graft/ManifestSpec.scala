@@ -78,6 +78,36 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.currentVersion(spark, t).contains(4))
   }
 
+  test("dim refresh: bare-dir overwrite crashes a pinned reader; the manifest refresh doesn't") {
+    import graft.datagen.DataGen
+    import graft.pipeline.Incremental
+    val root = Files.createTempDirectory("graft_dimswap").toString
+    val wh = Incremental.Warehouse(s"$root/wh")
+    DataGen.writeCustomersCsv(spark, s"$root/cust", n = 50, seed = 1L)
+    DataGen.writeProductsCsv(spark, s"$root/prod", n = 50, seed = 1L)
+
+    // the reference's WRITE_TRUNCATE shape: reader pins the old listing,
+    // refresh deletes its files, the deferred action blows up
+    Incremental.loadDims(spark, wh, s"$root/cust", s"$root/prod")
+    val pinnedBare = spark.read.parquet(wh.dimCustomers)
+    pinnedBare.count() // force the file listing to resolve
+    Incremental.loadDims(spark, wh, s"$root/cust", s"$root/prod")
+    // fresh action re-reads the now-deleted files behind the pinned plan
+    intercept[org.apache.spark.SparkException] {
+      pinnedBare.filter($"customer_id".isNotNull).count()
+    }
+
+    // the manifest refresh: same double-load, pinned reader survives
+    Incremental.loadDimsManifest(spark, wh, s"$root/cust", s"$root/prod")
+    val pinnedSnap = graft.io.Manifest.read(spark, Incremental.dimCustomersSnap(wh))
+    pinnedSnap.count()
+    Incremental.loadDimsManifest(spark, wh, s"$root/cust", s"$root/prod")
+    assert(pinnedSnap.filter($"customer_id".isNotNull).count() == 50,
+      "pinned reader must survive the refresh")
+    assert(graft.io.Manifest.currentVersion(spark,
+      Incremental.dimCustomersSnap(wh)).contains(2))
+  }
+
   test("vacuum reclaims dead crashed-writer dirs, spares in-flight ones, no-ops on missing") {
     val t = tmp()
     Manifest.vacuum(spark, t) // never-written table: no-op, no throw
