@@ -119,16 +119,21 @@ object Bench {
     // round's recorded line carried them, and changing the clean-run
     // schema is exactly the kind of parse break this line must not risk
     def line(dp: Int): String = {
-      val qs = results.map { case (k, v, _) => jstr(k) + ":" + num(v, dp) }
+      // keys drop the uniform "q_" prefix on the capped line only (full
+      // names live in BENCH_DETAIL.json): ~2 chars x ~95 queries buys a
+      // precision step's worth of headroom inside the record window
+      val qs = results.map { case (k, v, _) => jstr(k.stripPrefix("q_")) + ":" + num(v, dp) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
     // adaptive precision: drop to deciseconds (then whole seconds) only
-    // when a finer line would overflow the ~2000-char record window.
-    // 1985 leaves a slim margin while keeping deciseconds viable at ~95
-    // queries — whole seconds lose the per-query signal entirely and are
-    // strictly a last resort.
-    println(Iterator(2, 1).map(line).find(_.length <= 1985).getOrElse(line(0)))
+    // when a finer line would overflow the record window. The window holds
+    // the last ~2000 chars of the WHOLE sbt run, and sbt's trailing
+    // "[success] Total time: ..." footer (~75 chars) lands after this line
+    // inside that same window — round 6's 1977-char line had its HEAD
+    // truncated by exactly the footer length ("parsed": null). Budget:
+    // 2000 - 75 footer - 25 slack = 1900.
+    println(Iterator(2, 1).map(line).find(_.length <= 1900).getOrElse(line(0)))
     // The recorded stdout line is size-capped; the UNCAPPED millisecond
     // detail goes to a repo file (judge-readable like PLANS.md), so
     // per-query data survives any future precision downgrade of the line.

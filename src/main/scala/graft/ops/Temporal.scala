@@ -154,9 +154,16 @@ object Temporal {
     * observations were collapsed away, the replay cannot know a value
     * recurred after the late row's position (classic SCD2 limitation;
     * full recompute from raw observations is the repair path).
-    * Replayed rows carry NULL tie-break columns, which sort before any
-    * batch row at the same timestamp (asc = NULLS FIRST), so an equal-ts
-    * batch observation counts as the later arrival.
+    * Replay ordering is made TOTAL by carrying each replayed version's
+    * original `version` as a synthetic leading tie-break (`_replay_ord`);
+    * batch rows get Long.MaxValue there, so at an equal timestamp every
+    * replayed version keeps its original relative order (even when two
+    * versions share an effective_from because their source observations
+    * tied on ts and were separated only by tie-break columns the replay
+    * no longer carries) and a batch observation counts as the later
+    * arrival. Without it the replay's (ts, tieBreak=NULL) order is not
+    * total and the incremental merge could diverge from the full
+    * recompute on such ties.
     *
     * Scale shape: `touched` is batch-key-sized → broadcast semi/anti
     * joins against the history, so the full history is never shuffled;
@@ -169,14 +176,19 @@ object Temporal {
   def scd2Apply(history: DataFrame, newObs: DataFrame, key: String,
                 ts: String, attrs: Seq[String],
                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(!(newObs.columns ++ history.columns).contains("_replay_ord"),
+      "input already has a _replay_ord column")
     val touched = newObs.select(col(key)).distinct()
     val replay = history.join(broadcast(touched), Seq(key), "left_semi")
-      .select(col(key) +: col("effective_from").as(ts) +: (attrs.map(col) ++
+      .select(col(key) +: col("effective_from").as(ts) +:
+        col("version").as("_replay_ord") +: (attrs.map(col) ++
         tieBreak.map(c => lit(null).cast(newObs.schema(c).dataType).as(c))): _*)
     val obs = newObs.select(
-      col(key) +: col(ts) +: (attrs.map(col) ++ tieBreak.map(col)): _*)
+      col(key) +: col(ts) +: lit(Long.MaxValue).as("_replay_ord") +:
+        (attrs.map(col) ++ tieBreak.map(col)): _*)
     val untouched = history.join(broadcast(touched), Seq(key), "left_anti")
-    untouched.unionByName(scd2(replay.unionByName(obs), key, ts, attrs, tieBreak))
+    untouched.unionByName(
+      scd2(replay.unionByName(obs), key, ts, attrs, "_replay_ord" +: tieBreak))
   }
 
   /** Interval (range) join: pair every point row with every interval row

@@ -253,7 +253,16 @@ object IncrementalStream {
           // file on first write (underscore prefix: invisible to Spark
           // readers) and refuse a mismatch thereafter
           val marker = new org.apache.hadoop.fs.Path(historyPath, "_graft_nbuckets")
-          if (hasHistory && fs.exists(marker)) {
+          if (hasHistory) {
+            // history data with NO marker (pre-marker layout, marker
+            // deleted) must NOT be blessed with the caller's value — if it
+            // differs from the layout's true modulus, touched keys would
+            // be read from the wrong buckets and their histories silently
+            // forked: exactly the failure the marker exists to prevent.
+            require(fs.exists(marker),
+              s"history at $historyPath has data but no _graft_nbuckets marker; " +
+                "refusing to guess its bucket count — restore the marker file " +
+                "(echo the original nBuckets into it) or rebuild the history")
             val in = fs.open(marker)
             val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
             finally in.close()

@@ -173,6 +173,23 @@ class StreamingSpec extends SparkSpec {
         attrs = Seq("status"), tieBreak = Seq("seq"), nBuckets = 8)
     }
     assert(ex.getMessage.contains("nBuckets"), s"got: ${ex.getMessage}")
+    // history data with NO marker (pre-marker layout / deleted marker)
+    // must refuse to run rather than bless the caller's value — silently
+    // recreating it with a wrong count is the history-fork scenario the
+    // marker exists to prevent
+    val markerPath = new org.apache.hadoop.fs.Path(histPath, "_graft_nbuckets")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(markerPath, false)
+    val exNoMarker = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalStream.runScd2Stream(spark,
+        mem.toDF().toDF("k", "ts", "status", "seq"),
+        histPath, s"$root/ckpt", key = "k", ts = "ts",
+        attrs = Seq("status"), tieBreak = Seq("seq"), nBuckets = 4)
+    }
+    assert(exNoMarker.getMessage.contains("_graft_nbuckets"),
+      s"got: ${exNoMarker.getMessage}")
+    assert(!fs.exists(markerPath),
+      "refusal must not recreate the marker from the caller's value")
   }
 
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {

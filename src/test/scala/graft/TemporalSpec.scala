@@ -232,6 +232,30 @@ class TemporalSpec extends SparkSpec {
     assert(k1 == Seq(("A", false), ("B", false), ("C", true)))
   }
 
+  test("scd2Apply replay keeps original version order on tied effective_from") {
+    // Two history versions SHARE effective_from (source observations tied
+    // on ts, separated only by the seq tie-break, which the replay no
+    // longer carries). The replay must keep their original order via
+    // _replay_ord — without it the (ts, NULL-seq) order is not total and
+    // the merge could emit B,A instead of A,B (wrong version chain).
+    val cols = Seq("k", "ts", "status", "seq")
+    val history = Temporal.scd2(
+      Seq((1L, ts(0), "A", 1L), (1L, ts(0), "B", 2L)).toDF(cols: _*),
+      "k", "ts", Seq("status"), Seq("seq"))
+    assert(history.count() == 2, "fixture needs two versions tied on effective_from")
+    val applied = Temporal.scd2Apply(history,
+      Seq((1L, ts(1), "C", 3L)).toDF(cols: _*), "k", "ts", Seq("status"), Seq("seq"))
+    val got = applied.orderBy("version")
+      .select("status", "version", "is_current")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("A", 1L, false), ("B", 2L, false), ("C", 3L, true)))
+    // equal-ts batch row counts as the LATER arrival: re-observing the
+    // current value at its own effective_from must not open a version
+    val reobserved = Temporal.scd2Apply(history,
+      Seq((1L, ts(0), "B", 3L)).toDF(cols: _*), "k", "ts", Seq("status"), Seq("seq"))
+    assert(reobserved.count() == 2, "re-observation of current value is a no-op")
+  }
+
   test("scd2 plans exactly one shuffle for mark + filter + close + version") {
     val obs = Seq((1L, ts(0), "A", 1L)).toDF("k", "ts", "status", "seq")
     val plan = Temporal.scd2(obs, "k", "ts", Seq("status"), Seq("seq"))
