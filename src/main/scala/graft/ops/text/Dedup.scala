@@ -319,7 +319,25 @@ object Dedup {
 
     var converged = false
     var iter = 0
+    // This first count materializes `base` and `edges` — i.e. the whole
+    // upstream pair-generation pipeline — so it runs under the caller's
+    // AQE settings (those stages are CPU-dense and want full width).
     var cnt = edges.count()
+    // The contraction rounds shrink the edge table monotonically toward a
+    // star forest, but AQE's parallelismFirst default keeps every round's
+    // byte-light shuffles at core-count partitions — at local[32] the late
+    // near-empty rounds pay 32-task scheduling across ~4 stages each,
+    // which IS the query's cost at small sf (measured: scheduling
+    // overhead, not data volume). Sizing by data instead
+    // (parallelismFirst=false → advisory-size coalescing) lets AQE shrink
+    // each round to the rows it actually carries while early big rounds
+    // keep width (64 MB advisory → thousands of partitions at 100 TB edge
+    // scale). Loop-scoped: saved and restored around the rounds only.
+    val sess = pairs.sparkSession
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfPrev = sess.conf.getOption(pfKey)
+    sess.conf.set(pfKey, "false")
+    try {
     while (!converged && iter < maxIter) {
       // One materialization per round: small-star consumes large-star's
       // plan directly (bounded depth — a handful of ops), the round's
@@ -346,6 +364,10 @@ object Dedup {
       edges = next
       cnt = nextCnt
       iter += 1
+    }
+    } finally pfPrev match {
+      case Some(v) => sess.conf.set(pfKey, v)
+      case None => sess.conf.unset(pfKey)
     }
     require(converged, s"component labels did not converge in $maxIter iterations")
     // Fixpoint edges are exactly (member, component-min) — one row per
