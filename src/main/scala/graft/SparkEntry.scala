@@ -703,14 +703,33 @@ mpairs AS (
     // q_corpus_stats_approx IS oracled: with accuracy (10000) >= the
     // group size, the Greenwald-Khanna sketch is exact and Spark's rank
     // convention (ceil(p*n), min 1) equals DuckDB quantile_disc —
-    // verified cell-for-cell and at every small-n edge case. The HLL twin
-    // stays rows-only (sketch estimates are engine-specific by
-    // construction); accuracy is bounded vs the exact twin in ScalaTest.
+    // verified cell-for-cell and at every small-n edge case.
     "q_corpus_stats_approx" -> ((s, dir) =>
       Corpus.corpusStatsApprox(t(s, dir, "documents")).orderBy("lang")),
-    "q_hourly_approx" -> ((s, dir) =>
-      Relational.hourlyMetricsApprox(t(s, dir, "events"))
-        .orderBy("metric_hour")),
+    // The HLL twin's raw sketch estimates are engine-specific by
+    // construction, so the oracled form emits the deterministic column
+    // plus in-plan accuracy GATES: booleans asserting each approx count
+    // sits within max(15%, 5) of the exact twin. The gates reference the
+    // HLL aggregates, so Catalyst cannot prune them — the sketch path is
+    // exercised and its accuracy contract hash-checked (DuckDB side is
+    // literal TRUE; a Spark HLL regression flips a cell and fails the
+    // compare). Bound chosen from the measured fixture envelope: worst
+    // abs error 15 @ n≈150 at sf0.1 (default rsd 0.05 is a std error,
+    // not a bound); raw estimates stay spec-bounded in RelationalSpec.
+    "q_hourly_approx" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ex = Relational.hourlyMetrics(ev)
+        .select(col("metric_hour"), col("total_events").as("_xe"),
+          col("unique_users").as("_xu"))
+      Relational.hourlyMetricsApprox(ev)
+        .join(ex, Seq("metric_hour"))
+        .select(col("metric_hour"), col("total_value"),
+          (abs(col("total_events") - col("_xe")) <=
+            greatest(col("_xe") * 0.15, lit(5.0))).as("events_within_bound"),
+          (abs(col("unique_users") - col("_xu")) <=
+            greatest(col("_xu") * 0.15, lit(5.0))).as("users_within_bound"))
+        .orderBy("metric_hour")
+    }),
 
     // Character-entropy gibberish detector. log2 is transcendental →
     // last-ulp libm divergence cross-engine, so the ORACLED form rounds
@@ -1353,6 +1372,17 @@ mpairs AS (
         | count(DISTINCT user_id) AS unique_users,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The accuracy gates are literal TRUE here: the oracle pins the
+    // deterministic column exactly and asserts Spark's in-plan HLL
+    // accuracy booleans came out true (see the queries-side comment).
+    "q_hourly_approx" ->
+      """SELECT date_trunc('hour', ts) AS metric_hour,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        | TRUE AS events_within_bound,
+        | TRUE AS users_within_bound
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
