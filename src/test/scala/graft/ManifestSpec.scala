@@ -108,6 +108,60 @@ class ManifestSpec extends SparkSpec {
       Incremental.dimCustomersSnap(wh)).contains(2))
   }
 
+  test("concurrent readers never fail or see a mixed snapshot across commits + vacuums") {
+    // The documented concurrency contract (any number of readers vs one
+    // maintenance writer) exercised for real: two reader threads loop
+    // read()+collect while the writer commits 10 generations and vacuums
+    // after each. Every snapshot is internally marked (every row carries
+    // its generation), so a torn read — files from two snapshots, or a
+    // half-deleted one — shows up as mixed gen values or a wrong count.
+    // keep=4 holds each resolved snapshot in the retention window far
+    // longer than any single read lasts, per the retention contract.
+    val t = tmp()
+    val gens = 10
+    val rowsPerGen = 200
+    Manifest.write((1 to rowsPerGen).map(i => (i.toLong, 0L)).toDF("i", "gen"), t)
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readers = (1 to 2).map { rid =>
+      new Thread(() => {
+        try {
+          while (!writerDone) {
+            val rows = Manifest.read(spark, t)
+              .select("gen").as[Long].collect()
+            if (rows.length != rowsPerGen)
+              failures.add(s"reader $rid: ${rows.length} rows (torn count)")
+            else if (rows.distinct.length != 1)
+              failures.add(s"reader $rid: mixed gens ${rows.distinct.toSeq}")
+            reads.incrementAndGet()
+          }
+        } catch {
+          case e: Throwable => failures.add(s"reader $rid threw: $e")
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (1 to gens).foreach { g =>
+        Manifest.write(
+          (1 to rowsPerGen).map(i => (i.toLong, g.toLong)).toDF("i", "gen")
+            .repartition(3), t)
+        Manifest.vacuum(spark, t, keep = 4)
+      }
+    } finally {
+      writerDone = true
+      readers.foreach(_.join(60000))
+    }
+    assert(failures.isEmpty, s"concurrent read violations: $failures")
+    assert(reads.get() > 0, "readers must have actually read during the writes")
+    // retention settled: exactly `keep` committed snapshots remain
+    assert(Manifest.currentVersion(spark, t).contains(gens + 1))
+    val markers = new java.io.File(t).listFiles()
+      .count(_.getName.startsWith("_commit-v"))
+    assert(markers == 4, s"expected 4 retained markers, got $markers")
+  }
+
   test("vacuum reclaims dead crashed-writer dirs, spares in-flight ones, no-ops on missing") {
     val t = tmp()
     Manifest.vacuum(spark, t) // never-written table: no-op, no throw
