@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * metadata (builder prompt "Multimodal columns").
   *
   * The Spark-side plumbing is real — schema, batch iteration shape,
-  * partition-parallel decode — while the codec itself is a clearly-marked
-  * deterministic STUB (`fakeDecode`): the real image/audio libraries are
-  * not in this container. Swapping in a real decoder changes ONE function
+  * partition-parallel decode. Image payloads in JDK-supported formats
+  * (PNG/BMP/GIF/JPEG) decode for REAL via `javax.imageio` ([[imageDecode]]:
+  * true dimensions + a luminance-histogram content feature); everything
+  * else — audio, video, and image formats whose codecs aren't in this
+  * container — falls back to the clearly-marked deterministic STUB
+  * (`fakeDecode`). Swapping in a fuller decoder changes ONE function
   * (the `Iterator[MediaRow] => Iterator[MediaFeatures]` body), not the
   * pipeline: `mapPartitions` already gives per-partition batch processing
   * (the JVM analogue of Arrow-batched `mapInPandas`), so a native codec,
@@ -50,6 +53,51 @@ object Multimodal {
       embedding = Array.tabulate(8)(i => math.floorMod(mix(4 + i), 2000) / 1000.0f - 1f))
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG, BMP, GIF and
+    * baseline JPEG readers ship with the JVM — no external codec needed).
+    * Returns None for non-image kinds and payloads no registered reader
+    * recognizes; callers fall back to the stub contract for those.
+    *
+    * The content feature is an 8-bin normalized luminance histogram
+    * (Rec. 601 integer weights, bins of 32 intensity levels): cheap,
+    * deterministic, and a property of the PIXELS — the same image decodes
+    * to identical features from PNG or BMP bytes, which is exactly what a
+    * dedup/quality pass wants from an embedding stand-in (and the spec
+    * asserts). duration_ms is 0: stills have no timeline.
+    */
+  def imageDecode(row: MediaRow): Option[MediaFeatures] = {
+    if (row.kind != "image" || row.payload == null || row.payload.isEmpty) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, w, h,
+          duration_ms = 0L, embedding = hist.map(c => (c.toDouble / n).toFloat))
+      }
+    }
+  }
+
+  /** Decode one asset: real codec when the JDK has one, stub otherwise. */
+  def decode(row: MediaRow): MediaFeatures =
+    imageDecode(row).getOrElse(fakeDecode(row))
+
   /** Partition-parallel decode/feature-extract. The iterator shape is the
     * contract: a real implementation opens its codec once per partition
     * and streams rows through it.
@@ -57,8 +105,8 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: init codec / model session HERE, once per partition
-      rows.map(fakeDecode)
+      // heavier impls: init codec / model session HERE, once per partition
+      rows.map(decode)
     }
   }
 

@@ -399,6 +399,41 @@ class StreamingSpec extends SparkSpec {
     assert(img.filter($"duration_ms" =!= 0).count() == 0)
   }
 
+  test("multimodal: JDK imageio decodes real PNG/BMP; features follow pixels, not format") {
+    def encodeImg(w: Int, h: Int, pix: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    // 4×2 image, left half black, right half white — luminance histogram
+    // must put exactly half the mass in bin 0 and half in bin 7
+    val pix = (x: Int, _: Int) => if (x < 2) 0x000000 else 0xffffff
+    val pngBytes = encodeImg(4, 2, pix, "png")
+    val bmpBytes = encodeImg(4, 2, pix, "bmp")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes, "synthetic://png"),
+      Multimodal.MediaRow(2L, "image", bmpBytes, "synthetic://bmp"),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"), "synthetic://txt"))
+    val out = Multimodal.decodeFeatures(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    // real dimensions out of the codec, not the stub's hash-derived fakes
+    assert(out(1L).width == 4 && out(1L).height == 2 && out(1L).duration_ms == 0)
+    assert(out(1L).embedding.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    // same pixels through a different container: identical content features,
+    // different payload byte counts
+    assert(out(2L).width == 4 && out(2L).height == 2)
+    assert(out(2L).embedding.toSeq == out(1L).embedding.toSeq)
+    assert(out(1L).n_bytes == pngBytes.length && out(2L).n_bytes == bmpBytes.length)
+    assert(pngBytes.length != bmpBytes.length)
+    // a payload no reader recognizes falls back to the deterministic stub
+    val stub = Multimodal.fakeDecode(rows(2))
+    assert(out(3L).copy(embedding = null) == stub.copy(embedding = null) &&
+      out(3L).embedding.toSeq == stub.embedding.toSeq)
+  }
+
   test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
