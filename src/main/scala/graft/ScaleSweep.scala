@@ -1,0 +1,160 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+/** Builder-run sf1 scale sweep of the heavy operator families (SURVEY
+  * §5.5 item 5): dedup, connected components, fuzzy join, ANN.
+  *
+  * The driver mounts fixtures only up to sf0.1 (documents 5k / embeddings
+  * 2k), and each round's sf0.1 sweep has already caught one regime
+  * crossing (q_mad_outliers); the next boundaries hide above it. This
+  * main synthesizes a 10× documents/embeddings pair (50k docs / 20k
+  * vectors — sf1-equivalent for the two tables the heavy families read)
+  * with the SAME shape as the driver fixture — its actual ~30-word
+  * vocabulary (read from the sf0.1 parquet, never regenerated), its
+  * length and language mix, planted exact/near duplicates, a long
+  * near-dup CHAIN (adversarial CC depth), and planted high-cosine vector
+  * pairs — then runs every heavy query RUN-clean and prints wall time +
+  * output rows. Findings land in SURVEY §5.5's sweep table.
+  *
+  * Synthetic-by-us is deliberate here: TESTDATA.md forbids regenerating
+  * driver fixtures, and unioning N copies of sf0.1 would give every doc
+  * N exact twins — a dedup workload nothing like real growth. Seeded
+  * generation scales the corpus while keeping dup DENSITY realistic.
+  *
+  * Usage: `runMain graft.ScaleSweep [outDir] [query,query,...]`
+  * (default /tmp/graft_sf1, all heavy queries).
+  */
+object ScaleSweep {
+
+  /** Heavy families in dependency-free order: dedup → CC consumers →
+    * fuzzy → ANN. q_knn_label is the documented O(n²) exactness baseline
+    * — swept to record the quadratic wall, not to endorse it at scale.
+    */
+  val heavyQueries: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
+    "q_group_split", "q_decontaminate",
+    "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg",
+    "q_quantize", "q_embedding_stats", "q_similarity_topk",
+    "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
+    "q_embed_neardup", "q_knn_label")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val wanted = args.lift(1).map(_.split(",").toSet)
+      .getOrElse(heavyQueries.toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, outDir, nDocs = 50000, nVecs = 20000, seed = 1042L)
+
+    // Same steady-state discipline as Bench: warm the dedup/fuzzy codegen
+    // shapes once so the first family query's number is its own.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val warm = (0L until 10L)
+        .map(i => (i, s"warm fixture doc $i alpha beta gamma delta " * 3,
+          "en", "warm", 120L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      ops.text.Dedup.resolveCanonical(warm, ops.text.Dedup.nearDupPairs(warm)).count()
+      ops.text.Fuzzy.editDistanceJoin(
+        warm.select(col("doc_id"), col("text").substr(1, 20).as("s")),
+        "doc_id", "s", maxDist = 2, q = 3).count()
+      spark.catalog.clearCache()
+    }
+
+    var failures = 0
+    val total0 = System.nanoTime()
+    for (name <- heavyQueries if wanted(name)) {
+      val t0 = System.nanoTime()
+      try {
+        val rows = SparkEntry.queries(name)(spark, outDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[sweep] $name%-20s ${sec}%8.2f s  rows=$rows")
+      } catch {
+        case e: Exception =>
+          failures += 1
+          println(s"[sweep] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    println(f"[sweep] TOTAL ${(System.nanoTime() - total0) / 1e9}%.1f s  failures=$failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+
+  /** Seeded sf1-equivalent documents + embeddings, driver-built (≈20 MB
+    * of text — fixture-scale, not a distributed workload) and written as
+    * parquet with the exact driver-fixture schemas.
+    */
+  def generate(spark: SparkSession, outDir: String, nDocs: Int, nVecs: Int,
+               seed: Long): Unit = {
+    import spark.implicits._
+    val rng = new Random(seed)
+
+    // the fixture's actual vocabulary — read, never regenerated
+    val vocab = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .distinct().as[String].collect().sorted
+    require(vocab.length > 10, s"unexpected vocabulary size ${vocab.length}")
+
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    def freshText(): String =
+      Seq.fill(8 + rng.nextInt(93))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    def perturb(text: String, p: Double): String =
+      text.split(" ").map(w =>
+        if (rng.nextDouble() < p) vocab(rng.nextInt(vocab.length)) else w)
+        .mkString(" ")
+
+    val texts = new Array[String](nDocs)
+    val chainStart = nDocs / 2
+    val chainLen = 50
+    var i = 0
+    while (i < nDocs) {
+      val r = rng.nextDouble()
+      texts(i) =
+        if (i > chainStart && i < chainStart + chainLen)
+          // near-dup CHAIN: each link ~8% edited from the previous — MinHash
+          // links neighbors but not distant members, so the component's
+          // diameter is the chain length (the CC adversary)
+          perturb(texts(i - 1), 0.08)
+        else if (i > 0 && r < 0.02) texts(rng.nextInt(i)) // exact dup
+        else if (i > 0 && r < 0.04) perturb(texts(rng.nextInt(i)), 0.05) // near dup
+        else freshText()
+      i += 1
+    }
+    val docs = (0 until nDocs).map { d =>
+      val lang = if (rng.nextDouble() < 0.4) "en" else langs(1 + rng.nextInt(4))
+      (d.toLong, texts(d), lang, s"src${rng.nextInt(20)}", texts(d).length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val dim = 64
+    val vecs = new Array[Array[Float]](nVecs)
+    var v = 0
+    while (v < nVecs) {
+      vecs(v) =
+        if (v > 0 && rng.nextDouble() < 0.005) // planted high-cosine pair
+          vecs(rng.nextInt(v)).map(x => x + (rng.nextGaussian() * 0.02).toFloat)
+        else Array.fill(dim)(rng.nextGaussian().toFloat)
+      v += 1
+    }
+    (0 until nVecs).map(id => (id.toLong, vecs(id).toSeq, rng.nextInt(10)))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+}

@@ -32,6 +32,10 @@ class FuzzySpec extends SparkSpec {
     Fuzzy.editDistanceJoin(rows.toDF("id", "s"), "id", "s", maxDist = d, q = q)
       .as[(Long, Long, Int)].collect().toSet
 
+  private def runSeg(rows: Seq[(Long, String)], d: Int) =
+    Fuzzy.editDistanceJoinPartitioned(rows.toDF("id", "s"), "id", "s", maxDist = d)
+      .as[(Long, Long, Int)].collect().toSet
+
   test("known pairs: exact dups, single edits, and misses") {
     val rows = Seq(1L -> "spark engine", 2L -> "spark engine",
       3L -> "spark enginX", 4L -> "spork enginX", 5L -> "completely different")
@@ -79,10 +83,48 @@ class FuzzySpec extends SparkSpec {
 
   test("plans equi-joins only: no nested loop or cartesian product") {
     val rows = Seq(1L -> "ab", 2L -> "abcdefghij")
-    val plan = Fuzzy.editDistanceJoin(rows.toDF("id", "s"), "id", "s", 2)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"fuzzy join must stay equi-keyed:\n$plan")
+    for (df <- Seq(
+      Fuzzy.editDistanceJoin(rows.toDF("id", "s"), "id", "s", 2),
+      Fuzzy.editDistanceJoinPartitioned(rows.toDF("id", "s"), "id", "s", 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"fuzzy join must stay equi-keyed:\n$plan")
+    }
+  }
+
+  test("partitioned variant: segment pigeonhole is lossless vs naive all-pairs") {
+    val rng = new scala.util.Random(4321)
+    val alpha = "abcdefg"
+    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
+        case 1 if t.length > 2 => t.take(i) + t.drop(i + 1)
+        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
+      }
+    }
+    val seeds = Seq.fill(40)(word())
+    val rows = (seeds ++ seeds.map(mutate(_, 1)) ++ seeds.map(mutate(_, 2)) ++
+      seeds.map(mutate(_, 3))).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    for (d <- Seq(0, 1, 2))
+      assert(runSeg(rows, d) == naive(rows, d), s"divergence at maxDist=$d")
+    // strings below maxDist+1 chars (no nonempty segmentation) go through
+    // the length buckets — including the empty string
+    val shorts = Seq(1L -> "", 2L -> "a", 3L -> "ab", 4L -> "cd",
+      5L -> "abxyz", 6L -> "a very much longer string")
+    for (d <- Seq(0, 1, 2))
+      assert(runSeg(shorts, d) == naive(shorts, d), s"short divergence at maxDist=$d")
+  }
+
+  test("both variants return identical pairs on the documents fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
+    val prefix = Fuzzy.editDistanceJoin(docs, "id", "s", maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val seg = Fuzzy.editDistanceJoinPartitioned(docs, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(prefix.nonEmpty && prefix == seg)
   }
 }
