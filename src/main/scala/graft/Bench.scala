@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions.col
   * masquerade as a fast one (VERDICT r1 "Bench.scala:15 swallows failures").
   */
 object Bench {
+
+  /** JSON string literal with the escapes the record line can contain. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Compact JSON number: fixed `dp` decimals, trailing zeros (and a bare
+    * trailing point) trimmed. Locale.ROOT explicitly — a default-locale
+    * format would emit comma decimals ("12,34") on de_DE/fr_FR boxes:
+    * invalid JSON, the exact "parsed": null failure this line format
+    * exists to prevent. LocaleSpec guards this under a comma locale.
+    */
+  private[graft] def num(v: Double, dp: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,13 +82,6 @@ object Bench {
         "doc_id", "s", maxDist = 2, q = 3).count()
       spark.catalog.clearCache()
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Min-of-reps per query: a transient external load spike (the
       // round-3 record was ~7x inflated by one; round 5's total was 2.2x)
@@ -102,14 +117,6 @@ object Bench {
     // ("0.50"→"0.5", "2.00"→"2"), failures/errors omitted when zero, and
     // the sf path reduced to its basename. Centiseconds are already below
     // this box's run-to-run noise.
-    // Locale.ROOT: the default-locale f"" interpolator would emit comma
-    // decimals ("12,34") on de_DE/fr_FR boxes — invalid JSON, the exact
-    // "parsed": null failure this line format exists to prevent.
-    def num(v: Double, dp: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
