@@ -894,7 +894,22 @@ mpairs AS (
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           md5(col("text")).as("scrub_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Substring-level dedup: maximal token spans (≥ 8 tokens) repeated
+    // across ≥ 2 docs — sliding-window gram hash + per-doc island merge
+    // (the Spark-shaped form of suffix-array ExactSubstr). Integer-only
+    // output, bit-exact cross-engine.
+    "q_dup_spans" -> ((s, dir) =>
+      ops.text.Spans.dupSpans(t(s, dir, "documents"), l = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // Apply side: remove every duplicated span except its first
+    // occurrence (min doc_id, start per span content) and rebuild the
+    // cleaned text per doc with an indexed HOF filter — no token explode.
+    "q_despan" -> ((s, dir) =>
+      ops.text.Spans.despan(t(s, dir, "documents"), l = 8, minDocs = 2)
+        .orderBy("doc_id"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -2589,6 +2604,69 @@ FROM canon ORDER BY doc_id""",
         |  FROM counts)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_distinct_chars,
         | round(-sum(p * log2(p)), 6) AS char_entropy_bits
-        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Naive form of the sliding-window span dedup: md5 grams (hash
+    // equality only — the Spark side uses xxhash64), lag-based island
+    // breaks, integer-only output. l=8, minDocs=2.
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |      FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 7], ' ')) AS gram FROM w),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM brk)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        | CAST(max(pos) + 7 AS INT) AS span_end,
+        | CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // Keep-first apply: canonical occurrence per span content
+    // (row_number over md5 span fingerprint), every other occurrence
+    // deleted; text rebuilt from the kept token positions. Untouched
+    // docs pass through; a fully-duplicated doc yields clean_text = ''.
+    "q_despan" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS pos
+        |      FROM t WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 7], ' ')) AS gram FROM w),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM brk),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |          FROM isl GROUP BY doc_id, island),
+        |sp AS (SELECT s.doc_id, s.span_start, s.span_end,
+        |         md5(array_to_string(t.toks[s.span_start : s.span_end], ' ')) AS span_fp
+        |       FROM spans s JOIN t USING (doc_id)),
+        |rm AS (SELECT doc_id, span_start, span_end FROM
+        |        (SELECT doc_id, span_start, span_end,
+        |           row_number() OVER (PARTITION BY span_fp ORDER BY doc_id, span_start) AS rn
+        |         FROM sp) WHERE rn > 1),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |          generate_subscripts(string_split(text, ' '), 1) AS pos
+        |        FROM documents),
+        |keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM rm
+        |            WHERE rm.doc_id = k.doc_id AND k.pos BETWEEN rm.span_start AND rm.span_end))
+        |SELECT d.doc_id,
+        | CAST(len(string_split(d.text, ' ')) - count(k.tok) AS INT) AS removed_tokens,
+        | coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM documents d LEFT JOIN keep k USING (doc_id)
+        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
   )
 }
