@@ -909,7 +909,29 @@ mpairs AS (
     // cleaned text per doc with an indexed HOF filter — no token explode.
     "q_despan" -> ((s, dir) =>
       ops.text.Spans.despan(t(s, dir, "documents"), l = 8, minDocs = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Inverted index: term -> (df, cf, postings fingerprint in doc order).
+    "q_inverted" -> ((s, dir) =>
+      ops.text.Retrieval.invertedIndex(t(s, dir, "documents"))
+        .orderBy("term")),
+
+    // BM25 top-20 with rational idf — all score arithmetic is +,-,×,÷
+    // over exact integer counts, folded in fixed term order, so the
+    // doubles are bit-identical cross-engine (no log, no unordered SUM).
+    "q_bm25" -> ((s, dir) =>
+      ops.text.Retrieval.bm25Rational(t(s, dir, "documents"),
+        Seq("merge", "sort", "window", "hash"), k1 = 1.2, b = 0.75,
+        topK = 20)
+        .orderBy("rank")),
+
+    // Nearest-centroid assignment over int8-quantized embeddings (k=8
+    // id-seeded centroids): exact integer distances, bit-reproducible —
+    // the oracle-checkable step of the k-means family (full Lloyd's
+    // iteration is spec-verified in ClusteringSpec).
+    "q_kmeans_assign" -> ((s, dir) =>
+      ops.Clustering.assignCentroids(t(s, dir, "embeddings"), k = 8)
+        .orderBy("vec_id"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -2667,6 +2689,68 @@ FROM canon ORDER BY doc_id""",
         | CAST(len(string_split(d.text, ' ')) - count(k.tok) AS INT) AS removed_tokens,
         | coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
         |FROM documents d LEFT JOIN keep k USING (doc_id)
-        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin,
+
+    // Inverted index: postings fingerprint is md5 over "doc:tf" pairs in
+    // doc_id order on both sides.
+    "q_inverted" ->
+      """WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        | md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_fp
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+
+    // BM25-rational: the SQL mirrors the Spark expression tree operation
+    // for operation (left-assoc, same parenthesization, same fixed
+    // term-fold order merge->sort->window->hash) so every double is
+    // bit-identical. k1=1.2 b=0.75 topK=20.
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |       WHERE term IN ('merge', 'sort', 'window', 'hash')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |agg AS (SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
+        |        FROM s GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        | doc_id, score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Quantization CTE is q_quantize's verbatim; distances are exact
+    // integer sums, ties break to the smaller cid on both sides.
+    "q_kmeans_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+        |         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |         ELSE 0.0 END AS q_scale
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS BIGINT)) AS v
+        |       FROM q),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT qv.vec_id, cent.cid,
+        |        list_sum(list_transform(generate_series(1, len(qv.v)),
+        |          i -> (qv.v[i] - cent.cv[i]) * (qv.v[i] - cent.cv[i]))) AS dist
+        |      FROM qv CROSS JOIN cent)
+        |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist
+        |FROM (SELECT vec_id, cid, dist,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFns._
+
+/** Lexical retrieval over the corpus: inverted-index construction and
+  * BM25 scoring. The index is the classic term → postings shape; scoring
+  * uses the rational-idf BM25 variant so every compared double is built
+  * from integer counts with only +,−,×,÷ — bit-exact in any IEEE engine
+  * (the log() of textbook BM25 is transcendental, and libm last-ulp
+  * divergence breaks cross-engine hash parity; same policy as
+  * [[Corpus.distinctiveTerms]]'s tf·N/df score).
+  *
+  * Scale posture (100 TB): both operators shuffle (term, doc_id, tf)
+  * triples — ~30 bytes a row, never text. The index groupBy partial-
+  * aggregates map-side; df is a second partial aggregate over the index
+  * rows themselves. Query scoring touches only postings of the query's
+  * terms (filter BEFORE the tf aggregation — the scan prunes everything
+  * else), joins the |q|-row df table and the 1-row corpus-stats build by
+  * broadcast, and the final top-k is a TakeOrderedAndProject, never a
+  * global sort. A hot term (stopword-grade df) fattens one postings
+  * group; that is inherent to the index shape and AQE-splittable since
+  * rows are tiny.
+  */
+object Retrieval {
+
+  /** Inverted index summary: one row per term with document frequency,
+    * collection frequency, and an md5 fingerprint of the full postings
+    * list in doc_id order ("doc:tf,doc:tf,..."). The fingerprint form
+    * keeps the oracle comparable without hauling a variable-length
+    * nested column through the compare; the un-fingerprinted postings
+    * are the same relation one `collect_list` earlier.
+    */
+  def invertedIndex(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat_ws(":", p.getField("doc_id").cast("string"),
+              p.getField("tf").cast("string"))))).as("postings_fp"))
+
+  /** BM25 top-k with rational idf: per query term,
+    * `idf_r = (N − df + 0.5) / (df + 0.5)` (the exponent of the textbook
+    * log-idf — rank-equivalent per term and exactly representable), and
+    * the standard saturated tf
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * The per-document score folds the per-term contributions in FIXED
+    * `terms` order (missing terms contribute literal 0.0): float addition
+    * is not associative, so a deterministic fold order — not an unordered
+    * SUM — is what makes the score reproducible run-to-run and engine-to-
+    * engine. avgdl derives from an exact integer token-count sum.
+    *
+    * Output: (rank, doc_id, score) for the `topK` best documents,
+    * ties broken by doc_id.
+    */
+  def bm25Rational(documents: DataFrame, terms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75,
+                   topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    // 1-row corpus stats: exact integer sums, broadcast-crossed below
+    // (the allow-listed tiny-build pattern, like q_distinct_terms).
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfn = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), (idf * tfn).as("sc"))
+
+    val score = terms.map(tm =>
+        coalesce(max(when(col("term") === tm, col("sc"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    val top = scored.groupBy("doc_id").agg(score.as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          .cast("int"))
+      .select("rank", "doc_id", "score")
+  }
+}

@@ -31,7 +31,12 @@ class PlanGuardSpec extends SparkSpec {
       // the gap-fill grid build (types × 1-row bounds), like q_gapfill
       "q_forecast_backtest",
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
-      "q_expectations")
+      "q_expectations",
+      // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
+      "q_bm25",
+      // k-row centroid build scanned against the embedding table, like
+      // q_ann_ivf's coarse assignment
+      "q_kmeans_assign")
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
