@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering: nearest-centroid assignment and Lloyd's
+  * k-means. Complements the ANN family in [[Similarity]] — IVF serving
+  * (annTopKIvf) needs exactly this assignment step to build its coarse
+  * partition, and corpus curation uses the cluster sizes/inertia as a
+  * diversity signal.
+  *
+  * Scale posture (100 TB): centroids are a k-row build — every distance
+  * evaluation is a broadcast of k×dim values against a linear scan of
+  * the embedding table (the documented tiny-build crossJoin pattern of
+  * the ANN family; never a shuffled join). The Lloyd's update shuffles
+  * (cid, dim, partial-sum) triples with map-side combine — k·dim rows
+  * per partition AFTER partial aggregation, independent of table size.
+  * Driver state is k×dim doubles per iteration (same boundedness
+  * argument as connected components' convergence counter). Production
+  * initialization at scale would be k-means|| oversampling; the
+  * deterministic id-seeded form here keeps every run — and the DuckDB
+  * oracle — reproducible.
+  */
+object Clustering {
+
+  /** Nearest-centroid assignment over int8-quantized embeddings, with
+    * the k lowest-id vectors as seeded centroids. Quantized distances
+    * are EXACT integer arithmetic ((a−b)² ≤ 254² per dim, summed in
+    * long), so the assignment is bit-reproducible in any engine — the
+    * oracle-checkable face of the clustering family, and the same
+    * memory/IO story as quantized ANN serving (4× smaller scans).
+    *
+    * Output: (vec_id, cid, dist) — centroid id and exact squared L2
+    * distance in quantized space. Ties break to the smaller cid.
+    */
+  def assignCentroids(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val qv = Similarity.quantizeEmbeddings(embeddings)
+      .select(col("vec_id"), col("q_vec").as("v"))
+    val cent = qv.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dist = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    qv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist", "cid")))
+      .where(col("rn") === 1)
+      .select("vec_id", "cid", "dist")
+  }
+
+  /** Lloyd's k-means over the float embeddings: deterministic id-seeded
+    * centroids, `iters` fixed iterations (fixed count keeps runs
+    * reproducible; convergence is observable in the returned inertia
+    * history). A cluster that loses all members keeps its previous
+    * centroid. Returns the final assignment (vec_id, cid, dist) and the
+    * per-iteration inertia (sum of squared distances), which
+    * [[graft.ClusteringSpec]] asserts is monotonically non-increasing —
+    * the Lloyd's invariant.
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5)
+  : (DataFrame, Seq[Double]) = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+
+    var centroids: Seq[(Long, Seq[Double])] =
+      base.orderBy("vec_id").limit(k).collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val inertia = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+
+    for (_ <- 1 to iters) {
+      import spark.implicits._
+      val cent = centroids.toDF("cid", "cv")
+      val dist = aggregate(
+        zip_with(col("emb"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      assigned = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("emb"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy("dist", "cid")))
+        .where(col("rn") === 1)
+        .select("vec_id", "cid", "emb", "dist")
+
+      // one pass: per-dimension sums with map-side combine (k·dim rows
+      // per partition post-combine) + the inertia scalar
+      val upd = assigned
+        .select(col("cid"), col("dist"), posexplode(col("emb")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"),
+          sum(when(col("pos") === 0, col("dist"))).as("d0"))
+        .collect()
+      inertia += upd.flatMap(r => Option(r.get(4)).map(_ => r.getDouble(4))).sum
+      val byCid = upd.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val dim = rows.map(r => r.getInt(1)).max + 1
+            val mean = Array.ofDim[Double](dim)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+            }
+            cid -> mean.toSeq
+          case None => cid -> old // empty cluster: keep previous centroid
+        }
+      }
+    }
+    (assigned.drop("emb"), inertia.result())
+  }
+}
