@@ -124,14 +124,27 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // "failures"/"errors" stay present even when zero/empty: every prior
     // round's recorded line carried them, and changing the clean-run
-    // schema is exactly the kind of parse break this line must not risk
+    // schema is exactly the kind of parse break this line must not risk.
+    //
+    // At 101 queries even stripped-key deciseconds overflow the record
+    // window, so the capped line now aggregates by query FAMILY (first
+    // name token: dedup, ann, corpus, scd2, ...) — ~65 entries,
+    // centisecond precision, and room for dozens more queries before the
+    // ladder matters again. The per-QUERY numbers are not lost: every
+    // bench run (including the driver's) rewrites BENCH_DETAIL.json at
+    // millisecond precision, and that file is committed with the repo.
+    // Failed queries stay out of family sums (their -1 sentinel would
+    // corrupt the aggregate); they are visible in failures/errors, and
+    // "nq" records the per-query count behind the aggregation.
     def line(dp: Int): String = {
-      // keys drop the uniform "q_" prefix on the capped line only (full
-      // names live in BENCH_DETAIL.json): ~2 chars x ~95 queries buys a
-      // precision step's worth of headroom inside the record window
-      val qs = results.map { case (k, v, _) => jstr(k.stripPrefix("q_")) + ":" + num(v, dp) }
+      val fams = results.collect { case (k, v, None) =>
+          (k.stripPrefix("q_").takeWhile(_ != '_'), v)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (f, v) => (-v, f) }
+      val qs = fams.map { case (f, v) => jstr(f) + ":" + num(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","nq":${results.size},"queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
     // adaptive precision: drop to deciseconds (then whole seconds) only
     // when a finer line would overflow the record window. The window holds

@@ -35,15 +35,26 @@ object Clustering {
     * distance in quantized space. Ties break to the smaller cid.
     */
   def assignCentroids(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    // ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b, evaluated with the codegen'd
+    // DotOrdered primitive loop instead of an interpreted
+    // aggregate(zip_with(...)) HOF per pair (the HOF path measured
+    // ~2.8 s vs ~0.2 s at sf0.1 — boxed lambdas + per-pair array
+    // allocation; see DotOrdered's scaladoc). Every term is an
+    // integer-valued double ≤ 2·dim·127² ≪ 2^53, so the arithmetic is
+    // still EXACT and the long-cast distance matches the oracle's
+    // Σ(aᵢ−bᵢ)² integer sum bit-for-bit. Norms are computed once per
+    // row/centroid, not once per pair.
     val qv = Similarity.quantizeEmbeddings(embeddings)
-      .select(col("vec_id"), col("q_vec").as("v"))
+      .select(col("vec_id"),
+        transform(col("q_vec"), x => x.cast("double")).as("v"))
+      .withColumn("n2", graft.functions.DotOrdered(col("v"), col("v")))
     val cent = qv.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val dist = aggregate(
-      zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     qv.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .select(col("vec_id"), col("cid"),
+        (col("n2") + col("cn2") -
+          lit(2.0) * graft.functions.DotOrdered(col("v"), col("cv")))
+          .cast("long").as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy("dist", "cid")))
       .where(col("rn") === 1)
@@ -63,7 +74,8 @@ object Clustering {
   : (DataFrame, Seq[Double]) = {
     val spark = embeddings.sparkSession
     val base = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("emb"))
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("n2", graft.functions.DotOrdered(col("emb"), col("emb")))
 
     var centroids: Seq[(Long, Seq[Double])] =
       base.orderBy("vec_id").limit(k).collect().toSeq
@@ -73,10 +85,15 @@ object Clustering {
 
     for (_ <- 1 to iters) {
       import spark.implicits._
-      val cent = centroids.toDF("cid", "cv")
-      val dist = aggregate(
-        zip_with(col("emb"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      val cent = centroids
+        .map { case (cid, cv) => (cid, cv, cv.foldLeft(0.0)((s, x) => s + x * x)) }
+        .toDF("cid", "cv", "cn2")
+      // same dot-decomposed distance as assignCentroids (codegen'd, norms
+      // hoisted); FP cancellation can dip a self-distance a hair below
+      // zero, so clamp — argmin order is unaffected
+      val dist = greatest(lit(0.0),
+        col("n2") + col("cn2") -
+          lit(2.0) * graft.functions.DotOrdered(col("emb"), col("cv")))
       assigned = base.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("emb"), col("cid"), dist.as("dist"))
         .withColumn("rn", row_number().over(
