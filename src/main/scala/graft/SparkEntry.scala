@@ -931,6 +931,13 @@ mpairs AS (
     // iteration is spec-verified in ClusteringSpec).
     "q_kmeans_assign" -> ((s, dir) =>
       ops.Clustering.assignCentroids(t(s, dir, "embeddings"), k = 8)
+        .orderBy("vec_id")),
+
+    // SemDeDup: k-means partition (exact-integer assignment) + within-
+    // cluster exact-cosine drop of higher-id near-duplicates.
+    "q_semantic_dedup" -> ((s, dir) =>
+      ops.Clustering.semanticDedup(t(s, dir, "embeddings"), k = 8,
+          threshold = 0.35)
         .orderBy("vec_id"))
   )
 
@@ -2751,6 +2758,47 @@ FROM canon ORDER BY doc_id""",
         |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist
         |FROM (SELECT vec_id, cid, dist,
         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Assignment CTE is q_kmeans_assign's verbatim; the within-cluster
+    // cosine uses the same ordered-fold dot + hoisted sqrt norms as the
+    // Spark side, so the threshold compare is bit-exact.
+    "q_semantic_dedup" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+        |         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |         ELSE 0.0 END AS q_scale
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS BIGINT)) AS v
+        |       FROM q),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT qv.vec_id, cent.cid,
+        |        list_sum(list_transform(generate_series(1, len(qv.v)),
+        |          i -> (qv.v[i] - cent.cv[i]) * (qv.v[i] - cent.cv[i]))) AS dist
+        |      FROM qv CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |           FROM d) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cid,
+        |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |        sqrt(list_reduce(
+        |          list_transform(generate_series(1, len(e.embedding)),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |          (x, y) -> x + y)) AS nrm
+        |      FROM embeddings e JOIN asg a USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_reduce(
+        |          list_transform(generate_series(1, len(a.v)),
+        |            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |        / (a.nrm * b.nrm) >= 0.35)
+        |SELECT n.vec_id, n.cid, dropped.vec_id IS NULL AS kept
+        |FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+        |ORDER BY n.vec_id""".stripMargin
   )
 }

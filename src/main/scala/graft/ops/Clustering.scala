@@ -61,6 +61,59 @@ object Clustering {
       .select("vec_id", "cid", "dist")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space with nearest-centroid assignment
+    * ([[assignCentroids]] — exact integer distances, so the partition is
+    * bit-reproducible cross-engine), then verify exact cosine only WITHIN
+    * each cluster and drop every vector that has a lower-id cluster-mate
+    * at similarity >= `threshold`.
+    *
+    * The drop rule is the parallel one-pass form: b is dropped iff SOME
+    * a < b in its cluster has cos(a,b) >= threshold, whether or not a was
+    * itself dropped. Drops are therefore a superset of the sequential
+    * greedy scan's (which would re-admit b when its only similar
+    * predecessor was already removed) — the standard trade for a rule
+    * that needs no iteration and is expressible as one join + anti probe.
+    *
+    * Scale posture: this is the whole point of SemDeDup — the cluster
+    * partition turns the O(n²) all-pairs verify into Σ O(|c|²), and k is
+    * the knob that bounds |c| (grow k linearly with the corpus to hold
+    * cluster sizes constant). The pair stage is a cid equi-join
+    * (shuffle_hash hinted — corpus-scale sides must never broadcast);
+    * at extreme cluster sizes the escape hatch is composing
+    * [[Similarity.embeddingNearDup]]'s LSH banding *within* clusters.
+    *
+    * Output: (vec_id, cid, kept) for every input vector, kept=false for
+    * dropped ones.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8,
+                    threshold: Double = 0.35): DataFrame = {
+    val asg = assignCentroids(embeddings, k).select("vec_id", "cid")
+    // doubles + hoisted norms: sim below is dot/(n_a*n_b) — the identical
+    // IEEE ops (and ordered-fold dot) as the DuckDB oracle, so the
+    // threshold compare is bit-exact cross-engine (embeddingNearDup's
+    // established parity argument).
+    val anno = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .join(asg, "vec_id")
+      .withColumn("nrm", sqrt(graft.functions.DotOrdered(col("v"), col("v"))))
+    val a = anno.select(col("cid"), col("vec_id").as("va"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = anno.select(col("cid"), col("vec_id").as("vb"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(graft.functions.DotOrdered(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")) >= threshold)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    anno.select("vec_id", "cid")
+      .join(dropped.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("_dropped").isNull.as("kept"))
+  }
+
   /** Lloyd's k-means over the float embeddings: deterministic id-seeded
     * centroids, `iters` fixed iterations (fixed count keeps runs
     * reproducible; convergence is observable in the returned inertia

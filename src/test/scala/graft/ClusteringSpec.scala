@@ -52,6 +52,27 @@ class ClusteringSpec extends SparkSpec {
     assert(groups.size == 3 && groups.forall(_.size == 1))
   }
 
+  test("semanticDedup: drops higher-id near-duplicates within a cluster only") {
+    // ids 0,1 seed two clusters at 90°; 2 duplicates 0's direction
+    // (cos=1), 3 duplicates 1's; 4 is a cluster-0 mate below threshold;
+    // 5 and 6 straddle the 45° boundary (cos(5,6)≈0.99997 — but
+    // assignment puts 5 in cluster 0 and 6 in cluster 1, so the pair is
+    // never compared and both survive).
+    val d = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)),
+      (2L, Seq(9.5f, 0f)), (3L, Seq(0f, 9.5f)),
+      (4L, Seq(8f, 3f)), (5L, Seq(7f, 6.95f)), (6L, Seq(6.95f, 7f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semanticDedup(d, k = 2, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.size == 7, "every input vector appears in the output")
+    assert(got(0L) && got(1L), "lowest ids always kept")
+    assert(!got(2L) && !got(3L), "exact-direction duplicates dropped")
+    assert(got(4L), "below-threshold cluster-mate kept")
+    assert(got(5L) && got(6L),
+      "high-cos pair split across clusters is not compared")
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
