@@ -19,20 +19,38 @@ object Sources {
 
   /** Driver testdata table: `<dir>/<name>.parquet` (TESTDATA.md).
     *
-    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    * as raw longs (legacy conf) and rebuild a microsecond TimestampType with
-    * integer division — `DIV` stays in long space (ns since epoch ≈ 1.7e18
-    * overflows double mantissa, so a double roundtrip would corrupt it).
+    * The `events` table has stored `ts` under two encodings across fixture
+    * generations (FIXTURES.md): parquet TIMESTAMP(NANOS) as int64 (which the
+    * Spark vectorized reader rejects — [PARQUET_TYPE_ILLEGAL] — unless the
+    * `nanosAsLong` legacy conf maps it to raw longs) and, since the 2026-08
+    * regen, plain TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). We branch on the *actual read dtype* so both encodings
+    * normalize to a microsecond `TimestampType`:
+    *  - LongType (legacy nanos): rebuild with `timestamp_micros(ts DIV 1000L)`
+    *    — `DIV` stays in long space (ns since epoch ≈ 1.7e18 overflows double
+    *    mantissa, so a double roundtrip would corrupt it);
+    *  - TimestampNTZType: cast to TimestampType (session tz is pinned UTC in
+    *    every entrypoint, so the cast is value-preserving and keeps downstream
+    *    `window()`/`unix_timestamp` semantics identical to prior rounds);
+    *  - TimestampType: pass through.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Session-level legacy flag; set once (idempotent guard — avoid
-      // re-mutating shared session config on every read, VERDICT r1 #4).
+      // Session-level legacy flag; harmless for non-nanos files (it only
+      // affects TIMESTAMP(NANOS) columns) but required *before* the footer
+      // schema is resolved when the file IS nanos-encoded. Set once
+      // (idempotent guard — avoid re-mutating shared session config on every
+      // read, VERDICT r1 #4).
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000L)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000L)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

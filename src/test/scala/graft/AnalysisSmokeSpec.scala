@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Registry-wide fixture/schema smoke check (r7 verdict item 2).
+  *
+  * Round 7 went red because the driver regenerated the fixtures with a new
+  * `events.ts` encoding and nothing cheap noticed: 22 queries silently lost
+  * their correctness rows. This spec turns any such drift into ONE named,
+  * loud failure:
+  *
+  *  - every table in the fixture dir must load through [[Sources.table]];
+  *  - every registered query must pass ANALYSIS (plan resolution only — no
+  *    execution, seconds total) against sf0.001;
+  *  - [[Sources.table]] must normalize BOTH historical `events.ts`
+  *    encodings (int64 nanos read as LongType under the legacy conf, and
+  *    parquet TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) to the same
+  *    microsecond `TimestampType` instants.
+  */
+class AnalysisSmokeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every fixture table loads and reports a schema") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val failures = tables.flatMap { t =>
+      try { Sources.table(spark, dir, t).schema; None }
+      catch { case e: Exception =>
+        Some(s"$t: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+      }
+    }
+    assert(failures.isEmpty, s"tables failing to load:\n${failures.mkString("\n")}")
+  }
+
+  test("events.ts normalizes to TimestampType under Sources.table") {
+    val df = Sources.table(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"expected TimestampType, got ${df.schema("ts").dataType}")
+  }
+
+  test("every registered query analyzes against the sf0.001 fixtures") {
+    // analysis only: resolves every column/table reference without running
+    // a job, so a fixture schema change fails HERE with the query name
+    // instead of wiping correctness rows downstream.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).queryExecution.analyzed; None }
+        catch { case e: Exception =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
+
+  test("Sources.table handles both events.ts encodings identically") {
+    val root = Files.createTempDirectory("graft_events_enc").toString
+    import spark.implicits._
+    // three instants, microsecond precision
+    val micros = Seq(1721000000000000L, 1721000123456789L, 1721086400000000L)
+
+    // encoding A: int64 nanos column named ts (the pre-2026-08 fixture
+    // shape — reads back as LongType, exercising the DIV-1000 branch)
+    val nanosDir = s"$root/nanos"
+    micros.map(us => (us * 1000L, "click")).toDF("ts", "kind")
+      .write.parquet(nanosDir)
+    // Sources.table reads "<dir>/events.parquet"
+    val nanosTbl = s"$root/a"
+    Files.createDirectories(java.nio.file.Paths.get(nanosTbl))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(nanosDir),
+      java.nio.file.Paths.get(s"$nanosTbl/events.parquet"))
+
+    // encoding B: TIMESTAMP_NTZ column (writes parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) — the current fixture shape, exercising the
+    // NTZ-cast branch)
+    val ntzDir = s"$root/ntz"
+    micros.map(us => (us, "click")).toDF("us", "kind")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("kind"))
+      .write.parquet(ntzDir)
+    val ntzTbl = s"$root/b"
+    Files.createDirectories(java.nio.file.Paths.get(ntzTbl))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(ntzDir),
+      java.nio.file.Paths.get(s"$ntzTbl/events.parquet"))
+
+    val a = Sources.table(spark, nanosTbl, "events")
+    val b = Sources.table(spark, ntzTbl, "events")
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    val gotA = a.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val gotB = b.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    assert(gotA.toSeq == micros.sorted, s"nanos branch: ${gotA.toSeq}")
+    assert(gotB.toSeq == micros.sorted, s"ntz branch: ${gotB.toSeq}")
+  }
+}

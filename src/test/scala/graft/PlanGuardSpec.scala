@@ -33,10 +33,10 @@ class PlanGuardSpec extends SparkSpec {
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
-      "q_bm25",
-      // k-row centroid build scanned against the embedding table, like
-      // q_ann_ivf's coarse assignment
-      "q_kmeans_assign")
+      "q_bm25")
+  // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
+  // r8 literal-fold argmin removed the centroid crossJoin entirely, so
+  // their plans must be join-free on the assignment side.
 
   test("no query plans a cartesian product or an unexpected nested-loop join") {
     val dir = "/root/testdata/sf0.001"
