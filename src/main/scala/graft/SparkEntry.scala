@@ -935,6 +935,8 @@ mpairs AS (
 
     // SemDeDup: k-means partition (exact-integer assignment) + within-
     // cluster exact-cosine drop of higher-id near-duplicates.
+    // k = 8 / threshold = 0.35 are mirrored as LIMIT 8 / >= 0.35
+    // literals in the oracle SQL — change both together.
     "q_semantic_dedup" -> ((s, dir) =>
       ops.Clustering.semanticDedup(t(s, dir, "embeddings"), k = 8,
           threshold = 0.35)
@@ -2762,7 +2764,11 @@ FROM canon ORDER BY doc_id""",
 
     // Assignment CTE is q_kmeans_assign's verbatim; the within-cluster
     // cosine uses the same ordered-fold dot + hoisted sqrt norms as the
-    // Spark side, so the threshold compare is bit-exact.
+    // Spark side, so the threshold compare is bit-exact. The `LIMIT 8`
+    // and `>= 0.35` literals MUST track the k = 8 / threshold = 0.35
+    // arguments at the q_semantic_dedup call site in `queries` — change
+    // both together or the cross-engine compare silently diverges. The
+    // `a.nrm * b.nrm > 0` conjunct is the Spark side's zero-norm guard.
     "q_semantic_dedup" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
@@ -2793,7 +2799,8 @@ FROM canon ORDER BY doc_id""",
         |dropped AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        |  WHERE list_reduce(
+        |  WHERE a.nrm * b.nrm > 0
+        |    AND list_reduce(
         |          list_transform(generate_series(1, len(a.v)),
         |            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
         |        / (a.nrm * b.nrm) >= 0.35)

@@ -53,23 +53,47 @@ object Clustering {
     // NO window, NO Exchange — the plan the r7 verdict asked for.
     // struct ordering is lexicographic (dist, then cid), so ties
     // break to the smaller cid exactly as before.
-    val qv = Similarity.quantizeEmbeddings(embeddings)
-      .select(col("vec_id"),
-        transform(col("q_vec"), x => x.cast("double")).as("v"))
-      .withColumn("n2", graft.functions.DotOrdered(col("v"), col("v")))
-    val cents: Seq[(Long, Seq[Double], Double)] =
-      qv.orderBy("vec_id").limit(k).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    val candidates = array(cents.map { case (cid, cv, cn2) =>
-      struct(
-        (col("n2") + lit(cn2) -
-          lit(2.0) * graft.functions.DotOrdered(col("v"), typedLit(cv)))
-          .cast("long").as("dist"),
-        lit(cid).as("cid"))
-    }: _*)
-    qv.select(col("vec_id"), array_min(candidates).as("best"))
+    val qv = quantizedView(embeddings)
+    qv.select(col("vec_id"),
+        quantizedArgmin(seedCentroids(qv, k)).as("best"))
       .select(col("vec_id"), col("best.cid"), col("best.dist"))
   }
+
+  /** Quantized view shared by the assignment family: original columns
+    * plus the int8-quantized vector as doubles (`qv`) and its squared
+    * norm (`qn2`). One interpreted-HOF pass per row (see
+    * quantizeEmbeddings' hoisting note); everything downstream is the
+    * codegen'd DotOrdered loop.
+    */
+  private def quantizedView(embeddings: DataFrame): DataFrame =
+    Similarity.quantizeEmbeddings(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("q_vec"), x => x.cast("double")).as("qv"))
+      .withColumn("qn2", graft.functions.DotOrdered(col("qv"), col("qv")))
+
+  /** The k lowest-vec_id quantized rows, collected to the driver:
+    * (cid, centroid-vector, squared norm). Bounded by k, never by
+    * table size.
+    */
+  private def seedCentroids(qv: DataFrame, k: Int): Seq[(Long, Seq[Double], Double)] =
+    qv.select("vec_id", "qv", "qn2").orderBy("vec_id").limit(k)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  /** Per-row nearest-centroid argmin as ONE column over `qv`/`qn2`:
+    * `array_min` of k (dist, cid) structs built from centroid
+    * literals. Exact integer distances (see assignCentroids), ties to
+    * the smaller cid via lexicographic struct order.
+    */
+  private def quantizedArgmin(cents: Seq[(Long, Seq[Double], Double)])
+  : org.apache.spark.sql.Column =
+    array_min(array(cents.map { case (cid, cv, cn2) =>
+      struct(
+        (col("qn2") + lit(cn2) -
+          lit(2.0) * graft.functions.DotOrdered(col("qv"), typedLit(cv)))
+          .cast("long").as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space with nearest-centroid assignment
@@ -98,15 +122,23 @@ object Clustering {
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 8,
                     threshold: Double = 0.35): DataFrame = {
-    val asg = assignCentroids(embeddings, k).select("vec_id", "cid")
     // doubles + hoisted norms: sim below is dot/(n_a*n_b) — the identical
     // IEEE ops (and ordered-fold dot) as the DuckDB oracle, so the
     // threshold compare is bit-exact cross-engine (embeddingNearDup's
     // established parity argument).
-    val anno = embeddings
+    //
+    // The centroid assignment is the literal-fold argmin (see
+    // assignCentroids), so `anno` is ONE join-free projection over the
+    // embedding scan: (vec_id, cid, float-double vector, norm). It is
+    // referenced three times below (a-side, b-side, final output);
+    // with no join/window inside, each reference is a linear
+    // scan+project recompute — cheaper at corpus scale than caching
+    // the materialized vectors (r7 advice note).
+    val qv = quantizedView(embeddings)
+    val anno = qv
       .select(col("vec_id"),
+        quantizedArgmin(seedCentroids(qv, k)).getField("cid").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .join(asg, "vec_id")
       .withColumn("nrm", sqrt(graft.functions.DotOrdered(col("v"), col("v"))))
     val a = anno.select(col("cid"), col("vec_id").as("va"),
       col("v").as("v_a"), col("nrm").as("n_a"))
@@ -114,8 +146,13 @@ object Clustering {
       col("v").as("v_b"), col("nrm").as("n_b"))
     val dropped = a.join(b.hint("shuffle_hash"), Seq("cid"))
       .filter(col("va") < col("vb"))
-      .filter(graft.functions.DotOrdered(col("v_a"), col("v_b")) /
-        (col("n_a") * col("n_b")) >= threshold)
+      // zero-norm guard (r7 advice): an all-zero vector yields 0/0 = NaN
+      // cosine, and both engines order NaN above the threshold — without
+      // the guard zero vectors silently drop each other as "duplicates".
+      // The oracle carries the identical `n_a * n_b > 0` conjunct.
+      .filter(col("n_a") * col("n_b") > 0 &&
+        graft.functions.DotOrdered(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")) >= threshold)
       .select(col("vb").as("vec_id"))
       .distinct()
     anno.select("vec_id", "cid")
