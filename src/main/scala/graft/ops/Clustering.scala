@@ -113,15 +113,27 @@ object Clustering {
     * partition turns the O(n²) all-pairs verify into Σ O(|c|²), and k is
     * the knob that bounds |c| (grow k linearly with the corpus to hold
     * cluster sizes constant). The pair stage is a cid equi-join
-    * (shuffle_hash hinted — corpus-scale sides must never broadcast);
-    * at extreme cluster sizes the escape hatch is composing
-    * [[Similarity.embeddingNearDup]]'s LSH banding *within* clusters.
+    * (shuffle_hash hinted — corpus-scale sides must never broadcast).
+    *
+    * Oversized-cluster escape hatch (`lshMinClusterSize`): clusters at or
+    * above the threshold switch from all-pairs to hyperplane-LSH banding
+    * *within* the cluster ([[Similarity.embeddingNearDup]]'s candidate
+    * scheme, keyed on (cid, band_idx, band_val)) — candidate count drops
+    * from |c|² to collision pairs, at the standard LSH recall < 1 trade
+    * (a missed drop keeps a near-duplicate; never drops a non-duplicate,
+    * since every candidate is still exact-cosine verified with the same
+    * IEEE ops). The default (Long.MaxValue) keeps every cluster on the
+    * exact path and the plan identical to the oracle-checked one;
+    * ClusteringSpec exercises the LSH path and its containment property.
     *
     * Output: (vec_id, cid, kept) for every input vector, kept=false for
     * dropped ones.
     */
   def semanticDedup(embeddings: DataFrame, k: Int = 8,
-                    threshold: Double = 0.35): DataFrame = {
+                    threshold: Double = 0.35,
+                    lshMinClusterSize: Long = Long.MaxValue,
+                    nPlanes: Int = 16, bands: Int = 4,
+                    dim: Int = 64, lshSeed: Long = 7L): DataFrame = {
     // doubles + hoisted norms: sim below is dot/(n_a*n_b) — the identical
     // IEEE ops (and ordered-fold dot) as the DuckDB oracle, so the
     // threshold compare is bit-exact cross-engine (embeddingNearDup's
@@ -140,21 +152,76 @@ object Clustering {
         quantizedArgmin(seedCentroids(qv, k)).getField("cid").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.DotOrdered(col("v"), col("v"))))
-    val a = anno.select(col("cid"), col("vec_id").as("va"),
-      col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = anno.select(col("cid"), col("vec_id").as("vb"),
-      col("v").as("v_b"), col("nrm").as("n_b"))
-    val dropped = a.join(b.hint("shuffle_hash"), Seq("cid"))
-      .filter(col("va") < col("vb"))
-      // zero-norm guard (r7 advice): an all-zero vector yields 0/0 = NaN
-      // cosine, and both engines order NaN above the threshold — without
-      // the guard zero vectors silently drop each other as "duplicates".
-      // The oracle carries the identical `n_a * n_b > 0` conjunct.
+    // exact-cosine verify of candidate (va < vb) pairs; shared by both
+    // candidate generators. zero-norm guard (r7 advice): an all-zero
+    // vector yields 0/0 = NaN cosine, and both engines order NaN above
+    // the threshold — without the guard zero vectors silently drop each
+    // other as "duplicates". The oracle carries the identical
+    // `n_a * n_b > 0` conjunct.
+    def verifiedDrops(pairs: DataFrame): DataFrame = pairs
+      .join(anno.select(col("vec_id").as("va"), col("v").as("v_a"),
+        col("nrm").as("n_a")).hint("shuffle_hash"), "va")
+      .join(anno.select(col("vec_id").as("vb"), col("v").as("v_b"),
+        col("nrm").as("n_b")).hint("shuffle_hash"), "vb")
       .filter(col("n_a") * col("n_b") > 0 &&
         graft.functions.DotOrdered(col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")) >= threshold)
       .select(col("vb").as("vec_id"))
       .distinct()
+
+    val dropped =
+      if (lshMinClusterSize == Long.MaxValue) {
+        // exact path, all clusters: the oracle-checked plan. Pairs carry
+        // the vectors straight through the cid self-join (one shuffle) —
+        // no candidate/verify re-join needed.
+        val a = anno.select(col("cid"), col("vec_id").as("va"),
+          col("v").as("v_a"), col("nrm").as("n_a"))
+        val b = anno.select(col("cid"), col("vec_id").as("vb"),
+          col("v").as("v_b"), col("nrm").as("n_b"))
+        a.join(b.hint("shuffle_hash"), Seq("cid"))
+          .filter(col("va") < col("vb"))
+          .filter(col("n_a") * col("n_b") > 0 &&
+            graft.functions.DotOrdered(col("v_a"), col("v_b")) /
+              (col("n_a") * col("n_b")) >= threshold)
+          .select(col("vb").as("vec_id"))
+          .distinct()
+      } else {
+        // split by cluster size: |sizes| ≤ k rows, always broadcastable
+        val sizes = anno.groupBy("cid").agg(count(lit(1)).as("_csz"))
+        val annoSz = anno.join(broadcast(sizes), "cid")
+        val small = annoSz.filter(col("_csz") < lshMinClusterSize)
+        val smallPairs = small
+          .select(col("cid"), col("vec_id").as("va"))
+          .join(small.select(col("cid"), col("vec_id").as("vb"))
+            .hint("shuffle_hash"), Seq("cid"))
+          .filter(col("va") < col("vb"))
+          .select("va", "vb")
+        // LSH banding within oversized clusters: nPlanes sign bits split
+        // into `bands` bands of r bits; candidates only where a whole
+        // band collides inside the SAME cluster.
+        val big = annoSz.filter(col("_csz") >= lshMinClusterSize)
+        val r = nPlanes / bands
+        require(nPlanes % bands == 0,
+          s"nPlanes=$nPlanes not divisible by bands=$bands")
+        val mask = (1L << r) - 1
+        val bucketed = big.select(col("cid"), col("vec_id"),
+          Similarity.hyperplaneBucket(col("v"), nPlanes, dim, lshSeed)
+            .as("bucket"))
+        val bandCols = (0 until bands).map { j =>
+          shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+        }
+        val bt = bucketed.select(col("cid"), col("vec_id"),
+          posexplode(array(bandCols: _*)).as(Seq("bi", "bv")))
+        val bigPairs = bt
+          .select(col("cid"), col("bi"), col("bv"), col("vec_id").as("va"))
+          .join(bt.select(col("cid"), col("bi"), col("bv"),
+            col("vec_id").as("vb")).hint("shuffle_hash"),
+            Seq("cid", "bi", "bv"))
+          .filter(col("va") < col("vb"))
+          .select("va", "vb")
+          .distinct()
+        verifiedDrops(smallPairs.union(bigPairs))
+      }
     anno.select("vec_id", "cid")
       .join(dropped.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),

@@ -73,6 +73,56 @@ class ClusteringSpec extends SparkSpec {
       "high-cos pair split across clusters is not compared")
   }
 
+  test("semanticDedup LSH escape hatch: drops contained in exact drops, " +
+    "same-direction duplicates always caught") {
+    val d = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)),
+      (2L, Seq(9.5f, 0f)), (3L, Seq(0f, 9.5f)),
+      (4L, Seq(8f, 3f)), (5L, Seq(7f, 6.95f)), (6L, Seq(6.95f, 7f))
+    ).toDF("vec_id", "embedding")
+    val exact = Clustering.semanticDedup(d, k = 2, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    // lshMinClusterSize = 1: every cluster takes the banded path
+    val lsh = Clustering.semanticDedup(d, k = 2, threshold = 0.99,
+        lshMinClusterSize = 1, nPlanes = 16, bands = 4, dim = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(lsh.size == 7, "every input vector appears in the output")
+    // candidates are exact-verified, so LSH can only MISS drops, never
+    // add them: kept_exact ⊆ kept_lsh
+    exact.foreach { case (vid, kept) =>
+      if (kept) assert(lsh(vid), s"vec $vid kept by exact but dropped by LSH")
+    }
+    // a cos=1 pair shares the sign of every hyperplane dot → collides in
+    // every band → always a candidate → always dropped
+    assert(!lsh(2L) && !lsh(3L), "same-direction duplicates dropped")
+    // on this fixture the banded path loses nothing: identical verdicts
+    assert(lsh == exact)
+  }
+
+  test("semanticDedup: mixed cluster sizes route small exact, big banded") {
+    // cluster of seed 0: 12 members (big); cluster of seed 1: 3 (small).
+    // planted duplicate in each cluster must drop on its respective path.
+    val r = new scala.util.Random(11)
+    val bigSide = (0 until 12).map { i =>
+      (if (i == 0) 0L else i + 1L,
+        Seq(10f + r.nextFloat() * 0.01f, r.nextFloat() * 0.01f))
+    }
+    val smallSide = Seq(
+      (1L, Seq(0f, 10f)), (20L, Seq(0f, 9.7f)), (21L, Seq(3f, 8f)))
+    val d = (bigSide ++ smallSide).toDF("vec_id", "embedding")
+    val got = Clustering.semanticDedup(d, k = 2, threshold = 0.999,
+        lshMinClusterSize = 10, nPlanes = 16, bands = 8, dim = 2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.size == 15)
+    assert(got(0L) && got(1L), "seeds kept")
+    // the big cluster's near-identical members collide (tiny angular
+    // spread) and drop; the small cluster's 20 drops via the exact path
+    assert(!got(20L), "small-cluster duplicate dropped on exact path")
+    assert(bigSide.map(_._1).count(id => !got(id)) >= 10,
+      "big-cluster near-identical members dropped on banded path")
+    assert(got(21L), "below-threshold small-cluster mate kept")
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
