@@ -2801,7 +2801,7 @@ FROM canon ORDER BY doc_id""",
         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |  WHERE a.nrm * b.nrm > 0
         |    AND list_reduce(
-        |          list_transform(generate_series(1, len(a.v)),
+        |          list_transform(generate_series(1, least(len(a.v), len(b.v))),
         |            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
         |        / (a.nrm * b.nrm) >= 0.35)
         |SELECT n.vec_id, n.cid, dropped.vec_id IS NULL AS kept

@@ -50,6 +50,18 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q_kmeans_assign plans zero joins, windows, or hash shuffles (r8)") {
+    // the literal-fold argmin must stay a pure projection: scan →
+    // project → (range sort for the ORDER BY). Any Join/Window/hash
+    // Exchange here means the centroid crossJoin crept back.
+    val plan = SparkEntry.queries("q_kmeans_assign")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+  }
+
   test("fact table date partitioning prunes at the scan (S7)") {
     val root = Files.createTempDirectory("graft_prune").toString
     val landing = s"$root/landing"
