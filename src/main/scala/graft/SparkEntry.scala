@@ -940,7 +940,20 @@ mpairs AS (
     "q_semantic_dedup" -> ((s, dir) =>
       ops.Clustering.semanticDedup(t(s, dir, "embeddings"), k = 8,
           threshold = 0.35)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Incremental SemDeDup (nearDupAgainst's embedding-space twin):
+    // even vec_ids play the landed corpus, odd the incoming batch;
+    // corpus-seeded centroids, incoming dropped on any >= 0.35 corpus
+    // mate in its cluster. Same literal-tie rule as q_semantic_dedup.
+    "q_semantic_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Clustering.semanticDedupAgainst(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 8, threshold = 0.35)
+        .orderBy("vec_id")
+    })
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -2806,6 +2819,51 @@ FROM canon ORDER BY doc_id""",
         |        / (a.nrm * b.nrm) >= 0.35)
         |SELECT n.vec_id, n.cid, dropped.vec_id IS NULL AS kept
         |FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+
+    // Incremental SemDeDup: quantize/assign CTEs as q_semantic_dedup but
+    // centroids seeded from the even-id (corpus) side only; the drop
+    // probe is corpus-vs-incoming, never a self-pair on either side.
+    "q_semantic_incr" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+        |         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |         ELSE 0.0 END AS q_scale
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS BIGINT)) AS v
+        |       FROM q),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM qv
+        |         WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT qv.vec_id, cent.cid,
+        |        list_sum(list_transform(generate_series(1, len(qv.v)),
+        |          i -> (qv.v[i] - cent.cv[i]) * (qv.v[i] - cent.cv[i]))) AS dist
+        |      FROM qv CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cid FROM
+        |          (SELECT vec_id, cid,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |           FROM d) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cid,
+        |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |        sqrt(list_reduce(
+        |          list_transform(generate_series(1, len(e.embedding)),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |          (x, y) -> x + y)) AS nrm
+        |      FROM embeddings e JOIN asg a USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.cid = b.cid
+        |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |  WHERE a.nrm * b.nrm > 0
+        |    AND list_reduce(
+        |          list_transform(generate_series(1, least(len(a.v), len(b.v))),
+        |            i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |        / (a.nrm * b.nrm) >= 0.35)
+        |SELECT n.vec_id, n.cid, dropped.vec_id IS NULL AS kept
+        |FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+        |WHERE n.vec_id % 2 = 1
         |ORDER BY n.vec_id""".stripMargin
   )
 }

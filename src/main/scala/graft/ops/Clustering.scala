@@ -228,6 +228,53 @@ object Clustering {
         col("_dropped").isNull.as("kept"))
   }
 
+  /** Incremental SemDeDup — today's batch against the landed corpus, the
+    * [[graft.ops.text.Dedup.nearDupAgainst]] shape in embedding space:
+    * an incoming vector is dropped iff SOME corpus vector in its cluster
+    * has cosine >= `threshold`. No corpus self-pairing and no
+    * incoming self-pairing (two near-identical vectors arriving in the
+    * same batch both land — they meet the next run, exactly like
+    * nearDupAgainst; run [[semanticDedup]] within the batch first when
+    * that matters).
+    *
+    * Centroids are seeded from the CORPUS (k lowest vec_ids), so cluster
+    * geometry is stable across runs regardless of batch content — on a
+    * real deployment they are the persisted model, recomputed only when
+    * the corpus drifts. Both sides share the same literal-fold argmin
+    * (zero shuffle); the verify is one cid equi-join where the corpus
+    * side is the big build at steady state (shuffle_hash — never
+    * broadcast a corpus-scale relation).
+    *
+    * Output: (vec_id, cid, kept) for every INCOMING vector.
+    */
+  def semanticDedupAgainst(corpus: DataFrame, incoming: DataFrame,
+                           k: Int = 8, threshold: Double = 0.35): DataFrame = {
+    val qc = quantizedView(corpus)
+    val cents = seedCentroids(qc, k)
+    def anno(qv: DataFrame): DataFrame = qv
+      .select(col("vec_id"),
+        quantizedArgmin(cents).getField("cid").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotOrdered(col("v"), col("v"))))
+    val annoC = anno(qc)
+    val annoI = anno(quantizedView(incoming))
+    val dropped = annoI
+      .select(col("cid"), col("vec_id").as("vb"),
+        col("v").as("v_b"), col("nrm").as("n_b"))
+      .join(annoC.select(col("cid"), col("v").as("v_a"),
+        col("nrm").as("n_a")).hint("shuffle_hash"), Seq("cid"))
+      // zero-norm guard: see semanticDedup
+      .filter(col("n_a") * col("n_b") > 0 &&
+        graft.functions.DotOrdered(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")) >= threshold)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    annoI.select("vec_id", "cid")
+      .join(dropped.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("_dropped").isNull.as("kept"))
+  }
+
   /** Lloyd's k-means over the float embeddings: deterministic id-seeded
     * centroids, `iters` fixed iterations (fixed count keeps runs
     * reproducible; convergence is observable in the returned inertia

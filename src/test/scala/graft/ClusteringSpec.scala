@@ -123,6 +123,30 @@ class ClusteringSpec extends SparkSpec {
     assert(got(21L), "below-threshold small-cluster mate kept")
   }
 
+  test("semanticDedupAgainst: corpus mates drop incoming, no self-pairing") {
+    // corpus: 0 and 1 seed two clusters at 90°, 2 a cluster-0 mate at
+    // ~20.6°. τ=0.99 ⇒ drop radius ≈ 8.1°. incoming: 10 duplicates
+    // corpus 0's direction (dropped); 11 is cluster-1 but dissimilar
+    // (kept); 12 and 13 are IDENTICAL to each other at ~10.3° — beyond
+    // 8.1° of both corpus directions (0° and 20.6°), so neither has a
+    // corpus mate, and both are kept (no incoming self-pairing).
+    val corpus = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)), (2L, Seq(8f, 3f))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Seq(9.5f, 0f)), (11L, Seq(3f, 8f)),
+      (12L, Seq(9.84f, 1.79f)), (13L, Seq(9.84f, 1.79f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semanticDedupAgainst(corpus, incoming,
+        k = 2, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.size == 4, "output covers exactly the incoming batch")
+    assert(!got(10L), "incoming duplicate of a corpus vector dropped")
+    assert(got(11L), "dissimilar incoming kept")
+    assert(got(12L) && got(13L),
+      "incoming-only near-pair both kept (no incoming self-pairing)")
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
