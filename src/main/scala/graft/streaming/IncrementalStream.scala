@@ -617,4 +617,142 @@ object IncrementalStream {
           }
       }
   }
+
+  /** One verified embedding near-dup pair from the stream; `sim` is the
+    * exact cosine (unlike the MinHash twin's signature estimate — the
+    * hyperplane bucket is only nPlanes bits, so state can afford to carry
+    * the full vector and verify exactly). `pair_time` is the later
+    * vector's event time.
+    */
+  case class EmbedPair(vec_a: Long, vec_b: Long, sim: Double,
+                       pair_time: java.sql.Timestamp)
+
+  /** State-encoder types for the hyperplane buckets (public for Spark's
+    * state codegen, like [[BucketEntry]]). `bits` is the vector's full
+    * nPlanes-bit bucket — enough to compute any pair's minimum matching
+    * band locally.
+    */
+  case class EmbedEntry(vecId: Long, bits: Long, emb: Array[Float],
+                        norm: Double, eventMs: Long)
+  case class EmbedBucketState(entries: List[EmbedEntry])
+
+  /** Streaming twin of graft.ops.Similarity.embeddingNearDup: online
+    * hyperplane-LSH near-duplicate detection of an embedding stream
+    * against itself within the watermark horizon — "dedup the embedded
+    * crawl as it lands", completing the streaming dedup family (exact →
+    * [[exactDedupStream]], MinHash → [[nearDupPairsStream]], embedding →
+    * here).
+    *
+    * Same physics as the MinHash twin:
+    *  - the nPlanes sign bits are computed PER ROW (codegen'd DotOrdered
+    *    folds against literal hyperplanes — zero shuffle, scales with
+    *    input rate); bands of r = nPlanes/bands bits are the group keys;
+    *  - state per (band_idx, band_val) bucket holds the (vec_id, bits,
+    *    vector, norm, event-time) of arrivals within the watermark,
+    *    evicted by event-time timeout — horizon-bounded, never
+    *    corpus-bounded (vector payload is dim floats per entry; at dim 64
+    *    that is ~0.3 KB — carrying it lets the stream verify EXACT cosine
+    *    where the MinHash twin must settle for signature agreement);
+    *  - each arrival compares against its bucket's survivors (exact
+    *    ordered-fold cosine >= `threshold`, zero-norm guarded) and
+    *    enrolls; `maxBucketSize` caps boilerplate buckets (past the cap
+    *    arrivals compare but stop enrolling);
+    *  - exactly-once pair emission: a pair colliding in several bands
+    *    emits only from its MINIMUM fully-matching band, computed from
+    *    the two stored bit sets ((a XOR b) masked per band) — no second
+    *    stateful operator;
+    *  - re-delivered vec_ids refresh their horizon without re-comparing.
+    *
+    * Cross-horizon semantic dedup stays a batch job
+    * ([[graft.ops.Clustering.semanticDedupAgainst]] against the landed
+    * corpus), mirroring the exact/MinHash twins' contract.
+    */
+  def embedNearDupStream(vecs: DataFrame, watermark: String = "1 hour",
+                         nPlanes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.35, dim: Int = 64,
+                         seed: Long = 7L,
+                         maxBucketSize: Int = 1024): Dataset[EmbedPair] = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    require(maxBucketSize > 0, s"maxBucketSize must be positive")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    import vecs.sparkSession.implicits._
+
+    val bucketed = vecs
+      .select(col("vec_id").cast("long").as("vec_id"), col("event_time"),
+        col("embedding"),
+        graft.ops.Similarity.hyperplaneBucket(col("embedding"), nPlanes, dim, seed)
+          .as("bits"))
+    val bandVals = array((0 until bands).map { j =>
+      shiftright(col("bits"), j * r).bitwiseAND(lit(mask))
+    }: _*)
+    val banded = bucketed
+      .select(col("vec_id"), col("event_time"), col("embedding"), col("bits"),
+        posexplode(bandVals).as(Seq("band_idx", "band_val")))
+      .withWatermark("event_time", watermark)
+
+    // minimum band on which the two bit sets fully agree (the colliding
+    // group's own band matches by construction, so min exists)
+    def minMatchingBand(a: Long, b: Long): Int = {
+      val x = a ^ b
+      var j = 0
+      while (j < bands) {
+        if (((x >>> (j * r)) & mask) == 0L) return j
+        j += 1
+      }
+      -1
+    }
+    // exact ordered-fold cosine over the common prefix — the identical
+    // IEEE sequence to the batch operator's DotOrdered/(norm_a*norm_b)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+    banded
+      .as[(Long, java.sql.Timestamp, Seq[Float], Long, Int, Long)]
+      .groupByKey(t => (t._5, t._6))
+      .flatMapGroupsWithState[EmbedBucketState, EmbedPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((bandIdx, _), rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(_.eventMs >= wm)
+          def rearm(): Unit =
+            if (entries.isEmpty) state.remove()
+            else { state.update(EmbedBucketState(entries)); state.setTimeoutTimestamp(wm + 60000L) }
+          if (rows.isEmpty && state.hasTimedOut) { rearm(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[EmbedPair]
+            rows.toSeq.sortBy(t => (t._2.getTime, t._1)).foreach { t =>
+              val (id, ts, embSeq, bits, _, _) = t
+              val emb = embSeq.toArray
+              val nrm = norm(emb)
+              val (self, others) = entries.partition(_.vecId == id)
+              if (self.isEmpty) {
+                others.foreach { e =>
+                  if (minMatchingBand(e.bits, bits) == bandIdx) {
+                    // zero-norm guard, like the batch family (r7 advice)
+                    val denom = e.norm * nrm
+                    if (denom > 0) {
+                      val sim = dot(e.emb, emb) / denom
+                      if (sim >= threshold)
+                        out += EmbedPair(math.min(e.vecId, id), math.max(e.vecId, id),
+                          sim, ts)
+                    }
+                  }
+                }
+              }
+              if (self.nonEmpty || others.size < maxBucketSize)
+                entries = EmbedEntry(id, bits, emb, nrm, ts.getTime) :: others
+            }
+            rearm()
+            out.iterator
+          }
+      }
+  }
 }

@@ -382,6 +382,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: exact-cosine pairs within the watermark, eviction past it") {
+    import IncrementalStream.EmbedPair
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val v = Seq(1f, 0f, 0f, 0f)
+    val near = Seq(0.99f, 0.01f, 0f, 0f) // cos ≈ 0.99995
+    val ortho = Seq(0f, 1f, 0f, 0f)
+    val later = Seq(0f, 0f, 1f, 0f)
+    val pairs = IncrementalStream.embedNearDupStream(
+      mem.toDF().toDF("vec_id", "embedding", "event_time"),
+      watermark = "10 minutes", threshold = 0.9, dim = 4)
+    val q = pairs.writeStream.format("memory").queryName("embeddup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, v, ts(0)), (2L, near, ts(1)), (3L, ortho, ts(2)))
+      q.processAllAvailable()
+      mem.addData((4L, v, ts(5))) // exact copy of 1, within the horizon
+      q.processAllAvailable()
+      mem.addData((4L, v, ts(6))) // re-delivery: must NOT re-emit pairs
+      q.processAllAvailable()
+      mem.addData((5L, later, ts(60))) // advances the watermark past 1/2/4
+      q.processAllAvailable()
+      mem.addData((6L, v, ts(61))) // copy of 1 AFTER eviction: no pair
+      q.processAllAvailable()
+
+      val got = spark.table("embeddup_stream").as[EmbedPair].collect().toSeq
+      assert(got.map(p => (p.vec_a, p.vec_b)).toSet ==
+        Set((1L, 2L), (1L, 4L), (2L, 4L)),
+        s"unexpected pair set: ${got.map(p => (p.vec_a, p.vec_b)).toSet}")
+      assert(got.size == 3, "multi-band collisions must dedup to one row per pair")
+      // the exact copy verifies at cosine exactly 1; all pairs clear τ
+      got.find(p => (p.vec_a, p.vec_b) == ((1L, 4L))).foreach(p =>
+        assert(p.sim == 1.0))
+      assert(got.forall(_.sim >= 0.9))
+    } finally q.stop()
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
