@@ -36,14 +36,23 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Session-level legacy flag; harmless for non-nanos files (it only
-      // affects TIMESTAMP(NANOS) columns) but required *before* the footer
-      // schema is resolved when the file IS nanos-encoded. Set once
-      // (idempotent guard — avoid re-mutating shared session config on every
-      // read, VERDICT r1 #4).
-      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Footer schema resolves eagerly at read, so a nanos-encoded file
+      // throws here unless the legacy conf is already set. Try the clean
+      // read first — the common (timestamp[us]) path then never mutates
+      // shared session config; only the legacy-nanos retry sets the flag
+      // (session-level by necessity: it must be visible before footer
+      // conversion).
+      val path = s"$dir/$name.parquet"
+      val df =
+        try spark.read.parquet(path)
+        catch {
+          // AnalysisException (PARQUET_TYPE_ILLEGAL) in recent Spark;
+          // matched on message to stay robust across error-class renames
+          case e: Exception if Option(e.getMessage).exists(m =>
+            m.contains("TIMESTAMP(NANOS") || m.contains("PARQUET_TYPE_ILLEGAL")) =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000L)"))
