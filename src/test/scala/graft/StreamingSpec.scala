@@ -420,6 +420,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup ≡ batch embeddingNearDup on one drained batch") {
+    // same hyperplanes/bands/seed ⇒ identical candidate sets; both verify
+    // exact cosine ⇒ the drained stream must reproduce the batch operator's
+    // pair set (and sims) exactly. 60 seeded vectors with planted near-dups.
+    import IncrementalStream.EmbedPair
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 60).map { i =>
+      val v =
+        if (i >= 3 && i % 7 == 0) // planted near-dup of an earlier vector
+          (0 until dim).map(d => (math.sin((i % 3) + d * 0.7) + rnd.nextGaussian() * 0.01).toFloat)
+        else (0 until dim).map(_ => rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val batchPairs = graft.ops.Similarity.embeddingNearDup(
+      vecs.toDF("vec_id", "embedding"), nPlanes = 16, bands = 4,
+      threshold = 0.5, dim = dim, seed = 7L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b, s) }.toSet
+
+    val base = DataGen.defaultBaseMs
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+    val stream = IncrementalStream.embedNearDupStream(
+      mem.toDF().toDF("vec_id", "embedding", "event_time"),
+      watermark = "1 hour", nPlanes = 16, bands = 4,
+      threshold = 0.5, dim = dim, seed = 7L)
+    val q = stream.writeStream.format("memory").queryName("embeddup_equiv")
+      .outputMode("append").start()
+    try {
+      mem.addData(vecs.map { case (id, v) =>
+        (id, v, new java.sql.Timestamp(base + id * 1000L)) })
+      q.processAllAvailable()
+      val streamPairs = spark.table("embeddup_equiv").as[EmbedPair].collect()
+        .map(p => (p.vec_a, p.vec_b, p.sim)).toSet
+      assert(streamPairs == batchPairs,
+        s"stream ${streamPairs.size} pairs vs batch ${batchPairs.size}:\n" +
+          s"only-stream=${streamPairs -- batchPairs}\nonly-batch=${batchPairs -- streamPairs}")
+      assert(batchPairs.nonEmpty, "fixture must plant at least one near-dup pair")
+    } finally q.stop()
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
