@@ -755,6 +755,16 @@ mpairs AS (
           round(col("char_entropy_bits"), 6).as("char_entropy_bits"))
         .orderBy("doc_id")),
 
+    // Corpus-trained bigram LM scoring (CCNet perplexity-filter shape):
+    // avg token log-prob under the corpus's own add-0.4-smoothed bigram
+    // model. ln compares at the stable 6-decimal rounding (charEntropy's
+    // precedent); counts/V/smoothing are exact-integer-derived doubles.
+    "q_lm_score" -> ((s, dir) =>
+      TextStats.lmScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
     "q_topk_per_lang" -> ((s, dir) =>
@@ -2649,6 +2659,25 @@ FROM canon ORDER BY doc_id""",
         |SELECT doc_id, CAST(count(*) AS INT) AS n_distinct_chars,
         | round(-sum(p * log2(p)), 6) AS char_entropy_bits
         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM scoring: identical count/smoothing arithmetic, ln at the
+    // 6-decimal stable rounding. α=0.4 must track lmScore's default.
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1 FROM pos),
+        |uni AS (SELECT w, count(*) AS c1 FROM
+        |          (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |voc AS (SELECT count(*) AS v FROM uni),
+        |scored AS (
+        |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |    avg(ln((c2 + 0.4) / (c1 + 0.4 * voc.v))) AS avg_logp
+        |  FROM grams g JOIN bi USING (bg) JOIN uni ON g.w1 = uni.w CROSS JOIN voc
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, s.n_bigrams, round(s.avg_logp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Naive form of the sliding-window span dedup: md5 grams (hash
     // equality only — the Spark side uses xxhash64), lag-based island

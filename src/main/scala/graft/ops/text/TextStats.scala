@@ -91,6 +91,55 @@ object TextStats {
         (-sum(col("p") * log(2.0, col("p")))).as("char_entropy_bits"))
   }
 
+  /** Corpus-trained bigram LM document scoring — the CCNet
+    * perplexity-filter shape (Wenzek et al., LREC 2020: score web text by
+    * average token log-probability under a language model; low scores
+    * flag gibberish, boilerplate, and OCR noise for removal or
+    * down-sampling). The LM here is the corpus's own add-α-smoothed
+    * bigram model: P(w₂|w₁) = (c(w₁w₂)+α) / (c(w₁)+α·V) with V the
+    * corpus vocabulary size — self-trained scoring ranks documents by
+    * in-corpus typicality, the same signal CCNet gets from a reference
+    * LM without shipping one.
+    *
+    * Output: (doc_id, n_bigrams, avg_logp) for EVERY input document —
+    * docs with fewer than 2 tokens have no bigrams and carry nulls.
+    * `avg_logp` is natural-log average token log-prob; callers threshold
+    * or quantile-gate it (see [[graft.ops.text.Corpus]] quantileGate).
+    *
+    * Cross-engine parity: probabilities are built from exact integer
+    * counts with identical double arithmetic on both engines; `ln` is
+    * libm-dependent at the last ulp, so the oracle-facing query compares
+    * at the established stable 6-decimal rounding (charEntropy's
+    * precedent).
+    *
+    * Scale posture (100 TB): two map-side-combinable count aggregates
+    * (unigram, bigram) + one scalar vocab row; scoring is TWO equi-joins
+    * of the per-position bigram stream against those count tables
+    * (shuffle_hash — corpus-scale counts never broadcast) and one
+    * combinable per-doc average. No windows, no all-pairs anywhere;
+    * everything grows linearly with the token stream.
+    */
+  def lmScore(documents: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
+    val scored = grams
+      .join(bi.hint("shuffle_hash"), Seq("bg"))
+      .join(uni.hint("shuffle_hash"), col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("logp")).as("avg_logp"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

@@ -33,7 +33,10 @@ class PlanGuardSpec extends SparkSpec {
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
-      "q_bm25")
+      "q_bm25",
+      // lmScore's 1-row vocabulary-size scalar broadcast over the scored
+      // bigram stream (BM25's corpus-stats pattern)
+      "q_lm_score")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

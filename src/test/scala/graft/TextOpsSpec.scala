@@ -227,6 +227,45 @@ class TextOpsSpec extends SparkSpec {
       math.abs(ent(2) - 2.0) < 1e-12, s"entropies $ent")
   }
 
+  test("lmScore: hand-computed bigram log-probs, nulls below 2 tokens") {
+    // corpus: "a b a b" and "a b" and "x". uni: a=3 b=3 x=1, V=3.
+    // bigrams: doc1 = (a b),(b a),(a b); doc2 = (a b) ⇒ c2(a b)=3, c2(b a)=1
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, alpha = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Int]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.size == 3, "every doc appears")
+    assert(got(3L) == ((None, None)), "single-token doc carries nulls")
+    val v = 3.0
+    val pAB = (3 + 0.4) / (3 + 0.4 * v) // P(b|a)
+    val pBA = (1 + 0.4) / (3 + 0.4 * v) // P(a|b)
+    val exp1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    val exp2 = math.log(pAB)
+    assert(got(1L)._1.contains(3) && got(2L)._1.contains(1))
+    assert(math.abs(got(1L)._2.get - exp1) < 1e-12, s"doc1 ${got(1L)._2}")
+    assert(math.abs(got(2L)._2.get - exp2) < 1e-12, s"doc2 ${got(2L)._2}")
+    // the common-bigram doc scores above the rare-bigram doc
+    assert(got(2L)._2.get > got(1L)._2.get)
+  }
+
+  test("lmScore: typical docs outscore gibberish on a seeded corpus") {
+    val rnd = new scala.util.Random(5)
+    val common = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog")
+    val gibberish = (1 to 3).map(i =>
+      (1 to 9).map(_ => s"zq${rnd.nextInt(100000)}").mkString(" "))
+    val docs = (common ++ gibberish).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scores = TextStats.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val commonAvg = (0 until 50).map(scores(_)).sum / 50
+    val gibAvg = (50 until 53).map(i => scores(i.toLong)).sum / 3
+    assert(commonAvg > gibAvg + 1.0,
+      s"common=$commonAvg should clearly outscore gibberish=$gibAvg")
+  }
+
   test("clusterComponents: chains converge to the min label") {
     // two components: a 5-chain (needs multiple propagation rounds) and a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
