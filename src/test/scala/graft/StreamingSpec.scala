@@ -420,6 +420,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: maxBucketSize caps enrolment, not comparison") {
+    // cap=1: the first arrival enrolls; later identical vectors COMPARE
+    // against the enrolled survivor (pairing with it) but do not enroll,
+    // so they never pair with EACH OTHER — the documented cap trade.
+    import IncrementalStream.EmbedPair
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val v = Seq(1f, 0f, 0f, 0f)
+    val stream = IncrementalStream.embedNearDupStream(
+      mem.toDF().toDF("vec_id", "embedding", "event_time"),
+      watermark = "10 minutes", threshold = 0.9, dim = 4, maxBucketSize = 1)
+    val q = stream.writeStream.format("memory").queryName("embeddup_cap")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, v, ts(0)))
+      q.processAllAvailable()
+      mem.addData((2L, v, ts(1)))
+      q.processAllAvailable()
+      mem.addData((3L, v, ts(2)))
+      q.processAllAvailable()
+      val got = spark.table("embeddup_cap").as[EmbedPair].collect()
+        .map(p => (p.vec_a, p.vec_b)).toSet
+      assert(got == Set((1L, 2L), (1L, 3L)),
+        s"cap=1 must pair later arrivals with the enrolled survivor only: $got")
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup ≡ batch embeddingNearDup on one drained batch") {
     // same hyperplanes/bands/seed ⇒ identical candidate sets; both verify
     // exact cosine ⇒ the drained stream must reproduce the batch operator's

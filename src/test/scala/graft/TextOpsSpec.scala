@@ -266,6 +266,38 @@ class TextOpsSpec extends SparkSpec {
       s"common=$commonAvg should clearly outscore gibberish=$gibAvg")
   }
 
+  test("lmScore: equals a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val vocabWords = (0 until 20).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 2 + rnd.nextInt(11))
+        .map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+    }
+    val alpha = 0.4
+    // reference model computed independently in Scala
+    val tokenized = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = tokenized.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val bi = tokenized.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size.toDouble
+    val expected = tokenized.map { case (id, t) =>
+      val lps = t.sliding(2).filter(_.size == 2).toSeq.map { bg =>
+        math.log((bi(bg.mkString(" ")) + alpha) / (uni(bg.head) + alpha * v))
+      }
+      id -> (if (lps.isEmpty) None else Some(lps.sum / lps.size))
+    }.toMap
+    val got = TextStats.lmScore(docs.toDF("doc_id", "text"), alpha)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, exp) =>
+      (exp, got(id)) match {
+        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"doc $id: $g vs $e")
+        case (a, b) => assert(a == b, s"doc $id: $b vs $a")
+      }
+    }
+  }
+
   test("clusterComponents: chains converge to the min label") {
     // two components: a 5-chain (needs multiple propagation rounds) and a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
