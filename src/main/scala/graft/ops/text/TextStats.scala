@@ -101,10 +101,16 @@ object TextStats {
     * in-corpus typicality, the same signal CCNet gets from a reference
     * LM without shipping one.
     *
+    * `order` generalizes to n-gram models: P(wₙ|ctx) with the (n−1)-gram
+    * context counts as denominator (order=2 ⇒ bigram/unigram, the
+    * default; order=3 ⇒ trigram/bigram — closer to CCNet's 5-gram KenLM
+    * in spirit, with the same smoothing).
+    *
     * Output: (doc_id, n_bigrams, avg_logp) for EVERY input document —
-    * docs with fewer than 2 tokens have no bigrams and carry nulls.
-    * `avg_logp` is natural-log average token log-prob; callers threshold
-    * or quantile-gate it (see [[graft.ops.text.Corpus]] quantileGate).
+    * docs with fewer than `order` tokens have no n-grams and carry
+    * nulls. `avg_logp` is natural-log average token log-prob; callers
+    * threshold or quantile-gate it (see [[graft.ops.text.Corpus]]
+    * quantileGate).
     *
     * Cross-engine parity: probabilities are built from exact integer
     * counts with identical double arithmetic on both engines; `ln` is
@@ -119,18 +125,26 @@ object TextStats {
     * combinable per-doc average. No windows, no all-pairs anywhere;
     * everything grows linearly with the token stream.
     */
-  def lmScore(documents: DataFrame, alpha: Double = 0.4): DataFrame = {
+  def lmScore(documents: DataFrame, alpha: Double = 0.4,
+              order: Int = 2): DataFrame = {
+    require(order >= 2, s"order=$order must be >= 2")
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks
-      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    val bi = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val vocab = uni.agg(count(lit(1)).as("v")) // 1 row — broadcast scalar
+      .select(col("doc_id"), explode(shingles(col("t"), order)).as("ng"))
+      .withColumn("ctx", substring_index(col("ng"), " ", order - 1))
+    // context counts over ALL (order-1)-gram positions (for order=2 this
+    // is exactly the unigram count table)
+    val ctxCounts = toks
+      .select(explode(shingles(col("t"), order - 1)).as("cw"))
+      .groupBy("cw").agg(count(lit(1)).as("c1"))
+    val ngCounts = grams.groupBy("ng").agg(count(lit(1)).as("c2"))
+    // smoothing mass is always over the UNIGRAM vocabulary (the
+    // continuation word ranges over V regardless of order)
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("v")) // 1 row — broadcast scalar
     val scored = grams
-      .join(bi.hint("shuffle_hash"), Seq("bg"))
-      .join(uni.hint("shuffle_hash"), col("w1") === col("w"))
+      .join(ngCounts.hint("shuffle_hash"), Seq("ng"))
+      .join(ctxCounts.hint("shuffle_hash"), col("ctx") === col("cw"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
         log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))

@@ -274,26 +274,35 @@ class TextOpsSpec extends SparkSpec {
         .map(_ => vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
     }
     val alpha = 0.4
-    // reference model computed independently in Scala
     val tokenized = docs.map { case (id, t) => id -> t.split(" ").toSeq }
-    val uni = tokenized.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
-    val bi = tokenized.flatMap { case (_, t) => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
-      .groupBy(identity).view.mapValues(_.size).toMap
-    val v = uni.size.toDouble
-    val expected = tokenized.map { case (id, t) =>
-      val lps = t.sliding(2).filter(_.size == 2).toSeq.map { bg =>
-        math.log((bi(bg.mkString(" ")) + alpha) / (uni(bg.head) + alpha * v))
-      }
-      id -> (if (lps.isEmpty) None else Some(lps.sum / lps.size))
-    }.toMap
-    val got = TextStats.lmScore(docs.toDF("doc_id", "text"), alpha)
-      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
-      .toMap
-    assert(got.keySet == expected.keySet)
-    expected.foreach { case (id, exp) =>
-      (exp, got(id)) match {
-        case (Some(e), Some(g)) => assert(math.abs(e - g) < 1e-9, s"doc $id: $g vs $e")
-        case (a, b) => assert(a == b, s"doc $id: $b vs $a")
+    val v = tokenized.flatMap(_._2).distinct.size.toDouble
+    // reference model computed independently in Scala, any order
+    def reference(order: Int): Map[Long, Option[Double]] = {
+      def counts(n: Int) = tokenized
+        .flatMap { case (_, t) => t.sliding(n).filter(_.size == n).map(_.mkString(" ")) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val ctx = counts(order - 1)
+      val ng = counts(order)
+      tokenized.map { case (id, t) =>
+        val lps = t.sliding(order).filter(_.size == order).toSeq.map { g =>
+          math.log((ng(g.mkString(" ")) + alpha) /
+            (ctx(g.init.mkString(" ")) + alpha * v))
+        }
+        id -> (if (lps.isEmpty) None else Some(lps.sum / lps.size))
+      }.toMap
+    }
+    for (order <- Seq(2, 3)) {
+      val expected = reference(order)
+      val got = TextStats.lmScore(docs.toDF("doc_id", "text"), alpha, order)
+        .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (id, exp) =>
+        (exp, got(id)) match {
+          case (Some(e), Some(g)) =>
+            assert(math.abs(e - g) < 1e-9, s"order=$order doc $id: $g vs $e")
+          case (a, b) => assert(a == b, s"order=$order doc $id: $b vs $a")
+        }
       }
     }
   }
