@@ -226,7 +226,7 @@ object Similarity {
     */
   private def planeDots(emb: Column, nPlanes: Int, dim: Int, seed: Long): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
-    array(planes.map(p => dotOrdered(emb, typedLit(p.toSeq))): _*)
+    array(planes.toIndexedSeq.map(p => dotOrdered(emb, typedLit(p.toSeq))): _*)
   }
 
   private def bitValues(nPlanes: Int): Column =
