@@ -35,10 +35,11 @@ object BloomFns {
     BloomFilterMightContain(exprs.head, exprs(1))
   }
 
+  /** Quiet idempotent registration of both bloom bindings — see
+    * [[FnRegistry.ensure]].
+    */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(aggFnName, aggBuilder, "built-in")
-    reg.createOrReplaceTempFunction(mightContainFnName, mightContainBuilder, "built-in")
+    FnRegistry.ensure(spark, aggFnName, aggBuilder)
+    FnRegistry.ensure(spark, mightContainFnName, mightContainBuilder)
   }
 }

@@ -108,11 +108,11 @@ object BqFloatStr {
     BqFloatStr(exprs.head)
   }
 
-  /** Idempotent temp-function registration (same seam as DotOrdered). */
+  /** Idempotent temp-function registration (same seam as DotOrdered);
+    * quiet on re-registration via [[FnRegistry.ensure]].
+    */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fnName, builder, "built-in")
+    FnRegistry.ensure(spark, fnName, builder)
 
   /** Column-API entry point; registers on the active session on first use
     * (single-session assumption — see DotOrdered.apply's scaladoc).

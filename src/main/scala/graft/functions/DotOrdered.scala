@@ -104,12 +104,11 @@ object DotOrdered {
 
   /** Idempotently register the expression on a session's temp function
     * registry (the public seam for custom expressions without a
-    * SparkSessionExtensions hook at session build time).
+    * SparkSessionExtensions hook at session build time). Quiet on
+    * re-registration — see [[FnRegistry.ensure]].
     */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fnName, builder, "built-in")
+    FnRegistry.ensure(spark, fnName, builder)
 
   /** Column-API entry point; registers on the active session on first use.
     *

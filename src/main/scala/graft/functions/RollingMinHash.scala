@@ -139,11 +139,11 @@ object RollingMinHash {
     RollingMinHash(exprs.head, window)
   }
 
-  /** Idempotent session registration (window arrives as a foldable int). */
+  /** Idempotent session registration (window arrives as a foldable int);
+    * quiet on re-registration via [[FnRegistry.ensure]].
+    */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fnName, builder, "built-in")
+    FnRegistry.ensure(spark, fnName, builder)
 
   /** Column-API entry point; registers on the active session on first use.
     * Single-session assumption as [[DotOrdered.apply]]: multi-session

@@ -54,9 +54,18 @@ object Clustering {
     // struct ordering is lexicographic (dist, then cid), so ties
     // break to the smaller cid exactly as before.
     val qv = quantizedView(embeddings)
-    qv.select(col("vec_id"),
-        quantizedArgmin(seedCentroids(qv, k)).as("best"))
-      .select(col("vec_id"), col("best.cid"), col("best.dist"))
+    val cents = seedCentroids(qv, k)
+    // seedCentroids is empty iff the input is empty (limit(k) of a
+    // non-empty table returns >= 1 row); quantizedArgmin over zero
+    // centroids would build array_min(array()) — a NullType array whose
+    // field extraction fails analysis — so short-circuit to the (empty)
+    // result with the same schema instead.
+    if (cents.isEmpty)
+      qv.select(col("vec_id"), lit(null).cast("long").as("cid"),
+        lit(null).cast("long").as("dist"))
+    else
+      qv.select(col("vec_id"), quantizedArgmin(cents).as("best"))
+        .select(col("vec_id"), col("best.cid"), col("best.dist"))
   }
 
   /** Quantized view shared by the assignment family: original columns
@@ -147,9 +156,15 @@ object Clustering {
     // scan+project recompute — cheaper at corpus scale than caching
     // the materialized vectors (r7 advice note).
     val qv = quantizedView(embeddings)
+    val cents = seedCentroids(qv, k)
+    // empty input ⟺ no seed centroids: the argmin literal fold is
+    // unbuildable (see assignCentroids) — return the empty result frame.
+    if (cents.isEmpty)
+      return qv.select(col("vec_id"), lit(null).cast("long").as("cid"),
+        lit(true).as("kept"))
     val anno = qv
       .select(col("vec_id"),
-        quantizedArgmin(seedCentroids(qv, k)).getField("cid").as("cid"),
+        quantizedArgmin(cents).getField("cid").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.DotOrdered(col("v"), col("v"))))
     // exact-cosine verify of candidate (va < vb) pairs; shared by both
@@ -251,6 +266,14 @@ object Clustering {
                            k: Int = 8, threshold: Double = 0.35): DataFrame = {
     val qc = quantizedView(corpus)
     val cents = seedCentroids(qc, k)
+    // Bootstrap case: an EMPTY corpus (natural first run) has no seed
+    // centroids and no vector can be a duplicate of anything landed —
+    // keep every incoming vector, with a null cid (no cluster geometry
+    // exists yet). Without this the argmin literal fold is unbuildable
+    // (array_min over an empty array — analysis error).
+    if (cents.isEmpty)
+      return incoming.select(col("vec_id"),
+        lit(null).cast("long").as("cid"), lit(true).as("kept"))
     def anno(qv: DataFrame): DataFrame = qv
       .select(col("vec_id"),
         quantizedArgmin(cents).getField("cid").as("cid"),
@@ -293,6 +316,11 @@ object Clustering {
     var centroids: Seq[(Long, Seq[Double])] =
       base.orderBy("vec_id").limit(k).collect().toSeq
         .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // empty input: no seeds, nothing to assign — every iteration's
+    // inertia is the empty sum (0.0), matching the loop's own behavior
+    if (centroids.isEmpty)
+      return (base.select(col("vec_id"), lit(null).cast("long").as("cid"),
+        lit(null).cast("double").as("dist")), Seq.fill(iters)(0.0))
     val inertia = Seq.newBuilder[Double]
     var assigned: DataFrame = null
 

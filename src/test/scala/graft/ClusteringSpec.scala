@@ -147,6 +147,37 @@ class ClusteringSpec extends SparkSpec {
       "incoming-only near-pair both kept (no incoming self-pairing)")
   }
 
+  test("empty inputs: assignment family short-circuits instead of " +
+    "failing analysis") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // with zero seed centroids the argmin literal fold is unbuildable
+    // (array_min over an empty array) — these must return empty/trivial
+    // results, not throw AnalysisException
+    val a = Clustering.assignCentroids(empty, k = 3)
+    assert(a.columns.toSeq == Seq("vec_id", "cid", "dist") && a.count() == 0)
+    val sd = Clustering.semanticDedup(empty, k = 3)
+    assert(sd.columns.toSeq == Seq("vec_id", "cid", "kept") && sd.count() == 0)
+    val (fit, inertia) = Clustering.kmeansFit(empty, k = 3, iters = 2)
+    assert(fit.columns.toSeq == Seq("vec_id", "cid", "dist") && fit.count() == 0)
+    assert(inertia == Seq(0.0, 0.0))
+  }
+
+  test("semanticDedupAgainst: empty corpus (bootstrap) keeps every " +
+    "incoming vector") {
+    val corpus = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Seq(9.5f, 0f)), (11L, Seq(9.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semanticDedupAgainst(corpus, incoming, k = 2)
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 2)
+    // nothing landed ⇒ nothing to duplicate: both kept (even though they
+    // duplicate EACH OTHER — no incoming self-pairing, as in the
+    // non-bootstrap contract), with no cluster geometry yet (null cid)
+    assert(got(10L) == ((None, true)) && got(11L) == ((None, true)))
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
