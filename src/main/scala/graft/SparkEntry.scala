@@ -864,6 +864,17 @@ mpairs AS (
         "doc_id", "s", maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // Automatic regime selection (r8 verdict item #1): measures the
+    // prefix filter's candidate volume and dispatches to whichever of
+    // the two regimes above wins on THIS corpus. Both are lossless, so
+    // the output — and the oracle — is identical either way.
+    "q_edit_auto" -> ((s, dir) =>
+      ops.text.Fuzzy.editDistanceJoinAuto(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
+        "doc_id", "s", maxDist = 2, q = 3)
+        .orderBy("id_a", "id_b")),
+
     // SCD Type-2 dimension history: per-customer status/priority version
     // intervals rebuilt from the order stream (one window shuffle).
     "q_scd2" -> ((s, dir) =>
@@ -2511,6 +2522,16 @@ FROM canon ORDER BY doc_id""",
     // The segment-join twin returns the identical pair set, so it shares
     // the naive all-pairs oracle verbatim.
     "q_edit_seg" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Auto-dispatch picks one of the two lossless regimes — same
+    // contract, same all-pairs oracle.
+    "q_edit_auto" ->
       """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS dist

@@ -52,7 +52,22 @@ object Fuzzy {
     * losslessness.
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-                       maxDist: Int, q: Int = 2): DataFrame = {
+                       maxDist: Int, q: Int = 2): DataFrame =
+    prefixJoin(gramPrefix(df, idCol, strCol, maxDist, q), maxDist)
+
+  /** The normalized inputs and rarest-gram prefix table shared by
+    * [[editDistanceJoin]], [[edJoinAudit]], and [[editDistanceJoinAuto]].
+    */
+  private case class EdParts(base: DataFrame, long: DataFrame,
+                             short: DataFrame, prefix: DataFrame,
+                             prefixLen: Int)
+
+  /** Steps 1-3 of the Ed-Join shape (gram multiset → global frequencies
+    * → rarest-gram prefix) — the part whose OUTPUT is also the cost
+    * signal the auto dispatcher reads.
+    */
+  private def gramPrefix(df: DataFrame, idCol: String, strCol: String,
+                         maxDist: Int, q: Int): EdParts = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
     val prefixLen = q * maxDist + 1
@@ -74,12 +89,6 @@ object Fuzzy {
     val gramOcc = transform(grams, (g, i) =>
       struct(g.as("g"),
         size(filter(slice(grams, lit(1), i + lit(1)), y => y === g)).as("occ")))
-    // candidates carry IDS ONLY: on a gram-poor corpus the prefix filter
-    // can pass millions of pairs, and hashing/deduping (id, id) longs is
-    // several times cheaper than dragging both 20+-char strings through
-    // the join and the distinct — strings rejoin exactly once, after the
-    // pair set is deduped (two more keyed joins; at corpus scale that is
-    // the standard trade against materializing strings per candidate)
     val exploded = long
       .select(col("_id"), col("_len"), explode(gramOcc).as("go"))
       .select(col("_id"), col("_len"),
@@ -90,10 +99,22 @@ object Fuzzy {
       exploded.join(broadcast(freq), Seq("g")),
       Seq("_id"), Seq(asc("_gdf"), asc("g"), asc("occ")), prefixLen)
       .drop("rank", "_gdf")
+    EdParts(base, long, short, prefix, prefixLen)
+  }
 
-    val a = prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
+  /** Step 4: the prefix self-join + verify tail over a prepared
+    * [[EdParts]].
+    */
+  private def prefixJoin(p: EdParts, maxDist: Int): DataFrame = {
+    // candidates carry IDS ONLY: on a gram-poor corpus the prefix filter
+    // can pass millions of pairs, and hashing/deduping (id, id) longs is
+    // several times cheaper than dragging both 20+-char strings through
+    // the join and the distinct — strings rejoin exactly once, after the
+    // pair set is deduped (two more keyed joins; at corpus scale that is
+    // the standard trade against materializing strings per candidate)
+    val a = p.prefix.select(col("_id").as("id_a"), col("_len").as("_la"),
       col("g"), col("occ"))
-    val b = prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
+    val b = p.prefix.select(col("_id").as("id_b"), col("_len").as("_lb"),
       col("g"), col("occ"))
     val longCand = a.join(b.hint("shuffle_hash"), Seq("g", "occ"))
       .filter(col("id_a") < col("id_b") &&
@@ -102,9 +123,9 @@ object Fuzzy {
 
     // short strings: short-long pairs once from the short side,
     // short-short pairs twice then distinct'd in the verify tail
-    val shortCand = lengthBucketCand(short, base, maxDist)
+    val shortCand = lengthBucketCand(p.short, p.base, maxDist)
 
-    verifyCandidates(base, longCand.unionByName(shortCand), maxDist)
+    verifyCandidates(p.base, longCand.unionByName(shortCand), maxDist)
   }
 
   /** Shared verify tail: dedupe candidate id pairs, rejoin the strings
@@ -227,4 +248,84 @@ object Fuzzy {
     verifyCandidates(base,
       longCand.unionByName(lengthBucketCand(short, base, maxDist)), maxDist)
   }
+
+  /** Pre-flight cost audit of the prefix-filter regime: the exact number
+    * of (unordered, pre-length-band) candidate pairs its (gram, occ)
+    * buckets would emit — Σ c·(c−1)/2 over bucket sizes c — and the
+    * long-string count. Because every long string carries exactly
+    * `prefixLen` prefix elements, both numbers fall out of ONE
+    * aggregation over the prefix table; the whole audit costs the gram
+    * explode + two key shuffles (freq, top-k) — the work the prefix
+    * regime would do anyway, and orders of magnitude less than a
+    * candidate explosion it predicts (the sf1 sweep's 476M-row case).
+    *
+    * `candidatesPerString` is the regime signal: high-entropy corpora
+    * (names, URLs) sit in the single digits; the 50k fixture-vocab
+    * sweep measured ~9 500.
+    */
+  case class EdJoinAudit(nStrings: Long, candidatePairs: Long) {
+    def candidatesPerString: Double =
+      if (nStrings == 0) 0.0 else candidatePairs.toDouble / nStrings
+  }
+
+  /** Run the audit standalone (observability: log it from a pipeline the
+    * same way [[graft.ops.Distribution.skewAudit]] is used, BEFORE paying
+    * for a join on an unknown corpus).
+    */
+  def edJoinAudit(df: DataFrame, idCol: String, strCol: String,
+                  maxDist: Int, q: Int = 2): EdJoinAudit =
+    auditPrefix(gramPrefix(df, idCol, strCol, maxDist, q))
+
+  private def auditPrefix(p: EdParts): EdJoinAudit = {
+    val r = p.prefix.groupBy("g", "occ").agg(count(lit(1)).as("c"))
+      .agg(
+        // c·(c−1) is even, and the double sum is exact far past any
+        // real bucket census (< 2^53) — cast back to long after
+        coalesce(sum(col("c") * (col("c") - lit(1)) / lit(2)), lit(0.0))
+          .cast("long").as("pairs"),
+        coalesce(sum(col("c")), lit(0L)).as("rows"))
+      .head()
+    EdJoinAudit(r.getLong(1) / p.prefixLen, r.getLong(0))
+  }
+
+  /** [[editDistanceJoin]]'s contract with AUTOMATIC regime selection —
+    * the dispatcher the r8 verdict asked for: measure the prefix
+    * filter's candidate volume with [[edJoinAudit]]'s aggregate, and
+    * fall over to the segment join when it predicts an explosion.
+    *
+    * Threshold rationale: the segment join's price is its fixed probe
+    * fan-out — ≈ (2·maxDist+1)²·(maxDist+1) ≈ 75 probe rows per string
+    * at maxDist=2 — while its segment keys (≈ len/(maxDist+1)-char
+    * substrings) keep candidates an order of magnitude below gram
+    * buckets on low-entropy corpora (41M vs 476M at sf1). So once
+    * predicted prefix candidates per string clear the same order as
+    * that fan-out (default 64), the segment regime wins; far below it,
+    * rare grams exist and the prefix regime's near-zero fan-out wins.
+    * The decision costs one scalar aggregate over the prefix table the
+    * chosen-or-not prefix regime needed anyway; when it dispatches to
+    * the segment join, that inspection work is the (documented) price
+    * of not guessing.
+    *
+    * Both regimes are lossless, so the OUTPUT is identical either way:
+    * (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistanceJoinAuto(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int, q: Int = 2,
+                           maxCandidatesPerString: Double = 64.0): DataFrame = {
+    val p = gramPrefix(df, idCol, strCol, maxDist, q)
+    if (auditPrefix(p).candidatesPerString > maxCandidatesPerString)
+      editDistanceJoinPartitioned(df, idCol, strCol, maxDist)
+    else
+      prefixJoin(p, maxDist) // reuses the already-built prefix table
+  }
+
+  /** The regime [[editDistanceJoinAuto]] would dispatch to for this
+    * corpus — `"prefix"` (Ed-Join) or `"partition"` (PASS-JOIN) — as a
+    * testable/loggable decision.
+    */
+  def autoRegime(df: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int, q: Int = 2,
+                 maxCandidatesPerString: Double = 64.0): String =
+    if (edJoinAudit(df, idCol, strCol, maxDist, q).candidatesPerString >
+      maxCandidatesPerString) "partition" else "prefix"
 }

@@ -118,6 +118,57 @@ class FuzzySpec extends SparkSpec {
       assert(runSeg(shorts, d) == naive(shorts, d), s"short divergence at maxDist=$d")
   }
 
+  test("edJoinAudit: exact bucket-pair census on a known corpus") {
+    // three identical 6-char strings, q=2, d=1 → prefixLen 3; every
+    // prefix bucket holds all three strings → 3 buckets × C(3,2)=3
+    val rows = Seq(1L -> "abcdef", 2L -> "abcdef", 3L -> "abcdef")
+    val a = Fuzzy.edJoinAudit(rows.toDF("id", "s"), "id", "s", maxDist = 1)
+    assert(a.nStrings == 3 && a.candidatePairs == 9)
+    assert(a.candidatesPerString == 3.0)
+    // empty input: zero everything, no divide-by-zero
+    val e = Fuzzy.edJoinAudit(Seq.empty[(Long, String)].toDF("id", "s"),
+      "id", "s", maxDist = 1)
+    assert(e.nStrings == 0 && e.candidatePairs == 0 &&
+      e.candidatesPerString == 0.0)
+  }
+
+  test("autoRegime: partition on a gram-poor vocabulary corpus, prefix " +
+    "on high-entropy strings") {
+    val rng = new scala.util.Random(99)
+    // gram-poor: every string is 3 words from a 4-word vocabulary — all
+    // trigrams are corpus-common, prefix buckets grow with n (the sf1
+    // sweep's regime, miniaturized)
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val poor = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(3)(vocab(rng.nextInt(4))).mkString(" ")))
+    assert(Fuzzy.autoRegime(poor.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3) == "partition")
+    // high-entropy: uniform 36-char alphanumerics — nearly every trigram
+    // is unique to its string, buckets stay singleton
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rich = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(20)(alpha(rng.nextInt(36))).mkString))
+    assert(Fuzzy.autoRegime(rich.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3) == "prefix")
+  }
+
+  test("editDistanceJoinAuto: identical pairs to both fixed regimes " +
+    "whichever way it dispatches") {
+    val rng = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val poor = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(3)(vocab(rng.nextInt(4))).mkString(" ")))
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rich = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(12)(alpha(rng.nextInt(36))).mkString))
+    for (rows <- Seq(poor, rich)) {
+      val auto = Fuzzy.editDistanceJoinAuto(rows.toDF("id", "s"), "id", "s",
+        maxDist = 2, q = 3).as[(Long, Long, Int)].collect().toSet
+      assert(auto == naive(rows, 2))
+      assert(auto == runSeg(rows, 2) && auto == run(rows, 2, q = 3))
+    }
+  }
+
   test("both variants return identical pairs on the documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
