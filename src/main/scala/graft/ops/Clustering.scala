@@ -253,9 +253,13 @@ object Clustering {
     * that matters).
     *
     * Centroids are seeded from the CORPUS (k lowest vec_ids), so cluster
-    * geometry is stable across runs regardless of batch content — on a
-    * real deployment they are the persisted model, recomputed only when
-    * the corpus drifts. Both sides share the same literal-fold argmin
+    * geometry is stable across runs regardless of batch content. Pass
+    * `modelTable` to make that the PERSISTED model (a Manifest snapshot
+    * table): the first run fits-and-commits it, every later run reads k
+    * rows instead of re-scanning the corpus for seeds, and the geometry
+    * stays bit-identical even when corpus churn would have changed the
+    * k lowest vec_ids — recompute only deliberately, via
+    * [[centroidModelRefresh]]. Both sides share the same literal-fold argmin
     * (zero shuffle); the verify is one cid equi-join where the corpus
     * side is the big build at steady state (shuffle_hash — never
     * broadcast a corpus-scale relation).
@@ -263,9 +267,18 @@ object Clustering {
     * Output: (vec_id, cid, kept) for every INCOMING vector.
     */
   def semanticDedupAgainst(corpus: DataFrame, incoming: DataFrame,
-                           k: Int = 8, threshold: Double = 0.35): DataFrame = {
+                           k: Int = 8, threshold: Double = 0.35,
+                           modelTable: Option[String] = None): DataFrame = {
     val qc = quantizedView(corpus)
-    val cents = seedCentroids(qc, k)
+    // centroid model: persisted when a modelTable is given (see
+    // centroidModel) — run 2+ skips the corpus-sized seed scan AND gets
+    // bit-identical cluster geometry regardless of corpus churn; derived
+    // fresh from the corpus otherwise (the self-contained form the
+    // oracle checks).
+    val cents = modelTable match {
+      case Some(table) => centroidModel(corpus, table, k)
+      case None        => seedCentroids(qc, k)
+    }
     // Bootstrap case: an EMPTY corpus (natural first run) has no seed
     // centroids and no vector can be a duplicate of anything landed —
     // keep every incoming vector, with a null cid (no cluster geometry
@@ -296,6 +309,50 @@ object Clustering {
       .join(dropped.withColumn("_dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         col("_dropped").isNull.as("kept"))
+  }
+
+  /** Fit the centroid model from the corpus and commit it as a NEW
+    * [[graft.io.Manifest]] snapshot (k rows of (cid, quantized vector,
+    * squared norm) — k×dim doubles, trivially small next to any corpus).
+    * Call on first deployment and whenever the corpus has drifted enough
+    * to re-cluster; every committed version stays time-travelable
+    * (Manifest.readVersion) so a batch can be re-run against the exact
+    * geometry that deduped it. Returns the committed version.
+    */
+  def centroidModelRefresh(corpus: DataFrame, modelTable: String,
+                           k: Int = 8): Int = {
+    val cents = seedCentroids(quantizedView(corpus), k)
+    require(cents.nonEmpty,
+      s"cannot fit a centroid model on an empty corpus ($modelTable)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.io.Manifest.write(cents.toDF("cid", "qv", "qn2"), modelTable)
+  }
+
+  /** Resolve the centroid model for [[semanticDedupAgainst]]: read the
+    * current committed snapshot when one exists (NO corpus scan — the
+    * whole point of persisting; the stored k wins over the parameter),
+    * otherwise fit from the corpus and commit it as v1 so the next run
+    * reuses it (first-run bootstrap). An empty corpus with no model
+    * commits nothing — a landed corpus must not be judged by an empty
+    * model forever after.
+    */
+  private def centroidModel(corpus: DataFrame, modelTable: String, k: Int)
+  : Seq[(Long, Seq[Double], Double)] = {
+    val spark = corpus.sparkSession
+    graft.io.Manifest.currentVersion(spark, modelTable) match {
+      case Some(_) =>
+        graft.io.Manifest.read(spark, modelTable)
+          .select("cid", "qv", "qn2").collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      case None =>
+        val cents = seedCentroids(quantizedView(corpus), k)
+        if (cents.nonEmpty) {
+          import spark.implicits._
+          graft.io.Manifest.write(cents.toDF("cid", "qv", "qn2"), modelTable)
+        }
+        cents
+    }
   }
 
   /** Lloyd's k-means over the float embeddings: deterministic id-seeded

@@ -178,6 +178,47 @@ class ClusteringSpec extends SparkSpec {
     assert(got(10L) == ((None, true)) && got(11L) == ((None, true)))
   }
 
+  test("persisted centroid model: geometry is stable across runs even " +
+    "when corpus churn would change the seeds") {
+    val dir = java.nio.file.Files.createTempDirectory("centmodel").toString
+    val model = s"$dir/centroids"
+    val corpus1 = Seq(
+      (10L, Seq(10f, 0f)), (11L, Seq(0f, 10f)), (12L, Seq(8f, 3f))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (100L, Seq(9.5f, 0f)), (101L, Seq(3f, 8f))
+    ).toDF("vec_id", "embedding")
+    // run 1: no committed model — fits from corpus1 and commits v1
+    val run1 = Clustering.semanticDedupAgainst(corpus1, incoming,
+        k = 2, threshold = 0.99, modelTable = Some(model))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(graft.io.Manifest.currentVersion(spark, model).contains(1))
+    // run 2: corpus gains LOWER vec_ids — a re-derive would pick
+    // different seeds (0,1 instead of 10,11) and flip the geometry; the
+    // persisted model must hold it bit-identical, without a new commit
+    val corpus2 = Seq(
+      (0L, Seq(7f, 7f)), (1L, Seq(-10f, 0f)),
+      (10L, Seq(10f, 0f)), (11L, Seq(0f, 10f)), (12L, Seq(8f, 3f))
+    ).toDF("vec_id", "embedding")
+    val run2 = Clustering.semanticDedupAgainst(corpus2, incoming,
+        k = 2, threshold = 0.99, modelTable = Some(model))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(run2.map(r => r._1 -> r._2) == run1.map(r => r._1 -> r._2),
+      "cid assignment must be identical across runs under the same model")
+    assert(graft.io.Manifest.currentVersion(spark, model).contains(1),
+      "second run reads the model, never re-commits")
+    // sanity: without the model, run 2's re-derived seeds DO differ
+    // (vec 100 lands in a different cluster) — the instability the
+    // persisted model exists to prevent
+    val fresh = Clustering.semanticDedupAgainst(corpus2, incoming,
+        k = 2, threshold = 0.99)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(fresh.map(r => r._1 -> r._2) != run1.map(r => r._1 -> r._2))
+    // deliberate refresh: commits v2 from the current corpus
+    assert(Clustering.centroidModelRefresh(corpus2, model, k = 2) == 2)
+    assert(graft.io.Manifest.currentVersion(spark, model).contains(2))
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
