@@ -533,6 +533,13 @@ mpairs AS (
       ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"))
         .orderBy("vec_a", "vec_b")),
 
+    // Blocking-quality audit for the banded embedding near-dup: per-band
+    // bucket census + exact candidate-pair count — the pre-flight a 100×
+    // run uses to detect banding collapse BEFORE paying for the verify.
+    "q_embed_audit" -> ((s, dir) =>
+      ops.Similarity.embedNearDupAudit(t(s, dir, "embeddings"))
+        .orderBy("band_idx")),
+
     // IVF ANN top-5: deterministic cells (first 16 vectors), 4-probe search.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2152,6 +2159,47 @@ s AS (
             JOIN embeddings y ON vec_b = y.vec_id)
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35
 ORDER BY vec_a, vec_b"""
+    },
+
+    // Same planes/bucket/band CTEs as q_embed_neardup, aggregated into the
+    // per-band census instead of joined into pairs. The pair count uses
+    // the identical c*(c-1)/2 double arithmetic (exact integers < 2^53)
+    // cast back to BIGINT on both engines.
+    "q_embed_audit" -> {
+      val nPlanes = 16
+      val bands = 4
+      val r = nPlanes / bands
+      val planes = ops.Similarity.hyperplanes(nPlanes, 64, 7L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      val bandSelects = (0 until bands)
+        .map(j => s"SELECT vec_id, $j AS band_idx, " +
+          s"(bucket >> ${j * r}) & ${(1L << r) - 1} AS band_val FROM buck")
+        .mkString("\n  UNION ALL ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+bands AS (
+  $bandSelects),
+bkt AS (
+  SELECT band_idx, band_val, count(*) AS c
+  FROM bands GROUP BY band_idx, band_val)
+SELECT band_idx,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(max(c) AS BIGINT) AS max_bucket,
+  CAST(sum(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs,
+  CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+    AS candidates_per_vector
+FROM bkt GROUP BY band_idx
+ORDER BY band_idx"""
     },
 
     // Replicates annTopK: the SAME 8 hyperplanes (seed 42) as literals,

@@ -318,7 +318,11 @@ object Similarity {
     * r = nPlanes/bands bits per band and per-bit collision prob 1 - θ/π,
     * recall = 1 - (1 - (1-θ/π)^r)^bands. Raise `bands` (or lower `r`) for
     * recall, raise `r` for candidate pruning: at 100 TB the knob to turn is
-    * r (each extra bit halves random-pair candidates).
+    * r (each extra bit halves random-pair candidates). Price the banding
+    * BEFORE paying for the verify with [[embedNearDupAudit]] — the sf1
+    * sweep measured the defaults' blocking collapsing near 20k
+    * direction-random vectors, and the audit detects exactly that for a
+    * fraction of the verify's cost.
     */
   def embeddingNearDup(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
                        threshold: Double = 0.35, dim: Int = 64,
@@ -360,6 +364,52 @@ object Similarity {
       .withColumn("sim", dotOrdered(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
+  }
+
+  /** Blocking-quality audit for [[embeddingNearDup]] — the candidate
+    * census to run BEFORE paying for the verify join on an unknown
+    * corpus (the [[graft.ops.Distribution.skewAudit]] pattern in LSH
+    * space). Per band: bucket count, largest bucket, exact candidate
+    * pairs the band would emit (Σ c·(c−1)/2 over its bucket sizes), and
+    * candidates per vector — the collapse signal.
+    *
+    * Scale guidance (measured, sf1 sweep): a band with r bits splits a
+    * DIRECTION-RANDOM corpus into ≤ 2^r useful buckets, so expected
+    * candidates per band grow ~ n²/2^(r+1): with the defaults (r = 4,
+    * τ = 0.35 ≈ 2.8σ at dim 64) blocking stops pruning near n ≈ 20k
+    * random vectors. When `candidates_per_vector` rivals the corpus
+    * size the banding has collapsed: RAISE r (each extra bit/band
+    * halves random collisions; recall on true near-dups stays high —
+    * they collide on angle, not chance), and keep overall recall by
+    * adding bands. Real embedding corpora are far from
+    * direction-random (that is why SemDeDup clusters first), so the
+    * audit, costing one map + one key shuffle of (band, val) longs, is
+    * how a 100× run finds out which regime it is in.
+    */
+  def embedNearDupAudit(corpus: DataFrame, nPlanes: Int = 16,
+                        bands: Int = 4, dim: Int = 64,
+                        seed: Long = 7L): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val sig = corpus.select(col("vec_id"),
+      hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+    }
+    sig.select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("c"))
+      .groupBy("band_idx").agg(
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        // c·(c−1) is even and the double sum is exact below 2^53
+        sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")
+          .as("candidate_pairs"),
+        sum("c").as("n_vectors"))
+      .withColumn("candidates_per_vector",
+        col("candidate_pairs").cast("double") / col("n_vectors"))
+      .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
+        "candidates_per_vector")
   }
 
   /** IVF (inverted-file) ANN top-k — the partition-pruning scale path.

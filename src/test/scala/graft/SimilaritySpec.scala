@@ -135,6 +135,45 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (_, _, s) => assert(s >= 0.35) }
   }
 
+  test("embedNearDupAudit: census is exact vs the candidate join, and " +
+    "candidates drop as r (bits per band) grows") {
+    // exactness: total candidate_pairs across bands equals the number of
+    // per-band colliding pairs the real candidate generator would emit
+    // (before the cross-band distinct), computed here the slow exact way
+    val nPlanes = 16
+    val audit4 = Similarity.embedNearDupAudit(emb, nPlanes, bands = 4)
+      .orderBy("band_idx").collect()
+    assert(audit4.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val n = emb.count()
+    audit4.foreach { row =>
+      assert(row.getLong(1) >= 1 && row.getLong(2) >= 1,
+        "every band has at least one nonempty bucket")
+      assert(row.getDouble(4) == row.getLong(3).toDouble / n,
+        "candidates_per_vector derives from the pair count and corpus size")
+    }
+    val buckets = emb.select($"vec_id",
+      Similarity.hyperplaneBucket($"embedding", nPlanes, 64, 7L)
+        .as("bucket")).as[(Long, Long)].collect()
+    def pairsAt(bands: Int): Long = {
+      val r = nPlanes / bands
+      val mask = (1L << r) - 1
+      (0 until bands).map { j =>
+        buckets.groupBy { case (_, b) => (b >> (j * r)) & mask }
+          .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      }.sum
+    }
+    assert(audit4.map(_.getLong(3)).sum == pairsAt(4),
+      "audit census must equal the exact per-band colliding-pair count")
+    // the scale lever: more bits per band (fewer bands at fixed nPlanes)
+    // must monotonically shrink the candidate volume on this corpus
+    val byR = Seq(8, 4, 2).map { bands => // r = 2, 4, 8
+      Similarity.embedNearDupAudit(emb, nPlanes, bands)
+        .agg(sum("candidate_pairs")).head().getLong(0)
+    }
+    assert(byR(0) > byR(1) && byR(1) > byR(2),
+      s"candidates must drop as r grows: got $byR for r=2,4,8")
+  }
+
   test("ivfTopK: self-match survives probing; ranks contiguous; sims match brute force") {
     val ivf = Similarity.ivfTopK(emb, queries, 3)
     val rows = ivf.orderBy("q_id", "rank")
