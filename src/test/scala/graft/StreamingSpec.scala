@@ -420,6 +420,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: state rows are bounded by the watermark " +
+    "horizon under a two-horizon load (measured, not argued)") {
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // all-distinct vocabularies: every doc enrolls in its own buckets, so
+    // state rows ≈ bands × live docs — the worst case for the bound
+    def doc(i: Int) = (1 to 40).map(j => s"w${i}_$j").mkString(" ")
+    val bands = 8
+    val n = 30
+    val pairs = IncrementalStream.nearDupPairsStream(
+      mem.toDF().toDF("doc_id", "text", "event_time"), watermark = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("neardup_state")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      mem.addData((1 to n).map(i => (i.toLong, doc(i), ts(i % 10))): _*)
+      q.processAllAvailable()
+      val wave1 = stateRows
+      assert(wave1 > 0, "state operator must report enrolled rows")
+      assert(wave1 <= bands.toLong * n,
+        s"one-horizon ceiling: $wave1 state rows > bands*docs = ${bands * n}")
+      // two horizons later: a same-sized second wave. The watermark
+      // evicts wave 1, so state must stay ~one horizon, never 2×.
+      mem.addData((1 to n).map(i =>
+        ((100 + i).toLong, doc(100 + i), ts(40 + i % 10))): _*)
+      q.processAllAvailable()
+      // one more tick fires the store's timeout purge for wave 1
+      mem.addData((200L, doc(200), ts(55)))
+      q.processAllAvailable()
+      val wave2 = stateRows
+      assert(wave2 <= bands.toLong * (n + 1),
+        s"post-eviction ceiling: $wave2 state rows > ${bands * (n + 1)}")
+      assert(wave2 <= wave1 + bands,
+        s"state accumulated across horizons: wave1=$wave1 wave2=$wave2")
+      assert(q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum > 0,
+        "state memory must be reported for capacity planning")
+    } finally q.stop()
+  }
+
+  test("streaming embedding near-dup: state rows are bounded by the " +
+    "watermark horizon under a two-horizon load (measured, not argued)") {
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // seeded ±1 vectors in dim 16: pairwise cosine concentrates near 0,
+    // far from τ, and signatures spread across buckets
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i)
+      Seq.fill(16)(if (r.nextBoolean()) 1f else -1f)
+    }
+    val bands = 4
+    val n = 30
+    val pairs = IncrementalStream.embedNearDupStream(
+      mem.toDF().toDF("vec_id", "embedding", "event_time"),
+      watermark = "10 minutes", threshold = 0.9, dim = 16)
+    val q = pairs.writeStream.format("memory").queryName("embeddup_state")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      mem.addData((1 to n).map(i => (i.toLong, vec(i), ts(i % 10))): _*)
+      q.processAllAvailable()
+      val wave1 = stateRows
+      assert(wave1 > 0 && wave1 <= bands.toLong * n)
+      mem.addData((1 to n).map(i =>
+        ((100 + i).toLong, vec(100 + i), ts(40 + i % 10))): _*)
+      q.processAllAvailable()
+      mem.addData((200L, vec(200), ts(55)))
+      q.processAllAvailable()
+      val wave2 = stateRows
+      assert(wave2 <= bands.toLong * (n + 1),
+        s"post-eviction ceiling: $wave2 state rows > ${bands * (n + 1)}")
+      assert(wave2 <= wave1 + bands,
+        s"state accumulated across horizons: wave1=$wave1 wave2=$wave2")
+      assert(q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup: maxBucketSize caps enrolment, not comparison") {
     // cap=1: the first arrival enrolls; later identical vectors COMPARE
     // against the enrolled survivor (pairing with it) but do not enroll,
