@@ -805,6 +805,16 @@ mpairs AS (
     // avg token log-prob under the corpus's own add-0.4-smoothed bigram
     // model. ln compares at the stable 6-decimal rounding (charEntropy's
     // precedent); counts/V/smoothing are exact-integer-derived doubles.
+    // The round() exception to the parity rules is deliberate and the
+    // LOWEST-flake option available (r8 advice, assessed): the compared
+    // value is transcendental, so some tolerance is unavoidable. Flake
+    // window here = summation-order noise (~n·ulp ≈ 1e-13) against a
+    // 0.5e-6 rounding boundary ⇒ ~1e-7 per doc. The alternative —
+    // rounding each logp to fixed decimals pre-sum for an exact DECIMAL
+    // average — puts each element's ~1-ulp libm divergence against its
+    // own boundary (~1e-4 per ELEMENT at 12 decimals): thousands of
+    // times flakier. Exact-rational scoring without ln is the log-free
+    // escape if this ever flakes in practice.
     "q_lm_score" -> ((s, dir) =>
       TextStats.lmScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_bigrams"),

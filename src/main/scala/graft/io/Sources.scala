@@ -46,10 +46,7 @@ object Sources {
       val df =
         try spark.read.parquet(path)
         catch {
-          // AnalysisException (PARQUET_TYPE_ILLEGAL) in recent Spark;
-          // matched on message to stay robust across error-class renames
-          case e: Exception if Option(e.getMessage).exists(m =>
-            m.contains("TIMESTAMP(NANOS") || m.contains("PARQUET_TYPE_ILLEGAL")) =>
+          case e: Exception if isNanosRefusal(e) =>
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(path)
         }
@@ -63,6 +60,21 @@ object Sources {
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** True when `e` is Spark's refusal to read a TIMESTAMP(NANOS)-annotated
+    * parquet column without the legacy flag (AnalysisException with error
+    * class PARQUET_TYPE_ILLEGAL in current Spark). Matched on MESSAGE, not
+    * exception/error-class identity, to stay robust across error-class
+    * renames — and factored out so the detection is testable against the
+    * REAL error: AnalysisSmokeSpec writes a genuinely NANOS-annotated file
+    * with the parquet-java Group writer and asserts both this predicate
+    * and the full retry path, so a Spark upgrade that rewords the message
+    * fails a named test instead of silently regressing [[table]]'s
+    * events-encoding branch.
+    */
+  private[graft] def isNanosRefusal(e: Throwable): Boolean =
+    Option(e.getMessage).exists(m =>
+      m.contains("TIMESTAMP(NANOS") || m.contains("PARQUET_TYPE_ILLEGAL"))
 
   /** Orders NDJSON schema — reference: order_processing_incremental.py:56-74.
     * BigQuery INTEGER → LongType, FLOAT → DoubleType (money stays double for

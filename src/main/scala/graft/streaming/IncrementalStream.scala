@@ -519,8 +519,13 @@ object IncrementalStream {
     *    stateful operator (which Spark's global-watermark correctness
     *    check rejects after flatMapGroupsWithState). Caveat: a pair whose
     *    minimum matching band sits in a CAPPED bucket that skipped
-    *    enrolling the earlier doc is missed — the price of the cap, like
-    *    the batch operator's bucket drop.
+    *    enrolling the earlier doc is missed IN EVERY BAND (emission keys
+    *    on the minimum matching band, not the minimum enrolled one — the
+    *    higher bands that do hold the doc suppress themselves), a
+    *    silent-loss mode beyond "compare but stop enrolling" and the
+    *    price of the cap, like the batch operator's bucket drop. Size the
+    *    cap well above boilerplate crowds; see the embed twin's scaladoc
+    *    for why it is not locally repairable.
     *
     * Docs with fewer than 2 tokens have no shingles and are passed over,
     * matching the batch operator (their signature would be empty).
@@ -660,7 +665,17 @@ object IncrementalStream {
     *  - exactly-once pair emission: a pair colliding in several bands
     *    emits only from its MINIMUM fully-matching band, computed from
     *    the two stored bit sets ((a XOR b) masked per band) — no second
-    *    stateful operator;
+    *    stateful operator. CAP INTERACTION (r8 advice): emission keys on
+    *    the minimum MATCHING band whether or not the earlier vector is
+    *    ENROLLED there — if an unrelated crowd capped exactly that
+    *    bucket (so the earlier vector enrolled only in higher matching
+    *    bands), the pair is suppressed in EVERY band: a silent-loss mode
+    *    beyond "compare but stop enrolling". Not locally repairable —
+    *    band j's group cannot observe enrolment in band i ≠ j — so size
+    *    `maxBucketSize` well above any expected boilerplate crowd and
+    *    treat it as a recall knob, never a correctness one.
+    *    StreamingSpec pins the behavior with a crafted capped-min-band
+    *    scenario;
     *  - re-delivered vec_ids refresh their horizon without re-comparing.
     *
     * Cross-horizon semantic dedup stays a batch job

@@ -104,4 +104,50 @@ class AnalysisSmokeSpec extends SparkSpec {
     assert(gotA.toSeq == micros.sorted, s"nanos branch: ${gotA.toSeq}")
     assert(gotB.toSeq == micros.sorted, s"ntz branch: ${gotB.toSeq}")
   }
+
+  test("genuinely TIMESTAMP(NANOS)-annotated parquet trips the refusal " +
+    "predicate and the legacy-flag retry") {
+    // Encoding A above writes a PLAIN int64 column, which reads back as
+    // LongType without ever throwing — it exercises the DIV-1000 branch
+    // but not the PARQUET_TYPE_ILLEGAL catch/retry. This writes the real
+    // thing with the parquet-java Group writer, so the message matcher in
+    // Sources.isNanosRefusal is pinned against the ACTUAL error a Spark
+    // upgrade could reword.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val root = Files.createTempDirectory("graft_nanos_annot").toString
+    val tbl = s"$root/events.parquet"
+    Files.createDirectories(java.nio.file.Paths.get(tbl))
+    val schema = MessageTypeParser.parseMessageType(
+      "message events { required int64 event_id; " +
+        "required int64 ts (TIMESTAMP(NANOS,true)); }")
+    val microsTs = 1721000123456789L
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$tbl/part-00000.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      writer.write(gf.newGroup()
+        .append("event_id", 1L)
+        .append("ts", microsTs * 1000L + 789L)) // sub-µs nanos truncate
+    } finally writer.close()
+
+    // a shared session may carry the flag from an earlier Sources.table
+    // retry — clear it so the clean-read-first path really throws here
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val e = intercept[Exception] { spark.read.parquet(tbl).schema }
+    assert(Sources.isNanosRefusal(e),
+      s"refusal predicate must match Spark's actual error: ${e.getMessage}")
+    // and an unrelated failure must NOT match (no blind retry loops)
+    assert(!Sources.isNanosRefusal(new RuntimeException("file not found")))
+
+    val df = Sources.table(spark, root, "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    import spark.implicits._
+    assert(df.select(unix_micros(col("ts"))).as[Long].collect().toSeq ==
+      Seq(microsTs), "nanos value must normalize to truncated micros")
+  }
 }

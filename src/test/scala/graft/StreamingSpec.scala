@@ -528,6 +528,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embed stream cap loss mode (documented): a pair whose MIN matching " +
+    "band was capped is suppressed in every band") {
+    import IncrementalStream.EmbedPair
+    import graft.ops.Similarity
+    val base = DataGen.defaultBaseMs
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def rvec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(if (r.nextBoolean()) 1f else -1f)
+    }
+    // find a crowd vector u sharing a's BAND-0 value but not its band-1
+    // value and dissimilar to a (cos < τ): u then caps a's minimum
+    // matching bucket while a still enrolls in band 1
+    val aVec = rvec(1)
+    def bits(v: Seq[Float]): Long = {
+      val df = Seq((0L, v)).toDF("vec_id", "embedding")
+      df.select(Similarity.hyperplaneBucket(col("embedding"), 16, 16, 7L))
+        .head().getLong(0)
+    }
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      def d(p: Seq[Float], q: Seq[Float]) =
+        p.zip(q).map { case (i, j) => i.toDouble * j.toDouble }.sum
+      d(x, y) / math.sqrt(d(x, x) * d(y, y))
+    }
+    val aBits = bits(aVec)
+    val uVec = (100 to 400).map(rvec).find { u =>
+      val ub = bits(u)
+      (ub & 0xFL) == (aBits & 0xFL) &&
+        ((ub >> 4) & 0xFL) != ((aBits >> 4) & 0xFL) &&
+        math.abs(cos(u, aVec)) < 0.5
+    }.getOrElse(fail("no crowd vector found in 300 seeded candidates"))
+
+    def run(withCrowd: Boolean): Set[(Long, Long)] = {
+      val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)](spark)
+      val name = s"embed_caploss_$withCrowd"
+      val q = IncrementalStream.embedNearDupStream(
+          mem.toDF().toDF("vec_id", "embedding", "event_time"),
+          watermark = "10 minutes", threshold = 0.9, dim = 16,
+          maxBucketSize = 1)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        if (withCrowd) { mem.addData((1L, uVec, ts(0))); q.processAllAvailable() }
+        mem.addData((2L, aVec, ts(1)))
+        q.processAllAvailable()
+        mem.addData((3L, aVec, ts(2))) // same direction as 2: cos = 1
+        q.processAllAvailable()
+        spark.table(name).as[EmbedPair].collect()
+          .map(p => (p.vec_a, p.vec_b)).toSet
+      } finally q.stop()
+    }
+    // control: without the crowd the exactly-once matcher emits the pair
+    assert(run(withCrowd = false) == Set((2L, 3L)),
+      "sanity: the pair emits when nothing caps its min matching band")
+    // with the crowd capping the min matching bucket: suppressed in EVERY
+    // band — the documented silent-loss mode of maxBucketSize
+    assert(run(withCrowd = true) == Set.empty,
+      "capped-min-band pair must be (documentedly) lost under cap pressure")
+  }
+
   test("streaming embedding near-dup ≡ batch embeddingNearDup on one drained batch") {
     // same hyperplanes/bands/seed ⇒ identical candidate sets; both verify
     // exact cosine ⇒ the drained stream must reproduce the batch operator's
