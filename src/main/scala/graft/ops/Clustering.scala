@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * (cid, dim, partial-sum) triples with map-side combine — k·dim rows
   * per partition AFTER partial aggregation, independent of table size.
   * Driver state is k×dim doubles per iteration (same boundedness
-  * argument as connected components' convergence counter). Production
-  * initialization at scale would be k-means|| oversampling; the
-  * deterministic id-seeded form here keeps every run — and the DuckDB
-  * oracle — reproducible.
+  * argument as connected components' convergence counter). Two
+  * initializations, both deterministic: id-seeded (the
+  * oracle-checkable default) and [[kmeansParallelInit]] — k-means||
+  * oversampling with hash-derived Bernoulli draws, the production init
+  * when low vec_ids are not an unbiased sample of the space.
   */
 object Clustering {
 
@@ -366,13 +367,21 @@ object Clustering {
     */
   def kmeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5)
   : (DataFrame, Seq[Double]) = {
-    val base = embeddings.select(col("vec_id"),
+    val base = lloydBase(embeddings)
+    val init: Seq[(Long, Seq[Double])] =
+      base.orderBy("vec_id").limit(k).collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    lloyd(base, init, iters)
+  }
+
+  private def lloydBase(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("n2", graft.functions.DotOrdered(col("emb"), col("emb")))
 
-    var centroids: Seq[(Long, Seq[Double])] =
-      base.orderBy("vec_id").limit(k).collect().toSeq
-        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+  private def lloyd(base: DataFrame, init: Seq[(Long, Seq[Double])],
+                    iters: Int): (DataFrame, Seq[Double]) = {
+    var centroids = init
     // empty input: no seeds, nothing to assign — every iteration's
     // inertia is the empty sum (0.0), matching the loop's own behavior
     if (centroids.isEmpty)
@@ -429,4 +438,124 @@ object Clustering {
     }
     (assigned.drop("emb"), inertia.result())
   }
+
+  /** Deterministic k-means|| initialization (Bahmani et al., "Scalable
+    * k-means++", PVLDB 5(7), 2012 — re-expressed relationally): instead
+    * of the id-seeded default (whose seeds can all land in one real
+    * cluster when low ids correlate with one source), oversample
+    * initialization candidates proportional to their squared distance
+    * from the centers chosen so far — the k-means++ bias — but ℓ ≈
+    * `oversample·k` points per ROUND across a fixed `rounds` passes, so
+    * the whole init is O(rounds) linear scans instead of k sequential
+    * ones.
+    *
+    * Determinism (the property every operator here guarantees): the
+    * Bernoulli draw uses `xxhash64(vec_id, round, seed)` mapped to
+    * [0, 1) — reproducible in any engine, no RNG state. Per round, ONE
+    * literal-fold projection computes d²(x, C) (zero shuffle — same
+    * argmin machinery as [[assignCentroids]]), one scalar aggregate
+    * yields the cost φ, and the sample keeps x iff
+    * u(x) < ℓ·d²(x)/φ — expected ℓ rows collected per round, hard-capped
+    * at 8ℓ+8 (lowest vec_ids win past the cap; a cap hit means φ is
+    * concentrated on few points, where any ℓ-subset is equally good).
+    * Candidates are then weighted by the size of their Voronoi cell (one
+    * more literal-fold pass + a |candidates|-row aggregate) and reduced
+    * driver-side to k centers with deterministic greedy weighted
+    * k-means++ (first = heaviest, then argmax of w·d²) — |candidates| ≈
+    * rounds·ℓ rows of driver state, never corpus-bounded.
+    *
+    * Returns ≤ k centers (< k only when the corpus has < k distinct
+    * points), numbered 0..k-1 in selection order.
+    */
+  def kmeansParallelInit(embeddings: DataFrame, k: Int = 8,
+                         rounds: Int = 5, oversample: Double = 2.0,
+                         seed: Long = 42L): Seq[(Long, Seq[Double])] = {
+    require(k >= 1 && rounds >= 1 && oversample > 0,
+      s"bad k-means|| params: k=$k rounds=$rounds oversample=$oversample")
+    val l = oversample * k
+    val cap = (8 * l).toInt + 8
+    val base = lloydBase(embeddings)
+
+    val first = base.orderBy("vec_id").limit(1).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    if (first.isEmpty) return Nil
+    var cands = first
+
+    def minDist2(cents: Seq[(Long, Seq[Double])]) = {
+      val terms = cents.map { case (_, cv) =>
+        val cn2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+        greatest(lit(0.0), col("n2") + lit(cn2) -
+          lit(2.0) * graft.functions.DotOrdered(col("emb"), typedLit(cv)))
+      }
+      // Least requires >= 2 children; round 1 has a single center
+      if (terms.size == 1) terms.head else least(terms: _*)
+    }
+    for (round <- 1 to rounds) {
+      val d2 = base.withColumn("d2", minDist2(cands))
+      val phi = d2.agg(sum("d2")).head().getDouble(0)
+      if (phi > 0) {
+        // u in [0, 1): top 53 bits of the keyed hash — exact in double
+        val u = shiftrightunsigned(
+          xxhash64(col("vec_id"), lit(round), lit(seed)), 11)
+          .cast("double") / lit(9007199254740992.0) // 2^53
+        val picked = d2.filter(u * lit(phi) < lit(l) * col("d2"))
+          .orderBy("vec_id").limit(cap)
+          .select("vec_id", "emb").collect().toSeq
+          .map(r => r.getLong(0) -> r.getSeq[Double](1))
+        val known = cands.map(_._1).toSet
+        cands = cands ++ picked.filterNot(p => known.contains(p._1))
+      }
+    }
+
+    // weight candidates by Voronoi cell size: one literal-fold argmin
+    // pass (cells keyed by candidate ARRAY INDEX — vec_ids need not be
+    // distinct points) + a ≤|cands|-row aggregate
+    val argmin = array_min(array(cands.zipWithIndex.map { case ((_, cv), i) =>
+      val cn2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      struct(
+        greatest(lit(0.0), col("n2") + lit(cn2) -
+          lit(2.0) * graft.functions.DotOrdered(col("emb"), typedLit(cv)))
+          .as("dist"),
+        lit(i).as("ci"))
+    }: _*))
+    val weights = base.select(argmin.getField("ci").as("ci"))
+      .groupBy("ci").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // driver-side deterministic greedy weighted k-means++ reduction
+    val pts = cands.zipWithIndex.map { case ((_, cv), i) =>
+      (cv, weights.getOrElse(i, 0L).toDouble, i)
+    }
+    def dd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var chosen = Vector(pts.maxBy(p => (p._2, -p._3)))
+    var exhausted = false
+    while (!exhausted && chosen.size < k && chosen.size < pts.size) {
+      val next = pts.filterNot(p => chosen.exists(_._3 == p._3))
+        .maxBy(p => (chosen.map(c => dd(p._1, c._1)).min * p._2, -p._3))
+      // score 0 ⟺ the best remaining candidate is an exact duplicate of
+      // a chosen center (ties in the weighting pass go to the lower
+      // index, so duplicates carry weight 0 and distance 0): stop with
+      // < k centers rather than seed guaranteed-empty clusters
+      if (chosen.map(c => dd(next._1, c._1)).min * next._2 <= 0) exhausted = true
+      else chosen = chosen :+ next
+    }
+    chosen.zipWithIndex.map { case (p, i) => i.toLong -> p._1 }
+  }
+
+  /** [[kmeansFit]] with k-means|| initialization — the production init
+    * at scale (id seeding is the oracle-checkable default; this is the
+    * robust one when low vec_ids are NOT an unbiased sample). Same
+    * Lloyd's loop, same return contract; cids are 0..k-1 in init
+    * selection order.
+    */
+  def kmeansFitParallel(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+                        rounds: Int = 5, oversample: Double = 2.0,
+                        seed: Long = 42L): (DataFrame, Seq[Double]) =
+    lloyd(lloydBase(embeddings),
+      kmeansParallelInit(embeddings, k, rounds, oversample, seed), iters)
 }

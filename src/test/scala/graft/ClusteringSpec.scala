@@ -219,6 +219,46 @@ class ClusteringSpec extends SparkSpec {
     assert(graft.io.Manifest.currentVersion(spark, model).contains(2))
   }
 
+  test("kmeansParallelInit: deterministic, spreads seeds where id-seeding " +
+    "collapses, and fitParallel beats id-seeded inertia there") {
+    // pathological for id seeding: the three lowest ids all sit in
+    // cluster A near the origin, and B/C both lie FAR in +x with a small
+    // ±y split — every stacked seed sees B and C through its x
+    // coordinate, so ONE seed captures B∪C and Lloyd's can never split
+    // them (a stable local optimum); d²-biased oversampling must instead
+    // place seeds in both
+    val r = new scala.util.Random(5)
+    def around(cx: Float, cy: Float, i: Long) =
+      (i, Seq(cx + r.nextFloat() * 0.2f, cy + r.nextFloat() * 0.2f))
+    val rows =
+      (0L to 9L).map(around(0f, 0f, _)) ++
+      (10L to 19L).map(around(100f, 3f, _)) ++
+      (20L to 29L).map(around(100f, -3f, _))
+    val d = rows.toDF("vec_id", "embedding")
+
+    val init1 = Clustering.kmeansParallelInit(d, k = 3)
+    val init2 = Clustering.kmeansParallelInit(d, k = 3)
+    assert(init1 == init2, "seeded-hash init must be bit-reproducible")
+    assert(init1.size == 3 && init1.map(_._1) == Seq(0L, 1L, 2L),
+      "cids are 0..k-1 in selection order")
+    // each planted cluster contributes exactly one seed
+    def clusterOf(v: Seq[Double]): Int =
+      if (v.head < 50) 0 else if (v(1) > 0) 1 else 2
+    assert(init1.map(p => clusterOf(p._2)).distinct.size == 3,
+      s"seeds must spread across the planted clusters: ${init1.map(_._2)}")
+
+    val (_, seededInertia) = Clustering.kmeansFit(d, k = 3, iters = 6)
+    val (assigned, parInertia) =
+      Clustering.kmeansFitParallel(d, k = 3, iters = 6)
+    assert(parInertia.last < seededInertia.last / 10,
+      s"parallel init must beat stacked id seeds decisively: " +
+        s"par=${parInertia.last} id=${seededInertia.last}")
+    // with one seed per planted cluster, the fit recovers the planting
+    val m = assigned.select("vec_id", "cid").as[(Long, Long)].collect()
+    val groups = m.groupBy(_._2).values.map(_.map(_._1 / 10).toSet).toSeq
+    assert(groups.size == 3 && groups.forall(_.size == 1))
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)

@@ -660,10 +660,12 @@ class StreamingSpec extends SparkSpec {
     val pix = (x: Int, _: Int) => if (x < 2) 0x000000 else 0xffffff
     val pngBytes = encodeImg(4, 2, pix, "png")
     val bmpBytes = encodeImg(4, 2, pix, "bmp")
+    val jpgBytes = encodeImg(4, 2, pix, "jpg")
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", pngBytes, "synthetic://png"),
       Multimodal.MediaRow(2L, "image", bmpBytes, "synthetic://bmp"),
-      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"), "synthetic://txt"))
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"), "synthetic://txt"),
+      Multimodal.MediaRow(4L, "image", jpgBytes, "synthetic://jpg"))
     val out = Multimodal.decodeFeatures(spark.createDataset(rows))
       .collect().map(f => f.media_id -> f).toMap
     // real dimensions out of the codec, not the stub's hash-derived fakes
@@ -679,6 +681,14 @@ class StreamingSpec extends SparkSpec {
     val stub = Multimodal.fakeDecode(rows(2))
     assert(out(3L).copy(embedding = null) == stub.copy(embedding = null) &&
       out(3L).embedding.toSeq == stub.embedding.toSeq)
+    // JPEG (r8 verdict optional item — this JDK ships the codec):
+    // dimensions exact; the lossy codec may smear the hard edge, but the
+    // mass must stay concentrated in the darkest and brightest bins
+    assert(out(4L).width == 4 && out(4L).height == 2 && out(4L).duration_ms == 0)
+    val jh = out(4L).embedding.toSeq
+    assert(math.abs(jh.sum - 1f) < 1e-6, "histogram mass must normalize")
+    assert(jh.head + jh.last > 0.9f,
+      s"lossy JPEG of a black/white image must stay bimodal: $jh")
   }
 
   test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
