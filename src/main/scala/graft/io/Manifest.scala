@@ -25,13 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the next writer's version numbering skips past (data dirs count toward
   * the next version even when uncommitted).
   *
-  * Concurrency contract: any number of readers against a single
-  * maintenance writer (the exclusive marker create makes a racing second
-  * writer FAIL its commit rather than corrupt — it retries on the next
-  * version). Multi-writer append coordination is exactly what the full
-  * table formats add and is out of scope here; the incremental pipeline's
-  * appends go through its own sinks, with this layer reserved for
-  * wholesale snapshot swaps (dim reloads, compaction, epoch rewrites).
+  * Concurrency contract: any number of readers, and concurrent
+  * maintenance COMMITS serialize safely — each writer claims its version
+  * up front (`_claim-v<N>` exclusive create, see [[commit]]) so racing
+  * writers land whole snapshots under DISTINCT versions and the newest
+  * marker wins `currentVersion`. What stays out of scope is multi-writer
+  * APPEND coordination (merging concurrent logical changes into one
+  * lineage) — exactly what the full table formats add; the incremental
+  * pipeline's appends go through its own sinks, with this layer reserved
+  * for wholesale snapshot swaps (dim reloads, compaction, epoch
+  * rewrites).
   *
   * Scale: one directory listing per read resolves the snapshot — no file
   * enumeration beyond the snapshot's own dir; vacuum bounds storage to
@@ -40,6 +43,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Manifest {
 
   private val MarkerRe = "_commit-v(\\d+)".r
+  private val ClaimRe = "_claim-v(\\d+)".r
   private val DirRe = "v(\\d+)".r
 
   private def fs(spark: SparkSession, path: String) =
@@ -56,8 +60,9 @@ object Manifest {
       }.flatten.maxOption
   }
 
-  /** Next version to write: one past every version with a marker OR a
-    * data dir, so a crashed uncommitted write is skipped, never reused.
+  /** Next version to write: one past every version with a marker, a
+    * CLAIM, or a data dir, so a crashed uncommitted write — or another
+    * writer's in-flight one — is skipped, never reused.
     */
   private def nextVersion(spark: SparkSession, table: String): Int = {
     val f = fs(spark, table)
@@ -67,6 +72,7 @@ object Manifest {
       else f.listStatus(p).toSeq.flatMap { st =>
         st.getPath.getName match {
           case MarkerRe(n) => Some(n.toInt)
+          case ClaimRe(n) => Some(n.toInt)
           case DirRe(n) if st.isDirectory => Some(n.toInt)
           case _ => None
         }
@@ -75,17 +81,50 @@ object Manifest {
   }
 
   /** Commit a new snapshot written by `writeFn` (which receives the
-    * snapshot directory to fill). Returns the committed version. The
-    * marker create is exclusive: losing a race to another writer throws
-    * instead of double-committing a version.
+    * snapshot directory to fill). Returns the committed version.
+    *
+    * Concurrent-writer safety (two layers of exclusive create):
+    *  1. the version is CLAIMED first — `_claim-v<N>` via exclusive
+    *     create — so racing writers serialize onto DISTINCT versions
+    *     before any data is written. Without the claim, both compute the
+    *     same next version and fill the SAME `v<N>/` directory; the
+    *     marker race then picks a winner, but the winning snapshot
+    *     contains the loser's part-files — corruption the old
+    *     "marker-only" protocol could not actually prevent. A lost claim
+    *     race just bumps to the next free version and retries (bounded);
+    *  2. the `_commit-v<N>` marker stays the atomic visibility point, as
+    *     before. A writer that crashes between claim and marker leaves a
+    *     dead claim (+ maybe a dead dir) that version numbering skips
+    *     and [[vacuum]] reclaims.
+    *
+    * This makes snapshot PUBLICATION safe under concurrent maintenance
+    * (each commit lands whole, as its own version; the newest marker
+    * wins `currentVersion`). Multi-writer APPEND coordination — merging
+    * concurrent logical changes — remains table-format territory and out
+    * of scope.
     */
   def commit(spark: SparkSession, table: String)(writeFn: String => Unit): Int = {
-    val v = nextVersion(spark, table)
-    writeFn(s"$table/v$v")
     val f = fs(spark, table)
+    f.mkdirs(new Path(table))
+    var v = nextVersion(spark, table)
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        f.create(new Path(s"$table/_claim-v$v"), false).close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 1000) throw new IllegalStateException(
+            s"could not claim a snapshot version under $table after " +
+              s"$attempts attempts (last tried v$v)", e)
+          v = math.max(v + 1, nextVersion(spark, table))
+      }
+    }
+    writeFn(s"$table/v$v")
     val marker = new Path(s"$table/_commit-v$v")
-    // FileSystem.create(path, overwrite = false) is the exclusive-create
-    // commit point (atomic visibility on HDFS and local FS)
+    // exclusive create; cannot lose this race — the claim made v ours
     val out = f.create(marker, false)
     out.close()
     v
@@ -177,15 +216,22 @@ object Manifest {
       }.flatten.sorted
     committed.dropRight(keep).foreach { v =>
       f.delete(new Path(s"$table/_commit-v$v"), false)
+      f.delete(new Path(s"$table/_claim-v$v"), false)
       f.delete(new Path(s"$table/v$v"), true)
     }
     val newest = committed.lastOption.getOrElse(Int.MinValue)
     val committedSet = committed.toSet
     listing.foreach { st =>
       st.getPath.getName match {
+        // dead uncommitted data dirs AND dead claims (a crashed writer
+        // leaves its claim behind; below the newest marker it is
+        // provably abandoned — same argument as the dir)
         case DirRe(n) if st.isDirectory &&
           !committedSet.contains(n.toInt) && n.toInt < newest =>
           f.delete(st.getPath, true)
+        case ClaimRe(n) if st.isFile &&
+          !committedSet.contains(n.toInt) && n.toInt < newest =>
+          f.delete(st.getPath, false)
         case _ => ()
       }
     }

@@ -162,6 +162,61 @@ class ManifestSpec extends SparkSpec {
     assert(markers == 4, s"expected 4 retained markers, got $markers")
   }
 
+  test("concurrent writers serialize onto distinct versions; every " +
+    "committed snapshot is whole (no mixed part-files)") {
+    // The claim protocol's reason to exist: without it, racing writers
+    // compute the same next version and fill the SAME v<N>/ dir — the
+    // marker race then publishes a snapshot containing BOTH writers'
+    // part-files. Here 4 writers commit 3 generations each concurrently;
+    // every committed version must contain exactly ONE writer's rows.
+    val t = tmp()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val writers = (1 to 4).map { wid =>
+      new Thread(() => {
+        try {
+          (1 to 3).foreach { gen =>
+            versions.add(Manifest.write(
+              (1 to 50).map(i => (i.toLong, wid.toLong, gen.toLong))
+                .toDF("i", "writer", "gen").repartition(3), t))
+          }
+        } catch { case e: Throwable => errors.add(s"writer $wid: $e") }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer failures: $errors")
+    val vs = versions.toArray(Array.empty[Integer]).map(_.toInt).toSeq
+    assert(vs.size == 12 && vs.distinct.size == 12,
+      s"12 commits must land as 12 distinct versions: $vs")
+    // every committed snapshot is internally consistent: one writer, one
+    // gen, full row count — no cross-writer part-file mixing
+    vs.foreach { v =>
+      val rows = Manifest.readVersion(spark, t, v)
+        .select("writer", "gen").distinct().collect()
+      assert(rows.length == 1,
+        s"v$v mixes ${rows.length} (writer, gen) combinations")
+      assert(Manifest.readVersion(spark, t, v).count() == 50,
+        s"v$v torn row count")
+    }
+    assert(Manifest.currentVersion(spark, t).contains(vs.max))
+  }
+
+  test("vacuum reclaims dead claim files of crashed writers") {
+    val t = tmp()
+    Manifest.write((1L to 5L).toDF("x"), t)
+    // crashed writer: claimed v2, wrote nothing, died
+    new java.io.File(s"$t/_claim-v2").createNewFile()
+    // numbering skips the dead claim
+    assert(Manifest.write((1L to 2L).toDF("x"), t) == 3)
+    Manifest.vacuum(spark, t, keep = 2)
+    assert(!new java.io.File(s"$t/_claim-v2").exists(),
+      "dead claim below the newest marker must be reclaimed")
+    // claims of retained committed versions survive
+    assert(new java.io.File(s"$t/_claim-v3").exists())
+    assert(Manifest.read(spark, t).count() == 2)
+  }
+
   test("vacuum reclaims dead crashed-writer dirs, spares in-flight ones, no-ops on missing") {
     val t = tmp()
     Manifest.vacuum(spark, t) // never-written table: no-op, no throw
