@@ -312,11 +312,23 @@ object Fuzzy {
   def editDistanceJoinAuto(df: DataFrame, idCol: String, strCol: String,
                            maxDist: Int, q: Int = 2,
                            maxCandidatesPerString: Double = 64.0): DataFrame = {
-    val p = gramPrefix(df, idCol, strCol, maxDist, q)
-    if (auditPrefix(p).candidatesPerString > maxCandidatesPerString)
+    val p0 = gramPrefix(df, idCol, strCol, maxDist, q)
+    // persist the prefix table across census + (possibly) join — without
+    // it the prefix path pays the explode/freq/top-k pipeline TWICE
+    // (once materializing the census, once in the join job). Same
+    // pattern as embeddingNearDup's bucketed cache; MEMORY_AND_DISK so
+    // a corpus-scale prefix spills instead of evicting. Released
+    // immediately when the segment regime wins (nothing downstream
+    // references it); on the prefix path the returned plan holds it,
+    // and the caller's session owns the cache lifetime as with any
+    // cached operator input.
+    val p = p0.copy(prefix = p0.prefix.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (auditPrefix(p).candidatesPerString > maxCandidatesPerString) {
+      p.prefix.unpersist()
       editDistanceJoinPartitioned(df, idCol, strCol, maxDist)
-    else
-      prefixJoin(p, maxDist) // reuses the already-built prefix table
+    } else
+      prefixJoin(p, maxDist) // reuses the cached, already-censused prefix
   }
 
   /** The regime [[editDistanceJoinAuto]] would dispatch to for this
