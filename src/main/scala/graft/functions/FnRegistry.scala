@@ -18,6 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * A concurrent first use from two threads can each miss the exists check
   * and both register; `createOrReplaceTempFunction` makes the race
   * harmless (last write wins, same builder), costing at most one WARN.
+  *
+  * Name-collision stance: if a user registered their OWN function under a
+  * `graft_`-prefixed name first, ensure() keeps theirs (the old
+  * unconditional replace silently stomped it — equally wrong in the other
+  * direction). The `graft_` prefix exists to make that collision
+  * effectively impossible; a user who creates one deliberately gets
+  * their own function, as temp-function precedence normally works.
   */
 private[functions] object FnRegistry {
   def ensure(spark: SparkSession, name: String,

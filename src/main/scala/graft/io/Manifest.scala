@@ -49,6 +49,32 @@ object Manifest {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic exclusive create of an empty coordination file. Hadoop's
+    * `create(path, overwrite = false)` is genuinely atomic on HDFS, but
+    * RawLocalFileSystem implements it as check-then-open — two racing
+    * local writers can both pass the exists check. For `file:` URIs we
+    * drop to `java.nio.file.Files.createFile` (O_EXCL — atomic), so the
+    * claim/marker protocol's exclusivity actually holds on every
+    * filesystem the tests and local pipelines run on. Returns false when
+    * the file already exists (the lost-race signal); every other failure
+    * propagates — a permissions or quota error is NOT a race and must
+    * fail fast, not burn the retry budget.
+    */
+  private def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Boolean = {
+    val local = f.getScheme == "file"
+    try {
+      if (local)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+      else f.create(p, false).close()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
   /** Highest committed snapshot version, if any. */
   def currentVersion(spark: SparkSession, table: String): Option[Int] = {
     val f = fs(spark, table)
@@ -95,7 +121,17 @@ object Manifest {
     *  2. the `_commit-v<N>` marker stays the atomic visibility point, as
     *     before. A writer that crashes between claim and marker leaves a
     *     dead claim (+ maybe a dead dir) that version numbering skips
-    *     and [[vacuum]] reclaims.
+    *     and [[vacuum]] reclaims;
+    *  3. the claim doubles as the writer's LEASE against vacuum: a
+    *     concurrent [[vacuum]] may reclaim an in-flight version it
+    *     cannot distinguish from a crashed one (no heartbeat exists on a
+    *     plain FS), so the writer re-verifies its claim before AND after
+    *     the marker create — if the claim vanished, it rolls its own
+    *     marker/dir back and fails LOUDLY instead of publishing a
+    *     half-vacuumed snapshot. Vacuum mirrors this (claim deleted
+    *     first, marker re-checked per victim), so every interleaving
+    *     ends in either a whole committed snapshot or a thrown commit —
+    *     never a torn one.
     *
     * This makes snapshot PUBLICATION safe under concurrent maintenance
     * (each commit lands whole, as its own version; the newest marker
@@ -107,26 +143,35 @@ object Manifest {
     val f = fs(spark, table)
     f.mkdirs(new Path(table))
     var v = nextVersion(spark, table)
-    var claimed = false
     var attempts = 0
-    while (!claimed) {
-      try {
-        f.create(new Path(s"$table/_claim-v$v"), false).close()
-        claimed = true
-      } catch {
-        case e: java.io.IOException =>
-          attempts += 1
-          if (attempts > 1000) throw new IllegalStateException(
-            s"could not claim a snapshot version under $table after " +
-              s"$attempts attempts (last tried v$v)", e)
-          v = math.max(v + 1, nextVersion(spark, table))
-      }
+    // a lost claim race bumps to the next free version; anything else
+    // (permissions, quota) propagates immediately from exclusiveCreate
+    while (!exclusiveCreate(f, new Path(s"$table/_claim-v$v"))) {
+      attempts += 1
+      if (attempts > 1000) throw new IllegalStateException(
+        s"could not claim a snapshot version under $table after " +
+          s"$attempts attempts (last tried v$v)")
+      v = math.max(v + 1, nextVersion(spark, table))
     }
-    writeFn(s"$table/v$v")
+    val claim = new Path(s"$table/_claim-v$v")
+    val dir = s"$table/v$v"
     val marker = new Path(s"$table/_commit-v$v")
-    // exclusive create; cannot lose this race — the claim made v ours
+    def abortVacuumed(): Nothing = {
+      f.delete(marker, false)
+      f.delete(new Path(dir), true)
+      throw new IllegalStateException(
+        s"commit of $dir aborted: a concurrent vacuum reclaimed the " +
+          s"claim mid-write (this version was indistinguishable from a " +
+          s"crashed writer's); retry the commit")
+    }
+    writeFn(dir)
+    if (!f.exists(claim)) abortVacuumed()
     val out = f.create(marker, false)
     out.close()
+    // the claim is deleted FIRST by vacuum, the dir second — so a claim
+    // still present here proves no vacuum touched this version before
+    // the marker landed, and the marker now shields it from any later one
+    if (!f.exists(claim)) abortVacuumed()
     v
   }
 
@@ -195,13 +240,15 @@ object Manifest {
     * then the data dir, so a reader that resolved before the vacuum can
     * lose files only after its snapshot left the retention window — the
     * retention contract every snapshot table has). Also reclaims
-    * crashed-writer dirs: an UNCOMMITTED `v<N>/` with N below the newest
-    * committed version is provably dead — its number was skipped by
-    * every later writer and, under the single-maintenance-writer
-    * contract, nobody is still filling it — so its storage (potentially
-    * a whole snapshot's worth per crash) is released here rather than
-    * leaking forever. An uncommitted dir ABOVE the newest marker is left
-    * alone: that is what an in-flight commit looks like. A never-written
+    * uncommitted claims/dirs below the newest committed version —
+    * usually a crashed writer's leavings, whose storage (potentially a
+    * whole snapshot per crash) would otherwise leak forever. A plain FS
+    * cannot distinguish that from a LIVE slow writer overtaken by a
+    * newer commit; the claim-lease handshake with [[commit]] resolves
+    * the ambiguity safely — the overtaken writer finds its claim gone
+    * and aborts loudly, never publishing a half-vacuumed snapshot. An
+    * uncommitted dir ABOVE the newest marker is left alone: that is what
+    * an in-flight commit of the next version looks like. A never-written
     * table path is a no-op.
     */
   def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
@@ -221,18 +268,26 @@ object Manifest {
     }
     val newest = committed.lastOption.getOrElse(Int.MinValue)
     val committedSet = committed.toSet
-    listing.foreach { st =>
+    // Uncommitted versions below the newest marker: either a crashed
+    // writer's leavings or — indistinguishable on a plain FS — a LIVE
+    // slow writer overtaken by a newer commit. Reclaim in the order the
+    // commit-side lease check relies on (claim first, then re-check the
+    // marker, then the dir): a live writer that loses its claim here
+    // detects it and aborts loudly (see commit), and the marker
+    // re-check per victim means a commit that landed after this
+    // vacuum's initial listing is never half-deleted.
+    val dead = listing.flatMap { st =>
       st.getPath.getName match {
-        // dead uncommitted data dirs AND dead claims (a crashed writer
-        // leaves its claim behind; below the newest marker it is
-        // provably abandoned — same argument as the dir)
-        case DirRe(n) if st.isDirectory &&
-          !committedSet.contains(n.toInt) && n.toInt < newest =>
-          f.delete(st.getPath, true)
-        case ClaimRe(n) if st.isFile &&
-          !committedSet.contains(n.toInt) && n.toInt < newest =>
-          f.delete(st.getPath, false)
-        case _ => ()
+        case DirRe(n) if st.isDirectory => Some(n.toInt)
+        case ClaimRe(n) if st.isFile => Some(n.toInt)
+        case _ => None
+      }
+    }.distinct.filter(n => !committedSet.contains(n) && n < newest)
+    dead.foreach { n =>
+      if (!f.exists(new Path(s"$table/_commit-v$n"))) {
+        f.delete(new Path(s"$table/_claim-v$n"), false)
+        if (!f.exists(new Path(s"$table/_commit-v$n")))
+          f.delete(new Path(s"$table/v$n"), true)
       }
     }
   }

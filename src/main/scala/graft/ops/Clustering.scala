@@ -454,7 +454,9 @@ object Clustering {
     * [0, 1) — reproducible in any engine, no RNG state. Per round, ONE
     * literal-fold projection computes d²(x, C) (zero shuffle — same
     * argmin machinery as [[assignCentroids]]), one scalar aggregate
-    * yields the cost φ, and the sample keeps x iff
+    * yields the cost φ (summed in exact DECIMAL so the value — and
+    * therefore every Bernoulli threshold — is independent of partition
+    * order), and the sample keeps x iff
     * u(x) < ℓ·d²(x)/φ — expected ℓ rows collected per round, hard-capped
     * at 8ℓ+8 (lowest vec_ids win past the cap; a cap hit means φ is
     * concentrated on few points, where any ℓ-subset is equally good).
@@ -492,7 +494,16 @@ object Clustering {
     }
     for (round <- 1 to rounds) {
       val d2 = base.withColumn("d2", minDist2(cands))
-      val phi = d2.agg(sum("d2")).head().getDouble(0)
+      // cost φ summed in exact DECIMAL, not double: a double sum is
+      // partition-order dependent, and φ sits inside every Bernoulli
+      // threshold below — an ulp of run-to-run drift could flip a
+      // borderline pick and cascade into different centers, breaking
+      // the determinism contract. Decimal addition is exact (the
+      // per-row cast rounds each d2 once, deterministically), so φ is
+      // identical under any partitioning. Magnitudes fit easily:
+      // DECIMAL(38,10) carries 10^28.
+      val phi = Option(d2.agg(sum(col("d2").cast("decimal(38,10)")))
+        .head().getDecimal(0)).map(_.doubleValue).getOrElse(0.0)
       if (phi > 0) {
         // u in [0, 1): top 53 bits of the keyed hash — exact in double
         val u = shiftrightunsigned(

@@ -60,7 +60,7 @@ object Fuzzy {
     */
   private case class EdParts(base: DataFrame, long: DataFrame,
                              short: DataFrame, prefix: DataFrame,
-                             prefixLen: Int)
+                             prefixLen: Int, maxDist: Int, q: Int)
 
   /** Steps 1-3 of the Ed-Join shape (gram multiset → global frequencies
     * → rarest-gram prefix) — the part whose OUTPUT is also the cost
@@ -99,7 +99,7 @@ object Fuzzy {
       exploded.join(broadcast(freq), Seq("g")),
       Seq("_id"), Seq(asc("_gdf"), asc("g"), asc("occ")), prefixLen)
       .drop("rank", "_gdf")
-    EdParts(base, long, short, prefix, prefixLen)
+    EdParts(base, long, short, prefix, prefixLen, maxDist, q)
   }
 
   /** Step 4: the prefix self-join + verify tail over a prepared
@@ -249,19 +249,32 @@ object Fuzzy {
       longCand.unionByName(lengthBucketCand(short, base, maxDist)), maxDist)
   }
 
-  /** Pre-flight cost audit of the prefix-filter regime: the exact number
-    * of (unordered, pre-length-band) candidate pairs its (gram, occ)
-    * buckets would emit — Σ c·(c−1)/2 over bucket sizes c — and the
-    * long-string count. Because every long string carries exactly
-    * `prefixLen` prefix elements, both numbers fall out of ONE
-    * aggregation over the prefix table; the whole audit costs the gram
-    * explode + two key shuffles (freq, top-k) — the work the prefix
-    * regime would do anyway, and orders of magnitude less than a
-    * candidate explosion it predicts (the sf1 sweep's 476M-row case).
+  /** Pre-flight cost audit of [[editDistanceJoin]]'s candidate volume,
+    * BOTH paths:
+    *  - prefix path: the exact number of (unordered, pre-length-band)
+    *    candidate pairs its (gram, occ) buckets would emit —
+    *    Σ c·(c−1)/2 over bucket sizes c. Because every long string
+    *    carries exactly `prefixLen` prefix elements, the pair count and
+    *    the long-string count fall out of ONE aggregation over the
+    *    prefix table;
+    *  - short-string path: strings below the gram-count bound pair
+    *    through LENGTH buckets — quadratic within a ±maxDist length
+    *    band — so a short-dominated corpus (SKUs, airport codes) can
+    *    explode with an empty prefix census. Estimated from the length
+    *    histogram (≤ max-length rows, collected): Σ over short lengths
+    *    of n_l · (band(l) − 1) — candidate ROWS from the short side,
+    *    short-short pairs counted from both ends (a deliberate upper
+    *    bound; the dispatcher errs toward the segment regime, which
+    *    handles the same strings with selective segment keys down to
+    *    maxDist+1 chars).
+    * The whole audit costs the gram explode + two key shuffles (freq,
+    * top-k) + one tiny histogram — work the prefix regime does anyway,
+    * and orders of magnitude less than a candidate explosion it
+    * predicts (the sf1 sweep's 476M-row case).
     *
-    * `candidatesPerString` is the regime signal: high-entropy corpora
-    * (names, URLs) sit in the single digits; the 50k fixture-vocab
-    * sweep measured ~9 500.
+    * `nStrings` counts ALL strings; `candidatesPerString` is the regime
+    * signal: high-entropy corpora (names, URLs) sit in the single
+    * digits; the 50k fixture-vocab sweep measured ~9 500.
     */
   case class EdJoinAudit(nStrings: Long, candidatePairs: Long) {
     def candidatesPerString: Double =
@@ -285,7 +298,23 @@ object Fuzzy {
           .cast("long").as("pairs"),
         coalesce(sum(col("c")), lit(0L)).as("rows"))
       .head()
-    EdJoinAudit(r.getLong(1) / p.prefixLen, r.getLong(0))
+    val prefixPairs = r.getLong(0)
+    val nLong = r.getLong(1) / p.prefixLen
+    // length histogram: one combinable aggregate, ≤ max-string-length
+    // rows to the driver (the skewAudit boundedness argument)
+    val lens = p.base.groupBy("_len").agg(count(lit(1)).as("n"))
+      .collect().filterNot(_.isNullAt(0))
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val shortBound = p.q * p.maxDist + p.q - 1 // _ng <= q·maxDist
+    def band(l: Int): Long =
+      (l - p.maxDist to l + p.maxDist).iterator
+        .map(lens.getOrElse(_, 0L)).sum
+    val shortPairs = lens.iterator
+      .collect { case (l, n) if l <= shortBound => n * (band(l) - 1) }
+      .sum
+    EdJoinAudit(nLong + lens.iterator
+      .collect { case (l, n) if l <= shortBound => n }.sum,
+      prefixPairs + shortPairs)
   }
 
   /** [[editDistanceJoin]]'s contract with AUTOMATIC regime selection —

@@ -152,6 +152,30 @@ class FuzzySpec extends SparkSpec {
       maxDist = 2, q = 3) == "prefix")
   }
 
+  test("autoRegime: a short-dominated corpus (quadratic length-bucket " +
+    "path) dispatches to partition, not prefix") {
+    // len-4 SKU-like codes: with q=3, d=2 every string is SHORT (len <=
+    // 8), the prefix census is empty, and Ed-Join would pair them all
+    // through the +/-2 length buckets — ~n^2 candidates. The audit's
+    // short-path estimate must catch this and pick the segment regime
+    // (which handles len >= 3 with selective segment keys).
+    val rng = new scala.util.Random(17)
+    val alpha = "abcdefghij"
+    val shorts = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(4)(alpha(rng.nextInt(10))).mkString))
+    val a = Fuzzy.edJoinAudit(shorts.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3)
+    assert(a.nStrings == 300, "short strings must count toward the census")
+    assert(a.candidatesPerString > 64,
+      s"length-bucket explosion must be visible: ${a.candidatesPerString}")
+    assert(Fuzzy.autoRegime(shorts.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3) == "partition")
+    // and the dispatched join is still exact
+    val auto = Fuzzy.editDistanceJoinAuto(shorts.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3).as[(Long, Long, Int)].collect().toSet
+    assert(auto == naive(shorts, 2))
+  }
+
   test("editDistanceJoinAuto: identical pairs to both fixed regimes " +
     "whichever way it dispatches") {
     val rng = new scala.util.Random(7)

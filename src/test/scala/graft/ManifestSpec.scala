@@ -202,6 +202,30 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.currentVersion(spark, t).contains(vs.max))
   }
 
+  test("a writer whose claim was vacuumed mid-write aborts loudly and " +
+    "commits nothing (claim-lease handshake)") {
+    val t = tmp()
+    Manifest.write((1L to 5L).toDF("x"), t)
+    // writeFn simulates a concurrent vacuum reclaiming this in-flight
+    // version: the claim disappears while the writer is still filling
+    // the data dir
+    val e = intercept[IllegalStateException] {
+      Manifest.commit(spark, t) { dir =>
+        (1L to 9L).toDF("x").write.parquet(dir)
+        assert(new java.io.File(s"$t/_claim-v2").delete())
+      }
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // nothing published, nothing torn: v1 still current, v2 rolled back
+    assert(Manifest.currentVersion(spark, t).contains(1))
+    assert(!new java.io.File(s"$t/_commit-v2").exists())
+    assert(!new java.io.File(s"$t/v2").exists(), "aborted dir rolled back")
+    // the table is still writable afterwards; the fully-rolled-back
+    // version number is legitimately reusable (no trace of it remains)
+    assert(Manifest.write((1L to 3L).toDF("x"), t) == 2)
+    assert(Manifest.read(spark, t).count() == 3)
+  }
+
   test("vacuum reclaims dead claim files of crashed writers") {
     val t = tmp()
     Manifest.write((1L to 5L).toDF("x"), t)
