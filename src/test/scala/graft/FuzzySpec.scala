@@ -193,6 +193,22 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("auto prefix path reuses the censused prefix table (cached, not " +
+    "recomputed)") {
+    val rng = new scala.util.Random(23)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rich = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(15)(alpha(rng.nextInt(36))).mkString))
+    val df = Fuzzy.editDistanceJoinAuto(rich.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3)
+    // the census materialized the prefix into the cache; the join plan
+    // must read it from memory instead of re-running explode/freq/top-k
+    assert(df.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "prefix-path auto join must reuse the cached prefix table")
+    spark.catalog.clearCache()
+  }
+
   test("both variants return identical pairs on the documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
