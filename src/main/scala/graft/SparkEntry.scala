@@ -41,11 +41,15 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def materialized(s: SparkSession, dir: String, name: String)
                           (build: => DataFrame): DataFrame = {
-    // key carries the FULL sanitized dir (a 32-bit hashCode alone could
-    // collide two sf dirs within one application and silently serve the
-    // wrong corpus's pairs)
+    // key must be INJECTIVE in dir (a 32-bit hashCode — or lossy
+    // sanitization alone — could collide two sf dirs within one
+    // application and silently serve the wrong corpus's pairs) and
+    // bounded in length (a deep dir path as a filename component would
+    // hit ENAMETOOLONG): readable truncated prefix + full SHA-256
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val key = s"${s.sparkContext.applicationId}_" +
-      s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$name"
+      s"${dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)}_${digest}_$name"
     val path = intermediateRoot.resolve(key).toString
     intermediateBuilt.getOrElseUpdate(key,
       build.write.mode("overwrite").parquet(path))

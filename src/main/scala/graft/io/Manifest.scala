@@ -62,7 +62,12 @@ object Manifest {
     */
   private def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
                               p: Path): Boolean = {
-    val local = f.getScheme == "file"
+    // instanceof, not getScheme(): the Hadoop base-class getScheme
+    // THROWS UnsupportedOperationException on implementations that never
+    // overrode it — an exotic FS must fall through to the generic create
+    // path, not crash the claim
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     try {
       if (local)
         java.nio.file.Files.createFile(
@@ -131,7 +136,16 @@ object Manifest {
     *     half-vacuumed snapshot. Vacuum mirrors this (claim deleted
     *     first, marker re-checked per victim), so every interleaving
     *     ends in either a whole committed snapshot or a thrown commit —
-    *     never a torn one.
+    *     never a torn COMMITTED one. Residual window, documented
+    *     honestly: when vacuum reclaims the claim between the writer's
+    *     pre-check and its marker create, the marker is briefly visible
+    *     before the writer retracts it — a version-pinned reader racing
+    *     into exactly that window sees a transient read failure (the
+    *     same observable class as reading a version just as it leaves
+    *     retention), and a second vacuum listing inside it can count
+    *     the transient version against `keep` once. Closing that last
+    *     window needs a transaction log — the table formats' job, out
+    *     of scope here.
     *
     * This makes snapshot PUBLICATION safe under concurrent maintenance
     * (each commit lands whole, as its own version; the newest marker

@@ -494,22 +494,28 @@ object Clustering {
     }
     for (round <- 1 to rounds) {
       val d2 = base.withColumn("d2", minDist2(cands))
-      // cost φ summed in exact DECIMAL, not double: a double sum is
-      // partition-order dependent, and φ sits inside every Bernoulli
-      // threshold below — an ulp of run-to-run drift could flip a
-      // borderline pick and cascade into different centers, breaking
-      // the determinism contract. Decimal addition is exact (the
-      // per-row cast rounds each d2 once, deterministically), so φ is
-      // identical under any partitioning. Magnitudes fit easily:
-      // DECIMAL(38,10) carries 10^28.
-      val phi = Option(d2.agg(sum(col("d2").cast("decimal(38,10)")))
-        .head().getDecimal(0)).map(_.doubleValue).getOrElse(0.0)
-      if (phi > 0) {
+      // cost φ must be partition-order INDEPENDENT: it sits inside every
+      // Bernoulli threshold below, so an ulp of run-to-run double-sum
+      // drift could flip a borderline pick and cascade into different
+      // centers. Exact DECIMAL addition gives order independence, but a
+      // fixed decimal scale mishandles magnitude extremes (distances
+      // ~1e-12 truncate to zero; ~1e28 overflows to null). So normalize
+      // first by max(d2) — max is order-independent by itself — putting
+      // every value in [0, 1], where DECIMAL(38,18) is exact to 1e-18
+      // relative; the Bernoulli test below then compares in the SAME
+      // normalized space (u·φₙ < ℓ·d2ₙ ⟺ u·φ < ℓ·d2), so the decision
+      // is scale-free AND deterministic.
+      val maxRow = d2.agg(max("d2")).head()
+      val maxD2 = if (maxRow.isNullAt(0)) 0.0 else maxRow.getDouble(0)
+      if (maxD2 > 0) {
+        val dn = d2.withColumn("d2n", col("d2") / lit(maxD2))
+        val phiN = Option(dn.agg(sum(col("d2n").cast("decimal(38,18)")))
+          .head().getDecimal(0)).map(_.doubleValue).getOrElse(0.0)
         // u in [0, 1): top 53 bits of the keyed hash — exact in double
         val u = shiftrightunsigned(
           xxhash64(col("vec_id"), lit(round), lit(seed)), 11)
           .cast("double") / lit(9007199254740992.0) // 2^53
-        val picked = d2.filter(u * lit(phi) < lit(l) * col("d2"))
+        val picked = dn.filter(u * lit(phiN) < lit(l) * col("d2n"))
           .orderBy("vec_id").limit(cap)
           .select("vec_id", "emb").collect().toSeq
           .map(r => r.getLong(0) -> r.getSeq[Double](1))

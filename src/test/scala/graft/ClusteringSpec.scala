@@ -259,6 +259,31 @@ class ClusteringSpec extends SparkSpec {
     assert(groups.size == 3 && groups.forall(_.size == 1))
   }
 
+  test("kmeansParallelInit: magnitude-free — tiny-scale embeddings still " +
+    "yield k spread seeds (normalized exact-decimal cost)") {
+    // coordinates ~1e-6 ⇒ d² ~1e-12: a fixed-scale decimal cost sum
+    // would truncate every distance to zero and collapse the init to a
+    // single center; the max-normalized cost must keep the sampling
+    // scale-free (identical picks to the unit-scale corpus)
+    val r = new scala.util.Random(5)
+    def around(cx: Float, cy: Float, i: Long, s: Float) =
+      (i, Seq((cx + r.nextFloat() * 0.2f) * s, (cy + r.nextFloat() * 0.2f) * s))
+    def corpus(s: Float) = {
+      r.setSeed(5)
+      ((0L to 9L).map(around(0f, 0f, _, s)) ++
+        (10L to 19L).map(around(100f, 3f, _, s)) ++
+        (20L to 29L).map(around(100f, -3f, _, s))).toDF("vec_id", "embedding")
+    }
+    val tiny = Clustering.kmeansParallelInit(corpus(1e-6f), k = 3)
+    assert(tiny.size == 3, s"tiny-scale init collapsed: ${tiny.size} centers")
+    val unit = Clustering.kmeansParallelInit(corpus(1f), k = 3)
+    // scale-free sampling: the same vec_ids are chosen at both scales
+    // (quantization of the stored embedding differs only by the scale)
+    assert(tiny.map(_._2.map(_ * 1e6).map(math.round)) ==
+      unit.map(_._2.map(math.round(_))),
+      "normalized cost must make the picks scale-invariant")
+  }
+
   test("kmeansFit: an emptied cluster keeps its previous centroid") {
     // k=3 over two real clusters: seeds 0,1 are both in cluster A
     // (ids 0,1 mod nothing — craft directly)
