@@ -259,6 +259,21 @@ class ClusteringSpec extends SparkSpec {
     assert(groups.size == 3 && groups.forall(_.size == 1))
   }
 
+  test("kmeansParallelInit: picks are independent of input partitioning " +
+    "(the property the exact-decimal cost sum exists for)") {
+    val r = new scala.util.Random(5)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq(r.nextFloat() * 20f, r.nextFloat() * 20f)))
+    val d = rows.toDF("vec_id", "embedding")
+    // different partition counts → different double-sum accumulation
+    // orders; φ (and therefore every Bernoulli pick) must not move
+    val byPart = Seq(1, 3, 13).map { n =>
+      Clustering.kmeansParallelInit(d.repartition(n), k = 4)
+    }
+    assert(byPart.distinct.size == 1,
+      "init must be identical under any partitioning")
+  }
+
   test("kmeansParallelInit: magnitude-free — tiny-scale embeddings still " +
     "yield k spread seeds (normalized exact-decimal cost)") {
     // coordinates ~1e-6 ⇒ d² ~1e-12: a fixed-scale decimal cost sum
