@@ -191,6 +191,13 @@ class FuzzySpec extends SparkSpec {
       assert(auto == naive(rows, 2))
       assert(auto == runSeg(rows, 2) && auto == run(rows, 2, q = 3))
     }
+    // maxDist = 0 degenerates to exact-duplicate pairing (prefixLen 1,
+    // single whole-string segment) — must still be exact through the
+    // dispatcher, including its duplicate pairs
+    val dups = poor.take(20) ++ poor.take(20).map { case (i, s) => (i + 100, s) }
+    val auto0 = Fuzzy.editDistanceJoinAuto(dups.toDF("id", "s"), "id", "s",
+      maxDist = 0, q = 3).as[(Long, Long, Int)].collect().toSet
+    assert(auto0 == naive(dups, 0) && auto0.nonEmpty)
   }
 
   test("auto prefix path reuses the censused prefix table (cached, not " +
