@@ -43,6 +43,8 @@ object Similarity {
     * partial aggregation bounds both memory and shuffle volume.
     */
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k >= 1, s"top-k needs k >= 1, got $k") // fail at construction,
+    // not as an executor-side empty.last crash mid-aggregate
     def zero: Seq[Scored] = Vector.empty
     def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
       if (buf.size < k) (buf :+ x).sorted(ord)
@@ -108,13 +110,6 @@ object Similarity {
         max(col("norm")).as("max_norm"))
   }
 
-  /** Brute-force cosine top-k: for each row of `queries` (q_id, q_emb),
-    * the k nearest corpus rows (vec_id, embedding) by cosine.
-    * Output: (q_id, rank, neighbor_id, sim), rank 1-based best-first.
-    *
-    * Plan shape: BroadcastNestedLoopJoin (the deliberate linear scan) →
-    * partial TopK per partition → single k-row-per-query shuffle → explode.
-    */
   /** Majority-vote label agreement over ANY neighbor table — the standard
     * embedding-space label audit: a vector whose k nearest neighbors
     * mostly carry a different label is either mislabeled or sits on a
@@ -138,8 +133,12 @@ object Similarity {
       .groupBy("q_id", "n_label")
       .agg(count(lit(1)).as("n_votes"))
       .groupBy("q_id")
-      .agg(max_by(struct(col("n_label"), col("n_votes")),
-        struct(col("n_votes"), -col("n_label"))).as("m"))
+      // min over (−votes, label): most votes first, then the SMALLEST
+      // label — lexicographic struct order works for ANY orderable label
+      // type (negating the label itself would null out on strings and
+      // silently break the tie contract for non-numeric label columns)
+      .agg(min_by(struct(col("n_label"), col("n_votes")),
+        struct((-col("n_votes")).as("nv"), col("n_label"))).as("m"))
       .select(col("q_id"), col("m.n_label").as("knn_label"),
         col("m.n_votes").as("n_votes"))
     votes
@@ -180,6 +179,13 @@ object Similarity {
     labelAgreement(neighbors, embeddings)
   }
 
+  /** Brute-force cosine top-k: for each row of `queries` (q_id, q_emb),
+    * the k nearest corpus rows (vec_id, embedding) by cosine.
+    * Output: (q_id, rank, neighbor_id, sim), rank 1-based best-first.
+    *
+    * Plan shape: BroadcastNestedLoopJoin (the deliberate linear scan) →
+    * partial TopK per partition → single k-row-per-query shuffle → explode.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopK(k))
     // norms hoisted out of the n×q scan (one dot per pair, not three);
@@ -211,6 +217,16 @@ object Similarity {
   /** Sign-bit LSH bucket id of an embedding column: bit i set iff
     * dot(embedding, plane_i) > 0. Embeddings with high cosine similarity
     * collide with high probability; bucket count = 2^nPlanes.
+    *
+    * INVARIANT: must stay bit-identical to `bucketFromDots(planeDots(
+    * emb, ...))` — annTopK hashes the corpus side here and the query
+    * side there, and any drift (e.g. `>= 0`, bit order) silently
+    * collapses recall. The two are deliberately NOT unified: this form
+    * is a codegen'd when/sum chain on the corpus-scale hot path, while
+    * bucketFromDots works over the already-materialized dots array via
+    * interpreted HOFs (fine on the query side, where the dots must exist
+    * anyway for the probe margins). SimilaritySpec's ANN self-match test
+    * fails on any desync (self stops colliding with its own bucket).
     */
   def hyperplaneBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
@@ -430,7 +446,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus.filter(col("vec_id") < nCells)
+    // genuinely the FIRST nCells vectors by vec_id (distributed top-k,
+    // nCells rows collected) — the old filter(vec_id < nCells) silently
+    // yielded zero cells (and an empty result) on any corpus whose ids
+    // don't start densely at 0, e.g. a filtered or offset split
+    val centroids = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val assigned = corpus
       .crossJoin(broadcast(centroids))
@@ -446,13 +466,21 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell"))))
       .filter(col("rn") <= nProbe)
       .select(col("cell"), col("q_id"), col("q_emb"))
+    // final ranking through the map-side-combinable TopK aggregator, not
+    // a per-query window: the probed candidate set is ~corpus·nProbe/
+    // nCells rows PER QUERY, and a window would shuffle all of them to
+    // one partition per query — the exact hot-partition shape the module
+    // exists to avoid. TopK's order (sim desc, id asc) matches the old
+    // window's (sim desc, vec_id) tie-break bit-for-bit.
+    val topk = udaf(new TopK(k))
     probes.join(assigned, "cell")
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("int").as("rank"),
-        col("vec_id").as("neighbor_id"), col("sim"))
+      .select(col("q_id"), col("vec_id").as("id"), col("sim"))
+      .groupBy("q_id")
+      .agg(topk(col("id"), col("sim")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("neighbor_id"), col("s.sim").as("sim"))
   }
 
   /** Symmetric int8 scalar quantization of the embedding column — the

@@ -223,6 +223,18 @@ object Dedup {
     verifyJaccard(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
+  /** Free the executor blocks behind a localCheckpoint'd Dataset.
+    * `Dataset.unpersist` only uncaches CacheManager plans and silently
+    * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
+    * wrapped RDD and must be unpersisted there.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into an actual deduped corpus: every doc in a
     * component keeps/drops together, with `component` (= the min doc_id
@@ -254,18 +266,6 @@ object Dedup {
     * (doc_id, component) for every doc appearing in some pair — docs with
     * no near-dup are implicitly their own singleton component.
     */
-  /** Free the executor blocks behind a localCheckpoint'd Dataset.
-    * `Dataset.unpersist` only uncaches CacheManager plans and silently
-    * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
-    * wrapped RDD and must be unpersisted there.
-    */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist()
-    }
-
   def clusterComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // ONE evaluation of `pairs` (the upstream near-dup pipeline is the
     // expensive part) feeds both derived tables below. Lazy: the first
@@ -423,7 +423,11 @@ object Dedup {
     * row per doc — no pairwise work.
     */
   def simhashDocs(documents: DataFrame): DataFrame = {
+    // same few-fat-files spread as shingleSets: the tokenize/shingle/md5
+    // map stage is the cost here and is embarrassingly parallel
+    val spark = documents.sparkSession
     val ex = documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("s"))
       .select(col("doc_id"),

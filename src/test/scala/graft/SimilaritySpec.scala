@@ -193,6 +193,44 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (q, _, n, s) => assert(bf((q, n)) == s) }
   }
 
+  test("ivfTopK: non-dense vec_ids (offset corpus) still seed cells and " +
+    "return results") {
+    // the old filter(vec_id < nCells) seeded ZERO cells on any corpus
+    // whose ids don't start at 0 and silently returned an empty frame
+    val shifted = emb.select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val q = shifted.limit(3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val got = Similarity.ivfTopK(shifted, q, k = 3)
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty, "offset corpus must not produce an empty result")
+    // self-match survives probing exactly as on the dense corpus
+    val best = got.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.minBy(_._2)
+    }
+    best.foreach { case (qid, r) =>
+      assert(r._3 == qid && r._4 > 0.999999, s"self-match lost for $qid")
+    }
+  }
+
+  test("labelAgreement: tie on vote count breaks to the SMALLEST label " +
+    "for string labels too") {
+    // 2-2 vote split: the contract picks the lexicographically smaller
+    // label (the old -label tie key nulled out on strings and chose
+    // arbitrarily)
+    val neighbors = Seq(
+      (1L, 10L), (1L, 11L), (1L, 20L), (1L, 21L)
+    ).toDF("q_id", "neighbor_id")
+    val labeled = Seq(
+      (1L, "zebra"), (10L, "beta"), (11L, "beta"),
+      (20L, "alpha"), (21L, "alpha")
+    ).toDF("vec_id", "label")
+    val got = Similarity.labelAgreement(neighbors, labeled)
+      .as[(Long, String, String, Long, Boolean)].collect()
+    assert(got.length == 1)
+    assert(got.head._3 == "alpha" && got.head._4 == 2 && !got.head._5,
+      s"2-2 tie must pick 'alpha': ${got.head}")
+  }
+
   test("TopK aggregator: merge respects k and ordering") {
     val agg = new Similarity.TopK(2)
     val a = Seq(Similarity.Scored(1, 0.9), Similarity.Scored(2, 0.5))
