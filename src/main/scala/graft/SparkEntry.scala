@@ -687,6 +687,15 @@ mpairs AS (
       Corpus.distinctiveTerms(t(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "term_rank")),
 
+    // Windowed token co-occurrence with log-free lift (the PMI argument):
+    // map-side HOF pair generation — the oracle's positional self-join is
+    // the naive plan this operator avoids. All-integer counts, one shared
+    // IEEE division tree for lift.
+    "q_cooccur" -> ((s, dir) =>
+      Corpus.cooccurrence(t(s, dir, "documents"), window = 3,
+        minPairCount = 2)
+        .orderBy("w1", "w2")),
+
     // Mixture resampling: deterministic per-language replication to the
     // MixWeights target distribution (zh unlisted → dropped).
     "q_mixture" -> ((s, dir) =>
@@ -2106,6 +2115,31 @@ ORDER BY doc_a, doc_b"""
         |  FROM scored)
         |SELECT doc_id, term_rank, term, tf, df, score FROM r
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    // Positional self-join expresses the same pair set the Spark side
+    // generates map-side with HOFs; totals are definitionally identical
+    // (count over positions / over pairs). lift's division tree mirrors
+    // the Scala expression token-for-token.
+    "q_cooccur" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        |  FROM toks),
+        |pr AS (
+        |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+        |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM pr GROUP BY 1, 2),
+        |uni AS (SELECT w AS term, count(*) AS c FROM pos GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM pos) AS n_pos,
+        |               (SELECT count(*) FROM pr) AS p_slots)
+        |SELECT w1, w2, pair_cnt, u1.c AS c1, u2.c AS c2,
+        |  CAST(pair_cnt AS DOUBLE) * n_pos * n_pos /
+        |    (CAST(p_slots AS DOUBLE) * u1.c * u2.c) AS lift
+        |FROM pc CROSS JOIN tot
+        |  JOIN uni u1 ON pc.w1 = u1.term
+        |  JOIN uni u2 ON pc.w2 = u2.term
+        |WHERE pair_cnt >= 2 ORDER BY w1, w2""".stripMargin,
 
     // VALUES generated from the same MixWeights constant as the Spark
     // side; same md5 16-bit bucket convention as q_hash_split.

@@ -258,6 +258,69 @@ object Corpus {
       .select("doc_id", "term_rank", "term", "tf", "df", "score")
   }
 
+  /** Windowed token co-occurrence with a log-free association score —
+    * the corpus statistic behind word2vec/GloVe-style embedding training
+    * and collocation mining ("which words keep company?"). For every
+    * unordered token pair co-occurring within `window` positions, emits
+    * the positional pair count, both unigram counts, and the LIFT
+    * p(a,b) / (p(a)·p(b)) — the PMI argument without the log, exact in
+    * one shared IEEE division tree (the histogramDrift / distinctiveTerms
+    * parity rule: transcendentals never reach a compared column; callers
+    * wanting PMI take log(lift) themselves).
+    *
+    * Probabilities: p(a,b) = pair_cnt / P with P the corpus's total
+    * positional pair slots, p(w) = c(w) / N with N total token positions
+    * — so lift = (pair_cnt · N²) / (P · c₁ · c₂), built from exact
+    * integer counts with double promotion at fixed points.
+    *
+    * Scale posture (100 TB): pair generation is a per-document
+    * higher-order function (nested transform + flatten — codegen'd map
+    * work, NO positional self-join: the naive pos⋈pos plan the oracle
+    * runs would shuffle the token stream twice and explode on long docs).
+    * Then two map-side-combinable aggregates — pair counts (bounded by
+    * observed pair vocabulary, not corpus size) and unigram counts — and
+    * two shuffle_hash joins of the pair table against the unigram table
+    * (corpus-scale vocabularies never broadcast). N and P fold from the
+    * two count tables themselves: no second corpus scan. `minPairCount`
+    * prunes the hapax-pair tail AFTER the totals, so scores are
+    * unaffected by the cut.
+    */
+  def cooccurrence(documents: DataFrame, window: Int = 4,
+                   minPairCount: Long = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val t = col("toks")
+    val pairsOf = when(size(t) >= 2,
+      flatten(transform(sequence(lit(1), size(t) - lit(1)), i =>
+        transform(sequence(i + lit(1), least(i + lit(window), size(t))), j =>
+          struct(
+            least(element_at(t, i), element_at(t, j)).as("w1"),
+            greatest(element_at(t, i), element_at(t, j)).as("w2"))))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pc = documents
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(pairsOf).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val uni = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    // Scalar totals fold from the aggregated tables (vocab-bounded), not
+    // from a second corpus scan.
+    val totals = broadcast(
+      uni.agg(sum(col("c")).as("n_pos"))
+        .crossJoin(pc.agg(sum(col("pair_cnt")).as("p_slots"))))
+    pc.filter(col("pair_cnt") >= minPairCount)
+      .join(uni.select(col("term"), col("c").as("c1")).hint("shuffle_hash"),
+        col("w1") === col("term")).drop("term")
+      .join(uni.select(col("term"), col("c").as("c2")).hint("shuffle_hash"),
+        col("w2") === col("term")).drop("term")
+      .crossJoin(totals) // pair table x 1-row totals: constant-size build
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("c1"), col("c2"),
+        (col("pair_cnt").cast("double") * col("n_pos") * col("n_pos") /
+          (col("p_slots").cast("double") * col("c1") * col("c2")))
+          .as("lift"))
+  }
+
   /** Mixture resampling — the "data mixing" step that reweights corpus
     * sources/languages to a target distribution by deterministic
     * replication: weight w gives every doc ⌊w⌋ copies plus one more iff

@@ -35,6 +35,38 @@ class CorpusSpec extends SparkSpec {
     assert(out == Seq(("b", 3L, 3L), ("a", 2L, 1L), ("c", 1L, 1L)))
   }
 
+  test("cooccurrence: hand-computed pair counts and lift") {
+    // doc1 "a b c b a" w=2 pairs: ab ac bc bb bc ac ab; doc2 "a b": ab
+    // unigrams a=3 b=3 c=1; N=7 positions, P=8 pair slots
+    val out = Corpus.cooccurrence(docs(
+      1L -> "a b c b a",
+      2L -> "a b"), window = 2, minPairCount = 2)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, 3L, 3L, 3.0 * 7 * 7 / (8.0 * 3 * 3)),
+      ("a", "c", 2L, 3L, 1L, 2.0 * 7 * 7 / (8.0 * 3 * 1)),
+      ("b", "c", 2L, 3L, 1L, 2.0 * 7 * 7 / (8.0 * 3 * 1))))
+    // bb (count 1) pruned by minPairCount, but P still counted it: lift
+    // values above embed P=8, not 7.
+  }
+
+  test("cooccurrence: total pair slots match the positional formula") {
+    val w = 3
+    val corpus = docs(
+      1L -> "t1",                                      // L=1: 0 slots
+      2L -> "t1 t2",                                   // L=2: 1
+      3L -> "t1 t2 t3 t4",                             // L=4: 3+2+1 = 6
+      4L -> (1 to 9).map(i => s"u$i").mkString(" "))   // L=9: 3*6+2+1 = 21
+    def slots(l: Int) =
+      (1 until l).map(i => math.min(w, l - i)).sum.toLong
+    val all = Corpus.cooccurrence(corpus, window = w, minPairCount = 1)
+    val total = all.agg(sum("pair_cnt")).as[Long].head()
+    assert(total == slots(1) + slots(2) + slots(4) + slots(9))
+    // pair normalization invariant: w1 <= w2 on every row
+    assert(all.filter(col("w1") > col("w2")).isEmpty)
+  }
+
   test("chunkDocs: boundaries, overlap, and full coverage") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val out = Corpus.chunkDocs(docs(
