@@ -108,6 +108,49 @@ object Profile {
           .as("bin_hi"))
   }
 
+  /** Equi-DEPTH histogram — quantile binning, the partner of the
+    * equi-width [[histogram]]: `nBins` buckets each holding ~1/nBins of
+    * the rows, the form monotone-feature binning and heavy-tailed metric
+    * dashboards want (one whale stretches an equi-width grid into
+    * nothing-bins; equi-depth absorbs it). Boundaries are DISCRETE
+    * quantiles — actual column elements at rank ⌈p·n⌉, the
+    * quantileGate / madOutliers convention, verified rank-identical to
+    * the oracle engine's quantile_disc across n and p — so bucket edges
+    * are bit-portable, and past `accuracy` the same expression degrades
+    * into the mergeable sketch instead of buffering the column.
+    *
+    * Bin membership: row v lands in bin = #{thresholds t < v} — ties sit
+    * in the LOWER bin, so duplicate-heavy columns may leave later bins
+    * empty (they still appear, zero-filled: the dense-grid property).
+    * bin_lo/bin_hi are the enclosing thresholds, NULL at the open ends.
+    *
+    * Shape: one quantile aggregate (mergeable sketch at scale), the
+    * 1-row threshold array broadcast over the scan, one
+    * map-side-combinable bin count, and a constant-size grid join — the
+    * equi-width histogram's plan with the bounds row swapped for a
+    * threshold array.
+    */
+  def histogramEquiDepth(df: DataFrame, valueCol: String, nBins: Int = 10,
+                         accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valueCol).cast("double")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val th = df.filter(v.isNotNull)
+      .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE), " +
+        s"array(${qs.mkString(", ")}), $accuracy)").as("th"))
+    val counts = df.filter(v.isNotNull)
+      .crossJoin(broadcast(th)) // corpus x 1-row thresholds: constant-size
+      .select(size(filter(col("th"), e => v > e)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    th.select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"), col("th"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        when(col("bin") >= 1, element_at(col("th"), col("bin"))).as("bin_lo"),
+        when(col("bin") < nBins - 1, element_at(col("th"), col("bin") + 1))
+          .as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Distribution drift between two snapshots of the same metric — the
     * "did yesterday's corpus look like today's?" check a curation
     * pipeline runs before trusting a refreshed source. Both snapshots

@@ -53,6 +53,39 @@ class ProfileSpec extends SparkSpec {
     assert(c == Map(0 -> 3L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
   }
 
+  test("histogramEquiDepth: uniform column splits into equal-count bins") {
+    val df = (1 to 10).map(_.toDouble).toDF("x")
+    val out = Profile.histogramEquiDepth(df, "x", nBins = 5)
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+      .toSeq
+    // thresholds at rank ceil(p*10): 2, 4, 6, 8; ties to the lower bin
+    assert(out == Seq(
+      (0, None, Some(2.0), 2L),
+      (1, Some(2.0), Some(4.0), 2L),
+      (2, Some(4.0), Some(6.0), 2L),
+      (3, Some(6.0), Some(8.0), 2L),
+      (4, Some(8.0), None, 2L)))
+  }
+
+  test("histogramEquiDepth: heavy ties collapse into lower bins, grid stays dense") {
+    // 7 of 9 values equal: every threshold is 5.0, so nothing exceeds a
+    // LOWER threshold subset distinctly — ties all land in bin 0, the
+    // two larger values in the last bin (all 3 thresholds < them).
+    val df = Seq(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val out = Profile.histogramEquiDepth(df, "x", nBins = 4)
+      .orderBy("bin")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out == Map(0 -> 7L, 1 -> 0L, 2 -> 0L, 3 -> 2L))
+    // nulls excluded from both thresholds and counts
+    val withNulls = Seq(Some(1.0), None, Some(2.0), Some(3.0), Some(4.0))
+      .toDF("x")
+    val n = Profile.histogramEquiDepth(withNulls, "x", nBins = 2)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(n == 4L)
+  }
+
   test("histogramDrift: aligned bins, shares, TV and chi2 terms; empty-old bin is null chi2") {
     // old: uniform over [0,10); new: mass shifted into the top bin plus
     // a value beyond old's range (bounds come from the UNION)
