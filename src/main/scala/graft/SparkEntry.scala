@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.ops.{Relational, Sessionize, Similarity}
-import graft.ops.text.{Corpus, Dedup, TextStats}
+import graft.ops.text.{Bpe, Corpus, Dedup, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -323,6 +323,14 @@ mpairs AS (
       ops.Profile.histogram(t(s, dir, "events"), "value", nBins = 12)
         .orderBy("bin")),
 
+    // Equi-DEPTH 5-bin histogram of document lengths: discrete-quantile
+    // boundaries (rank ⌈p·n⌉ — verified identical to quantile_disc),
+    // ties to the lower bin, empty bins zero-filled.
+    "q_hist_equidepth" -> ((s, dir) =>
+      ops.Profile.histogramEquiDepth(t(s, dir, "documents"), "n_chars",
+        nBins = 5)
+        .orderBy("bin")),
+
     // Distribution drift between the first and second half-month of
     // event values: shared bins, both shares, TV/χ² terms (log-free).
     "q_hist_drift" -> ((s, dir) => {
@@ -633,6 +641,15 @@ mpairs AS (
 
     // Corpus vocabulary: term/document frequency, top-100 by tf.
     "q_vocab" -> ((s, dir) => Corpus.vocab(t(s, dir, "documents"))),
+
+    // BPE tokenizer training: 8 merges learned from the corpus's
+    // distinct-word table (deterministic count-then-lexicographic
+    // argmax). Like q_dedup_clusters, the iterations execute eagerly at
+    // plan-build time; the oracle replays the SAME loop as a recursive
+    // CTE.
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 8)
+        .orderBy("merge_rank")),
 
     // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
     "q_chunks" -> ((s, dir) =>
@@ -1401,6 +1418,22 @@ mpairs AS (
         | g.lo + CAST(g.bin AS DOUBLE) * ((g.hi - g.lo) / 12.0) AS bin_lo,
         | CASE WHEN g.bin = 11 THEN g.hi
         |  ELSE g.lo + CAST(g.bin + 1 AS DOUBLE) * ((g.hi - g.lo) / 12.0) END AS bin_hi,
+        | coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
+
+    // quantile_disc = approx_percentile in the exact n <= accuracy
+    // regime (rank ⌈p·n⌉ both sides — verified across n and p); bin
+    // membership and edges are element identity, not arithmetic.
+    "q_hist_equidepth" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |t AS (SELECT quantile_disc(x, [0.2, 0.4, 0.6, 0.8]) AS th FROM v),
+        |b AS (SELECT len(list_filter(t.th, e -> v.x > e)) AS bin FROM v, t),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 4)) AS bin, th FROM t)
+        |SELECT CAST(g.bin AS INT) AS bin,
+        | CASE WHEN g.bin >= 1 THEN th[CAST(g.bin AS INT)] END AS bin_lo,
+        | CASE WHEN g.bin < 4 THEN th[CAST(g.bin AS INT) + 1] END AS bin_hi,
         | coalesce(c.n, 0) AS n
         |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
 
@@ -2520,6 +2553,44 @@ FROM lh ORDER BY doc_id"""
       """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+
+    // Full BPE training replayed as a recursive CTE: the working table
+    // carries each word's symbol state as a DOUBLE-space-joined string
+    // (each replace() consumes one boundary space per side, so adjacent
+    // matches still fire — [a,b,a,b] merges to [ab,ab], Sennrich's
+    // greedy left-to-right semantics, identical to the Spark fold); the
+    // per-iteration argmax is a scalar subquery over the recursive
+    // reference with the same (count DESC, lhs, rhs) total order.
+    "q_bpe_train" ->
+      """WITH RECURSIVE
+        |wc AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |       GROUP BY 1),
+        |rec(it, word, cnt, syms, ml, mr, mc) AS (
+        |  SELECT 0, word, cnt,
+        |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT it + 1, word, cnt,
+        |         replace(syms, ' ' || best.a || '  ' || best.b || ' ',
+        |                       ' ' || best.a || best.b || ' '),
+        |         best.a, best.b, best.c
+        |  FROM rec,
+        |   (SELECT a, b, c FROM (
+        |      SELECT p.pair[1] AS a, p.pair[2] AS b, sum(p.cnt) AS c
+        |      FROM (
+        |        SELECT r2.cnt, [sy[i], sy[i + 1]] AS pair
+        |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM rec) r2,
+        |             LATERAL (SELECT unnest(generate_series(1, len(r2.sy) - 1)) AS i)
+        |      ) p
+        |      GROUP BY 1, 2)
+        |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
+        |  WHERE it < 8
+        |)
+        |SELECT DISTINCT CAST(it AS INT) AS merge_rank, ml AS lhs, mr AS rhs,
+        | ml || mr AS merged, mc AS pair_count
+        |FROM rec WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
 
     // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive
     // slice bounds = Spark's slice(toks, i*24+1, 32), both truncate at the

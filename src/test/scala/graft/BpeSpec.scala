@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.text.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training: merge order, tie-breaks, greedy application
+  * semantics, early stop, and determinism under repartitioning.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // Sennrich's ACL-2016 running example vocabulary, reweighted so every
+  // merge choice is unique except the deliberate tie at rank 1/2.
+  private val sennrich = docs(
+    1L -> "low low low lower lower newest newest newest newest",
+    2L -> "widest widest newest low")
+
+  test("bpeTrain: merge sequence matches the hand-computed reference") {
+    val out = Bpe.bpeTrain(sennrich, numMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // pair counts round 1: (e,s)=7 [4+1 newest, 2 widest], (s,t)=7,
+    // (l,o)=6, (o,w)=6, (w,e)=5, ... argmax ties (e,s)/(s,t) at 7 →
+    // lexicographic tie-break picks (e,s); after that merge (es,t)=7.
+    assert(out == Seq(
+      (1, "e", "s", "es", 7L),
+      (2, "es", "t", "est", 7L),
+      (3, "l", "o", "lo", 6L),
+      (4, "lo", "w", "low", 6L),
+      (5, "e", "w", "ew", 5L),
+      (6, "ew", "est", "ewest", 5L)))
+  }
+
+  test("bpeTrain: stops early when no pair reaches minPairCount") {
+    val out = Bpe.bpeTrain(sennrich, numMerges = 50, minPairCount = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // only the >=6 merges survive: es(7), est(7), lo(6), low(6); after
+    // those, the best remaining pair is (e,w)=5 < 6 -> stop at rank 4.
+    assert(out.map(_._4) == Seq("es", "est", "lo", "low"))
+    assert(out.forall(_._5 >= 6L))
+  }
+
+  test("applyMerge: greedy left-to-right fold equals regex-replace semantics") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), ("a", "a"), Seq("aa", "a")),
+      (Seq("a", "b", "a", "b"), ("a", "b"), Seq("ab", "ab")),
+      (Seq("a", "a", "b"), ("a", "b"), Seq("a", "ab")),
+      (Seq("ab", "b", "b"), ("ab", "b"), Seq("abb", "b")),
+      (Seq("x"), ("a", "b"), Seq("x")),
+      (Seq.empty[String], ("a", "b"), Seq.empty[String]))
+    cases.foreach { case (in, (a, b), want) =>
+      val got = Seq(in).toDF("s")
+        .select(Bpe.applyMerge(col("s"), a, b))
+        .as[Seq[String]].head()
+      assert(got == want, s"applyMerge($in, $a+$b)")
+    }
+  }
+
+  test("bpeTrain is partition-order independent and deterministic") {
+    val base = Bpe.bpeTrain(sennrich, numMerges = 5).collect().toSeq
+    val shuffled = Bpe.bpeTrain(sennrich.repartition(7), numMerges = 5)
+      .collect().toSeq
+    assert(base == shuffled)
+  }
+
+  test("segment: replaying merges reproduces subword counts and content") {
+    val merges = Bpe.bpeTrain(sennrich, numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val out = Bpe.segment(docs(10L -> "newest low lowest"), merges)
+      .as[(Long, Int, Int, String)].head()
+    // newest -> [n, ew, est]; low -> [low]; lowest -> [low, est]
+    // (merges: es, est, lo, low, ew, ewest; "ewest" only fires when the
+    // char before e is absent: in "newest" the n blocks nothing — ew+est
+    // are adjacent, so ewest DOES fire -> [n, ewest])
+    val expected = Seq(Seq("n", "ewest"), Seq("low"), Seq("low", "est"))
+    assert(out._2 == 3)                       // whitespace tokens
+    assert(out._3 == expected.map(_.size).sum) // bpe tokens
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.flatten.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out._4 == fp)
+  }
+
+  test("segment with no merges counts characters") {
+    val out = Bpe.segment(docs(1L -> "ab cde"), Seq.empty)
+      .as[(Long, Int, Int, String)].head()
+    assert(out._2 == 2 && out._3 == 5)
+  }
+}
