@@ -63,7 +63,16 @@ object SparkEntry {
   def warmIntermediates(s: SparkSession, dir: String): Unit = {
     minhashPairs(s, dir).count()
     jaccardPairs(s, dir).count()
+    bpeMerges(s, dir).count()
   }
+
+  /** The 8-merge BPE table over `documents` — shared by q_bpe_train and
+    * q_bpe_segment, so training's iterative collect loop runs once per
+    * session per corpus (the jaccardPairs sharing pattern).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "bpe_merges")(
+      graft.ops.text.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 8))
 
   /** The MinHash-LSH pair table over `documents` (k=32, bands=8, τ=0.5) —
     * shared by q_dedup_minhash, q_group_split, and q_dedup_resolve.
@@ -648,8 +657,17 @@ mpairs AS (
     // plan-build time; the oracle replays the SAME loop as a recursive
     // CTE.
     "q_bpe_train" -> ((s, dir) =>
-      Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 8)
-        .orderBy("merge_rank")),
+      bpeMerges(s, dir).orderBy("merge_rank")),
+
+    // Merge-replay segmentation under the 8 learned merges: per-doc
+    // subword counts and an md5 of the full segmentation. The oracle
+    // reuses the training recursion's FINAL word states — the trained
+    // state IS the segmentation of every corpus word.
+    "q_bpe_segment" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.segment(t(s, dir, "documents"), merges).orderBy("doc_id")
+    }),
 
     // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
     "q_chunks" -> ((s, dir) =>
@@ -755,6 +773,12 @@ mpairs AS (
         t(s, dir, "lineitem"), t(s, dir, "supplier"), t(s, dir, "nation"),
         t(s, dir, "region"), "ASIA", "1997-01-01", "1998-01-01")
         .orderBy(desc("revenue"), asc("nation"))),
+
+    // TPC-H Q17 shape: scalar correlated subquery, decorrelated into a
+    // per-part aggregate rejoined on the part key.
+    "q_small_qty" -> ((s, dir) =>
+      Relational.smallQtyRevenue(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("brand")),
 
     // Morton curve value for the part table's two independent filter
     // dims — the clustering key writeZOrdered sorts by.
@@ -2084,6 +2108,19 @@ ORDER BY doc_a, doc_b"""
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin,
 
+    // Written AS the correlated scalar subquery (the engine's operator is
+    // its decorrelated form); quantities are integral doubles so the avg
+    // and 0.2x threshold are exact, revenue follows the DECIMAL policy.
+    "q_small_qty" ->
+      """SELECT p_brand AS brand, count(*) AS n_small_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |   AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.2 * (
+        |  SELECT sum(l2.l_quantity) / count(*) FROM lineitem l2
+        |  WHERE l2.l_partkey = lineitem.l_partkey)
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
+
     // The identical shift/mask ladder, generated from the same constants.
     "q_zorder" -> {
       def spread(c: String): String = Seq(
@@ -2591,6 +2628,48 @@ FROM lh ORDER BY doc_id"""
         |SELECT DISTINCT CAST(it AS INT) AS merge_rank, ml AS lhs, mr AS rhs,
         | ml || mr AS merged, mc AS pair_count
         |FROM rec WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
+
+    // Same training recursion; the final iteration's word states are the
+    // segmentation, joined back over each document's token stream in
+    // position order.
+    "q_bpe_segment" ->
+      """WITH RECURSIVE
+        |wc AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |       GROUP BY 1),
+        |rec(it, word, cnt, syms, ml, mr, mc) AS (
+        |  SELECT 0, word, cnt,
+        |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT it + 1, word, cnt,
+        |         replace(syms, ' ' || best.a || '  ' || best.b || ' ',
+        |                       ' ' || best.a || best.b || ' '),
+        |         best.a, best.b, best.c
+        |  FROM rec,
+        |   (SELECT a, b, c FROM (
+        |      SELECT p.pair[1] AS a, p.pair[2] AS b, sum(p.cnt) AS c
+        |      FROM (
+        |        SELECT r2.cnt, [sy[i], sy[i + 1]] AS pair
+        |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM rec) r2,
+        |             LATERAL (SELECT unnest(generate_series(1, len(r2.sy) - 1)) AS i)
+        |      ) p
+        |      GROUP BY 1, 2)
+        |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
+        |  WHERE it < 8
+        |),
+        |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg,
+        |               len(string_split(trim(syms), '  ')) AS nseg
+        |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |               generate_subscripts(string_split(text, ' '), 1) AS i
+        |        FROM documents)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |       CAST(sum(nseg) AS INT) AS n_bpe_tokens,
+        |       md5(string_agg(seg, ' ' ORDER BY i)) AS bpe_fp
+        |FROM tok JOIN fin USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive
     // slice bounds = Spark's slice(toks, i*24+1, 32), both truncate at the

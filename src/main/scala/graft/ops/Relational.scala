@@ -379,6 +379,41 @@ object Relational {
       .agg(dec4(sum(dec2(col("l_extendedprice")) *
         (lit(1) - dec2(col("l_discount"))))).as("revenue"))
 
+  /** Small-quantity order revenue (TPC-H Q17 shape): revenue from order
+    * lines whose quantity sits below 0.2× their part's average quantity,
+    * reported per brand as the classic avg-yearly figure (Σ price / 7).
+    * This is the scalar CORRELATED-subquery pattern — `l_quantity <
+    * 0.2 * (SELECT avg(l_quantity) ... WHERE l_partkey = p_partkey)` —
+    * expressed the way decorrelation rewrites it: one per-part aggregate
+    * joined back to the fact on the part key, never a per-row subquery
+    * execution.
+    *
+    * Scale: the per-part average table is fact-keyed (millions of parts
+    * at 100 TB) → shuffle_hash, never broadcast; both join sides arrive
+    * partitioned on l_partkey (the aggregate's own shuffle), so AQE can
+    * reuse the exchange. `part` is a bounded dim → broadcast for the
+    * brand attach; the final group is brand-cardinality (25).
+    *
+    * Parity: fixture quantities are integral doubles — their sums are
+    * exact in any order, so avg (one shared division) and the 0.2×
+    * threshold (one shared multiply) are bit-identical cross-engine;
+    * revenue routes through the exact-decimal money policy.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val avgQ = lineitem
+      .groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(avgQ.hint("shuffle_hash"), col("l_partkey") === col("aq_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_small_lines"),
+        (sumMoney(col("l_extendedprice")).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+  }
+
   /** Ranking-function family over product revenue: dense_rank,
     * percent_rank ((rank−1)/(n−1), exact double), and revenue quartiles
     * via ntile(4). Total order (revenue desc, product_id) keeps every

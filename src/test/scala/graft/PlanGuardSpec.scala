@@ -36,7 +36,13 @@ class PlanGuardSpec extends SparkSpec {
       "q_bm25",
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
       // bigram stream (BM25's corpus-stats pattern)
-      "q_lm_score")
+      "q_lm_score",
+      // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
+      // over the pair-count table (the corpus-stats pattern again)
+      "q_cooccur",
+      // the 1-row quantile-threshold array broadcast over the value scan
+      // (the equi-width histogram's bounds pattern)
+      "q_hist_equidepth")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

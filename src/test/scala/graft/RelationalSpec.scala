@@ -104,6 +104,47 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() <= 10)
   }
 
+  test("smallQtyRevenue: threshold semantics on a hand fixture") {
+    import org.apache.spark.sql.functions.lit
+    val li = Seq(
+      // part 1: quantities 1,10,10 -> avg 7, threshold 1.4 -> only qty 1
+      (1L, 1.0, 70.0), (1L, 10.0, 10.0), (1L, 10.0, 20.0),
+      // part 2: quantities 5,5 -> threshold 1.0 -> none kept
+      (2L, 5.0, 99.0), (2L, 5.0, 99.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "BrandA"), (2L, "BrandB")).toDF("p_partkey", "p_brand")
+    val out = graft.ops.Relational.smallQtyRevenue(li, part)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("BrandA", 1L, 70.0 / 7.0)))
+  }
+
+  test("smallQtyRevenue equals Catalyst's own decorrelation of the subquery form") {
+    val d = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
+    val out = graft.ops.Relational.smallQtyRevenue(t("lineitem"), t("part"))
+    Seq("lineitem", "part").foreach(n => t(n).createOrReplaceTempView(s"v_$n"))
+    // the operator is the hand-decorrelated form; Spark SQL plans the
+    // CORRELATED original through its own decorrelation rules — equal
+    // results pin the rewrite as semantics-preserving
+    val expected = spark.sql(
+      """SELECT p_brand AS brand, count(*) AS n_small_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |   AS avg_yearly
+        |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.2 * (
+        |  SELECT sum(l2.l_quantity) / count(*) FROM v_lineitem l2
+        |  WHERE l2.l_partkey = v_lineitem.l_partkey)
+        |GROUP BY 1""".stripMargin)
+      .as[(String, Long, Double)].collect()
+      .map { case (b, n, a) => b -> ((n, a)) }.toMap
+    val got = out.as[(String, Long, Double)].collect()
+      .map { case (b, n, a) => b -> ((n, a)) }.toMap
+    assert(got == expected)
+    // the part-average side must never broadcast (fact-keyed at scale)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"no shuffle_hash join:\n$plan")
+  }
+
   test("localSupplierVolume: same-nation condition enforced, dims broadcast") {
     val d = "/root/testdata/sf0.001"
     def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
