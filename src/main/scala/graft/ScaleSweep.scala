@@ -38,6 +38,7 @@ object ScaleSweep {
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
     "q_group_split", "q_decontaminate", "q_lm_score",
     "q_cooccur", "q_bpe_train", "q_bpe_segment",
+    "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",

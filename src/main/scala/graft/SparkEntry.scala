@@ -74,6 +74,15 @@ object SparkEntry {
     materialized(s, dir, "bpe_merges")(
       graft.ops.text.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 8))
 
+  /** The trained is-English quality model (dim 16, 10 GD iterations) —
+    * shared by q_quality_model and q_quality_predict.
+    */
+  private def qualityModel(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "quality_model")(
+      ops.Classifier.fit(t(s, dir, "documents"),
+        org.apache.spark.sql.functions.col("lang") === "en",
+        dim = 16, iters = 10, lr = 0.5))
+
   /** The MinHash-LSH pair table over `documents` (k=32, bands=8, τ=0.5) —
     * shared by q_dedup_minhash, q_group_split, and q_dedup_resolve.
     */
@@ -96,6 +105,43 @@ object SparkEntry {
   private def duckDot(a: String, b: String): String =
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain replaying `Classifier.fit(lang = 'en',
+    * dim = 16, iters = 10, lr = 0.5)` as a recursive CTE: `feat` buckets
+    * tokens with the same 16-bit md5 fold, `packed` collapses the corpus
+    * to one list row, and `rec` carries the weight vector through ten GD
+    * steps — z as the identical ordered fold, residuals dec6-quantized
+    * before the exact decimal gradient sum, the update the same
+    * w − lr·CAST(g AS DOUBLE) arithmetic. Used by q_quality_model and
+    * q_quality_predict.
+    */
+  private lazy val QualityModelCtes: String =
+    """WITH RECURSIVE
+      |feat AS (
+      |  SELECT doc_id, y, list_prepend(0, list(DISTINCT b ORDER BY b)) AS fs
+      |  FROM (
+      |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) % 16 + 1 AS b
+      |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |          FROM documents)
+      |  ) GROUP BY doc_id, y),
+      |packed AS (SELECT list({'y': y, 'fs': fs} ORDER BY doc_id) AS ds FROM feat),
+      |rec(it, w) AS (
+      |  SELECT 0, [CAST(0 AS DOUBLE) FOR _ IN generate_series(0, 16)]
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    [ list_extract(rec.w, j + 1) - 0.5 * CAST(coalesce(list_sum(
+      |        [CAST((0.5 + 0.5 *
+      |             list_reduce([list_extract(rec.w, ff + 1) FOR ff IN d.fs],
+      |                         (a, b) -> a + b)
+      |           / (1 + abs(
+      |             list_reduce([list_extract(rec.w, ff + 1) FOR ff IN d.fs],
+      |                         (a, b) -> a + b)))
+      |           - d.y) AS DECIMAL(18,6))
+      |         FOR d IN packed.ds IF list_contains(d.fs, j)]), 0) AS DOUBLE)
+      |      FOR j IN generate_series(0, 16) ]
+      |  FROM rec, packed WHERE it < 10
+      |)""".stripMargin
 
   /** Shared oracle CTE chain reproducing `Dedup.nearDupPairs(k = 32,
     * bands = 8, threshold = 0.5)` over `documents` as a `mpairs` relation
@@ -472,6 +518,25 @@ mpairs AS (
         TextStats.qualityScore(t(s, dir, "documents"), Seq("lang")),
         "quality_score", "lang", p = 0.5)
         .orderBy("doc_id")),
+
+    // Supervised quality-classifier training (the GPT-3/LLaMA-style
+    // model-based filter): rational-sigmoid logistic GD over hashed
+    // presence features, labels = is-English. Deterministic: dec6
+    // gradient quantization + exact decimal sums make every iteration
+    // partition-order independent; the oracle replays the whole loop as
+    // a recursive CTE over a packed corpus list.
+    "q_quality_model" -> ((s, dir) =>
+      qualityModel(s, dir).orderBy("j")),
+
+    // Serving path: score every document under the trained weights (one
+    // map pass; z is the same ordered fold the trainer used).
+    "q_quality_predict" -> ((s, dir) => {
+      val w = new Array[Double](17)
+      qualityModel(s, dir).collect()
+        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      ops.Classifier.score(t(s, dir, "documents"), col("lang") === "en",
+        w, dim = 16).orderBy("doc_id")
+    }),
 
     // Text analysis: n-gram-heuristic language ID.
     "q_lang_id" -> ((s, dir) =>
@@ -1745,6 +1810,24 @@ mpairs AS (
         | q.stopword_ratio, q.type_token_ratio, q.quality_score,
         | th.threshold, q.quality_score >= th.threshold AS is_kept
         |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Ten GD steps replayed in the recursive CTE; weights are exact
+    // decimal gradient sums pushed through identical double arithmetic.
+    "q_quality_model" -> (QualityModelCtes + """
+      |SELECT CAST(j AS INT) AS j, list_extract(w, j + 1) AS weight
+      |FROM rec, LATERAL (SELECT unnest(generate_series(0, 16)) AS j) t
+      |WHERE it = 10 ORDER BY j""".stripMargin),
+
+    // Same recursion; scoring is the identical ordered z fold + rational
+    // sigmoid on the final weights.
+    "q_quality_predict" -> (QualityModelCtes + """
+      |SELECT f.doc_id, f.y,
+      | 0.5 + 0.5 * t.z / (1 + abs(t.z)) AS score,
+      | CAST(0.5 + 0.5 * t.z / (1 + abs(t.z)) >= 0.5 AS INT) AS predicted
+      |FROM feat f, (SELECT w FROM rec WHERE it = 10) fw,
+      | LATERAL (SELECT list_reduce(
+      |   [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t
+      |ORDER BY doc_id""".stripMargin),
 
     // norms are sqrt of the ordered-fold squared sum — both engines run
     // the identical IEEE sequence and sqrt is correctly rounded, so

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear quality-classifier training — the model-based
+  * document filter of the large-scale curation pipelines (GPT-3's
+  * WebText-similarity filter, LLaMA's Wikipedia-reference classifier):
+  * train a linear model over hashed bag-of-tokens features, score every
+  * document, keep the high scorers. The heuristic scorers
+  * ([[graft.ops.text.TextStats]] qualityScore, lmScore) are the
+  * label-free first pass; this is the supervised second pass once seed
+  * labels exist.
+  *
+  * Numeric policy (the repo's parity rules, applied to TRAINING):
+  *  - The link is the RATIONAL fast sigmoid s(z) = 0.5 + 0.5·z/(1+|z|) —
+  *    division and abs only, so every score and gradient is built from
+  *    correctly-rounded IEEE ops and reproduces bit-identically on any
+  *    engine; exp-based σ would put a libm transcendental inside the
+  *    training loop where its last-ulp drift COMPOUNDS across
+  *    iterations.
+  *  - Per-document gradient contributions quantize to DECIMAL(18,6)
+  *    before the per-feature sum (the dec6 policy), making each
+  *    iteration's gradient exactly order-independent: training is
+  *    bit-reproducible under any partitioning, executor count, or
+  *    scheduling — and equal to the oracle's sequential replay.
+  *
+  * Scale posture (100 TB): featurization is one scan of per-document
+  * map work (hash, distinct, sort — no shuffle), materialized once via
+  * localCheckpoint; each full-batch GD iteration is ONE
+  * map-side-combinable aggregate producing dim+1 rows (the gradient)
+  * plus a bounded driver-side weight update — no joins, no windows, no
+  * corpus-sized state on the driver. The hashing trick bounds the model
+  * at dim+1 weights regardless of vocabulary size.
+  */
+object Classifier {
+
+  /** 16-bit md5 bucket of a token, folded to 1..dim — the engine-portable
+    * hash family every split/sample operator here uses (hashSplit's
+    * convention), so the oracle buckets identically.
+    */
+  private def bucket(tok: Column, dim: Int): Column =
+    (conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dim) + 1
+
+  /** Per-document presence features: bias index 0 plus the SORTED
+    * distinct hashed buckets of the document's tokens. Sorting fixes the
+    * dot-product fold order, which keeps z bit-identical everywhere.
+    * Output: (doc_id, y, fs array<int>).
+    */
+  def featurize(documents: DataFrame, label: Column, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    documents.select(
+      col("doc_id"),
+      // CASE-style label: a NULL predicate (e.g. null lang) is a
+      // negative, never a NULL y (which would silently drop the doc
+      // from every gradient)
+      when(label, lit(1.0)).otherwise(lit(0.0)).as("y"),
+      concat(array(lit(0)),
+        sort_array(array_distinct(
+          transform(split(col("text"), " "), t => bucket(t, dim)))))
+        .as("fs"))
+  }
+
+  /** The rational fast sigmoid — transcendental-free link. */
+  private[graft] def fastSigmoid(z: Column): Column =
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+  /** Ordered dot product of the presence features against a weight
+    * literal: left fold in ascending feature order, starting at 0.0 —
+    * the exact sequence the oracle's list_reduce replays.
+    */
+  private def zOf(fs: Column, w: Array[Double]): Column = {
+    val wlit = array(w.map(lit).toIndexedSeq: _*)
+    aggregate(fs, lit(0.0), (acc, j) => acc + element_at(wlit, j + 1))
+  }
+
+  /** Full-batch gradient-descent fit. Returns the (j, weight) table,
+    * j = 0 the bias. Deterministic and partition-order independent: the
+    * per-feature gradient is an exact decimal sum of per-document
+    * dec6-quantized residuals, the weight update plain driver-side
+    * doubles. Iterations are fixed-count (no data-dependent stop), so
+    * the plan and the oracle replay the same loop.
+    */
+  def fit(documents: DataFrame, label: Column, dim: Int = 8,
+          iters: Int = 10, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // featurization is static across iterations: materialize once
+    val feats = featurize(documents, label, dim).localCheckpoint()
+    val w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to iters) {
+      // residual e = s(z) - y is shared by every presence feature of the
+      // doc (x = 1), quantized once, then summed exactly per feature
+      val grads = feats
+        .withColumn("e",
+          graft.dec6(fastSigmoid(zOf(col("fs"), w)) - col("y")))
+        .select(explode(col("fs")).as("j"), col("e"))
+        .groupBy("j").agg(sum(col("e")).as("g"))
+        .collect() // bounded: at most dim+1 rows
+      grads.foreach { r =>
+        val j = r.getInt(0)
+        w(j) = w(j) - lr * r.getDecimal(1).doubleValue()
+      }
+    }
+    w.toIndexedSeq.zipWithIndex
+      .map { case (wt, j) => (j, wt) }
+      .toDF("j", "weight")
+  }
+
+  /** Score documents under a trained weight vector: (doc_id, y, score,
+    * predicted). Pure map work — the serving path.
+    */
+  def score(documents: DataFrame, label: Column, weights: Array[Double],
+            dim: Int): DataFrame = {
+    require(weights.length == dim + 1,
+      s"weights length ${weights.length} != dim+1 ${dim + 1}")
+    featurize(documents, label, dim)
+      .select(col("doc_id"), col("y"),
+        fastSigmoid(zOf(col("fs"), weights)).as("score"))
+      .withColumn("predicted", (col("score") >= 0.5).cast("int"))
+  }
+}

@@ -85,6 +85,12 @@ class BpeSpec extends SparkSpec {
     assert(out._4 == fp)
   }
 
+  test("bpeTrain on an empty or pairless corpus returns zero merges") {
+    assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
+    // single-char words have no adjacent pairs
+    assert(Bpe.bpeTrain(docs(1L -> "a b a b"), numMerges = 3).isEmpty)
+  }
+
   test("segment with no merges counts characters") {
     val out = Bpe.segment(docs(1L -> "ab cde"), Seq.empty)
       .as[(Long, Int, Int, String)].head()

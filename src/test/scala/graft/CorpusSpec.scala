@@ -67,6 +67,11 @@ class CorpusSpec extends SparkSpec {
     assert(all.filter(col("w1") > col("w2")).isEmpty)
   }
 
+  test("cooccurrence: empty and single-token corpora yield empty output") {
+    assert(Corpus.cooccurrence(docs()).isEmpty)
+    assert(Corpus.cooccurrence(docs(1L -> "solo")).isEmpty)
+  }
+
   test("chunkDocs: boundaries, overlap, and full coverage") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val out = Corpus.chunkDocs(docs(
