@@ -64,6 +64,7 @@ object SparkEntry {
     minhashPairs(s, dir).count()
     jaccardPairs(s, dir).count()
     bpeMerges(s, dir).count()
+    qualityModel(s, dir).count()
   }
 
   /** The 8-merge BPE table over `documents` — shared by q_bpe_train and
@@ -105,6 +106,44 @@ object SparkEntry {
   private def duckDot(a: String, b: String): String =
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain replaying `Bpe.bpeTrain(numMerges = 8)` as
+    * a recursive CTE: each word's symbol state rides as a DOUBLE-space-
+    * joined string (each replace() consumes one boundary space per side,
+    * so adjacent matches still fire — [a,b,a,b] merges to [ab,ab],
+    * Sennrich's greedy left-to-right semantics, identical to the Spark
+    * fold); the per-iteration argmax is a scalar subquery over the
+    * recursive reference with the same (count DESC, lhs, rhs) total
+    * order. Used by q_bpe_train (the merge list) and q_bpe_segment (the
+    * final word states ARE the segmentation).
+    */
+  private lazy val BpeTrainCtes: String =
+    """WITH RECURSIVE
+      |wc AS (SELECT word, count(*) AS cnt
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |       GROUP BY 1),
+      |rec(it, word, cnt, syms, ml, mr, mc) AS (
+      |  SELECT 0, word, cnt,
+      |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
+      |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT it + 1, word, cnt,
+      |         replace(syms, ' ' || best.a || '  ' || best.b || ' ',
+      |                       ' ' || best.a || best.b || ' '),
+      |         best.a, best.b, best.c
+      |  FROM rec,
+      |   (SELECT a, b, c FROM (
+      |      SELECT p.pair[1] AS a, p.pair[2] AS b, sum(p.cnt) AS c
+      |      FROM (
+      |        SELECT r2.cnt, [sy[i], sy[i + 1]] AS pair
+      |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM rec) r2,
+      |             LATERAL (SELECT unnest(generate_series(1, len(r2.sy) - 1)) AS i)
+      |      ) p
+      |      GROUP BY 1, 2)
+      |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
+      |  WHERE it < 8
+      |)""".stripMargin
 
   /** Shared oracle CTE chain replaying `Classifier.fit(lang = 'en',
     * dim = 16, iters = 10, lr = 0.5)` as a recursive CTE: `feat` buckets
@@ -531,11 +570,11 @@ mpairs AS (
     // Serving path: score every document under the trained weights (one
     // map pass; z is the same ordered fold the trainer used).
     "q_quality_predict" -> ((s, dir) => {
-      val w = new Array[Double](17)
-      qualityModel(s, dir).collect()
-        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val rows = qualityModel(s, dir).collect()
+      val w = new Array[Double](rows.length) // dim+1 rows by construction
+      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
       ops.Classifier.score(t(s, dir, "documents"), col("lang") === "en",
-        w, dim = 16).orderBy("doc_id")
+        w, dim = rows.length - 1).orderBy("doc_id")
     }),
 
     // Text analysis: n-gram-heuristic language ID.
@@ -2674,85 +2713,27 @@ FROM lh ORDER BY doc_id"""
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
 
-    // Full BPE training replayed as a recursive CTE: the working table
-    // carries each word's symbol state as a DOUBLE-space-joined string
-    // (each replace() consumes one boundary space per side, so adjacent
-    // matches still fire — [a,b,a,b] merges to [ab,ab], Sennrich's
-    // greedy left-to-right semantics, identical to the Spark fold); the
-    // per-iteration argmax is a scalar subquery over the recursive
-    // reference with the same (count DESC, lhs, rhs) total order.
-    "q_bpe_train" ->
-      """WITH RECURSIVE
-        |wc AS (SELECT word, count(*) AS cnt
-        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |       GROUP BY 1),
-        |rec(it, word, cnt, syms, ml, mr, mc) AS (
-        |  SELECT 0, word, cnt,
-        |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
-        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT it + 1, word, cnt,
-        |         replace(syms, ' ' || best.a || '  ' || best.b || ' ',
-        |                       ' ' || best.a || best.b || ' '),
-        |         best.a, best.b, best.c
-        |  FROM rec,
-        |   (SELECT a, b, c FROM (
-        |      SELECT p.pair[1] AS a, p.pair[2] AS b, sum(p.cnt) AS c
-        |      FROM (
-        |        SELECT r2.cnt, [sy[i], sy[i + 1]] AS pair
-        |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM rec) r2,
-        |             LATERAL (SELECT unnest(generate_series(1, len(r2.sy) - 1)) AS i)
-        |      ) p
-        |      GROUP BY 1, 2)
-        |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
-        |  WHERE it < 8
-        |)
-        |SELECT DISTINCT CAST(it AS INT) AS merge_rank, ml AS lhs, mr AS rhs,
-        | ml || mr AS merged, mc AS pair_count
-        |FROM rec WHERE it >= 1 ORDER BY merge_rank""".stripMargin,
+    // Full BPE training replayed as a recursive CTE (BpeTrainCtes).
+    "q_bpe_train" -> (BpeTrainCtes + """
+      |SELECT DISTINCT CAST(it AS INT) AS merge_rank, ml AS lhs, mr AS rhs,
+      | ml || mr AS merged, mc AS pair_count
+      |FROM rec WHERE it >= 1 ORDER BY merge_rank""".stripMargin),
 
     // Same training recursion; the final iteration's word states are the
     // segmentation, joined back over each document's token stream in
     // position order.
-    "q_bpe_segment" ->
-      """WITH RECURSIVE
-        |wc AS (SELECT word, count(*) AS cnt
-        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |       GROUP BY 1),
-        |rec(it, word, cnt, syms, ml, mr, mc) AS (
-        |  SELECT 0, word, cnt,
-        |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
-        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT it + 1, word, cnt,
-        |         replace(syms, ' ' || best.a || '  ' || best.b || ' ',
-        |                       ' ' || best.a || best.b || ' '),
-        |         best.a, best.b, best.c
-        |  FROM rec,
-        |   (SELECT a, b, c FROM (
-        |      SELECT p.pair[1] AS a, p.pair[2] AS b, sum(p.cnt) AS c
-        |      FROM (
-        |        SELECT r2.cnt, [sy[i], sy[i + 1]] AS pair
-        |        FROM (SELECT cnt, string_split(trim(syms), '  ') AS sy FROM rec) r2,
-        |             LATERAL (SELECT unnest(generate_series(1, len(r2.sy) - 1)) AS i)
-        |      ) p
-        |      GROUP BY 1, 2)
-        |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
-        |  WHERE it < 8
-        |),
-        |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg,
-        |               len(string_split(trim(syms), '  ')) AS nseg
-        |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
-        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-        |               generate_subscripts(string_split(text, ' '), 1) AS i
-        |        FROM documents)
-        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        |       CAST(sum(nseg) AS INT) AS n_bpe_tokens,
-        |       md5(string_agg(seg, ' ' ORDER BY i)) AS bpe_fp
-        |FROM tok JOIN fin USING (word)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bpe_segment" -> (BpeTrainCtes + """,
+      |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg,
+      |               len(string_split(trim(syms), '  ')) AS nseg
+      |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |               generate_subscripts(string_split(text, ' '), 1) AS i
+      |        FROM documents)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |       CAST(sum(nseg) AS INT) AS n_bpe_tokens,
+      |       md5(string_agg(seg, ' ' ORDER BY i)) AS bpe_fp
+      |FROM tok JOIN fin USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive
     // slice bounds = Spark's slice(toks, i*24+1, 32), both truncate at the

@@ -57,7 +57,8 @@ object Classifier {
       when(label, lit(1.0)).otherwise(lit(0.0)).as("y"),
       concat(array(lit(0)),
         sort_array(array_distinct(
-          transform(split(col("text"), " "), t => bucket(t, dim)))))
+          transform(graft.ops.text.TextFns.tokens(col("text")),
+            t => bucket(t, dim)))))
         .as("fs"))
   }
 

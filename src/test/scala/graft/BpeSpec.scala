@@ -72,10 +72,10 @@ class BpeSpec extends SparkSpec {
       .map(m => (m._2, m._3)).toSeq
     val out = Bpe.segment(docs(10L -> "newest low lowest"), merges)
       .as[(Long, Int, Int, String)].head()
-    // newest -> [n, ew, est]; low -> [low]; lowest -> [low, est]
-    // (merges: es, est, lo, low, ew, ewest; "ewest" only fires when the
-    // char before e is absent: in "newest" the n blocks nothing — ew+est
-    // are adjacent, so ewest DOES fire -> [n, ewest])
+    // merges in order: es, est, lo, low, ew, ewest
+    // newest: es -> est -> ew leaves [n, ew, est]; ew+est adjacent, so
+    // the final ewest merge fires -> [n, ewest]
+    // low -> [low]; lowest -> [low, est] (no e left for ew)
     val expected = Seq(Seq("n", "ewest"), Seq("low"), Seq("low", "est"))
     assert(out._2 == 3)                       // whitespace tokens
     assert(out._3 == expected.map(_.size).sum) // bpe tokens
