@@ -85,6 +85,54 @@ class BpeSpec extends SparkSpec {
     assert(out._4 == fp)
   }
 
+  test("property: bpeTrain == sequential reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def refBpe(words: Seq[String], nMerges: Int,
+               minCount: Long): Seq[(Int, String, String, String, Long)] = {
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var syms = wc.keys.map(w => w -> w.split("").toVector).toMap
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var rank = 1
+      var done = false
+      while (rank <= nMerges && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, c) <- wc; s = syms(w); i <- 0 until s.size - 1)
+          pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + c
+        val cands = pc.toSeq.filter(_._2 >= minCount)
+        if (cands.isEmpty) done = true
+        else {
+          val ((a, b), c) = cands.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((rank, a, b, a + b, c))
+          syms = syms.view.mapValues { s =>
+            val acc = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.size) {
+              if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+                acc += a + b; i += 2
+              } else { acc += s(i); i += 1 }
+            }
+            acc.result()
+          }.toMap
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(wordGen).map(_.mkString(" ")))
+    (0 until 6).foreach { i =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val expected = refBpe(texts.flatMap(_.split(" ").toSeq), 5, 2L)
+      val got = Bpe.bpeTrain(
+        texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+          .toDF("doc_id", "text"), numMerges = 5)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      assert(got == expected, s"seed $i corpus $texts")
+    }
+  }
+
   test("bpeTrain on an empty or pairless corpus returns zero merges") {
     assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
     // single-char words have no adjacent pairs

@@ -65,6 +65,52 @@ class ClassifierSpec extends SparkSpec {
     assert(fs.tail.forall(j => j >= 1 && j <= 8))
   }
 
+  test("property: fit == sequential reference (md5 buckets, dec6 gradients) on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def bucket(tok: String, dim: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % dim + 1
+    }
+    def refFit(docs: Seq[(String, Double)], dim: Int, iters: Int,
+               lr: Double): Array[Double] = {
+      val feats = docs.map { case (text, y) =>
+        (0 +: text.split(" ").map(bucket(_, dim)).distinct.sorted.toSeq, y)
+      }
+      val w = Array.fill(dim + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val grad = Array.fill(dim + 1)(BigDecimal(0))
+        for ((fs, y) <- feats) {
+          var z = 0.0
+          fs.foreach(j => z = z + w(j)) // ordered fold, matches zOf
+          val s = 0.5 + 0.5 * z / (1.0 + math.abs(z))
+          val e = BigDecimal(s - y).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          fs.foreach(j => grad(j) = grad(j) + e)
+        }
+        for (j <- 0 to dim) w(j) = w(j) - lr * grad(j).toDouble
+      }
+      w
+    }
+    val vocab = Vector("ape", "bee", "cat", "dog", "elk", "fox", "gnu")
+    val docGen = for {
+      toks <- Gen.nonEmptyListOf(Gen.oneOf(vocab))
+      y <- Gen.oneOf(0.0, 1.0)
+    } yield (toks.mkString(" "), y)
+    (0 until 6).foreach { i =>
+      val docs = Gen.nonEmptyListOf(docGen)
+        .apply(Gen.Parameters.default, Seed(200L + i)).get
+      val expected = refFit(docs, dim = 8, iters = 5, lr = 0.5)
+      val df = docs.zipWithIndex
+        .map { case ((t, y), id) => (id.toLong, t, y) }
+        .toDF("doc_id", "text", "y0")
+      val got = new Array[Double](9)
+      Classifier.fit(df, col("y0") === 1.0, dim = 8, iters = 5)
+        .collect().foreach(r => got(r.getInt(0)) = r.getDouble(1))
+      assert(got.toSeq == expected.toSeq, s"seed $i")
+    }
+  }
+
   test("fit on an empty corpus returns the zero model") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     val w = Classifier.fit(empty, label, dim = 4, iters = 3)

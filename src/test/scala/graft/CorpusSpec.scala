@@ -67,6 +67,36 @@ class CorpusSpec extends SparkSpec {
     assert(all.filter(col("w1") > col("w2")).isEmpty)
   }
 
+  test("property: cooccurrence == naive positional enumeration on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen)
+    (0 until 8).foreach { i =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val w = 1 + i % 3
+      // sequential reference
+      val toks = texts.map(_.split(" ").toSeq)
+      val pairs = toks.flatMap(t =>
+        for { a <- t.indices; b <- (a + 1) until math.min(a + w + 1, t.size) }
+          yield if (t(a) <= t(b)) (t(a), t(b)) else (t(b), t(a)))
+      val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nPos = toks.map(_.size).sum.toLong
+      val pSlots = pairs.size.toLong
+      val expected = pc.collect { case ((a, b), c) if c >= 2 =>
+        (a, b, c, uni(a), uni(b),
+          c.toDouble * nPos * nPos / (pSlots.toDouble * uni(a) * uni(b)))
+      }.toSet
+      val got = Corpus.cooccurrence(
+        texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+          .toDF("doc_id", "text"), window = w, minPairCount = 2)
+        .as[(String, String, Long, Long, Long, Double)].collect().toSet
+      assert(got == expected, s"seed $i window $w")
+    }
+  }
+
   test("cooccurrence: empty and single-token corpora yield empty output") {
     assert(Corpus.cooccurrence(docs()).isEmpty)
     assert(Corpus.cooccurrence(docs(1L -> "solo")).isEmpty)

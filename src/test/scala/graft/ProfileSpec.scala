@@ -86,6 +86,24 @@ class ProfileSpec extends SparkSpec {
     assert(n == 4L)
   }
 
+  test("property: equi-depth counts conserve rows, edges are column elements") {
+    val rng = new scala.util.Random(31)
+    (0 until 5).foreach { i =>
+      val n = 5 + rng.nextInt(200)
+      val vals = Seq.fill(n)(math.floor(rng.nextDouble() * 50) / 2.0)
+      val bins = 2 + rng.nextInt(6)
+      val out = Profile.histogramEquiDepth(vals.toDF("x"), "x", nBins = bins)
+        .collect()
+        .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+      assert(out.length == bins, s"grid not dense: $out")
+      assert(out.map(_._4).sum == n, s"counts don't conserve rows (seed $i)")
+      val elems = vals.toSet
+      out.flatMap(r => r._2.toSeq ++ r._3.toSeq).foreach(e =>
+        assert(elems.contains(e.asInstanceOf[Double]),
+          s"edge $e is not a column element (seed $i)"))
+    }
+  }
+
   test("histogramDrift: aligned bins, shares, TV and chi2 terms; empty-old bin is null chi2") {
     // old: uniform over [0,10); new: mass shifted into the top bin plus
     // a value beyond old's range (bounds come from the UNION)
