@@ -77,6 +77,11 @@ object ScaleSweep {
       spark.catalog.clearCache()
     }
 
+    // DELIBERATELY no warmIntermediates here (unlike Bench): the sweep's
+    // published table attributes each shared pair build to its first
+    // consumer in sweep order — "the way the production pipeline would
+    // pay it" (SURVEY §5.5 narrates exactly this attribution). Bench
+    // instead isolates steady-state per-query cost, so it warms.
     var failures = 0
     val total0 = System.nanoTime()
     for (name <- heavyQueries if wanted(name)) {

@@ -49,7 +49,12 @@ object Classifier {
     */
   def featurize(documents: DataFrame, label: Column, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    documents.select(
+    // NULL text is excluded OUTRIGHT (not featurized as empty): a NULL
+    // fs would silently vanish from every gradient via explode while
+    // still emitting a NULL-scored row from score() — the oracle's
+    // unnest-based featurization drops such rows, so both engines and
+    // both paths agree on the row set.
+    documents.filter(col("text").isNotNull).select(
       col("doc_id"),
       // CASE-style label: a NULL predicate (e.g. null lang) is a
       // negative, never a NULL y (which would silently drop the doc
@@ -104,6 +109,7 @@ object Classifier {
         w(j) = w(j) - lr * r.getDecimal(1).doubleValue()
       }
     }
+    graft.unpersistCheckpoint(feats) // free the per-fit feature blocks
     w.toIndexedSeq.zipWithIndex
       .map { case (wt, j) => (j, wt) }
       .toDF("j", "weight")

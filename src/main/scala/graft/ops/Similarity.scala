@@ -34,10 +34,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** One scored candidate; `Ord` sorts best-first (sim desc, id asc). */
+  /** One scored candidate; `ord` sorts best-first (sim desc, id asc).
+    * NaN similarity (a zero-norm vector that slipped past
+    * [[embeddingStats]]) ranks FIRST, matching SQL-engine sort semantics
+    * (Spark and the oracle both treat NaN as greater than every value,
+    * so `sim DESC` puts it on top) — Scala's total ordering alone would
+    * sort `-NaN` last and silently evict the row the window/oracle form
+    * ranks first.
+    */
   case class Scored(id: Long, sim: Double)
   private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.sim, s.id))
+    Ordering.by((s: Scored) =>
+      (if (s.sim.isNaN) Double.NegativeInfinity else -s.sim, s.id))
 
   /** Map-side-combinable top-k: buffers hold at most k candidates, so
     * partial aggregation bounds both memory and shuffle volume.
@@ -408,8 +416,14 @@ object Similarity {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    val sig = corpus.select(col("vec_id"),
-      hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
+    // the nPlanes-fold hashing is the audit's dominant cost — same
+    // few-fat-file repartition as embeddingNearDup's bucketed stage so
+    // the map runs at core count, not input-split count
+    val sig = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("vec_id"),
+        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
     val bandCols = (0 until bands).map { j =>
       shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
     }

@@ -87,13 +87,19 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, a, b, a + b, c))
         // localCheckpoint per round: bounds lineage AND stops later
-        // rounds from replaying every earlier merge fold.
-        state = state
+        // rounds from replaying every earlier merge fold. The superseded
+        // round's blocks are freed eagerly (clusterComponents' pattern) —
+        // otherwise every round pins another vocab-sized copy until the
+        // session ends.
+        val next = state
           .withColumn("syms", applyMerge(col("syms"), a, b))
           .localCheckpoint()
+        graft.unpersistCheckpoint(state)
+        state = next
         rank += 1
       }
     }
+    graft.unpersistCheckpoint(state)
     merges.result()
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }

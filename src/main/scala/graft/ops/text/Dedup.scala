@@ -223,17 +223,10 @@ object Dedup {
     verifyJaccard(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
-  /** Free the executor blocks behind a localCheckpoint'd Dataset.
-    * `Dataset.unpersist` only uncaches CacheManager plans and silently
-    * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
-    * wrapped RDD and must be unpersisted there.
-    */
+  // checkpoint-block cleanup lives in the package object
+  // (graft.unpersistCheckpoint) — shared with Bpe and Classifier
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist()
-    }
+    graft.unpersistCheckpoint(df)
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into an actual deduped corpus: every doc in a

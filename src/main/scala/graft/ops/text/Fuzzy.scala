@@ -350,7 +350,10 @@ object Fuzzy {
     // immediately when the segment regime wins (nothing downstream
     // references it); on the prefix path the returned plan holds it,
     // and the caller's session owns the cache lifetime as with any
-    // cached operator input.
+    // cached operator input (release with spark.catalog.clearCache()
+    // between corpora — the pipeline runners here do exactly that; a
+    // per-call unpersist handle would force eager materialization and
+    // break the locked lazy-plan contract in FuzzySpec).
     val p = p0.copy(prefix = p0.prefix.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     if (auditPrefix(p).candidatesPerString > maxCandidatesPerString) {

@@ -49,4 +49,19 @@ package object graft {
     values.zipWithIndex
       .map { case (c, i) => when(idx === i, c) }
       .reduce(coalesce(_, _))
+
+  /** Free the executor blocks behind a localCheckpoint'd Dataset.
+    * `Dataset.unpersist` only uncaches CacheManager plans and silently
+    * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
+    * wrapped RDD and must be unpersisted there. Shared by every
+    * iterative fitter that checkpoints per round (Dedup
+    * clusterComponents, Bpe bpeTrain, Classifier fit).
+    */
+  private[graft] def unpersistCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 }

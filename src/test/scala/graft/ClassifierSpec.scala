@@ -111,6 +111,22 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("NULL text is excluded from training and scoring, not silently nulled") {
+    val withNull = Seq(
+      (1L, Some("alpha beta"), "en"),
+      (2L, None: Option[String], "en"),
+      (3L, Some("delta zeta"), "de"))
+      .toDF("doc_id", "text", "lang")
+    val feats = Classifier.featurize(withNull, label, dim = 8)
+    assert(feats.count() == 2 && feats.filter(col("doc_id") === 2L).isEmpty)
+    val w = new Array[Double](9)
+    Classifier.fit(withNull, label, dim = 8, iters = 2)
+      .collect().foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    val scored = Classifier.score(withNull, label, w, dim = 8)
+    assert(scored.count() == 2, "null-text doc must not appear in scores")
+    assert(scored.filter(col("score").isNull).isEmpty)
+  }
+
   test("fit on an empty corpus returns the zero model") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     val w = Classifier.fit(empty, label, dim = 4, iters = 3)

@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("NaN similarity ranks FIRST — TopK matches SQL desc-sort semantics") {
+    // A ZERO-NORM vector fails loudly under ANSI (divide-by-zero), but a
+    // non-finite element slips through as inf/inf = NaN. SQL engines
+    // sort NaN greater than every value, so `sim DESC` ranks it 1 — the
+    // TopK aggregator must agree or it silently diverges from the
+    // window/oracle form (Scala's total order would sort -NaN last).
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(Float.PositiveInfinity, 0.0f)), // inf/inf -> NaN sim
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Seq(1.0f, 0.0f))).toDF("q_id", "q_emb")
+    val rows = Similarity.bruteForceTopK(corpus, qs, 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "sim").as[(Int, Long, Double)].collect()
+    assert(rows(0)._2 == 2L && rows(0)._3.isNaN,
+      s"NaN row must rank first: ${rows.toSeq}")
+    assert(rows(1) == ((2, 1L, 1.0)))
+  }
+
   test("brute force: ranks are contiguous and sims non-increasing per query") {
     val rows = Similarity.bruteForceTopK(emb, queries, 5)
       .orderBy("q_id", "rank")
