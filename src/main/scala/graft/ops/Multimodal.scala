@@ -155,6 +155,107 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint — the standard
+    * image-dedup signature (two visually near-identical images differ in
+    * a few bits regardless of container, resize, or mild recompression).
+    * Pixels block-average onto a 9×8 luminance grid; bit (row, col) is set
+    * when the cell's average is STRICTLY brighter than its right
+    * neighbor's. All arithmetic is integer (Rec. 601 luminance, and the
+    * average comparison cross-multiplies sums by counts instead of
+    * dividing), so the hash is bit-deterministic. None for non-images and
+    * payloads no JDK reader recognizes — same contract as [[imageDecode]].
+    */
+  def dHash(row: MediaRow): Option[Long] = {
+    if (row.kind != "image" || row.payload == null || row.payload.isEmpty) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val sum = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * 8 / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = (x.toLong * 9 / w).toInt
+            val rgb = bi.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            sum(gy)(gx) += lum
+            cnt(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            // avg(i,j) > avg(i,j+1) without division: cross-multiply
+            // (empty cells — images narrower than the grid — count as 0)
+            if (sum(i)(j) * cnt(i)(j + 1) > sum(i)(j + 1) * cnt(i)(j))
+              bits |= 1L << (i * 8 + j)
+            j += 1
+          }
+          i += 1
+        }
+        bits
+      }
+    }
+  }
+
+  /** Per-asset perceptual-hash table: (media_id, phash) for every payload
+    * the JDK can decode. Partition-parallel map work (the decode is the
+    * cost — same repartition guidance as [[decodeFeatures]]).
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // heavier impls: init codec once per partition, as in decodeFeatures
+      rows.flatMap(r => dHash(r).map(h => (r.media_id, h)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-duplicate image pairs — the multimodal dedup stage:
+    * band the 64-bit dHash (16-bit bands by default), equi-join on
+    * (band_idx, band_val), verify with the exact Hamming distance
+    * (codegen'd xor + bit_count). LOSSLESS when `maxHamming < bands`
+    * (pigeonhole: ≤ maxHamming flipped bits cannot touch every band);
+    * beyond that it is the simhashPairs probabilistic trade. Same
+    * scale shape as the text dedups: banded bucket equi-joins with
+    * shuffle_hash hints, never an all-pairs scan.
+    *
+    * Output: (media_a, media_b, hamming), media_a < media_b.
+    */
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"64 bits not divisible by $bands bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fps = perceptualHashes(media).cache()
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
+    }
+    val bandTable = fps.select(col("media_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_a"))
+    val b = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_b"))
+    a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b")
+      .distinct()
+      .join(fps.toDF("media_a", "fp_a").hint("shuffle_hash"), "media_a")
+      .join(fps.toDF("media_b", "fp_b").hint("shuffle_hash"), "media_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Column-level metadata pass (no decode): cheap stats that should NOT
     * pay the decode cost — pure codegen'd expressions over the binary.
     */

@@ -691,6 +691,46 @@ class StreamingSpec extends SparkSpec {
       s"lossy JPEG of a black/white image must stay bimodal: $jh")
   }
 
+  test("multimodal: dHash is format-invariant; imageNearDup pairs near-identical images only") {
+    def encodeImg(w: Int, h: Int, pix: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val base = (x: Int, _: Int) => grey(x * 8)            // L->R gradient
+    val near = (x: Int, y: Int) =>                        // one hot pixel
+      if (x == 5 && y == 5) 0xffffff else base(x, y)
+    val far = (x: Int, _: Int) => grey(255 - x * 8)       // inverted
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", encodeImg(32, 32, base, "png"), "p"),
+      Multimodal.MediaRow(2L, "image", encodeImg(32, 32, near, "png"), "p"),
+      Multimodal.MediaRow(3L, "image", encodeImg(32, 32, far, "png"), "p"),
+      Multimodal.MediaRow(4L, "image", encodeImg(32, 32, base, "bmp"), "p"),
+      Multimodal.MediaRow(5L, "audio", Array[Byte](1, 2, 3), "p"),
+      Multimodal.MediaRow(6L, "image", "not an image".getBytes("UTF-8"), "p"))
+    val ds = spark.createDataset(rows)
+    val hashes = Multimodal.perceptualHashes(ds)
+      .as[(Long, Long)].collect().toMap
+    // only decodable images hash; same pixels -> same hash across formats
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(hashes(1L) == hashes(4L), "dHash must be container-invariant")
+    // near-identical differs in a couple of bits; inverted differs in many
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) <= 3,
+      s"near-dup hamming ${ham(hashes(1L), hashes(2L))}")
+    assert(ham(hashes(1L), hashes(3L)) > 3)
+    val pairs = Multimodal.imageNearDup(ds, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)) || ham(hashes(1L), hashes(2L)) == 0)
+    assert(pairs.contains((1L, 4L)), "identical pixels must pair")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "inverted image must not pair")
+  }
+
   test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
