@@ -95,21 +95,22 @@ object Classifier {
     // featurization is static across iterations: materialize once
     val feats = featurize(documents, label, dim).localCheckpoint()
     val w = Array.fill(dim + 1)(0.0)
-    for (_ <- 1 to iters) {
-      // residual e = s(z) - y is shared by every presence feature of the
-      // doc (x = 1), quantized once, then summed exactly per feature
-      val grads = feats
-        .withColumn("e",
-          graft.dec6(fastSigmoid(zOf(col("fs"), w)) - col("y")))
-        .select(explode(col("fs")).as("j"), col("e"))
-        .groupBy("j").agg(sum(col("e")).as("g"))
-        .collect() // bounded: at most dim+1 rows
-      grads.foreach { r =>
-        val j = r.getInt(0)
-        w(j) = w(j) - lr * r.getDecimal(1).doubleValue()
+    try {
+      for (_ <- 1 to iters) {
+        // residual e = s(z) - y is shared by every presence feature of the
+        // doc (x = 1), quantized once, then summed exactly per feature
+        val grads = feats
+          .withColumn("e",
+            graft.dec6(fastSigmoid(zOf(col("fs"), w)) - col("y")))
+          .select(explode(col("fs")).as("j"), col("e"))
+          .groupBy("j").agg(sum(col("e")).as("g"))
+          .collect() // bounded: at most dim+1 rows
+        grads.foreach { r =>
+          val j = r.getInt(0)
+          w(j) = w(j) - lr * r.getDecimal(1).doubleValue()
+        }
       }
-    }
-    graft.unpersistCheckpoint(feats) // free the per-fit feature blocks
+    } finally graft.unpersistCheckpoint(feats) // free blocks even on failure
     w.toIndexedSeq.zipWithIndex
       .map { case (wt, j) => (j, wt) }
       .toDF("j", "weight")

@@ -53,10 +53,30 @@ object Multimodal {
       embedding = Array.tabulate(8)(i => math.floorMod(mix(4 + i), 2000) / 1000.0f - 1f))
   }
 
+  /** Decode an image payload, or None when the row isn't an image, no
+    * JDK reader recognizes the bytes, or the decoder THROWS on them —
+    * web-scraped corpora contain truncated/crafted payloads that make
+    * ImageIO readers fail with runtime exceptions, and one bad asset
+    * must degrade to "undecodable", never kill the job (catch NonFatal,
+    * not just IOException).
+    */
+  private def readImage(row: MediaRow): Option[java.awt.image.BufferedImage] =
+    if (row.kind != "image" || row.payload == null || row.payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Rec. 601 integer luminance of a packed RGB pixel. */
+  private def lum(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG, BMP, GIF and
     * baseline JPEG readers ship with the JVM — no external codec needed).
     * Returns None for non-image kinds and payloads no registered reader
-    * recognizes; callers fall back to the stub contract for those.
+    * recognizes or decodes cleanly; callers fall back to the stub
+    * contract for those.
     *
     * The content feature is an 8-bin normalized luminance histogram
     * (Rec. 601 integer weights, bins of 32 intensity levels): cheap,
@@ -65,34 +85,24 @@ object Multimodal {
     * dedup/quality pass wants from an embedding stand-in (and the spec
     * asserts). duration_ms is 0: stills have no timeline.
     */
-  def imageDecode(row: MediaRow): Option[MediaFeatures] = {
-    if (row.kind != "image" || row.payload == null || row.payload.isEmpty) None
-    else {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-        catch { case _: java.io.IOException => null }
-      Option(img).map { bi =>
-        val w = bi.getWidth
-        val h = bi.getHeight
-        val hist = new Array[Long](8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = bi.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            hist(lum >> 5) += 1
-            x += 1
-          }
-          y += 1
+  def imageDecode(row: MediaRow): Option[MediaFeatures] =
+    readImage(row).map { bi =>
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist(lum(bi.getRGB(x, y)) >> 5) += 1
+          x += 1
         }
-        val n = w.toLong * h
-        MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, w, h,
-          duration_ms = 0L, embedding = hist.map(c => (c.toDouble / n).toFloat))
+        y += 1
       }
+      val n = w.toLong * h
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong, w, h,
+        duration_ms = 0L, embedding = hist.map(c => (c.toDouble / n).toFloat))
     }
-  }
 
   /** Decode one asset: real codec when the JDK has one, stub otherwise. */
   def decode(row: MediaRow): MediaFeatures =
@@ -163,15 +173,11 @@ object Multimodal {
     * neighbor's. All arithmetic is integer (Rec. 601 luminance, and the
     * average comparison cross-multiplies sums by counts instead of
     * dividing), so the hash is bit-deterministic. None for non-images and
-    * payloads no JDK reader recognizes — same contract as [[imageDecode]].
+    * payloads that don't decode — [[readImage]]'s contract, shared with
+    * [[imageDecode]].
     */
-  def dHash(row: MediaRow): Option[Long] = {
-    if (row.kind != "image" || row.payload == null || row.payload.isEmpty) None
-    else {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-        catch { case _: java.io.IOException => null }
-      Option(img).map { bi =>
+  def dHash(row: MediaRow): Option[Long] =
+    readImage(row).map { bi =>
         val w = bi.getWidth
         val h = bi.getHeight
         val sum = Array.ofDim[Long](8, 9)
@@ -182,10 +188,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val gx = (x.toLong * 9 / w).toInt
-            val rgb = bi.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            sum(gy)(gx) += lum
+            sum(gy)(gx) += lum(bi.getRGB(x, y))
             cnt(gy)(gx) += 1
             x += 1
           }
@@ -205,9 +208,7 @@ object Multimodal {
           i += 1
         }
         bits
-      }
     }
-  }
 
   /** Per-asset perceptual-hash table: (media_id, phash) for every payload
     * the JDK can decode. Partition-parallel map work (the decode is the
@@ -229,6 +230,14 @@ object Multimodal {
     * beyond that it is the simhashPairs probabilistic trade. Same
     * scale shape as the text dedups: banded bucket equi-joins with
     * shuffle_hash hints, never an all-pairs scan.
+    *
+    * The decoded phash table is `cache()`d — the returned plan reads it
+    * three times (band table + both verify sides) and re-decoding every
+    * image per read would triple the dominant cost. As with
+    * editDistanceJoinAuto's prefix cache, the caller's session owns the
+    * lifetime: release with `spark.catalog.clearCache()` between
+    * corpora, or persist (media_id, phash) as a real table — the actual
+    * 100 TB deployment shape — and dedup that instead.
     *
     * Output: (media_a, media_b, hamming), media_a < media_b.
     */

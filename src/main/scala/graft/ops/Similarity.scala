@@ -416,12 +416,16 @@ object Similarity {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val r = nPlanes / bands
     val mask = (1L << r) - 1
-    // the nPlanes-fold hashing is the audit's dominant cost — same
-    // few-fat-file repartition as embeddingNearDup's bucketed stage so
-    // the map runs at core count, not input-split count
-    val sig = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-        col("vec_id"))
+    // the nPlanes-fold hashing is the audit's dominant cost; on FEW-FILE
+    // inputs repartition so the map runs at core count (embeddingNearDup's
+    // pattern) — but only then: a well-partitioned 100 TB corpus must NOT
+    // pay a full (vec_id, embedding) shuffle for an audit whose advertised
+    // price is one map + one small band-key shuffle
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (corpus.rdd.getNumPartitions >= para) corpus
+      else corpus.repartition(para, col("vec_id"))
+    val sig = wide
       .select(col("vec_id"),
         hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
     val bandCols = (0 until bands).map { j =>

@@ -68,7 +68,7 @@ object Bpe {
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
-    while (rank <= numMerges && !exhausted) {
+    try while (rank <= numMerges && !exhausted) {
       val s = col("syms")
       val best = state
         .filter(size(s) >= 2)
@@ -98,8 +98,7 @@ object Bpe {
         state = next
         rank += 1
       }
-    }
-    graft.unpersistCheckpoint(state)
+    } finally graft.unpersistCheckpoint(state) // free blocks even on failure
     merges.result()
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }

@@ -223,11 +223,6 @@ object Dedup {
     verifyJaccard(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
-  // checkpoint-block cleanup lives in the package object
-  // (graft.unpersistCheckpoint) — shared with Bpe and Classifier
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    graft.unpersistCheckpoint(df)
-
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into an actual deduped corpus: every doc in a
     * component keeps/drops together, with `component` (= the min doc_id
@@ -353,7 +348,7 @@ object Dedup {
       // final round's edges and `base` stay pinned until the result is
       // consumed — ContextCleaner reclaims them on GC, the standard
       // lifecycle for blocks a lazy result still reads.
-      unpersistCheckpoint(edges)
+      graft.unpersistCheckpoint(edges)
       edges = next
       cnt = nextCnt
       iter += 1

@@ -725,7 +725,8 @@ class StreamingSpec extends SparkSpec {
     assert(ham(hashes(1L), hashes(3L)) > 3)
     val pairs = Multimodal.imageNearDup(ds, maxHamming = 3)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
-    assert(pairs.contains((1L, 2L)) || ham(hashes(1L), hashes(2L)) == 0)
+    // hamming <= 3 < bands=4 guarantees pairing (lossless pigeonhole)
+    assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 4L)), "identical pixels must pair")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       "inverted image must not pair")
