@@ -189,7 +189,13 @@ object SparkEntry {
     * operator, so candidate sets agree exactly. Used by `q_dedup_minhash`
     * and spliced into `q_group_split`'s reachability oracle.
     */
-  private lazy val MinhashPairCtes: String = {
+  private lazy val MinhashPairCtes: String = minhashPairCtes("documents")
+
+  /** [[MinhashPairCtes]] over an arbitrary source relation (`src` must
+    * expose doc_id + text) — q_curation_report runs the pair pipeline
+    * over the non-benchmark subset.
+    */
+  private def minhashPairCtes(src: String): String = {
     val p = Dedup.MinhashP
     val sigExprs = (0 until 32)
       .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
@@ -203,7 +209,7 @@ object SparkEntry {
   SELECT doc_id,
    list_distinct([array_to_string(toks[i:i+1], ' ')
                   for i in generate_series(1, len(toks) - 1)]) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)),
 hashes AS (
   SELECT doc_id,
    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
@@ -911,6 +917,19 @@ mpairs AS (
         docs.filter(col("doc_id") % 97 === 0),
         n = 3, minOverlap = 2)
         .orderBy("doc_id")
+    }),
+
+    // The COMPOSED curation pipeline end-to-end: near-dup resolve →
+    // per-language quality gate → benchmark decontamination →
+    // leakage-safe split, verified as one funnel report. The oracle
+    // replays the ENTIRE DAG in SQL (minhash pairs + recursive
+    // reachability + quantile gate + overlap scan + split buckets).
+    "q_curation_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, report) = pipeline.Curation.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      report.orderBy("stage_idx")
     }),
 
     // Survivorship: canonical representative + keep/drop flag for EVERY
@@ -2288,6 +2307,75 @@ ORDER BY doc_a, doc_b"""
         |  coalesce(o.n_overlap, 0) >= 2 AS contaminated
         |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // The whole curation DAG in one SQL statement: pair CTEs over the
+    // non-benchmark subset, recursive-CTE reachability for components,
+    // the q_quality_gate score/threshold chain over the survivors, the
+    // q_decontaminate overlap scan, and the hashSplit bucket CASE —
+    // each stage's count compared against the Spark pipeline's funnel.
+    "q_curation_report" -> ("WITH RECURSIVE\n" +
+      "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +
+      minhashPairCtes("csrc") + "," + """
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION ALL SELECT doc_b, doc_a FROM mpairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM csrc d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+kept1 AS (
+  SELECT d.doc_id, d.text, d.lang, cn.canonical_id
+  FROM csrc d JOIN canon cn ON d.doc_id = cn.doc_id
+  WHERE d.doc_id = cn.canonical_id),
+qb AS (
+  SELECT doc_id, lang, canonical_id,
+   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt
+  FROM kept1),
+q AS (
+  SELECT doc_id, lang, canonical_id,
+   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+  FROM qb),
+th AS (SELECT lang, quantile_disc(quality_score, 0.5) AS t FROM q GROUP BY lang),
+kept2 AS (
+  SELECT q.doc_id, q.canonical_id FROM q JOIN th USING (lang)
+  WHERE q.quality_score >= th.t),
+shd AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+          for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(sh) AS s2 FROM shd WHERE doc_id % 97 = 0),
+ov AS (
+  SELECT t2.doc_id, count(*) AS n_overlap
+  FROM (SELECT k2.doc_id, unnest(shd.sh) AS s2
+        FROM kept2 k2 JOIN shd ON k2.doc_id = shd.doc_id) t2
+  JOIN bench USING (s2) GROUP BY 1),
+kept3 AS (
+  SELECT k.doc_id, k.canonical_id FROM kept2 k LEFT JOIN ov USING (doc_id)
+  WHERE coalesce(ov.n_overlap, 0) < 2),
+sp AS (
+  SELECT doc_id,
+   CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        ELSE 'test' END AS split
+  FROM kept3)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+         (SELECT count(*) FROM csrc) AS n_docs
+  UNION ALL SELECT 1, 'near_dup_kept', (SELECT count(*) FROM kept1)
+  UNION ALL SELECT 2, 'quality_kept', (SELECT count(*) FROM kept2)
+  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM kept3)
+  UNION ALL SELECT 4, 'train', (SELECT count(*) FROM sp WHERE split = 'train')
+  UNION ALL SELECT 5, 'val', (SELECT count(*) FROM sp WHERE split = 'val')
+  UNION ALL SELECT 6, 'test', (SELECT count(*) FROM sp WHERE split = 'test')
+) ORDER BY stage_idx"""),
 
     // tf·(N/df): division then multiplication, both IEEE basic ops —
     // identical expression tree on both sides → bit-identical doubles.

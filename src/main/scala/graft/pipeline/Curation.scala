@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.text.{Corpus, Dedup, TextStats}
+
+/** The composed LLM-corpus curation pipeline — the end-to-end DAG a
+  * training-data team actually runs, assembled from the operator
+  * families the way [[Incremental]]/[[Daily]] compose the reference's
+  * warehouse surface:
+  *
+  *   1. near-duplicate dedup (MinHash-LSH pairs → connected components →
+  *      survivorship; exact duplicates are jaccard-1 pairs, so one pass
+  *      covers both),
+  *   2. per-language quality gate (heuristic blend scored per doc, keep
+  *      at or above the language's p-quantile — a discrete threshold,
+  *      so the gate is engine-portable),
+  *   3. benchmark decontamination (n-gram overlap against the held-out
+  *      eval set),
+  *   4. leakage-safe train/val/test split (keyed on the near-dup
+  *      CANONICAL id from stage 1, so near-twins never straddle splits).
+  *
+  * Returns the curated corpus (with canonical id, quality score, and
+  * split) plus a stage-count report — the per-stage funnel the curation
+  * dashboard shows, and the contract the DuckDB oracle verifies
+  * end-to-end (q_curation_report replays the ENTIRE DAG in SQL).
+  *
+  * Scale posture: every stage is an already-audited operator (see each
+  * op's scaladoc); the composition adds no new shuffles beyond theirs.
+  * The canonical-id table is cache()d — three downstream stages and the
+  * report read it, and it is the product of the pipeline's most
+  * expensive stage. Session-owned lifetime, as with the other cached
+  * operator intermediates (on a real deployment it is the persisted
+  * dedup-resolution table).
+  */
+object Curation {
+
+  /** Run the full curation DAG. `documents` is the training corpus,
+    * `benchmark` the held-out eval set to decontaminate against.
+    * Returns (curated, report): curated = (doc_id, lang, canonical_id,
+    * quality_score, split) for every surviving document; report = one
+    * row per funnel stage (stage_idx, stage, n_docs).
+    */
+  def curate(documents: DataFrame, benchmark: DataFrame,
+             qualityP: Double = 0.5, ngram: Int = 3, minOverlap: Int = 2,
+             trainPct: Int = 80, valPct: Int = 10): (DataFrame, DataFrame) = {
+    // 1. near-dup resolution (covers exact dups too: identical docs are
+    //    jaccard-1 pairs)
+    val pairs = Dedup.nearDupPairs(documents)
+    val canon = Dedup.resolveCanonical(documents, pairs).cache()
+    val kept1 = documents
+      .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
+        "doc_id")
+    // 2. per-language quality gate at the p-quantile
+    val gated = Corpus.quantileGate(
+      TextStats.qualityScore(kept1, Seq("lang", "canonical_id")),
+      "quality_score", "lang", qualityP)
+    val kept2 = gated.filter(col("is_kept"))
+      .select("doc_id", "lang", "canonical_id", "quality_score")
+    // 3. benchmark decontamination over the survivors
+    val dec = Corpus.decontaminate(
+      kept2.join(documents.select("doc_id", "text"), "doc_id"),
+      benchmark, ngram, minOverlap)
+    val kept3 = kept2
+      .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
+    // 4. leakage-safe split on the stage-1 canonical
+    val curated = Corpus.hashSplit(kept3, idCol = "canonical_id",
+      trainPct = trainPct, valPct = valPct)
+      .select("doc_id", "lang", "canonical_id", "quality_score", "split")
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    val report = Seq(
+      stage(0, "input", documents),
+      stage(1, "near_dup_kept", kept1),
+      stage(2, "quality_kept", kept2),
+      stage(3, "decontaminated", kept3),
+      stage(4, "train", curated.filter(col("split") === "train")),
+      stage(5, "val", curated.filter(col("split") === "val")),
+      stage(6, "test", curated.filter(col("split") === "test")))
+      .reduce(_ unionByName _)
+    (curated, report)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+/** The composed curation DAG: each planted defect falls out at its own
+  * stage, the funnel counts agree, and the output partitions cleanly.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText =
+    "the physics question is about the speed of light and the mass of the sun"
+
+  // planted corpus: 1 keeps; 2 exact-dups 1; 3 near-dups 1; 4 keeps;
+  // 5 is low quality (shortest, no stopwords); 6 copies the benchmark
+  private def corpus = Seq(
+    (1L, "the cat and the dog ran in the park with the red ball", "en"),
+    (2L, "the cat and the dog ran in the park with the red ball", "en"),
+    (3L, "the cat and the dog ran in the park with the red ball quickly", "en"),
+    (4L, "a completely different document about weather patterns and the annual rainfall in the mountains", "en"),
+    (5L, "zzz qqq xxx yyy", "en"),
+    (6L, benchText, "en"))
+    .toDF("doc_id", "text", "lang")
+
+  private def benchmark = Seq((100L, benchText, "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("curate: every planted defect falls out at its own stage") {
+    val (curated, report) = Curation.curate(corpus, benchmark)
+    val stages = report.orderBy("stage_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    // 6 in; 2 and 3 fold into 1's cluster (exact + near dup); 5 drops at
+    // the per-lang median gate (strictly lowest score of the 4
+    // survivors); 6 drops contaminated; splits partition the final 2
+    assert(stages.map(s => s._2 -> s._3).toMap == Map(
+      "input" -> 6L, "near_dup_kept" -> 4L, "quality_kept" -> 3L,
+      "decontaminated" -> 2L,
+      "train" -> stages.find(_._2 == "train").get._3,
+      "val" -> stages.find(_._2 == "val").get._3,
+      "test" -> stages.find(_._2 == "test").get._3))
+    assert(stages.filter(s => Set("train", "val", "test")(s._2)).map(_._3).sum == 2L)
+    val rows = curated
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows.map(_._1).toSet == Set(1L, 4L), s"survivors: $rows")
+    assert(rows.forall(r => Set("train", "val", "test")(r._3)))
+    // survivors are their own canonical (only canonicals survive dedup)
+    assert(rows.forall(r => r._1 == r._2))
+  }
+
+  test("curate report funnel is monotone and consistent with the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (curated, report) = Curation.curate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0))
+    val byStage = report.as[(Int, String, Long)].collect()
+      .map(s => s._2 -> s._3).toMap
+    assert(byStage("input") >= byStage("near_dup_kept"))
+    assert(byStage("near_dup_kept") >= byStage("quality_kept"))
+    assert(byStage("quality_kept") >= byStage("decontaminated"))
+    assert(byStage("train") + byStage("val") + byStage("test") ==
+      byStage("decontaminated"))
+    assert(curated.count() == byStage("decontaminated"))
+    // leakage safety: any surviving near-twins share their split (keyed
+    // on the canonical id by construction)
+    val perCanon = curated.groupBy("canonical_id")
+      .agg(countDistinct("split").as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(perCanon <= 1L)
+  }
+}

@@ -629,6 +629,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier scoring is a pure map: stream scores == batch scores") {
+    import graft.ops.Classifier
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon zeta", "de"),
+      (3L, "alpha gamma delta", "en"))
+    val batch = docs.toDF("doc_id", "text", "lang")
+    val w = new Array[Double](9)
+    Classifier.fit(batch, col("lang") === "en", dim = 8, iters = 5)
+      .collect().foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    val expected = Classifier.score(batch, col("lang") === "en", w, dim = 8)
+      .as[(Long, Double, Double, Int)].collect().toSet
+    // the same operator applies UNCHANGED to a stream (no agg, no join —
+    // the ingest-time quality filter)
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = Classifier.score(
+      mem.toDF().toDF("doc_id", "text", "lang"),
+      col("lang") === "en", w, dim = 8)
+      .writeStream.format("memory").queryName("cls_scores")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cls_scores")
+      .as[(Long, Double, Double, Int)].collect().toSet
+    assert(got == expected)
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
