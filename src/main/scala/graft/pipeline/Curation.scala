@@ -46,8 +46,12 @@ object Curation {
              qualityP: Double = 0.5, ngram: Int = 3, minOverlap: Int = 2,
              trainPct: Int = 80, valPct: Int = 10): (DataFrame, DataFrame) = {
     // 1. near-dup resolution (covers exact dups too: identical docs are
-    //    jaccard-1 pairs)
-    val pairs = Dedup.nearDupPairs(documents)
+    //    jaccard-1 pairs). k/bands pinned EXPLICITLY to the oracle
+    //    contract (minhashPairCtes replays 32 signatures in 8 bands of
+    //    4) — the operator default differs, and a banding mismatch makes
+    //    moderate-jaccard candidate sets engine-dependent.
+    val pairs = Dedup.nearDupPairs(documents, k = 32, bands = 8,
+      threshold = 0.5)
     val canon = Dedup.resolveCanonical(documents, pairs).cache()
     val kept1 = documents
       .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
@@ -56,8 +60,10 @@ object Curation {
     val gated = Corpus.quantileGate(
       TextStats.qualityScore(kept1, Seq("lang", "canonical_id")),
       "quality_score", "lang", qualityP)
+    // cached: stage-2's count and the two downstream stages all read it
     val kept2 = gated.filter(col("is_kept"))
       .select("doc_id", "lang", "canonical_id", "quality_score")
+      .cache()
     // 3. benchmark decontamination over the survivors
     val dec = Corpus.decontaminate(
       kept2.join(documents.select("doc_id", "text"), "doc_id"),
@@ -65,9 +71,13 @@ object Curation {
     val kept3 = kept2
       .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
     // 4. leakage-safe split on the stage-1 canonical
+    // cached: the funnel report reads it four times (stage 3 + three
+    // split rows) and the caller consumes it after — without the cache
+    // the decontamination join and gate subtrees replay per read
     val curated = Corpus.hashSplit(kept3, idCol = "canonical_id",
       trainPct = trainPct, valPct = valPct)
       .select("doc_id", "lang", "canonical_id", "quality_score", "split")
+      .cache()
     def stage(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
@@ -75,7 +85,7 @@ object Curation {
       stage(0, "input", documents),
       stage(1, "near_dup_kept", kept1),
       stage(2, "quality_kept", kept2),
-      stage(3, "decontaminated", kept3),
+      stage(3, "decontaminated", curated), // hashSplit is 1:1 with kept3
       stage(4, "train", curated.filter(col("split") === "train")),
       stage(5, "val", curated.filter(col("split") === "val")),
       stage(6, "test", curated.filter(col("split") === "test")))

@@ -649,9 +649,10 @@ class StreamingSpec extends SparkSpec {
       col("lang") === "en", w, dim = 8)
       .writeStream.format("memory").queryName("cls_scores")
       .outputMode("append").start()
-    mem.addData(docs: _*)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("cls_scores")
       .as[(Long, Double, Double, Int)].collect().toSet
     assert(got == expected)
