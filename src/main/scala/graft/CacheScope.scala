@@ -1,0 +1,70 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for operator-cached intermediates.
+  *
+  * Several operator families persist an expensive intermediate that the
+  * RETURNED LAZY PLAN reads more than once — the Ed-Join auto dispatcher's
+  * prefix table (Fuzzy.editDistanceJoinAuto), the image-dedup phash table
+  * (Multimodal.imageNearDup), the embedding signature table
+  * (Similarity.embeddingNearDup), the curation funnel stages
+  * (Curation.curate). None of them can unpersist inside the operator:
+  * the consumer plan is still lazy, and an eager release would either
+  * force materialization (breaking the lazy-plan contract FuzzySpec
+  * locks) or evict the block before the consumer runs.
+  *
+  * Before this helper each family documented its own footgun ("release
+  * with spark.catalog.clearCache() between corpora") and relied on the
+  * caller remembering. Now every such cache registers HERE at pin time,
+  * and the caller has one documented boundary:
+  *
+  *   - [[release]](spark) — unpersist every intermediate this session's
+  *     operators pinned, once their consuming plans have been executed
+  *     (between corpora in a loop, after a pipeline's outputs are
+  *     written). Blocking=false: eviction is safe to overlap with
+  *     unrelated work.
+  *   - `spark.catalog.clearCache()` still works (pins go through the
+  *     normal persist machinery) but also drops caches the CALLER made;
+  *     release() only drops operator-internal pins.
+  *
+  * Pinned entries default to MEMORY_AND_DISK (corpus-scale intermediates
+  * must spill, not evict — losing a block mid-join re-runs the whole
+  * producing stage). The registry holds plan references, not data; a
+  * released or GC'd session's entries are dropped on next release().
+  */
+object CacheScope {
+
+  private val registry =
+    mutable.Map.empty[SparkSession, mutable.Buffer[DataFrame]]
+
+  /** Persist `df` and register it for session-boundary release. Returns
+    * `df` (still lazy — nothing is materialized here).
+    */
+  def pin(df: DataFrame,
+          level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    registry.synchronized {
+      registry.getOrElseUpdate(df.sparkSession, mutable.Buffer.empty) += df
+    }
+    df
+  }
+
+  /** Unpersist every intermediate operators pinned on `spark`. Call once
+    * the consuming plans have executed — between corpora, or after a
+    * pipeline's outputs are written.
+    */
+  def release(spark: SparkSession): Unit = {
+    val pinned = registry.synchronized(registry.remove(spark))
+    pinned.foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Number of currently-registered pins for `spark` (observability +
+    * spec hook).
+    */
+  def pinnedCount(spark: SparkSession): Int =
+    registry.synchronized(registry.get(spark).map(_.size).getOrElse(0))
+}

@@ -107,6 +107,55 @@ object SparkEntry {
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
 
+  /** CTE chain hashing `embeddings` with the Similarity module's seed-7
+    * hyperplanes: plane literals → ordered-fold dots → sign-bit bucket →
+    * banded (vec_id, band_idx, band_val) rows. Every CTE name carries
+    * `sfx` so two banding configurations can coexist in one statement
+    * (q_embed_auto replays the default AND the escalated chain). Plane
+    * constants embed as literals — Double.toString round-trips exactly,
+    * and the sign test's ordered fold is bit-identical, so bucket bits
+    * (and therefore candidate sets) match the Spark side exactly.
+    */
+  private def embedBandCtes(sfx: String, nPlanes: Int, bands: Int): String = {
+    val r = nPlanes / bands
+    val planes = ops.Similarity.hyperplanes(nPlanes, 64, 7L)
+    val vals = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(",\n ")
+    val bandSelects = (0 until bands)
+      .map(j => s"SELECT vec_id, $j AS band_idx, " +
+        s"(bucket >> ${j * r}) & ${(1L << r) - 1} AS band_val FROM buck$sfx")
+      .mkString("\n  UNION ALL ")
+    s"""planes$sfx(j, p) AS (VALUES
+ $vals),
+dots$sfx AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes$sfx),
+buck$sfx AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots$sfx GROUP BY vec_id),
+bands$sfx AS (
+  $bandSelects)"""
+  }
+
+  /** Candidate-pair + exact-cosine verify CTEs over [[embedBandCtes]]'s
+    * `bands\$sfx` relation (the q_embed_neardup chain, suffixed).
+    */
+  private def embedPairCtes(sfx: String): String =
+    s"""cand$sfx AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands$sfx a JOIN bands$sfx b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id),
+s$sfx AS (
+  SELECT vec_a, vec_b,
+    ${duckDot("x.embedding", "y.embedding")} /
+      (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) AS sim
+  FROM cand$sfx JOIN embeddings x ON vec_a = x.vec_id
+            JOIN embeddings y ON vec_b = y.vec_id)"""
+
   /** Shared oracle CTE chain replaying `Bpe.bpeTrain(numMerges = 8)` as
     * a recursive CTE: each word's symbol state rides as a DOUBLE-space-
     * joined string (each replace() consumes one boundary space per side,
@@ -682,6 +731,17 @@ mpairs AS (
     "q_embed_audit" -> ((s, dir) =>
       ops.Similarity.embedNearDupAudit(t(s, dir, "embeddings"))
         .orderBy("band_idx")),
+
+    // Auto-banded embedding near-dup: the audit census runs FIRST, and
+    // when the default banding's exact candidate volume clears the
+    // dispatch threshold the signature doubles to 32 planes (r 4 → 8)
+    // before any verify work — the editDistanceJoinAuto audit→dispatch
+    // pattern in LSH space. The oracle replays the census, the
+    // threshold compare, AND both candidate chains, gated on the same
+    // decision.
+    "q_embed_auto" -> ((s, dir) =>
+      ops.Similarity.embeddingNearDupAuto(t(s, dir, "embeddings"))
+        .orderBy("vec_a", "vec_b")),
 
     // IVF ANN top-5: deterministic cells (first 16 vectors), 4-probe search.
     "q_ann_ivf" -> ((s, dir) => {
@@ -2458,77 +2518,21 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 ORDER BY d.doc_id""",
 
-    // Replicates embeddingNearDup with the SAME hyperplane constants as SQL
-    // literals (Double.toString round-trips exactly, and the sign test's
-    // ordered-fold dot is bit-identical), so bucket bits — and therefore
+    // Replicates embeddingNearDup via the shared embedBandCtes chain (SAME
+    // hyperplane constants as SQL literals), so bucket bits — and therefore
     // the candidate set — match the Spark side exactly.
-    "q_embed_neardup" -> {
-      val nPlanes = 16
-      val bands = 4
-      val r = nPlanes / bands
-      val planes = ops.Similarity.hyperplanes(nPlanes, 64, 7L)
-      val vals = planes.zipWithIndex.map { case (p, j) =>
-        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
-      }.mkString(",\n ")
-      val bandSelects = (0 until bands)
-        .map(j => s"SELECT vec_id, $j AS band_idx, " +
-          s"(bucket >> ${j * r}) & ${(1L << r) - 1} AS band_val FROM buck")
-        .mkString("\n  UNION ALL ")
-      s"""WITH planes(j, p) AS (VALUES
- $vals),
-dots AS (
-  SELECT vec_id, j,
-    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
-                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
-  FROM embeddings, planes),
-buck AS (
-  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id),
-bands AS (
-  $bandSelects),
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-   AND a.vec_id < b.vec_id),
-s AS (
-  SELECT vec_a, vec_b,
-    ${duckDot("x.embedding", "y.embedding")} /
-      (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) AS sim
-  FROM cand JOIN embeddings x ON vec_a = x.vec_id
-            JOIN embeddings y ON vec_b = y.vec_id)
+    "q_embed_neardup" ->
+      s"""WITH ${embedBandCtes("", 16, 4)},
+${embedPairCtes("")}
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35
-ORDER BY vec_a, vec_b"""
-    },
+ORDER BY vec_a, vec_b""",
 
     // Same planes/bucket/band CTEs as q_embed_neardup, aggregated into the
     // per-band census instead of joined into pairs. The pair count uses
     // the identical c*(c-1)/2 double arithmetic (exact integers < 2^53)
     // cast back to BIGINT on both engines.
-    "q_embed_audit" -> {
-      val nPlanes = 16
-      val bands = 4
-      val r = nPlanes / bands
-      val planes = ops.Similarity.hyperplanes(nPlanes, 64, 7L)
-      val vals = planes.zipWithIndex.map { case (p, j) =>
-        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
-      }.mkString(",\n ")
-      val bandSelects = (0 until bands)
-        .map(j => s"SELECT vec_id, $j AS band_idx, " +
-          s"(bucket >> ${j * r}) & ${(1L << r) - 1} AS band_val FROM buck")
-        .mkString("\n  UNION ALL ")
-      s"""WITH planes(j, p) AS (VALUES
- $vals),
-dots AS (
-  SELECT vec_id, j,
-    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
-                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
-  FROM embeddings, planes),
-buck AS (
-  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id),
-bands AS (
-  $bandSelects),
+    "q_embed_audit" ->
+      s"""WITH ${embedBandCtes("", 16, 4)},
 bkt AS (
   SELECT band_idx, band_val, count(*) AS c
   FROM bands GROUP BY band_idx, band_val)
@@ -2539,8 +2543,31 @@ SELECT band_idx,
   CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) / CAST(sum(c) AS BIGINT)
     AS candidates_per_vector
 FROM bkt GROUP BY band_idx
-ORDER BY band_idx"""
-    },
+ORDER BY band_idx""",
+
+    // The auto-banding dispatch replayed end-to-end: the default chain's
+    // exact candidate census (cen — the same Σ c·(c−1)/2 / n the Spark
+    // autoPlanes collect computes, one double division of exact longs),
+    // then BOTH candidate chains (16 and 32 planes), each gated on the
+    // identical threshold compare — exactly one branch emits rows.
+    "q_embed_auto" ->
+      s"""WITH ${embedBandCtes("16", 16, 4)},
+${embedBandCtes("32", 32, 4)},
+bkt16 AS (
+  SELECT band_idx, band_val, count(*) AS c
+  FROM bands16 GROUP BY band_idx, band_val),
+cen AS (
+  SELECT CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) /
+         (SELECT count(*) FROM buck16) AS cpv
+  FROM bkt16),
+${embedPairCtes("16")},
+${embedPairCtes("32")}
+SELECT vec_a, vec_b, sim FROM s16
+WHERE sim >= 0.35 AND (SELECT cpv FROM cen) <= 64.0
+UNION ALL
+SELECT vec_a, vec_b, sim FROM s32
+WHERE sim >= 0.35 AND (SELECT cpv FROM cen) > 64.0
+ORDER BY vec_a, vec_b""",
 
     // Replicates annTopK: the SAME 8 hyperplanes (seed 42) as literals,
     // full-bucket equality join, exact cosine, row_number rank.

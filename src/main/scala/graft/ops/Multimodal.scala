@@ -231,27 +231,55 @@ object Multimodal {
     * scale shape as the text dedups: banded bucket equi-joins with
     * shuffle_hash hints, never an all-pairs scan.
     *
-    * The decoded phash table is `cache()`d — the returned plan reads it
-    * three times (band table + both verify sides) and re-decoding every
-    * image per read would triple the dominant cost. As with
-    * editDistanceJoinAuto's prefix cache, the caller's session owns the
-    * lifetime: release with `spark.catalog.clearCache()` between
-    * corpora, or persist (media_id, phash) as a real table — the actual
-    * 100 TB deployment shape — and dedup that instead.
+    * `maxBucketSize` is the skew cap this operator NEEDS at crawl scale
+    * (the Dedup.nearDupPairs lever): dHash of any uniform or
+    * near-uniform image is exactly 0L (no cell strictly brighter than
+    * its right neighbor), so every blank frame, tracking pixel, and
+    * solid-color logo — the web's most duplicated image class — lands
+    * in the SAME (band_idx, 0) bucket of all four bands and a capless
+    * join goes quadratic on exactly that class. Buckets over the cap
+    * are DROPPED: their members are boilerplate clusters (report them
+    * from the phash table with a plain groupBy, don't pair them), and
+    * losslessness then holds only for pairs whose shared under-cap
+    * bands cover < maxHamming flips — the documented cap trade. The
+    * default keeps every bucket (exact banding semantics, what the spec
+    * pins on organic fixtures).
+    *
+    * The decoded phash table is `cache()`d AND eagerly materialized
+    * (one count() inside this call) — the returned plan reads it three
+    * times (band table + both verify sides), and lazily-racing first
+    * reads could each pay the decode before any of them populates the
+    * cache. As with editDistanceJoinAuto's prefix cache, the caller's
+    * session owns the lifetime: release with
+    * `graft.CacheScope.release(spark)` (or `spark.catalog.clearCache()`)
+    * between corpora, or persist (media_id, phash) as a real table —
+    * the actual 100 TB deployment shape — and dedup that instead.
     *
     * Output: (media_a, media_b, hamming), media_a < media_b.
     */
   def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4,
+                   maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"64 bits not divisible by $bands bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val fps = perceptualHashes(media).cache()
+    val fps = graft.CacheScope.pin(perceptualHashes(media))
+    fps.count() // eager: decode exactly once, before concurrent readers race
     val bandCols = (0 until bands).map { j =>
       shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
     }
-    val bandTable = fps.select(col("media_id"),
+    val bandTable0 = fps.select(col("media_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val bandTable =
+      if (maxBucketSize == Long.MaxValue) bandTable0
+      else {
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_val")
+        bandTable0
+          .withColumn("bucket_n", count(lit(1)).over(wBucket))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select("media_id", "band_idx", "band_val")
+      }
     val a = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_a"))
     val b = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_b"))
     a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))

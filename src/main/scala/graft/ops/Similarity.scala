@@ -357,16 +357,16 @@ object Similarity {
     val spark = corpus.sparkSession
     // Signature computation is the expensive per-row map stage (nPlanes
     // ordered-fold dot products); repartition for parallelism on few-file
-    // inputs and cache — the band self-join and both verify joins reuse it.
+    // inputs and pin — the band self-join and both verify joins reuse it
+    // (release boundary: graft.CacheScope.release(spark)).
     // norm is precomputed per vector, not per pair: sim below is then
     // dot/(norm_a*norm_b) — the identical IEEE ops to cosine() (sqrt each,
     // then multiply), at a third of the per-candidate fold work.
-    val bucketed = corpus
+    val bucketed = graft.CacheScope.pin(corpus
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"),
-        sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm"))
-      .cache()
+        sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm")))
     val bandCols = (0 until bands).map { j =>
       shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
     }
@@ -418,12 +418,17 @@ object Similarity {
     val mask = (1L << r) - 1
     // the nPlanes-fold hashing is the audit's dominant cost; on FEW-FILE
     // inputs repartition so the map runs at core count (embeddingNearDup's
-    // pattern) — but only then: a well-partitioned 100 TB corpus must NOT
-    // pay a full (vec_id, embedding) shuffle for an audit whose advertised
+    // pattern) — but only when there is real work to spread: a tiny
+    // in-memory frame's (vec_id, embedding) shuffle costs more than the
+    // hashing it parallelizes (gated on the optimizer's size estimate —
+    // no .rdd materialization, no job), and a well-partitioned 100 TB
+    // corpus must NOT pay a full shuffle for an audit whose advertised
     // price is one map + one small band-key shuffle
     val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val estBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val wide =
-      if (corpus.rdd.getNumPartitions >= para) corpus
+      if (estBytes < (8L << 20)) corpus
+      else if (corpus.rdd.getNumPartitions >= para) corpus
       else corpus.repartition(para, col("vec_id"))
     val sig = wide
       .select(col("vec_id"),
@@ -444,6 +449,72 @@ object Similarity {
         col("candidate_pairs").cast("double") / col("n_vectors"))
       .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
         "candidates_per_vector")
+  }
+
+  /** The banding [[embeddingNearDupAuto]] would run for this corpus —
+    * the configured `nPlanes`, or its double when the audit census says
+    * the configured banding has collapsed — as a testable/loggable
+    * decision (the [[graft.ops.text.Fuzzy.autoRegime]] convention).
+    *
+    * The collapse signal is the audit's EXACT total candidate volume:
+    * Σ over bands of Σ c·(c−1)/2, divided by the corpus size — the
+    * number of verify-join probes per vector the configured banding
+    * would actually emit. One bounded collect (`bands` rows).
+    */
+  def autoPlanes(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
+                 dim: Int = 64, seed: Long = 7L,
+                 maxCandidatesPerVector: Double = 64.0): Int = {
+    val census = embedNearDupAudit(corpus, nPlanes, bands, dim, seed)
+      .agg(sum("candidate_pairs").as("pairs"))
+      .collect()(0) // bounded: one row
+    val n = corpus.count() // the audit's per-band n_vectors (one row per
+    // vector per band) — recounted here so the exact long/long division
+    // below replays bit-identically in the oracle's cen CTE
+    val collapsed = !census.isNullAt(0) && n > 0 &&
+      census.getLong(0).toDouble / n > maxCandidatesPerVector
+    if (collapsed) nPlanes * 2 else nPlanes
+  }
+
+  /** [[embeddingNearDup]] with AUTOMATIC banding escalation — the
+    * editDistanceJoinAuto pattern applied to the one measured scale
+    * collapse left in the module: run [[embedNearDupAudit]]'s exact
+    * per-band candidate census FIRST, and when the configured banding
+    * has collapsed (candidates per vector clears
+    * `maxCandidatesPerVector` — the sf1 sweep measured r = 4 bits/band
+    * stop blocking near 20k direction-random vectors), DOUBLE nPlanes
+    * at the same band count, doubling r: each extra bit/band halves
+    * random collisions (the audit's n²/2^(r+1) law ⇒ doubling r takes
+    * candidate volume from ~n²/32 to ~n²/512 at the defaults), while
+    * true near-dups keep colliding — they agree on sign bits by ANGLE,
+    * not chance, so per-band recall falls only by the (1−θ/π)^r factor
+    * the operator already documents.
+    *
+    * The dispatch threshold is the verify join's per-vector probe count:
+    * past ~64 candidate probes per vector the extra signature pass
+    * (2× the hashing, the audit's own dominant cost) is noise against
+    * the verify work it prunes; far below it the configured banding is
+    * already blocking and re-hashing would cost more than it saves.
+    * The decision costs one audit — a map + a (band, val) key shuffle,
+    * ~1/30 of the verify cost at the sf1 sweep point — and is exactly
+    * [[autoPlanes]], so callers/specs can observe which regime ran.
+    * Escalation is SINGLE-STEP by contract (the decision stays
+    * replayable by the SQL oracle); on a pathological corpus where one
+    * doubling still floods — the audit says so post-hoc — re-audit at
+    * the escalated config and call again with `nPlanes` doubled, or
+    * cluster first and band within cells (SemDeDup, the in-repo
+    * alternative for direction-random corpora).
+    *
+    * Output contract is [[embeddingNearDup]]'s: (vec_a, vec_b, sim),
+    * vec_a < vec_b, sim ≥ threshold — only the CANDIDATE SET (recall)
+    * depends on the chosen banding, exactly as with the manual knobs.
+    */
+  def embeddingNearDupAuto(corpus: DataFrame, nPlanes: Int = 16,
+                           bands: Int = 4, threshold: Double = 0.35,
+                           dim: Int = 64, seed: Long = 7L,
+                           maxCandidatesPerVector: Double = 64.0): DataFrame = {
+    val chosen = autoPlanes(corpus, nPlanes, bands, dim, seed,
+      maxCandidatesPerVector)
+    embeddingNearDup(corpus, chosen, bands, threshold, dim, seed)
   }
 
   /** IVF (inverted-file) ANN top-k — the partition-pruning scale path.

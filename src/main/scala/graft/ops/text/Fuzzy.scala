@@ -350,12 +350,12 @@ object Fuzzy {
     // immediately when the segment regime wins (nothing downstream
     // references it); on the prefix path the returned plan holds it,
     // and the caller's session owns the cache lifetime as with any
-    // cached operator input (release with spark.catalog.clearCache()
-    // between corpora — the pipeline runners here do exactly that; a
-    // per-call unpersist handle would force eager materialization and
-    // break the locked lazy-plan contract in FuzzySpec).
-    val p = p0.copy(prefix = p0.prefix.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // pinned operator intermediate (release with
+    // graft.CacheScope.release(spark) between corpora — the pipeline
+    // runners here clearCache, which works too; a per-call unpersist
+    // handle would force eager materialization and break the locked
+    // lazy-plan contract in FuzzySpec).
+    val p = p0.copy(prefix = graft.CacheScope.pin(p0.prefix))
     if (auditPrefix(p).candidatesPerString > maxCandidatesPerString) {
       p.prefix.unpersist()
       editDistanceJoinPartitioned(df, idCol, strCol, maxDist)

@@ -28,9 +28,9 @@ import graft.ops.text.{Corpus, Dedup, TextStats}
   *
   * Scale posture: every stage is an already-audited operator (see each
   * op's scaladoc); the composition adds no new shuffles beyond theirs.
-  * The canonical-id table is cache()d — three downstream stages and the
+  * The canonical-id table is pinned — three downstream stages and the
   * report read it, and it is the product of the pipeline's most
-  * expensive stage. Session-owned lifetime, as with the other cached
+  * expensive stage. Session-owned lifetime, as with the other pinned
   * operator intermediates (on a real deployment it is the persisted
   * dedup-resolution table).
   */
@@ -41,6 +41,13 @@ object Curation {
     * Returns (curated, report): curated = (doc_id, lang, canonical_id,
     * quality_score, split) for every surviving document; report = one
     * row per funnel stage (stage_idx, stage, n_docs).
+    *
+    * Pins three intermediates (canonical ids, gate survivors, the
+    * curated output) for the funnel's repeated reads. A driver looping
+    * curate() over many corpora must release them once the report and
+    * curated output are consumed — `graft.CacheScope.release(spark)`
+    * (or `spark.catalog.clearCache()`) between corpora — or the pinned
+    * executor blocks accumulate for the life of the session.
     */
   def curate(documents: DataFrame, benchmark: DataFrame,
              qualityP: Double = 0.5, ngram: Int = 3, minOverlap: Int = 2,
@@ -52,7 +59,7 @@ object Curation {
     //    moderate-jaccard candidate sets engine-dependent.
     val pairs = Dedup.nearDupPairs(documents, k = 32, bands = 8,
       threshold = 0.5)
-    val canon = Dedup.resolveCanonical(documents, pairs).cache()
+    val canon = graft.CacheScope.pin(Dedup.resolveCanonical(documents, pairs))
     val kept1 = documents
       .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
         "doc_id")
@@ -60,10 +67,9 @@ object Curation {
     val gated = Corpus.quantileGate(
       TextStats.qualityScore(kept1, Seq("lang", "canonical_id")),
       "quality_score", "lang", qualityP)
-    // cached: stage-2's count and the two downstream stages all read it
-    val kept2 = gated.filter(col("is_kept"))
-      .select("doc_id", "lang", "canonical_id", "quality_score")
-      .cache()
+    // pinned: stage-2's count and the two downstream stages all read it
+    val kept2 = graft.CacheScope.pin(gated.filter(col("is_kept"))
+      .select("doc_id", "lang", "canonical_id", "quality_score"))
     // 3. benchmark decontamination over the survivors
     val dec = Corpus.decontaminate(
       kept2.join(documents.select("doc_id", "text"), "doc_id"),
@@ -71,13 +77,12 @@ object Curation {
     val kept3 = kept2
       .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
     // 4. leakage-safe split on the stage-1 canonical
-    // cached: the funnel report reads it four times (stage 3 + three
-    // split rows) and the caller consumes it after — without the cache
+    // pinned: the funnel report reads it four times (stage 3 + three
+    // split rows) and the caller consumes it after — without the pin
     // the decontamination join and gate subtrees replay per read
-    val curated = Corpus.hashSplit(kept3, idCol = "canonical_id",
-      trainPct = trainPct, valPct = valPct)
-      .select("doc_id", "lang", "canonical_id", "quality_score", "split")
-      .cache()
+    val curated = graft.CacheScope.pin(Corpus.hashSplit(kept3,
+      idCol = "canonical_id", trainPct = trainPct, valPct = valPct)
+      .select("doc_id", "lang", "canonical_id", "quality_score", "split"))
     def stage(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))

@@ -194,6 +194,51 @@ class SimilaritySpec extends SparkSpec {
       s"candidates must drop as r grows: got $byR for r=2,4,8")
   }
 
+  test("embeddingNearDupAuto: collapsing corpus escalates to 2x planes, " +
+    "well-banded corpus keeps the default; outputs equal the dispatched manual run") {
+    // Collapsing corpus: 80 near-identical vectors (tiny jitter on one
+    // direction) share every sign bit, so all 4 default bands put all 80
+    // in one bucket → Σ pairs = 4·80·79/2 = 12 640 → 158 candidates per
+    // vector, far over the 64 threshold. This is the uniform-direction
+    // degenerate class the sf1 sweep measured.
+    val base = Array.tabulate(64)(i => if (i % 7 == 0) 1f else 0.1f)
+    val collapsing = (0 until 80).map { k =>
+      (k.toLong, base.updated(63, 0.1f + k * 1e-6f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    assert(Similarity.autoPlanes(collapsing) == 32,
+      "a collapsed census must escalate to 2x planes")
+    // Well-banded corpus: 50 direction-random vectors — a random pair
+    // matches a 4-bit band with prob E[(1-θ/π)^4] ≈ 0.1, so expected
+    // candidates per vector ≈ 0.1·(n-1)·bands/2 ≈ 10, far under 64.
+    val rng = new scala.util.Random(11)
+    val spread = (0 until 50).map { k =>
+      (k.toLong, Array.fill(64)(rng.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    assert(Similarity.autoPlanes(spread) == 16,
+      "a blocking census must keep the configured planes")
+    // Dispatch equality: auto output == the manual run at the chosen
+    // config, row for row (the decision only picks the banding). Note
+    // the fixture slice itself escalates — its label clusters are the
+    // boilerplate-cluster shape — which the equality below also pins.
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "sim").as[(Long, Long, Double)]
+        .collect().toSet
+    assert(key(Similarity.embeddingNearDupAuto(spread)) ==
+      key(Similarity.embeddingNearDup(spread)))
+    assert(key(Similarity.embeddingNearDupAuto(emb)) ==
+      key(Similarity.embeddingNearDup(emb, nPlanes = 32)))
+    assert(key(Similarity.embeddingNearDupAuto(collapsing)) ==
+      key(Similarity.embeddingNearDup(collapsing, nPlanes = 32)))
+    // Escalation must genuinely shrink the candidate volume on the
+    // collapsing corpus (r 4 → 8 splits the jittered directions).
+    val pairs16 = Similarity.embedNearDupAudit(collapsing, 16, 4)
+      .agg(sum("candidate_pairs")).head().getLong(0)
+    val pairs32 = Similarity.embedNearDupAudit(collapsing, 32, 4)
+      .agg(sum("candidate_pairs")).head().getLong(0)
+    assert(pairs32 <= pairs16,
+      s"escalated banding must not emit more candidates ($pairs16 -> $pairs32)")
+  }
+
   test("ivfTopK: self-match survives probing; ranks contiguous; sims match brute force") {
     val ivf = Similarity.ivfTopK(emb, queries, 3)
     val rows = ivf.orderBy("q_id", "rank")

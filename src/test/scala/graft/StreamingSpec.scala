@@ -761,6 +761,49 @@ class StreamingSpec extends SparkSpec {
       "inverted image must not pair")
   }
 
+  test("multimodal: imageNearDup maxBucketSize drops the uniform-image hot " +
+    "bucket; organic near/far separation unchanged") {
+    def encodeImg(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    // 40 solid-color frames: dHash of ANY uniform image is exactly 0L (no
+    // cell strictly brighter than its right neighbor), so all 40 share
+    // every band bucket — the tracking-pixel/blank-frame class that goes
+    // quadratic in a crawl.
+    val solids = (0 until 40).map { k =>
+      Multimodal.MediaRow(100L + k, "image",
+        encodeImg(16, 16, (_, _) => grey(40 + k * 5)), "solid")
+    }
+    // organic near-dup pair with a NONZERO hash: descending gradient (every
+    // cell brighter than its right neighbor → all bits set) + a one-hot
+    // -pixel variant a couple of bits away
+    val base = (x: Int, _: Int) => grey(255 - x * 8)
+    val near = (x: Int, y: Int) =>
+      if (x == 5 && y == 5) 0x000000 else base(x, y)
+    val organic = Seq(
+      Multimodal.MediaRow(1L, "image", encodeImg(32, 32, base), "p"),
+      Multimodal.MediaRow(2L, "image", encodeImg(32, 32, near), "p"))
+    val ds = spark.createDataset(organic ++ solids)
+    // capless: the uniform bucket pairs quadratically (the scale defect)
+    val uncapped = Multimodal.imageNearDup(ds, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(uncapped.count { case (a, b, _) => a >= 100L && b >= 100L }
+      == 40 * 39 / 2, "uniform images are identical under dHash")
+    // capped: the hot bucket is dropped wholesale, the organic pair stays
+    val capped = Multimodal.imageNearDup(ds, maxHamming = 3,
+      maxBucketSize = 10).as[(Long, Long, Int)].collect()
+    assert(!capped.exists { case (a, b, _) => a >= 100L || b >= 100L },
+      "over-cap buckets must emit no candidates")
+    assert(capped.exists { case (a, b, _) => a == 1L && b == 2L },
+      "near-identical organic images must still pair under the cap")
+  }
+
   test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
