@@ -67,22 +67,35 @@ object SparkEntry {
     qualityModel(s, dir).count()
   }
 
-  /** The 8-merge BPE table over `documents` — shared by q_bpe_train and
-    * q_bpe_segment, so training's iterative collect loop runs once per
-    * session per corpus (the jaccardPairs sharing pattern).
+  /** Training hyperparameters — the SINGLE source of truth shared by the
+    * Scala call sites and the recursive-CTE oracle replays below
+    * (BpeTrainCtes / QualityModelCtes interpolate these, the
+    * minhashPairCtes convention): a drift on either side would
+    * otherwise break parity silently until oracle-check time.
+    */
+  private val BpeNumMerges = 8
+  private val QmDim = 16
+  private val QmIters = 10
+  private val QmLr = 0.5
+
+  /** The trained BPE table over `documents` — shared by q_bpe_train,
+    * q_bpe_segment, and q_bpe_encode, so training's iterative collect
+    * loop runs once per session per corpus (the jaccardPairs sharing
+    * pattern).
     */
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
     materialized(s, dir, "bpe_merges")(
-      graft.ops.text.Bpe.bpeTrain(t(s, dir, "documents"), numMerges = 8))
+      graft.ops.text.Bpe.bpeTrain(t(s, dir, "documents"),
+        numMerges = BpeNumMerges))
 
-  /** The trained is-English quality model (dim 16, 10 GD iterations) —
-    * shared by q_quality_model and q_quality_predict.
+  /** The trained is-English quality model — shared by q_quality_model
+    * and q_quality_predict.
     */
   private def qualityModel(s: SparkSession, dir: String): DataFrame =
     materialized(s, dir, "quality_model")(
       ops.Classifier.fit(t(s, dir, "documents"),
         org.apache.spark.sql.functions.col("lang") === "en",
-        dim = 16, iters = 10, lr = 0.5))
+        dim = QmDim, iters = QmIters, lr = QmLr))
 
   /** The MinHash-LSH pair table over `documents` (k=32, bands=8, τ=0.5) —
     * shared by q_dedup_minhash, q_group_split, and q_dedup_resolve.
@@ -167,9 +180,10 @@ s$sfx AS (
     * final word states ARE the segmentation).
     */
   private lazy val BpeTrainCtes: String =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |wc AS (SELECT word, count(*) AS cnt
       |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |       WHERE word <> ''
       |       GROUP BY 1),
       |rec(it, word, cnt, syms, ml, mr, mc) AS (
       |  SELECT 0, word, cnt,
@@ -191,7 +205,7 @@ s$sfx AS (
       |      ) p
       |      GROUP BY 1, 2)
       |    WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1) best
-      |  WHERE it < 8
+      |  WHERE it < $BpeNumMerges
       |)""".stripMargin
 
   /** Shared oracle CTE chain replaying `Classifier.fit(lang = 'en',
@@ -204,21 +218,21 @@ s$sfx AS (
     * q_quality_predict.
     */
   private lazy val QualityModelCtes: String =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |feat AS (
       |  SELECT doc_id, y, list_prepend(0, list(DISTINCT b ORDER BY b)) AS fs
       |  FROM (
       |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-      |           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) % 16 + 1 AS b
+      |           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) % $QmDim + 1 AS b
       |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |          FROM documents)
       |  ) GROUP BY doc_id, y),
       |packed AS (SELECT list({'y': y, 'fs': fs} ORDER BY doc_id) AS ds FROM feat),
       |rec(it, w) AS (
-      |  SELECT 0, [CAST(0 AS DOUBLE) FOR _ IN generate_series(0, 16)]
+      |  SELECT 0, [CAST(0 AS DOUBLE) FOR _ IN generate_series(0, $QmDim)]
       |  UNION ALL
       |  SELECT it + 1,
-      |    [ list_extract(rec.w, j + 1) - 0.5 * CAST(coalesce(list_sum(
+      |    [ list_extract(rec.w, j + 1) - $QmLr * CAST(coalesce(list_sum(
       |        [CAST((0.5 + 0.5 *
       |             list_reduce([list_extract(rec.w, ff + 1) FOR ff IN d.fs],
       |                         (a, b) -> a + b)
@@ -227,8 +241,8 @@ s$sfx AS (
       |                         (a, b) -> a + b)))
       |           - d.y) AS DECIMAL(18,6))
       |         FOR d IN packed.ds IF list_contains(d.fs, j)]), 0) AS DOUBLE)
-      |      FOR j IN generate_series(0, 16) ]
-      |  FROM rec, packed WHERE it < 10
+      |      FOR j IN generate_series(0, $QmDim) ]
+      |  FROM rec, packed WHERE it < $QmIters
       |)""".stripMargin
 
   /** Shared oracle CTE chain reproducing `Dedup.nearDupPairs(k = 32,
@@ -239,6 +253,70 @@ s$sfx AS (
     * and spliced into `q_group_split`'s reachability oracle.
     */
   private lazy val MinhashPairCtes: String = minhashPairCtes("documents")
+
+  /** Curation-DAG head CTEs shared by the two whole-DAG oracles
+    * (q_curation_report / q_curation_classified): recursive reachability
+    * over the minhash pairs -> canonical survivors (kept1) -> the
+    * quality-gate chain (kept2). Expects `csrc` + the minhashPairCtes
+    * relations upstream.
+    */
+  private lazy val CurationHeadCtes: String = """
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION ALL SELECT doc_b, doc_a FROM mpairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM csrc d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+kept1 AS (
+  SELECT d.doc_id, d.text, d.lang, cn.canonical_id
+  FROM csrc d JOIN canon cn ON d.doc_id = cn.doc_id
+  WHERE d.doc_id = cn.canonical_id),
+qb AS (
+  SELECT doc_id, lang, canonical_id,
+   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt
+  FROM kept1),
+q AS (
+  SELECT doc_id, lang, canonical_id,
+   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+  FROM qb),
+th AS (SELECT lang, quantile_disc(quality_score, 0.5) AS t FROM q GROUP BY lang),
+kept2 AS (
+  SELECT q.doc_id, q.canonical_id FROM q JOIN th USING (lang)
+  WHERE q.quality_score >= th.t)"""
+
+  /** Curation-DAG tail CTEs (decontamination over `survivors`, then the
+    * split buckets) — parameterized on the surviving relation so the
+    * classified oracle reads kept2c where the base oracle reads kept2.
+    */
+  private def curationTailCtes(survivors: String): String = s"""
+shd AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+          for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(sh) AS s2 FROM shd WHERE doc_id % 97 = 0),
+ov AS (
+  SELECT t2.doc_id, count(*) AS n_overlap
+  FROM (SELECT k2.doc_id, unnest(shd.sh) AS s2
+        FROM $survivors k2 JOIN shd ON k2.doc_id = shd.doc_id) t2
+  JOIN bench USING (s2) GROUP BY 1),
+kept3 AS (
+  SELECT k.doc_id, k.canonical_id FROM $survivors k LEFT JOIN ov USING (doc_id)
+  WHERE coalesce(ov.n_overlap, 0) < 2),
+sp AS (
+  SELECT doc_id,
+   CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        ELSE 'test' END AS split
+  FROM kept3)"""
 
   /** [[MinhashPairCtes]] over an arbitrary source relation (`src` must
     * expose doc_id + text) — q_curation_report runs the pair pipeline
@@ -839,6 +917,17 @@ mpairs AS (
       Bpe.segment(t(s, dir, "documents"), merges).orderBy("doc_id")
     }),
 
+    // The SERVING encoder under the same 8 learned merges: broadcast
+    // Aho-Corasick automaton + per-partition word memo, per-word cost
+    // flat in merge count. Bit-identical output contract to
+    // q_bpe_segment — the training-CTE oracle verifies the compiled
+    // path exactly as it verifies the fold replay.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encode(t(s, dir, "documents"), merges).orderBy("doc_id")
+    }),
+
     // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
     "q_chunks" -> ((s, dir) =>
       Corpus.chunkDocs(t(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
@@ -989,6 +1078,24 @@ mpairs AS (
       val (_, report) = pipeline.Curation.curate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
+      report.orderBy("stage_idx")
+    }),
+
+    // The same composed DAG with the OPTIONAL model-based filter wired
+    // between the quality gate and decontamination: the memoized
+    // is-English classifier scores the gate survivors (pure map), docs
+    // under p=0.5 drop, and the funnel gains a classifier_kept row. The
+    // oracle splices the GD-replay CTEs into the whole-DAG statement
+    // and gates on the identical rational-sigmoid compare.
+    "q_curation_classified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rows = qualityModel(s, dir).collect()
+      val w = new Array[Double](rows.length) // dim+1 rows by construction
+      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val (_, report) = pipeline.Curation.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        classifierWeights = Some(w))
       report.orderBy("stage_idx")
     }),
 
@@ -1931,18 +2038,18 @@ mpairs AS (
 
     // Ten GD steps replayed in the recursive CTE; weights are exact
     // decimal gradient sums pushed through identical double arithmetic.
-    "q_quality_model" -> (QualityModelCtes + """
+    "q_quality_model" -> (QualityModelCtes + s"""
       |SELECT CAST(j AS INT) AS j, list_extract(w, j + 1) AS weight
-      |FROM rec, LATERAL (SELECT unnest(generate_series(0, 16)) AS j) t
-      |WHERE it = 10 ORDER BY j""".stripMargin),
+      |FROM rec, LATERAL (SELECT unnest(generate_series(0, $QmDim)) AS j) t
+      |WHERE it = $QmIters ORDER BY j""".stripMargin),
 
     // Same recursion; scoring is the identical ordered z fold + rational
     // sigmoid on the final weights.
-    "q_quality_predict" -> (QualityModelCtes + """
+    "q_quality_predict" -> (QualityModelCtes + s"""
       |SELECT f.doc_id, f.y,
       | 0.5 + 0.5 * t.z / (1 + abs(t.z)) AS score,
       | CAST(0.5 + 0.5 * t.z / (1 + abs(t.z)) >= 0.5 AS INT) AS predicted
-      |FROM feat f, (SELECT w FROM rec WHERE it = 10) fw,
+      |FROM feat f, (SELECT w FROM rec WHERE it = $QmIters) fw,
       | LATERAL (SELECT list_reduce(
       |   [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t
       |ORDER BY doc_id""".stripMargin),
@@ -2375,57 +2482,8 @@ ORDER BY doc_a, doc_b"""
     // each stage's count compared against the Spark pipeline's funnel.
     "q_curation_report" -> ("WITH RECURSIVE\n" +
       "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +
-      minhashPairCtes("csrc") + "," + """
-edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM mpairs
-  UNION ALL SELECT doc_b, doc_a FROM mpairs),
-reach AS (
-  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
-comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
-canon AS (
-  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
-  FROM csrc d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-kept1 AS (
-  SELECT d.doc_id, d.text, d.lang, cn.canonical_id
-  FROM csrc d JOIN canon cn ON d.doc_id = cn.doc_id
-  WHERE d.doc_id = cn.canonical_id),
-qb AS (
-  SELECT doc_id, lang, canonical_id,
-   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
-   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt
-  FROM kept1),
-q AS (
-  SELECT doc_id, lang, canonical_id,
-   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
-     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
-  FROM qb),
-th AS (SELECT lang, quantile_disc(quality_score, 0.5) AS t FROM q GROUP BY lang),
-kept2 AS (
-  SELECT q.doc_id, q.canonical_id FROM q JOIN th USING (lang)
-  WHERE q.quality_score >= th.t),
-shd AS (
-  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-          for i in generate_series(1, len(toks) - 2)]) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-bench AS (SELECT DISTINCT unnest(sh) AS s2 FROM shd WHERE doc_id % 97 = 0),
-ov AS (
-  SELECT t2.doc_id, count(*) AS n_overlap
-  FROM (SELECT k2.doc_id, unnest(shd.sh) AS s2
-        FROM kept2 k2 JOIN shd ON k2.doc_id = shd.doc_id) t2
-  JOIN bench USING (s2) GROUP BY 1),
-kept3 AS (
-  SELECT k.doc_id, k.canonical_id FROM kept2 k LEFT JOIN ov USING (doc_id)
-  WHERE coalesce(ov.n_overlap, 0) < 2),
-sp AS (
-  SELECT doc_id,
-   CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-        WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
-        ELSE 'test' END AS split
-  FROM kept3)
+      minhashPairCtes("csrc") + ",\n" +
+      CurationHeadCtes + ",\n" + curationTailCtes(survivors = "kept2") + "\n" + """
 SELECT * FROM (
   SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
          (SELECT count(*) FROM csrc) AS n_docs
@@ -2435,6 +2493,36 @@ SELECT * FROM (
   UNION ALL SELECT 4, 'train', (SELECT count(*) FROM sp WHERE split = 'train')
   UNION ALL SELECT 5, 'val', (SELECT count(*) FROM sp WHERE split = 'val')
   UNION ALL SELECT 6, 'test', (SELECT count(*) FROM sp WHERE split = 'test')
+) ORDER BY stage_idx"""),
+
+    // The classified variant: the SAME DAG with the GD-replay CTEs
+    // (feat/packed/rec — trained on the FULL documents table, matching
+    // the Spark side's memoized model) spliced in, the rational-sigmoid
+    // score gating kept2 -> kept2c, and the tail stages reading the
+    // classifier survivors.
+    "q_curation_classified" -> ("WITH RECURSIVE\n" +
+      "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +
+      minhashPairCtes("csrc") + ",\n" +
+      CurationHeadCtes + ",\n" +
+      QualityModelCtes.stripPrefix("WITH RECURSIVE") + ",\n" + s"""
+sc AS (
+  SELECT f.doc_id, 0.5 + 0.5 * t.z / (1 + abs(t.z)) AS score
+  FROM feat f, (SELECT w FROM rec WHERE it = $QmIters) fw,
+   LATERAL (SELECT list_reduce(
+     [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t),
+kept2c AS (
+  SELECT k.doc_id, k.canonical_id FROM kept2 k JOIN sc USING (doc_id)
+  WHERE sc.score >= 0.5),""" + curationTailCtes(survivors = "kept2c") + "\n" + """
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+         (SELECT count(*) FROM csrc) AS n_docs
+  UNION ALL SELECT 1, 'near_dup_kept', (SELECT count(*) FROM kept1)
+  UNION ALL SELECT 2, 'quality_kept', (SELECT count(*) FROM kept2)
+  UNION ALL SELECT 3, 'classifier_kept', (SELECT count(*) FROM kept2c)
+  UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM kept3)
+  UNION ALL SELECT 5, 'train', (SELECT count(*) FROM sp WHERE split = 'train')
+  UNION ALL SELECT 6, 'val', (SELECT count(*) FROM sp WHERE split = 'val')
+  UNION ALL SELECT 7, 'test', (SELECT count(*) FROM sp WHERE split = 'test')
 ) ORDER BY stage_idx"""),
 
     // tf·(N/df): division then multiplication, both IEEE basic ops —
@@ -2838,6 +2926,22 @@ FROM lh ORDER BY doc_id"""
     // segmentation, joined back over each document's token stream in
     // position order.
     "q_bpe_segment" -> (BpeTrainCtes + """,
+      |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg,
+      |               len(string_split(trim(syms), '  ')) AS nseg
+      |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |               generate_subscripts(string_split(text, ' '), 1) AS i
+      |        FROM documents)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |       CAST(sum(nseg) AS INT) AS n_bpe_tokens,
+      |       md5(string_agg(seg, ' ' ORDER BY i)) AS bpe_fp
+      |FROM tok JOIN fin USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // The compiled encoder's contract IS segment's: the same final-state
+    // replay verifies it (empty tokens drop out via the wc filter + the
+    // inner join on word).
+    "q_bpe_encode" -> (BpeTrainCtes + """,
       |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg,
       |               len(string_split(trim(syms), '  ')) AS nseg
       |        FROM rec WHERE it = (SELECT max(it) FROM rec)),

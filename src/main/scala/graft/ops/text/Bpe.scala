@@ -61,6 +61,11 @@ object Bpe {
     // merge iterations below run on this vocabulary-sized state.
     var state = documents
       .select(explode(tokens(col("text"))).as("word"))
+      // empty tokens (multi-spaced / empty text) carry zero symbols and
+      // can never merge; they are filtered HERE and in the oracle's wc
+      // CTE alike so the trained state never carries a '' row the two
+      // engines would segment differently
+      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
         filter(split(col("word"), ""), e => e =!= "").as("syms"))
@@ -105,23 +110,26 @@ object Bpe {
 
   /** Apply a learned merge list to the corpus: per-token character split,
     * then every merge replayed in rank order — the reference
-    * segmentation. Output per document: whitespace token count, BPE
+    * segmentation. Empty tokens (multi-spaced text) are dropped, the
+    * [[bpeTrain]] / oracle-wc contract: n_tokens counts NONEMPTY
+    * whitespace tokens. Output per document: whitespace token count, BPE
     * token count, and an md5 fingerprint of the full space-joined
     * segmentation (enough to verify exact subword content without
     * shipping the arrays — the chunk_fp convention).
     *
     * This replay chains one interpreted fold per merge over the full
-    * token stream — correct but O(merges · tokens); a production encoder
-    * at 100 TB compiles the merge table into a longest-match automaton
-    * broadcast to executors. The training loop above is the scale path;
-    * this replay is the verification path.
+    * token stream — correct but O(merges · tokens): it is the
+    * VERIFICATION path (the oracle replays the identical folds).
+    * [[encode]] is the serving path — the compiled-automaton encoder
+    * with per-word cost independent of merge count — and BpeSpec pins
+    * the two equal on every corpus.
     */
   def segment(documents: DataFrame,
               merges: Seq[(String, String)]): DataFrame = {
     val charsOf: Column => Column =
       w => filter(split(w, ""), e => e =!= "")
-    val segmented = merges.foldLeft[Column](
-      transform(tokens(col("text")), charsOf)) {
+    val toks = filter(tokens(col("text")), t => t =!= "")
+    val segmented = merges.foldLeft[Column](transform(toks, charsOf)) {
       case (acc, (a, b)) => transform(acc, w => applyMerge(w, a, b))
     }
     documents
@@ -132,5 +140,143 @@ object Bpe {
         aggregate(col("seg"), lit(0),
           (acc, w) => acc + size(w)).as("n_bpe_tokens"),
         md5(concat_ws(" ", flatten(col("seg")))).as("bpe_fp"))
+  }
+
+  /** The learned merge table COMPILED for serving: an Aho–Corasick
+    * automaton over the merged strings, built once on the driver and
+    * broadcast. Matching a word against the automaton yields exactly
+    * the merges that can ever fire on it — a token is always a
+    * contiguous substring of its word, so merge (a,b) can only apply if
+    * a+b occurs in the word — and replaying just those, in rank order,
+    * is observably identical to replaying the full table ([[segment]]'s
+    * semantics; skipped merges are no-ops by construction). Per-word
+    * cost is O(len + occurring-merges · len), INDEPENDENT of vocabulary
+    * size — the property that makes a 30k-merge tokenizer servable
+    * where the fold chain is O(merges · tokens).
+    */
+  private[graft] final class MergeAutomaton(
+      val merges: Array[(String, String)]) extends Serializable {
+    import scala.collection.mutable
+    private val children =
+      mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val outs = mutable.ArrayBuffer(List.empty[Int])
+    merges.zipWithIndex.foreach { case ((a, b), rank) =>
+      var node = 0
+      (a + b).foreach { c =>
+        node = children(node).getOrElseUpdate(c, {
+          children += mutable.HashMap.empty[Char, Int]
+          outs += Nil
+          children.size - 1
+        })
+      }
+      outs(node) ::= rank
+    }
+    private val fail = new Array[Int](children.size)
+    locally { // classic BFS fail-link construction
+      val queue = mutable.Queue.empty[Int]
+      children(0).values.foreach { v => fail(v) = 0; queue += v }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        outs(u) = outs(u) ++ outs(fail(u))
+        children(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !children(f).contains(c)) f = fail(f)
+          fail(v) = children(f).getOrElse(c, 0)
+          queue += v
+        }
+      }
+    }
+
+    /** Ranks of every merge whose merged string occurs in `word`,
+      * ascending — the word's full replay schedule.
+      */
+    private def candidateRanks(word: String): Array[Int] = {
+      val acc = mutable.SortedSet.empty[Int]
+      var node = 0
+      var i = 0
+      while (i < word.length) {
+        val c = word.charAt(i)
+        while (node != 0 && !children(node).contains(c)) node = fail(node)
+        node = children(node).getOrElse(c, 0)
+        outs(node).foreach(acc += _)
+        i += 1
+      }
+      acc.toArray
+    }
+
+    /** [[applyMerge]]'s greedy left-to-right fold, in JVM arrays. */
+    private def applyOne(syms: Array[String], a: String,
+                         b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        val x = syms(i)
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.length - 1) = a + b
+        else out += x
+        i += 1
+      }
+      out.toArray
+    }
+
+    /** Segment one word: code-point split (the exact split(w, "")
+      * semantics), then the word's candidate merges in rank order.
+      */
+    def encodeWord(word: String): Array[String] = {
+      var syms = word.split("").filter(_.nonEmpty)
+      candidateRanks(word).foreach { r =>
+        val (a, b) = merges(r)
+        syms = applyOne(syms, a, b)
+      }
+      syms
+    }
+  }
+
+  /** Serving-path encoder — [[segment]]'s contract at automaton speed:
+    * the merge table compiles to a broadcast [[MergeAutomaton]], each
+    * partition segments its documents through a local word memo (word
+    * frequencies are Zipfian — the overwhelming share of tokens hit the
+    * memo), and per-word work does not grow with merge count. Output is
+    * IDENTICAL to [[segment]] row for row — same (doc_id, n_tokens,
+    * n_bpe_tokens, bpe_fp) schema, same md5-of-UTF-8 fingerprint — so
+    * the training-CTE oracle verifies this path too. Pure map work: no
+    * shuffle, applies unchanged to streams.
+    */
+  def encode(documents: DataFrame,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new MergeAutomaton(merges.toArray))
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val auto = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          if (text == null)
+            // segment's null contract: size/aggregate of a null seg are
+            // null; concat_ws skips nulls, so the fp is md5 of ""
+            (id, None: Option[Int], None: Option[Int], md5Hex(md, ""))
+          else {
+            val words = text.split(" ", -1).filter(_.nonEmpty)
+            var nBpe = 0
+            val sb = new java.lang.StringBuilder
+            words.foreach { w =>
+              val seg = memo.getOrElseUpdate(w, auto.encodeWord(w))
+              nBpe += seg.length
+              seg.foreach { t =>
+                if (sb.length > 0) sb.append(' ')
+                sb.append(t)
+              }
+            }
+            (id, Some(words.length), Some(nBpe), md5Hex(md, sb.toString))
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "n_bpe_tokens", "bpe_fp")
+  }
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 }

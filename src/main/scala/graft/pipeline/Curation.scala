@@ -16,6 +16,10 @@ import graft.ops.text.{Corpus, Dedup, TextStats}
   *   2. per-language quality gate (heuristic blend scored per doc, keep
   *      at or above the language's p-quantile — a discrete threshold,
   *      so the gate is engine-portable),
+  *   2b. OPTIONAL model-based filter (the GPT-3/LLaMA-style second
+  *      pass): score the gate's survivors under trained
+  *      [[graft.ops.Classifier]] weights — pure map work, stream-proven
+  *      — and keep docs at or above the probability floor,
   *   3. benchmark decontamination (n-gram overlap against the held-out
   *      eval set),
   *   4. leakage-safe train/val/test split (keyed on the near-dup
@@ -51,7 +55,9 @@ object Curation {
     */
   def curate(documents: DataFrame, benchmark: DataFrame,
              qualityP: Double = 0.5, ngram: Int = 3, minOverlap: Int = 2,
-             trainPct: Int = 80, valPct: Int = 10): (DataFrame, DataFrame) = {
+             trainPct: Int = 80, valPct: Int = 10,
+             classifierWeights: Option[Array[Double]] = None,
+             classifierMin: Double = 0.5): (DataFrame, DataFrame) = {
     // 1. near-dup resolution (covers exact dups too: identical docs are
     //    jaccard-1 pairs). k/bands pinned EXPLICITLY to the oracle
     //    contract (minhashPairCtes replays 32 signatures in 8 bands of
@@ -70,11 +76,26 @@ object Curation {
     // pinned: stage-2's count and the two downstream stages all read it
     val kept2 = graft.CacheScope.pin(gated.filter(col("is_kept"))
       .select("doc_id", "lang", "canonical_id", "quality_score"))
+    // 2b. optional model-based filter: score the gate survivors under the
+    //     trained weights (one map pass; the label column only feeds the
+    //     diagnostic y output, so serving passes a constant predicate)
+    //     and keep probability >= classifierMin. Pinned like kept2: the
+    //     funnel row and the downstream stages re-read it.
+    val kept2c = classifierWeights match {
+      case Some(w) =>
+        val scored = graft.ops.Classifier.score(
+          kept2.join(documents.select("doc_id", "text"), "doc_id"),
+          lit(false), w, dim = w.length - 1)
+        graft.CacheScope.pin(kept2.join(
+          scored.filter(col("score") >= classifierMin).select("doc_id"),
+          "doc_id"))
+      case None => kept2
+    }
     // 3. benchmark decontamination over the survivors
     val dec = Corpus.decontaminate(
-      kept2.join(documents.select("doc_id", "text"), "doc_id"),
+      kept2c.join(documents.select("doc_id", "text"), "doc_id"),
       benchmark, ngram, minOverlap)
-    val kept3 = kept2
+    val kept3 = kept2c
       .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
     // 4. leakage-safe split on the stage-1 canonical
     // pinned: the funnel report reads it four times (stage 3 + three
@@ -86,14 +107,17 @@ object Curation {
     def stage(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
-    val report = Seq(
-      stage(0, "input", documents),
-      stage(1, "near_dup_kept", kept1),
-      stage(2, "quality_kept", kept2),
-      stage(3, "decontaminated", curated), // hashSplit is 1:1 with kept3
-      stage(4, "train", curated.filter(col("split") === "train")),
-      stage(5, "val", curated.filter(col("split") === "val")),
-      stage(6, "test", curated.filter(col("split") === "test")))
+    val funnel =
+      Seq(("input", documents), ("near_dup_kept", kept1),
+        ("quality_kept", kept2)) ++
+      (if (classifierWeights.isDefined) Seq(("classifier_kept", kept2c))
+       else Nil) ++
+      Seq(("decontaminated", curated), // hashSplit is 1:1 with kept3
+        ("train", curated.filter(col("split") === "train")),
+        ("val", curated.filter(col("split") === "val")),
+        ("test", curated.filter(col("split") === "test")))
+    val report = funnel.zipWithIndex
+      .map { case ((name, df), i) => stage(i, name, df) }
       .reduce(_ unionByName _)
     (curated, report)
   }

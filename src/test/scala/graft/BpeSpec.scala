@@ -133,6 +133,73 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode == segment: the compiled automaton replays the fold chain " +
+    "exactly, including merge-result collisions and multi-space text") {
+    val merges6 = Bpe.bpeTrain(sennrich, numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    // corpus with repeats (memo path), words sharing no merge (prune to
+    // zero candidates), multi-space + leading/trailing space text (empty
+    // -token contract), and the fixture-style vocabulary
+    val corpus = docs(
+      1L -> "newest low lowest newest newest",
+      2L -> "zzz qqq",
+      3L -> "  low  newest ",
+      4L -> "widest es t est sest")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(rows(Bpe.encode(corpus, merges6)) ==
+      rows(Bpe.segment(corpus, merges6)))
+    // adversarial table: rank j merges a token that rank i < j could
+    // recombine with ((a,b) before (p,q) with pq = a) — sequential
+    // replay deliberately does NOT revisit rank i, and the automaton
+    // must not either (the candidate schedule stays rank-ordered)
+    val tricky = Seq(("ab", "c"), ("a", "b"), ("b", "c"))
+    val trickyCorpus = docs(1L -> "abc abcc ab bc")
+    assert(rows(Bpe.encode(trickyCorpus, tricky)) ==
+      rows(Bpe.segment(trickyCorpus, tricky)))
+    // property: equality on random corpora under trained tables
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(wordGen).map(_.mkString(" ")))
+    (0 until 4).foreach { i =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(500L + i)).get
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val m = Bpe.bpeTrain(df, numMerges = 6).orderBy("merge_rank")
+        .as[(Int, String, String, String, Long)].collect()
+        .map(x => (x._2, x._3)).toSeq
+      assert(rows(Bpe.encode(df, m)) == rows(Bpe.segment(df, m)),
+        s"seed $i corpus $texts merges $m")
+    }
+  }
+
+  test("encode: per-word work prunes to the word's occurring merges — a " +
+    "vocabulary of irrelevant merges costs nothing") {
+    // 500 merges that can never occur in the corpus + the 6 real ones:
+    // output must be identical to the 6-merge table (irrelevant merges
+    // are no-ops), which is exactly the flat-in-merge-count property —
+    // the automaton schedules only merges whose merged string occurs.
+    val merges6 = Bpe.bpeTrain(sennrich, numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val noise = (0 until 500).map(i => (s"x$i", s"y$i"))
+    val corpus = docs(1L -> "newest low lowest", 2L -> "widest newest")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    // interleave noise BEFORE and AFTER the real merges: rank order of
+    // the real merges is preserved either way
+    assert(rows(Bpe.encode(corpus, noise ++ merges6)) ==
+      rows(Bpe.segment(corpus, merges6)))
+    assert(rows(Bpe.encode(corpus, merges6 ++ noise)) ==
+      rows(Bpe.segment(corpus, merges6)))
+  }
+
   test("bpeTrain on an empty or pairless corpus returns zero merges") {
     assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
     // single-char words have no adjacent pairs

@@ -48,6 +48,53 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(r => r._1 == r._2))
   }
 
+  test("curate with classifier stage: a planted model-flagged doc falls " +
+    "out at classifier_kept; weights=None leaves the funnel unchanged") {
+    // Train the is-English model on a corpus where non-English docs use a
+    // disjoint vocabulary — the planted defect (7: 'fr' vocabulary but
+    // mislabeled lang='en') passes the near-dup and quality stages, then
+    // drops ONLY at the classifier stage.
+    val frText = "le chien et le chat dans le parc avec le ballon rouge le matin"
+    val trainDocs = corpus.unionByName(
+      Seq((7L, frText, "en"), // mislabeled: model sees 'fr' vocabulary
+          (8L, frText, "fr"), (9L, frText, "fr"), (10L, frText, "fr"))
+        .toDF("doc_id", "text", "lang"))
+    val wRows = graft.ops.Classifier.fit(trainDocs, col("lang") === "en",
+      dim = 16, iters = 10, lr = 0.5).collect()
+    val w = new Array[Double](wRows.length)
+    wRows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    // curate the en-labeled subset (7 included) with the heuristic gate
+    // OPEN (p=0.01 ⇒ rank ⌈p·n⌉ = 1 ⇒ threshold = the min score — a
+    // real group element, exact on both engines — so everything keeps): without the
+    // classifier the mislabeled doc SURVIVES to the split...
+    val enDocs = trainDocs.filter(col("lang") === "en")
+    val (plainOut, plainReport) = Curation.curate(enDocs, benchmark,
+      qualityP = 0.01)
+    val plain = plainReport.as[(Int, String, Long)].collect()
+      .map(s => s._2 -> s._3).toMap
+    assert(!plain.contains("classifier_kept"),
+      "weights=None must not add a funnel stage")
+    assert(plainOut.filter(col("doc_id") === 7L).count() == 1,
+      "the mislabeled doc passes the heuristic stages")
+    // ...with it, the doc drops exactly at classifier_kept
+    val (clsOut, clsReport) = Curation.curate(enDocs, benchmark,
+      qualityP = 0.01, classifierWeights = Some(w))
+    val cls = clsReport.orderBy("stage_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(cls.map(_._2) == Seq("input", "near_dup_kept", "quality_kept",
+      "classifier_kept", "decontaminated", "train", "val", "test"),
+      s"funnel stages: ${cls.map(_._2)}")
+    val byStage = cls.map(s => s._2 -> s._3).toMap
+    assert(byStage("classifier_kept") == byStage("quality_kept") - 1,
+      s"exactly the planted doc drops at the classifier: $byStage")
+    assert(clsOut.filter(col("doc_id") === 7L).count() == 0,
+      "the mislabeled doc must not survive the model filter")
+    // stages upstream of the new one are untouched by the extra stage
+    Seq("input", "near_dup_kept", "quality_kept").foreach { st =>
+      assert(byStage(st) == plain(st), s"$st changed with classifier on")
+    }
+  }
+
   test("curate report funnel is monotone and consistent with the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (curated, report) = Curation.curate(
