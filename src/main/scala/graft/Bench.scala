@@ -86,6 +86,24 @@ object Bench {
       SparkEntry.warmIntermediates(spark, sfDir)
       spark.catalog.clearCache()
     }
+    // Fixed-cost calibration, timed at bench START and END: a pure
+    // codegen'd range+hash scan whose uncontended time is a property of
+    // the box, not the engine. When the machine is externally loaded
+    // during the measured window — the r9 failure mode, where a 1.75x
+    // total masqueraded as a regression and even min-of-reps couldn't
+    // correct it because both reps inflated together — the calibration
+    // numbers inflate WITH it, so contention shows up IN the artifact
+    // (cal0/cal1 far above the ~0.5s steady state) instead of in the
+    // queries' reputation.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a 2e8-row sum of 64-bit hashes overflows long
+      // under ANSI; xor is closed over long and equally un-fuseable
+      spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // codegen/JIT warm for the calibration shape itself
+    val cal0 = calibrate()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Min-of-reps per query: a transient external load spike (the
       // round-3 record was ~7x inflated by one; round 5's total was 2.2x)
@@ -121,6 +139,7 @@ object Bench {
     // ("0.50"→"0.5", "2.00"→"2"), failures/errors omitted when zero, and
     // the sf path reduced to its basename. Centiseconds are already below
     // this box's run-to-run noise.
+    val cal1 = calibrate()
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
@@ -148,7 +167,7 @@ object Bench {
         .sortBy { case (f, v) => (-v, f) }
       val qs = fams.map { case (f, v) => jstr(f) + ":" + num(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","nq":${results.size},"queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","nq":${results.size},"cal0":${num(cal0, 2)},"cal1":${num(cal1, 2)},"queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
     // adaptive precision: drop to deciseconds (then whole seconds) only
     // when a finer line would overflow the record window. The window holds
@@ -168,7 +187,7 @@ object Bench {
         val detail = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 3) }
           .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"queries_ms_precision":$detail}""" + "\n")
+          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"queries_ms_precision":$detail}""" + "\n")
       } else System.err.println(
         "[bench] cwd is not the repo root; skipping BENCH_DETAIL.json")
     } catch { case _: Exception => () } // detail file is best-effort

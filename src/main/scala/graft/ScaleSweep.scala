@@ -37,12 +37,12 @@ object ScaleSweep {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
     "q_group_split", "q_decontaminate", "q_lm_score",
-    "q_cooccur", "q_bpe_train", "q_bpe_segment",
+    "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
-    "q_embed_neardup", "q_embed_audit", "q_knn_label")
+    "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -94,6 +94,44 @@ object ScaleSweep {
         case e: Exception =>
           failures += 1
           println(s"[sweep] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    // Flat-in-merge-count evidence for the compiled encoder (SURVEY §5.5
+    // BPE row): train ONE deep merge table on the sf1 corpus, then time
+    // Bpe.encode under growing rank prefixes against Bpe.segment's fold
+    // chain at the same depths. The fold chain's cost is O(merges ·
+    // tokens); the automaton's is O(occurring merges) per distinct word —
+    // near-constant in table depth.
+    if (wanted("bpe_encode_sweep")) {
+      val docs = io.Sources.table(spark, outDir, "documents")
+      val all = ops.text.Bpe.bpeTrain(docs, numMerges = 96)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      println(s"[sweep] bpe_encode_sweep trained ${all.size} merges")
+      for (depth <- Seq(8, 32, all.size)) {
+        val m = all.take(depth)
+        def time(label: String, f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"[sweep] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+        }
+        time(s"bpe_encode d=$depth", ops.text.Bpe.encode(docs, m).count())
+        if (depth <= 32) {
+          time(s"bpe_segment d=$depth", ops.text.Bpe.segment(docs, m).count())
+          // identical output where segment still plans (BpeSpec pins the
+          // equality property on arbitrary corpora)
+          val diff = ops.text.Bpe.encode(docs, m)
+            .except(ops.text.Bpe.segment(docs, m)).count()
+          require(diff == 0, s"encode/segment diverged at depth $depth")
+        } else
+          // measured r10: ~89 chained transform(applyMerge) folds exceed
+          // the analyzer's fixed-point budget (Max iterations (100)
+          // reached for batch Resolution) — the fold chain DOES NOT
+          // PLAN past ~90 merges, the concrete reason segment is the
+          // verification path and the automaton is the serving path
+          println(s"[sweep] bpe_segment d=$depth skipped: fold chain " +
+            "exceeds the Catalyst analyzer iteration budget (the " +
+            "measured serving-path ceiling)")
       }
     }
     println(f"[sweep] TOTAL ${(System.nanoTime() - total0) / 1e9}%.1f s  failures=$failures")

@@ -65,6 +65,7 @@ object SparkEntry {
     jaccardPairs(s, dir).count()
     bpeMerges(s, dir).count()
     qualityModel(s, dir).count()
+    curationCanon(s, dir).count()
   }
 
   /** Training hyperparameters — the SINGLE source of truth shared by the
@@ -104,6 +105,20 @@ object SparkEntry {
     materialized(s, dir, "minhash_pairs")(
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
         threshold = 0.5))
+
+  /** The dedup resolution over the curation corpus (the non-benchmark
+    * doc_id % 97 != 0 subset, oracle banding k=32/bands=8/τ=0.5) — the
+    * persisted resolution table a real deployment materializes once.
+    * q_curation_report still measures the DAG end-to-end (the producer);
+    * q_curation_classified reads this intermediate (the consumer), the
+    * r8 producer/consumer bench convention.
+    */
+  private def curationCanon(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "curation_canon") {
+      val csrc = t(s, dir, "documents").filter(col("doc_id") % 97 =!= 0)
+      Dedup.resolveCanonical(csrc,
+        Dedup.nearDupPairs(csrc, k = 32, bands = 8, threshold = 0.5))
+    }
 
   /** The PPJoin exact-Jaccard pair table over `documents` (defaults:
     * n=3, τ=0.6) — shared by q_jaccard_ngram and q_dedup_clusters.
@@ -928,6 +943,24 @@ mpairs AS (
       Bpe.encode(t(s, dir, "documents"), merges).orderBy("doc_id")
     }),
 
+    // The induced serving vocabulary: base characters (sorted) then
+    // merged tokens in rank order, duplicate-producing merges skipped —
+    // the id table the model pipeline consumes.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.vocab(t(s, dir, "documents"), merges).orderBy("token_id")
+    }),
+
+    // Model input end-to-end: encode to ids under the vocabulary; per
+    // doc the subword count + an md5 of the exact id sequence.
+    "q_bpe_ids" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val v = Bpe.vocab(t(s, dir, "documents"), merges)
+      Bpe.encodeIds(t(s, dir, "documents"), merges, v).orderBy("doc_id")
+    }),
+
     // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
     "q_chunks" -> ((s, dir) =>
       Corpus.chunkDocs(t(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
@@ -1095,7 +1128,8 @@ mpairs AS (
       val (_, report) = pipeline.Curation.curate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
-        classifierWeights = Some(w))
+        classifierWeights = Some(w),
+        resolvedCanon = Some(curationCanon(s, dir)))
       report.orderBy("stage_idx")
     }),
 
@@ -2952,6 +2986,54 @@ FROM lh ORDER BY doc_id"""
       |       CAST(sum(nseg) AS INT) AS n_bpe_tokens,
       |       md5(string_agg(seg, ' ' ORDER BY i)) AS bpe_fp
       |FROM tok JOIN fin USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Vocabulary induced by the training recursion: distinct word
+    // characters (binary-sorted — identical to the Spark sort on this
+    // single-byte corpus) then first-producer merges by rank; ids by
+    // that total order.
+    "q_bpe_vocab" -> (BpeTrainCtes + """,
+      |chars AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM wc),
+      |mtok AS (
+      |  SELECT ml || mr AS token, min(it) AS r FROM rec
+      |  WHERE it >= 1 AND ml || mr NOT IN (SELECT token FROM chars)
+      |  GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY grp, st, r) - 1 AS INT) AS token_id,
+      |       token, kind
+      |FROM (
+      |  SELECT token, 'char' AS kind, 0 AS grp, token AS st, 0 AS r FROM chars
+      |  UNION ALL SELECT token, 'merge', 1, '', r FROM mtok)
+      |ORDER BY token_id""".stripMargin),
+
+    // Ids replay: the final word states unnested to per-token rows in
+    // (word position, subword position) order, joined to the vocabulary,
+    // fingerprinted exactly like the Spark id sequence.
+    "q_bpe_ids" -> (BpeTrainCtes + """,
+      |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg
+      |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
+      |chars AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM wc),
+      |mtok AS (
+      |  SELECT ml || mr AS token, min(it) AS r FROM rec
+      |  WHERE it >= 1 AND ml || mr NOT IN (SELECT token FROM chars)
+      |  GROUP BY 1),
+      |vocab AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY grp, st, r) - 1 AS INT) AS token_id,
+      |         token
+      |  FROM (
+      |    SELECT token, 0 AS grp, token AS st, 0 AS r FROM chars
+      |    UNION ALL SELECT token, 1, '', r FROM mtok)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |               generate_subscripts(string_split(text, ' '), 1) AS i
+      |        FROM documents),
+      |seg2 AS (SELECT word, string_split(seg, ' ') AS ts FROM fin),
+      |flat AS (SELECT t.doc_id, t.i, unnest(s2.ts) AS tokstr,
+      |                generate_subscripts(s2.ts, 1) AS j
+      |         FROM tok t JOIN seg2 s2 USING (word))
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_bpe_tokens,
+      |       md5(string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY i, j)) AS ids_fp
+      |FROM flat JOIN vocab v ON v.token = flat.tokstr
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive

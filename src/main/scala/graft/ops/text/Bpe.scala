@@ -279,4 +279,83 @@ object Bpe {
     md.reset()
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  /** The serving VOCABULARY a trained merge table induces — what a model
+    * pipeline actually consumes: base symbols (the corpus's distinct
+    * characters, sorted) take ids 0..C-1, merged tokens follow in rank
+    * order. A merged string already present (two merges can produce the
+    * same token — e.g. "ab"+"c" and "a"+"bc" both → "abc") keeps its
+    * FIRST id and later producers are skipped, so token → id is a
+    * function. The id table is alphabet+vocab-sized (the one bounded
+    * collect); at 100 TB it is a broadcast artifact, like the merge
+    * table itself. Character order note: base symbols sort by JVM string
+    * order — identical to the oracle's binary collation on ASCII (and on
+    * any single-byte-per-char corpus).
+    *
+    * Output: (token_id, token, kind = 'char' | 'merge').
+    */
+  def vocab(documents: DataFrame,
+            merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val chars = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
+      .distinct().as[String].collect().sorted // bounded: alphabet-sized
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    chars.foreach(seen += _)
+    val out = Seq.newBuilder[(Int, String, String)]
+    chars.zipWithIndex.foreach { case (c, i) => out += ((i, c, "char")) }
+    merges.foreach { case (a, b) =>
+      val m = a + b
+      if (seen.add(m)) out += ((seen.size - 1, m, "merge"))
+    }
+    out.result().toDF("token_id", "token", "kind")
+  }
+
+  /** [[encode]] down to MODEL INPUT: the id sequence under [[vocab]].
+    * Same broadcast automaton + per-partition word memo; the id map
+    * rides in the same broadcast. Output per document: subword count
+    * and an md5 fingerprint of the space-joined id sequence (the
+    * bpe_fp convention, over ids instead of surface forms — enough to
+    * verify the exact model input without shipping the arrays).
+    * Unknown symbols cannot occur when the vocab derives from the
+    * corpus being encoded; on foreign text a missing char maps to -1
+    * (the conventional UNK sentinel, documented rather than silent).
+    */
+  def encodeIds(documents: DataFrame, merges: Seq[(String, String)],
+                vocabTable: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ids = vocabTable.select(col("token"), col("token_id"))
+      .as[(String, Int)].collect().toMap // bounded: vocab-sized
+    val bc = spark.sparkContext.broadcast(
+      (new MergeAutomaton(merges.toArray), ids))
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val (auto, idOf) = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          if (text == null)
+            (id, None: Option[Int], md5Hex(md, ""))
+          else {
+            val words = text.split(" ", -1).filter(_.nonEmpty)
+            var nBpe = 0
+            val sb = new java.lang.StringBuilder
+            words.foreach { w =>
+              val seg = memo.getOrElseUpdate(w,
+                auto.encodeWord(w).map(idOf.getOrElse(_, -1)))
+              nBpe += seg.length
+              seg.foreach { t =>
+                if (sb.length > 0) sb.append(' ')
+                sb.append(t)
+              }
+            }
+            (id, Some(nBpe), md5Hex(md, sb.toString))
+          }
+        }
+      }.toDF("doc_id", "n_bpe_tokens", "ids_fp")
+  }
 }

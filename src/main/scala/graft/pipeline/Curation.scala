@@ -57,15 +57,23 @@ object Curation {
              qualityP: Double = 0.5, ngram: Int = 3, minOverlap: Int = 2,
              trainPct: Int = 80, valPct: Int = 10,
              classifierWeights: Option[Array[Double]] = None,
-             classifierMin: Double = 0.5): (DataFrame, DataFrame) = {
+             classifierMin: Double = 0.5,
+             resolvedCanon: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // 1. near-dup resolution (covers exact dups too: identical docs are
     //    jaccard-1 pairs). k/bands pinned EXPLICITLY to the oracle
     //    contract (minhashPairCtes replays 32 signatures in 8 bands of
     //    4) — the operator default differs, and a banding mismatch makes
     //    moderate-jaccard candidate sets engine-dependent.
-    val pairs = Dedup.nearDupPairs(documents, k = 32, bands = 8,
-      threshold = 0.5)
-    val canon = graft.CacheScope.pin(Dedup.resolveCanonical(documents, pairs))
+    //    `resolvedCanon` short-circuits the stage with a PERSISTED
+    //    resolution table — the 100 TB deployment shape, where the dedup
+    //    resolution materializes once and every curation run reads it
+    //    (must be Dedup.resolveCanonical output over `documents` under
+    //    the same banding; results are identical either way).
+    val canon = graft.CacheScope.pin(resolvedCanon.getOrElse {
+      val pairs = Dedup.nearDupPairs(documents, k = 32, bands = 8,
+        threshold = 0.5)
+      Dedup.resolveCanonical(documents, pairs)
+    })
     val kept1 = documents
       .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
         "doc_id")

@@ -200,6 +200,40 @@ class BpeSpec extends SparkSpec {
       rows(Bpe.segment(corpus, merges6)))
   }
 
+  test("vocab: chars-then-merges id order; duplicate-producing merges " +
+    "keep the first id; encodeIds fingerprints the exact id sequence") {
+    // merges 2 and 3 both produce "abc" — the vocab must keep ONE "abc"
+    // (first producer, rank 2) and skip the later duplicate
+    val merges = Seq(("a", "b"), ("ab", "c"), ("a", "bc"), ("b", "c"))
+    val corpus = docs(1L -> "abc bc ab", 2L -> "cab")
+    val v = Bpe.vocab(corpus, merges)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    // chars a,b,c -> ids 0,1,2; merges ab, abc (first producer), bc
+    assert(v == Seq((0, "a", "char"), (1, "b", "char"), (2, "c", "char"),
+      (3, "ab", "merge"), (4, "abc", "merge"), (5, "bc", "merge")),
+      s"vocab was $v")
+    // encodeIds == encode's surface forms mapped through the vocab
+    val idOf = v.map(x => x._2 -> x._1).toMap
+    val surface = Bpe.encode(corpus, merges).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    val ids = Bpe.encodeIds(corpus, merges, Bpe.vocab(corpus, merges))
+      .orderBy("doc_id").as[(Long, Int, String)].collect()
+    assert(ids.map(_._2).toSeq == surface.map(_._3).toSeq,
+      "subword counts must agree between encode and encodeIds")
+    // doc 1: abc->[abc], bc->[bc] (b,c merge: a,b consumed first? no —
+    // word "bc" chars [b,c]: merge (a,b) no-op, (ab,c) no-op, (a,bc)
+    // no-op, (b,c)->[bc]); ab->[ab] => ids [4, 5, 3]
+    val fp1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("4 5 3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(ids(0)._3 == fp1, "doc 1 id sequence must be [abc, bc, ab]")
+    // foreign character maps to the documented -1 UNK sentinel
+    val unk = Bpe.encodeIds(docs(9L -> "xyz"), merges,
+      Bpe.vocab(corpus, merges)).as[(Long, Int, String)].head()
+    val fpUnk = java.security.MessageDigest.getInstance("MD5")
+      .digest("-1 -1 -1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(unk._2 == 3 && unk._3 == fpUnk)
+  }
+
   test("bpeTrain on an empty or pairless corpus returns zero merges") {
     assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
     // single-char words have no adjacent pairs

@@ -95,6 +95,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curate with a persisted dedup resolution equals the inline build") {
+    import graft.ops.text.Dedup
+    val canon = Dedup.resolveCanonical(corpus,
+      Dedup.nearDupPairs(corpus, k = 32, bands = 8, threshold = 0.5))
+    val (outA, repA) = Curation.curate(corpus, benchmark)
+    val (outB, repB) = Curation.curate(corpus, benchmark,
+      resolvedCanon = Some(canon))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(outA) == rows(outB) && rows(repA) == rows(repB),
+      "the persisted-resolution path must be byte-equivalent")
+  }
+
   test("curate report funnel is monotone and consistent with the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (curated, report) = Curation.curate(

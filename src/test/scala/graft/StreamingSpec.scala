@@ -658,6 +658,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpe encode applies unchanged to a stream (stateless map; stream ≡ batch)") {
+    import graft.ops.text.Bpe
+    val docs = Seq(
+      (1L, "low lower newest"),
+      (2L, "newest newest widest"),
+      (3L, "low es t"))
+    val batch = docs.toDF("doc_id", "text")
+    val merges = Bpe.bpeTrain(batch, numMerges = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val expected = Bpe.encode(batch, merges)
+      .as[(Long, Int, Int, String)].collect().toSet
+    // the compiled encoder is mapPartitions over a broadcast automaton —
+    // stateless, so the ingest-time tokenization pass runs on the stream
+    // exactly as on the batch
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Bpe.encode(mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bpe_stream")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("multimodal: decode stub is deterministic, partition-parallel, schema-stable") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
