@@ -28,8 +28,11 @@ import org.apache.spark.storage.StorageLevel
   *     written). Blocking=false: eviction is safe to overlap with
   *     unrelated work.
   *   - `spark.catalog.clearCache()` still works (pins go through the
-  *     normal persist machinery) but also drops caches the CALLER made;
-  *     release() only drops operator-internal pins.
+  *     normal persist machinery) but also drops caches the CALLER made,
+  *     and leaves this registry's entries behind — harmless (a later
+  *     release() unpersists already-uncached plans as a no-op) but the
+  *     entries themselves only clear on release(); a looping driver
+  *     should call release() so neither blocks nor registry grow.
   *
   * Pinned entries default to MEMORY_AND_DISK (corpus-scale intermediates
   * must spill, not evict — losing a block mid-join re-runs the whole

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
@@ -291,6 +291,87 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("media_a", "media_b", "hamming")
+  }
+
+  /** Banded (media_id, band_idx, band_val) rows of a phash table —
+    * shared by the self-join and incremental forms.
+    */
+  private def phashBands(fps: DataFrame, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
+    }
+    fps.select(col("media_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Asymmetric perceptual dedup — the recurring-crawl form of
+    * [[imageNearDup]] (the [[graft.ops.text.Dedup.nearDupAgainst]]
+    * shape): flag INCOMING images that near-duplicate an EXISTING
+    * fingerprint table, without re-pairing the corpus against itself.
+    * `corpusHashes` is a persisted (media_id, phash) table — the real
+    * deployment decodes once and keeps exactly this; today's crawl
+    * decodes only its own payloads. Same banding, same exact Hamming
+    * verify, same pigeonhole losslessness below the band count; the
+    * `maxBucketSize` cap applies to CORPUS buckets (where the
+    * uniform-image class accumulates — incoming batches are crawl-sized).
+    *
+    * Exactly-once pairs WITHOUT a distinct or any stateful operator: a
+    * pair colliding in several bands would join once per band, so each
+    * row emits only when its band is the pair's MINIMUM fully-matching
+    * band — derivable from fp_inc XOR fp_corp as a pure when-chain, the
+    * streaming text twin's min-band rule reduced to an expression. That
+    * makes the whole operator a stateless map + two equi-joins, so the
+    * SAME call runs on a STREAMING Dataset of media rows (stream-static
+    * join; StreamingSpec proves stream ≡ batch) — the ingest-time image
+    * dedup gate. Shared caveat with the streaming text twin: under a
+    * cap, a pair whose minimum matching band was capped out is missed
+    * in every band (emission keys on the minimum MATCHING band) — size
+    * the cap well above boilerplate crowds.
+    *
+    * Output: (media_inc, media_corp, hamming).
+    */
+  def imageNearDupAgainst(incoming: Dataset[MediaRow], corpusHashes: DataFrame,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"64 bits not divisible by $bands bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    import incoming.sparkSession.implicits._
+    val fpsI = incoming.mapPartitions { rows =>
+      rows.flatMap(r => dHash(r).map(h => (r.media_id, h)))
+    }.toDF("media_id", "phash")
+    val bandsC0 = phashBands(corpusHashes, bands)
+    val bandsC =
+      if (maxBucketSize == Long.MaxValue) bandsC0
+      else {
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_val")
+        bandsC0.withColumn("bucket_n", count(lit(1)).over(wBucket))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select("media_id", "band_idx", "band_val")
+      }
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
+    }
+    val joined = fpsI
+      .select(col("media_id").as("media_inc"), col("phash").as("fp_inc"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .join(bandsC.select(col("band_idx"), col("band_val"),
+        col("media_id").as("media_corp")), Seq("band_idx", "band_val"))
+      .join(corpusHashes.select(col("media_id").as("media_corp"),
+        col("phash").as("fp_corp")), "media_corp")
+    val xorc = col("fp_inc").bitwiseXOR(col("fp_corp"))
+    // the pair's lowest fully-matching band: when-chain, lowest j wins
+    val minBand = (0 until bands).foldRight(lit(-1): Column) { (j, rest) =>
+      when(shiftright(xorc, j * width).bitwiseAND(lit(mask)) === 0, lit(j))
+        .otherwise(rest)
+    }
+    joined
+      .withColumn("hamming", bit_count(xorc).cast("int"))
+      .filter(col("hamming") <= maxHamming && col("band_idx") === minBand)
+      .select("media_inc", "media_corp", "hamming")
   }
 
   /** Column-level metadata pass (no decode): cheap stats that should NOT

@@ -288,9 +288,11 @@ object Bpe {
     * FIRST id and later producers are skipped, so token → id is a
     * function. The id table is alphabet+vocab-sized (the one bounded
     * collect); at 100 TB it is a broadcast artifact, like the merge
-    * table itself. Character order note: base symbols sort by JVM string
-    * order — identical to the oracle's binary collation on ASCII (and on
-    * any single-byte-per-char corpus).
+    * table itself. Character order: base symbols sort by CODE POINT —
+    * each is one code point by construction (the split(w, "")
+    * semantics), and code-point order equals the oracle's binary UTF-8
+    * collation on every input (plain JVM string order would diverge
+    * past the BMP, where UTF-16 puts surrogates below U+E000).
     *
     * Output: (token_id, token, kind = 'char' | 'merge').
     */
@@ -302,7 +304,8 @@ object Bpe {
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
-      .distinct().as[String].collect().sorted // bounded: alphabet-sized
+      .distinct().as[String].collect() // bounded: alphabet-sized
+      .sortBy(c => c.codePointAt(0))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     chars.foreach(seen += _)
     val out = Seq.newBuilder[(Int, String, String)]

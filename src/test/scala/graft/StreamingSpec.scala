@@ -833,6 +833,67 @@ class StreamingSpec extends SparkSpec {
       "near-identical organic images must still pair under the cap")
   }
 
+  test("multimodal: imageNearDupAgainst flags incoming near-dups exactly " +
+    "once, runs unchanged on a stream, and honors the corpus-bucket cap") {
+    def encodeImg(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", bos))
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val base = (x: Int, _: Int) => grey(255 - x * 8) // all-bits hash
+    val near = (x: Int, y: Int) =>
+      if (x == 5 && y == 5) 0x000000 else base(x, y)
+    // stripes: alternating bright/dark columns — roughly half the dHash
+    // bits set, far from both the all-ones base and the all-zero solids
+    // (an ASCENDING gradient would hash to 0L like the solids do)
+    val far = (x: Int, _: Int) => if ((x / 4) % 2 == 0) 0xffffff else 0x000000
+    // corpus: the base image + 20 solid frames (the shared 0L hot bucket)
+    val corpusRows = Multimodal.MediaRow(1L, "image", encodeImg(32, 32, base), "c") +:
+      (0 until 20).map(k => Multimodal.MediaRow(50L + k, "image",
+        encodeImg(16, 16, (_, _) => grey(40 + k * 8)), "c"))
+    val corpusFps = Multimodal.perceptualHashes(spark.createDataset(corpusRows))
+    // incoming: a near-dup of the base (identical pixels -> identical
+    // hash, matches in EVERY band — the exactly-once case), a far image,
+    // and one solid frame probing the hot bucket
+    val incRows = Seq(
+      Multimodal.MediaRow(100L, "image", encodeImg(32, 32, near), "i"),
+      Multimodal.MediaRow(101L, "image", encodeImg(32, 32, base), "i"),
+      Multimodal.MediaRow(102L, "image", encodeImg(32, 32, far), "i"),
+      Multimodal.MediaRow(103L, "image", encodeImg(16, 16, (_, _) => grey(7)), "i"))
+    val inc = spark.createDataset(incRows)
+    val batch = Multimodal.imageNearDupAgainst(inc, corpusFps, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    // 101 matches corpus 1 in all 4 bands — exactly ONE row, not four
+    assert(batch.count(p => p._1 == 101L && p._2 == 1L) == 1,
+      s"multi-band match must emit exactly once: $batch")
+    assert(batch.exists(p => p._1 == 100L && p._2 == 1L))
+    assert(!batch.exists(p => p._1 == 102L), "far image must not flag")
+    // solid 103 duplicates every corpus solid (all dHash 0L)
+    assert(batch.count(p => p._1 == 103L) == 20)
+    // corpus-bucket cap drops the accumulated uniform class, keeps organics
+    val capped = Multimodal.imageNearDupAgainst(inc, corpusFps,
+      maxHamming = 3, maxBucketSize = 10).as[(Long, Long, Int)].collect().toSeq
+    assert(!capped.exists(_._1 == 103L), "capped hot bucket must not pair")
+    assert(capped.exists(p => p._1 == 101L && p._2 == 1L))
+    // stream-static: the SAME call over a memory stream ≡ batch
+    val mem = MemoryStream[Multimodal.MediaRow](spark)
+    val q = Multimodal.imageNearDupAgainst(
+      mem.toDS(), corpusFps, maxHamming = 3)
+      .writeStream.format("memory").queryName("img_inc_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(incRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("img_inc_dedup")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.sorted == batch.sorted, "stream must equal batch")
+  }
+
   test("multimodal: frame sampling fans out evenly, resize preserves aspect ratio") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.mediaFromDocuments(spark, docs)
