@@ -961,6 +961,14 @@ mpairs AS (
       Bpe.encodeIds(t(s, dir, "documents"), merges, v).orderBy("doc_id")
     }),
 
+    // Tokenizer-eval: per-language fertility (subwords per word) under
+    // the learned merges — the multilingual vocab-sizing dashboard.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.fertility(t(s, dir, "documents"), merges).orderBy("lang")
+    }),
+
     // Context-window chunking: 32-token windows, stride 24 (8-token overlap).
     "q_chunks" -> ((s, dir) =>
       Corpus.chunkDocs(t(s, dir, "documents")).orderBy("doc_id", "chunk_idx")),
@@ -3035,6 +3043,26 @@ FROM lh ORDER BY doc_id"""
       |       md5(string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY i, j)) AS ids_fp
       |FROM flat JOIN vocab v ON v.token = flat.tokstr
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Fertility: the segment-replay word states aggregated per language.
+    // n_docs counts ALL docs of the language (empty docs join nothing
+    // but still count); word/subword sums fold from the replay.
+    "q_bpe_fertility" -> (BpeTrainCtes + """,
+      |fin AS (SELECT word, len(string_split(trim(syms), '  ')) AS nseg
+      |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
+      |base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |agg AS (
+      |  SELECT d.lang, count(*) AS n_words, sum(nseg) AS n_subwords
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) t
+      |  JOIN fin USING (word) JOIN documents d USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT b.lang, CAST(b.n_docs AS BIGINT) AS n_docs,
+      |       CAST(a.n_words AS BIGINT) AS n_words,
+      |       CAST(a.n_subwords AS BIGINT) AS n_subwords,
+      |       CAST(CAST(a.n_subwords AS BIGINT) AS DOUBLE) /
+      |         CAST(a.n_words AS BIGINT) AS fertility
+      |FROM base b JOIN agg a USING (lang) ORDER BY lang""".stripMargin),
 
     // window=32 stride=24; chunk i covers toks[i*24+1 : i*24+32] (inclusive
     // slice bounds = Spark's slice(toks, i*24+1, 32), both truncate at the

@@ -280,6 +280,26 @@ object Bpe {
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Per-language tokenizer FERTILITY — subwords per whitespace word,
+    * the standard tokenizer-evaluation statistic (a language whose
+    * fertility under a shared vocabulary is 2× another's pays 2× the
+    * sequence length for the same text; multilingual-vocab sizing reads
+    * exactly this table). One [[encode]] pass + one lang join + one
+    * combinable aggregate; the ratio is a single double division of
+    * exact longs (engine-portable). Output: (lang, n_docs, n_words,
+    * n_subwords, fertility).
+    */
+  def fertility(documents: DataFrame,
+                merges: Seq[(String, String)]): DataFrame =
+    encode(documents, merges)
+      .join(documents.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_words"),
+        sum(col("n_bpe_tokens").cast("long")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words"))
+
   /** The serving VOCABULARY a trained merge table induces — what a model
     * pipeline actually consumes: base symbols (the corpus's distinct
     * characters, sorted) take ids 0..C-1, merged tokens follow in rank

@@ -234,6 +234,23 @@ class BpeSpec extends SparkSpec {
     assert(unk._2 == 3 && unk._3 == fpUnk)
   }
 
+  test("fertility: per-language subwords-per-word under the learned merges") {
+    val merges = Bpe.bpeTrain(sennrich, numMerges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val corpus = Seq(
+      (1L, "newest low", "en"),   // newest->[n,ewest]=2, low->[low]=1
+      (2L, "lowest", "en"),       // -> [low, est] = 2
+      (3L, "zz qq", "xx"))        // no merges fire: 2+2 subwords
+      .toDF("doc_id", "text", "lang")
+    val out = Bpe.fertility(corpus, merges).orderBy("lang")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("en", 2L, 3L, 5L, 5.0 / 3),
+      ("xx", 1L, 2L, 4L, 2.0)), s"fertility was $out")
+  }
+
   test("bpeTrain on an empty or pairless corpus returns zero merges") {
     assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
     // single-char words have no adjacent pairs
