@@ -119,6 +119,11 @@ object Bench {
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
         val secs = (System.nanoTime() - t0) / 1e9
+        // release() first: clears the operator-pin registry (clearCache
+        // alone uncaches the blocks but leaves registry entries behind —
+        // hundreds of retained plans over a full run); clearCache still
+        // follows for caches operators made outside CacheScope
+        CacheScope.release(spark)
         spark.catalog.clearCache()
         (secs, err)
       }

@@ -36,13 +36,22 @@ import org.apache.spark.storage.StorageLevel
   *
   * Pinned entries default to MEMORY_AND_DISK (corpus-scale intermediates
   * must spill, not evict — losing a block mid-join re-runs the whole
-  * producing stage). The registry holds plan references, not data; a
-  * released or GC'd session's entries are dropped on next release().
+  * producing stage). The registry holds plan references, not data;
+  * entries of STOPPED sessions are pruned on every pin, so a driver
+  * cycling sessions does not accumulate dead plans even if it never
+  * calls release().
   */
 object CacheScope {
 
   private val registry =
     mutable.Map.empty[SparkSession, mutable.Buffer[DataFrame]]
+
+  /** Drop registry entries of stopped sessions — their executors (and
+    * blocks) are gone, so the plans are dead weight on the driver heap.
+    * Called opportunistically from pin(); must hold the registry lock.
+    */
+  private def pruneStopped(): Unit =
+    registry.filterInPlace((s, _) => !s.sparkContext.isStopped)
 
   /** Persist `df` and register it for session-boundary release. Returns
     * `df` (still lazy — nothing is materialized here).
@@ -51,6 +60,7 @@ object CacheScope {
           level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
     registry.synchronized {
+      pruneStopped()
       registry.getOrElseUpdate(df.sparkSession, mutable.Buffer.empty) += df
     }
     df

@@ -102,7 +102,7 @@ object ScaleSweep {
     // chain at the same depths. The fold chain's cost is O(merges ·
     // tokens); the automaton's is O(occurring merges) per distinct word —
     // near-constant in table depth.
-    if (wanted("bpe_encode_sweep")) {
+    if (wanted("bpe_encode_sweep")) try {
       val docs = io.Sources.table(spark, outDir, "documents")
       val all = ops.text.Bpe.bpeTrain(docs, numMerges = 96)
         .orderBy("merge_rank")
@@ -133,6 +133,14 @@ object ScaleSweep {
             "exceeds the Catalyst analyzer iteration budget (the " +
             "measured serving-path ceiling)")
       }
+    } catch {
+      // same accounting as the main loop: a divergence (the require) or
+      // train failure must not abort the sweep, lose the TOTAL line, or
+      // strand the session — it is one more counted failure
+      case e: Exception =>
+        failures += 1
+        println(s"[sweep] bpe_encode_sweep FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     println(f"[sweep] TOTAL ${(System.nanoTime() - total0) / 1e9}%.1f s  failures=$failures")
     spark.stop()

@@ -75,6 +75,7 @@ object SparkEntry {
     * otherwise break parity silently until oracle-check time.
     */
   private val BpeNumMerges = 8
+  private val QmThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
   private val QmDim = 16
   private val QmIters = 10
   private val QmLr = 0.5
@@ -723,6 +724,19 @@ mpairs AS (
       rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
       ops.Classifier.score(t(s, dir, "documents"), col("lang") === "en",
         w, dim = rows.length - 1).orderBy("doc_id")
+    }),
+
+    // Operating-point table for the trained filter: exact confusion
+    // counts + precision/recall per candidate threshold — the curation
+    // team's cutoff-selection dashboard. One scoring pass, one
+    // combinable aggregate.
+    "q_quality_sweep" -> ((s, dir) => {
+      val rows = qualityModel(s, dir).collect()
+      val w = new Array[Double](rows.length)
+      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      ops.Classifier.thresholdSweep(t(s, dir, "documents"),
+        col("lang") === "en", w, dim = rows.length - 1,
+        thresholds = QmThresholds).orderBy("threshold")
     }),
 
     // Text analysis: n-gram-heuristic language ID.
@@ -2095,6 +2109,29 @@ mpairs AS (
       | LATERAL (SELECT list_reduce(
       |   [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t
       |ORDER BY doc_id""".stripMargin),
+
+    // The same scoring chain crossed with the threshold literals (the
+    // SAME QmThresholds constants as the Spark call), exact confusion
+    // counts, ratio = one double division guarded NULL on empty
+    // denominators on both engines.
+    "q_quality_sweep" -> (QualityModelCtes + s""",
+      |sc AS (
+      |  SELECT f.doc_id, f.y, 0.5 + 0.5 * t.z / (1 + abs(t.z)) AS score
+      |  FROM feat f, (SELECT w FROM rec WHERE it = $QmIters) fw,
+      |   LATERAL (SELECT list_reduce(
+      |     [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t),
+      |th(threshold) AS (VALUES ${QmThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")}),
+      |cm AS (
+      |  SELECT threshold,
+      |   CAST(sum(CASE WHEN score >= threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |   CAST(sum(CASE WHEN score >= threshold AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |   CAST(sum(CASE WHEN score < threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |   CAST(sum(CASE WHEN score < threshold AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM sc CROSS JOIN th GROUP BY threshold)
+      |SELECT threshold, tp, fp, fn, tn,
+      | CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+      | CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+      |FROM cm ORDER BY threshold""".stripMargin),
 
     // norms are sqrt of the ordered-fold squared sum — both engines run
     // the identical IEEE sequence and sqrt is correctly rounded, so

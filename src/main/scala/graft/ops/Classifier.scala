@@ -128,4 +128,37 @@ object Classifier {
         fastSigmoid(zOf(col("fs"), weights)).as("score"))
       .withColumn("predicted", (col("score") >= 0.5).cast("int"))
   }
+
+  /** Operating-point selection for the trained filter: exact confusion
+    * counts (tp/fp/fn/tn) and precision/recall at each candidate
+    * threshold — the table a curation team reads to pick the keep
+    * cutoff (precision = how clean the kept set is, recall = how much
+    * wanted data survives). One scoring pass; each row fans out to
+    * |thresholds| rows (a constant) into ONE map-side-combinable
+    * aggregate — never a per-threshold rescan. Ratios are single double
+    * divisions of exact longs, NULL (not NaN) on empty denominators —
+    * engine-portable.
+    */
+  def thresholdSweep(documents: DataFrame, label: Column,
+                     weights: Array[Double], dim: Int,
+                     thresholds: Seq[Double] = (1 to 9).map(_ / 10.0))
+      : DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val scored = score(documents, label, weights, dim)
+    val keep = col("score") >= col("threshold")
+    val pos = col("y") === 1.0
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    scored
+      .select(col("y"), col("score"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy("threshold")
+      .agg(cnt(keep && pos).as("tp"), cnt(keep && !pos).as("fp"),
+        cnt(!keep && pos).as("fn"), cnt(!keep && !pos).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
 }

@@ -261,25 +261,9 @@ object Multimodal {
                    bands: Int = 4,
                    maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"64 bits not divisible by $bands bands")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val fps = graft.CacheScope.pin(perceptualHashes(media))
     fps.count() // eager: decode exactly once, before concurrent readers race
-    val bandCols = (0 until bands).map { j =>
-      shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
-    }
-    val bandTable0 = fps.select(col("media_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val bandTable =
-      if (maxBucketSize == Long.MaxValue) bandTable0
-      else {
-        val wBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_val")
-        bandTable0
-          .withColumn("bucket_n", count(lit(1)).over(wBucket))
-          .filter(col("bucket_n") <= maxBucketSize)
-          .select("media_id", "band_idx", "band_val")
-      }
+    val bandTable = capBands(phashBands(fps, bands), maxBucketSize)
     val a = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_a"))
     val b = bandTable.select(col("band_idx"), col("band_val"), col("media_id").as("media_b"))
     a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))
@@ -305,6 +289,21 @@ object Multimodal {
     fps.select(col("media_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
+
+  /** The uniform-image skew cap: drop (band_idx, band_val) buckets with
+    * more than `cap` members — shared by the self-join and incremental
+    * forms (Dedup.capBuckets' shape).
+    */
+  private def capBands(bandTable: DataFrame, cap: Long): DataFrame =
+    if (cap == Long.MaxValue) bandTable
+    else {
+      val wBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_val")
+      bandTable
+        .withColumn("bucket_n", count(lit(1)).over(wBucket))
+        .filter(col("bucket_n") <= cap)
+        .select("media_id", "band_idx", "band_val")
+    }
 
   /** Asymmetric perceptual dedup — the recurring-crawl form of
     * [[imageNearDup]] (the [[graft.ops.text.Dedup.nearDupAgainst]]
@@ -342,16 +341,7 @@ object Multimodal {
     val fpsI = incoming.mapPartitions { rows =>
       rows.flatMap(r => dHash(r).map(h => (r.media_id, h)))
     }.toDF("media_id", "phash")
-    val bandsC0 = phashBands(corpusHashes, bands)
-    val bandsC =
-      if (maxBucketSize == Long.MaxValue) bandsC0
-      else {
-        val wBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_val")
-        bandsC0.withColumn("bucket_n", count(lit(1)).over(wBucket))
-          .filter(col("bucket_n") <= maxBucketSize)
-          .select("media_id", "band_idx", "band_val")
-      }
+    val bandsC = capBands(phashBands(corpusHashes, bands), maxBucketSize)
     val bandCols = (0 until bands).map { j =>
       shiftright(col("phash"), j * width).bitwiseAND(lit(mask))
     }

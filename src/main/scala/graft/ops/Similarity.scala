@@ -412,7 +412,19 @@ object Similarity {
     */
   def embedNearDupAudit(corpus: DataFrame, nPlanes: Int = 16,
                         bands: Int = 4, dim: Int = 64,
-                        seed: Long = 7L): DataFrame = {
+                        seed: Long = 7L): DataFrame =
+    bandCensus(corpus, nPlanes, bands, dim, seed)
+      .withColumn("candidates_per_vector",
+        col("candidate_pairs").cast("double") / col("n_vectors"))
+      .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
+        "candidates_per_vector")
+
+  /** The audit's pre-projection census — keeps `n_vectors`, which
+    * [[autoPlanes]] needs in the same collect (the public audit schema
+    * is oracle-locked without it).
+    */
+  private def bandCensus(corpus: DataFrame, nPlanes: Int,
+                         bands: Int, dim: Int, seed: Long): DataFrame = {
     require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
     val r = nPlanes / bands
     val mask = (1L << r) - 1
@@ -445,10 +457,6 @@ object Similarity {
         sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")
           .as("candidate_pairs"),
         sum("c").as("n_vectors"))
-      .withColumn("candidates_per_vector",
-        col("candidate_pairs").cast("double") / col("n_vectors"))
-      .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
-        "candidates_per_vector")
   }
 
   /** The banding [[embeddingNearDupAuto]] would run for this corpus —
@@ -464,14 +472,16 @@ object Similarity {
   def autoPlanes(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
                  dim: Int = 64, seed: Long = 7L,
                  maxCandidatesPerVector: Double = 64.0): Int = {
-    val census = embedNearDupAudit(corpus, nPlanes, bands, dim, seed)
-      .agg(sum("candidate_pairs").as("pairs"))
+    // ONE job: the pre-projection census still carries n_vectors (the
+    // public audit drops it), so total pairs and the corpus size come
+    // out of the same bounded collect — no second corpus scan. The
+    // long/long division replays bit-identically in the oracle's cen
+    // CTE (both are exact longs; one IEEE division).
+    val census = bandCensus(corpus, nPlanes, bands, dim, seed)
+      .agg(sum("candidate_pairs").as("pairs"), max("n_vectors").as("n"))
       .collect()(0) // bounded: one row
-    val n = corpus.count() // the audit's per-band n_vectors (one row per
-    // vector per band) — recounted here so the exact long/long division
-    // below replays bit-identically in the oracle's cen CTE
-    val collapsed = !census.isNullAt(0) && n > 0 &&
-      census.getLong(0).toDouble / n > maxCandidatesPerVector
+    val collapsed = !census.isNullAt(0) && census.getLong(1) > 0 &&
+      census.getLong(0).toDouble / census.getLong(1) > maxCandidatesPerVector
     if (collapsed) nPlanes * 2 else nPlanes
   }
 

@@ -244,13 +244,30 @@ object Bpe {
     */
   def encode(documents: DataFrame,
              merges: Seq[(String, String)]): DataFrame = {
+    val bc = documents.sparkSession.sparkContext
+      .broadcast(new MergeAutomaton(merges.toArray))
+    fingerprintDocs(documents, () => {
+      val auto = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      w => memo.getOrElseUpdate(w, auto.encodeWord(w))
+    }).withColumnRenamed("fp", "bpe_fp")
+  }
+
+  /** The shared partition loop of [[encode]] and [[encodeIds]]: one
+    * null-text/word-split/fingerprint contract in one place (a fix to
+    * either must hit both, or the two oracles drift apart).
+    * `mkSegmenter` builds the per-partition word segmenter — returning
+    * the RENDERED token strings (surface forms or ids) — so the memo
+    * and the automaton/broadcast state live inside it.
+    * Output: (doc_id, n_tokens, n_bpe_tokens, fp).
+    */
+  private def fingerprintDocs(documents: DataFrame,
+      mkSegmenter: () => (String => Array[String])): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(new MergeAutomaton(merges.toArray))
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        val auto = bc.value
-        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        val segOf = mkSegmenter()
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text) =>
           if (text == null)
@@ -259,20 +276,20 @@ object Bpe {
             (id, None: Option[Int], None: Option[Int], md5Hex(md, ""))
           else {
             val words = text.split(" ", -1).filter(_.nonEmpty)
-            var nBpe = 0
+            var nSeg = 0
             val sb = new java.lang.StringBuilder
             words.foreach { w =>
-              val seg = memo.getOrElseUpdate(w, auto.encodeWord(w))
-              nBpe += seg.length
+              val seg = segOf(w)
+              nSeg += seg.length
               seg.foreach { t =>
                 if (sb.length > 0) sb.append(' ')
                 sb.append(t)
               }
             }
-            (id, Some(words.length), Some(nBpe), md5Hex(md, sb.toString))
+            (id, Some(words.length), Some(nSeg), md5Hex(md, sb.toString))
           }
         }
-      }.toDF("doc_id", "n_tokens", "n_bpe_tokens", "bpe_fp")
+      }.toDF("doc_id", "n_tokens", "n_bpe_tokens", "fp")
   }
 
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
@@ -355,30 +372,11 @@ object Bpe {
       .as[(String, Int)].collect().toMap // bounded: vocab-sized
     val bc = spark.sparkContext.broadcast(
       (new MergeAutomaton(merges.toArray), ids))
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { rows =>
-        val (auto, idOf) = bc.value
-        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, text) =>
-          if (text == null)
-            (id, None: Option[Int], md5Hex(md, ""))
-          else {
-            val words = text.split(" ", -1).filter(_.nonEmpty)
-            var nBpe = 0
-            val sb = new java.lang.StringBuilder
-            words.foreach { w =>
-              val seg = memo.getOrElseUpdate(w,
-                auto.encodeWord(w).map(idOf.getOrElse(_, -1)))
-              nBpe += seg.length
-              seg.foreach { t =>
-                if (sb.length > 0) sb.append(' ')
-                sb.append(t)
-              }
-            }
-            (id, Some(nBpe), md5Hex(md, sb.toString))
-          }
-        }
-      }.toDF("doc_id", "n_bpe_tokens", "ids_fp")
+    fingerprintDocs(documents, () => {
+      val (auto, idOf) = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      w => memo.getOrElseUpdate(w,
+        auto.encodeWord(w).map(t => idOf.getOrElse(t, -1).toString))
+    }).select(col("doc_id"), col("n_bpe_tokens"), col("fp").as("ids_fp"))
   }
 }

@@ -68,12 +68,15 @@ object Curation {
     //    resolution table — the 100 TB deployment shape, where the dedup
     //    resolution materializes once and every curation run reads it
     //    (must be Dedup.resolveCanonical output over `documents` under
-    //    the same banding; results are identical either way).
-    val canon = graft.CacheScope.pin(resolvedCanon.getOrElse {
+    //    the same banding; results are identical either way). A provided
+    //    table is NOT pinned: the caller owns its persistence, and
+    //    pinning it would let the documented release() boundary
+    //    unpersist the caller's own table between corpora.
+    val canon = resolvedCanon.getOrElse {
       val pairs = Dedup.nearDupPairs(documents, k = 32, bands = 8,
         threshold = 0.5)
-      Dedup.resolveCanonical(documents, pairs)
-    })
+      graft.CacheScope.pin(Dedup.resolveCanonical(documents, pairs))
+    }
     val kept1 = documents
       .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
         "doc_id")

@@ -37,6 +37,28 @@ class AnalysisSmokeSpec extends SparkSpec {
     assert(failures.isEmpty, s"tables failing to load:\n${failures.mkString("\n")}")
   }
 
+  test("documents fixture carries no tokenless text (the BPE-oracle doc " +
+    "contract)") {
+    // The q_bpe_segment/encode/ids/fertility oracles reconstruct each
+    // document from its WORDS (inner join on the trained word states), so
+    // a document with NO nonempty whitespace token — null, empty, or
+    // all-spaces text — would emit a Spark row the oracle cannot produce.
+    // The engine sides agree with each other (empty tokens filter
+    // identically, BpeSpec covers it); this pins the FIXTURE so the next
+    // driver regen that introduces such a doc fails one named test
+    // instead of four correctness rows.
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val docs = Sources.table(spark, s"/root/testdata/$sf", "documents")
+      val tokenless = docs.filter(col("text").isNull ||
+        size(filter(split(col("text"), " "), t => t =!= "")) === 0).count()
+      assert(tokenless == 0,
+        s"$sf documents has $tokenless tokenless doc(s): the BPE-family " +
+          "oracles (q_bpe_segment/encode/ids/fertility) drop such docs " +
+          "via their word join while Spark emits rows for them — " +
+          "restructure those oracles before accepting this fixture")
+    }
+  }
+
   test("events.ts normalizes to TimestampType under Sources.table") {
     val df = Sources.table(spark, dir, "events")
     assert(df.schema("ts").dataType == TimestampType,

@@ -111,6 +111,33 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("thresholdSweep: confusion counts tie out against score() at " +
+    "every threshold; ratios null on empty denominators") {
+    val wRows = Classifier.fit(toy, label, dim = 8, iters = 10, lr = 0.5)
+      .collect()
+    val w = new Array[Double](wRows.length)
+    wRows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    val scored = Classifier.score(toy, label, w, dim = 8)
+      .select("y", "score").as[(Double, Double)].collect()
+    val sweep = Classifier.thresholdSweep(toy, label, w, dim = 8,
+      thresholds = Seq(0.0, 0.5, 1.1))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    sweep.foreach { case (th, tp, fp, fn, tn, prec, rec) =>
+      val kp = scored.count { case (y, s) => s >= th && y == 1.0 }
+      val kn = scored.count { case (y, s) => s >= th && y != 1.0 }
+      assert((tp, fp) == (kp.toLong, kn.toLong), s"counts at $th")
+      assert(tp + fp + fn + tn == scored.length.toLong)
+      assert(prec == (if (tp + fp > 0) Some(tp.toDouble / (tp + fp)) else None))
+      assert(rec == (if (tp + fn > 0) Some(tp.toDouble / (tp + fn)) else None))
+    }
+    // threshold 0.0 keeps everything (fn = 0, recall 1); 1.1 keeps
+    // nothing (precision NULL, not NaN)
+    assert(sweep.head._7.contains(1.0))
+    assert(sweep.last._6.isEmpty && sweep.last._2 == 0L)
+  }
+
   test("NULL text is excluded from training and scoring, not silently nulled") {
     val withNull = Seq(
       (1L, Some("alpha beta"), "en"),
