@@ -107,6 +107,18 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
         threshold = 0.5))
 
+  /** The trained weight vector as the serving array — the (j, weight)
+    * rows of [[qualityModel]] loaded by index. One bounded collect;
+    * every scoring call site shares this loader so the model schema has
+    * a single consumer.
+    */
+  private def qmWeights(s: SparkSession, dir: String): Array[Double] = {
+    val rows = qualityModel(s, dir).collect()
+    val w = new Array[Double](rows.length) // dim+1 rows by construction
+    rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w
+  }
+
   /** The dedup resolution over the curation corpus (the non-benchmark
     * doc_id % 97 != 0 subset, oracle banding k=32/bands=8/τ=0.5) — the
     * persisted resolution table a real deployment materializes once.
@@ -719,11 +731,9 @@ mpairs AS (
     // Serving path: score every document under the trained weights (one
     // map pass; z is the same ordered fold the trainer used).
     "q_quality_predict" -> ((s, dir) => {
-      val rows = qualityModel(s, dir).collect()
-      val w = new Array[Double](rows.length) // dim+1 rows by construction
-      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val w = qmWeights(s, dir)
       ops.Classifier.score(t(s, dir, "documents"), col("lang") === "en",
-        w, dim = rows.length - 1).orderBy("doc_id")
+        w, dim = w.length - 1).orderBy("doc_id")
     }),
 
     // Operating-point table for the trained filter: exact confusion
@@ -731,11 +741,9 @@ mpairs AS (
     // team's cutoff-selection dashboard. One scoring pass, one
     // combinable aggregate.
     "q_quality_sweep" -> ((s, dir) => {
-      val rows = qualityModel(s, dir).collect()
-      val w = new Array[Double](rows.length)
-      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val w = qmWeights(s, dir)
       ops.Classifier.thresholdSweep(t(s, dir, "documents"),
-        col("lang") === "en", w, dim = rows.length - 1,
+        col("lang") === "en", w, dim = w.length - 1,
         thresholds = QmThresholds).orderBy("threshold")
     }),
 
@@ -1144,9 +1152,7 @@ mpairs AS (
     // and gates on the identical rational-sigmoid compare.
     "q_curation_classified" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val rows = qualityModel(s, dir).collect()
-      val w = new Array[Double](rows.length) // dim+1 rows by construction
-      rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      val w = qmWeights(s, dir)
       val (_, report) = pipeline.Curation.curate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),

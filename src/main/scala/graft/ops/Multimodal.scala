@@ -337,10 +337,7 @@ object Multimodal {
     require(bands >= 1 && 64 % bands == 0, s"64 bits not divisible by $bands bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    import incoming.sparkSession.implicits._
-    val fpsI = incoming.mapPartitions { rows =>
-      rows.flatMap(r => dHash(r).map(h => (r.media_id, h)))
-    }.toDF("media_id", "phash")
+    val fpsI = perceptualHashes(incoming)
     val bandsC = capBands(phashBands(corpusHashes, bands), maxBucketSize)
     val bandCols = (0 until bands).map { j =>
       shiftright(col("phash"), j * width).bitwiseAND(lit(mask))

@@ -32,11 +32,12 @@ import graft.ops.text.{Corpus, Dedup, TextStats}
   *
   * Scale posture: every stage is an already-audited operator (see each
   * op's scaladoc); the composition adds no new shuffles beyond theirs.
-  * The canonical-id table is pinned — three downstream stages and the
-  * report read it, and it is the product of the pipeline's most
-  * expensive stage. Session-owned lifetime, as with the other pinned
-  * operator intermediates (on a real deployment it is the persisted
-  * dedup-resolution table).
+  * The internally-built canonical-id table is pinned — three downstream
+  * stages and the report read it, and it is the product of the
+  * pipeline's most expensive stage (a caller-provided resolvedCanon is
+  * the caller's to persist). Session-owned lifetime, as with the other
+  * pinned operator intermediates (on a real deployment it is the
+  * persisted dedup-resolution table).
   */
 object Curation {
 
@@ -46,8 +47,11 @@ object Curation {
     * quality_score, split) for every surviving document; report = one
     * row per funnel stage (stage_idx, stage, n_docs).
     *
-    * Pins three intermediates (canonical ids, gate survivors, the
-    * curated output) for the funnel's repeated reads. A driver looping
+    * Pins its internally-built intermediates (canonical ids when not
+    * provided, gate survivors, the curated output) for the funnel's
+    * repeated reads; a PROVIDED `resolvedCanon` is read as-is — its
+    * persistence (and the replay cost of not persisting it) is the
+    * caller's. A driver looping
     * curate() over many corpora must release them once the report and
     * curated output are consumed — `graft.CacheScope.release(spark)`
     * (or `spark.catalog.clearCache()`) between corpora — or the pinned

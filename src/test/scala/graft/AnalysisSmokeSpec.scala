@@ -47,7 +47,7 @@ class AnalysisSmokeSpec extends SparkSpec {
     // identically, BpeSpec covers it); this pins the FIXTURE so the next
     // driver regen that introduces such a doc fails one named test
     // instead of four correctness rows.
-    Seq("sf0.001", "sf0.01").foreach { sf =>
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
       val docs = Sources.table(spark, s"/root/testdata/$sf", "documents")
       val tokenless = docs.filter(col("text").isNull ||
         size(filter(split(col("text"), " "), t => t =!= "")) === 0).count()
