@@ -896,6 +896,19 @@ mpairs AS (
       ops.Similarity.annTopK(emb, q, 5).orderBy("q_id", "rank")
     }),
 
+    // ANN evaluation closed-loop: recall@5 of the single-probe LSH
+    // search against the exact brute-force neighbors on the same query
+    // slice — the gate an index rollout reads. Set-overlap only, so the
+    // measure is tie-order insensitive.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.recallAtK(
+        ops.Similarity.annTopK(emb, q, 5),
+        ops.Similarity.bruteForceTopK(emb, q, 5)).orderBy("q_id")
+    }),
+
     // Multi-probe ANN top-5: each query searches its own bucket plus the
     // 3 single-bit flips with the smallest hyperplane margin (Lv et al.
     // multi-probe LSH) — recall recovered without growing the index side.
@@ -2774,6 +2787,55 @@ SELECT q_id,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 ORDER BY q_id, rank"""
+    },
+
+    // Both neighbor chains (the q_ann_lsh bucket search and the
+    // q_similarity_topk brute scan) composed into the recall join —
+    // exact sets on both engines, one double division per query.
+    "q_ann_recall" -> {
+      val planes = ops.Similarity.hyperplanes(8, 64, 42L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+aq AS (
+  SELECT b.vec_id AS q_id, e.embedding AS qe, b.bucket
+  FROM buck b JOIN embeddings e ON b.vec_id = e.vec_id WHERE b.vec_id < 10),
+asim AS (
+  SELECT aq.q_id, v.vec_id AS neighbor_id,
+    ${duckDot("aq.qe", "v.embedding")} /
+      (sqrt(${duckDot("aq.qe", "aq.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM aq JOIN buck cb ON aq.bucket = cb.bucket
+          JOIN embeddings v ON cb.vec_id = v.vec_id),
+approx AS (
+  SELECT q_id, neighbor_id FROM asim
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+bq AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+bs AS (
+  SELECT q_id, v.vec_id AS neighbor_id,
+    ${duckDot("bq.qe", "v.embedding")} /
+      (sqrt(${duckDot("bq.qe", "bq.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM bq, embeddings v),
+exact AS (
+  SELECT q_id, neighbor_id FROM bs
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5)
+SELECT e.q_id AS q_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  CAST(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+    / CAST(count(*) AS BIGINT) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.q_id ORDER BY e.q_id"""
     },
 
     // Replicates annTopK(probes = 4): same planes/buckets as q_ann_lsh,

@@ -582,6 +582,31 @@ object Similarity {
         col("s.id").as("neighbor_id"), col("s.sim").as("sim"))
   }
 
+  /** Recall@k of an APPROXIMATE neighbor table against the EXACT one —
+    * the evaluation every ANN deployment runs before trusting a recall
+    * trade at scale: per query, the share of true top-k neighbors the
+    * approximate search recovered. Both inputs are this module's
+    * (q_id, rank, neighbor_id, ...) shape ([[annTopK]]/[[ivfTopK]]
+    * output vs [[bruteForceTopK]] on an eval slice); ranks and sims are
+    * ignored — recall is SET overlap, so the measure is insensitive to
+    * tie-ordering differences inside the hit set. One left equi-join +
+    * one combinable aggregate; at corpus scale the exact side is the
+    * eval-sized baseline, never the full corpus. SimilaritySpec's
+    * recall measurements and the multi-probe comparison are exactly
+    * this computation — exposed as the first-class operator so
+    * pipelines can gate an index rollout on it.
+    *
+    * Output: (q_id, n_exact, n_hit, recall).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(approx.select(col("q_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× memory/IO compression before ANN serving (a 100 TB
     * embedding table becomes 25 TB; bucket probes read a quarter of the

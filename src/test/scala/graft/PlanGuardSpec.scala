@@ -22,7 +22,10 @@ class PlanGuardSpec extends SparkSpec {
     * histogram's 1-row bounds broadcast over the value scan.
     */
   private val allowedCross =
-    Set("q_similarity_topk", "q_ann_ivf", "q_ann_lsh", "q_funnel",
+    // q_ann_recall composes bruteForceTopK (the documented deliberate
+    // broadcast linear scan, as in q_similarity_topk) as its exact side
+    Set("q_similarity_topk", "q_ann_recall", "q_ann_ivf", "q_ann_lsh",
+      "q_funnel",
       "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
       "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram",
       "q_hist_drift",

@@ -239,6 +239,26 @@ class SimilaritySpec extends SparkSpec {
       s"escalated banding must not emit more candidates ($pairs16 -> $pairs32)")
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; hand-built partial overlap " +
+    "counts; missing queries in approx score 0") {
+    def tbl(rows: (Long, Long)*) =
+      rows.toDF("q_id", "neighbor_id")
+        .withColumn("rank", lit(1)).withColumn("sim", lit(0.5))
+    val exact = tbl(1L -> 10L, 1L -> 11L, 1L -> 12L, 2L -> 20L, 2L -> 21L,
+      3L -> 30L)
+    // q1: 2/3 recovered; q2: 0/2 (wrong ids); q3 absent from approx -> 0
+    val approx = tbl(1L -> 10L, 1L -> 12L, 1L -> 99L, 2L -> 98L)
+    val got = Similarity.recallAtK(approx, exact).orderBy("q_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 2.0 / 3), (2L, 2L, 0L, 0.0),
+      (3L, 1L, 0L, 0.0)), s"recall rows: $got")
+    // identity: any neighbor table against itself recalls 1.0 everywhere
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+    val self = Similarity.recallAtK(brute, brute)
+      .agg(min("recall")).as[Double].head()
+    assert(self == 1.0)
+  }
+
   test("ivfTopK: self-match survives probing; ranks contiguous; sims match brute force") {
     val ivf = Similarity.ivfTopK(emb, queries, 3)
     val rows = ivf.orderBy("q_id", "rank")
