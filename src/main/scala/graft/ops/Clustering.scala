@@ -368,10 +368,30 @@ object Clustering {
   def kmeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5)
   : (DataFrame, Seq[Double]) = {
     val base = lloydBase(embeddings)
-    val init: Seq[(Long, Seq[Double])] =
-      base.orderBy("vec_id").limit(k).collect().toSeq
-        .map(r => r.getLong(0) -> r.getSeq[Double](1))
-    lloyd(base, init, iters)
+    val (assigned, inertia, _) = lloyd(base, idSeedInit(base, k), iters)
+    (assigned, inertia)
+  }
+
+  private def idSeedInit(base: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    base.orderBy("vec_id").limit(k).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+
+  /** The final Lloyd's centroids as an IVF-ready CELL table
+    * (cell, c_emb array<float>) — train the routing geometry once and
+    * hand it to [[graft.ops.Similarity.ivfTopKWith]]: trained cells
+    * follow the corpus's actual density, so probing the same nProbe
+    * cells recovers more true neighbors than arbitrary id-seeded cells
+    * (SimilaritySpec measures exactly that via recallAtK). k rows —
+    * a broadcast artifact, persistable like the SemDeDup model.
+    */
+  def kmeansCells(embeddings: DataFrame, k: Int = 8,
+                  iters: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = lloydBase(embeddings)
+    val (_, _, cents) = lloyd(base, idSeedInit(base, k), iters)
+    cents.map { case (cid, cv) => (cid, cv.map(_.toFloat).toArray) }
+      .toDF("cell", "c_emb")
   }
 
   private def lloydBase(embeddings: DataFrame): DataFrame =
@@ -380,13 +400,13 @@ object Clustering {
       .withColumn("n2", graft.functions.DotOrdered(col("emb"), col("emb")))
 
   private def lloyd(base: DataFrame, init: Seq[(Long, Seq[Double])],
-                    iters: Int): (DataFrame, Seq[Double]) = {
+                    iters: Int): (DataFrame, Seq[Double], Seq[(Long, Seq[Double])]) = {
     var centroids = init
     // empty input: no seeds, nothing to assign — every iteration's
     // inertia is the empty sum (0.0), matching the loop's own behavior
     if (centroids.isEmpty)
       return (base.select(col("vec_id"), lit(null).cast("long").as("cid"),
-        lit(null).cast("double").as("dist")), Seq.fill(iters)(0.0))
+        lit(null).cast("double").as("dist")), Seq.fill(iters)(0.0), Nil)
     val inertia = Seq.newBuilder[Double]
     var assigned: DataFrame = null
 
@@ -436,7 +456,7 @@ object Clustering {
         }
       }
     }
-    (assigned.drop("emb"), inertia.result())
+    (assigned.drop("emb"), inertia.result(), centroids)
   }
 
   /** Deterministic k-means|| initialization (Bahmani et al., "Scalable
@@ -572,7 +592,9 @@ object Clustering {
     */
   def kmeansFitParallel(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
                         rounds: Int = 5, oversample: Double = 2.0,
-                        seed: Long = 42L): (DataFrame, Seq[Double]) =
-    lloyd(lloydBase(embeddings),
+                        seed: Long = 42L): (DataFrame, Seq[Double]) = {
+    val (assigned, inertia, _) = lloyd(lloydBase(embeddings),
       kmeansParallelInit(embeddings, k, rounds, oversample, seed), iters)
+    (assigned, inertia)
+  }
 }

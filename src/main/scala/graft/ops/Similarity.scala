@@ -544,13 +544,29 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // genuinely the FIRST nCells vectors by vec_id (distributed top-k,
     // nCells rows collected) — the old filter(vec_id < nCells) silently
     // yielded zero cells (and an empty result) on any corpus whose ids
     // don't start densely at 0, e.g. a filtered or offset split
     val centroids = corpus.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    ivfTopKWith(corpus, queries, k, centroids, nProbe)
+  }
+
+  /** [[ivfTopK]] with a CALLER-PROVIDED cell table (cell, c_emb float
+    * array) — the production IVF shape: the routing geometry is a
+    * trained artifact ([[graft.ops.Clustering.kmeansCells]], or a
+    * persisted model), not a property of whichever ids came first.
+    * Trained cells follow corpus density, so the same nProbe budget
+    * recovers more true neighbors; measure the trade with
+    * [[recallAtK]] before rollout (SimilaritySpec does exactly that).
+    * Same plan shape as [[ivfTopK]]: the cell table broadcasts, the
+    * assignment is one map-side-combinable argmax, candidates stay
+    * inside probed cells.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  centroids: DataFrame, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = corpus
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("embedding"), col("c_emb")))

@@ -259,6 +259,43 @@ class SimilaritySpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("ivfTopKWith: trained k-means cells route at least as well as " +
+    "id-seeded cells; identical cells give identical results") {
+    // plumbing identity: the refactored ivfTopK == ivfTopKWith under the
+    // same first-nCells centroid table
+    val naiveCells = emb.orderBy("vec_id").limit(16)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(rows(Similarity.ivfTopKWith(emb, queries, 3, naiveCells)) ==
+      rows(Similarity.ivfTopK(emb, queries, 3)))
+    // Routing quality where it actually differs: queries OUTSIDE the
+    // id-seed set (seeded queries trivially probe their own cell) and a
+    // single-probe budget, so which cell a query routes to is the whole
+    // game. Trained Lloyd's cells follow corpus density and must not
+    // LOSE recall vs 16 arbitrary first-id cells (deterministic inputs
+    // — a stable measurement, not a statistical assertion).
+    val farQ = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val exact = Similarity.bruteForceTopK(emb, farQ, 3)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(approx, exact)
+        .agg(sum("n_hit"), sum("n_exact")).as[(Long, Long)].head()
+      r._1.toDouble / r._2
+    }
+    val trained = graft.ops.Clustering.kmeansCells(emb, k = 16, iters = 5)
+    assert(trained.count() == 16 &&
+      trained.columns.toSeq == Seq("cell", "c_emb"))
+    val rNaive = meanRecall(
+      Similarity.ivfTopKWith(emb, farQ, 3, naiveCells, nProbe = 1))
+    val rTrained = meanRecall(
+      Similarity.ivfTopKWith(emb, farQ, 3, trained, nProbe = 1))
+    info(f"1-probe recall: trained=$rTrained%.3f naive=$rNaive%.3f")
+    assert(rTrained >= rNaive,
+      f"trained cells must not lose recall: $rTrained%.3f vs $rNaive%.3f")
+  }
+
   test("ivfTopK: self-match survives probing; ranks contiguous; sims match brute force") {
     val ivf = Similarity.ivfTopK(emb, queries, 3)
     val rows = ivf.orderBy("q_id", "rank")
