@@ -66,6 +66,24 @@ object CacheScope {
     df
   }
 
+  /** Unpersist `df` AND drop its registry entry — for dispatch branches
+    * that release a pinned intermediate eagerly because nothing
+    * downstream references it (editDistanceJoinAuto's segment regime).
+    * A bare `unpersist` there would leave the dead plan reference in
+    * the registry until a release() that may never come in a long-lived
+    * session. Identity match (`eq`): unpin exactly the pinned plan
+    * object, never an equal-looking sibling.
+    */
+  def unpin(df: DataFrame): Unit = {
+    registry.synchronized {
+      registry.get(df.sparkSession).foreach { buf =>
+        val i = buf.indexWhere(_ eq df)
+        if (i >= 0) buf.remove(i)
+      }
+    }
+    df.unpersist(blocking = false)
+  }
+
   /** Unpersist every intermediate operators pinned on `spark`. Call once
     * the consuming plans have executed — between corpora, or after a
     * pipeline's outputs are written.

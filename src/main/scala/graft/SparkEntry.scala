@@ -215,7 +215,7 @@ s$sfx AS (
       |       GROUP BY 1),
       |rec(it, word, cnt, syms, ml, mr, mc) AS (
       |  SELECT 0, word, cnt,
-      |         ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ',
+      |         ' ' || array_to_string(regexp_extract_all(word, '(?s).'), '  ') || ' ',
       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
       |  FROM wc
       |  UNION ALL
@@ -3107,7 +3107,7 @@ FROM lh ORDER BY doc_id"""
     // that total order.
     "q_bpe_vocab" -> (BpeTrainCtes + """,
       |chars AS (
-      |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM wc),
+      |  SELECT DISTINCT unnest(regexp_extract_all(word, '(?s).')) AS token FROM wc),
       |mtok AS (
       |  SELECT ml || mr AS token, min(it) AS r FROM rec
       |  WHERE it >= 1 AND ml || mr NOT IN (SELECT token FROM chars)
@@ -3126,7 +3126,7 @@ FROM lh ORDER BY doc_id"""
       |fin AS (SELECT word, replace(trim(syms), '  ', ' ') AS seg
       |        FROM rec WHERE it = (SELECT max(it) FROM rec)),
       |chars AS (
-      |  SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS token FROM wc),
+      |  SELECT DISTINCT unnest(regexp_extract_all(word, '(?s).')) AS token FROM wc),
       |mtok AS (
       |  SELECT ml || mr AS token, min(it) AS r FROM rec
       |  WHERE it >= 1 AND ml || mr NOT IN (SELECT token FROM chars)

@@ -294,6 +294,30 @@ object Multimodal {
     * more than `cap` members — shared by the self-join and incremental
     * forms (Dedup.capBuckets' shape).
     */
+  /** The (band_idx, band_val) buckets `maxBucketSize` would DROP from a
+    * phash table, with their member counts — the cap's observable side.
+    * Under a cap, [[imageNearDupAgainst]] misses a pair in EVERY band
+    * when the pair's minimum matching band was capped out (emission keys
+    * on the minimum MATCHING band), and [[imageNearDup]] loses the
+    * capped bands' pigeonhole coverage — both silently at runtime. This
+    * census (one combinable aggregate over the band table, the
+    * [[graft.ops.Similarity.embedNearDupAudit]] shape) makes the loss
+    * measurable BEFORE trusting a capped run: every returned row is a
+    * bucket whose members pair through other bands or not at all, and a
+    * bucket barely over the cap is the signal the cap is sized into the
+    * organic population instead of above the boilerplate crowd.
+    *
+    * Output: (band_idx, band_val, bucket_n), bucket_n > maxBucketSize.
+    */
+  def imageBandCapAudit(corpusHashes: DataFrame, maxBucketSize: Long,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"64 bits not divisible by $bands bands")
+    phashBands(corpusHashes, bands)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+  }
+
   private def capBands(bandTable: DataFrame, cap: Long): DataFrame =
     if (cap == Long.MaxValue) bandTable
     else {
@@ -327,7 +351,9 @@ object Multimodal {
     * dedup gate. Shared caveat with the streaming text twin: under a
     * cap, a pair whose minimum matching band was capped out is missed
     * in every band (emission keys on the minimum MATCHING band) — size
-    * the cap well above boilerplate crowds.
+    * the cap well above boilerplate crowds, and measure what a cap
+    * actually drops with [[imageBandCapAudit]] (the capped buckets and
+    * their member counts) instead of trusting it blind.
     *
     * Output: (media_inc, media_corp, hamming).
     */

@@ -430,17 +430,21 @@ object Similarity {
     val mask = (1L << r) - 1
     // the nPlanes-fold hashing is the audit's dominant cost; on FEW-FILE
     // inputs repartition so the map runs at core count (embeddingNearDup's
-    // pattern) — but only when there is real work to spread: a tiny
-    // in-memory frame's (vec_id, embedding) shuffle costs more than the
-    // hashing it parallelizes (gated on the optimizer's size estimate —
-    // no .rdd materialization, no job), and a well-partitioned 100 TB
-    // corpus must NOT pay a full shuffle for an audit whose advertised
-    // price is one map + one small band-key shuffle
+    // pattern) — but only when there is real work to spread, decided from
+    // the optimizer's SIZE ESTIMATE alone (no .rdd conversion, no job):
+    // below 8 MB a (vec_id, embedding) shuffle costs more than the
+    // hashing it parallelizes, and past para × maxPartitionBytes the
+    // file scan already splits into >= para input partitions — a
+    // well-partitioned 100 TB corpus must NOT pay a full shuffle for an
+    // audit whose advertised price is one map + one small band-key
+    // shuffle. Only the mid-band (one-big-file / few-file inputs, where
+    // the scan cannot split wide enough on its own) repartitions.
     val para = corpus.sparkSession.sparkContext.defaultParallelism
     val estBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart =
+      corpus.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val wide =
-      if (estBytes < (8L << 20)) corpus
-      else if (corpus.rdd.getNumPartitions >= para) corpus
+      if (estBytes < (8L << 20) || estBytes > BigInt(maxPart) * para) corpus
       else corpus.repartition(para, col("vec_id"))
     val sig = wide
       .select(col("vec_id"),

@@ -248,9 +248,32 @@ object Bpe {
       .broadcast(new MergeAutomaton(merges.toArray))
     fingerprintDocs(documents, () => {
       val auto = bc.value
-      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-      w => memo.getOrElseUpdate(w, auto.encodeWord(w))
+      memoized(auto.encodeWord)
     }).withColumnRenamed("fp", "bpe_fp")
+  }
+
+  /** Entry cap for the per-partition word memo in [[encode]]/
+    * [[encodeIds]]. Word frequencies are Zipfian, so the memo's hot head
+    * absorbs the overwhelming share of tokens — but a partition with a
+    * heavy DISTINCT-word tail (URLs, hashes, code) would otherwise grow
+    * the map for the task's whole lifetime, unbounded executor memory on
+    * the 100 TB posture the encoder targets.
+    */
+  private val MemoCap = 1 << 16
+
+  /** The bounded per-partition word memo: clear-on-cap (misses only
+    * recompute `f`, and the Zipfian hot head re-enters within a few
+    * hundred tokens of a clear, so the fast path survives; an LRU would
+    * buy little over that for its per-hit bookkeeping cost).
+    */
+  private def memoized(f: String => Array[String]): String => Array[String] = {
+    val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+    w => memo.getOrElse(w, {
+      if (memo.size >= MemoCap) memo.clear()
+      val r = f(w)
+      memo.update(w, r)
+      r
+    })
   }
 
   /** The shared partition loop of [[encode]] and [[encodeIds]]: one
@@ -374,8 +397,7 @@ object Bpe {
       (new MergeAutomaton(merges.toArray), ids))
     fingerprintDocs(documents, () => {
       val (auto, idOf) = bc.value
-      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-      w => memo.getOrElseUpdate(w,
+      memoized(w =>
         auto.encodeWord(w).map(t => idOf.getOrElse(t, -1).toString))
     }).select(col("doc_id"), col("n_bpe_tokens"), col("fp").as("ids_fp"))
   }

@@ -357,7 +357,11 @@ object Fuzzy {
     // lazy-plan contract in FuzzySpec).
     val p = p0.copy(prefix = graft.CacheScope.pin(p0.prefix))
     if (auditPrefix(p).candidatesPerString > maxCandidatesPerString) {
-      p.prefix.unpersist()
+      // unpin, not bare unpersist: the segment regime abandons the
+      // prefix table entirely, so its CacheScope entry must go with the
+      // blocks (a long-lived session repeatedly hitting this branch
+      // would otherwise accumulate dead plan references until release())
+      graft.CacheScope.unpin(p.prefix)
       editDistanceJoinPartitioned(df, idCol, strCol, maxDist)
     } else
       prefixJoin(p, maxDist) // reuses the cached, already-censused prefix

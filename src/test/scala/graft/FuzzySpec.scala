@@ -170,10 +170,16 @@ class FuzzySpec extends SparkSpec {
       s"length-bucket explosion must be visible: ${a.candidatesPerString}")
     assert(Fuzzy.autoRegime(shorts.toDF("id", "s"), "id", "s",
       maxDist = 2, q = 3) == "partition")
-    // and the dispatched join is still exact
+    // and the dispatched join is still exact — AND the abandoned prefix
+    // table's CacheScope entry goes with its blocks (unpin, not bare
+    // unpersist: a long-lived session hitting this branch repeatedly
+    // must not accumulate dead registry references)
+    val before = graft.CacheScope.pinnedCount(spark)
     val auto = Fuzzy.editDistanceJoinAuto(shorts.toDF("id", "s"), "id", "s",
       maxDist = 2, q = 3).as[(Long, Long, Int)].collect().toSet
     assert(auto == naive(shorts, 2))
+    assert(graft.CacheScope.pinnedCount(spark) == before,
+      "segment dispatch must unpin the abandoned prefix table")
   }
 
   test("editDistanceJoinAuto: identical pairs to both fixed regimes " +

@@ -879,6 +879,16 @@ class StreamingSpec extends SparkSpec {
       maxHamming = 3, maxBucketSize = 10).as[(Long, Long, Int)].collect().toSeq
     assert(!capped.exists(_._1 == 103L), "capped hot bucket must not pair")
     assert(capped.exists(p => p._1 == 101L && p._2 == 1L))
+    // the cap's loss is OBSERVABLE: the audit census names exactly the
+    // dropped buckets — the all-zero dHash bucket in every band, with
+    // its 20-member solid-frame crowd — so a capped run can be priced
+    // instead of trusted blind
+    val audit = Multimodal.imageBandCapAudit(corpusFps, maxBucketSize = 10)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(audit == (0 until 4).map(j => (j, 0L, 20L)),
+      s"cap audit must report the uniform-image bucket per band: $audit")
+    assert(Multimodal.imageBandCapAudit(corpusFps, maxBucketSize = 20)
+      .isEmpty, "a cap above the crowd drops nothing")
     // stream-static: the SAME call over a memory stream ≡ batch
     val mem = MemoryStream[Multimodal.MediaRow](spark)
     val q = Multimodal.imageNearDupAgainst(
