@@ -148,6 +148,38 @@ object SparkEntry {
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in generate_series(1, len($a))], (x, y) -> x + y)"
 
+  /** One unrolled Lloyd iteration replaying `Clustering.kmeansCellsExact`
+    * over the quantized `qn` relation (vec_id, embedding DOUBLE[], n2):
+    * asg_i = clamped-L2 argmin vs cent_{i-1} (ties to the smaller cell),
+    * upd_i = per-(cell, dim) means whose sums are of INTEGER-VALUED
+    * doubles — exact and order-independent, the property that makes the
+    * loop replayable at all — and cent_i keeps empty cells' previous
+    * centroids (the Spark loop's contract). cn2 is the same
+    * fold-of-squares both engines run.
+    */
+  private def lloydIterCtes(i: Int): String = {
+    val prev = s"cent${i - 1}"
+    s"""asg$i AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        greatest(CAST(0.0 AS DOUBLE),
+          v.n2 + c.cn2 - CAST(2.0 AS DOUBLE) * ${duckDot("v.embedding", "c.c")}) ASC,
+        c.cell ASC) AS rn
+    FROM qn v, $prev c) WHERE rn = 1),
+upd$i AS (
+  SELECT a.cell, u.i AS pos, sum(v.embedding[u.i]) / count(*) AS m
+  FROM asg$i a JOIN qn v USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) u
+  GROUP BY 1, 2),
+cm$i AS (
+  SELECT c0.cell, coalesce(uc.c, c0.c) AS c
+  FROM $prev c0 LEFT JOIN
+    (SELECT cell, list(m ORDER BY pos) AS c FROM upd$i GROUP BY cell) uc
+    USING (cell)),
+cent$i AS (SELECT cell, c, ${duckDot("c", "c")} AS cn2 FROM cm$i)"""
+  }
+
   /** CTE chain hashing `embeddings` with the Similarity module's seed-7
     * hyperplanes: plane literals → ordered-fold dots → sign-bit bucket →
     * banded (vec_id, band_idx, band_val) rows. Every CTE name carries
@@ -877,6 +909,28 @@ mpairs AS (
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ops.Similarity.ivfTopK(qz, q, 5).orderBy("q_id", "rank")
+    }),
+
+    // The PRODUCTION IVF shape with oracle evidence: routing cells are a
+    // TRAINED artifact — kmeansCellsExact's quantized-space Lloyd loop,
+    // whose integer-exact sums make every centroid bit-reproducible
+    // cross-engine — handed to ivfTopKWith; serving runs over the same
+    // quantized table (q_ann_quantized's 4×-compressed path). The oracle
+    // replays the whole train→serve chain: quantize → 3 unrolled Lloyd
+    // iterations → cosine-argmax cell assignment → 3-probe search →
+    // top-5. (The float-space kmeansCells twin stays spec-verified: its
+    // centroid means are order-dependent double sums no other engine
+    // can reproduce bit-for-bit — the documented reason this exact twin
+    // exists.)
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cells = ops.Clustering.kmeansCellsExact(emb, k = 8, iters = 3)
+      val qz = Similarity.quantizeEmbeddings(emb)
+        .select(col("vec_id"), col("q_vec").cast("array<float>").as("embedding"))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.ivfTopKWith(qz, q, 5, cells, nProbe = 3)
+        .orderBy("q_id", "rank")
     }),
 
     // Exact self-kNN majority-label audit (k=5, self excluded): the
@@ -2961,6 +3015,58 @@ s AS (
     ${duckDot("p.qe", "a.embedding")} /
       (sqrt(${duckDot("p.qe", "p.qe")}) * sqrt(${duckDot("a.embedding", "a.embedding")})) AS sim
   FROM probes p JOIN asg a USING (cell))
+SELECT q_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+  neighbor_id, sim
+FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+ORDER BY q_id, rank""",
+
+    // Replicates the trained-cell IVF end to end: the q_ann_quantized
+    // quantize chain, then kmeansCellsExact's Lloyd loop unrolled (3
+    // iterations of exact-integer-sum means — see lloydIterCtes), then
+    // the q_ann_ivf serving chain over the TRAINED cent3 cells with 3
+    // probes.
+    "q_ann_ivf_trained" ->
+      s"""WITH qs AS (
+  SELECT vec_id, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         ELSE 0.0 END AS q_scale
+  FROM embeddings),
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> floor(CAST(x AS DOUBLE) * q_scale + 0.5)) AS embedding
+  FROM qs),
+qn AS (SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM qe),
+cent0 AS (
+  SELECT vec_id AS cell, embedding AS c, n2 AS cn2 FROM qn ORDER BY vec_id LIMIT 8),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+${lloydIterCtes(3)},
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM qn WHERE vec_id < 10),
+asgf AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT v.vec_id, c.cell, v.embedding,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        ${duckDot("v.embedding", "c.c")} /
+          (sqrt(${duckDot("v.embedding", "v.embedding")}) * sqrt(${duckDot("c.c", "c.c")})) DESC,
+        c.cell) AS rn
+    FROM qn v, cent3 c) WHERE rn = 1),
+probes AS (
+  SELECT q_id, qe, cell FROM (
+    SELECT q.q_id, q.qe, c.cell,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        ${duckDot("q.qe", "c.c")} /
+          (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("c.c", "c.c")})) DESC,
+        c.cell) AS rn
+    FROM q, cent3 c) WHERE rn <= 3),
+s AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+    ${duckDot("p.qe", "a.embedding")} /
+      (sqrt(${duckDot("p.qe", "p.qe")}) * sqrt(${duckDot("a.embedding", "a.embedding")})) AS sim
+  FROM probes p JOIN asgf a USING (cell))
 SELECT q_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
   neighbor_id, sim

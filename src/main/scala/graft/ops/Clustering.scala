@@ -394,6 +394,72 @@ object Clustering {
       .toDF("cell", "c_emb")
   }
 
+  /** [[kmeansCells]]'s ORACLE-CHECKABLE twin: the same Lloyd's loop
+    * (id-seeded, fixed `iters`, empty cells keep their centroid, ties
+    * to the smaller cell id) run over the int8-QUANTIZED embeddings,
+    * engineered so the trained cell table is bit-reproducible in ANY
+    * engine — the float-space [[kmeansCells]] cannot be, because its
+    * centroid means are per-partition double sums whose addition order
+    * differs across engines. Here every cross-row aggregate is a sum of
+    * INTEGER-VALUED doubles (|q_i| ≤ 127, exact far below 2^53, hence
+    * order-independent), the mean is one IEEE division, and every
+    * per-row quantity (distances, norms) is an ordered left fold — so a
+    * SQL replay of the loop lands on the identical centroids, and the
+    * production serving shape ([[Similarity.ivfTopKWith]] over a
+    * TRAINED cell table) carries the same oracle evidence class as the
+    * rest of the ANN family. Assignment distance is the decomposed
+    * ‖x‖² + ‖c‖² − 2x·c with the zero clamp, exactly [[kmeansFit]]'s.
+    *
+    * Output: (cell, c_emb array<double>) — k rows, cell = seed vec_id;
+    * hand directly to [[Similarity.ivfTopKWith]] (train and serve in
+    * quantized space: the cells are quantized-space means). Per
+    * iteration: one literal-fold argmin projection (zero shuffle) and
+    * one k·dim-row combinable aggregate collected to the driver — the
+    * [[kmeansFit]] scale posture unchanged.
+    */
+  def kmeansCellsExact(embeddings: DataFrame, k: Int = 8,
+                       iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qv = quantizedView(embeddings)
+    var cents: Seq[(Long, Seq[Double])] =
+      seedCentroids(qv, k).map { case (cid, cv, _) => (cid, cv) }
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Seq[Double])].toDF("cell", "c_emb")
+    for (_ <- 1 to iters) {
+      // cn2 recomputed per iteration as the same left fold the SQL
+      // replay's list_reduce-of-squares runs (squares are never -0.0,
+      // so the 0.0-seeded and first-element-seeded folds agree)
+      val candidates = array(cents.map { case (cid, cv) =>
+        val cn2 = cv.foldLeft(0.0)((s2, x) => s2 + x * x)
+        struct(
+          greatest(lit(0.0),
+            col("qn2") + lit(cn2) -
+              lit(2.0) * graft.functions.DotOrdered(col("qv"), typedLit(cv)))
+            .as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      val upd = qv
+        .select(array_min(candidates).getField("cid").as("cid"),
+          posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect() // bounded: k·dim rows
+      val byCid = upd.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val mean = new Array[Double](dim)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            cid -> mean.toSeq
+          case None => cid -> old // empty cell keeps its centroid
+        }
+      }
+    }
+    cents.toDF("cell", "c_emb")
+  }
+
   private def lloydBase(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))

@@ -52,6 +52,27 @@ class ClusteringSpec extends SparkSpec {
     assert(groups.size == 3 && groups.forall(_.size == 1))
   }
 
+  test("kmeansCellsExact: bit-deterministic trained cells that recover " +
+    "cluster structure; empty input yields no cells") {
+    val cells = Clustering.kmeansCellsExact(points, k = 3, iters = 3)
+    assert(cells.columns.toSeq == Seq("cell", "c_emb"))
+    val got = cells.orderBy("cell").as[(Long, Seq[Double])].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L), "cells keep seed ids")
+    // seeds 0/1/2 are one per corner cluster, so each trained centroid's
+    // dominant dimension is its cluster's corner axis
+    got.foreach { case (cell, c) =>
+      assert(c.indexOf(c.max) == cell.toInt,
+        s"cell $cell centroid $c should peak on axis $cell")
+    }
+    // the oracle-parity property: re-training is bit-identical (exact
+    // integer sums — no partition-order dependence to drift on)
+    val again = Clustering.kmeansCellsExact(points, k = 3, iters = 3)
+      .orderBy("cell").as[(Long, Seq[Double])].collect()
+    assert(got.toSeq == again.toSeq, "retrain must be bit-identical")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Clustering.kmeansCellsExact(empty, k = 3).isEmpty)
+  }
+
   test("semanticDedup: drops higher-id near-duplicates within a cluster only") {
     // ids 0,1 seed two clusters at 90°; 2 duplicates 0's direction
     // (cos=1), 3 duplicates 1's; 4 is a cluster-0 mate below threshold;
