@@ -1,6 +1,6 @@
 package graft.ops.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import TextFns._
@@ -401,4 +401,76 @@ object Bpe {
         auto.encodeWord(w).map(t => idOf.getOrElse(t, -1).toString))
     }).select(col("doc_id"), col("n_bpe_tokens"), col("fp").as("ids_fp"))
   }
+
+  /** Train a tokenizer on `documents` and COMMIT it as a versioned
+    * [[graft.io.Manifest]] snapshot — the artifact boundary a real
+    * pipeline has between training and serving: train once, serve from
+    * the committed snapshot in any later session, and time-travel
+    * superseded versions so every historical id stream stays
+    * reproducible bit-for-bit (the SemDeDup centroid-model pattern,
+    * [[graft.ops.Clustering.centroidModelRefresh]], applied to the
+    * tokenizer). ONE snapshot holds BOTH halves — the rank-ordered
+    * merge table and the induced id vocabulary — because they are only
+    * meaningful as a unit: ids shift whenever merges change, so
+    * versioning them separately invites exactly the train/serve skew
+    * this artifact exists to prevent. Vocab-sized rows, a broadcast
+    * artifact at read time. Returns the committed version.
+    */
+  def tokenizerRefresh(documents: DataFrame, table: String,
+                       numMerges: Int, minPairCount: Long = 2): Int = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = bpeTrain(documents, numMerges, minPairCount)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val voc = vocab(documents, merges.map(m => (m._2, m._3)))
+      .as[(Int, String, String)].collect().toSeq
+    val rows: Seq[(String, Option[Int], Option[String], Option[String],
+      Option[String], Option[Long], Option[Int], Option[String],
+      Option[String])] =
+      merges.map { case (r, l, rr, m, c) =>
+        ("merge", Some(r), Some(l), Some(rr), Some(m), Some(c),
+          None, None, None)
+      } ++
+        voc.map { case (id, tok, kind) =>
+          ("vocab", None, None, None, None, None, Some(id), Some(tok),
+            Some(kind))
+        }
+    graft.io.Manifest.write(
+      rows.toDF("part", "merge_rank", "lhs", "rhs", "merged",
+        "pair_count", "token_id", "token", "kind"), table)
+  }
+
+  private def tokenizerSnapshot(spark: SparkSession, table: String,
+                                version: Option[Int]): DataFrame =
+    version match {
+      case Some(v) => graft.io.Manifest.readVersion(spark, table, v)
+      case None    => graft.io.Manifest.read(spark, table)
+    }
+
+  /** The committed tokenizer's merge list in rank order — the exact
+    * `Seq` every serving entry point ([[encode]]/[[encodeIds]]/
+    * [[segment]]/[[fertility]]) takes, read back from the snapshot so
+    * serving never depends on still having the training corpus (or the
+    * training session). Current version by default; pass `version` to
+    * replay a superseded tokenizer. Bounded collect, merge-table-sized.
+    */
+  def readMerges(spark: SparkSession, table: String,
+                 version: Option[Int] = None): Seq[(String, String)] = {
+    import spark.implicits._
+    tokenizerSnapshot(spark, table, version)
+      .filter(col("part") === "merge").orderBy("merge_rank")
+      .select("lhs", "rhs").as[(String, String)].collect().toSeq
+  }
+
+  /** The committed tokenizer's id vocabulary — [[vocab]]'s
+    * (token_id, token, kind) contract read from the snapshot instead of
+    * rederived, so [[encodeIds]] under a given version reproduces that
+    * version's model input exactly.
+    */
+  def readVocab(spark: SparkSession, table: String,
+                version: Option[Int] = None): DataFrame =
+    tokenizerSnapshot(spark, table, version)
+      .filter(col("part") === "vocab")
+      .select(col("token_id"), col("token"), col("kind"))
 }

@@ -251,6 +251,46 @@ class BpeSpec extends SparkSpec {
       ("xx", 1L, 2L, 4L, 2.0)), s"fertility was $out")
   }
 
+  test("tokenizer artifact: a committed snapshot serves without the " +
+    "training corpus, a refresh changes ids, and the superseded version " +
+    "replays its id stream bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    val table = s"$dir/tokenizer"
+    val probe = docs(100L -> "newest low lowest widest")
+    def idRows(merges: Seq[(String, String)],
+               voc: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIds(probe, merges, voc).as[(Long, Int, String)]
+        .collect().toSeq
+
+    val v1 = Bpe.tokenizerRefresh(sennrich, table, numMerges = 6)
+    // the artifact round-trip is lossless: persisted merges/vocab ==
+    // direct in-memory training on the same corpus
+    val m1 = Bpe.readMerges(spark, table)
+    assert(m1 == Bpe.bpeTrain(sennrich, numMerges = 6).orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect()
+      .map(x => (x._2, x._3)).toSeq)
+    val vocDirect = Bpe.vocab(sennrich, m1)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    val vocRead = Bpe.readVocab(spark, table)
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(vocRead == vocDirect)
+    val ids1 = idRows(m1, Bpe.readVocab(spark, table))
+
+    // drifted corpus -> refreshed tokenizer: new committed version, and
+    // the served id stream changes (different merges AND char ids)
+    val drifted = docs(1L -> "wide wide wider widest widest widest")
+    val v2 = Bpe.tokenizerRefresh(drifted, table, numMerges = 6)
+    assert(v2 > v1)
+    val ids2 = idRows(Bpe.readMerges(spark, table),
+      Bpe.readVocab(spark, table))
+    assert(ids2 != ids1, "a refreshed tokenizer must change the id stream")
+
+    // time travel: the superseded version reproduces the original ids
+    val replay = idRows(Bpe.readMerges(spark, table, Some(v1)),
+      Bpe.readVocab(spark, table, Some(v1)))
+    assert(replay == ids1, "old tokenizer version must replay bit-for-bit")
+  }
+
   test("bpeTrain on an empty or pairless corpus returns zero merges") {
     assert(Bpe.bpeTrain(docs(), numMerges = 3).isEmpty)
     // single-char words have no adjacent pairs
