@@ -879,13 +879,14 @@ mpairs AS (
       ops.Similarity.embedNearDupAudit(t(s, dir, "embeddings"))
         .orderBy("band_idx")),
 
-    // Auto-banded embedding near-dup: the audit census runs FIRST, and
-    // when the default banding's exact candidate volume clears the
-    // dispatch threshold the signature doubles to 32 planes (r 4 → 8)
-    // before any verify work — the editDistanceJoinAuto audit→dispatch
-    // pattern in LSH space. The oracle replays the census, the
-    // threshold compare, AND both candidate chains, gated on the same
-    // decision.
+    // Auto-escalating embedding near-dup, now TWO tiers: the audit
+    // census runs FIRST; a collapsed default banding doubles to 32
+    // planes (r 4 → 8), and when the RE-audit at 32 planes still
+    // floods, the dispatcher falls through to within-cluster banding
+    // (SemDeDup's cluster-first regime, exact-integer cluster ids) —
+    // the editDistanceJoinAuto audit→dispatch pattern in LSH space.
+    // The oracle replays BOTH censuses, both threshold compares, and
+    // all three candidate chains, gated on the same decisions.
     "q_embed_auto" -> ((s, dir) =>
       ops.Similarity.embeddingNearDupAuto(t(s, dir, "embeddings"))
         .orderBy("vec_a", "vec_b")),
@@ -2800,13 +2801,58 @@ cen AS (
   SELECT CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) /
          (SELECT count(*) FROM buck16) AS cpv
   FROM bkt16),
+bkt32 AS (
+  SELECT band_idx, band_val, count(*) AS c
+  FROM bands32 GROUP BY band_idx, band_val),
+cen32 AS (
+  SELECT CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) /
+         (SELECT count(*) FROM buck32) AS cpv
+  FROM bkt32),
+qq AS (
+  SELECT vec_id, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         ELSE 0.0 END AS q_scale
+  FROM embeddings),
+qzv AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS BIGINT)) AS v
+       FROM qq),
+centq AS (SELECT vec_id AS cid, v AS cv FROM qzv ORDER BY vec_id LIMIT 8),
+dq AS (SELECT qzv.vec_id, centq.cid,
+        list_sum(list_transform(generate_series(1, len(qzv.v)),
+          i -> (qzv.v[i] - centq.cv[i]) * (qzv.v[i] - centq.cv[i]))) AS dist
+      FROM qzv CROSS JOIN centq),
+asg AS (SELECT vec_id, cid FROM
+          (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM dq) WHERE rn = 1),
 ${embedPairCtes("16")},
-${embedPairCtes("32")}
+${embedPairCtes("32")},
+bandsC AS (
+  SELECT b.vec_id, a.cid, b.band_idx, b.band_val
+  FROM bands32 b JOIN asg a USING (vec_id)),
+candC AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bandsC a JOIN bandsC b
+    ON a.cid = b.cid AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id),
+sC AS (
+  SELECT vec_a, vec_b,
+    ${duckDot("x.embedding", "y.embedding")} /
+      (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) AS sim
+  FROM candC JOIN embeddings x ON vec_a = x.vec_id
+             JOIN embeddings y ON vec_b = y.vec_id)
 SELECT vec_a, vec_b, sim FROM s16
 WHERE sim >= 0.35 AND (SELECT cpv FROM cen) <= 64.0
 UNION ALL
 SELECT vec_a, vec_b, sim FROM s32
 WHERE sim >= 0.35 AND (SELECT cpv FROM cen) > 64.0
+                  AND (SELECT cpv FROM cen32) <= 64.0
+UNION ALL
+SELECT vec_a, vec_b, sim FROM sC
+WHERE sim >= 0.35 AND (SELECT cpv FROM cen) > 64.0
+                  AND (SELECT cpv FROM cen32) > 64.0
 ORDER BY vec_a, vec_b""",
 
     // Replicates annTopK: the SAME 8 hyperplanes (seed 42) as literals,

@@ -105,6 +105,26 @@ object Clustering {
         lit(cid).as("cid"))
     }: _*))
 
+  /** (vec_id, embedding, cid): every vector annotated with its exact-
+    * integer nearest-centroid cluster id (k lowest-vec_id quantized
+    * seeds, ties to the smaller cid — [[assignCentroids]]' partition,
+    * minus the distances). One join-free literal-fold projection;
+    * shared with [[Similarity.embeddingNearDupClustered]]'s blocking
+    * key, where the bit-reproducible geometry is what keeps the
+    * clustered dispatch tier SQL-replayable. Null cid on an empty
+    * input (no seeds — no geometry).
+    */
+  private[ops] def withClusterId(embeddings: DataFrame, k: Int): DataFrame = {
+    val qv = quantizedView(embeddings)
+    val cents = seedCentroids(qv, k)
+    if (cents.isEmpty)
+      embeddings.select(col("vec_id"), col("embedding"),
+        lit(null).cast("long").as("cid"))
+    else
+      qv.select(col("vec_id"), col("embedding"),
+        quantizedArgmin(cents).getField("cid").as("cid"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space with nearest-centroid assignment
     * ([[assignCentroids]] — exact integer distances, so the partition is

@@ -463,72 +463,167 @@ object Similarity {
         sum("c").as("n_vectors"))
   }
 
-  /** The banding [[embeddingNearDupAuto]] would run for this corpus —
-    * the configured `nPlanes`, or its double when the audit census says
-    * the configured banding has collapsed — as a testable/loggable
-    * decision (the [[graft.ops.text.Fuzzy.autoRegime]] convention).
-    *
-    * The collapse signal is the audit's EXACT total candidate volume:
-    * Σ over bands of Σ c·(c−1)/2, divided by the corpus size — the
-    * number of verify-join probes per vector the configured banding
-    * would actually emit. One bounded collect (`bands` rows).
+  /** Has the banding at `nPlanes` collapsed on this corpus? The signal
+    * is the audit's EXACT total candidate volume: Σ over bands of
+    * Σ c·(c−1)/2, divided by the corpus size — the number of
+    * verify-join probes per vector the banding would actually emit.
+    * ONE job per call: the pre-projection census still carries
+    * n_vectors (the public audit drops it), so total pairs and the
+    * corpus size come out of the same bounded collect — no second
+    * corpus scan. The long/long division replays bit-identically in
+    * the oracle's cen CTEs (both are exact longs; one IEEE division).
     */
-  def autoPlanes(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
-                 dim: Int = 64, seed: Long = 7L,
-                 maxCandidatesPerVector: Double = 64.0): Int = {
-    // ONE job: the pre-projection census still carries n_vectors (the
-    // public audit drops it), so total pairs and the corpus size come
-    // out of the same bounded collect — no second corpus scan. The
-    // long/long division replays bit-identically in the oracle's cen
-    // CTE (both are exact longs; one IEEE division).
+  private def censusCollapsed(corpus: DataFrame, nPlanes: Int, bands: Int,
+                              dim: Int, seed: Long,
+                              maxCandidatesPerVector: Double): Boolean = {
     val census = bandCensus(corpus, nPlanes, bands, dim, seed)
       .agg(sum("candidate_pairs").as("pairs"), max("n_vectors").as("n"))
       .collect()(0) // bounded: one row
-    val collapsed = !census.isNullAt(0) && census.getLong(1) > 0 &&
+    !census.isNullAt(0) && census.getLong(1) > 0 &&
       census.getLong(0).toDouble / census.getLong(1) > maxCandidatesPerVector
-    if (collapsed) nPlanes * 2 else nPlanes
   }
 
-  /** [[embeddingNearDup]] with AUTOMATIC banding escalation — the
+  /** [[embeddingNearDupAuto]]'s FIRST escalation step as a testable/
+    * loggable decision (the [[graft.ops.text.Fuzzy.autoRegime]]
+    * convention): the configured `nPlanes`, or its double when the
+    * audit census says the configured banding has collapsed. One
+    * bounded collect. The full three-tier decision — including the
+    * clustered fallback when even the doubled census floods — is
+    * [[autoBandingTier]].
+    */
+  def autoPlanes(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
+                 dim: Int = 64, seed: Long = 7L,
+                 maxCandidatesPerVector: Double = 64.0): Int =
+    if (censusCollapsed(corpus, nPlanes, bands, dim, seed,
+      maxCandidatesPerVector)) nPlanes * 2
+    else nPlanes
+
+  /** The complete dispatch decision [[embeddingNearDupAuto]] runs, as
+    * testable data: (tier, planes) where tier is `"banded"` (the
+    * configured census blocks — run [[embeddingNearDup]] as
+    * configured), `"banded2x"` (configured collapsed, the doubled
+    * census blocks — run it at 2× planes), or `"clustered"` (BOTH
+    * censuses flooded — [[embeddingNearDupClustered]] at the doubled
+    * planes: the corpus is direction-dense enough that no global
+    * banding prunes, which is exactly SemDeDup's cluster-first
+    * regime). Each census is one bounded collect, and the second runs
+    * only when the first collapses — a healthy corpus pays exactly
+    * the old single audit.
+    */
+  def autoBandingTier(corpus: DataFrame, nPlanes: Int = 16, bands: Int = 4,
+                      dim: Int = 64, seed: Long = 7L,
+                      maxCandidatesPerVector: Double = 64.0): (String, Int) =
+    if (!censusCollapsed(corpus, nPlanes, bands, dim, seed,
+      maxCandidatesPerVector)) ("banded", nPlanes)
+    else if (!censusCollapsed(corpus, nPlanes * 2, bands, dim, seed,
+      maxCandidatesPerVector)) ("banded2x", nPlanes * 2)
+    else ("clustered", nPlanes * 2)
+
+  /** [[embeddingNearDup]] with AUTOMATIC escalation — the
     * editDistanceJoinAuto pattern applied to the one measured scale
-    * collapse left in the module: run [[embedNearDupAudit]]'s exact
-    * per-band candidate census FIRST, and when the configured banding
-    * has collapsed (candidates per vector clears
-    * `maxCandidatesPerVector` — the sf1 sweep measured r = 4 bits/band
-    * stop blocking near 20k direction-random vectors), DOUBLE nPlanes
-    * at the same band count, doubling r: each extra bit/band halves
-    * random collisions (the audit's n²/2^(r+1) law ⇒ doubling r takes
-    * candidate volume from ~n²/32 to ~n²/512 at the defaults), while
-    * true near-dups keep colliding — they agree on sign bits by ANGLE,
-    * not chance, so per-band recall falls only by the (1−θ/π)^r factor
-    * the operator already documents.
+    * collapse left in the module, now in TWO tiers ([[autoBandingTier]]
+    * is the whole decision as data):
     *
-    * The dispatch threshold is the verify join's per-vector probe count:
-    * past ~64 candidate probes per vector the extra signature pass
-    * (2× the hashing, the audit's own dominant cost) is noise against
-    * the verify work it prunes; far below it the configured banding is
-    * already blocking and re-hashing would cost more than it saves.
-    * The decision costs one audit — a map + a (band, val) key shuffle,
-    * ~1/30 of the verify cost at the sf1 sweep point — and is exactly
-    * [[autoPlanes]], so callers/specs can observe which regime ran.
-    * Escalation is SINGLE-STEP by contract (the decision stays
-    * replayable by the SQL oracle); on a pathological corpus where one
-    * doubling still floods — the audit says so post-hoc — re-audit at
-    * the escalated config and call again with `nPlanes` doubled, or
-    * cluster first and band within cells (SemDeDup, the in-repo
-    * alternative for direction-random corpora).
+    *  1. run [[embedNearDupAudit]]'s exact per-band candidate census at
+    *     the configured banding; if candidates per vector clear
+    *     `maxCandidatesPerVector` (the sf1 sweep measured r = 4
+    *     bits/band stop blocking near 20k direction-random vectors),
+    *     DOUBLE nPlanes at the same band count: each extra bit/band
+    *     halves random collisions (the audit's n²/2^(r+1) law ⇒
+    *     doubling r takes candidate volume from ~n²/32 to ~n²/512 at
+    *     the defaults), while true near-dups keep colliding — they
+    *     agree on sign bits by ANGLE, not chance;
+    *  2. RE-audit at the doubled banding; if that census STILL floods —
+    *     the pathological direction-dense corpus that used to be a
+    *     scaladoc recipe — fall through to
+    *     [[embeddingNearDupClustered]]: within-cluster banding at the
+    *     doubled planes, SemDeDup's cluster-first regime, which prunes
+    *     by cell when no global banding can.
+    *
+    * The dispatch threshold is the verify join's per-vector probe
+    * count: past ~64 candidate probes per vector the extra signature
+    * pass (2× the hashing, the audit's own dominant cost) is noise
+    * against the verify work it prunes; far below it the configured
+    * banding is already blocking and re-hashing would cost more than
+    * it saves. A healthy corpus pays ONE audit (a map + a (band, val)
+    * key shuffle, ~1/30 of the verify cost at the sf1 sweep point);
+    * the second census only runs on a collapsed first. Every branch of
+    * the decision is replayed by the SQL oracle (two census gates,
+    * three candidate chains).
     *
     * Output contract is [[embeddingNearDup]]'s: (vec_a, vec_b, sim),
     * vec_a < vec_b, sim ≥ threshold — only the CANDIDATE SET (recall)
-    * depends on the chosen banding, exactly as with the manual knobs.
+    * depends on the dispatched tier, exactly as with the manual knobs
+    * (the clustered tier additionally misses pairs straddling cluster
+    * boundaries — [[embeddingNearDupClustered]]'s documented trade).
     */
   def embeddingNearDupAuto(corpus: DataFrame, nPlanes: Int = 16,
                            bands: Int = 4, threshold: Double = 0.35,
                            dim: Int = 64, seed: Long = 7L,
-                           maxCandidatesPerVector: Double = 64.0): DataFrame = {
-    val chosen = autoPlanes(corpus, nPlanes, bands, dim, seed,
-      maxCandidatesPerVector)
-    embeddingNearDup(corpus, chosen, bands, threshold, dim, seed)
+                           maxCandidatesPerVector: Double = 64.0): DataFrame =
+    autoBandingTier(corpus, nPlanes, bands, dim, seed,
+      maxCandidatesPerVector) match {
+      case ("clustered", np) =>
+        embeddingNearDupClustered(corpus, np, bands, threshold, dim, seed)
+      case (_, np) =>
+        embeddingNearDup(corpus, np, bands, threshold, dim, seed)
+    }
+
+  /** Within-cluster banded near-dup — [[embeddingNearDupAuto]]'s third
+    * tier, standalone: SemDeDup's move (cluster first, pair only inside
+    * cells) fused with the banded candidate scheme — candidates must
+    * collide on (cluster id, band_idx, band_val), never band alone, so
+    * a direction-dense corpus that floods every global banding still
+    * prunes by cell. Cluster geometry is the exact-integer
+    * nearest-centroid partition over the k lowest-id quantized seeds
+    * ([[graft.ops.Clustering]] — bit-reproducible cross-engine), which
+    * is what keeps the whole dispatch chain SQL-replayable. Same plan
+    * shape as [[embeddingNearDup]] (pinned signature table, banded
+    * equi-join — now keyed by cid too — exact-cosine verify), same
+    * output contract: (vec_a, vec_b, sim), vec_a < vec_b. Additional
+    * recall trade: a true pair straddling a cluster boundary is missed
+    * — the standard SemDeDup price for Σ|c|² blocking; raise k with
+    * corpus size to hold cell sizes constant.
+    */
+  def embeddingNearDupClustered(corpus: DataFrame, nPlanes: Int = 32,
+                                bands: Int = 4, threshold: Double = 0.35,
+                                dim: Int = 64, seed: Long = 7L,
+                                k: Int = 8): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val spark = corpus.sparkSession
+    val bucketed = graft.CacheScope.pin(
+      Clustering.withClusterId(corpus, k)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"),
+          sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm")))
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+    }
+    val bandTable = bucketed.select(col("cid"), col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = bandTable.select(col("cid"), col("band_idx"), col("band_val"),
+      col("vec_id").as("vec_a"))
+    val b = bandTable.select(col("cid"), col("band_idx"), col("band_val"),
+      col("vec_id").as("vec_b"))
+    val candidates = a.join(b.hint("shuffle_hash"),
+        Seq("cid", "band_idx", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    candidates
+      .join(bucketed.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+        .hint("shuffle_hash"), "vec_a")
+      .join(bucketed.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+        .hint("shuffle_hash"), "vec_b")
+      .withColumn("sim", dotOrdered(col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
   }
 
   /** IVF (inverted-file) ANN top-k — the partition-pruning scale path.

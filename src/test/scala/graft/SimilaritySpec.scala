@@ -217,18 +217,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes(spread) == 16,
       "a blocking census must keep the configured planes")
     // Dispatch equality: auto output == the manual run at the chosen
-    // config, row for row (the decision only picks the banding). Note
-    // the fixture slice itself escalates — its label clusters are the
-    // boilerplate-cluster shape — which the equality below also pins.
+    // tier, row for row (the decision only picks the candidate scheme).
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_a", "vec_b", "sim").as[(Long, Long, Double)]
         .collect().toSet
+    assert(Similarity.autoBandingTier(spread) == ("banded", 16))
     assert(key(Similarity.embeddingNearDupAuto(spread)) ==
       key(Similarity.embeddingNearDup(spread)))
-    assert(key(Similarity.embeddingNearDupAuto(emb)) ==
-      key(Similarity.embeddingNearDup(emb, nPlanes = 32)))
+    // The near-identical corpus floods BOTH censuses (every vector
+    // shares every sign bit at any plane count) — the pathological case
+    // that used to be a scaladoc recipe now dispatches to the clustered
+    // tier, and the output still equals the manual clustered run.
+    assert(Similarity.autoBandingTier(collapsing) == ("clustered", 32))
     assert(key(Similarity.embeddingNearDupAuto(collapsing)) ==
-      key(Similarity.embeddingNearDup(collapsing, nPlanes = 32)))
+      key(Similarity.embeddingNearDupClustered(collapsing, nPlanes = 32)))
+    // the fixture slice: whatever tier its census picks, auto == manual
+    val (tierE, npE) = Similarity.autoBandingTier(emb)
+    val manualE =
+      if (tierE == "clustered")
+        Similarity.embeddingNearDupClustered(emb, nPlanes = npE)
+      else Similarity.embeddingNearDup(emb, nPlanes = npE)
+    assert(key(Similarity.embeddingNearDupAuto(emb)) == key(manualE))
     // Escalation must genuinely shrink the candidate volume on the
     // collapsing corpus (r 4 → 8 splits the jittered directions).
     val pairs16 = Similarity.embedNearDupAudit(collapsing, 16, 4)
@@ -237,6 +246,46 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum("candidate_pairs")).head().getLong(0)
     assert(pairs32 <= pairs16,
       s"escalated banding must not emit more candidates ($pairs16 -> $pairs32)")
+  }
+
+  test("autoBandingTier: the middle tier fires on a corpus the doubled " +
+    "banding rescues; clustered tier prunes where global banding cannot") {
+    // 800 direction-random vectors: at r = 4 a random pair matches a
+    // band with prob ≈ 0.5^4, so cpv ≈ 4·(n-1)/2·0.066 ≈ 105 > 64 —
+    // tier 1 collapses; at r = 8 the same law gives ≈ 7 ≪ 64 — the
+    // doubled banding blocks, so the dispatcher stops at "banded2x"
+    // WITHOUT clustering. Asserted against the audit's own census so
+    // the fixture can't silently drift out of the regime.
+    val rng = new scala.util.Random(23)
+    val rand = (0 until 800).map { kk =>
+      (kk.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val n = 800.0
+    val cpv16 = Similarity.embedNearDupAudit(rand, 16, 4)
+      .agg(sum("candidate_pairs")).head().getLong(0) / n
+    val cpv32 = Similarity.embedNearDupAudit(rand, 32, 4)
+      .agg(sum("candidate_pairs")).head().getLong(0) / n
+    assert(cpv16 > 64.0 && cpv32 <= 64.0,
+      s"fixture must sit in the banded2x regime: cpv16=$cpv16 cpv32=$cpv32")
+    assert(Similarity.autoBandingTier(rand) == ("banded2x", 32))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "sim").as[(Long, Long, Double)]
+        .collect().toSet
+    assert(key(Similarity.embeddingNearDupAuto(rand)) ==
+      key(Similarity.embeddingNearDup(rand, nPlanes = 32)))
+    // force the clustered tier on the same corpus (tiny dispatch
+    // threshold): auto == the manual clustered run, and the clustered
+    // candidate set is a subset of the global banded one (the cid key
+    // only ever REMOVES candidates)
+    assert(Similarity.autoBandingTier(rand,
+      maxCandidatesPerVector = 0.5) == ("clustered", 32))
+    val clustered = key(Similarity.embeddingNearDupAuto(rand,
+      maxCandidatesPerVector = 0.5))
+    assert(clustered ==
+      key(Similarity.embeddingNearDupClustered(rand, nPlanes = 32)))
+    assert(clustered.subsetOf(key(
+      Similarity.embeddingNearDup(rand, nPlanes = 32))),
+      "cluster-keyed candidates must be a subset of the banded ones")
   }
 
   test("recallAtK: exact-vs-exact is 1.0; hand-built partial overlap " +
