@@ -42,7 +42,11 @@ object ScaleSweep {
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
-    "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label")
+    "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label",
+    // the composed DAGs last: every ingredient family is attributed
+    // above, so these two rows measure COMPOSITION cost (producer =
+    // in-DAG pair build; consumer = persisted-resolution read)
+    "q_curation_report", "q_curation_classified")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -140,6 +144,124 @@ object ScaleSweep {
       case e: Exception =>
         failures += 1
         println(s"[sweep] bpe_encode_sweep FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // Stage attribution for the composed curation DAG (SURVEY §5.5's
+    // pipeline rows): time the dedup ingredients in isolation and the
+    // consumer-shaped run (persisted resolution provided), so the
+    // published table can say which stage dominates the end-to-end
+    // number — the pair build, the resolution, or the gate+decontam
+    // tail.
+    if (wanted("curation_sweep")) try {
+      import org.apache.spark.sql.functions.col
+      val docs = io.Sources.table(spark, outDir, "documents")
+      val csrc = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[sweep] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      }
+      val pairs = graft.CacheScope.pin(
+        ops.text.Dedup.nearDupPairs(csrc, k = 32, bands = 8, threshold = 0.5))
+      time("curation: pair build")(pairs.count())
+      val canon = graft.CacheScope.pin(
+        ops.text.Dedup.resolveCanonical(csrc, pairs))
+      time("curation: resolution (CC)")(canon.count())
+      time("curation: decontaminate")(
+        ops.text.Corpus.decontaminate(csrc, bench, 3, 2).count())
+      // consumer shape: the resolution is a PERSISTED table (here: the
+      // pinned one), so this row is the DAG minus its dedup stages —
+      // what every steady-state curation run pays
+      time("curation: consumer DAG")(
+        pipeline.Curation.curate(csrc, bench,
+          resolvedCanon = Some(canon))._2.count())
+      graft.CacheScope.release(spark)
+    } catch {
+      case e: Exception =>
+        failures += 1
+        println(s"[sweep] curation_sweep FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // Image dedup at sweep scale, on GENERATED bitmaps (the fixture has
+    // no media table): 10k 16×16 PNGs with planted exact/near dups and a
+    // 10% uniform-frame crowd — the boilerplate class whose single
+    // bucket goes quadratic. Rows: uncapped self-join (the defect made
+    // visible), capped self-join + the cap audit (the remediation,
+    // priced), and the incremental gate against a persisted phash table
+    // (the steady-state crawl shape).
+    if (wanted("image_dedup_sweep")) try {
+      import spark.implicits._
+      val rngI = new Random(77)
+      def png(pix: Array[Int]): Array[Byte] = {
+        val bi = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < 256) { bi.setRGB(p % 16, p / 16, pix(p)); p += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(bi, "png", bos)
+        bos.toByteArray
+      }
+      def genPixels(n: Int): Array[Array[Int]] = {
+        val out = new Array[Array[Int]](n)
+        var k = 0
+        while (k < n) {
+          val r = rngI.nextDouble()
+          out(k) =
+            if (k > 0 && r < 0.02) out(rngI.nextInt(k)) // exact dup
+            else if (k > 0 && r < 0.05) { // near dup: one pixel edited
+              val c = out(rngI.nextInt(k)).clone()
+              c(rngI.nextInt(256)) = rngI.nextInt(1 << 24)
+              c
+            } else if (r < 0.10) { // uniform frame: dHash exactly 0
+              val g = rngI.nextInt(256)
+              Array.fill(256)((g << 16) | (g << 8) | g)
+            } else Array.fill(256)(rngI.nextInt(1 << 24))
+          k += 1
+        }
+        out
+      }
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[sweep] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      }
+      val nImg = 10000
+      val corpusPix = genPixels(nImg)
+      val media = spark.createDataset((0 until nImg).map(k =>
+        ops.Multimodal.MediaRow(k.toLong, "image", png(corpusPix(k)),
+          s"sweep://$k")))
+      time("imageNearDup uncapped")(
+        ops.Multimodal.imageNearDup(media, maxHamming = 3).count())
+      graft.CacheScope.release(spark)
+      time("imageNearDup cap=200")(
+        ops.Multimodal.imageNearDup(media, maxHamming = 3,
+          maxBucketSize = 200).count())
+      val fps = graft.CacheScope.pin(ops.Multimodal.perceptualHashes(media))
+      time("image cap audit")(
+        ops.Multimodal.imageBandCapAudit(fps, maxBucketSize = 200).count())
+      // incremental gate: 500 incoming frames — a fifth are single-pixel
+      // edits of random CORPUS images (the recrawl near-dup class; edits
+      // of capped uniform frames stay unmatched, the documented cap
+      // trade), the rest fresh — vs the persisted phash table
+      val incoming = spark.createDataset((0 until 500).map { k =>
+        val pix =
+          if (k % 5 == 0) {
+            val c = corpusPix(rngI.nextInt(nImg)).clone()
+            c(rngI.nextInt(256)) = rngI.nextInt(1 << 24)
+            c
+          } else genPixels(1)(0)
+        ops.Multimodal.MediaRow((nImg + k).toLong, "image", png(pix),
+          s"sweep://inc/$k")
+      })
+      time("imageNearDupAgainst cap=200")(
+        ops.Multimodal.imageNearDupAgainst(incoming, fps,
+          maxHamming = 3, maxBucketSize = 200).count())
+      graft.CacheScope.release(spark)
+    } catch {
+      case e: Exception =>
+        failures += 1
+        println(s"[sweep] image_dedup_sweep FAILED: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     println(f"[sweep] TOTAL ${(System.nanoTime() - total0) / 1e9}%.1f s  failures=$failures")

@@ -964,6 +964,20 @@ mpairs AS (
         ops.Similarity.bruteForceTopK(emb, q, 5)).orderBy("q_id")
     }),
 
+    // Recall-gated serving-config sweep: probe budgets {1, 2, 4} at the
+    // 8-plane index, one row each with candidate volume (the cost axis)
+    // and aggregate recall@5 vs the brute baseline (the quality axis) —
+    // the thresholdSweep pattern applied to ANN serving; a rollout picks
+    // the cheapest probe budget above its recall floor. The oracle
+    // replays the shared bucket/flip machinery once and every config's
+    // chain, counting the identical candidate rows.
+    "q_ann_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ops.Similarity.annProbeSweep(emb, q, 5).orderBy("probes")
+    }),
+
     // Multi-probe ANN top-5: each query searches its own bucket plus the
     // 3 single-bit flips with the smallest hyperplane margin (Lv et al.
     // multi-probe LSH) — recall recovered without growing the index side.
@@ -2936,6 +2950,75 @@ SELECT e.q_id AS q_id, CAST(count(*) AS BIGINT) AS n_exact,
 FROM exact e LEFT JOIN approx a
   ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.q_id ORDER BY e.q_id"""
+    },
+
+    // Replicates annProbeSweep over probes {1, 2, 4}: one shared
+    // plane/bucket/flip head (q_ann_multiprobe's machinery), then per
+    // config the probe set (own bucket + rn <= probes-1 margin flips —
+    // empty flip set at probes = 1), the counted candidate join, the
+    // top-5, and the recall aggregate against the shared brute baseline.
+    "q_ann_sweep" -> {
+      val planes = ops.Similarity.hyperplanes(8, 64, 42L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      def cfg(p: Int): String =
+        s"""qp$p AS (
+  SELECT vec_id AS q_id, bucket FROM buck WHERE vec_id < 10
+  UNION ALL
+  SELECT f.vec_id AS q_id, xor(b.bucket, CAST(1 AS BIGINT) << f.j) AS bucket
+  FROM flips f JOIN buck b ON f.vec_id = b.vec_id
+  WHERE f.rn <= ${p - 1}),
+cand$p AS (
+  SELECT qp.q_id, cb.vec_id AS neighbor_id
+  FROM qp$p qp JOIN buck cb ON qp.bucket = cb.bucket),
+s$p AS (
+  SELECT c.q_id, c.neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM cand$p c JOIN q ON q.q_id = c.q_id
+       JOIN embeddings v ON v.vec_id = c.neighbor_id),
+ap$p AS (
+  SELECT q_id, neighbor_id FROM s$p
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+r$p AS (
+  SELECT CAST($p AS INT) AS probes,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_candidates,
+    CAST(count(*) AS BIGINT) AS n_exact,
+    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+    CAST(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      / CAST(count(*) AS BIGINT) AS recall
+  FROM exact e LEFT JOIN ap$p a
+    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id)"""
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+flips AS (
+  SELECT vec_id, j,
+    row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), j) AS rn
+  FROM dots WHERE vec_id < 10),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+bs AS (
+  SELECT q_id, v.vec_id AS neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM q, embeddings v),
+exact AS (
+  SELECT q_id, neighbor_id FROM bs
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+${cfg(1)},
+${cfg(2)},
+${cfg(4)}
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
+ORDER BY probes"""
     },
 
     // Replicates annTopK(probes = 4): same planes/buckets as q_ann_lsh,

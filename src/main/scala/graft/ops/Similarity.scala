@@ -722,6 +722,46 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
 
+  /** Recall-gated serving-config sweep — the
+    * [[graft.ops.Classifier.thresholdSweep]] pattern applied to ANN
+    * serving: evaluate a PROBE-BUDGET grid for [[annTopK]] on an eval
+    * query slice against the exact baseline, one row per config with
+    * the COST axis (n_candidates — the rows the config feeds the
+    * verify/rank stage, an exact long both engines count identically)
+    * and the QUALITY axis (aggregate recall@k vs [[bruteForceTopK]],
+    * the long/long set-overlap [[recallAtK]] reduces to). An index
+    * rollout reads this table to pick the cheapest config above its
+    * recall floor — the eval-slice measurement that decides the probe
+    * budget BEFORE a 100 TB serving deployment pays it. One brute
+    * baseline shared across the grid; per config one bucket equi-join
+    * (counting) + one [[annTopK]]+[[recallAtK]] chain; the per-config
+    * frames are constant-size aggregates, so the union is cheap.
+    *
+    * Output: (probes, n_candidates, n_exact, n_hit, recall).
+    */
+  def annProbeSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                    probesGrid: Seq[Int] = Seq(1, 2, 4), nPlanes: Int = 8,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(probesGrid.nonEmpty, "annProbeSweep needs a non-empty grid")
+    val exact = bruteForceTopK(corpus, queries, k)
+    val c = corpus.withColumn("bucket",
+      hyperplaneBucket(col("embedding"), nPlanes, dim, seed))
+    probesGrid.map { p =>
+      val qb = queries.withColumn("bucket",
+        explode(probeBuckets(col("q_emb"), nPlanes, dim, seed, p)))
+      val nCand = c.select("bucket")
+        .join(qb.select("bucket"), "bucket")
+        .agg(count(lit(1)).as("n_candidates"))
+      val rec = recallAtK(
+        annTopK(corpus, queries, k, nPlanes, dim, seed, probes = p), exact)
+        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+      nCand.crossJoin(rec) // two 1-row aggregates — constant-size build
+        .select(lit(p).as("probes"), col("n_candidates"),
+          col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× memory/IO compression before ANN serving (a 100 TB
     * embedding table becomes 25 TB; bucket probes read a quarter of the

@@ -308,6 +308,25 @@ class SimilaritySpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("annProbeSweep: probe budget buys candidates and recall " +
+    "monotonically; rows agree with the standalone recall measurement") {
+    val sweep = Similarity.annProbeSweep(emb, queries, 3)
+      .orderBy("probes").as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1, 2, 4))
+    sweep.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 <= b._2 && a._5 <= b._5,
+          s"probes must buy candidates and recall monotonically: $sweep")
+      case _ =>
+    }
+    // the probes = 1 row is exactly the standalone recallAtK aggregate
+    val r1 = Similarity.recallAtK(
+      Similarity.annTopK(emb, queries, 3),
+      Similarity.bruteForceTopK(emb, queries, 3))
+      .agg(sum("n_exact"), sum("n_hit")).as[(Long, Long)].head()
+    assert(sweep.head._3 == r1._1 && sweep.head._4 == r1._2)
+  }
+
   test("ivfTopKWith: trained k-means cells route at least as well as " +
     "id-seeded cells; identical cells give identical results") {
     // plumbing identity: the refactored ivfTopK == ivfTopKWith under the
