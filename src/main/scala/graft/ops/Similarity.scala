@@ -664,15 +664,39 @@ object Similarity {
     * inside probed cells.
     */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                  centroids: DataFrame, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assigned = corpus
+                  centroids: DataFrame, nProbe: Int = 4): DataFrame =
+    ivfTopKIndexed(ivfAssign(corpus, centroids), queries, k, centroids,
+      nProbe)
+
+  /** The IVF INDEX build, standalone — every corpus vector assigned to
+    * its highest-cosine cell (one map-side-combinable argmax; ties to
+    * the lowest cell id): the (cell, vec_id, embedding) table a real
+    * deployment PERSISTS, partitioned by cell, so serving prunes scans
+    * by cell without re-assigning the corpus on every query batch.
+    * Commit it with [[graft.io.Manifest]] for a versioned index
+    * artifact (the tokenizer / centroid-model pattern — the third leg
+    * of the persisted-artifact trio), then serve any committed version
+    * through [[ivfTopKIndexed]]; SimilaritySpec proves the round trip
+    * serves identically to inline assignment.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("embedding"), col("c_emb")))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cell"), col("embedding")),
         struct(col("csim"), (-col("cell")).as("tie"))).as("m"))
       .select(col("m.cell").as("cell"), col("vec_id"), col("m.embedding").as("embedding"))
+
+  /** Serve top-k from a PREBUILT index ([[ivfAssign]] output — usually
+    * read back from its persisted snapshot): probe routing against the
+    * broadcast cell table + exact cosine + TopK inside probed cells
+    * only. Zero corpus-assignment work at query time — the steady-state
+    * serving cost is the probe scan alone.
+    */
+  def ivfTopKIndexed(assigned: DataFrame, queries: DataFrame, k: Int,
+                     centroids: DataFrame, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probes = queries
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_emb"), col("c_emb")))

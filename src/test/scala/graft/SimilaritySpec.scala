@@ -308,6 +308,22 @@ class SimilaritySpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("ivfAssign/ivfTopKIndexed: a Manifest-committed index serves " +
+    "identically to inline assignment (the persisted-artifact shape)") {
+    val cells = graft.ops.Clustering.kmeansCellsExact(emb, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val table = s"$dir/ivf_index"
+    graft.io.Manifest.write(Similarity.ivfAssign(emb, cells), table)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val fromIndex = Similarity.ivfTopKIndexed(
+      graft.io.Manifest.read(spark, table), queries, 3, cells, nProbe = 2)
+    assert(rows(fromIndex) ==
+      rows(Similarity.ivfTopKWith(emb, queries, 3, cells, nProbe = 2)),
+      "persisted-index serving must equal inline assignment bit-for-bit")
+  }
+
   test("annProbeSweep: probe budget buys candidates and recall " +
     "monotonically; rows agree with the standalone recall measurement") {
     val sweep = Similarity.annProbeSweep(emb, queries, 3)
