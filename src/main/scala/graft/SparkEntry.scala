@@ -978,6 +978,21 @@ mpairs AS (
       ops.Similarity.annProbeSweep(emb, q, 5).orderBy("probes")
     }),
 
+    // The IVF twin of the probe-budget sweep: nProbe {1, 2, 4} over the
+    // id-seeded 16-cell index, built ONCE for the whole grid (the sweep
+    // prices probe budgets, not index construction); n_candidates is
+    // the exact sum of probed cell sizes — IVF's scan-pruning cost
+    // axis. The oracle shares q_ann_ivf's assignment chain and replays
+    // each config's serve plus the counted probe join.
+    "q_ivf_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cells = emb.orderBy("vec_id").limit(16)
+        .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      ops.Similarity.ivfProbeSweep(emb, q, 5, cells).orderBy("n_probe")
+    }),
+
     // Multi-probe ANN top-5: each query searches its own bucket plus the
     // 3 single-bit flips with the smallest hyperplane margin (Lv et al.
     // multi-probe LSH) — recall recovered without growing the index side.
@@ -3019,6 +3034,67 @@ ${cfg(2)},
 ${cfg(4)}
 SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
 ORDER BY probes"""
+    },
+
+    // Replicates ivfProbeSweep: q_ann_ivf's assignment chain shared by
+    // the grid, per config the rn-filtered probe set, the counted
+    // probe×cell-size join (exact BIGINT sums), the serve, and the
+    // recall aggregate against the shared brute baseline.
+    "q_ivf_sweep" -> {
+      def cfg(p: Int): String =
+        s"""s$p AS (
+  SELECT pp.q_id, a.vec_id AS neighbor_id,
+    ${duckDot("pp.qe", "a.embedding")} /
+      (sqrt(${duckDot("pp.qe", "pp.qe")}) * sqrt(${duckDot("a.embedding", "a.embedding")})) AS sim
+  FROM (SELECT q_id, qe, cell FROM pr WHERE rn <= $p) pp
+       JOIN asg a USING (cell)),
+ap$p AS (
+  SELECT q_id, neighbor_id FROM s$p
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+r$p AS (
+  SELECT CAST($p AS INT) AS n_probe,
+    (SELECT CAST(coalesce(sum(sz.cell_n), 0) AS BIGINT)
+       FROM (SELECT cell FROM pr WHERE rn <= $p) pc JOIN sizes sz USING (cell))
+      AS n_candidates,
+    CAST(count(*) AS BIGINT) AS n_exact,
+    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+    CAST(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      / CAST(count(*) AS BIGINT) AS recall
+  FROM exact e LEFT JOIN ap$p a
+    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id)"""
+      s"""WITH cent AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+asg AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT v.vec_id, c.cell, v.embedding,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        ${duckDot("v.embedding", "c.ce")} /
+          (sqrt(${duckDot("v.embedding", "v.embedding")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+        c.cell) AS rn
+    FROM embeddings v, cent c) WHERE rn = 1),
+sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n FROM asg GROUP BY cell),
+pr AS (
+  SELECT q.q_id, q.qe, c.cell,
+    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      ${duckDot("q.qe", "c.ce")} /
+        (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("c.ce", "c.ce")})) DESC,
+      c.cell) AS rn
+  FROM q, cent c),
+bs AS (
+  SELECT q_id, v.vec_id AS neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM q, embeddings v),
+exact AS (
+  SELECT q_id, neighbor_id FROM bs
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5),
+${cfg(1)},
+${cfg(2)},
+${cfg(4)}
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
+ORDER BY n_probe"""
     },
 
     // Replicates annTopK(probes = 4): same planes/buckets as q_ann_lsh,

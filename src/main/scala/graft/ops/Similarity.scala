@@ -626,6 +626,48 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** [[annProbeSweep]]'s IVF twin: evaluate an nProbe grid for
+    * [[ivfTopKIndexed]] against the exact baseline, over ONE shared
+    * index build ([[ivfAssign]] runs once — the sweep prices probe
+    * budgets, not index construction). Per config: n_candidates = the
+    * exact sum of probed cell sizes (the rows the config's verify/rank
+    * stage reads — IVF's cost axis) and aggregate recall@k (the
+    * quality axis). The knob an IVF rollout actually tunes: more
+    * probes buy recall linearly in scanned cells; this table says
+    * where the recall floor is crossed cheapest.
+    *
+    * Output: (n_probe, n_candidates, n_exact, n_hit, recall).
+    */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                    centroids: DataFrame,
+                    nProbeGrid: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbeGrid.nonEmpty, "ivfProbeSweep needs a non-empty grid")
+    val exact = bruteForceTopK(corpus, queries, k)
+    val assigned = ivfAssign(corpus, centroids)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    // probe ranking computed once for the whole grid; each config is a
+    // filter on rn — identical ordering to ivfTopKIndexed's router
+    val probesAll = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell"))))
+      .select("q_id", "cell", "rn")
+    nProbeGrid.map { p =>
+      val nCand = probesAll.filter(col("rn") <= p)
+        .join(broadcast(sizes), "cell")
+        .agg(coalesce(sum("cell_n"), lit(0L)).as("n_candidates"))
+      val rec = recallAtK(
+        ivfTopKIndexed(assigned, queries, k, centroids, nProbe = p), exact)
+        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+      nCand.crossJoin(rec) // two 1-row aggregates — constant-size build
+        .select(lit(p).as("n_probe"), col("n_candidates"),
+          col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF (inverted-file) ANN top-k — the partition-pruning scale path.
     *
     * "Training" is deterministic: the first `nCells` corpus vectors (by

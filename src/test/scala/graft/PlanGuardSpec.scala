@@ -31,6 +31,14 @@ class PlanGuardSpec extends SparkSpec {
       "q_hist_drift",
       // q_ann_ivf's centroid cross-builds over the quantized table
       "q_ann_quantized",
+      // the trained-cell serve: same broadcast k-row cell cross-build as
+      // q_ann_ivf (router + assignment), over the quantized table
+      "q_ann_ivf_trained",
+      // the probe-budget sweeps compose bruteForceTopK (the documented
+      // broadcast linear-scan baseline) + constant-size 1-row × 1-row
+      // aggregate cross-builds per config row (q_ivf_sweep adds the
+      // k-row cell cross-builds of the q_ann_ivf family)
+      "q_ann_sweep", "q_ivf_sweep",
       // the gap-fill grid build (types × 1-row bounds), like q_gapfill
       "q_forecast_backtest",
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build

@@ -341,6 +341,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceTopK(emb, queries, 3))
       .agg(sum("n_exact"), sum("n_hit")).as[(Long, Long)].head()
     assert(sweep.head._3 == r1._1 && sweep.head._4 == r1._2)
+    // the IVF twin: same monotone contract, and full-probe recall is 1.0
+    // (probing every cell IS the exact search)
+    val cells = emb.orderBy("vec_id").limit(8)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"))
+    val ivf = Similarity.ivfProbeSweep(emb, queries, 3, cells,
+      nProbeGrid = Seq(1, 2, 8))
+      .orderBy("n_probe").as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(ivf.map(_._1) == Seq(1, 2, 8))
+    ivf.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 <= b._2 && a._5 <= b._5,
+          s"nProbe must buy candidates and recall monotonically: $ivf")
+      case _ =>
+    }
+    assert(ivf.last._5 == 1.0,
+      "probing all cells must recover the exact neighbors")
   }
 
   test("ivfTopKWith: trained k-means cells route at least as well as " +
