@@ -441,7 +441,22 @@ object Clustering {
                        iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val qv = quantizedView(embeddings)
+    // the quantized view is an interpreted-HOF projection (see
+    // quantizeEmbeddings' hoisting note), and the Lloyd loop reads it
+    // 2·iters+1 times with k references per argmin — pin it for the
+    // loop's lifetime so the quantize pass runs once, not once per
+    // reference per iteration (measured 5.0 s → per-pass cost at
+    // sf0.1); released before returning (every read below is a collect,
+    // so nothing lazy escapes holding the pin)
+    val qv = graft.CacheScope.pin(quantizedView(embeddings))
+    try {
+      kmeansCellsExactLoop(qv, k, iters)(spark)
+    } finally graft.CacheScope.unpin(qv)
+  }
+
+  private def kmeansCellsExactLoop(qv: DataFrame, k: Int, iters: Int)(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
     var cents: Seq[(Long, Seq[Double])] =
       seedCentroids(qv, k).map { case (cid, cv, _) => (cid, cv) }
     if (cents.isEmpty)

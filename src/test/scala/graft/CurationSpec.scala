@@ -106,6 +106,17 @@ class CurationSpec extends SparkSpec {
       df.collect().map(_.toSeq).toSet
     assert(rows(outA) == rows(outB) && rows(repA) == rows(repB),
       "the persisted-resolution path must be byte-equivalent")
+    // the ARTIFACT form: resolutionRefresh commits the same resolution
+    // as a Manifest snapshot, and curating from the committed version is
+    // still byte-equivalent — train once, curate from the snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_canon").toString
+    val table = s"$dir/resolution"
+    val v = Dedup.resolutionRefresh(corpus, table, k = 32, bands = 8,
+      threshold = 0.5)
+    val (outC, repC) = Curation.curate(corpus, benchmark,
+      resolvedCanon = Some(graft.io.Manifest.readVersion(spark, table, v)))
+    assert(rows(outA) == rows(outC) && rows(repA) == rows(repC),
+      "the Manifest-committed resolution must serve byte-equivalently")
   }
 
   test("curate report funnel is monotone and consistent with the corpus") {
