@@ -643,8 +643,12 @@ object Similarity {
                     nProbeGrid: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nProbeGrid.nonEmpty, "ivfProbeSweep needs a non-empty grid")
-    val exact = bruteForceTopK(corpus, queries, k)
-    val assigned = ivfAssign(corpus, centroids)
+    // shared subtrees pinned across the grid (annProbeSweep's note): the
+    // brute baseline and the ONE index build every config serves from —
+    // "built once" must hold in execution, not just in the plan text.
+    // Session-owned lifetime; release() once the sweep table is consumed.
+    val exact = graft.CacheScope.pin(bruteForceTopK(corpus, queries, k))
+    val assigned = graft.CacheScope.pin(ivfAssign(corpus, centroids))
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
     // probe ranking computed once for the whole grid; each config is a
     // filter on rn — identical ordering to ivfTopKIndexed's router
@@ -809,9 +813,15 @@ object Similarity {
                     probesGrid: Seq[Int] = Seq(1, 2, 4), nPlanes: Int = 8,
                     dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(probesGrid.nonEmpty, "annProbeSweep needs a non-empty grid")
-    val exact = bruteForceTopK(corpus, queries, k)
-    val c = corpus.withColumn("bucket",
-      hyperplaneBucket(col("embedding"), nPlanes, dim, seed))
+    // shared subtrees pinned across the grid: every config's recall join
+    // reads the brute baseline and every config's candidate count reads
+    // the bucketed corpus — without the pins each config re-executes the
+    // corpus scan + hashing (and the brute O(n·q) baseline) from scratch.
+    // Session-owned lifetime, the operator-pin convention (release with
+    // graft.CacheScope.release(spark) once the sweep table is consumed).
+    val exact = graft.CacheScope.pin(bruteForceTopK(corpus, queries, k))
+    val c = graft.CacheScope.pin(corpus.withColumn("bucket",
+      hyperplaneBucket(col("embedding"), nPlanes, dim, seed)))
     probesGrid.map { p =>
       val qb = queries.withColumn("bucket",
         explode(probeBuckets(col("q_emb"), nPlanes, dim, seed, p)))
