@@ -42,6 +42,7 @@ object ScaleSweep {
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
+    "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep",
     "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these two rows measure COMPOSITION cost (producer =
