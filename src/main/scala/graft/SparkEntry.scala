@@ -1336,6 +1336,18 @@ mpairs AS (
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // DSIR importance scoring: rank the whole corpus by target-likeness
+    // with the English slice as the target domain — hashed-bigram
+    // add-α log-likelihood ratio, mean per doc. Histograms are dim=64
+    // rows (broadcast); ln compares at the lmScore 6-dp precedent.
+    "q_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirScore(docs, docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("n_features"),
+          round(col("dsir_score"), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+
     // Per-group top-k leaderboard (WindowGroupLimit pushdown): the 5
     // longest documents per language, ranked by token count.
     "q_topk_per_lang" -> ((s, dir) =>
@@ -3803,6 +3815,37 @@ FROM canon ORDER BY doc_id""",
         |  FROM grams g JOIN bi USING (bg) JOIN uni ON g.w1 = uni.w CROSS JOIN voc
         |  GROUP BY g.doc_id)
         |SELECT d.doc_id, s.n_bigrams, round(s.avg_logp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Replicates dsirScore(target = lang 'en', dim 64, α 0.4): same
+    // 16-bit-md5 bigram buckets (the QualityModelCtes hash family),
+    // exact BIGINT histograms/totals, one shared ratio tree inside ln,
+    // per-doc mean at the lmScore 6-dp rounding.
+    "q_dsir_score" ->
+      """WITH rawt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |rawf AS (
+        |  SELECT doc_id,
+        |    (CAST(('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 4)) AS INT) % 64) + 1 AS b
+        |  FROM rawt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |tgtt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE lang = 'en'),
+        |tgtf AS (
+        |  SELECT (CAST(('0x' || substring(md5(t[i] || ' ' || t[i + 1]), 1, 4)) AS INT) % 64) + 1 AS b
+        |  FROM tgtt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+        |hr AS (SELECT b, count(*) AS cr FROM rawf GROUP BY b),
+        |ht AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY b),
+        |tr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM hr),
+        |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ht),
+        |rat AS (
+        |  SELECT hr.b,
+        |    ln(((coalesce(ht.ct, 0) + CAST(0.4 AS DOUBLE)) * (tr.nr + CAST(25.6 AS DOUBLE))) /
+        |       ((hr.cr + CAST(0.4 AS DOUBLE)) * (tt.nt + CAST(25.6 AS DOUBLE)))) AS logratio
+        |  FROM hr LEFT JOIN ht USING (b) CROSS JOIN tr CROSS JOIN tt),
+        |scored AS (
+        |  SELECT f.doc_id, CAST(count(*) AS INT) AS n_features,
+        |    avg(r.logratio) AS dsir_score
+        |  FROM rawf f JOIN rat r USING (b) GROUP BY f.doc_id)
+        |SELECT d.doc_id, s.n_features, round(s.dsir_score, 6) AS dsir_score
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -530,6 +530,67 @@ object Corpus {
       .withColumn("is_sampled", col("sample_u") < col(probCol))
   }
 
+  /** DSIR-style data-selection importance score (Xie et al., NeurIPS
+    * 2023, arXiv:2302.03169 — "Data Selection for Language Models via
+    * Importance Resampling", re-expressed relationally): rank RAW
+    * documents by how much more likely their hashed n-gram features are
+    * under a TARGET corpus's distribution than under the raw corpus's
+    * own — the standard way to upweight target-domain-like web text
+    * before pretraining. Features are hashed word BIGRAMS (the paper's
+    * choice) in `dim` md5 buckets (the [[graft.ops.Classifier]] /
+    * hashSplit engine-portable bucket family); both distributions are
+    * add-α smoothed bucket frequencies; a document's score is its MEAN
+    * per-feature log-ratio ln(p_target(b) / p_raw(b)) — positive means
+    * target-like. Compose with [[weightedSample]] (map the score to a
+    * probability) or [[quantileGate]] for the resampling step.
+    *
+    * Output: (doc_id, n_features, dsir_score) for EVERY raw doc —
+    * docs with < 2 tokens have no bigrams and carry nulls.
+    *
+    * Cross-engine parity: counts and totals are exact longs, the ratio
+    * is one shared IEEE expression tree, and `ln` follows the lmScore /
+    * charEntropy precedent (libm last-ulp — oracle-facing queries
+    * compare at the stable 6-decimal rounding).
+    *
+    * Scale posture (100 TB): unlike [[graft.ops.text.TextStats.lmScore]]'s
+    * corpus-sized gram tables, BOTH histograms here are dim rows — the
+    * log-ratio table broadcasts, scoring is one map pass over the raw
+    * bigram stream + one combinable per-doc average. The target corpus
+    * may itself be huge; only its dim-row histogram ever moves. No
+    * windows, no all-pairs, nothing corpus-sized shuffles.
+    */
+  def dsirScore(raw: DataFrame, target: DataFrame, dim: Int = 64,
+                alpha: Double = 0.4): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val alphaD = alpha * dim
+    def feats(df: DataFrame): DataFrame = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .withColumn("b",
+        (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("int") % dim)
+          + 1)
+    val rawF = feats(raw)
+    val histR = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val histT = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    // totals fold from the dim-row histograms — no second corpus scan
+    val totR = histR.agg(sum("cr").as("nr"))
+    val totT = histT.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    val ratios = histR
+      .join(histT, Seq("b"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .withColumn("logratio", log(
+        ((coalesce(col("ct"), lit(0L)) + lit(alpha)) * (col("nr") + lit(alphaD))) /
+          ((col("cr") + lit(alpha)) * (col("nt") + lit(alphaD)))))
+      .select("b", "logratio")
+    val scored = rawF.join(broadcast(ratios), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_features"),
+        avg(col("logratio")).as("dsir_score"))
+    raw.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
   /** Leakage-safe train/val/test split: [[hashSplit]] keyed by the
     * near-dup CLUSTER rather than the document, so two near-duplicate
     * documents can never land in different splits — the eval-leakage

@@ -398,6 +398,32 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 5L, 6L, 7L))
   }
 
+  test("dsirScore: target-like docs rank above off-target ones; " +
+    "featureless docs carry nulls; uniform target is score-neutral") {
+    val raw = docs(
+      1L -> "alpha beta alpha beta alpha beta", // target-like bigrams
+      2L -> "gamma delta gamma delta gamma delta", // off-target
+      3L -> "alpha beta gamma delta", // mixed
+      4L -> "solo") // one token: no bigrams
+    val target = docs(10L -> "alpha beta alpha beta alpha beta alpha")
+    val got = Corpus.dsirScore(raw, target)
+      .orderBy("doc_id")
+      .as[(Long, Option[Int], Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // n_features counts bigram OCCURRENCES
+    assert(got.map(_._2) == Seq(Some(5), Some(5), Some(3), None))
+    assert(got(3)._3.isEmpty, "a bigram-less doc must carry a null score")
+    val Seq(sA, sB, sM) = got.take(3).map(_._3.get)
+    assert(sA > sM && sM > sB,
+      s"target-likeness must order the scores: a=$sA mixed=$sM b=$sB")
+    // a target with the raw corpus's own distribution is score-neutral:
+    // every doc's score lands at (near) zero — the log-ratio of two
+    // identical smoothed histograms differs only in total-count terms
+    val self = Corpus.dsirScore(raw, raw).filter(col("dsir_score").isNotNull)
+      .agg(max(abs(col("dsir_score")))).as[Double].head()
+    assert(self < 1e-12, s"self-target must score ~0, was $self")
+  }
+
   test("weightedSample: deterministic, boundary probabilities, rate tracks the weight") {
     val n = 4000
     val rows = (0L until n).map(i => (i, 0.3)).toDF("doc_id", "p")
