@@ -51,6 +51,9 @@ class PlanGuardSpec extends SparkSpec {
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",
+      // DSIR's two 1-row histogram totals broadcast into the dim-row
+      // ratio table (the corpus-stats pattern)
+      "q_dsir_score",
       // the 1-row quantile-threshold array broadcast over the value scan
       // (the equi-width histogram's bounds pattern)
       "q_hist_equidepth")
