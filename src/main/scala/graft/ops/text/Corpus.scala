@@ -561,34 +561,85 @@ object Corpus {
     */
   def dsirScore(raw: DataFrame, target: DataFrame, dim: Int = 64,
                 alpha: Double = 0.4): DataFrame = {
-    require(dim >= 1, s"dim must be >= 1, got $dim")
-    require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val alphaD = alpha * dim
-    def feats(df: DataFrame): DataFrame = df
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("bg"))
-      .withColumn("b",
-        (conv(substring(md5(col("bg")), 1, 4), 16, 10).cast("int") % dim)
-          + 1)
-    val rawF = feats(raw)
-    val histR = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
-    val histT = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    // totals fold from the dim-row histograms — no second corpus scan
-    val totR = histR.agg(sum("cr").as("nr"))
-    val totT = histT.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
-    val ratios = histR
-      .join(histT, Seq("b"), "left")
-      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
-      .withColumn("logratio", log(
-        ((coalesce(col("ct"), lit(0L)) + lit(alpha)) * (col("nr") + lit(alphaD))) /
-          ((col("cr") + lit(alpha)) * (col("nt") + lit(alphaD)))))
-      .select("b", "logratio")
-    val scored = rawF.join(broadcast(ratios), "b")
+    val rawF = dsirFeats(raw, dim)
+    val scored = rawF
+      .join(broadcast(dsirRatios(raw, target, dim, alpha)), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_features"),
         avg(col("logratio")).as("dsir_score"))
     raw.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** The hashed-bigram feature stream shared by the DSIR family. */
+  private def dsirFeats(df: DataFrame, dim: Int): DataFrame = df
+    .filter(col("text").isNotNull)
+    .select(col("doc_id"),
+      explode(shingles(tokens(col("text")), 2)).as("bg"))
+    .withColumn("b", dsirBucket(col("bg"), dim))
+
+  private def dsirBucket(bg: org.apache.spark.sql.Column, dim: Int) =
+    (conv(substring(md5(bg), 1, 4), 16, 10).cast("int") % dim) + 1
+
+  /** The DSIR log-ratio MODEL standalone: one row per bucket 1..dim —
+    * TOTAL over the bucket space (buckets unseen in either corpus carry
+    * the fully-smoothed ratio), so any future document scores under it.
+    * This is the artifact a deployment persists (a dim-row Manifest
+    * snapshot, the centroid/tokenizer-model pattern) and serves through
+    * [[dsirScoreWith]]; [[dsirScore]] is exactly fit∘score in one call.
+    * Totals fold from the dim-row histograms — no second corpus scan.
+    */
+  def dsirRatios(raw: DataFrame, target: DataFrame, dim: Int = 64,
+                 alpha: Double = 0.4): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val alphaD = alpha * dim
+    val histR = dsirFeats(raw, dim).groupBy("b").agg(count(lit(1)).as("cr"))
+    val histT = dsirFeats(target, dim).groupBy("b")
+      .agg(count(lit(1)).as("ct"))
+    val totR = histR.agg(coalesce(sum("cr"), lit(0L)).as("nr"))
+    val totT = histT.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
+    raw.sparkSession.range(1, dim + 1)
+      .select(col("id").cast("int").as("b"))
+      .join(histR, Seq("b"), "left")
+      .join(histT, Seq("b"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .withColumn("logratio", log(
+        ((coalesce(col("ct"), lit(0L)) + lit(alpha)) * (col("nr") + lit(alphaD))) /
+          ((coalesce(col("cr"), lit(0L)) + lit(alpha)) * (col("nt") + lit(alphaD)))))
+      .select("b", "logratio")
+  }
+
+  /** Score documents under a TRAINED DSIR model ([[dsirRatios]] output,
+    * typically read back from its persisted snapshot): the dim-row model
+    * inlines as a literal array and the document's mean log-ratio is an
+    * ordered fold over its bigram stream — PURE MAP work, zero shuffle,
+    * so the SAME call runs on a streaming Dataset (the ingest-time
+    * domain filter; StreamingSpec proves stream ≡ batch). Emits every
+    * input column plus (n_features, dsir_score); nulls for docs with no
+    * bigrams, [[dsirScore]]'s contract. Values agree with the batch form
+    * to floating-point summation order (the fold sums in document order,
+    * the batch aggregate in join order) — CorpusSpec pins equality at
+    * the oracle's own 6-decimal lens.
+    */
+  def dsirScoreWith(docs: DataFrame, ratios: DataFrame,
+                    dim: Int = 64): DataFrame = {
+    val arr = new Array[Double](dim + 1) // 1-based buckets
+    ratios.select("b", "logratio").collect() // bounded: dim rows
+      .foreach(r => arr(r.getInt(0)) = r.getDouble(1))
+    val rlit = array(arr.toIndexedSeq.map(lit): _*)
+    val bcol = transform(shingles(tokens(col("text")), 2),
+      g => dsirBucket(g, dim))
+    docs
+      .withColumn("_bs", when(col("text").isNotNull, bcol))
+      .withColumn("n_features",
+        when(size(col("_bs")) > 0, size(col("_bs")).cast("int")))
+      .withColumn("dsir_score",
+        when(size(col("_bs")) > 0,
+          // element_at is 1-based over the 0-padded literal: bucket b
+          // (1..dim) lives at Scala index b, i.e. element b + 1
+          aggregate(col("_bs"), lit(0.0),
+            (acc, b) => acc + element_at(rlit, b + 1)) / size(col("_bs"))))
+      .drop("_bs")
   }
 
   /** Leakage-safe train/val/test split: [[hashSplit]] keyed by the

@@ -422,6 +422,23 @@ class CorpusSpec extends SparkSpec {
     val self = Corpus.dsirScore(raw, raw).filter(col("dsir_score").isNotNull)
       .agg(max(abs(col("dsir_score")))).as[Double].head()
     assert(self < 1e-12, s"self-target must score ~0, was $self")
+    // fit∘serve split: the trained dim-row model scores identically (at
+    // the oracle's 6-dp lens) through the literal-fold serving path, and
+    // a FOREIGN doc — buckets possibly unseen in either corpus — still
+    // gets the smoothed default instead of a null or a crash
+    def lens(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_features"),
+        round(col("dsir_score"), 6).as("s"))
+      .orderBy("doc_id").as[(Long, Option[Int], Option[Double])]
+      .collect().toSeq
+    val ratios = Corpus.dsirRatios(raw, target)
+    assert(lens(Corpus.dsirScoreWith(raw, ratios)) ==
+      lens(Corpus.dsirScore(raw, target)),
+      "serving under the trained model must equal the batch form at 6dp")
+    val foreign = Corpus.dsirScoreWith(docs(99L -> "zz qq zz"), ratios)
+      .select("dsir_score").as[Option[Double]].head()
+    assert(foreign.isDefined,
+      "unseen buckets must score under the smoothed default")
   }
 
   test("weightedSample: deterministic, boundary probabilities, rate tracks the weight") {

@@ -658,6 +658,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dsir serving is a pure map: stream scores == batch scores") {
+    import graft.ops.text.Corpus
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha beta gamma"),
+      (4L, "solo"))
+    val raw = docs.toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    // fit once (the dim-row model artifact), serve the SAME call on a
+    // stream — literal-fold map, no agg, no join: the ingest-time
+    // domain filter
+    val ratios = Corpus.dsirRatios(raw, target)
+    val expected = Corpus.dsirScoreWith(raw, ratios)
+      .as[(Long, String, Option[Int], Option[Double])].collect().toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Corpus.dsirScoreWith(mem.toDF().toDF("doc_id", "text"), ratios)
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dsir_scores")
+      .as[(Long, String, Option[Int], Option[Double])].collect().toSet
+    assert(got == expected)
+  }
+
   test("bpe encode applies unchanged to a stream (stateless map; stream ≡ batch)") {
     import graft.ops.text.Bpe
     val docs = Seq(
