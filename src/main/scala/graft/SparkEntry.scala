@@ -1423,6 +1423,15 @@ mpairs AS (
             .as("q_str"))
         .orderBy("vec_id")),
 
+    // Deterministic JL random projection (64 -> 8 dims), emitted as
+    // per-coordinate rows (layout-free compare, exact doubles): every
+    // coordinate is an ordered-fold dot against the seed-11 Gaussian
+    // rows the oracle embeds as literals.
+    "q_rand_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .orderBy("vec_id", "j")),
+
     // Edit-distance self-join (entity resolution): all document-prefix
     // pairs within Levenshtein distance 2, via Ed-Join prefix filtering +
     // exact verify. Oracle is the naive all-pairs scan.
@@ -3626,6 +3635,29 @@ FROM canon ORDER BY doc_id""",
         |  array_to_string(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * q_scale + 0.5) AS INT)), ',') AS q_str
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Replicates randomProject(outDim = 8, seed 11): the Gaussian rows
+    // as literals, one ordered-fold dot per (vector, row). Literals
+    // carry an EXPONENT ("…e0") so DuckDB types them DOUBLE at parse
+    // time: a bare decimal literal goes through DECIMAL first, whose
+    // decimal→double conversion is off by an ulp from the correctly
+    // rounded string→double for about half of all values — invisible to
+    // the sign/ordering plane oracles, fatal to a VALUE compare.
+    "q_rand_project" -> {
+      def dlit(v: Double): String = {
+        val s = v.toString
+        if (s.contains('E') || s.contains('e')) s else s + "e0"
+      }
+      val planes = ops.Similarity.hyperplanes(8, 64, 11L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(dlit).mkString(", ")}])"
+      }.mkString(",\n ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals)
+SELECT vec_id, CAST(j AS INT) AS j, ${duckDot("embedding", "p")} AS y
+FROM embeddings, planes
+ORDER BY vec_id, j"""
+    },
 
     // Naive all-pairs oracle for the prefix-filtered join; levenshtein is
     // BIGINT in DuckDB, int32 in Spark → CAST AS INT.

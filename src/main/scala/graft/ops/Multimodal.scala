@@ -290,10 +290,6 @@ object Multimodal {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
 
-  /** The uniform-image skew cap: drop (band_idx, band_val) buckets with
-    * more than `cap` members — shared by the self-join and incremental
-    * forms (Dedup.capBuckets' shape).
-    */
   /** The (band_idx, band_val) buckets `maxBucketSize` would DROP from a
     * phash table, with their member counts — the cap's observable side.
     * Under a cap, [[imageNearDupAgainst]] misses a pair in EVERY band
@@ -318,6 +314,10 @@ object Multimodal {
       .filter(col("bucket_n") > maxBucketSize)
   }
 
+  /** The uniform-image skew cap: drop (band_idx, band_val) buckets with
+    * more than `cap` members — shared by the self-join and incremental
+    * forms (Dedup.capBuckets' shape).
+    */
   private def capBands(bandTable: DataFrame, cap: Long): DataFrame =
     if (cap == Long.MaxValue) bandTable
     else {

@@ -222,6 +222,30 @@ object Similarity {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
+  /** Deterministic Gaussian random projection (Johnson–Lindenstrauss):
+    * map `dim`-wide vectors to `outDim` coordinates y_j = x · g_j with
+    * seed-derived Gaussian directions — the standard pre-ANN compression
+    * when upstream embeddings are wider than the index needs (a 1024-d
+    * encoder output projected to 64-d before bucketing/quantizing cuts
+    * index scan bytes 16× while JL preserves pairwise geometry to
+    * O(1/√outDim)). Pure map work: the projection matrix rides as
+    * LITERALS (outDim × dim doubles — not even a broadcast), each output
+    * coordinate is one ordered-fold dot, so the projection is
+    * bit-reproducible cross-engine and composes with everything
+    * downstream ([[quantizeEmbeddings]], [[hyperplaneBucket]],
+    * [[ivfAssign]]) — the LSH bucketing here is itself the SIGN of this
+    * projection. Output: input columns + `proj` (array<double>).
+    */
+  def randomProject(df: DataFrame, outDim: Int, dim: Int = 64,
+                    seed: Long = 11L,
+                    vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val planes = hyperplanes(outDim, dim, seed)
+    df.withColumn("proj",
+      array(planes.toIndexedSeq.map(p =>
+        dotOrdered(col(vecCol), typedLit(p.toSeq))): _*))
+  }
+
   /** Sign-bit LSH bucket id of an embedding column: bit i set iff
     * dot(embedding, plane_i) > 0. Embeddings with high cosine similarity
     * collide with high probability; bucket count = 2^nPlanes.

@@ -308,6 +308,25 @@ class SimilaritySpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("randomProject: deterministic JL projection; basis vectors read " +
+    "out the Gaussian rows exactly") {
+    val basis = (0 until 4).map { k =>
+      (k.toLong, Array.tabulate(64)(i => if (i == k) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(3, 64, 11L)
+    def run() = Similarity.randomProject(basis, outDim = 3)
+      .orderBy("vec_id").as[(Long, Seq[Float], Seq[Double])].collect()
+    val got = run()
+    // e_k · g_j picks out g_j(k) exactly (zero terms contribute exact
+    // zeros to the ordered fold)
+    got.foreach { case (k, _, proj) =>
+      (0 until 3).foreach(j => assert(proj(j) == planes(j)(k.toInt),
+        s"basis e_$k, row $j"))
+    }
+    assert(got.map(_._3).toSeq == run().map(_._3).toSeq,
+      "projection must be bit-deterministic across invocations")
+  }
+
   test("ivfAssign/ivfTopKIndexed: a Manifest-committed index serves " +
     "identically to inline assignment (the persisted-artifact shape)") {
     val cells = graft.ops.Clustering.kmeansCellsExact(emb, k = 8, iters = 2)
