@@ -36,7 +36,7 @@ object ScaleSweep {
   val heavyQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
-    "q_group_split", "q_decontaminate", "q_lm_score",
+    "q_group_split", "q_decontaminate", "q_lm_score", "q_dsir_score",
     "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
