@@ -814,6 +814,16 @@ mpairs AS (
       Dedup.nearDupPairs(t(s, dir, "documents"), k = 32, bands = 8,
         threshold = 0.5).orderBy("doc_a", "doc_b")),
 
+    // Blocking-quality audit for the MinHash banding (embedNearDupAudit's
+    // shape on the text side): per-band bucket census + exact candidate
+    // volume — the pre-flight a 100× run reads before the verify join,
+    // and the measurement that sizes maxBucketSize above the organic
+    // bucket population. Oracle reuses q_dedup_minhash's signature/band
+    // CTEs with a count census on top.
+    "q_minhash_audit" -> ((s, dir) =>
+      Dedup.minhashBandAudit(t(s, dir, "documents"), k = 32, bands = 8)
+        .orderBy("band_idx")),
+
     // Incremental ingestion dedup: the odd-id half arrives as a batch and
     // is flagged against the even-id corpus (asymmetric LSH, no
     // corpus-self pairing).
@@ -2375,6 +2385,23 @@ mpairs AS (
     // generation, same exact-Jaccard verify.
     "q_dedup_minhash" ->
       s"WITH $MinhashPairCtes\nSELECT doc_a, doc_b, jaccard FROM mpairs ORDER BY doc_a, doc_b",
+
+    // The census over the SAME signature/band chain (unreferenced CTEs
+    // prune away): per-band bucket counts → exact candidate volume.
+    // c·(c−1)/2 sums exactly in double below 2^53 (the embed-census
+    // argument); the per-doc ratio is one long/long double division.
+    "q_minhash_audit" ->
+      (s"WITH $MinhashPairCtes,\n" +
+        """bkt AS (
+          |  SELECT band_idx, band_key, count(*) AS c
+          |  FROM bands GROUP BY band_idx, band_key)
+          |SELECT band_idx,
+          |  CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(max(c) AS BIGINT) AS max_bucket,
+          |  CAST(sum(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs,
+          |  CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE)
+          |    / CAST(sum(c) AS BIGINT) AS candidates_per_doc
+          |FROM bkt GROUP BY band_idx ORDER BY band_idx""".stripMargin),
 
     // Asymmetric twin of the minhash oracle: one signature pipeline over
     // all docs, sides split by id parity only at candidate generation —

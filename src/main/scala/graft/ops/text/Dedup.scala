@@ -223,6 +223,42 @@ object Dedup {
     verifyJaccard(candidates, sets, sets, "doc_a", "doc_b", threshold)
   }
 
+  /** Blocking-quality audit for [[nearDupPairs]] — the
+    * [[graft.ops.Similarity.embedNearDupAudit]] shape for the MinHash
+    * text family, completing the pre-flight contract across every
+    * near-dup family (SURVEY §8): per band, bucket count, largest
+    * bucket, the EXACT candidate pairs the band would emit
+    * (Σ c·(c−1)/2 over its bucket sizes) and candidates per document —
+    * read this BEFORE paying for the verify join on an unknown corpus.
+    * A boilerplate crowd (cookie banners, license headers) shows up as
+    * max_bucket orders of magnitude above the organic population —
+    * exactly the measurement that sizes `maxBucketSize` above the
+    * organic buckets instead of into them (the cap-sizing rule the
+    * incremental emitters depend on). Cost: the signature map
+    * [[nearDupPairs]] pays anyway + one (band, key) count shuffle —
+    * a fraction of the verify.
+    *
+    * Output: (band_idx, n_buckets, max_bucket, candidate_pairs,
+    * candidates_per_doc).
+    */
+  def minhashBandAudit(documents: DataFrame, k: Int = 16,
+                       bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    bandTable(shingleSets(documents), k, bands)
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("c"))
+      .groupBy("band_idx").agg(
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        // c·(c−1) is even and the double sum is exact below 2^53
+        sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")
+          .as("candidate_pairs"),
+        sum("c").as("n_docs"))
+      .withColumn("candidates_per_doc",
+        col("candidate_pairs").cast("double") / col("n_docs"))
+      .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
+        "candidates_per_doc")
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into an actual deduped corpus: every doc in a
     * component keeps/drops together, with `component` (= the min doc_id

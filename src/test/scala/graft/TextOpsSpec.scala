@@ -151,6 +151,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("minhashBandAudit: exact census; a boilerplate crowd dominates " +
+    "max_bucket in every band") {
+    import graft.ops.text.Dedup
+    // 20 identical boilerplate docs (one shared bucket per band) + two
+    // organic docs with disjoint vocabularies (singleton buckets)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, "the same cookie banner text appears on every page")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "one two three four five six seven"))
+    val audit = Dedup.minhashBandAudit(rows.toDF("doc_id", "text"),
+      k = 32, bands = 8).orderBy("band_idx").collect()
+    assert(audit.map(_.getInt(0)).toSeq == (0 until 8))
+    audit.foreach { r =>
+      assert(r.getLong(1) == 3, s"band ${r.getInt(0)}: 3 buckets expected")
+      assert(r.getLong(2) == 20, "the crowd is every band's max bucket")
+      assert(r.getLong(3) == 190, "20 identical docs -> C(20,2) per band")
+      assert(r.getDouble(4) == 190.0 / 22)
+    }
+  }
+
   test("minhash maxBucketSize drops oversized (boilerplate) buckets") {
     // five identical docs: every band bucket has all 5 members
     val same = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
