@@ -824,6 +824,13 @@ mpairs AS (
       Dedup.minhashBandAudit(t(s, dir, "documents"), k = 32, bands = 8)
         .orderBy("band_idx")),
 
+    // Per-source content novelty: the share of each source's distinct
+    // bigram shingles that exist in NO other source — the mixture-design
+    // signal sourceStats' dup-rate misses (a mirror shows ~zero novelty
+    // at a low exact-dup rate).
+    "q_source_novelty" -> ((s, dir) =>
+      Corpus.sourceNovelty(t(s, dir, "documents")).orderBy("source")),
+
     // Incremental ingestion dedup: the odd-id half arrives as a batch and
     // is flagged against the even-id corpus (asymmetric LSH, no
     // corpus-self pairing).
@@ -2402,6 +2409,24 @@ mpairs AS (
           |  CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE)
           |    / CAST(sum(c) AS BIGINT) AS candidates_per_doc
           |FROM bkt GROUP BY band_idx ORDER BY band_idx""".stripMargin),
+
+    // Per-source distinct-shingle inventory vs the cross-source df: a
+    // shingle with n_src = 1 is unique to its source. Same 2-shingle
+    // construction as the minhash base CTE.
+    "q_source_novelty" ->
+      """WITH srcsh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest([array_to_string(toks[i:i+1], ' ')
+        |                           for i in generate_series(1, len(toks) - 1)]) AS sh
+        |    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))),
+        |df AS (SELECT sh, count(*) AS n_src FROM srcsh GROUP BY sh)
+        |SELECT s.source,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_shingles,
+        |  CAST(CAST(sum(CASE WHEN df.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS BIGINT) AS novelty
+        |FROM srcsh s JOIN df USING (sh)
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
     // Asymmetric twin of the minhash oracle: one signature pipeline over
     // all docs, sides split by id parity only at candidate generation —

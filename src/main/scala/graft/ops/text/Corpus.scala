@@ -530,6 +530,41 @@ object Corpus {
       .withColumn("is_sampled", col("sample_u") < col(probCol))
   }
 
+  /** Per-source CONTENT NOVELTY — the mixture-design signal
+    * [[graft.ops.text.TextStats.sourceStats]]'s volume/quality/dup-rate
+    * columns do not carry: how much of a source's n-gram inventory
+    * exists NOWHERE else in the corpus. A mirror or aggregator site
+    * shows near-zero novelty (its shingles all appear under other
+    * sources) even when its exact-dup rate is low; a primary source
+    * shows high novelty — exactly the signal that decides which sources
+    * a mixture should upweight versus drop. Per source: the distinct
+    * `n`-gram shingles observed in it, how many of those appear in NO
+    * other source, and their ratio.
+    *
+    * Output: (source, n_shingles, n_unique_shingles, novelty); sources
+    * whose docs are all shorter than `n` tokens have no shingles and no
+    * row.
+    *
+    * Scale: two map-side-combinable aggregates + one shingle-keyed
+    * shuffle_hash join — the df table is vocabulary-scale (bounded by
+    * distinct shingles, not corpus size), never all-pairs; the ratio is
+    * one long/long double division.
+    */
+  def sourceNovelty(documents: DataFrame, n: Int = 2): DataFrame = {
+    val srcSh = documents
+      .select(col("source"),
+        explode(shingles(tokens(col("text")), n)).as("sh"))
+      .distinct()
+    val df = srcSh.groupBy("sh").agg(count(lit(1)).as("n_src"))
+    srcSh.join(df.hint("shuffle_hash"), "sh")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L))
+          .as("n_unique_shingles"))
+      .withColumn("novelty",
+        col("n_unique_shingles").cast("double") / col("n_shingles"))
+  }
+
   /** DSIR-style data-selection importance score (Xie et al., NeurIPS
     * 2023, arXiv:2302.03169 — "Data Selection for Language Models via
     * Importance Resampling", re-expressed relationally): rank RAW

@@ -398,6 +398,20 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 5L, 6L, 7L))
   }
 
+  test("sourceNovelty: a mirror source shows zero novelty; a primary " +
+    "source's unique shingles count; shingle-less sources have no row") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", "primary"),
+      (2L, "alpha beta gamma delta", "mirror"), // identical: all shared
+      (3L, "epsilon zeta eta", "primary"),      // two shingles, unique
+      (4L, "x", "tiny"))                        // < 2 tokens: no shingles
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.sourceNovelty(rows).orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("mirror", 3L, 0L, 0.0), ("primary", 5L, 2L, 0.4)),
+      s"novelty rows: $got")
+  }
+
   test("dsirScore: target-like docs rank above off-target ones; " +
     "featureless docs carry nulls; uniform target is score-neutral") {
     val raw = docs(
