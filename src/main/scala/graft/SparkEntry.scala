@@ -421,6 +421,77 @@ mpairs AS (
      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)"""
   }
 
+  /** The shared shingle/hash head of every MinHash oracle chain over
+    * `src` — (doc_id, sh) 2-gram shingle sets and the 60-bit folded
+    * md5 hashes `minhashTierCtes` signs. The same SQL text lives inside
+    * [[minhashPairCtes]]; q_minhash_auto needs it ONCE under several
+    * k-parameterized chains.
+    */
+  private def minhashBaseCtes(src: String): String = {
+    val p = Dedup.MinhashP
+    s"""base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base))"""
+  }
+
+  /** One k-parameterized signature/band/census chain for the
+    * q_minhash_auto oracle (CTE names suffixed with k): the SAME
+    * permutation constants as the Spark operator, bucket counts, and
+    * the census `cpd` — exact candidate pairs per signed document,
+    * the identical one-IEEE-division scalar Dedup.minhashCensusCollapsed
+    * collects. Expects the [[minhashBaseCtes]] relations upstream.
+    */
+  private def minhashTierCtes(k: Int, bands: Int): String = {
+    val p = Dedup.MinhashP
+    val r = k / bands
+    val sigExprs = (0 until k)
+      .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+      .mkString(",\n   ")
+    val bandSelects = (0 until bands).map { j =>
+      val key = (r * j until r * j + r)
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs$k"
+    }.mkString("\n  UNION ALL ")
+    s"""sigs$k AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands$k AS (
+  $bandSelects),
+bkt$k AS (
+  SELECT band_idx, band_key, count(*) AS c
+  FROM bands$k GROUP BY band_idx, band_key),
+cen$k AS (
+  SELECT CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE) /
+         (SELECT count(*) FROM sigs$k) AS cpd
+  FROM bkt$k)"""
+  }
+
+  /** One candidate+verify chain for the q_minhash_auto oracle, reading
+    * band rows from `bandsRel` (a bandsK relation, optionally
+    * bucket-capped): distinct a<b bucket pairs, exact-Jaccard verify at
+    * 0.5 against the shared `base` shingle sets.
+    */
+  private def minhashVerifyCtes(sfx: String, bandsRel: String): String =
+    s"""cand$sfx AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM $bandsRel a JOIN $bandsRel b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+p$sfx AS (
+  SELECT doc_a, doc_b,
+   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+     / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand$sfx JOIN base x ON doc_a = x.doc_id JOIN base y ON doc_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+     / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)"""
+
   /** Full SCD2 rebuild over orders — shared by `q_scd2` and (because the
     * incremental merge equals the full recompute under in-order arrival)
     * `q_scd2_apply`.
@@ -823,6 +894,21 @@ mpairs AS (
     "q_minhash_audit" -> ((s, dir) =>
       Dedup.minhashBandAudit(t(s, dir, "documents"), k = 32, bands = 8)
         .orderBy("band_idx")),
+
+    // Auto-escalating MinHash near-dup (embeddingNearDupAuto's dispatch
+    // for the text family): the band-audit census runs FIRST; a collapsed
+    // configured banding doubles k (2-row bands → 4-row), and when the
+    // RE-audit at 2k still floods — the boilerplate-crowd regime — the
+    // doubled banding runs under the production bucket cap. At the
+    // census cap of 8 probes/doc the decision flips exactly at the
+    // driver's own scale boundary: sf0.01 measures cpd16 ≈ 2.1 → banded
+    // as configured; sf0.1 measures cpd16 ≈ 18 → escalate, cpd32 ≈ 0.4
+    // → banded2x. The oracle replays both censuses and all three
+    // candidate chains, gated on the same scalar compares.
+    "q_minhash_auto" -> ((s, dir) =>
+      Dedup.nearDupAuto(t(s, dir, "documents"), k = 16, bands = 8,
+        threshold = 0.5, maxCandidatesPerDoc = 8.0, capSize = 64L)
+        .orderBy("doc_a", "doc_b")),
 
     // Per-source content novelty: the share of each source's distinct
     // bigram shingles that exist in NO other source — the mixture-design
@@ -2409,6 +2495,37 @@ mpairs AS (
           |  CAST(CAST(sum(c * (c - 1) / 2) AS BIGINT) AS DOUBLE)
           |    / CAST(sum(c) AS BIGINT) AS candidates_per_doc
           |FROM bkt GROUP BY band_idx ORDER BY band_idx""".stripMargin),
+
+    // The MinHash auto-banding dispatch replayed end-to-end (the
+    // q_embed_auto idiom for the text family): one shared shingle/hash
+    // head, the k=16 and k=32 signature chains each with its census cpd
+    // (the same exact-long division the Spark dispatcher collects), all
+    // THREE candidate+verify chains — 16, 32, and 32 under the ≤64
+    // bucket cap — each gated on the identical census compares, so
+    // exactly one branch emits rows.
+    "q_minhash_auto" ->
+      (s"WITH ${minhashBaseCtes("documents")},\n" +
+        s"${minhashTierCtes(16, 8)},\n" +
+        s"${minhashTierCtes(32, 8)},\n" +
+        s"${minhashVerifyCtes("16", "bands16")},\n" +
+        s"${minhashVerifyCtes("32", "bands32")},\n" +
+        """bandsC AS (
+          |  SELECT b.doc_id, b.band_idx, b.band_key
+          |  FROM bands32 b JOIN bkt32 USING (band_idx, band_key)
+          |  WHERE bkt32.c <= 64),
+          |""".stripMargin +
+        s"${minhashVerifyCtes("C", "bandsC")}\n" +
+        """SELECT doc_a, doc_b, jaccard FROM p16
+          |WHERE (SELECT cpd FROM cen16) <= 8.0
+          |UNION ALL
+          |SELECT doc_a, doc_b, jaccard FROM p32
+          |WHERE (SELECT cpd FROM cen16) > 8.0
+          |  AND (SELECT cpd FROM cen32) <= 8.0
+          |UNION ALL
+          |SELECT doc_a, doc_b, jaccard FROM pC
+          |WHERE (SELECT cpd FROM cen16) > 8.0
+          |  AND (SELECT cpd FROM cen32) > 8.0
+          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Per-source distinct-shingle inventory vs the cross-source df: a
     // shingle with n_src = 1 is unique to its source. Same 2-shingle

@@ -207,7 +207,16 @@ object Dedup {
     // is the materialized signature/shingle table a real dedup job would
     // write between the sketch and probe phases. (Repartitioning and
     // token staging rationale: see shingleSets.)
-    val sets = shingleSets(documents).cache()
+    pairsOn(shingleSets(documents).cache(), k, bands, threshold, maxBucketSize)
+  }
+
+  /** [[nearDupPairs]]'s band-join + verify over an already-cached shingle
+    * relation — shared with [[nearDupAuto]], whose census phase has
+    * usually materialized `sets` before the pair chain runs.
+    */
+  private def pairsOn(sets: DataFrame, k: Int, bands: Int,
+                      threshold: Double, maxBucketSize: Long): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val bandTableAll = bandTable(sets, k, bands).cache()
     val bandTable0 = capBuckets(bandTableAll, maxBucketSize)
     // shuffle_hash hints: cache-derived size estimates otherwise broadcast
@@ -257,6 +266,112 @@ object Dedup {
         col("candidate_pairs").cast("double") / col("n_docs"))
       .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
         "candidates_per_doc")
+  }
+
+  /** Has the MinHash banding at `k` hashes collapsed on this corpus? The
+    * signal is [[minhashBandAudit]]'s EXACT total candidate volume — Σ over
+    * band buckets of c·(c−1)/2, divided by the number of signed documents —
+    * i.e. the verify-join probes per document the banding would actually
+    * emit. ONE job per call over the already-cached shingle relation, one
+    * bounded (1-row) collect; the long/long division replays bit-identically
+    * in the oracle's census CTEs (both operands exact longs, one IEEE
+    * division). The [[graft.ops.Similarity]] censusCollapsed convention,
+    * for the text family.
+    */
+  private def minhashCensusCollapsed(sets: DataFrame, k: Int, bands: Int,
+                                     maxCandidatesPerDoc: Double): Boolean = {
+    val row = bandTable(sets, k, bands)
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("c"))
+      .groupBy("band_idx").agg(
+        // c·(c−1) is even and the double sum is exact below 2^53
+        sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long").as("pairs"),
+        sum("c").as("n_docs"))
+      .agg(sum("pairs").as("pairs"), max("n_docs").as("n"))
+      .collect()(0) // bounded: one row
+    !row.isNullAt(0) && row.getLong(1) > 0 &&
+      row.getLong(0).toDouble / row.getLong(1) > maxCandidatesPerDoc
+  }
+
+  /** The complete dispatch decision [[nearDupAuto]] runs, as testable
+    * data (the [[graft.ops.Similarity.autoBandingTier]] convention):
+    * (tier, k) where tier is `"banded"` (the configured census blocks —
+    * run [[nearDupPairs]] as configured), `"banded2x"` (configured
+    * collapsed, the doubled census blocks — run at 2× hashes: rows per
+    * band double, so a random pair's band-collision odds go from s^r to
+    * s^2r while true near-dups — high Jaccard s — keep colliding), or
+    * `"capped"` (BOTH censuses flooded: the corpus-wide shingle overlap
+    * is so dense that no banding depth prunes, which for text is the
+    * boilerplate-crowd regime — cookie banners, license headers — whose
+    * production answer is dropping oversized buckets, Gopher/Dolma
+    * style). Each census is one bounded collect over the shared cached
+    * shingle relation, and the second runs only when the first collapses
+    * — a healthy corpus pays exactly the one [[minhashBandAudit]]-shaped
+    * aggregate.
+    */
+  private def autoTierOn(sets: DataFrame, k: Int, bands: Int,
+                         maxCandidatesPerDoc: Double): (String, Int) =
+    if (!minhashCensusCollapsed(sets, k, bands, maxCandidatesPerDoc))
+      ("banded", k)
+    else if (!minhashCensusCollapsed(sets, 2 * k, bands, maxCandidatesPerDoc))
+      ("banded2x", 2 * k)
+    else ("capped", 2 * k)
+
+  /** [[autoTierOn]] from the raw corpus, as the standalone decision
+    * operator (pin → decide → unpin; the decision is two bounded
+    * collects, so the shingle cache must not outlive it here).
+    */
+  def minhashAutoTier(documents: DataFrame, k: Int = 16, bands: Int = 8,
+                      maxCandidatesPerDoc: Double = 64.0): (String, Int) = {
+    val sets = graft.CacheScope.pin(shingleSets(documents))
+    try autoTierOn(sets, k, bands, maxCandidatesPerDoc)
+    finally graft.CacheScope.unpin(sets)
+  }
+
+  /** [[nearDupPairs]] with AUTOMATIC escalation — the
+    * [[graft.ops.Similarity.embeddingNearDupAuto]] two-tier dispatch
+    * applied to the MinHash text family, completing the census→remediate
+    * contract across every near-dup family (SURVEY §8):
+    *
+    *  1. run [[minhashBandAudit]]'s exact candidate census at the
+    *     configured (k, bands); if candidate probes per document clear
+    *     `maxCandidatesPerDoc`, DOUBLE k at the same band count — rows
+    *     per band double, squaring each band's random-collision odds
+    *     (s^r → s^2r) while true near-dups keep colliding on shared
+    *     shingles, not chance;
+    *  2. RE-audit at the doubled k; if that census STILL floods, the
+    *     corpus is in the boilerplate-crowd regime (dense corpus-wide
+    *     shingle overlap that no banding depth prunes) — run the doubled
+    *     banding with `maxBucketSize = capSize`: oversized buckets are
+    *     boilerplate clusters, not the near-dup tail, and dropping them
+    *     is the documented production remediation ([[nearDupPairs]]'s
+    *     `maxBucketSize` scaladoc). Size `capSize` ABOVE the organic
+    *     buckets the audit shows (the cap-sizing rule).
+    *
+    * A healthy corpus pays ONE census (a grouped count over the band
+    * table — a fraction of the verify join it prices); the second census
+    * only runs on a collapsed first. Every branch is replayed by the SQL
+    * oracle (two census gates, three candidate chains — q_minhash_auto).
+    *
+    * Output contract is [[nearDupPairs]]'s: (doc_a, doc_b, jaccard),
+    * doc_a < doc_b, jaccard ≥ threshold — only the CANDIDATE SET (recall)
+    * depends on the dispatched tier, exactly as with the manual knobs
+    * (the capped tier additionally misses pairs whose ONLY matching
+    * buckets were capped — the boilerplate-shield trade, observable via
+    * [[minhashBandAudit]] before paying for the join).
+    */
+  def nearDupAuto(documents: DataFrame, k: Int = 16, bands: Int = 8,
+                  threshold: Double = 0.5,
+                  maxCandidatesPerDoc: Double = 64.0,
+                  capSize: Long = 64L): DataFrame = {
+    // Pinned (not unpinned here): the censuses materialize the shingle
+    // relation and the returned pair plan re-reads it in the band join
+    // and both verify sides — the nearDupPairs cache contract, with the
+    // CacheScope registry owning eventual release.
+    val sets = graft.CacheScope.pin(shingleSets(documents))
+    autoTierOn(sets, k, bands, maxCandidatesPerDoc) match {
+      case ("capped", k2) => pairsOn(sets, k2, bands, threshold, capSize)
+      case (_, k2)        => pairsOn(sets, k2, bands, threshold, Long.MaxValue)
+    }
   }
 
   /** Connected components over a near-dup pair list — the step that turns

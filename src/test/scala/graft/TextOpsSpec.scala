@@ -182,6 +182,60 @@ class TextOpsSpec extends SparkSpec {
     assert(capped.count() == 0, "buckets over the cap must drop entirely")
   }
 
+  test("nearDupAuto: census-gated dispatch at all three tiers; " +
+    "auto ≡ manual at each") {
+    // total candidate probes per doc at banding k, from the public audit
+    def cpdOf(df: org.apache.spark.sql.DataFrame, k: Int): Double =
+      Dedup.minhashBandAudit(df, k, 8)
+        .agg(sum("candidates_per_doc")).head().getDouble(0)
+
+    // tier 1 — organic corpus: census blocks at the configured banding
+    assert(Dedup.minhashAutoTier(docs, k = 16, bands = 8,
+      maxCandidatesPerDoc = 8.0) == ("banded", 16))
+    val auto1 = Dedup.nearDupAuto(docs, k = 16, bands = 8, threshold = 0.5,
+      maxCandidatesPerDoc = 8.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val man1 = Dedup.nearDupPairs(docs, k = 16, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto1 == man1)
+
+    // tier 2 — moderate pairwise overlap floods 2-row bands (s^2 per
+    // band) while 4-row bands (s^4) still block: cap between the two
+    // measured censuses pins the escalate-once decision
+    val mid = (0 until 30).map(i =>
+      (i.toLong, "shared prefix words common to all documents in here " +
+        s"unique$i tail$i body$i extra$i")).toDF("doc_id", "text")
+    val (lo, hi) = (cpdOf(mid, 32), cpdOf(mid, 16))
+    assert(lo < hi, s"escalation must shrink the census ($lo vs $hi)")
+    val cap = (lo + hi) / 2
+    assert(Dedup.minhashAutoTier(mid, 16, 8, cap) == ("banded2x", 32))
+    val auto2 = Dedup.nearDupAuto(mid, 16, 8, 0.5, cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val man2 = Dedup.nearDupPairs(mid, 32, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto2 == man2)
+
+    // tier 3 — an identical-doc crowd floods EVERY banding depth (its
+    // bands agree regardless of r): both censuses collapse, the capped
+    // chain drops the crowd buckets and keeps the organic pair
+    val crowd = (0 until 21).map(i =>
+      (i.toLong, "the same cookie banner text appears on every page")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta kappa " +
+        "lambda mu nu xi omicron pi rho"),
+        (101L, "alpha beta gamma delta epsilon zeta eta theta kappa " +
+          "lambda mu nu xi omicron pi sigma"))
+    val cr = crowd.toDF("doc_id", "text")
+    assert(Dedup.minhashAutoTier(cr, 16, 8, 1.0) == ("capped", 32))
+    val auto3 = Dedup.nearDupAuto(cr, 16, 8, 0.5,
+      maxCandidatesPerDoc = 1.0, capSize = 4L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val man3 = Dedup.nearDupPairs(cr, 32, 8, 0.5, maxBucketSize = 4L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto3 == man3)
+    assert(auto3.contains((100L, 101L)), "organic pair survives the cap")
+    assert(!auto3.exists(_._1 < 21L), "crowd pairs dropped by the cap")
+  }
+
   test("jaccard maxDf drops stop-shingles from the index") {
     // doc 3 shares only the ubiquitous shingle with 1/2; capping df at 2
     // removes that shingle from the index, so only the true pair remains.
