@@ -522,6 +522,54 @@ p$sfx AS (
   val MixWeights: Seq[(String, Double)] =
     Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.25, "fr" -> 3.5)
 
+  /** Query sets for q_retrieval_eval — shared between the Spark wrapper
+    * and the generated oracle chains so term lists (and their fixed fold
+    * order inside the BM25 score) cannot drift.
+    */
+  val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
+    ("q1_merge_sort", Seq("merge", "sort")),
+    ("q2_window_hash", Seq("window", "hash")),
+    ("q3_scan_filter", Seq("scan", "filter")))
+
+  /** One q_retrieval_eval oracle chain (CTE names suffixed `sfx`): the
+    * q_bm25 rational-score SQL parameterized on the term set as the
+    * graded truth (tru: query_id, tru_rank, doc_id, gain), plus the raw
+    * tf top-k candidate ranking (res: query_id, res_rank, doc_id).
+    * Expects the shared toks/dl/c corpus-stat CTEs upstream.
+    */
+  private def retrievalEvalChain(sfx: String, qid: String,
+                                 terms: Seq[String], topK: Int): String = {
+    val inList = terms.map(tm => s"'$tm'").mkString(", ")
+    val fold = terms.map(tm =>
+      s"coalesce(max(CASE WHEN term = '$tm' THEN sc END), 0.0)")
+      .mkString("\n           + ")
+    s"""tf$sfx AS (SELECT doc_id, term, count(*) AS tf FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       WHERE term IN ($inList)
+       GROUP BY doc_id, term),
+df$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY term),
+s$sfx AS (SELECT tf$sfx.doc_id, tf$sfx.term,
+        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+      FROM tf$sfx JOIN df$sfx USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+tru$sfx AS (SELECT '$qid' AS query_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS tru_rank,
+         doc_id, score AS gain
+        FROM (SELECT doc_id,
+           $fold AS score
+          FROM s$sfx GROUP BY doc_id)
+        ORDER BY score DESC, doc_id LIMIT $topK),
+res$sfx AS (SELECT '$qid' AS query_id,
+         CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id) AS INT) AS res_rank,
+         doc_id
+        FROM (SELECT doc_id, count(*) AS tf_total FROM
+               (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+              WHERE term IN ($inList) GROUP BY doc_id)
+        ORDER BY tf_total DESC, doc_id LIMIT $topK)"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
@@ -1640,6 +1688,32 @@ p$sfx AS (
         Seq("merge", "sort", "window", "hash"), k1 = 1.2, b = 0.75,
         topK = 20)
         .orderBy("rank")),
+
+    // Graded retrieval eval: the cheap first-stage ranker (raw tf
+    // top-10) scored per query against exact rational-BM25 truth —
+    // recall@10, MRR, and nDCG@10 with the truth's own scores as
+    // graded gains. The retrieval twin of q_ann_recall, adding rank
+    // discounting. recall/mrr are single exact-integer divisions and
+    // compare raw; dcg/ndcg carry log2 → the 6-dp transcendental
+    // precedent (q_char_entropy).
+    "q_retrieval_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val truth = RetrievalEvalQueries.map { case (qid, ts) =>
+        ops.text.Retrieval.bm25Rational(d, ts, topK = 10)
+          .select(lit(qid).as("query_id"), col("rank"), col("doc_id"),
+            col("score").as("gain"))
+      }.reduce(_ unionByName _)
+      val res = RetrievalEvalQueries.map { case (qid, ts) =>
+        ops.text.Retrieval.tfTopK(d, ts, topK = 10)
+          .select(lit(qid).as("query_id"), col("rank"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      ops.text.Retrieval.rankingEval(res, truth, k = 10)
+        .select(col("query_id"), col("n_truth"), col("n_hit"),
+          col("recall"), col("mrr"),
+          round(col("dcg"), 6).as("dcg"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
 
     // Nearest-centroid assignment over int8-quantized embeddings (k=8
     // id-seeded centroids): exact integer distances, bit-reproducible —
@@ -4151,6 +4225,43 @@ ORDER BY vec_id, j"""
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
         | doc_id, score
         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Three (BM25 truth, tf candidate) chain pairs from the SAME
+    // RetrievalEvalQueries term sets, then the eval join: hits are the
+    // (query_id, doc_id) intersection at k=10; recall and mrr are one
+    // exact division each; dcg/idcg mirror the Spark expression
+    // (gain / log2(rank + 1), 0.0 on misses) and compare at 6 dp.
+    "q_retrieval_eval" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+""" +
+        RetrievalEvalQueries.zipWithIndex.map { case ((qid, ts), i) =>
+          retrievalEvalChain(('A' + i).toChar.toString, qid, ts, 10)
+        }.mkString(",\n") + ",\n" +
+        s"""ua AS (${RetrievalEvalQueries.indices
+          .map(i => s"SELECT * FROM tru${('A' + i).toChar}")
+          .mkString(" UNION ALL ")}),
+ur AS (${RetrievalEvalQueries.indices
+          .map(i => s"SELECT * FROM res${('A' + i).toChar}")
+          .mkString(" UNION ALL ")}),
+ideal AS (SELECT query_id, count(*) AS n_truth,
+           sum(gain / log2(tru_rank + 1)) AS idcg
+          FROM ua GROUP BY query_id),
+got AS (SELECT r.query_id,
+         count(t.tru_rank) AS n_hit,
+         min(CASE WHEN t.tru_rank IS NOT NULL THEN r.res_rank END) AS first_hit,
+         sum(CASE WHEN t.tru_rank IS NOT NULL
+              THEN t.gain / log2(r.res_rank + 1)
+              ELSE CAST(0 AS DOUBLE) END) AS dcg
+        FROM ur r LEFT JOIN ua t USING (query_id, doc_id)
+        GROUP BY r.query_id)
+SELECT g.query_id, i.n_truth, g.n_hit,
+  CAST(g.n_hit AS DOUBLE) / i.n_truth AS recall,
+  coalesce(CAST(1.0 AS DOUBLE) / g.first_hit, CAST(0 AS DOUBLE)) AS mrr,
+  round(g.dcg, 6) AS dcg,
+  round(CASE WHEN i.idcg > CAST(0 AS DOUBLE) THEN g.dcg / i.idcg END, 6) AS ndcg
+FROM got g JOIN ideal i USING (query_id) ORDER BY query_id"""),
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

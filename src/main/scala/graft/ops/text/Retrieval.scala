@@ -100,4 +100,77 @@ object Retrieval {
           .cast("int"))
       .select("rank", "doc_id", "score")
   }
+
+  /** Raw term-frequency top-k — the CHEAP ranker a first-stage retriever
+    * actually runs (no idf join, no length normalization, no corpus
+    * stats): total occurrences of the query terms per document, ties by
+    * doc_id. Exists to be evaluated against [[bm25Rational]] truth by
+    * [[rankingEval]]; the same pruned-scan + TakeOrderedAndProject
+    * posture as BM25 minus its two broadcast joins.
+    *
+    * Output: (rank, doc_id, tf_total) for the `topK` best documents.
+    */
+  def tfTopK(documents: DataFrame, terms: Seq[String],
+             topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val top = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("tf_total"))
+      .orderBy(desc("tf_total"), asc("doc_id")).limit(topK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("tf_total"), asc("doc_id")))
+          .cast("int"))
+      .select("rank", "doc_id", "tf_total")
+  }
+
+  /** Graded ranking evaluation — recall@k, MRR, and nDCG@k of a candidate
+    * ranking against a graded truth ranking, per query: the retrieval
+    * twin of [[graft.ops.Similarity.recallAtK]], adding rank discounting
+    * so a rollout gate can also see WHERE in the list the quality lives.
+    *
+    *   - `results`: (query_id, rank, doc_id) from the system under test;
+    *   - `truth`:   (query_id, rank, doc_id, gain) — the ideal ranking
+    *     with a positive graded gain (e.g. the exact BM25 score);
+    *   - recall  = |results@k ∩ truth@k| / |truth@k|;
+    *   - mrr     = 1 / (first result rank that hits truth@k), 0 if none;
+    *   - dcg@k   = Σ over hits of gain / log2(result rank + 1), idcg@k
+    *     the same sum over the truth ranking itself, ndcg = dcg / idcg
+    *     (NULL when idcg is 0).
+    *
+    * log2 is transcendental → the oracled wrapper compares dcg/ndcg at
+    * the stable 6-decimal rounding (charEntropy's precedent); recall and
+    * mrr are single IEEE divisions of exact integers and compare raw.
+    *
+    * Scale posture: one (query_id, doc_id)-keyed left equi-join of two
+    * k-row-per-query relations plus two combinable per-query aggregates —
+    * eval-slice-sized by construction, flat in corpus size (the corpus
+    * scan lives in the rankers that PRODUCE results/truth, not here).
+    */
+  def rankingEval(results: DataFrame, truth: DataFrame,
+                  k: Int = 10): DataFrame = {
+    val resK = results.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("res_rank"))
+    val truK = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("tru_rank"),
+        col("gain"))
+    val ideal = truK.groupBy("query_id").agg(
+      count(lit(1)).as("n_truth"),
+      sum(col("gain") / log2(col("tru_rank") + lit(1))).as("idcg"))
+    val got = resK.join(truK, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id").agg(
+        count(col("tru_rank")).as("n_hit"),
+        min(when(col("tru_rank").isNotNull, col("res_rank")))
+          .as("first_hit"),
+        sum(when(col("tru_rank").isNotNull,
+          col("gain") / log2(col("res_rank") + lit(1)))
+          .otherwise(lit(0.0))).as("dcg"))
+    got.join(ideal, "query_id")
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
+        col("dcg"),
+        when(col("idcg") > lit(0.0), col("dcg") / col("idcg")).as("ndcg"))
+  }
 }

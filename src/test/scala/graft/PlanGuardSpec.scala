@@ -45,6 +45,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
       "q_bm25",
+      // the eval composes three BM25 truth chains — each carries q_bm25's
+      // 1-row corpus-stats cross-build (the eval join itself is keyed)
+      "q_retrieval_eval",
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
       // bigram stream (BM25's corpus-stats pattern)
       "q_lm_score",

@@ -41,6 +41,45 @@ class RetrievalSpec extends SparkSpec {
     assert(top.sortBy(r => (-r._3, r._2)).map(_._1) == top.map(_._1))
   }
 
+  test("tfTopK: raw term-count ranking, ties to the smaller doc_id") {
+    val top = Retrieval.tfTopK(docs, Seq("merge", "sort"))
+      .as[(Int, Long, Long)].collect().toSeq
+    // doc 2: three 'sort'; doc 1: two 'merge' + one 'sort'; tie at 3
+    // breaks to doc 1; doc 3 one 'merge'; doc 4 absent
+    assert(top.map(r => (r._1, r._2, r._3)) ==
+      Seq((1, 1L, 3L), (2, 2L, 3L), (3, 3L, 1L)))
+  }
+
+  test("rankingEval: hand-computed recall, MRR, and nDCG on a 3-doc list") {
+    // truth: docs 10 (gain 4.0), 20 (2.0), 30 (1.0); candidate ranks
+    // 20 first, then a miss, then 10 — doc 30 never retrieved
+    val truth = Seq(("q", 1, 10L, 4.0), ("q", 2, 20L, 2.0), ("q", 3, 30L, 1.0))
+      .toDF("query_id", "rank", "doc_id", "gain")
+    val results = Seq(("q", 1, 20L), ("q", 2, 99L), ("q", 3, 10L))
+      .toDF("query_id", "rank", "doc_id")
+    val r = Retrieval.rankingEval(results, truth, k = 3).head()
+    assert(r.getLong(r.fieldIndex("n_truth")) == 3)
+    assert(r.getLong(r.fieldIndex("n_hit")) == 2)
+    assert(r.getDouble(r.fieldIndex("recall")) == 2.0 / 3)
+    assert(r.getDouble(r.fieldIndex("mrr")) == 1.0) // first result hits
+    val lg = (x: Double) => math.log(x) / math.log(2)
+    val dcg = 2.0 / lg(2) + 4.0 / lg(4)
+    val idcg = 4.0 / lg(2) + 2.0 / lg(3) + 1.0 / lg(4)
+    assert(math.abs(r.getDouble(r.fieldIndex("dcg")) - dcg) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("ndcg")) - dcg / idcg) < 1e-12)
+  }
+
+  test("rankingEval: zero hits give recall 0, mrr 0, dcg 0") {
+    val truth = Seq(("q", 1, 10L, 1.0)).toDF("query_id", "rank", "doc_id", "gain")
+    val results = Seq(("q", 1, 99L)).toDF("query_id", "rank", "doc_id")
+    val r = Retrieval.rankingEval(results, truth, k = 5).head()
+    assert(r.getLong(r.fieldIndex("n_hit")) == 0)
+    assert(r.getDouble(r.fieldIndex("recall")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("mrr")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("dcg")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("ndcg")) == 0.0)
+  }
+
   test("bm25Rational: rarer terms contribute more (rational idf)") {
     // 'hash' df=1 vs 'sort' df=2: single-occurrence docs of equal
     // length isolate the idf factor
