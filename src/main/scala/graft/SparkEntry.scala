@@ -1184,6 +1184,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // Corpus vocabulary: term/document frequency, top-100 by tf.
     "q_vocab" -> ((s, dir) => Corpus.vocab(t(s, dir, "documents"))),
 
+    // Vocabulary coverage curve: share of token occurrences covered by
+    // a top-V type vocabulary, per candidate size — the OOV/budget
+    // signal read before sizing a tokenizer. Exact integer counts, one
+    // long/long division per row.
+    "q_vocab_coverage" -> ((s, dir) =>
+      ops.text.TextStats.vocabCoverage(t(s, dir, "documents"),
+        sizes = Seq(8, 16, 32)).orderBy("vocab_size")),
+
     // BPE tokenizer training: 8 merges learned from the corpus's
     // distinct-word table (deterministic count-then-lexicographic
     // argmax). Like q_dedup_clusters, the iterations execute eagerly at
@@ -1417,6 +1425,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_dedup_resolve" -> ((s, dir) =>
       Dedup.resolveCanonical(t(s, dir, "documents"), minhashPairs(s, dir))
         .orderBy("doc_id")),
+
+    // Quality-aware survivorship over the same components: each cluster
+    // keeps its highest-quality member (exact-arithmetic score, ties to
+    // the smaller doc_id) — the curation policy, vs q_dedup_resolve's
+    // min-id baseline. One combinable (score, -id) argmax per component.
+    "q_dedup_best" -> ((s, dir) => {
+      val scored = ops.text.TextStats.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.resolveBest(scored, minhashPairs(s, dir)).orderBy("doc_id")
+    }),
 
     // Corpus shape stats: exact interpolated percentiles per language
     // (bit-parity with DuckDB quantile_cont).
@@ -3052,6 +3070,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 ORDER BY d.doc_id""",
 
+    // Same reachability CTE, then the quality argmax: the curation
+    // oracle's exact quality-score arithmetic (identical expression
+    // tree, so scores are bit-equal), rank-1 per component by
+    // (score DESC, doc_id) replacing the min-id policy.
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION ALL SELECT doc_b, doc_a FROM mpairs),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+qb AS (
+  SELECT doc_id,
+   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt
+  FROM documents),
+q AS (
+  SELECT doc_id,
+   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS score
+  FROM qb),
+best AS (
+  SELECT component, doc_id AS canonical_id FROM (
+    SELECT c.component, c.doc_id,
+      row_number() OVER (PARTITION BY c.component
+                         ORDER BY q.score DESC, c.doc_id) AS rn
+    FROM comp c JOIN q USING (doc_id))
+  WHERE rn = 1)
+SELECT d.doc_id,
+  coalesce(b.canonical_id, d.doc_id) AS canonical_id,
+  d.doc_id = coalesce(b.canonical_id, d.doc_id) AS is_kept
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN best b ON c.component = b.component
+ORDER BY d.doc_id""",
+
     // Replicates embeddingNearDup via the shared embedBandCtes chain (SAME
     // hyperplane constants as SQL literals), so bucket bits — and therefore
     // the candidate set — match the Spark side exactly.
@@ -3637,6 +3696,32 @@ FROM lh ORDER BY doc_id"""
       """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+
+    // Same tf table, ranked (cf DESC, term — binary collation on both
+    // engines), all three cuts from ONE aggregate over the top rows;
+    // coverage is one long/long double division per row.
+    "q_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS cf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |tot AS (SELECT count(*) AS n_types, CAST(sum(cf) AS BIGINT) AS total_cf FROM tf),
+        |top AS (
+        |  SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
+        |  FROM tf ORDER BY cf DESC, term LIMIT 32),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN rank <= 8 THEN cf END) AS BIGINT) AS c_8,
+        |  CAST(sum(CASE WHEN rank <= 16 THEN cf END) AS BIGINT) AS c_16,
+        |  CAST(sum(CASE WHEN rank <= 32 THEN cf END) AS BIGINT) AS c_32
+        |  FROM top),
+        |v(vocab_size, covered_cf) AS (
+        |  SELECT 8, c_8 FROM c UNION ALL
+        |  SELECT 16, c_16 FROM c UNION ALL
+        |  SELECT 32, c_32 FROM c)
+        |SELECT CAST(v.vocab_size AS INT) AS vocab_size, tot.n_types,
+        |  v.covered_cf, tot.total_cf,
+        |  CAST(v.covered_cf AS DOUBLE) / tot.total_cf AS coverage
+        |FROM v, tot ORDER BY vocab_size""".stripMargin,
 
     // Full BPE training replayed as a recursive CTE (BpeTrainCtes).
     "q_bpe_train" -> (BpeTrainCtes + """

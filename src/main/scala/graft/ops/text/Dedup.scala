@@ -542,6 +542,42 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("canonical_id"))
   }
 
+  /** [[resolveCanonical]] with QUALITY-AWARE survivorship: each
+    * component keeps its highest-scoring member (ties to the smaller
+    * doc_id) instead of its minimum id — the policy production curation
+    * actually wants, where the best-written copy of a near-dup cluster
+    * survives and the mirrors drop. `documents` must carry `scoreCol`
+    * (compose with [[TextStats.qualityScore]]); the repo's quality
+    * score is exact-arithmetic by construction, so the argmax replays
+    * bit-identically in the SQL oracle.
+    *
+    * Scale: [[clusterComponents]]'s edge-sized contraction, then ONE
+    * combinable per-component argmax (max over a (score, −doc_id)
+    * struct — never a window over the corpus) and one component-keyed
+    * join back. Output: (doc_id, canonical_id, is_kept) for EVERY
+    * document, singletons keeping themselves — exactly
+    * [[resolveCanonical]]'s contract, so the two policies are drop-in
+    * interchangeable downstream (groupSplit, Curation's resolvedCanon).
+    */
+  def resolveBest(documents: DataFrame, pairs: DataFrame,
+                  scoreCol: String = "quality_score",
+                  maxIter: Int = 25): DataFrame = {
+    val comp = clusterComponents(pairs, maxIter)
+    val scored = documents.select(col("doc_id"), col(scoreCol).as("score"))
+    val best = comp.join(scored, "doc_id")
+      .groupBy("component").agg(
+        max(struct(col("score"), negate(col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("component"), negate(col("b.neg_id")).as("canonical_id"))
+    scored.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(best, Seq("component"), "left")
+      .select(col("doc_id"),
+        // unpaired docs have no component row (and none in `best`):
+        // they keep themselves
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_kept", col("doc_id") === col("canonical_id"))
+  }
+
   /** Fit the corpus's near-dup RESOLUTION (pairs → components →
     * [[resolveCanonical]] survivorship) and COMMIT it as a versioned
     * [[graft.io.Manifest]] snapshot — the persisted-artifact form of the

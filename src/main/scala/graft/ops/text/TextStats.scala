@@ -230,4 +230,52 @@ object TextStats {
         nDrop.as("n_dup_docs"),
         (nDrop.cast("double") / count(lit(1))).as("dup_ratio"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-design question "what
+    * share of token OCCURRENCES does a top-V type vocabulary cover?"
+    * answered for each candidate size in one pass: the OOV rate at size
+    * V is `1 − coverage`, and the knee of this curve is where growing
+    * the vocabulary stops paying (the sizing signal a BPE/unigram
+    * budget decision reads BEFORE training — [[Bpe.vocabulary]] builds
+    * the chosen size).
+    *
+    * `sizes` must be ascending and distinct. Output: one row per size —
+    * (vocab_size, n_types, covered_cf, total_cf, coverage), coverage an
+    * exact long/long division; types ranked by (cf DESC, term) so the
+    * cut is deterministic on both engines (Spark's UTF8String ordering
+    * = DuckDB's binary collation).
+    *
+    * Scale: one map-side-combinable term-frequency aggregate, a 1-row
+    * totals aggregate, and a distributed top-max(sizes)
+    * (TakeOrderedAndProject — never a global sort of the vocabulary);
+    * the window ranks only those max(sizes) rows, and all size cuts
+    * come out of ONE aggregate over them (stack fans the 1-row result
+    * to the curve — no per-size rescan).
+    */
+  def vocabCoverage(documents: DataFrame,
+                    sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(sizes.nonEmpty && sizes == sizes.sorted && sizes.distinct == sizes,
+      "sizes must be ascending and distinct")
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val totals = tf.agg(count(lit(1)).as("n_types"),
+      sum(col("cf")).as("total_cf"))
+    val top = tf.orderBy(desc("cf"), asc("term")).limit(sizes.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cf"), asc("term"))))
+    val cuts = sizes.map(v =>
+      sum(when(col("rank") <= v, col("cf"))).as(s"c_$v"))
+    val covered = top.agg(cuts.head, cuts.tail: _*)
+    covered.crossJoin(broadcast(totals))
+      .select(
+        expr("stack(" + sizes.length + ", " +
+          sizes.map(v => s"$v, c_$v").mkString(", ") +
+          ") as (vocab_size, covered_cf)"),
+        col("n_types"), col("total_cf"))
+      .select(col("vocab_size"), col("n_types"), col("covered_cf"),
+        col("total_cf"),
+        (col("covered_cf").cast("double") / col("total_cf")).as("coverage"))
+  }
 }

@@ -48,6 +48,9 @@ class PlanGuardSpec extends SparkSpec {
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",
+      // the coverage curve crosses the 1-row (n_types, total_cf) totals
+      // into the 1-row cut aggregate (the corpus-stats pattern)
+      "q_vocab_coverage",
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
       // bigram stream (BM25's corpus-stats pattern)
       "q_lm_score",

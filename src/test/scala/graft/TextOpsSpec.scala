@@ -381,6 +381,16 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage: exact cumulative occurrence shares at each cut") {
+    val d = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // cf: a=4, b=3, c=1, d=1 → total 9; ranks a,b,c,d (cf desc, term)
+    val r = TextStats.vocabCoverage(d, Seq(1, 2, 4))
+      .orderBy("vocab_size")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1, 4L, 4L, 9L, 4.0 / 9), (2, 4L, 7L, 9L, 7.0 / 9),
+      (4, 4L, 9L, 9L, 1.0)))
+  }
+
   test("clusterComponents: chains converge to the min label") {
     // two components: a 5-chain (needs multiple propagation rounds) and a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
@@ -417,6 +427,18 @@ class TextOpsSpec extends SparkSpec {
     val out = graft.ops.text.Dedup.clusterComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(out == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("resolveBest: highest-quality member survives, ties to min id") {
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.9))
+      .toDF("doc_id", "quality_score")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.resolveBest(scored, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // component {1,2,4}: best score 0.9 ties between 2 and 4 → 2;
+    // 3 is a singleton and keeps itself
+    assert(r == Set((1L, 2L, false), (2L, 2L, true), (4L, 2L, false),
+      (3L, 3L, true)))
   }
 
   test("clusterComponents: equals union-find on random graphs") {
