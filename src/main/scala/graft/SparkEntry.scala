@@ -1387,6 +1387,19 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("doc_id")
     }),
 
+    // Span-level decontamination: redact (not drop) every maximal train
+    // span whose 4-token windows occur verbatim in the benchmark slice —
+    // the surgical alternative to q_decontaminate's doc gate. Same
+    // benchmark split, despan's islands + indexed-HOF rebuild.
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.text.Spans.decontaminateSpans(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        l = 4)
+        .orderBy("doc_id")
+    }),
+
     // The COMPOSED curation pipeline end-to-end: near-dup resolve →
     // per-language quality gate → benchmark decontamination →
     // leakage-safe split, verified as one funnel report. The oracle
@@ -2938,6 +2951,45 @@ ORDER BY doc_a, doc_b"""
         |  coalesce(o.n_overlap, 0) >= 2 AS contaminated
         |FROM train t LEFT JOIN ov o ON t.doc_id = o.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // The q_despan machinery re-pointed at the benchmark: train windows
+    // joined to the DISTINCT benchmark window set (hash equality only —
+    // md5 here, xxhash64 on the Spark side), islands merged at gap 4,
+    // then the rebuild removes EVERY contaminated span (no
+    // first-occurrence exemption).
+    "q_decontaminate_spans" ->
+      """WITH tr AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT md5(array_to_string(toks[pos : pos + 3], ' ')) AS gram
+        |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+        |             FROM be WHERE len(toks) >= 4)),
+        |tw AS (SELECT doc_id, pos, md5(array_to_string(toks[pos : pos + 3], ' ')) AS gram
+        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS pos
+        |             FROM tr WHERE len(toks) >= 4)),
+        |hit AS (SELECT tw.doc_id, tw.pos FROM tw JOIN bg USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 4
+        |               THEN 1 ELSE 0 END AS b
+        |        FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM brk),
+        |rm AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+        |       FROM isl GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |          generate_subscripts(toks, 1) AS pos
+        |        FROM tr),
+        |keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM rm
+        |            WHERE rm.doc_id = k.doc_id AND k.pos BETWEEN rm.span_start AND rm.span_end))
+        |SELECT d.doc_id,
+        | CAST(len(d.toks) - count(k.tok) AS INT) AS removed_tokens,
+        | coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+        |FROM tr d LEFT JOIN keep k USING (doc_id)
+        |GROUP BY d.doc_id, d.toks ORDER BY d.doc_id""".stripMargin,
 
     // The whole curation DAG in one SQL statement: pair CTEs over the
     // non-benchmark subset, recursive-CTE reachability for components,

@@ -127,4 +127,65 @@ object Spans {
         (size(col("toks")) - size(col("clean"))).as("removed_tokens"),
         array_join(col("clean"), " ").as("clean_text"))
   }
+
+  /** Span-level decontamination: REDACT every maximal train-side token
+    * run whose `l`-token windows appear verbatim anywhere in the
+    * benchmark set, instead of dropping whole documents
+    * ([[graft.ops.text.Corpus.decontaminate]]'s doc-level gate) — the
+    * surgical policy when a long document quotes one benchmark item but
+    * is otherwise good training data. Unlike [[despan]] there is NO
+    * "first occurrence kept": benchmark text must never survive in the
+    * training corpus, so every contaminated span redacts.
+    *
+    * Same machinery as [[dupSpans]]/[[despan]]: window hashes, hash-
+    * equality hits, gaps-and-islands merge to maximal spans, per-doc
+    * indexed HOF rebuild. Output: (doc_id, removed_tokens, clean_text)
+    * for EVERY train document (clean docs pass through unchanged).
+    *
+    * Scale: the benchmark window table BROADCASTS — eval sets are small
+    * by definition (swap in [[Corpus.decontaminateBloom]]'s sketch as a
+    * pre-filter if a benchmark union ever outgrows the broadcast
+    * threshold); the train side is one window explode and two
+    * doc_id-keyed hops — document content never shuffles on the span
+    * side, only (doc_id, pos) pairs move.
+    */
+  def decontaminateSpans(train: DataFrame, benchmark: DataFrame,
+                         l: Int = 8): DataFrame = {
+    val toks = train.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tw = toks.where(size(col("toks")) >= l)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - l + 1)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("pos"), lit(l))))
+          .as("gram"))
+    val bg = benchmark.select(tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= l)
+      .select(col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - l + 1)).as("pos"))
+      .select(xxhash64(concat_ws(" ", slice(col("toks"), col("pos"), lit(l))))
+        .as("gram"))
+      .distinct()
+    val hits = tw.join(broadcast(bg), "gram").select("doc_id", "pos")
+
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(byDoc)
+    val rm = hits
+      .withColumn("brk",
+        when(prev.isNull || col("pos") > prev + l, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + l - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rm"))
+
+    toks.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("rm"), array().cast("array<struct<s:int,e:int>>")).as("rm"))
+      .withColumn("clean", filter(col("toks"),
+        (tk, i) => !exists(col("rm"),
+          r => (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e"))))
+      .select(col("doc_id"),
+        (size(col("toks")) - size(col("clean"))).as("removed_tokens"),
+        array_join(col("clean"), " ").as("clean_text"))
+  }
 }

@@ -66,4 +66,22 @@ class SpansSpec extends SparkSpec {
     assert(byId(4L) == (4L, 12, ""))
     assert(got.size == 8)
   }
+
+  test("decontaminateSpans: benchmark spans redact EVERYWHERE " +
+    "(no first-occurrence exemption), clean docs pass through") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta unique tail words here"),
+      (2L, "prefix words alpha beta gamma delta more alpha beta gamma delta"),
+      (3L, "totally different content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "intro alpha beta gamma delta outro"))
+      .toDF("doc_id", "text")
+    val got = Spans.decontaminateSpans(train, bench, l = 4)
+      .orderBy("doc_id").as[(Long, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4, "unique tail words here"),
+      // BOTH occurrences redact — islands [3,6] and [8,11]
+      (2L, 8, "prefix words more"),
+      (3L, 0, "totally different content nothing shared at all")))
+  }
 }
