@@ -34,9 +34,12 @@ object ScaleSweep {
     * — swept to record the quadratic wall, not to endorse it at scale.
     */
   val heavyQueries: Seq[String] = Seq(
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_minhash", "q_minhash_auto",
+    "q_dedup_simhash",
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
-    "q_group_split", "q_decontaminate", "q_lm_score", "q_dsir_score",
+    "q_dedup_best",
+    "q_group_split", "q_decontaminate", "q_decontaminate_spans",
+    "q_lm_score", "q_dsir_score",
     "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
