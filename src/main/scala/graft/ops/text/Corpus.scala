@@ -334,6 +334,45 @@ object Corpus {
     * is the mixture weight, decided per row from the hash, so the output
     * is written straight back out without any driver-side sampling state.
     */
+  /** Temperature-based mixture design — the multilingual-pretraining
+    * weighting p_l ∝ share_l^α that upsamples tail languages and
+    * downsamples the head (mT5/XLM-R's sampling temperature): per
+    * language, the corpus share, the temperature weight, and the
+    * resample factor (weight / share) to hand to [[mixtureResample]].
+    *
+    * α is restricted to 2^-halvings (0.5, 0.25, 0.125 …): share^α is
+    * then a chain of IEEE sqrt's — each CORRECTLY ROUNDED, so the whole
+    * table is bit-reproducible cross-engine, where an arbitrary-α
+    * `pow()` is transcendental and excluded by the parity policy. The
+    * common 0.2–0.5 temperature range is bracketed; the normalizer Z
+    * folds in language-alphabetical order (float + is not associative —
+    * an unordered SUM would be run-dependent).
+    *
+    * Scale: one combinable lang-count aggregate; everything after is
+    * |langs|-row arithmetic on 1-row broadcasts.
+    */
+  def temperatureMixture(documents: DataFrame, halvings: Int = 2,
+      langCol: String = "lang"): DataFrame = {
+    require(halvings >= 1 && halvings <= 4,
+      s"halvings must be in [1, 4] (alpha = 2^-halvings), got $halvings")
+    val counts = documents.groupBy(langCol).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("w_raw",
+        (1 to halvings).foldLeft(col("share"))((c, _) => sqrt(c)))
+    val z = w.agg(
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col(langCol), col("w_raw")))),
+          s => s.getField("w_raw")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col(langCol), col("n_docs"), col("share"),
+        (col("w_raw") / col("z")).as("weight"),
+        ((col("w_raw") / col("z")) / col("share")).as("factor"))
+  }
+
   def mixtureResample(documents: DataFrame, weights: Map[String, Double],
       langCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w < 1000),
