@@ -4393,12 +4393,13 @@ got AS (SELECT r.query_id,
               ELSE CAST(0 AS DOUBLE) END) AS dcg
         FROM ur r LEFT JOIN ua t USING (query_id, doc_id)
         GROUP BY r.query_id)
-SELECT g.query_id, i.n_truth, g.n_hit,
-  CAST(g.n_hit AS DOUBLE) / i.n_truth AS recall,
+SELECT i.query_id, i.n_truth, coalesce(g.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+  CAST(coalesce(g.n_hit, CAST(0 AS BIGINT)) AS DOUBLE) / i.n_truth AS recall,
   coalesce(CAST(1.0 AS DOUBLE) / g.first_hit, CAST(0 AS DOUBLE)) AS mrr,
-  round(g.dcg, 6) AS dcg,
-  round(CASE WHEN i.idcg > CAST(0 AS DOUBLE) THEN g.dcg / i.idcg END, 6) AS ndcg
-FROM got g JOIN ideal i USING (query_id) ORDER BY query_id"""),
+  round(coalesce(g.dcg, CAST(0 AS DOUBLE)), 6) AS dcg,
+  round(CASE WHEN i.idcg > CAST(0 AS DOUBLE)
+        THEN coalesce(g.dcg, CAST(0 AS DOUBLE)) / i.idcg END, 6) AS ndcg
+FROM ideal i LEFT JOIN got g USING (query_id) ORDER BY query_id"""),
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

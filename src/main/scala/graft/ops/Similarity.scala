@@ -467,8 +467,16 @@ object Similarity {
     val estBytes = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPart =
       corpus.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    // An UNKNOWN estimate (DSv2 sources without stats report
+    // spark.sql.defaultSizeInBytes, effectively Long.MaxValue) must not
+    // masquerade as "huge, already splits wide" — that would serialize
+    // the nPlanes-fold hashing on however few partitions the source
+    // happens to expose. Treat unknown as mid-band: repartition.
+    val known =
+      estBytes < BigInt(corpus.sparkSession.sessionState.conf.defaultSizeInBytes)
     val wide =
-      if (estBytes < (8L << 20) || estBytes > BigInt(maxPart) * para) corpus
+      if (known && (estBytes < (8L << 20) || estBytes > BigInt(maxPart) * para))
+        corpus
       else corpus.repartition(para, col("vec_id"))
     val sig = wide
       .select(col("vec_id"),

@@ -207,7 +207,8 @@ object Dedup {
     // is the materialized signature/shingle table a real dedup job would
     // write between the sketch and probe phases. (Repartitioning and
     // token staging rationale: see shingleSets.)
-    pairsOn(shingleSets(documents).cache(), k, bands, threshold, maxBucketSize)
+    pairsOn(graft.CacheScope.pin(shingleSets(documents)), k, bands, threshold,
+      maxBucketSize)
   }
 
   /** [[nearDupPairs]]'s band-join + verify over an already-cached shingle
@@ -217,7 +218,11 @@ object Dedup {
   private def pairsOn(sets: DataFrame, k: Int, bands: Int,
                       threshold: Double, maxBucketSize: Long): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val bandTableAll = bandTable(sets, k, bands).cache()
+    // Pinned via CacheScope (not a bare .cache()): the returned lazy plan
+    // reads the band table on both self-join sides, and the session-level
+    // release() must own eventual eviction — a long-lived session looping
+    // nearDupAuto over corpora would otherwise accumulate band tables.
+    val bandTableAll = graft.CacheScope.pin(bandTable(sets, k, bands))
     val bandTable0 = capBuckets(bandTableAll, maxBucketSize)
     // shuffle_hash hints: cache-derived size estimates otherwise broadcast
     // the per-doc band table and the full shingle-set relation — a driver
@@ -322,6 +327,11 @@ object Dedup {
     */
   def minhashAutoTier(documents: DataFrame, k: Int = 16, bands: Int = 8,
                       maxCandidatesPerDoc: Double = 64.0): (String, Int) = {
+    // Validate BEFORE the censuses run: bandTable silently integer-divides
+    // r = k/bands, so a non-divisible k would pay two census jobs at an
+    // unintended r before pairsOn's require finally rejected the config.
+    // (2k inherits divisibility from k, so one check covers both tiers.)
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sets = graft.CacheScope.pin(shingleSets(documents))
     try autoTierOn(sets, k, bands, maxCandidatesPerDoc)
     finally graft.CacheScope.unpin(sets)
@@ -363,6 +373,9 @@ object Dedup {
                   threshold: Double = 0.5,
                   maxCandidatesPerDoc: Double = 64.0,
                   capSize: Long = 64L): DataFrame = {
+    // Fail fast (minhashAutoTier's rationale): reject a non-divisible k
+    // before the census jobs run, not after them in pairsOn.
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     // Pinned (not unpinned here): the censuses materialize the shingle
     // relation and the returned pair plan re-reads it in the band join
     // and both verify sides — the nearDupPairs cache contract, with the

@@ -166,11 +166,18 @@ object Retrieval {
         sum(when(col("tru_rank").isNotNull,
           col("gain") / log2(col("res_rank") + lit(1)))
           .otherwise(lit(0.0))).as("dcg"))
-    got.join(ideal, "query_id")
-      .select(col("query_id"), col("n_truth"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+    // Truth-side LEFT join: a query whose ranker retrieved NOTHING (no
+    // `got` row at all) must still score recall/mrr/dcg 0 — an inner
+    // join here would silently drop it from the eval table and a
+    // rollout gate reading the mean would over-estimate quality.
+    ideal.join(got, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth"))
+          .as("recall"),
         coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
-        col("dcg"),
-        when(col("idcg") > lit(0.0), col("dcg") / col("idcg")).as("ndcg"))
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        when(col("idcg") > lit(0.0),
+          coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
 }

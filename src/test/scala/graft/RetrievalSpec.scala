@@ -80,6 +80,24 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("ndcg")) == 0.0)
   }
 
+  test("rankingEval: a truth query missing from results still gets a zero row") {
+    // query 'q2' has truth but the ranker retrieved NOTHING for it —
+    // the eval table must score it 0, not drop it (ADVICE r11).
+    val truth = Seq(("q1", 1, 10L, 1.0), ("q2", 1, 20L, 2.0))
+      .toDF("query_id", "rank", "doc_id", "gain")
+    val results = Seq(("q1", 1, 10L)).toDF("query_id", "rank", "doc_id")
+    val rows = Retrieval.rankingEval(results, truth, k = 5)
+      .orderBy("query_id").collect()
+    assert(rows.length == 2)
+    val r2 = rows(1)
+    assert(r2.getString(r2.fieldIndex("query_id")) == "q2")
+    assert(r2.getLong(r2.fieldIndex("n_hit")) == 0L)
+    assert(r2.getDouble(r2.fieldIndex("recall")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("mrr")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("dcg")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("ndcg")) == 0.0)
+  }
+
   test("bm25Rational: rarer terms contribute more (rational idf)") {
     // 'hash' df=1 vs 'sort' df=2: single-occurrence docs of equal
     // length isolate the idf factor
