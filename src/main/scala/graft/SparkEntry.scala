@@ -958,6 +958,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
         threshold = 0.5, maxCandidatesPerDoc = 8.0, capSize = 64L)
         .orderBy("doc_a", "doc_b")),
 
+    // LSH recall/precision audit on a FIXED eval slice (doc_id < 400 —
+    // constant-size across scale factors, so the all-pairs truth stays
+    // eval-sized while the corpus grows): exact 2-shingle Jaccard truth
+    // vs the (16, 8) band table's bucket cohabitations. The quality twin
+    // of q_minhash_audit's cost census.
+    "q_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashRecallEval(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        k = 16, bands = 8, threshold = 0.5)),
+
     // Per-source content novelty: the share of each source's distinct
     // bigram shingles that exist in NO other source — the mixture-design
     // signal sourceStats' dup-rate misses (a mirror shows ~zero novelty
@@ -1744,6 +1754,49 @@ res$sfx AS (SELECT '$qid' AS query_id,
           round(col("dcg"), 6).as("dcg"),
           round(col("ndcg"), 6).as("ndcg"))
         .orderBy("query_id")
+    }),
+
+    // Hard-negative mining over the same query set: BM25 top-10 per
+    // query anti-joined against a relevance set INDEPENDENT of the
+    // lexical score — the cross-lingual shape (relevant = right-language
+    // docs; an all-lexical proxy would correlate with BM25 and leave the
+    // top-10 all-relevant). The mined rows are the highest-scoring
+    // wrong-language candidates — exactly what a reranker trains
+    // against. Scores are the rational-BM25 doubles (compare raw).
+    "q_hard_negatives" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ranked = RetrievalEvalQueries.map { case (qid, ts) =>
+        ops.text.Retrieval.bm25Rational(d, ts, topK = 10)
+          .select(lit(qid).as("query_id"), col("rank"), col("doc_id"),
+            col("score"))
+      }.reduce(_ unionByName _)
+      val positives = RetrievalEvalQueries.map { case (qid, _) =>
+        d.filter(col("lang") === "en")
+          .select(lit(qid).as("query_id"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      ops.text.Retrieval.hardNegatives(ranked, positives, k = 5)
+        .orderBy("query_id", "neg_rank")
+    }),
+
+    // C4-style line cleaning over deterministically newline-ified docs
+    // (every 8 tokens become a line): lines under 3 tokens or containing
+    // a blacklist term ('the'/'a' — the fixture's stopword stand-ins)
+    // are dropped, the rest re-joined in order.
+    "q_clean_lines" -> ((s, dir) => {
+      val nl = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          array_join(
+            transform(
+              sequence(lit(0L),
+                floor((size(col("t")) - lit(1)) / lit(8)).cast("long")),
+              i => array_join(
+                slice(col("t"), (i * lit(8) + lit(1)).cast("int"), lit(8)), " ")),
+            "\n").as("text"))
+      ops.text.Corpus.cleanLines(nl, minTokens = 3, banned = Seq("the", "a"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("text_clean"))
+        .orderBy("doc_id")
     }),
 
     // Nearest-centroid assignment over int8-quantized embeddings (k=8
@@ -2631,6 +2684,35 @@ res$sfx AS (SELECT '$qid' AS query_id,
           |WHERE (SELECT cpd FROM cen16) > 8.0
           |  AND (SELECT cpd FROM cen32) > 8.0
           |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Same shingle/signature construction as the minhash chains, on the
+    // fixed doc_id < 400 slice: exact all-pairs Jaccard truth, the
+    // (16, 8) band-cohabitation candidate set, and the three exact-count
+    // aggregates crossed into one row. recall/precision are single
+    // long/long IEEE divisions, NULL-guarded.
+    "q_minhash_recall" ->
+      (s"WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),\n" +
+        s"${minhashBaseCtes("smp")},\n" +
+        s"${minhashTierCtes(16, 8)},\n" +
+        """tr AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM base x JOIN base y ON x.doc_id < y.doc_id
+          |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |        / len(list_distinct(list_concat(x.sh, y.sh))) >= CAST(0.5 AS DOUBLE)),
+          |cd AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bands16 a JOIN bands16 b
+          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          |   AND a.doc_id < b.doc_id),
+          |th AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+          |       FROM tr LEFT JOIN cd c
+          |         ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+          |nd AS (SELECT count(*) AS n_docs FROM base),
+          |nc AS (SELECT count(*) AS n_cand FROM cd)
+          |SELECT n_docs, n_truth, n_cand, n_hit,
+          |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+          |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+          |FROM nd, th, nc""".stripMargin),
 
     // Per-source distinct-shingle inventory vs the cross-source df: a
     // shingle with n_src = 1 is unique to its source. Same 2-shingle
@@ -4400,6 +4482,51 @@ SELECT i.query_id, i.n_truth, coalesce(g.n_hit, CAST(0 AS BIGINT)) AS n_hit,
   round(CASE WHEN i.idcg > CAST(0 AS DOUBLE)
         THEN coalesce(g.dcg, CAST(0 AS DOUBLE)) / i.idcg END, 6) AS ndcg
 FROM ideal i LEFT JOIN got g USING (query_id) ORDER BY query_id"""),
+
+    // Per query: the BM25 top-10 chain (tru CTEs, gain = score), the
+    // all-terms relevance proxy, NOT IN anti-filter, dense re-rank by
+    // original BM25 rank, top-5. Scores are the rational-BM25 doubles
+    // and compare raw.
+    "q_hard_negatives" ->
+      (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+""" +
+        RetrievalEvalQueries.zipWithIndex.map { case ((qid, ts), i) =>
+          retrievalEvalChain(('A' + i).toChar.toString, qid, ts, 10)
+        }.mkString(",\n") + ",\n" +
+        RetrievalEvalQueries.zipWithIndex.map { case ((_, _), i) =>
+          val sfx = ('A' + i).toChar
+          s"""pos$sfx AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+neg$sfx AS (SELECT * FROM (
+  SELECT query_id,
+         CAST(row_number() OVER (ORDER BY tru_rank) AS INT) AS neg_rank,
+         doc_id, gain AS score
+  FROM tru$sfx WHERE doc_id NOT IN (SELECT doc_id FROM pos$sfx))
+ WHERE neg_rank <= 5)"""
+        }.mkString(",\n") + "\n" +
+        s"""SELECT query_id, neg_rank, doc_id, score FROM (${RetrievalEvalQueries.indices
+          .map(i => s"SELECT * FROM neg${('A' + i).toChar}")
+          .mkString(" UNION ALL ")})
+ORDER BY query_id, neg_rank"""),
+
+    // The same 8-token newline-ification as the Spark wrapper, then C4
+    // line rules as a list_filter; counts CAST to INT (Spark size() is
+    // int32, DuckDB len() is int64).
+    "q_clean_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, x -> len(string_split(x, ' ')) >= 3
+        |    AND len(list_intersect(string_split(x, ' '), ['the', 'a'])) = 0) AS kept
+        | FROM nl)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

@@ -800,4 +800,43 @@ object Corpus {
     df.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("is_kept", col(valueCol) >= col("threshold"))
   }
+
+  /** C4-style LINE-level cleaning: drop individual lines that fail the
+    * rule set, keep the rest of the document — the within-document
+    * counterpart of [[filterCorpus]]'s whole-document gate (C4 drops
+    * lines under 3 words or containing blacklist terms before any
+    * document-level filter runs; most web boilerplate — nav menus,
+    * cookie banners, button labels — dies here, not at the doc level).
+    *
+    * Rules (a line survives only if ALL hold):
+    *   - at least `minTokens` whitespace tokens;
+    *   - none of its tokens appear in `banned` (exact token match — the
+    *     C4 "bad word / boilerplate phrase" list shape).
+    *
+    * Output: input columns plus (n_lines, n_kept, text_clean) with
+    * text_clean the surviving lines re-joined on `delim` in original
+    * order — empty string when nothing survives, so a downstream
+    * [[filterCorpus]] can drop the husk by its own length rule.
+    *
+    * Scale posture: pure per-document map work — codegen'd split/filter/
+    * array_join HOFs, no UDFs, no shuffle, linear in corpus bytes. The
+    * line array is staged as its own projection (the [[graft.ops.text]]
+    * shingle-pipeline pattern) so the text splits once, not once per
+    * consuming expression.
+    */
+  def cleanLines(documents: DataFrame, minTokens: Int = 3,
+                 banned: Seq[String] = Seq.empty,
+                 delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val keepLine = (l: org.apache.spark.sql.Column) =>
+      size(split(l, " ")) >= minTokens &&
+        !arrays_overlap(split(l, " "), typedLit(banned))
+    documents
+      .withColumn("__lines", split(col("text"), q))
+      .withColumn("__kept", filter(col("__lines"), keepLine))
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn("text_clean", array_join(col("__kept"), delim))
+      .drop("__lines", "__kept")
+  }
 }

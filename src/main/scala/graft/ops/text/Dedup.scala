@@ -791,4 +791,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Recall/precision audit of a MinHash-LSH configuration against EXACT
+    * ground truth on an eval slice — the quality twin of
+    * [[minhashBandAudit]] (census = what the banding COSTS; this = what
+    * it actually CATCHES). [[graft.ops.Similarity.recallAtK]]'s role,
+    * for the near-dup family:
+    *
+    *   - exact truth: every `a < b` pair within `evalSlice` with 2-gram
+    *     shingle Jaccard ≥ `threshold` (all-pairs — the slice must be
+    *     EVAL-SIZED, e.g. a labeled eval set or a fixed bounded id
+    *     range; at 100 TB the corpus-sized operators stay banded, and
+    *     THIS is the bounded instrument that certifies their recall);
+    *   - candidates: the (k, bands) band table's `a < b` bucket
+    *     cohabitations over the SAME slice — signatures depend only on
+    *     a document's own shingles, so intra-slice collision behavior
+    *     equals what the full-corpus run would produce for these pairs;
+    *   - one row out: (n_docs, n_truth, n_cand, n_hit,
+    *     recall = n_hit/n_truth, precision = n_hit/n_cand), NULL on
+    *     empty denominators. n_hit counts truth pairs the banding
+    *     surfaced; precision is the verify join's hit rate — together
+    *     they price a config BEFORE a corpus-wide run commits to it
+    *     (low recall → add bands/lower r; low precision → wasted
+    *     verify probes → deepen bands).
+    *
+    * All arithmetic is exact-integer counts plus single IEEE divisions —
+    * bit-replayable by the SQL oracle. Three bounded aggregates cross
+    * into the 1-row result (the allow-listed tiny-build pattern).
+    */
+  def minhashRecallEval(evalSlice: DataFrame, k: Int = 16, bands: Int = 8,
+                        threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sets = graft.CacheScope.pin(shingleSets(evalSlice))
+    val truth = sets.toDF("doc_a", "sh_a")
+      .crossJoin(sets.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+    val bt = bandTable(sets, k, bands)
+    val cand = bt.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"))
+      .join(bt.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val truthHit = truth
+      .join(cand.withColumn("is_cand", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("is_cand")).as("n_hit"))
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    nDocs.crossJoin(truthHit).crossJoin(nCand)
+      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand")).as("precision"))
+  }
 }

@@ -180,4 +180,37 @@ object Retrieval {
         when(col("idcg") > lit(0.0),
           coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
+
+  /** Hard-negative mining for retrieval/embedding training data: the
+    * top-ranked documents a first-stage ranker retrieved that are NOT
+    * judged relevant — exactly the "scored high but wrong" examples a
+    * reranker or bi-encoder trains against (the in-batch-random
+    * alternative teaches nothing the ranker doesn't already know).
+    *
+    *   - `ranked`: (query_id, rank, doc_id, score) — a per-query top-M
+    *     candidate list (e.g. [[bm25Rational]] per query);
+    *   - `positives`: (query_id, doc_id) — the judged-relevant set;
+    *   - output: (query_id, neg_rank, doc_id, score) — the `k` best-
+    *     scored non-relevant docs per query, re-ranked densely so a
+    *     training loader can take "the top-k hard negatives" directly.
+    *
+    * Scale posture: `ranked` is already eval-sized (top-M per query —
+    * the ranker did the corpus-scale pruning); this is one
+    * (query_id, doc_id)-keyed anti-join plus a per-query window over
+    * ≤ M rows. A query whose candidates are ALL relevant simply yields
+    * no rows — correct here (there is nothing to train on), unlike
+    * [[rankingEval]] where a missing query would silently inflate the
+    * average.
+    */
+  def hardNegatives(ranked: DataFrame, positives: DataFrame,
+                    k: Int = 5): DataFrame = {
+    val neg = ranked.join(
+      positives.select(col("query_id"), col("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rank"))
+    neg.withColumn("neg_rank", row_number().over(w).cast("int"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank"), col("doc_id"), col("score"))
+  }
 }

@@ -518,4 +518,22 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(redraw != again, "a different salt must redraw the sample")
   }
+
+  test("cleanLines: C4 line rules — min tokens and banned terms, order kept") {
+    val out = Corpus.cleanLines(docs(
+      1L -> "good line here\nno\nbad the line\nalso fine yes",
+      2L -> "the the the\nok"),
+      minTokens = 3, banned = Seq("the"))
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4, 2, "good line here\nalso fine yes")))
+    // doc 2: both lines fail (banned term / too short) -> empty husk
+    assert(out(2L) == ((2, 0, "")))
+  }
+
+  test("cleanLines: empty banned list only enforces the length rule") {
+    val out = Corpus.cleanLines(docs(1L -> "a b c\nx y"), minTokens = 3)
+      .select("n_kept", "text_clean").collect().head
+    assert(out.getInt(0) == 1 && out.getString(1) == "a b c")
+  }
 }

@@ -48,6 +48,9 @@ class PlanGuardSpec extends SparkSpec {
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",
+      // same three BM25 chains feed the miner (the anti-join and the
+      // per-query re-rank window are keyed/eval-sized)
+      "q_hard_negatives",
       // the coverage curve crosses the 1-row (n_types, total_cf) totals
       // into the 1-row cut aggregate (the corpus-stats pattern)
       "q_vocab_coverage",
@@ -62,7 +65,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_dsir_score",
       // the 1-row quantile-threshold array broadcast over the value scan
       // (the equi-width histogram's bounds pattern)
-      "q_hist_equidepth")
+      "q_hist_equidepth",
+      // the recall audit's all-pairs exact truth over the FIXED eval
+      // slice (documented eval-sized baseline, like q_knn_label) plus
+      // its three 1-row count aggregates crossed into the result row
+      "q_minhash_recall")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

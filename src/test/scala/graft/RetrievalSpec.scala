@@ -109,4 +109,26 @@ class RetrievalSpec extends SparkSpec {
       .as[(Int, Long, Double)].collect().map(r => r._2 -> r._3).toMap
     assert(scores(1L) > scores(2L))
   }
+
+  test("hardNegatives: top-scored non-relevant docs, densely re-ranked") {
+    val ranked = Seq(
+      ("q1", 1, 10L, 5.0), ("q1", 2, 20L, 4.0), ("q1", 3, 30L, 3.0),
+      ("q1", 4, 40L, 2.0),
+      ("q2", 1, 50L, 9.0)
+    ).toDF("query_id", "rank", "doc_id", "score")
+    val positives = Seq(("q1", 10L), ("q1", 30L), ("q2", 50L))
+      .toDF("query_id", "doc_id")
+    val neg = Retrieval.hardNegatives(ranked, positives, k = 5)
+      .as[(String, Int, Long, Double)].collect().toSeq.sorted
+    // q1: 20 and 40 survive, re-ranked 1,2; q2: all candidates relevant -> none
+    assert(neg == Seq(("q1", 1, 20L, 4.0), ("q1", 2, 40L, 2.0)))
+  }
+
+  test("hardNegatives: k truncates below the candidate count") {
+    val ranked = Seq(("q", 1, 1L, 3.0), ("q", 2, 2L, 2.0), ("q", 3, 3L, 1.0))
+      .toDF("query_id", "rank", "doc_id", "score")
+    val positives = Seq(("q", 99L)).toDF("query_id", "doc_id")
+    val neg = Retrieval.hardNegatives(ranked, positives, k = 2)
+    assert(neg.count() == 2)
+  }
 }

@@ -466,4 +466,33 @@ class TextOpsSpec extends SparkSpec {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("minhashRecallEval: perfect recall on a caught pair, counts consistent") {
+    import spark.implicits._
+    val r = Dedup.minhashRecallEval(docs, k = 16, bands = 8, threshold = 0.5)
+      .head()
+    // truth within the 5-doc slice: only (1,2); 8 bands of r=2 catch a
+    // ~0.8-jaccard pair with near-certainty (deterministic given md5)
+    assert(r.getLong(r.fieldIndex("n_docs")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_truth")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_hit")) == 1L)
+    assert(r.getDouble(r.fieldIndex("recall")) == 1.0)
+    val nCand = r.getLong(r.fieldIndex("n_cand"))
+    assert(nCand >= 1L)
+    assert(r.getDouble(r.fieldIndex("precision")) == 1.0 / nCand)
+  }
+
+  test("minhashRecallEval: empty truth yields NULL recall, not a crash") {
+    import spark.implicits._
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue yellow purple")
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashRecallEval(distinctDocs, k = 16, bands = 8,
+      threshold = 0.9).head()
+    assert(r.getLong(r.fieldIndex("n_truth")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("recall")))
+    assert(r.getLong(r.fieldIndex("n_hit")) == 0L)
+  }
 }
