@@ -492,6 +492,30 @@ p$sfx AS (
   WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5)"""
 
+  /** One config row of the q_minhash_sweep oracle: the bands$k
+    * cohabitation candidates, truth-hit counts against the shared `tr`
+    * exact-truth CTE, and the final (k, bands, counts, ratios) SELECT.
+    * Expects minhashBaseCtes + minhashTierCtes(k, bands) + `tr`
+    * upstream.
+    */
+  private def minhashSweepChain(k: Int, bands: Int): (String, String) = {
+    val ctes = s"""cd$k AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands$k a JOIN bands$k b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+th$k AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+  FROM tr LEFT JOIN cd$k c
+    ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+nc$k AS (SELECT count(*) AS n_cand FROM cd$k)"""
+    val row = s"""SELECT $k AS k, $bands AS bands,
+  (SELECT count(*) FROM base) AS n_docs, n_truth, n_cand, n_hit,
+  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+FROM th$k, nc$k"""
+    (ctes, row)
+  }
+
   /** Full SCD2 rebuild over orders — shared by `q_scd2` and (because the
     * incremental merge equals the full recompute under in-order arrival)
     * `q_scd2_apply`.
@@ -569,6 +593,22 @@ res$sfx AS (SELECT '$qid' AS query_id,
               WHERE term IN ($inList) GROUP BY doc_id)
         ORDER BY tf_total DESC, doc_id LIMIT $topK)"""
   }
+
+  /** Deterministic 8-token newline-ification of the (space-separated)
+    * fixture docs — the line-structure synthesizer shared by the
+    * line-level queries (q_clean_lines, q_dedup_lines) and replayed
+    * verbatim by their oracles' `nl` CTE.
+    */
+  private def newlineified(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0L),
+            floor((size(col("t")) - lit(1)) / lit(8)).cast("long")),
+          i => array_join(
+            slice(col("t"), (i * lit(8) + lit(1)).cast("int"), lit(8)), " ")),
+        "\n").as("text"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -967,6 +1007,15 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Dedup.minhashRecallEval(
         t(s, dir, "documents").filter(col("doc_id") < 400),
         k = 16, bands = 8, threshold = 0.5)),
+
+    // The recall audit over a (k, bands) config grid, one quadratic
+    // truth pass shared across configs: the measurement that PICKS the
+    // corpus-wide banding (cheapest n_cand above a recall floor).
+    "q_minhash_sweep" -> ((s, dir) =>
+      Dedup.minhashConfigSweep(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        Seq((8, 4), (16, 8), (32, 8)), threshold = 0.5)
+        .orderBy("k", "bands")),
 
     // Per-source content novelty: the share of each source's distinct
     // bigram shingles that exist in NO other source — the mixture-design
@@ -1782,22 +1831,20 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // (every 8 tokens become a line): lines under 3 tokens or containing
     // a blacklist term ('the'/'a' — the fixture's stopword stand-ins)
     // are dropped, the rest re-joined in order.
-    "q_clean_lines" -> ((s, dir) => {
-      val nl = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"),
-          array_join(
-            transform(
-              sequence(lit(0L),
-                floor((size(col("t")) - lit(1)) / lit(8)).cast("long")),
-              i => array_join(
-                slice(col("t"), (i * lit(8) + lit(1)).cast("int"), lit(8)), " ")),
-            "\n").as("text"))
-      ops.text.Corpus.cleanLines(nl, minTokens = 3, banned = Seq("the", "a"))
+    "q_clean_lines" -> ((s, dir) =>
+      ops.text.Corpus.cleanLines(newlineified(t(s, dir, "documents")),
+          minTokens = 3, banned = Seq("the", "a"))
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           col("text_clean"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // Corpus-wide keep-first line dedup over the same newline-ified
+    // docs: later occurrences of a repeated 8-token line drop, firsts
+    // survive in place (~175 duplicate line occurrences in the sf0.01
+    // fixture, concentrated in the planted near-dup pairs).
+    "q_dedup_lines" -> ((s, dir) =>
+      ops.text.Corpus.dedupLines(newlineified(t(s, dir, "documents")))
+        .orderBy("doc_id")),
 
     // Nearest-centroid assignment over int8-quantized embeddings (k=8
     // id-seeded centroids): exact integer distances, bit-reproducible —
@@ -2713,6 +2760,27 @@ res$sfx AS (SELECT '$qid' AS query_id,
           |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
           |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
           |FROM nd, th, nc""".stripMargin),
+
+    // The grid oracle: one shared shingle head + exact-truth CTE, one
+    // signature/band chain and one count chain per config, rows
+    // UNION ALLed. Same slice, same truth as q_minhash_recall.
+    "q_minhash_sweep" -> {
+      val configs = Seq((8, 4), (16, 8), (32, 8))
+      val chains = configs.map { case (k, b) => minhashSweepChain(k, b) }
+      s"WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),\n" +
+        s"${minhashBaseCtes("smp")},\n" +
+        configs.map { case (k, b) => minhashTierCtes(k, b) }.mkString(",\n") +
+        ",\n" +
+        """tr AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM base x JOIN base y ON x.doc_id < y.doc_id
+          |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |        / len(list_distinct(list_concat(x.sh, y.sh))) >= CAST(0.5 AS DOUBLE)),
+          |""".stripMargin +
+        chains.map(_._1).mkString(",\n") + "\n" +
+        chains.map(_._2).mkString("\nUNION ALL\n") +
+        "\nORDER BY k, bands"
+    },
 
     // Per-source distinct-shingle inventory vs the cross-source df: a
     // shingle with n_src = 1 is unique to its source. Same 2-shingle
@@ -4527,6 +4595,32 @@ ORDER BY query_id, neg_rank"""),
         |  CAST(len(kept) AS INT) AS n_kept,
         |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Same nl CTE; keep-first = row_number over (line) ordered by
+    // (doc_id, pos) — the oracle affords the per-line window the Spark
+    // side deliberately avoids (grouped min + keyed join there).
+    "q_dedup_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),
+        |k AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l),
+        |r AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT nl.doc_id, CAST(len(nl.lines) AS INT) AS n_lines,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.text_dedup, '') AS text_dedup
+        |FROM nl LEFT JOIN r ON nl.doc_id = r.doc_id
+        |ORDER BY nl.doc_id""".stripMargin,
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

@@ -824,6 +824,51 @@ object Corpus {
     * shingle-pipeline pattern) so the text splits once, not once per
     * consuming expression.
     */
+  /** Corpus-WIDE exact line dedup, keep-first — C4's global dedup step
+    * (it removes repeated three-sentence spans corpus-wide; the unit
+    * here is the line): every occurrence of a line AFTER its first
+    * (ordered by (doc_id, position)) is dropped, the first survives in
+    * place. The within-document complement of [[cleanLines]] (rules) and
+    * the exact-match sibling of [[graft.ops.text.Spans.despan]] (which
+    * removes cross-doc token spans from ALL docs, including the first).
+    *
+    * Output: (doc_id, n_lines, n_kept, text_dedup) — surviving lines
+    * re-joined on `delim` in original order, empty string when every
+    * line was a later duplicate.
+    *
+    * Scale posture: one line-keyed shuffle (the grouped `min` is
+    * map-side combinable), one keyed join back (1-row build per line
+    * key), one doc_id-keyed reassembly — never a window PARTITIONED BY
+    * line content, which would funnel a viral boilerplate line's
+    * millions of occurrences through one executor task. A hot line key
+    * still fans its probe rows out across tasks under AQE; the build
+    * side is 1 row per key by construction.
+    */
+  def dedupLines(documents: DataFrame, delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+    val firsts = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = lines
+      .join(firsts.hint("shuffle_hash"), "line")
+      .filter(struct(col("doc_id"), col("pos")) === col("first"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        delim).as("text_dedup"))
+    documents
+      .withColumn("n_lines", size(split(col("text"), q)))
+      .select("doc_id", "n_lines")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   def cleanLines(documents: DataFrame, minTokens: Int = 3,
                  banned: Seq[String] = Seq.empty,
                  delim: String = "\n"): DataFrame = {

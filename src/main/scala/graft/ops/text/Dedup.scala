@@ -823,7 +823,16 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sets = graft.CacheScope.pin(shingleSets(evalSlice))
-    val truth = sets.toDF("doc_a", "sh_a")
+    recallRowOn(sets, exactTruthPairs(sets, threshold), k, bands)
+      .select("n_docs", "n_truth", "n_cand", "n_hit", "recall", "precision")
+  }
+
+  /** Exact all-pairs Jaccard truth within an eval slice's shingle sets
+    * (`a < b`, ≥ threshold) — shared by the recall eval and the sweep,
+    * which amortizes this one quadratic pass across every config.
+    */
+  private def exactTruthPairs(sets: DataFrame, threshold: Double): DataFrame =
+    sets.toDF("doc_a", "sh_a")
       .crossJoin(sets.toDF("doc_b", "sh_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard",
@@ -831,6 +840,13 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
+
+  /** One (k, bands) recall/precision row over already-built shingle sets
+    * and truth pairs — [[minhashRecallEval]]'s guts, reused per sweep
+    * config.
+    */
+  private def recallRowOn(sets: DataFrame, truth: DataFrame,
+                          k: Int, bands: Int): DataFrame = {
     val bt = bandTable(sets, k, bands)
     val cand = bt.select(col("band_idx"), col("band_key"),
         col("doc_id").as("doc_a"))
@@ -847,10 +863,34 @@ object Dedup {
     val nDocs = sets.agg(count(lit(1)).as("n_docs"))
     val nCand = cand.agg(count(lit(1)).as("n_cand"))
     nDocs.crossJoin(truthHit).crossJoin(nCand)
-      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+      .select(lit(k).as("k"), lit(bands).as("bands"),
+        col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
         when(col("n_truth") > 0,
           col("n_hit").cast("double") / col("n_truth")).as("recall"),
         when(col("n_cand") > 0,
           col("n_hit").cast("double") / col("n_cand")).as("precision"))
+  }
+
+  /** [[minhashRecallEval]] over a CONFIG GRID — the measurement a real
+    * pipeline runs before choosing its corpus-wide dedup banding: one
+    * recall/precision row per (k, bands), all sharing one pinned shingle
+    * relation and ONE exact-truth pass (truth is config-independent, so
+    * the quadratic side of the audit is paid once, not |configs| times —
+    * the classifier thresholdSweep economics). Read the result with a
+    * recall floor and take the cheapest config above it (n_cand IS the
+    * verify-join bill the corpus-wide run would pay per eval-slice
+    * pair): low recall → more bands / smaller r; low precision → deeper
+    * bands. Same eval-slice contract as [[minhashRecallEval]].
+    */
+  def minhashConfigSweep(evalSlice: DataFrame, configs: Seq[(Int, Int)],
+                         threshold: Double = 0.5): DataFrame = {
+    require(configs.nonEmpty, "configs must be non-empty")
+    configs.foreach { case (k, b) =>
+      require(k % b == 0, s"k=$k must be divisible by bands=$b")
+    }
+    val sets = graft.CacheScope.pin(shingleSets(evalSlice))
+    val truth = graft.CacheScope.pin(exactTruthPairs(sets, threshold))
+    configs.map { case (k, b) => recallRowOn(sets, truth, k, b) }
+      .reduce(_ unionByName _)
   }
 }

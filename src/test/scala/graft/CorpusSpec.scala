@@ -536,4 +536,23 @@ class CorpusSpec extends SparkSpec {
       .select("n_kept", "text_clean").collect().head
     assert(out.getInt(0) == 1 && out.getString(1) == "a b c")
   }
+
+  test("dedupLines: later occurrences drop, firsts survive in place") {
+    val out = Corpus.dedupLines(docs(
+      1L -> "shared line\nunique one",
+      2L -> "other text\nshared line\ntail bit",
+      3L -> "shared line"))
+      .select("doc_id", "n_lines", "n_kept", "text_dedup")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2, 2, "shared line\nunique one")))
+    assert(out(2L) == ((3, 2, "other text\ntail bit")))
+    // doc 3 was nothing but a later duplicate -> empty husk, still a row
+    assert(out(3L) == ((1, 0, "")))
+  }
+
+  test("dedupLines: within-doc repeats also keep only the first") {
+    val out = Corpus.dedupLines(docs(1L -> "x y\nx y\nz w"))
+      .select("n_kept", "text_dedup").collect().head
+    assert(out.getInt(0) == 2 && out.getString(1) == "x y\nz w")
+  }
 }

@@ -69,7 +69,9 @@ class PlanGuardSpec extends SparkSpec {
       // the recall audit's all-pairs exact truth over the FIXED eval
       // slice (documented eval-sized baseline, like q_knn_label) plus
       // its three 1-row count aggregates crossed into the result row
-      "q_minhash_recall")
+      "q_minhash_recall",
+      // the same eval-sized truth cross + per-config 1-row count crosses
+      "q_minhash_sweep")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

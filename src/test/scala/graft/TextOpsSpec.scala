@@ -495,4 +495,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("recall")))
     assert(r.getLong(r.fieldIndex("n_hit")) == 0L)
   }
+
+  test("minhashConfigSweep: per-config rows, shared truth, deeper r lowers candidates") {
+    import spark.implicits._
+    val rows = Dedup.minhashConfigSweep(docs, Seq((16, 8), (16, 2)),
+      threshold = 0.5)
+      .orderBy("bands")
+      .collect()
+    assert(rows.length == 2)
+    // truth is config-independent: same n_truth on every row
+    assert(rows.map(_.getLong(rows(0).fieldIndex("n_truth"))).distinct.length == 1)
+    val byBands = rows.map(r => r.getInt(r.fieldIndex("bands")) ->
+      r.getLong(r.fieldIndex("n_cand"))).toMap
+    // 2 bands of r=8 collide less than 8 bands of r=2
+    assert(byBands(2) <= byBands(8))
+  }
 }
