@@ -79,6 +79,9 @@ object SparkEntry {
   private val QmDim = 16
   private val QmIters = 10
   private val QmLr = 0.5
+  // the calibration model's hashing width: 'dup' (the fixture's one
+  // rare, label-defining token) sits alone in its bucket at 32
+  private val CalDim = 32
 
   /** The trained BPE table over `documents` — shared by q_bpe_train,
     * q_bpe_segment, and q_bpe_encode, so training's iterative collect
@@ -99,6 +102,14 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("lang") === "en",
         dim = QmDim, iters = QmIters, lr = QmLr))
 
+  /** The contains-'dup' calibration model (see [[CalModelCtes]]). */
+  private def calModel(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "cal_model")(
+      ops.Classifier.fit(t(s, dir, "documents"),
+        array_contains(split(org.apache.spark.sql.functions.col("text"), " "),
+          "dup"),
+        dim = CalDim, iters = QmIters, lr = QmLr))
+
   /** The MinHash-LSH pair table over `documents` (k=32, bands=8, τ=0.5) —
     * shared by q_dedup_minhash, q_group_split, and q_dedup_resolve.
     */
@@ -112,8 +123,14 @@ object SparkEntry {
     * every scoring call site shares this loader so the model schema has
     * a single consumer.
     */
-  private def qmWeights(s: SparkSession, dir: String): Array[Double] = {
-    val rows = qualityModel(s, dir).collect()
+  private def qmWeights(s: SparkSession, dir: String): Array[Double] =
+    weightsOf(qualityModel(s, dir))
+
+  private def calWeights(s: SparkSession, dir: String): Array[Double] =
+    weightsOf(calModel(s, dir))
+
+  private def weightsOf(model: DataFrame): Array[Double] = {
+    val rows = model.collect()
     val w = new Array[Double](rows.length) // dim+1 rows by construction
     rows.foreach(r => w(r.getInt(0)) = r.getDouble(1))
     w
@@ -277,19 +294,19 @@ s$sfx AS (
     * w − lr·CAST(g AS DOUBLE) arithmetic. Used by q_quality_model and
     * q_quality_predict.
     */
-  private lazy val QualityModelCtes: String =
+  private def qualityModelCtes(labelSql: String, dim: Int): String =
     s"""WITH RECURSIVE
       |feat AS (
       |  SELECT doc_id, y, list_prepend(0, list(DISTINCT b ORDER BY b)) AS fs
       |  FROM (
-      |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-      |           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) % $QmDim + 1 AS b
-      |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |    SELECT doc_id, $labelSql AS y,
+      |           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) % $dim + 1 AS b
+      |    FROM (SELECT doc_id, lang, text, unnest(string_split(text, ' ')) AS tok
       |          FROM documents)
       |  ) GROUP BY doc_id, y),
       |packed AS (SELECT list({'y': y, 'fs': fs} ORDER BY doc_id) AS ds FROM feat),
       |rec(it, w) AS (
-      |  SELECT 0, [CAST(0 AS DOUBLE) FOR _ IN generate_series(0, $QmDim)]
+      |  SELECT 0, [CAST(0 AS DOUBLE) FOR _ IN generate_series(0, $dim)]
       |  UNION ALL
       |  SELECT it + 1,
       |    [ list_extract(rec.w, j + 1) - $QmLr * CAST(coalesce(list_sum(
@@ -301,9 +318,23 @@ s$sfx AS (
       |                         (a, b) -> a + b)))
       |           - d.y) AS DECIMAL(18,6))
       |         FOR d IN packed.ds IF list_contains(d.fs, j)]), 0) AS DOUBLE)
-      |      FOR j IN generate_series(0, $QmDim) ]
+      |      FOR j IN generate_series(0, $dim) ]
       |  FROM rec, packed WHERE it < $QmIters
       |)""".stripMargin
+
+  private lazy val QualityModelCtes: String =
+    qualityModelCtes("CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END", QmDim)
+
+  /** The calibration query's model head: label = "contains the rare
+    * token 'dup'" at dim = [[CalDim]] — the one fixture label a hashed
+    * bag-of-tokens model can actually LEARN ('dup' occupies its own
+    * bucket at 32; lang is content-independent, so the shared
+    * is-English model collapses every score to ~0.001 and the
+    * reliability table would be a single bin).
+    */
+  private lazy val CalModelCtes: String = qualityModelCtes(
+    "CASE WHEN list_contains(string_split(text, ' '), 'dup') " +
+      "THEN 1.0 ELSE 0.0 END", CalDim)
 
   /** Shared oracle CTE chain reproducing `Dedup.nearDupPairs(k = 32,
     * bands = 8, threshold = 0.5)` over `documents` as a `mpairs` relation
@@ -931,6 +962,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // counts + precision/recall per candidate threshold — the curation
     // team's cutoff-selection dashboard. One scoring pass, one
     // combinable aggregate.
+    // Reliability table: score-decile bins, mean predicted score vs
+    // empirical positive rate, gap per bin — the calibration read
+    // before treating filter scores as probabilities. dec6 score sums,
+    // exact 0/1 label sums, single-division ratios.
+    "q_calibration" -> ((s, dir) => {
+      val w = calWeights(s, dir)
+      ops.Classifier.calibrationCurve(t(s, dir, "documents"),
+        array_contains(split(col("text"), " "), "dup"), w,
+        dim = w.length - 1).orderBy("bin")
+    }),
+
     "q_quality_sweep" -> ((s, dir) => {
       val w = qmWeights(s, dir)
       ops.Classifier.thresholdSweep(t(s, dir, "documents"),
@@ -2564,6 +2606,25 @@ res$sfx AS (SELECT '$qid' AS query_id,
       | CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
       | CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
       |FROM cm ORDER BY threshold""".stripMargin),
+
+    // The same scoring chain bucketed by score decile: DECIMAL(18,6)
+    // score sums (the dec6 policy — matches Spark's sumMeasure), exact
+    // 0/1 label sums, single-division ratios, gap one subtraction.
+    "q_calibration" -> (CalModelCtes + s""",
+      |sc AS (
+      |  SELECT f.doc_id, f.y, 0.5 + 0.5 * t.z / (1 + abs(t.z)) AS score
+      |  FROM feat f, (SELECT w FROM rec WHERE it = $QmIters) fw,
+      |   LATERAL (SELECT list_reduce(
+      |     [list_extract(fw.w, ff + 1) FOR ff IN f.fs], (a, b) -> a + b) AS z) t),
+      |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, y,
+      |       CAST(score AS DECIMAL(18,6)) AS s6 FROM sc),
+      |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(s6) AS DECIMAL(18,6)) AS ssum, sum(y) AS ysum
+      |      FROM b GROUP BY bin)
+      |SELECT bin, n, CAST(ssum AS DOUBLE) / n AS mean_score,
+      | ysum / n AS pos_rate,
+      | CAST(ssum AS DOUBLE) / n - ysum / n AS gap
+      |FROM g ORDER BY bin""".stripMargin),
 
     // norms are sqrt of the ordered-fold squared sum — both engines run
     // the identical IEEE sequence and sqrt is correctly rounded, so

@@ -161,4 +161,38 @@ object Classifier {
         when(col("tp") + col("fn") > 0,
           col("tp").cast("double") / (col("tp") + col("fn"))))
   }
+
+  /** Reliability table for the trained filter: documents bucketed by
+    * predicted score into `nBins` equal-width bins, each bin reporting
+    * its mean predicted score against the empirical positive rate — the
+    * calibration read a curation team does before treating scores as
+    * probabilities (a filter that says "0.9" for documents that are
+    * positive 60% of the time needs recalibration or a threshold chosen
+    * from [[thresholdSweep]], not from the raw score). `gap` =
+    * mean_score − pos_rate per bin; the n-weighted |gap| average is ECE
+    * if the reader wants one number.
+    *
+    * Numeric policy: scores quantize to DECIMAL(18,6) before the bin
+    * sum (the dec6 policy — order-independent, oracle-replayable);
+    * labels are 0/1 doubles whose sums are exact integers; each
+    * reported ratio is a single IEEE division, and `gap` one
+    * subtraction of the two. One scoring pass into one
+    * map-side-combinable aggregate of ≤ nBins rows.
+    */
+  def calibrationCurve(documents: DataFrame, label: Column,
+                       weights: Array[Double], dim: Int,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    score(documents, label, weights, dim)
+      .withColumn("bin",
+        least(floor(col("score") * nBins).cast("int"), lit(nBins - 1)))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        graft.sumMeasure(col("score")).as("ssum"),
+        sum(col("y")).as("ysum"))
+      .select(col("bin"), col("n"),
+        (col("ssum").cast("double") / col("n")).as("mean_score"),
+        (col("ysum") / col("n")).as("pos_rate"))
+      .withColumn("gap", col("mean_score") - col("pos_rate"))
+  }
 }

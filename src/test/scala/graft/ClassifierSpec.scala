@@ -160,4 +160,28 @@ class ClassifierSpec extends SparkSpec {
       .as[(Int, Double)].collect().toMap
     assert(w == (0 to 4).map(_ -> 0.0).toMap)
   }
+
+  test("calibrationCurve: bin invariants — weighted rates recompose the corpus") {
+    val w = Classifier.fit(toy, label, dim = 8, iters = 10, lr = 0.5)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val rows = Classifier.calibrationCurve(toy, label, w, dim = 8, nBins = 10)
+      .orderBy("bin").collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == 6L)
+    // weighted pos_rate over bins recomposes the corpus positive rate
+    val pos = rows.map(r => r.getLong(1) * r.getDouble(r.fieldIndex("pos_rate"))).sum
+    assert(math.abs(pos - 3.0) < 1e-9)
+    rows.foreach { r =>
+      val bin = r.getInt(0)
+      assert(bin >= 0 && bin <= 9)
+      val ms = r.getDouble(r.fieldIndex("mean_score"))
+      // mean score lies in (or within dec6 quantization of) its bin
+      assert(ms >= bin / 10.0 - 1e-6 && ms <= (bin + 1) / 10.0 + 1e-6)
+      assert(r.getDouble(r.fieldIndex("gap")) ==
+        ms - r.getDouble(r.fieldIndex("pos_rate")))
+    }
+    // a separable, converged model is sharply calibrated: only the
+    // extreme bins appear
+    assert(rows.map(_.getInt(0)).forall(b => b <= 1 || b >= 8))
+  }
 }
