@@ -1888,6 +1888,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.text.Corpus.dedupLines(newlineified(t(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // Incremental line dedup: the odd-id half arrives as a batch and its
+    // lines are flagged against the even-id corpus's first-seen line
+    // registry (the nearDupAgainst shape at line grain; stateless, so
+    // the same call runs stream-static — StreamingSpec pins it).
+    "q_dedup_lines_incr" -> ((s, dir) => {
+      val nl = newlineified(t(s, dir, "documents"))
+      ops.text.Corpus.dedupLinesAgainst(
+          nl.filter(col("doc_id") % 2 === 1),
+          ops.text.Corpus.lineRegistry(nl.filter(col("doc_id") % 2 === 0)))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Nearest-centroid assignment over int8-quantized embeddings (k=8
     // id-seeded centroids): exact integer distances, bit-reproducible —
     // the oracle-checkable step of the k-means family (full Lloyd's
@@ -4682,6 +4694,28 @@ ORDER BY query_id, neg_rank"""),
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM nl LEFT JOIN r ON nl.doc_id = r.doc_id
         |ORDER BY nl.doc_id""".stripMargin,
+
+    // Same nl CTE split into the even-id registry (distinct md5 lines)
+    // and the odd-id incoming batch; known = registry hit. pos is
+    // 0-based on both sides (posexplode / i - 1), CAST INT.
+    "q_dedup_lines_incr" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),
+        |reg AS (SELECT DISTINCT md5(line) AS line_hash FROM l WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, pos, line, md5(line) AS line_hash
+        |        FROM l WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(pos AS INT) AS pos, line,
+        |  r.line_hash IS NOT NULL AS known
+        |FROM inc LEFT JOIN reg r USING (line_hash)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

@@ -869,6 +869,51 @@ object Corpus {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** The persisted first-seen line registry [[dedupLinesAgainst]] probes
+    * — one row per DISTINCT line already accepted into the corpus,
+    * keyed by full md5 (128 bits: at 100 TB line counts a 60-bit key's
+    * birthday collisions are no longer negligible; 32 hex chars are).
+    * Combinable distinct over exploded lines; the ingestion job unions
+    * each batch's NEW lines back into this artifact (the Manifest
+    * snapshot shape, as with the dedup resolution table).
+    */
+  def lineRegistry(documents: DataFrame, delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    documents
+      .select(explode(split(col("text"), q)).as("line"))
+      .select(md5(col("line")).as("line_hash"))
+      .distinct()
+  }
+
+  /** Incremental [[dedupLines]]: flag each INCOMING document's lines
+    * against the persisted [[lineRegistry]] — the recurring-ingestion
+    * form (the nearDupAgainst shape for lines). Emits one row per
+    * incoming line, `known` = true when the registry already holds it;
+    * the caller drops known lines and reassembles (or feeds a
+    * registry-update with the fresh hashes). Deliberately does NOT
+    * dedup within the batch — that is the batch operator's job on the
+    * accepted corpus; keeping this a pure map + stream-static keyed
+    * join means ZERO stateful operators, so the SAME call runs under
+    * Structured Streaming in append mode (stream ≡ batch, spec-pinned).
+    *
+    * Scale posture: explode + md5 map work, one line_hash-keyed left
+    * join against the registry (shuffle-hash at registry scale — the
+    * registry of a 100 TB corpus is itself corpus-sized, so never
+    * broadcast), no window, no aggregation.
+    */
+  def dedupLinesAgainst(incoming: DataFrame, registry: DataFrame,
+                        delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    incoming
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+      .withColumn("line_hash", md5(col("line")))
+      .join(registry.withColumn("known", lit(true)).hint("shuffle_hash"),
+        Seq("line_hash"), "left")
+      .select(col("doc_id"), col("pos"), col("line"),
+        coalesce(col("known"), lit(false)).as("known"))
+  }
+
   def cleanLines(documents: DataFrame, minTokens: Int = 3,
                  banned: Seq[String] = Seq.empty,
                  delim: String = "\n"): DataFrame = {

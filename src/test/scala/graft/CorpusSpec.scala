@@ -555,4 +555,21 @@ class CorpusSpec extends SparkSpec {
       .select("n_kept", "text_dedup").collect().head
     assert(out.getInt(0) == 2 && out.getString(1) == "x y\nz w")
   }
+
+  test("dedupLinesAgainst: registry hits flag known, fresh lines pass") {
+    val corpus = docs(10L -> "seen before\nalso seen")
+    val reg = Corpus.lineRegistry(corpus)
+    val out = Corpus.dedupLinesAgainst(
+      docs(1L -> "seen before\nbrand new\nalso seen"), reg)
+      .orderBy("pos")
+      .select("pos", "line", "known")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((0, "seen before", true), (1, "brand new", false),
+      (2, "also seen", true)))
+    // deliberately NOT within-batch: a line repeated in the batch but
+    // absent from the registry stays unknown in both positions
+    val twice = Corpus.dedupLinesAgainst(docs(2L -> "dup here\ndup here"), reg)
+      .select("known").collect().map(_.getBoolean(0)).toSeq
+    assert(twice == Seq(false, false))
+  }
 }

@@ -970,4 +970,28 @@ class StreamingSpec extends SparkSpec {
     assert(row.getAs[String]("content_sha256").length == 64)
     assert(stats.count() == 10)
   }
+
+  test("streaming incremental line dedup: stateless against-join, stream equals batch") {
+    import graft.ops.text.Corpus
+    val corpus = Seq((10L, "seen line\nshared tail")).toDF("doc_id", "text")
+    val reg = Corpus.lineRegistry(corpus)
+    val incRows = Seq((1L, "seen line\nfresh one"), (2L, "shared tail"))
+    val batch = Corpus.dedupLinesAgainst(
+      incRows.toDF("doc_id", "text"), reg)
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Corpus.dedupLinesAgainst(
+      mem.toDS().toDF("doc_id", "text"), reg)
+      .writeStream.format("memory").queryName("line_inc_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(incRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("line_inc_dedup")
+      .as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(got.sorted == batch.sorted, "stream must equal batch")
+    assert(batch.sorted.map(r => (r._1, r._2, r._4)) ==
+      Seq((1L, 0, true), (1L, 1, false), (2L, 0, true)))
+  }
 }
