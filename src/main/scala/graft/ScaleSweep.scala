@@ -47,6 +47,18 @@ object ScaleSweep {
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
     "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep",
     "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label",
+    // r12 line family: corpus-wide keep-first (one line-keyed shuffle),
+    // the map-only rule cleaner, and the registry-join incremental twin;
+    // q_minhash_recall/q_minhash_sweep run on a FIXED 400-doc slice, so
+    // their rows certify flatness in corpus size, not growth;
+    // q_calibration trains its own contains-'dup' GD model at sweep scale
+    "q_dedup_lines", "q_clean_lines", "q_dedup_lines_incr",
+    "q_minhash_recall", "q_minhash_sweep", "q_calibration",
+    "q_hard_negatives",
+    // q_contrastive's positives ride the brute self-search — at 20k
+    // vectors that is the documented quadratic baseline (q_knn_label's
+    // role): swept to record the wall the ANN-table drop-in avoids
+    "q_contrastive",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these two rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read)

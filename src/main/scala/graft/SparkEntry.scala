@@ -1109,6 +1109,19 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.Similarity.bruteForceTopK(emb, q, 5).orderBy("q_id", "rank")
     }),
 
+    // Contrastive triplet mining: positives from a brute self-search
+    // (the documented eval baseline — an ANN table drops in at scale),
+    // verified pseudo-random negatives from bucket representatives.
+    "q_contrastive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val self = emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      ops.Similarity.contrastivePairs(
+          ops.Similarity.bruteForceTopK(emb, self, 2), emb,
+          nNeg = 3, simFloor = 0.5, simCeil = 0.3)
+        .orderBy("vec_id", "pair_type", "partner_id")
+    }),
+
     // SimHash near-dup: banded 60-bit shingle fingerprints, Hamming verify.
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
@@ -3951,6 +3964,55 @@ FROM lh ORDER BY doc_id"""
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // Self-search top-2 (the q_similarity_topk chain over ALL vectors),
+    // first non-self neighbor >= 0.8 as the positive; negatives = the
+    // anchor's next 3 md5 buckets' min-md5 representatives, ordered-fold
+    // cosine verified < 0.5. Same 60-bit md5 bucket family as minhash.
+    "q_contrastive" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+        |   list_reduce([CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(q.embedding))], (x, y) -> x + y) AS dot,
+        |   list_reduce([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(q.embedding))], (x, y) -> x + y) AS nq,
+        |   list_reduce([CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(v.embedding))], (x, y) -> x + y) AS nv
+        |  FROM embeddings q, embeddings v),
+        |s AS (SELECT q_id, neighbor_id, dot / (sqrt(nq) * sqrt(nv)) AS sim FROM p),
+        |r AS (SELECT q_id, neighbor_id, sim,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |      FROM s
+        |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 2),
+        |pos AS (
+        |  SELECT q_id AS vec_id, 'pos' AS pair_type, neighbor_id AS partner_id, sim
+        |  FROM (SELECT r.*, row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
+        |        FROM r WHERE neighbor_id <> q_id AND sim >= CAST(0.5 AS DOUBLE))
+        |  WHERE rn = 1),
+        |bk AS (SELECT vec_id, embedding,
+        |        CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS INT) AS b
+        |       FROM embeddings),
+        |reps AS (SELECT b AS rb, vec_id AS partner_id, embedding AS p_emb
+        |         FROM (SELECT b, vec_id, embedding,
+        |                row_number() OVER (PARTITION BY b
+        |                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |               FROM bk) WHERE rn = 1),
+        |negj AS (SELECT vec_id, embedding, CAST((b + j) % 64 AS INT) AS rb
+        |         FROM bk, generate_series(1, 3) AS t(j)),
+        |neg AS (
+        |  SELECT n.vec_id, 'neg' AS pair_type, r.partner_id,
+        |   list_reduce([CAST(n.embedding[i] AS DOUBLE) * CAST(r.p_emb[i] AS DOUBLE)
+        |             for i in generate_series(1, len(n.embedding))], (x, y) -> x + y)
+        |   / (sqrt(list_reduce([CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+        |             for i in generate_series(1, len(n.embedding))], (x, y) -> x + y))
+        |      * sqrt(list_reduce([CAST(r.p_emb[i] AS DOUBLE) * CAST(r.p_emb[i] AS DOUBLE)
+        |             for i in generate_series(1, len(r.p_emb))], (x, y) -> x + y))) AS sim
+        |  FROM negj n JOIN reps r USING (rb)
+        |  WHERE r.partner_id <> n.vec_id)
+        |SELECT * FROM pos
+        |UNION ALL
+        |SELECT * FROM neg WHERE sim < CAST(0.3 AS DOUBLE)
+        |ORDER BY vec_id, pair_type, partner_id""".stripMargin,
 
     "q_repetition" ->
       """WITH g AS (

@@ -4,7 +4,7 @@ import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -901,5 +901,63 @@ object Similarity {
       .drop("_q_maxabs")
       .withColumn("q_vec", transform(emb, x =>
         floor(x.cast("double") * col("q_scale") + lit(0.5)).cast("int")))
+  }
+
+  /** Contrastive training-pair mining — (anchor, positive, negatives)
+    * triplets for bi-encoder / SimCSE-style embedding training:
+    *
+    *   - POSITIVE: the anchor's best non-self neighbor from a
+    *     caller-provided `neighbors` table ((q_id, rank, neighbor_id,
+    *     sim) — [[bruteForceTopK]] on an eval slice, [[annTopK]] /
+    *     [[ivfTopKIndexed]] at corpus scale, so the mining INHERITS the
+    *     index's scale posture), kept only above `simFloor` (an anchor
+    *     with no strong neighbor yields no positive — nothing to learn
+    *     from a forced weak pair);
+    *   - NEGATIVES: `nNeg` deterministic pseudo-random partners per
+    *     anchor — the per-bucket min-md5 representative of the anchor's
+    *     next `nNeg` md5-derived buckets — exact-cosine VERIFIED below
+    *     `simCeil` (a random draw that happens to be a near-dup would
+    *     be a false negative and actively harm training). The
+    *     representative table is `nBuckets` rows → broadcast; negative
+    *     mining is one map + one broadcast join + nNeg exact dots per
+    *     anchor, flat in corpus size.
+    *
+    * Output: (vec_id, pair_type 'pos'|'neg', partner_id, sim). The
+    * HARD-negative alternative (top-scored wrong answers, not random) is
+    * [[graft.ops.text.Retrieval.hardNegatives]] over a retrieval run.
+    */
+  def contrastivePairs(neighbors: DataFrame, corpus: DataFrame,
+                       nNeg: Int = 3, simFloor: Double = 0.8,
+                       simCeil: Double = 0.5,
+                       nBuckets: Int = 64): DataFrame = {
+    require(nNeg >= 1 && nNeg < nBuckets, s"need 1 <= nNeg=$nNeg < nBuckets=$nBuckets")
+    val bucketOf = (c: Column) =>
+      (conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long") % nBuckets).cast("int")
+    val w = Window.partitionBy("q_id").orderBy(col("rank"))
+    val pos = neighbors
+      .filter(col("neighbor_id") =!= col("q_id") && col("sim") >= simFloor)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), lit("pos").as("pair_type"),
+        col("neighbor_id").as("partner_id"), col("sim"))
+    val reps = corpus
+      .withColumn("b", bucketOf(col("vec_id")))
+      .groupBy("b")
+      .agg(min_by(struct(col("vec_id"), col("embedding")),
+        md5(col("vec_id").cast("string"))).as("r"))
+      .select(col("b").as("rb"), col("r.vec_id").as("partner_id"),
+        col("r.embedding").as("p_emb"))
+    val neg = corpus
+      .select(col("vec_id"), col("embedding"),
+        explode(array((1 to nNeg).map(j =>
+          (bucketOf(col("vec_id")) + lit(j)) % nBuckets): _*)).as("rb"))
+      .join(broadcast(reps), "rb")
+      .filter(col("partner_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("embedding"), col("p_emb")))
+      .filter(col("sim") < simCeil)
+      .select(col("vec_id"), lit("neg").as("pair_type"),
+        col("partner_id"), col("sim"))
+    pos.unionByName(neg)
   }
 }

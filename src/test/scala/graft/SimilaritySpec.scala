@@ -572,4 +572,35 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(e - qc) < 0.02, s"cosine drift too large: $e vs $qc")
     }
   }
+
+  test("contrastivePairs: gated positives, verified deterministic negatives") {
+    // two near-identical vectors (9,10), two isolated ones (11,12)
+    val corpus = Seq(
+      (9L, Array(1f, 0f, 0f, 0.01f)),
+      (10L, Array(1f, 0f, 0f, 0.02f)),
+      (11L, Array(0f, 1f, 0f, 0f)),
+      (12L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val self = corpus.select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val nb = Similarity.bruteForceTopK(corpus, self, 2)
+    val out = Similarity.contrastivePairs(nb, corpus, nNeg = 3,
+      simFloor = 0.8, simCeil = 0.5, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val pos = out.filter(_._2 == "pos")
+    // only the planted pair clears the floor, symmetrically
+    assert(pos.map(p => (p._1, p._3)).toSet == Set((9L, 10L), (10L, 9L)))
+    assert(pos.forall(_._4 > 0.99))
+    val neg = out.filter(_._2 == "neg")
+    // every negative is verified below the ceiling and never self-paired
+    assert(neg.forall(n => n._4 < 0.5 && n._1 != n._3))
+    // determinism: same inputs, same triplets
+    val again = Similarity.contrastivePairs(nb, corpus, nNeg = 3,
+      simFloor = 0.8, simCeil = 0.5, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      again.sortBy(x => (x._1, x._2, x._3)).toSeq)
+    // an anchor with no strong neighbor yields no positive row
+    assert(!pos.exists(p => p._1 == 11L || p._1 == 12L))
+  }
 }
