@@ -547,6 +547,27 @@ FROM th$k, nc$k"""
     (ctes, row)
   }
 
+  /** The bigram-LM scoring oracle — shared verbatim by q_lm_score
+    * (self-trained) and q_lm_serve (fit + serve of the same model: every
+    * join hits on the training corpus, so the outputs are identical).
+    */
+  private val LmScoreOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+      |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1 FROM pos),
+      |uni AS (SELECT w, count(*) AS c1 FROM
+      |          (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+      |voc AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+      |    avg(ln((c2 + 0.4) / (c1 + 0.4 * voc.v))) AS avg_logp
+      |  FROM grams g JOIN bi USING (bg) JOIN uni ON g.w1 = uni.w CROSS JOIN voc
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id, s.n_bigrams, round(s.avg_logp, 6) AS avg_logp
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Full SCD2 rebuild over orders — shared by `q_scd2` and (because the
     * incremental merge equals the full recompute under in-order arrival)
     * `q_scd2_apply`.
@@ -1631,6 +1652,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
+
+    // The LM as a served artifact: fit the model table, score through
+    // the serve joins — on the training corpus this must EQUAL
+    // q_lm_score bit-for-bit (same oracle string).
+    "q_lm_serve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.lmScoreWith(d, TextStats.lmModel(d))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
 
     // DSIR importance scoring: rank the whole corpus by target-likeness
     // with the English slice as the target domain — hashed-bigram
@@ -4498,22 +4530,12 @@ ORDER BY vec_id, j"""
 
     // Bigram LM scoring: identical count/smoothing arithmetic, ln at the
     // 6-decimal stable rounding. α=0.4 must track lmScore's default.
-    "q_lm_score" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
-        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1 FROM pos),
-        |uni AS (SELECT w, count(*) AS c1 FROM
-        |          (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
-        |voc AS (SELECT count(*) AS v FROM uni),
-        |scored AS (
-        |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
-        |    avg(ln((c2 + 0.4) / (c1 + 0.4 * voc.v))) AS avg_logp
-        |  FROM grams g JOIN bi USING (bg) JOIN uni ON g.w1 = uni.w CROSS JOIN voc
-        |  GROUP BY g.doc_id)
-        |SELECT d.doc_id, s.n_bigrams, round(s.avg_logp, 6) AS avg_logp
-        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_lm_score" -> LmScoreOracleSql,
+
+    // Self-model serve ≡ fit+score: the oracle is q_lm_score's verbatim
+    // (every serve-join hits on the training corpus; the OOV floor is
+    // spec-pinned where the oracle cannot see it).
+    "q_lm_serve" -> LmScoreOracleSql,
 
     // Replicates dsirScore(target = lang 'en', dim 64, α 0.4): same
     // 16-bit-md5 bigram buckets (the QualityModelCtes hash family),

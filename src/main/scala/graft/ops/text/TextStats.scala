@@ -154,6 +154,70 @@ object TextStats {
     documents.select("doc_id").join(scored, Seq("doc_id"), "left")
   }
 
+  /** Fit side of the [[lmScore]] split: the n-gram model's THREE count
+    * relations as ONE persistable table — (kind 'ng'|'ctx'|'vocab', key,
+    * cnt) — the artifact a pipeline trains once on a reference corpus
+    * and serves everywhere (the dsirRatios / tokenizerRefresh pattern:
+    * ship the model, not the training scan). Commit via [[lmRefresh]];
+    * serve any committed version through [[lmScoreWith]].
+    */
+  def lmModel(documents: DataFrame, order: Int = 2): DataFrame = {
+    require(order >= 2, s"order=$order must be >= 2")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val ng = toks.select(explode(shingles(col("t"), order)).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .select(lit("ng").as("kind"), col("key"), col("cnt"))
+    val ctx = toks.select(explode(shingles(col("t"), order - 1)).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .select(lit("ctx").as("kind"), col("key"), col("cnt"))
+    val v = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("cnt"))
+      .select(lit("vocab").as("kind"), lit("").as("key"), col("cnt"))
+    ng.unionByName(ctx).unionByName(v)
+  }
+
+  /** Train-and-commit [[lmModel]] as a versioned Manifest snapshot —
+    * returns the committed version (the resolutionRefresh idiom).
+    */
+  def lmRefresh(documents: DataFrame, table: String, order: Int = 2): Int =
+    graft.io.Manifest.write(lmModel(documents, order), table)
+
+  /** Serve side: score ANY documents under a persisted [[lmModel]] —
+    * unlike self-trained [[lmScore]], grams the model never saw get the
+    * smoothed floor (count → 0, P = α / (c1 + αV)) via LEFT joins
+    * instead of silently dropping; on the model's own training corpus
+    * every join hits and the output EQUALS lmScore bit-for-bit (the
+    * oracle checks exactly that). Same scale posture as lmScore's
+    * scoring half: two shuffle_hash equi-joins against the count
+    * relations + one combinable per-doc average — the training scan is
+    * gone, which is the point.
+    */
+  def lmScoreWith(documents: DataFrame, model: DataFrame,
+                  alpha: Double = 0.4, order: Int = 2): DataFrame = {
+    require(order >= 2, s"order=$order must be >= 2")
+    val ngC = model.filter(col("kind") === "ng")
+      .select(col("key").as("ng"), col("cnt").as("c2"))
+    val ctxC = model.filter(col("kind") === "ctx")
+      .select(col("key").as("cw"), col("cnt").as("c1"))
+    val vocab = model.filter(col("kind") === "vocab")
+      .select(col("cnt").as("v"))
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), order)).as("ng"))
+      .withColumn("ctx", substring_index(col("ng"), " ", order - 1))
+    val scored = grams
+      .join(ngC.hint("shuffle_hash"), Seq("ng"), "left")
+      .join(ctxC.hint("shuffle_hash"), col("ctx") === col("cw"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("logp")).as("avg_logp"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

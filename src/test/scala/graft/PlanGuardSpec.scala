@@ -57,8 +57,9 @@ class PlanGuardSpec extends SparkSpec {
       // into the 1-row cut aggregate (the corpus-stats pattern)
       "q_vocab_coverage",
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
-      // bigram stream (BM25's corpus-stats pattern)
-      "q_lm_score",
+      // bigram stream (BM25's corpus-stats pattern); the serve path
+      // carries the same 1-row vocab cross from the model table
+      "q_lm_score", "q_lm_serve",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",

@@ -510,4 +510,29 @@ class TextOpsSpec extends SparkSpec {
     // 2 bands of r=8 collide less than 8 bands of r=2
     assert(byBands(2) <= byBands(8))
   }
+
+  test("lmScoreWith: self-model serve equals lmScore; OOV gets the smoothed floor") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val direct = TextStats.lmScore(corpus).orderBy("doc_id").collect().toSeq
+    val served = TextStats.lmScoreWith(corpus, TextStats.lmModel(corpus))
+      .orderBy("doc_id").collect().toSeq
+    assert(served == direct, "serve on the training corpus must equal fit+score")
+    // a fully-unseen doc: every bigram floors at ln(alpha / (0 + alpha*V)) = ln(1/V)
+    val oov = TextStats.lmScoreWith(Seq((9L, "x y x")).toDF("doc_id", "text"),
+      TextStats.lmModel(corpus)).head()
+    val v = 3.0 // vocabulary of the model corpus: a, b, c
+    assert(oov.getInt(1) == 2)
+    assert(math.abs(oov.getDouble(2) - math.log(1.0 / v)) < 1e-12)
+  }
+
+  test("lmRefresh: Manifest round-trip serves the committed model exactly") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val table = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/lm"
+    TextStats.lmRefresh(corpus, table)
+    val served = TextStats.lmScoreWith(corpus,
+      graft.io.Manifest.read(spark, table)).orderBy("doc_id").collect().toSeq
+    assert(served == TextStats.lmScore(corpus).orderBy("doc_id").collect().toSeq)
+  }
 }
