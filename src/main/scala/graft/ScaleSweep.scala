@@ -39,7 +39,7 @@ object ScaleSweep {
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
     "q_dedup_best",
     "q_group_split", "q_decontaminate", "q_decontaminate_spans",
-    "q_lm_score", "q_dsir_score",
+    "q_lm_score", "q_lm_serve", "q_dsir_score",
     "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
@@ -57,8 +57,9 @@ object ScaleSweep {
     "q_hard_negatives",
     // q_contrastive's positives ride the brute self-search — at 20k
     // vectors that is the documented quadratic baseline (q_knn_label's
-    // role): swept to record the wall the ANN-table drop-in avoids
-    "q_contrastive",
+    // role): swept to record the wall the ANN-table drop-in avoids —
+    // and q_contrastive_ann IS that drop-in (bucket search positives)
+    "q_contrastive", "q_contrastive_ann",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these two rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read)

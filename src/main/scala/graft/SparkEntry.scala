@@ -1143,6 +1143,22 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("vec_id", "pair_type", "partner_id")
     }),
 
+    // The same miner over the LSH bucket search instead of the brute
+    // baseline — the corpus-scale drop-in (sf1 sweep: the brute
+    // positives cost 62.7 s at 20k vectors; the bucket search prunes
+    // the candidate set ~bucket-count-fold). Positives inherit ANN
+    // recall semantics: a strong pair in different buckets is missed,
+    // and the oracle replays the identical bucket search.
+    "q_contrastive_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val self = emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      ops.Similarity.contrastivePairs(
+          ops.Similarity.annTopK(emb, self, 2), emb,
+          nNeg = 3, simFloor = 0.5, simCeil = 0.3)
+        .orderBy("vec_id", "pair_type", "partner_id")
+    }),
+
     // SimHash near-dup: banded 60-bit shingle fingerprints, Hamming verify.
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
@@ -4045,6 +4061,65 @@ FROM lh ORDER BY doc_id"""
         |UNION ALL
         |SELECT * FROM neg WHERE sim < CAST(0.3 AS DOUBLE)
         |ORDER BY vec_id, pair_type, partner_id""".stripMargin,
+
+    // q_contrastive's tail over the q_ann_lsh bucket search: positives
+    // come only from bucket-cohabiting candidates (ANN recall
+    // semantics, replayed identically); the negative chain is verbatim.
+    "q_contrastive_ann" -> {
+      val planes = ops.Similarity.hyperplanes(8, 64, 42L)
+      val vals = planes.zipWithIndex.map { case (p, j) =>
+        s"($j, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n ")
+      s"""WITH planes(j, p) AS (VALUES
+ $vals),
+dots AS (
+  SELECT vec_id, j,
+    list_reduce([CAST(embedding[i] AS DOUBLE) * p[i]
+                 for i in generate_series(1, len(embedding))], (x, y) -> x + y) AS d
+  FROM embeddings, planes),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+q AS (
+  SELECT b.vec_id AS q_id, e.embedding AS qe, b.bucket
+  FROM buck b JOIN embeddings e ON b.vec_id = e.vec_id),
+s AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id,
+    ${duckDot("q.qe", "v.embedding")} /
+      (sqrt(${duckDot("q.qe", "q.qe")}) * sqrt(${duckDot("v.embedding", "v.embedding")})) AS sim
+  FROM q JOIN buck cb ON q.bucket = cb.bucket
+         JOIN embeddings v ON cb.vec_id = v.vec_id),
+r AS (
+  SELECT q_id, neighbor_id, sim,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 2),
+pos AS (
+  SELECT q_id AS vec_id, 'pos' AS pair_type, neighbor_id AS partner_id, sim
+  FROM (SELECT r.*, row_number() OVER (PARTITION BY q_id ORDER BY rank) AS rn
+        FROM r WHERE neighbor_id <> q_id AND sim >= CAST(0.5 AS DOUBLE))
+  WHERE rn = 1),
+bk AS (SELECT vec_id, embedding,
+        CAST(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS INT) AS b
+       FROM embeddings),
+reps AS (SELECT b AS rb, vec_id AS partner_id, embedding AS p_emb
+         FROM (SELECT b, vec_id, embedding,
+                row_number() OVER (PARTITION BY b
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+               FROM bk) WHERE rn = 1),
+negj AS (SELECT vec_id, embedding, CAST((b + j) % 64 AS INT) AS rb
+         FROM bk, generate_series(1, 3) AS t(j)),
+neg AS (
+  SELECT n.vec_id, 'neg' AS pair_type, r.partner_id,
+    ${duckDot("n.embedding", "r.p_emb")} /
+      (sqrt(${duckDot("n.embedding", "n.embedding")}) * sqrt(${duckDot("r.p_emb", "r.p_emb")})) AS sim
+  FROM negj n JOIN reps r USING (rb)
+  WHERE r.partner_id <> n.vec_id)
+SELECT * FROM pos
+UNION ALL
+SELECT * FROM neg WHERE sim < CAST(0.3 AS DOUBLE)
+ORDER BY vec_id, pair_type, partner_id"""
+    },
 
     "q_repetition" ->
       """WITH g AS (

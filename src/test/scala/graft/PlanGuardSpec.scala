@@ -25,8 +25,8 @@ class PlanGuardSpec extends SparkSpec {
     // q_ann_recall composes bruteForceTopK (the documented deliberate
     // broadcast linear scan, as in q_similarity_topk) as its exact side
     // q_contrastive's positives ride the brute self-search baseline
-    Set("q_similarity_topk", "q_contrastive", "q_ann_recall", "q_ann_ivf",
-      "q_ann_lsh",
+    Set("q_similarity_topk", "q_contrastive", "q_contrastive_ann",
+      "q_ann_recall", "q_ann_ivf", "q_ann_lsh",
       "q_funnel",
       "q_funnel_chain", "q_distinct_terms", "q_skew_audit",
       "q_knn_label", "q_gapfill", "q_rate_anomaly", "q_histogram",
