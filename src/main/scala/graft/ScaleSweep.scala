@@ -39,7 +39,7 @@ object ScaleSweep {
     "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
     "q_dedup_best",
     "q_group_split", "q_decontaminate", "q_decontaminate_spans",
-    "q_lm_score", "q_lm_serve", "q_dsir_score",
+    "q_lm_score", "q_lm_serve", "q_lm_lines", "q_dsir_score",
     "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",

@@ -1680,6 +1680,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("doc_id")
     }),
 
+    // CCNet's filtering unit: the doc-trained LM scores each 8-token
+    // LINE of the newline-ified corpus; the worst lines are what a
+    // quantile gate would drop. Lines under 2 tokens carry NULL.
+    "q_lm_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.lmScoreLines(newlineified(d), TextStats.lmModel(d))
+        .select(col("doc_id"), col("pos"), col("line"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // DSIR importance scoring: rank the whole corpus by target-likeness
     // with the English slice as the target domain — hashed-bigram
     // add-α log-likelihood ratio, mean per doc. Histograms are dim=64
@@ -4611,6 +4622,42 @@ ORDER BY vec_id, j"""
     // (every serve-join hits on the training corpus; the OOV floor is
     // spec-pinned where the oracle cannot see it).
     "q_lm_serve" -> LmScoreOracleSql,
+
+    // The q_lm_score model CTEs (trained on FULL docs) scoring the
+    // newline-ified corpus's lines: every within-line bigram also
+    // occurs in its document, so the LEFT joins all hit here; pos is
+    // 0-based on both sides.
+    "q_lm_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |posn AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1 FROM posn),
+        |uni AS (SELECT w, count(*) AS c1 FROM
+        |          (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |voc AS (SELECT count(*) AS v FROM uni),
+        |lt AS (SELECT doc_id, pos, string_split(line, ' ') AS t FROM l),
+        |lp AS (SELECT doc_id, pos, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |       FROM lt),
+        |lg AS (SELECT doc_id, pos, t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1 FROM lp),
+        |sc AS (
+        |  SELECT lg.doc_id, lg.pos, CAST(count(*) AS INT) AS n_bigrams,
+        |    avg(ln((coalesce(c2, 0) + 0.4) / (coalesce(c1, 0) + 0.4 * voc.v))) AS avg_logp
+        |  FROM lg LEFT JOIN bi USING (bg) LEFT JOIN uni ON lg.w1 = uni.w CROSS JOIN voc
+        |  GROUP BY lg.doc_id, lg.pos)
+        |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.line,
+        |  sc.n_bigrams, round(sc.avg_logp, 6) AS avg_logp
+        |FROM l LEFT JOIN sc ON l.doc_id = sc.doc_id AND l.pos = sc.pos
+        |ORDER BY l.doc_id, l.pos""".stripMargin,
 
     // Replicates dsirScore(target = lang 'en', dim 64, α 0.4): same
     // 16-bit-md5 bigram buckets (the QualityModelCtes hash family),

@@ -218,6 +218,52 @@ object TextStats {
     documents.select("doc_id").join(scored, Seq("doc_id"), "left")
   }
 
+  /** Per-LINE LM scoring under a served [[lmModel]] — CCNet's actual
+    * filtering unit: the reference model scores each PARAGRAPH and the
+    * pipeline drops the worst ones, keeping the document. Lines are
+    * contiguous token runs, so every within-line n-gram also occurs in
+    * its document — scoring lines under a model trained on the full
+    * docs hits every join (the smoothed OOV floor still guards foreign
+    * corpora). Output: (doc_id, pos, line, n_bigrams, avg_logp), NULL
+    * score for lines shorter than `order` tokens; feed `avg_logp` to
+    * [[graft.ops.text.Corpus.quantileGate]] for the keep/drop rule and
+    * reassemble kept lines in `pos` order (the cleanLines shape).
+    *
+    * Scale posture: lmScoreWith's exactly — explode + two shuffle_hash
+    * model joins + one combinable per-(doc, line) average; the group
+    * key gains `pos`, nothing else changes.
+    */
+  def lmScoreLines(documents: DataFrame, model: DataFrame,
+                   alpha: Double = 0.4, order: Int = 2,
+                   delim: String = "\n"): DataFrame = {
+    require(order >= 2, s"order=$order must be >= 2")
+    val q = java.util.regex.Pattern.quote(delim)
+    val ngC = model.filter(col("kind") === "ng")
+      .select(col("key").as("ng"), col("cnt").as("c2"))
+    val ctxC = model.filter(col("kind") === "ctx")
+      .select(col("key").as("cw"), col("cnt").as("c1"))
+    val vocab = model.filter(col("kind") === "vocab")
+      .select(col("cnt").as("v"))
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+    val grams = lines
+      .select(col("doc_id"), col("pos"),
+        explode(shingles(tokens(col("line")), order)).as("ng"))
+      .withColumn("ctx", substring_index(col("ng"), " ", order - 1))
+    val scored = grams
+      .join(ngC.hint("shuffle_hash"), Seq("ng"), "left")
+      .join(ctxC.hint("shuffle_hash"), col("ctx") === col("cw"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))))
+      .groupBy("doc_id", "pos")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("logp")).as("avg_logp"))
+    lines.join(scored, Seq("doc_id", "pos"), "left")
+  }
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

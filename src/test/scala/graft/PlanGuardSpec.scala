@@ -59,7 +59,7 @@ class PlanGuardSpec extends SparkSpec {
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
       // bigram stream (BM25's corpus-stats pattern); the serve path
       // carries the same 1-row vocab cross from the model table
-      "q_lm_score", "q_lm_serve",
+      "q_lm_score", "q_lm_serve", "q_lm_lines",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",

@@ -535,4 +535,25 @@ class TextOpsSpec extends SparkSpec {
       graft.io.Manifest.read(spark, table)).orderBy("doc_id").collect().toSeq
     assert(served == TextStats.lmScore(corpus).orderBy("doc_id").collect().toSeq)
   }
+
+  test("lmScoreLines: within-line bigrams score under the doc model; short lines NULL") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val nl = Seq((1L, "a b\nc"), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = TextStats.lmScoreLines(nl, TextStats.lmModel(corpus))
+      .orderBy("doc_id", "pos").collect()
+    // doc 1 line 0 "a b": one bigram seen 3x in the model corpus
+    val r0 = rows(0)
+    assert(r0.getInt(r0.fieldIndex("n_bigrams")) == 1)
+    // P(b|a) = (3 + 0.4) / (c1(a)=3 + 0.4*3)
+    assert(math.abs(r0.getDouble(r0.fieldIndex("avg_logp")) -
+      math.log(3.4 / 4.2)) < 1e-12)
+    // doc 1 line 1 "c": no bigrams -> NULL score
+    assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
+    // doc 2 "a b c": both bigrams in-model, avg of the two
+    val r2 = rows(2)
+    assert(r2.getInt(r2.fieldIndex("n_bigrams")) == 2)
+    assert(math.abs(r2.getDouble(r2.fieldIndex("avg_logp")) -
+      (math.log(3.4 / 4.2) + math.log(1.4 / 4.2)) / 2) < 1e-12)
+  }
 }
