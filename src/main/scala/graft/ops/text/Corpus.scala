@@ -794,12 +794,35 @@ object Corpus {
   def quantileGate(df: DataFrame, valueCol: String, strataCol: String,
                    p: Double = 0.5, accuracy: Int = 10000): DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0,1), got $p")
-    val thresholds = df.groupBy(col(strataCol))
+    quantileGateWith(df,
+      quantileThresholds(df, valueCol, strataCol, p, accuracy),
+      valueCol, strataCol)
+  }
+
+  /** [[quantileGate]]'s fit side standalone: the |strata|-row threshold
+    * table — persist it (Manifest snapshot, the lmModel/dsirRatios
+    * move) and gate every future ingest batch against the SAME
+    * reference distribution via [[quantileGateWith]]. Recomputing
+    * thresholds per batch would let a low-quality batch lower its own
+    * bar — the gate-as-artifact split is what makes the rule stable
+    * (and, being a broadcast join + one compare, stream-safe).
+    */
+  def quantileThresholds(df: DataFrame, valueCol: String, strataCol: String,
+                         p: Double = 0.5,
+                         accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(strataCol))
       .agg(expr(s"approx_percentile($valueCol, $p, $accuracy)")
         .as("threshold"))
+
+  /** Serve side: gate against a provided threshold table. Rows whose
+    * stratum is absent from the table are DROPPED by the inner join —
+    * an unknown stratum has no calibrated bar, and silently passing it
+    * would defeat the gate; refresh the artifact to admit new strata.
+    */
+  def quantileGateWith(df: DataFrame, thresholds: DataFrame,
+                       valueCol: String, strataCol: String): DataFrame =
     df.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("is_kept", col(valueCol) >= col("threshold"))
-  }
 
   /** C4-style LINE-level cleaning: drop individual lines that fail the
     * rule set, keep the rest of the document — the within-document

@@ -572,4 +572,22 @@ class CorpusSpec extends SparkSpec {
       .select("known").collect().map(_.getBoolean(0)).toSeq
     assert(twice == Seq(false, false))
   }
+
+  test("quantileGateWith: fit/serve split equals inline; unknown strata drop") {
+    val d = Seq((1L, "en", 0.1), (2L, "en", 0.9), (3L, "en", 0.5),
+      (4L, "de", 0.2), (5L, "de", 0.8))
+      .toDF("doc_id", "lang", "score")
+    val inline = Corpus.quantileGate(d, "score", "lang")
+      .select("doc_id", "is_kept").as[(Long, Boolean)].collect().toSet
+    val th = Corpus.quantileThresholds(d, "score", "lang")
+    val served = Corpus.quantileGateWith(d, th, "score", "lang")
+      .select("doc_id", "is_kept").as[(Long, Boolean)].collect().toSet
+    assert(served == inline)
+    // a batch with an uncalibrated stratum: those rows drop, known pass
+    val batch = Seq((6L, "en", 0.7), (7L, "zh", 0.99))
+      .toDF("doc_id", "lang", "score")
+    val gated = Corpus.quantileGateWith(batch, th, "score", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(6L))
+  }
 }

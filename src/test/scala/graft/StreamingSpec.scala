@@ -994,4 +994,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.sorted.map(r => (r._1, r._2, r._4)) ==
       Seq((1L, 0, true), (1L, 1, false), (2L, 0, true)))
   }
+
+  test("streaming line cleaning: stateless C4 rules, stream equals batch") {
+    import graft.ops.text.Corpus
+    val rows = Seq((1L, "good line here\nno\nthe bad one"), (2L, "solid three tokens"))
+    val batch = Corpus.cleanLines(rows.toDF("doc_id", "text"),
+      minTokens = 3, banned = Seq("the"))
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Corpus.cleanLines(mem.toDS().toDF("doc_id", "text"),
+      minTokens = 3, banned = Seq("the"))
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .writeStream.format("memory").queryName("line_clean")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("line_clean")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got.sorted == batch.sorted, "stream must equal batch")
+  }
 }
