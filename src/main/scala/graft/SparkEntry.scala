@@ -1960,6 +1960,12 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.text.Corpus.dedupLines(newlineified(t(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // The boilerplate detector: top-20 most-repeated 8-token lines with
+    // occurrence/document counts — the measurement a cleanLines
+    // blacklist is sized from.
+    "q_line_stats" -> ((s, dir) =>
+      ops.text.Corpus.lineStats(newlineified(t(s, dir, "documents")), k = 20)),
+
     // Incremental line dedup: the odd-id half arrives as a batch and its
     // lines are flagged against the even-id corpus's first-seen line
     // registry (the nearDupAgainst shape at line grain; stateless, so
@@ -4900,6 +4906,20 @@ ORDER BY query_id, neg_rank"""),
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM nl LEFT JOIN r ON nl.doc_id = r.doc_id
         |ORDER BY nl.doc_id""".stripMargin,
+
+    // Same nl CTE; top-20 by count then line text, counts CAST per the
+    // engine conventions (count_distinct is int64 both sides).
+    "q_line_stats" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id, unnest(lines) AS line FROM nl)
+        |SELECT line, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc_id
+        |FROM l GROUP BY line
+        |ORDER BY n_occurrences DESC, line LIMIT 20""".stripMargin,
 
     // Same nl CTE split into the even-id registry (distinct md5 lines)
     // and the odd-id incoming batch; known = registry hit. pos is

@@ -892,6 +892,33 @@ object Corpus {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Heavy-hitter line census — the boilerplate DETECTOR for the line
+    * family: the k most-repeated lines with occurrence and document
+    * counts. This is where a cleanLines blacklist and the "is
+    * keep-first dedup worth a pass" decision come from — web corpora
+    * concentrate their duplication in a tiny set of nav/footer/cookie
+    * lines, and reading this table first turns the rule list from a
+    * guess into a measurement (minhashBandAudit's role, at line grain).
+    *
+    * Output: (line, n_occurrences, n_docs, first_doc_id), top-k by
+    * occurrences (ties to line text). One exploded count aggregate
+    * (map-side combinable; the distinct doc count is the standard
+    * two-phase expansion) + TakeOrderedAndProject — never a global
+    * sort.
+    */
+  def lineStats(documents: DataFrame, k: Int = 20,
+                delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    documents
+      .select(col("doc_id"), explode(split(col("text"), q)).as("line"))
+      .groupBy("line").agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .orderBy(desc("n_occurrences"), asc("line"))
+      .limit(k)
+  }
+
   /** The persisted first-seen line registry [[dedupLinesAgainst]] probes
     * — one row per DISTINCT line already accepted into the corpus,
     * keyed by full md5 (128 bits: at 100 TB line counts a 60-bit key's

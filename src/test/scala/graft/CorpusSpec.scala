@@ -590,4 +590,14 @@ class CorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(gated == Set(6L))
   }
+
+  test("lineStats: heavy-hitter lines with occurrence and doc counts") {
+    val out = Corpus.lineStats(docs(
+      1L -> "boiler plate\nunique a",
+      2L -> "boiler plate\nboiler plate\nunique b",
+      3L -> "boiler plate"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == (("boiler plate", 4L, 3L, 1L)))
+    assert(out.length == 2 && out(1)._2 == 1L) // tie broken by line text
+  }
 }
