@@ -174,9 +174,9 @@ object SparkEntry {
     * centroids (the Spark loop's contract). cn2 is the same
     * fold-of-squares both engines run.
     */
-  private def lloydIterCtes(i: Int): String = {
-    val prev = s"cent${i - 1}"
-    s"""asg$i AS (
+  private def lloydIterCtes(i: Int, sfx: String = ""): String = {
+    val prev = s"cent${i - 1}$sfx"
+    s"""asg$i$sfx AS (
   SELECT vec_id, cell FROM (
     SELECT v.vec_id, c.cell,
       row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -184,17 +184,83 @@ object SparkEntry {
           v.n2 + c.cn2 - CAST(2.0 AS DOUBLE) * ${duckDot("v.embedding", "c.c")}) ASC,
         c.cell ASC) AS rn
     FROM qn v, $prev c) WHERE rn = 1),
-upd$i AS (
+upd$i$sfx AS (
   SELECT a.cell, u.i AS pos, sum(v.embedding[u.i]) / count(*) AS m
-  FROM asg$i a JOIN qn v USING (vec_id),
+  FROM asg$i$sfx a JOIN qn v USING (vec_id),
        LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) u
   GROUP BY 1, 2),
-cm$i AS (
+cm$i$sfx AS (
   SELECT c0.cell, coalesce(uc.c, c0.c) AS c
   FROM $prev c0 LEFT JOIN
-    (SELECT cell, list(m ORDER BY pos) AS c FROM upd$i GROUP BY cell) uc
+    (SELECT cell, list(m ORDER BY pos) AS c FROM upd$i$sfx GROUP BY cell) uc
     USING (cell)),
-cent$i AS (SELECT cell, c, ${duckDot("c", "c")} AS cn2 FROM cm$i)"""
+cent$i$sfx AS (SELECT cell, c, ${duckDot("c", "c")} AS cn2 FROM cm$i$sfx)"""
+  }
+
+  /** The q_kmeans_sweep oracle: the shared quantize chain (qs/qe/qn —
+    * q_ann_ivf_trained's prefix), then PER CANDIDATE k a suffixed
+    * exact-Lloyd chain ([[lloydIterCtes]] with sfx=k$k), a final
+    * clamped-argmin assignment against its trained centroids (ties to
+    * the smaller cell — the Spark array_min struct order), per-cell
+    * rollups, and one row per k UNION ALL'd. Inertia replays the
+    * variance identity Σ‖x‖² − ‖Σx‖²/n per cell — every cross-row sum
+    * is of integer-valued doubles (order-independent), the division is
+    * one IEEE op per cell, and the k-row total folds in cell order
+    * (list_reduce over list(ci ORDER BY cell) ≡ Spark's driver-side
+    * foldLeft; ci is never −0.0, so first-element vs 0.0 seeding
+    * agree). A dec6 per-row-distance sum was tried and diverges at 1e6
+    * magnitudes (see kmeansSweep's scaladoc).
+    */
+  private def kmeansSweepOracleSql(ks: Seq[Int], iters: Int): String = {
+    val chains = ks.map { k =>
+      val sfx = s"k$k"
+      val iterCtes = (1 to iters).map(i => lloydIterCtes(i, sfx))
+        .mkString(",\n")
+      s"""cent0$sfx AS (
+  SELECT vec_id AS cell, embedding AS c, n2 AS cn2 FROM qn ORDER BY vec_id LIMIT $k),
+$iterCtes,
+asgf$sfx AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        greatest(CAST(0.0 AS DOUBLE),
+          v.n2 + c.cn2 - CAST(2.0 AS DOUBLE) * ${duckDot("v.embedding", "c.c")}) ASC,
+        c.cell ASC) AS rn
+    FROM qn v, cent$iters$sfx c) WHERE rn = 1),
+sv$sfx AS (
+  SELECT a.cell, u.i AS pos, sum(v.embedding[u.i]) AS s
+  FROM asgf$sfx a JOIN qn v USING (vec_id),
+       LATERAL (SELECT unnest(generate_series(1, len(v.embedding))) AS i) u
+  GROUP BY 1, 2),
+cs$sfx AS (SELECT cell, sum(s * s) AS ss FROM sv$sfx GROUP BY cell),
+cg$sfx AS (
+  SELECT a.cell, count(*) AS n, sum(v.n2) AS s2
+  FROM asgf$sfx a JOIN qn v USING (vec_id) GROUP BY 1),
+cell$sfx AS (
+  SELECT cg.cell, cg.n, cg.s2 - cs.ss / cg.n AS ci
+  FROM cg$sfx cg JOIN cs$sfx cs USING (cell))"""
+    }.mkString(",\n")
+    val rows = ks.map { k =>
+      s"""SELECT $k AS k,
+  list_reduce(list(ci ORDER BY cell), (x, y) -> x + y) AS inertia,
+  CAST(count(*) AS INT) AS n_cells_used,
+  max(n) AS max_cell_n, min(n) AS min_cell_n FROM cellk$k"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qs AS (
+  SELECT vec_id, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         ELSE 0.0 END AS q_scale
+  FROM embeddings),
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> floor(CAST(x AS DOUBLE) * q_scale + 0.5)) AS embedding
+  FROM qs),
+qn AS (SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM qe),
+$chains
+$rows
+ORDER BY k"""
   }
 
   /** CTE chain hashing `embeddings` with the Similarity module's seed-7
@@ -545,6 +611,54 @@ nc$k AS (SELECT count(*) AS n_cand FROM cd$k)"""
   CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
 FROM th$k, nc$k"""
     (ctes, row)
+  }
+
+  /** The asymmetric-minhash oracle — shared verbatim by
+    * q_dedup_incremental (inline [[graft.ops.text.Dedup.nearDupAgainst]])
+    * and q_minhash_served (the same probe through the persisted
+    * signature registry): serving from the artifact must change NOTHING,
+    * so the oracle string is literally identical. One signature pipeline
+    * over all docs, sides split by id parity only at candidate
+    * generation — per-doc signature math is side-independent, so this
+    * equals the Spark operators' split-first shape exactly.
+    */
+  private lazy val DedupIncrOracleSql: String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until 32)
+      .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+      .mkString(",\n   ")
+    val bandSelects = (0 until 8).map { j =>
+      val key = (4 * j until 4 * j + 4)
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+sigs AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_inc, c.doc_id AS doc_corp
+  FROM bands i JOIN bands c
+    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+   AND i.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+SELECT doc_inc, doc_corp,
+ CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+FROM cand JOIN base x ON doc_inc = x.doc_id JOIN base y ON doc_corp = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+ORDER BY doc_inc, doc_corp"""
   }
 
   /** The bigram-LM scoring oracle — shared verbatim by q_lm_score
@@ -962,6 +1076,26 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "quality_score", "lang", p = 0.5)
         .orderBy("doc_id")),
 
+    // Data-constrained selection: per language, keep the best whole
+    // score-classes until a 2000-token budget fills — threshold is an
+    // actual data value (quantile-gate convention); strata whose top
+    // class overflows serve as all-false.
+    "q_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetSelect(
+        TextStats.qualityScore(t(s, dir, "documents"), Seq("lang")),
+        "quality_score", "n_tokens", "lang", budget = 2000L)
+        .orderBy("doc_id")),
+
+    // CCNet's head/middle/tail move generalized: per-language QUARTILE
+    // buckets of the blended quality score (bucket = # thresholds
+    // strictly below — ties join the lower bucket on both engines; the
+    // exact-rational score keeps the boundary compares bit-portable).
+    "q_score_buckets" -> ((s, dir) =>
+      Corpus.scoreBuckets(
+        TextStats.qualityScore(t(s, dir, "documents"), Seq("lang")),
+        "quality_score", "lang", pcts = Seq(0.25, 0.5, 0.75))
+        .orderBy("doc_id")),
+
     // Supervised quality-classifier training (the GPT-3/LLaMA-style
     // model-based filter): rational-sigmoid logistic GD over hashed
     // presence features, labels = is-English. Deterministic: dec6
@@ -1095,6 +1229,20 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Dedup.nearDupAgainst(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
         k = 32, bands = 8, threshold = 0.5).orderBy("doc_inc", "doc_corp")
+    }),
+
+    // The SAME probe served from the persisted corpus signature table
+    // (the artifact nearDupAgainst's scaladoc promises a deployment
+    // maintains): only the incoming half is tokenized/signed; corpus
+    // text is touched for candidate ids only. Output must equal
+    // q_dedup_incremental row-for-row — the oracle string is shared.
+    "q_minhash_served" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      Dedup.nearDupAgainstSigs(
+        Dedup.signatureTable(corpus, k = 32, bands = 8), corpus,
+        d.filter(col("doc_id") % 2 === 1), k = 32, bands = 8,
+        threshold = 0.5).orderBy("doc_inc", "doc_corp")
     }),
 
     // J1/P5/A3 nested-data path: nest lineitem into items arrays, LEFT-join
@@ -1966,6 +2114,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_line_stats" -> ((s, dir) =>
       ops.text.Corpus.lineStats(newlineified(t(s, dir, "documents")), k = 20)),
 
+    // Gopher's within-document repetition rules at line grain: per doc,
+    // the duplicate-line fraction and character-weighted duplicate
+    // fraction — the per-document signal (dedupLines/lineStats are the
+    // corpus-wide passes).
+    "q_line_repetition" -> ((s, dir) =>
+      ops.text.Corpus.lineRepetition(newlineified(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     // Incremental line dedup: the odd-id half arrives as a batch and its
     // lines are flagged against the even-id corpus's first-seen line
     // registry (the nearDupAgainst shape at line grain; stateless, so
@@ -1985,6 +2141,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_kmeans_assign" -> ((s, dir) =>
       ops.Clustering.assignCentroids(t(s, dir, "embeddings"), k = 8)
         .orderBy("vec_id")),
+
+    // Elbow table: per candidate k, the fully-trained exact-Lloyd
+    // model's final inertia + cell-balance facts — the cluster-count
+    // selection gate (ks/iters mirrored in the oracle's suffixed CTE
+    // chains — change together).
+    "q_kmeans_sweep" -> ((s, dir) =>
+      ops.Clustering.kmeansSweep(t(s, dir, "embeddings"),
+        ks = Seq(2, 4, 8), iters = 2).orderBy("k")),
 
     // SemDeDup: k-means partition (exact-integer assignment) + within-
     // cluster exact-cosine drop of higher-id near-duplicates.
@@ -2656,6 +2820,70 @@ res$sfx AS (SELECT '$qid' AS query_id,
         | th.threshold, q.quality_score >= th.threshold AS is_kept
         |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
 
+    // Same b/q CTEs as q_quality_gate; score-classes (lang, score) with
+    // their token mass, descending cumulative window over the CLASS
+    // relation, threshold = smallest admitted class. LEFT join keeps
+    // overflow-stratum rows visible as is_kept = false.
+    "q_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt,
+        |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens, stopword_cnt, punct_cnt,
+        |   CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+        |   CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |  FROM b),
+        |cls AS (
+        |  SELECT lang, quality_score, sum(n_tokens) AS tok
+        |  FROM q GROUP BY lang, quality_score),
+        |cum AS (
+        |  SELECT lang, quality_score,
+        |   sum(tok) OVER (PARTITION BY lang ORDER BY quality_score DESC) AS cum
+        |  FROM cls),
+        |th AS (
+        |  SELECT lang, min(quality_score) AS threshold,
+        |   CAST(max(cum) AS BIGINT) AS kept_tokens
+        |  FROM cum WHERE cum <= 2000 GROUP BY lang)
+        |SELECT q.lang, q.doc_id, q.n_tokens, q.stopword_cnt, q.punct_cnt,
+        | q.stopword_ratio, q.type_token_ratio, q.quality_score,
+        | th.threshold, th.kept_tokens,
+        | coalesce(q.quality_score >= th.threshold, false) AS is_kept
+        |FROM q LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Same b/q CTEs as q_quality_gate; thresholds are the per-language
+    // discrete quartiles (actual data values), bucket = # strictly
+    // below — ties sit in the lower bucket on both engines.
+    "q_score_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt,
+        |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens, stopword_cnt, punct_cnt,
+        |   CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+        |   CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |  FROM b),
+        |th AS (
+        |  SELECT lang, quantile_disc(quality_score, [0.25, 0.5, 0.75]) AS ths
+        |  FROM q GROUP BY lang)
+        |SELECT q.lang, q.doc_id, q.n_tokens, q.stopword_cnt, q.punct_cnt,
+        | q.stopword_ratio, q.type_token_ratio, q.quality_score,
+        | CAST(len(list_filter(th.ths, t -> q.quality_score > t)) AS INT) AS bucket
+        |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
     // Ten GD steps replayed in the recursive CTE; weights are exact
     // decimal gradient sums pushed through identical double arithmetic.
     "q_quality_model" -> (QualityModelCtes + s"""
@@ -2951,48 +3179,12 @@ res$sfx AS (SELECT '$qid' AS query_id,
         |FROM srcsh s JOIN df USING (sh)
         |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
-    // Asymmetric twin of the minhash oracle: one signature pipeline over
-    // all docs, sides split by id parity only at candidate generation —
-    // per-doc signature math is side-independent, so this equals the
-    // Spark operator's split-first shape exactly.
-    "q_dedup_incremental" -> {
-      val p = Dedup.MinhashP
-      val sigExprs = (0 until 32)
-        .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
-        .mkString(",\n   ")
-      val bandSelects = (0 until 8).map { j =>
-        val key = (4 * j until 4 * j + 4)
-          .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
-        s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH base AS (
-  SELECT doc_id,
-   list_distinct([array_to_string(toks[i:i+1], ' ')
-                  for i in generate_series(1, len(toks) - 1)]) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-hashes AS (
-  SELECT doc_id,
-   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
-sigs AS (
-  SELECT doc_id,
-   $sigExprs
-  FROM hashes GROUP BY doc_id),
-bands AS (
-  $bandSelects),
-cand AS (
-  SELECT DISTINCT i.doc_id AS doc_inc, c.doc_id AS doc_corp
-  FROM bands i JOIN bands c
-    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
-   AND i.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
-SELECT doc_inc, doc_corp,
- CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-FROM cand JOIN base x ON doc_inc = x.doc_id JOIN base y ON doc_corp = y.doc_id
-WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
-ORDER BY doc_inc, doc_corp"""
-    },
+    // Asymmetric twin of the minhash oracle (shared val — see
+    // DedupIncrOracleSql).
+    "q_dedup_incremental" -> DedupIncrOracleSql,
+
+    // Registry round-trip serve ≡ inline probe: same oracle string.
+    "q_minhash_served" -> DedupIncrOracleSql,
 
     // LEFT JOIN LATERAL unnest keeps itemless orders (J1 semantics);
     // decimal-first products keep the HOF total exact on both engines.
@@ -4921,6 +5113,27 @@ ORDER BY query_id, neg_rank"""),
         |FROM l GROUP BY line
         |ORDER BY n_occurrences DESC, line LIMIT 20""".stripMargin,
 
+    // Same nl CTE; per-(doc, line) counts then the per-doc rollup. Both
+    // fractions are single long/long double divisions; the char
+    // denominator CASE-guards the all-empty-lines doc.
+    "q_line_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id, unnest(lines) AS line FROM nl),
+        |c AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |      FROM l GROUP BY doc_id, line)
+        |SELECT doc_id,
+        | CAST(sum(c) AS INT) AS n_lines,
+        | CAST(count(*) AS INT) AS n_distinct_lines,
+        | CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+        | CASE WHEN sum(len * c) > 0
+        |   THEN CAST(sum(len * (c - 1)) AS DOUBLE) / sum(len * c)
+        | END AS dup_char_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Same nl CTE split into the even-id registry (distinct md5 lines)
     // and the odd-id incoming batch; known = registry hit. pos is
     // 0-based on both sides (posexplode / i - 1), CAST INT.
@@ -4942,6 +5155,10 @@ ORDER BY query_id, neg_rank"""),
         |  r.line_hash IS NOT NULL AS known
         |FROM inc LEFT JOIN reg r USING (line_hash)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // Per-k suffixed exact-Lloyd replays + final assignments, one row
+    // per candidate (see kmeansSweepOracleSql).
+    "q_kmeans_sweep" -> kmeansSweepOracleSql(Seq(2, 4, 8), 2),
 
     // Quantization CTE is q_quantize's verbatim; distances are exact
     // integer sums, ties break to the smaller cid on both sides.

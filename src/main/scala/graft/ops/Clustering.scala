@@ -457,10 +457,14 @@ object Clustering {
   private def kmeansCellsExactLoop(qv: DataFrame, k: Int, iters: Int)(
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
+    kmeansCellsExactSeq(qv, k, iters).toDF("cell", "c_emb")
+  }
+
+  private def kmeansCellsExactSeq(qv: DataFrame, k: Int,
+                                  iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] =
       seedCentroids(qv, k).map { case (cid, cv, _) => (cid, cv) }
-    if (cents.isEmpty)
-      return Seq.empty[(Long, Seq[Double])].toDF("cell", "c_emb")
+    if (cents.isEmpty) return cents
     for (_ <- 1 to iters) {
       // cn2 recomputed per iteration as the same left fold the SQL
       // replay's list_reduce-of-squares runs (squares are never -0.0,
@@ -492,7 +496,94 @@ object Clustering {
         }
       }
     }
-    cents.toDF("cell", "c_emb")
+    cents
+  }
+
+  /** Elbow table for [[kmeansCellsExact]] — the cluster-count
+    * selection gate the sweep family gives every other tunable
+    * (annProbeSweep picks probes, minhashConfigSweep picks bands; THIS
+    * picks k before a deployment trains the real routing geometry):
+    * per candidate k, the fully-trained exact Lloyd model's final
+    * inertia plus the cell-balance facts that decide whether the
+    * clustering is servable (one whale cell turns nProbe routing into
+    * a table scan; IVF wants balanced cells, and max_cell_n is that
+    * check). Read it left to right: inertia stops improving at the
+    * elbow, balance degrades past it.
+    *
+    * Inertia is the within-cluster sum of squares of the FINAL
+    * assignment around each cell's own mean — the Lloyd objective
+    * after the closing update — computed by the variance identity
+    * Σ‖x‖² − ‖Σx‖²/n per cell: every cross-row aggregate (member
+    * count, Σ‖x‖², the per-dim member sums and the sum of their
+    * squares) is a sum of INTEGER-VALUED doubles in quantized space —
+    * exact and order-independent — and the only non-integer arithmetic
+    * is one division per cell plus a k-row fold in cell order, shared
+    * IEEE trees on both engines. (A dec6 decimal sum of per-row
+    * distances was tried and is NOT cross-engine stable at 1e6
+    * magnitudes: Spark quantizes the shortest string repr where the
+    * oracle engine scale-multiplies the binary value — 47/500 rows
+    * differed at sf0.01.) Exactness bound: per-dim member sums must
+    * keep their squares under 2^53 — 127·n_cell < 9.5e7, i.e. cells
+    * beyond ~700k members (after [[quantizeEmbeddings]]' ±127 clamp)
+    * would need a decimal widening; far beyond any sane IVF cell.
+    *
+    * Output: (k, inertia, n_cells_used, max_cell_n, min_cell_n) — one
+    * row per candidate, n_cells_used counts cells holding ≥ 1 vector.
+    *
+    * Scale posture: ONE pinned quantized view feeds every candidate's
+    * loop (the grid shares the expensive pass — thresholdSweep
+    * economics); per k the final assignment is the same zero-shuffle
+    * literal-fold argmin, rolled up by one k-row combinable aggregate
+    * into a SINGLE row — collected eagerly (bounded: |ks| rows total),
+    * so the pinned view releases before return instead of leaking into
+    * a lazy plan.
+    */
+  def kmeansSweep(embeddings: DataFrame, ks: Seq[Int] = Seq(2, 4, 8),
+                  iters: Int = 3): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      s"ks must be sorted distinct, got $ks")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qv = graft.CacheScope.pin(quantizedView(embeddings))
+    try {
+      ks.map { k =>
+        val cents = kmeansCellsExactSeq(qv, k, iters)
+        if (cents.isEmpty) (k, 0.0, 0, 0L, 0L)
+        else {
+        val candidates = array(cents.map { case (cid, cv) =>
+          val cn2 = cv.foldLeft(0.0)((s2, x) => s2 + x * x)
+          struct(
+            greatest(lit(0.0),
+              col("qn2") + lit(cn2) -
+                lit(2.0) * graft.functions.DotOrdered(col("qv"), typedLit(cv)))
+              .as("dist"),
+            lit(cid).as("cid"))
+        }: _*)
+        val assigned = qv.select(
+          array_min(candidates).getField("cid").as("cid"),
+          col("qn2"), col("qv"))
+        // per cell: n, Σ‖x‖², and Σ_dim (Σ_members x_d)² — every
+        // cross-row sum is of integer-valued doubles (exact in any
+        // order); collected k rows (bounded) fold in cell order
+        val stats = assigned
+          .select(col("cid"), col("qn2"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("s"),
+            sum(when(col("pos") === 0, col("qn2"))).as("s2p"),
+            count(when(col("pos") === 0, lit(1))).as("np"))
+          .groupBy("cid")
+          .agg(sum(col("s") * col("s")).as("ss"),
+            sum("s2p").as("s2"), sum("np").as("n"))
+          .collect() // bounded: k rows
+        val cells = stats.map(r => (r.getLong(0),
+          r.getDouble(2) - r.getDouble(1) / r.getLong(3), r.getLong(3)))
+          .sortBy(_._1)
+        val inertia = cells.foldLeft(0.0)((acc, c) => acc + c._2)
+        (k, inertia, cells.length,
+          cells.map(_._3).max, cells.map(_._3).min)
+        }
+      }.toDF("k", "inertia", "n_cells_used", "max_cell_n", "min_cell_n")
+    } finally graft.CacheScope.unpin(qv)
   }
 
   private def lloydBase(embeddings: DataFrame): DataFrame =

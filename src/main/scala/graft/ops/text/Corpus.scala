@@ -824,6 +824,43 @@ object Corpus {
     df.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("is_kept", col(valueCol) >= col("threshold"))
 
+  /** Per-stratum quantile BUCKETING — CCNet's head/middle/tail move
+    * generalized: split each stratum's score distribution at the given
+    * percentiles and label every row with its bucket index (0 = lowest
+    * band). CCNet buckets web text into perplexity terciles per
+    * language and trains on the head; the same table drives
+    * bucket-proportional mixture design ([[mixtureResample]]) instead
+    * of a single keep/drop bar ([[quantileGate]] is the 2-bucket
+    * special case of this).
+    *
+    * Thresholds are DISCRETE per-stratum quantiles (actual data values,
+    * the equi-depth convention); bucket = number of thresholds strictly
+    * below the row's value, so a row sitting exactly ON a boundary
+    * joins the lower bucket in any engine. Output: input columns +
+    * (bucket). Rows with a NULL score keep a NULL bucket.
+    *
+    * Scale posture: one combinable per-stratum aggregate (|strata| rows
+    * — always broadcast back), then a literal-fold compare per row: no
+    * second shuffle, stream-safe on the serve side exactly like
+    * [[quantileGateWith]].
+    */
+  def scoreBuckets(df: DataFrame, valueCol: String, strataCol: String,
+                   pcts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                   accuracy: Int = 10000): DataFrame = {
+    require(pcts.nonEmpty && pcts == pcts.sorted &&
+      pcts.forall(p => p > 0 && p < 1),
+      s"pcts must be sorted and in (0,1), got $pcts")
+    val pctArr = pcts.mkString("array(", ", ", ")")
+    val thresholds = df.groupBy(col(strataCol))
+      .agg(expr(s"approx_percentile($valueCol, $pctArr, $accuracy)")
+        .as("__ths"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .withColumn("bucket",
+        when(col(valueCol).isNotNull,
+          size(filter(col("__ths"), t => col(valueCol) > t))))
+      .drop("__ths")
+  }
+
   /** C4-style LINE-level cleaning: drop individual lines that fail the
     * rule set, keep the rest of the document — the within-document
     * counterpart of [[filterCorpus]]'s whole-document gate (C4 drops
@@ -917,6 +954,107 @@ object Corpus {
         min(col("doc_id")).as("first_doc_id"))
       .orderBy(desc("n_occurrences"), asc("line"))
       .limit(k)
+  }
+
+  /** Fit side of the token-budget selection: per stratum, the score
+    * cutoff that fills a TOKEN budget from the top of the score
+    * distribution — the "data-constrained" curation move (a 100 TB
+    * corpus rarely ships whole; the question is which B tokens per
+    * language/source survive). Keeps whole score-classes: order each
+    * stratum's DISTINCT scores descending and take classes while their
+    * cumulative token mass fits the budget; `threshold` is the last
+    * (smallest) admitted score — an actual data value, the
+    * quantileThresholds convention — with `kept_tokens` its cumulative
+    * mass. A stratum whose TOP class alone overflows is ABSENT from
+    * the output (nothing fits; the caller splits that class by its own
+    * tie rule or raises the budget), and its rows serve as
+    * is_kept = false.
+    *
+    * Output: (strataCol, threshold, kept_tokens) — persist via Manifest
+    * and serve any batch through [[tokenBudgetSelectWith]], exactly the
+    * quantile-gate fit/serve economics.
+    *
+    * Scale posture: one (stratum, score) map-side-combinable token sum
+    * — the window then runs over the score-CLASS relation (distinct
+    * scores per stratum, orders of magnitude below doc count for any
+    * real scorer), never over documents; the result is |strata| rows.
+    */
+  def tokenBudgetThresholds(df: DataFrame, scoreCol: String,
+                            tokenCol: String, strataCol: String,
+                            budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col(scoreCol).desc)
+    df.groupBy(col(strataCol), col(scoreCol))
+      .agg(sum(col(tokenCol)).as("__tok"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .groupBy(col(strataCol))
+      .agg(min(col(scoreCol)).as("threshold"),
+        max(col("__cum")).as("kept_tokens"))
+  }
+
+  /** Serve side: flag each row against a persisted budget-threshold
+    * table — `is_kept` = score at or above the stratum's cutoff. Rows
+    * of strata ABSENT from the table keep is_kept = false (their
+    * stratum had no admissible class — or no calibrated budget — and
+    * silently passing would bust it); the LEFT join keeps the rows
+    * visible, unlike [[quantileGateWith]]'s drop, because budget
+    * accounting wants to SEE what it excluded. Broadcast join + one
+    * compare: stream-safe, zero shuffles.
+    */
+  def tokenBudgetSelectWith(df: DataFrame, thresholds: DataFrame,
+                            scoreCol: String,
+                            strataCol: String): DataFrame =
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .withColumn("is_kept",
+        coalesce(col(scoreCol) >= col("threshold"), lit(false)))
+
+  /** [[tokenBudgetThresholds]] ∘ [[tokenBudgetSelectWith]] inline — fit
+    * and apply on the same relation (the quantileGate composition).
+    */
+  def tokenBudgetSelect(df: DataFrame, scoreCol: String, tokenCol: String,
+                        strataCol: String, budget: Long): DataFrame =
+    tokenBudgetSelectWith(df,
+      tokenBudgetThresholds(df, scoreCol, tokenCol, strataCol, budget),
+      scoreCol, strataCol)
+
+  /** WITHIN-document duplicate-line fractions — Gopher's repetition
+    * rules at line grain ("fraction of lines / characters in duplicated
+    * lines"; the n-gram twin is [[repetitionStats]]): a page whose own
+    * nav menu, share bar, or pagination footer repeats inside it scores
+    * high here and is dropped by rule, BEFORE any corpus-wide pass —
+    * this is a per-document signal, where [[dedupLines]] /
+    * [[lineStats]] are corpus-wide.
+    *
+    * Per document: a line occurring c times contributes c−1 duplicate
+    * occurrences. `dup_line_frac` = Σ(c−1) / n_lines;
+    * `dup_char_frac` = Σ len·(c−1) / Σ len·c (character-weighted, the
+    * Gopher "characters in duplicate lines" form). Both are single
+    * long/long double divisions, NULL on a zero denominator (the char
+    * denominator of an all-empty-lines doc).
+    *
+    * Scale posture: one (doc_id, line)-keyed combinable count, one
+    * doc_id-keyed combinable rollup — two map-side-combining shuffles
+    * of line-grain rows, no windows; a corpus-wide viral line never
+    * concentrates anywhere because every key includes doc_id.
+    */
+  def lineRepetition(documents: DataFrame,
+                     delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    documents
+      .select(col("doc_id"), explode(split(col("text"), q)).as("line"))
+      .groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("line")))
+      .groupBy("doc_id").agg(
+        sum(col("c")).cast("int").as("n_lines"),
+        count(lit(1)).cast("int").as("n_distinct_lines"),
+        (sum(col("c") - 1).cast("double") / sum(col("c")))
+          .as("dup_line_frac"),
+        when(sum(col("len") * col("c")) > 0,
+          sum(col("len") * (col("c") - 1)).cast("double") /
+            sum(col("len") * col("c"))).as("dup_char_frac"))
   }
 
   /** The persisted first-seen line registry [[dedupLinesAgainst]] probes

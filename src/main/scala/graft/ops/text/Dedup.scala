@@ -162,6 +162,74 @@ object Dedup {
     verifyJaccard(candidates, setsI, setsC, "doc_inc", "doc_corp", threshold)
   }
 
+  /** The corpus MinHash signature table as a STANDALONE artifact —
+    * (doc_id, band_idx, band_key), b rows per document, the relation
+    * [[nearDupAgainst]]'s scaladoc says a real deployment maintains
+    * instead of re-signing the corpus per ingest batch. Commit it via
+    * [[signatureRefresh]] and probe any committed version through
+    * [[nearDupAgainstSigs]]: the per-batch cost then excludes the
+    * corpus-wide tokenize→shingle→hash scan entirely — at 100 TB that
+    * scan IS the job, so this is the dominant term removed. The
+    * ingestion loop appends each accepted batch's own band rows (this
+    * same call on the batch) to the next registry version — the
+    * lineRegistry / resolutionRefresh maintenance shape.
+    */
+  def signatureTable(documents: DataFrame, k: Int = 16,
+                     bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    bandTable(shingleSets(documents), k, bands)
+  }
+
+  /** Sign-and-commit [[signatureTable]] as a versioned Manifest snapshot
+    * — returns the committed version (the lmRefresh / tokenizerRefresh
+    * idiom applied to the dedup family's most expensive precomputation).
+    */
+  def signatureRefresh(documents: DataFrame, table: String, k: Int = 16,
+                       bands: Int = 8): Int =
+    graft.io.Manifest.write(signatureTable(documents, k, bands), table)
+
+  /** [[nearDupAgainst]] served from a PERSISTED corpus signature table —
+    * `registry` is a committed [[signatureTable]] (any Manifest version;
+    * trained with the SAME (k, bands), which the band join implicitly
+    * requires and the verify makes harmless to get wrong — mismatched
+    * band keys simply never collide). Only the INCOMING batch is
+    * tokenized and signed; corpus text is touched exactly for the
+    * candidate doc ids (one left-semi join), so the per-batch cost is
+    * O(batch + candidates), independent of corpus size. Output and
+    * semantics are IDENTICAL to inline [[nearDupAgainst]] on the
+    * registry's training corpus (TextOpsSpec pins the equality; the
+    * oracle replays the full signature chain, proving the round-trip
+    * through the artifact changes nothing).
+    *
+    * Scale posture: the registry is corpus-sized (b short rows/doc) —
+    * always `shuffle_hash`-joined, never broadcast; `maxBucketSize`
+    * caps ITS buckets (the boilerplate side), exactly as the inline
+    * form caps the corpus side. The candidate pair table is pinned:
+    * both the corpus semi-join and the verify read it, and at steady
+    * state it is batch-sized.
+    */
+  def nearDupAgainstSigs(registry: DataFrame, corpus: DataFrame,
+                         incoming: DataFrame, k: Int = 16, bands: Int = 8,
+                         threshold: Double = 0.5,
+                         maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val setsI = graft.CacheScope.pin(shingleSets(incoming))
+    val bandsI = bandTable(setsI, k, bands)
+    val bandsC = capBuckets(
+      registry.select("doc_id", "band_idx", "band_key"), maxBucketSize)
+    val candidates = graft.CacheScope.pin(bandsI
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_inc"))
+      .join(bandsC.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_corp"))
+        .hint("shuffle_hash"), Seq("band_idx", "band_key"))
+      .select("doc_inc", "doc_corp")
+      .distinct())
+    val touched = corpus.join(
+      candidates.select(col("doc_corp").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    verifyJaccard(candidates, setsI, shingleSets(touched),
+      "doc_inc", "doc_corp", threshold)
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Stages: explode shingles → ONE md5 per shingle, folded to a 60-bit int

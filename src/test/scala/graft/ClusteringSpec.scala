@@ -73,6 +73,24 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.kmeansCellsExact(empty, k = 3).isEmpty)
   }
 
+  test("kmeansSweep: elbow table invariants on the separated clusters") {
+    val out = Clustering.kmeansSweep(points, ks = Seq(2, 3, 30), iters = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set(2, 3, 30))
+    out.foreach { case (k, (inertia, used, mx, mn)) =>
+      assert(inertia >= 0 && used <= k && mn >= 1 && mx >= mn, s"k=$k")
+    }
+    // 3 well-separated clusters: k=3 recovers them (10 members each)
+    // and is a sharp elbow vs k=2
+    assert(out(3)._2 == 3 && out(3)._3 == 10L && out(3)._4 == 10L)
+    assert(out(2)._1 > out(3)._1 * 2,
+      s"k=2 inertia ${out(2)._1} should dwarf k=3's ${out(3)._1}")
+    // k = n: every distinct vector is its own converged cell
+    assert(out(30)._1 == 0.0 && out(30)._2 == 30)
+  }
+
   test("semanticDedup: drops higher-id near-duplicates within a cluster only") {
     // ids 0,1 seed two clusters at 90°; 2 duplicates 0's direction
     // (cos=1), 3 duplicates 1's; 4 is a cluster-0 mate below threshold;

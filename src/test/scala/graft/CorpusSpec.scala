@@ -573,6 +573,55 @@ class CorpusSpec extends SparkSpec {
     assert(twice == Seq(false, false))
   }
 
+  test("lineRepetition: duplicate-line and char fractions on known docs") {
+    val out = Corpus.lineRepetition(docs(
+      1L -> "a\nb\na",   // 3 lines, 2 distinct; dup chars 1 of 3
+      2L -> "x\ny",      // no repeats
+      3L -> "\n\n"))     // 3 empty lines: char denominator is 0
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2),
+          r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) == ((3, 2, 1.0 / 3, Some(1.0 / 3))))
+    assert(out(2L) == ((2, 2, 0.0, Some(0.0))))
+    assert(out(3L) == ((3, 1, 2.0 / 3, None)), "all-empty doc: NULL char frac")
+  }
+
+  test("scoreBuckets: discrete quartile assignment, ties to the lower bucket") {
+    val d = (1 to 8).map(i => (i.toLong, "en", i.toDouble)) :+
+      ((9L, "en", Double.NaN))
+    val df = d.toDF("doc_id", "lang", "v")
+      .withColumn("v", when(!isnan(col("v")), col("v"))) // NaN -> null row
+    val out = Corpus.scoreBuckets(df, "v", "lang", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        Option(r.get(r.fieldIndex("bucket"))).map(_.asInstanceOf[Int]))
+      .toMap
+    // discrete thresholds over 1..8 at ranks ceil(p*8) = 2, 4, 6;
+    // bucket = # thresholds strictly below, so the threshold element
+    // itself sits in the LOWER bucket
+    val expect = Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3).map { case (k, v) => k -> Some(v) }
+    assert(out.filterKeys(_ <= 8L).toMap == expect)
+    assert(out(9L).isEmpty, "null score keeps a null bucket")
+  }
+
+  test("tokenBudgetSelect: whole score-classes fill the budget; overflow strata all-false") {
+    val d = Seq(
+      (1L, "en", 0.9, 10L), (2L, "en", 0.9, 10L), // class .9 -> 20 tokens
+      (3L, "en", 0.5, 15L),                       // class .5 -> cum 35
+      (4L, "en", 0.1, 10L),                       // class .1 -> cum 45 > 40
+      (5L, "de", 0.8, 100L))                      // top class overflows
+      .toDF("doc_id", "lang", "score", "n_tok")
+    val th = Corpus.tokenBudgetThresholds(d, "score", "n_tok", "lang", 40L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(th == Map("en" -> ((0.5, 35L))), "overflowing de stratum absent")
+    val out = Corpus.tokenBudgetSelect(d, "score", "n_tok", "lang", 40L)
+      .select("doc_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false))
+  }
+
   test("quantileGateWith: fit/serve split equals inline; unknown strata drop") {
     val d = Seq((1L, "en", 0.1), (2L, "en", 0.9), (3L, "en", 0.5),
       (4L, "de", 0.2), (5L, "de", 0.8))

@@ -74,6 +74,48 @@ class TextOpsSpec extends SparkSpec {
       "incoming-internal dup is not a cross pair")
   }
 
+  test("nearDupAgainstSigs: persisted-registry serve equals inline nearDupAgainst") {
+    def sent(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to 30).map(_ => s"w${r.nextInt(400)}").mkString(" ")
+    }
+    def mutate(s: String, at: Int) = {
+      val t = s.split(" "); t(at) = "MUT"; t.mkString(" ")
+    }
+    val corpus = ((1L to 40L).map(i => i -> sent(i.toInt)) :+
+      (41L -> mutate(sent(1), 3))).toDF("doc_id", "text")
+    val incoming = ((101L to 110L).map(i => i -> sent(i.toInt)) ++
+      Seq(111L -> mutate(sent(5), 11), 112L -> sent(9)))
+      .toDF("doc_id", "text")
+
+    // train-and-commit crosses the artifact boundary: serve from the
+    // Manifest-read registry, never from the in-session plan
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sigs").toString + "/sigs"
+    val v = Dedup.signatureRefresh(corpus, table, k = 16, bands = 8)
+    assert(v == 1, "first commit is version 1")
+    val registry = graft.io.Manifest.read(spark, table)
+
+    val inline = Dedup.nearDupAgainst(corpus, incoming, k = 16, bands = 8,
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    val served = Dedup.nearDupAgainstSigs(registry, corpus, incoming,
+      k = 16, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == inline, s"served=$served inline=$inline")
+    assert(served.map(p => (p._1, p._2)).contains((112L, 9L)),
+      "exact copy must pair through the registry")
+
+    // the cap applies to the REGISTRY side exactly as inline caps the
+    // corpus side
+    val cappedInline = Dedup.nearDupAgainst(corpus, incoming, k = 16,
+      bands = 8, threshold = 0.5, maxBucketSize = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val cappedServed = Dedup.nearDupAgainstSigs(registry, corpus, incoming,
+      k = 16, bands = 8, threshold = 0.5, maxBucketSize = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedServed == cappedInline)
+  }
+
   test("simhash: identical docs hash equal, near-dups are close in Hamming distance") {
     val fp = Dedup.simhashDocs(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
