@@ -661,6 +661,35 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 ORDER BY doc_inc, doc_corp"""
   }
 
+  /** The rational-idf BM25 oracle — shared verbatim by q_bm25 (inline)
+    * and q_bm25_served (scored from the persisted search index): the
+    * artifact round-trip must change nothing.
+    */
+  private val Bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+      |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM
+      |        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |       WHERE term IN ('merge', 'sort', 'window', 'hash')
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |s AS (SELECT tf.doc_id, tf.term,
+      |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+      |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+      |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+      |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+      |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+      |agg AS (SELECT doc_id,
+      |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+      |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
+      |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
+      |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
+      |        FROM s GROUP BY doc_id)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+      | doc_id, score
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** The bigram-LM scoring oracle — shared verbatim by q_lm_score
     * (self-trained) and q_lm_serve (fit + serve of the same model: every
     * join hits on the training corpus, so the outputs are identical).
@@ -2037,6 +2066,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // doubles are bit-identical cross-engine (no log, no unordered SUM).
     "q_bm25" -> ((s, dir) =>
       ops.text.Retrieval.bm25Rational(t(s, dir, "documents"),
+        Seq("merge", "sort", "window", "hash"), k1 = 1.2, b = 0.75,
+        topK = 20)
+        .orderBy("rank")),
+
+    // BM25 from the PERSISTED search index (zero tokenization at query
+    // time); scoring tail is bm25Rational's shared core, so this must
+    // equal q_bm25 row-for-row — the oracle string is shared.
+    "q_bm25_served" -> ((s, dir) =>
+      ops.text.Retrieval.bm25With(
+        ops.text.Retrieval.searchIndex(t(s, dir, "documents")),
         Seq("merge", "sort", "window", "hash"), k1 = 1.2, b = 0.75,
         topK = 20)
         .orderBy("rank")),
@@ -4965,30 +5004,11 @@ ORDER BY vec_id, j"""
     // for operation (left-assoc, same parenthesization, same fixed
     // term-fold order merge->sort->window->hash) so every double is
     // bit-identical. k1=1.2 b=0.75 topK=20.
-    "q_bm25" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
-        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM
-        |        (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |       WHERE term IN ('merge', 'sort', 'window', 'hash')
-        |       GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |s AS (SELECT tf.doc_id, tf.term,
-        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
-        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
-        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
-        |agg AS (SELECT doc_id,
-        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
-        |        FROM s GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
-        | doc_id, score
-        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> Bm25OracleSql,
+
+    // Index round-trip serve ≡ inline scoring: same oracle string (the
+    // q_lm_serve / q_minhash_served pattern for retrieval).
+    "q_bm25_served" -> Bm25OracleSql,
 
     // Three (BM25 truth, tf candidate) chain pairs from the SAME
     // RetrievalEvalQueries term sets, then the eval join: hits are the

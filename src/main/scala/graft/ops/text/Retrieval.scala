@@ -77,7 +77,17 @@ object Retrieval {
       .where(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Score(tf, df, dl, corpus, terms, k1, b, topK)
+  }
 
+  /** The shared BM25 scoring tail over prepared (tf, df, dl, corpus)
+    * relations — ONE expression tree for the inline ([[bm25Rational]])
+    * and served ([[bm25With]]) paths, so they cannot drift: serve ≡
+    * fit+score bit-for-bit on the index's own corpus.
+    */
+  private def bm25Score(tf: DataFrame, df: DataFrame, dl: DataFrame,
+                        corpus: DataFrame, terms: Seq[String],
+                        k1: Double, b: Double, topK: Int): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5)
@@ -99,6 +109,70 @@ object Retrieval {
         row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
           .cast("int"))
       .select("rank", "doc_id", "score")
+  }
+
+  /** The search index as ONE persistable relation — the artifact a
+    * retrieval deployment commits so query-time scoring never touches
+    * corpus text (index once, query many; [[bm25Rational]] re-tokenizes
+    * the corpus per query batch, which at 100 TB IS the cost). Kinds:
+    * `tf` (term, doc_id, n = term frequency — the postings), `dl`
+    * (doc_id, n = document length), `stats` (two scalar rows: n_docs,
+    * sum_dl — precomputed so serving pays no corpus-wide aggregate).
+    * Commit via [[searchIndexRefresh]] (the lmModel one-table idiom:
+    * the relations are only meaningful as a unit — postings without
+    * their dl/stats mis-score), serve via [[bm25With]].
+    *
+    * Scale posture: the tf/dl builds are [[invertedIndex]]'s combinable
+    * aggregates; stats fold from dl with one extra 1-row pass. At
+    * warehouse scale the committed table is bucketed by term hash so a
+    * query's postings prune to few files.
+    */
+  def searchIndex(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_dl"))
+      .select(lit("stats").as("kind"),
+        explode(map(lit("n_docs"), col("n_docs"),
+          lit("sum_dl"), col("sum_dl"))).as(Seq("term", "n")))
+      .select(col("kind"), col("term"),
+        lit(null).cast("long").as("doc_id"), col("n"))
+    tf.select(lit("tf").as("kind"), col("term"), col("doc_id"), col("n"))
+      .unionByName(dl.select(lit("dl").as("kind"),
+        lit(null).cast("string").as("term"), col("doc_id"), col("n")))
+      .unionByName(stats)
+  }
+
+  /** Index-and-commit [[searchIndex]] as a versioned Manifest snapshot
+    * — returns the committed version (the lmRefresh idiom).
+    */
+  def searchIndexRefresh(documents: DataFrame, table: String): Int =
+    graft.io.Manifest.write(searchIndex(documents), table)
+
+  /** BM25 served from a PERSISTED [[searchIndex]] — zero tokenization,
+    * zero corpus text at query time: the scan prunes to the query
+    * terms' postings, df folds from those postings alone, dl joins by
+    * doc_id, and the 1-row stats build comes precomputed. The scoring
+    * tail is [[bm25Rational]]'s own expression tree (shared private
+    * core), so on the index's training corpus served output EQUALS
+    * inline bit-for-bit — the oracle checks exactly that.
+    */
+  def bm25With(index: DataFrame, terms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val tf = index.filter(col("kind") === "tf" && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("n").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = index.filter(col("kind") === "dl")
+      .select(col("doc_id"), col("n").as("dl"))
+    val corpus = index.filter(col("kind") === "stats")
+      .agg(max(when(col("term") === "n_docs", col("n"))).as("n_docs"),
+        max(when(col("term") === "sum_dl", col("n"))).as("sum_dl"))
+    bm25Score(tf, df, dl, corpus, terms, k1, b, topK)
   }
 
   /** Raw term-frequency top-k — the CHEAP ranker a first-stage retriever

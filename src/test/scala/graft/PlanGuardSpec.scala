@@ -47,6 +47,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
       "q_bm25",
+      // the served twin: same 1-row stats build, read from the index
+      "q_bm25_served",
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",

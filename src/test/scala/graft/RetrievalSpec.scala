@@ -41,6 +41,24 @@ class RetrievalSpec extends SparkSpec {
     assert(top.sortBy(r => (-r._3, r._2)).map(_._1) == top.map(_._1))
   }
 
+  test("bm25With: persisted-index serve equals inline, zero-text scoring") {
+    val terms = Seq("merge", "sort", "hash")
+    val inline = Retrieval.bm25Rational(docs, terms)
+      .as[(Int, Long, Double)].collect().toSeq
+    // across the artifact boundary: commit, read back, score
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_sidx").toString + "/idx"
+    val v = Retrieval.searchIndexRefresh(docs, table)
+    assert(v == 1)
+    val served = Retrieval.bm25With(
+      graft.io.Manifest.read(spark, table), terms)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(served == inline, s"served=$served inline=$inline")
+    // terms absent from the index score nothing, same as inline
+    assert(Retrieval.bm25With(graft.io.Manifest.read(spark, table),
+      Seq("absentterm")).count() == 0)
+  }
+
   test("tfTopK: raw term-count ranking, ties to the smaller doc_id") {
     val top = Retrieval.tfTopK(docs, Seq("merge", "sort"))
       .as[(Int, Long, Long)].collect().toSeq
