@@ -36,7 +36,11 @@ object ScaleSweep {
   val heavyQueries: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_minhash_auto",
     "q_dedup_simhash",
-    "q_dedup_incremental", "q_dedup_clusters", "q_dedup_resolve",
+    "q_dedup_incremental",
+    // the registry-served probe right after its inline twin: the pair
+    // quantifies what the persisted signature table saves per batch
+    "q_minhash_served",
+    "q_dedup_clusters", "q_dedup_resolve",
     "q_dedup_best",
     "q_group_split", "q_decontaminate", "q_decontaminate_spans",
     "q_lm_score", "q_lm_serve", "q_lm_lines", "q_dsir_score",
@@ -45,7 +49,7 @@ object ScaleSweep {
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
-    "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep",
+    "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep", "q_kmeans_sweep",
     "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label",
     // r12 line family: corpus-wide keep-first (one line-keyed shuffle),
     // the map-only rule cleaner, and the registry-join incremental twin;
@@ -55,6 +59,11 @@ object ScaleSweep {
     "q_dedup_lines", "q_clean_lines", "q_dedup_lines_incr",
     "q_minhash_recall", "q_minhash_sweep", "q_calibration",
     "q_hard_negatives",
+    // r12 session 2: the per-doc line-repetition signal, the budget/
+    // bucket selection pair over the quality scorer, and inline-vs-
+    // served BM25 (the index artifact's per-query saving)
+    "q_line_repetition", "q_score_buckets", "q_token_budget",
+    "q_bm25", "q_bm25_served",
     // q_contrastive's positives ride the brute self-search — at 20k
     // vectors that is the documented quadratic baseline (q_knn_label's
     // role): swept to record the wall the ANN-table drop-in avoids —
