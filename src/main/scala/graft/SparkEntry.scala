@@ -1594,6 +1594,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Corpus.groupSafeSplit(t(s, dir, "documents"), minhashPairs(s, dir))
         .select("doc_id", "canonical_id", "split").orderBy("doc_id")),
 
+    // Cross-split leakage audit of the NAIVE hash split against the
+    // shared MinHash pair table: is_leak rows are near-twins straddling
+    // a split boundary — the contamination groupSafeSplit exists to
+    // drive to zero (CorpusSpec pins that contrast; this query pins the
+    // counting itself).
+    "q_split_audit" -> ((s, dir) =>
+      Corpus.splitAudit(Corpus.hashSplit(t(s, dir, "documents")),
+        minhashPairs(s, dir))
+        .orderBy("split_a", "split_b")),
+
     // Exact stratified sample: exactly 20 docs per language in stable
     // md5(salt:id) order (rank compiles to WindowGroupLimit).
     "q_stratified" -> ((s, dir) =>
@@ -4547,6 +4557,25 @@ ORDER BY vec_id, pair_type, partner_id"""
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The shared minhash pair CTEs + the q_hash_split bucket rule, then
+    // one grouped count over (least, greatest) split combinations.
+    "q_split_audit" ->
+      (s"WITH $MinhashPairCtes,\n" +
+        """sp AS (
+          |  SELECT doc_id,
+          |   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+          |        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+          |        ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT least(a.split, b.split) AS split_a,
+          | greatest(a.split, b.split) AS split_b,
+          | count(*) AS n_pairs,
+          | least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+          |FROM mpairs p
+          |JOIN sp a ON p.doc_a = a.doc_id
+          |JOIN sp b ON p.doc_b = b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_epoch_shuffle" ->
       """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

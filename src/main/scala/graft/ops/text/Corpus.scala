@@ -742,6 +742,38 @@ object Corpus {
       trainPct = trainPct, valPct = valPct)
   }
 
+  /** Cross-split leakage audit — the measurement behind
+    * [[groupSafeSplit]]: given a split assignment and a near-dup pair
+    * table, count pairs per (split, split) combination. Rows with
+    * `is_leak = true` are near-twins STRADDLING a split boundary — the
+    * eval-contamination a naive [[hashSplit]] produces and a
+    * group-keyed split must drive to zero (CorpusSpec pins exactly
+    * that contrast). Run it before trusting any held-out metric on a
+    * deduplicated-ish corpus; the audit-per-family contract (SURVEY
+    * §8) applied to splits.
+    *
+    * Output: (split_a, split_b, n_pairs, is_leak), split_a ≤ split_b
+    * so each unordered combination is one row.
+    *
+    * Scale posture: two id-keyed shuffle_hash joins of the pair table
+    * against the (id, split) projection + one combinable count — pair-
+    * table-sized, no windows; never broadcasts the corpus-sized split
+    * relation.
+    */
+  def splitAudit(split: DataFrame, pairs: DataFrame,
+                 idCol: String = "doc_id", aCol: String = "doc_a",
+                 bCol: String = "doc_b"): DataFrame = {
+    val s = split.select(col(idCol), col("split"))
+    pairs
+      .join(s.toDF(aCol, "split_l").hint("shuffle_hash"), aCol)
+      .join(s.toDF(bCol, "split_r").hint("shuffle_hash"), bCol)
+      .select(least(col("split_l"), col("split_r")).as("split_a"),
+        greatest(col("split_l"), col("split_r")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
   /** Exact stratified sampling: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by a stable pseudo-random order — the corpus-audit /
     * eval-set op where Bernoulli sampling (`sampleBy`, [[weightedSample]])

@@ -605,6 +605,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(9L).isEmpty, "null score keeps a null bucket")
   }
 
+  test("splitAudit: naive hash split leaks near-twins, group-safe split never") {
+    val d = (1L to 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    // planted near-dup pairs (consecutive ids); under the md5 hash split
+    // exactly (3,4), (5,6), (9,10), (33,34) straddle split boundaries
+    val pairs = (1L until 40L by 2).map(a => (a, a + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val naive = Corpus.splitAudit(Corpus.hashSplit(d), pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(naive.values.map(_._1).sum == 20L, "every pair counted once")
+    assert(naive.filter(_._2._2).values.map(_._1).sum == 4L,
+      s"computed leak count, got $naive")
+    naive.foreach { case ((a, b), (_, leak)) => assert(leak == (a != b)) }
+
+    val safe = Corpus.splitAudit(Corpus.groupSafeSplit(d, pairs), pairs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getBoolean(3)))
+    assert(safe.map(_._2).sum == 20L)
+    assert(!safe.exists(_._3), s"group-safe split must not leak: ${safe.toSeq}")
+  }
+
   test("tokenBudgetSelect: whole score-classes fill the budget; overflow strata all-false") {
     val d = Seq(
       (1L, "en", 0.9, 10L), (2L, "en", 0.9, 10L), // class .9 -> 20 tokens
