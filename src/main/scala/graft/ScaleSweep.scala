@@ -63,6 +63,7 @@ object ScaleSweep {
     // bucket selection pair over the quality scorer, and inline-vs-
     // served BM25 (the index artifact's per-query saving)
     "q_line_repetition", "q_score_buckets", "q_token_budget",
+    "q_score_rank", "q_split_audit",
     "q_bm25", "q_bm25_served",
     // q_contrastive's positives ride the brute self-search — at 20k
     // vectors that is the documented quadratic baseline (q_knn_label's

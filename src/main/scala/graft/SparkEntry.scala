@@ -1115,6 +1115,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "quality_score", "n_tokens", "lang", budget = 2000L)
         .orderBy("doc_id")),
 
+    // Rank-based score fusion input: per-language percentile rank of
+    // the blended quality score — RANK semantics (ties share their
+    // class's first row), exact long/long division; computed over the
+    // score-CLASS relation, never a document-grain window.
+    "q_score_rank" -> ((s, dir) =>
+      Corpus.scoreRank(
+        TextStats.qualityScore(t(s, dir, "documents"), Seq("lang")),
+        "quality_score", "lang")
+        .orderBy("doc_id")),
+
     // CCNet's head/middle/tail move generalized: per-language QUARTILE
     // buckets of the blended quality score (bucket = # thresholds
     // strictly below — ties join the lower bucket on both engines; the
@@ -2868,6 +2878,30 @@ res$sfx AS (SELECT '$qid' AS query_id,
         | q.stopword_ratio, q.type_token_ratio, q.quality_score,
         | th.threshold, q.quality_score >= th.threshold AS is_kept
         |FROM q JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Same b/q CTEs; the oracle affords the document-grain percent_rank
+    // window directly — RANK-based tie semantics and the (below)/(n−1)
+    // integer division match the class-relation computation exactly.
+    "q_score_rank" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |   CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS INT) AS stopword_cnt,
+        |   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_cnt
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens, stopword_cnt, punct_cnt,
+        |   CAST(stopword_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+        |   CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+        |     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+        |  FROM b)
+        |SELECT lang, doc_id, n_tokens, stopword_cnt, punct_cnt,
+        | stopword_ratio, type_token_ratio, quality_score,
+        | percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS pct_rank
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // Same b/q CTEs as q_quality_gate; score-classes (lang, score) with
     // their token mass, descending cumulative window over the CLASS

@@ -988,6 +988,42 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-stratum PERCENTILE-RANK normalization — the move that makes
+    * heterogeneous quality signals blendable (an LM logprob, a
+    * classifier score, and a rule count live on incomparable scales;
+    * their percentile ranks all live on [0,1] and average/min/weight
+    * cleanly — rank-based score fusion). `pct_rank` = (# rows in the
+    * stratum strictly below this value) / (n − 1) — RANK-based, so
+    * ties share the value of their class's first row, 0.0 for a
+    * 1-row stratum; an exact long/long division (bit-portable). Rows
+    * with a NULL value drop (no rank without a value — the equi-join
+    * back never matches null).
+    *
+    * Scale posture: deliberately NEVER a document-grain window (a
+    * PARTITION BY stratum ORDER BY score window sorts whole strata
+    * through single task chains) — one (stratum, value) combinable
+    * count, the cumulative window over the CLASS relation (distinct
+    * values per stratum), and one keyed join back to the rows. The
+    * [[tokenBudgetThresholds]] class-relation pattern, emitted per
+    * row.
+    */
+  def scoreRank(df: DataFrame, valueCol: String,
+                strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col(valueCol))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    val cls = df.groupBy(col(strataCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .withColumn("pct_rank",
+        when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)))
+      .select(col(strataCol), col(valueCol), col("pct_rank"))
+    df.join(cls.hint("shuffle_hash"), Seq(strataCol, valueCol))
+  }
+
   /** Fit side of the token-budget selection: per stratum, the score
     * cutoff that fills a TOKEN budget from the top of the score
     * distribution — the "data-constrained" curation move (a 100 TB

@@ -643,6 +643,17 @@ class CorpusSpec extends SparkSpec {
       5L -> false))
   }
 
+  test("scoreRank: RANK-based percentile, ties share their class's first row") {
+    val d = Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "en", 20.0),
+      (4L, "en", 30.0), (5L, "en", 40.0), (6L, "de", 7.0))
+      .toDF("doc_id", "lang", "v")
+    val out = Corpus.scoreRank(d, "v", "lang")
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    // en: n=5, below counts 0,1,1,3,4 -> /4
+    assert(out == Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.25, 4L -> 0.75,
+      5L -> 1.0, 6L -> 0.0))
+  }
+
   test("quantileGateWith: fit/serve split equals inline; unknown strata drop") {
     val d = Seq((1L, "en", 0.1), (2L, "en", 0.9), (3L, "en", 0.5),
       (4L, "de", 0.2), (5L, "de", 0.8))

@@ -687,6 +687,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("token-budget serving is a broadcast gate: stream flags == batch flags") {
+    import graft.ops.text.Corpus
+    val rows = Seq((1L, "en", 0.9, 10L), (2L, "en", 0.5, 15L),
+      (3L, "en", 0.1, 10L), (4L, "de", 0.8, 100L))
+    val d = rows.toDF("doc_id", "lang", "score", "n_tok")
+    // fit once on the reference batch; serve the SAME call on a stream —
+    // broadcast threshold join + one compare, zero stateful operators
+    val th = Corpus.tokenBudgetThresholds(d, "score", "n_tok", "lang", 30L)
+    val expected = Corpus.tokenBudgetSelectWith(d, th, "score", "lang")
+      .select("doc_id", "is_kept").as[(Long, Boolean)].collect().toSet
+    val mem = MemoryStream[(Long, String, Double, Long)](spark)
+    val q = Corpus.tokenBudgetSelectWith(
+      mem.toDF().toDF("doc_id", "lang", "score", "n_tok"), th,
+      "score", "lang")
+      .select("doc_id", "is_kept")
+      .writeStream.format("memory").queryName("budget_flags")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("budget_flags")
+      .as[(Long, Boolean)].collect().toSet
+    assert(got == expected)
+    assert(expected == Set(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("bpe encode applies unchanged to a stream (stateless map; stream ≡ batch)") {
     import graft.ops.text.Bpe
     val docs = Seq(
