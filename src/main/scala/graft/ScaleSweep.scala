@@ -50,7 +50,11 @@ object ScaleSweep {
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
     "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep", "q_kmeans_sweep",
-    "q_embed_neardup", "q_embed_audit", "q_embed_auto", "q_knn_label",
+    "q_embed_neardup", "q_embed_audit", "q_embed_auto",
+    // the asymmetric pair: inline (signs the corpus per run) vs served
+    // (the persisted band registry — only the batch hashes)
+    "q_embed_incr", "q_embed_served",
+    "q_knn_label",
     // r12 line family: corpus-wide keep-first (one line-keyed shuffle),
     // the map-only rule cleaner, and the registry-join incremental twin;
     // q_minhash_recall/q_minhash_sweep run on a FIXED 400-doc slice, so

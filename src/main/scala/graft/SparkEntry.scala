@@ -661,6 +661,28 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 ORDER BY doc_inc, doc_corp"""
   }
 
+  /** The asymmetric embedding near-dup oracle — shared verbatim by
+    * q_embed_incr (inline) and q_embed_served (probed through the
+    * persisted band registry): one banding chain over all vectors
+    * (per-row hashing is side-independent), sides split by id parity
+    * only at candidate generation, exact ordered-fold cosine verify.
+    */
+  private lazy val EmbedIncrOracleSql: String =
+    s"""WITH ${embedBandCtes("", 16, 4)},
+candi AS (
+  SELECT DISTINCT i.vec_id AS vec_inc, c.vec_id AS vec_corp
+  FROM bands i JOIN bands c
+    ON i.band_idx = c.band_idx AND i.band_val = c.band_val
+   AND i.vec_id % 2 = 1 AND c.vec_id % 2 = 0)
+SELECT vec_inc, vec_corp, sim FROM (
+  SELECT vec_inc, vec_corp,
+    ${duckDot("x.embedding", "y.embedding")} /
+      (sqrt(${duckDot("x.embedding", "x.embedding")}) * sqrt(${duckDot("y.embedding", "y.embedding")})) AS sim
+  FROM candi JOIN embeddings x ON vec_inc = x.vec_id
+             JOIN embeddings y ON vec_corp = y.vec_id)
+WHERE sim >= 0.35
+ORDER BY vec_inc, vec_corp"""
+
   /** The rational-idf BM25 oracle — shared verbatim by q_bm25 (inline)
     * and q_bm25_served (scored from the persisted search index): the
     * artifact round-trip must change nothing.
@@ -1360,6 +1382,29 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_embed_neardup" -> ((s, dir) =>
       ops.Similarity.embeddingNearDup(t(s, dir, "embeddings"))
         .orderBy("vec_a", "vec_b")),
+
+    // Asymmetric embedding near-dup: the odd-id half arrives as a batch
+    // against the even-id corpus — nearDupAgainst's embedding twin, no
+    // corpus×corpus candidates.
+    "q_embed_incr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ops.Similarity.embeddingNearDupAgainst(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+        .orderBy("vec_inc", "vec_corp")
+    }),
+
+    // The SAME probe served from the persisted band-signature registry:
+    // only the incoming half pays the hyperplane hashing, corpus
+    // embeddings are read for candidate ids alone. Must equal
+    // q_embed_incr row-for-row — the oracle string is shared.
+    "q_embed_served" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+      ops.Similarity.embeddingNearDupAgainstSigs(
+        ops.Similarity.embedSignatures(corpus), corpus,
+        e.filter(col("vec_id") % 2 === 1))
+        .orderBy("vec_inc", "vec_corp")
+    }),
 
     // Blocking-quality audit for the banded embedding near-dup: per-band
     // bucket census + exact candidate-pair count — the pre-flight a 100×
@@ -3747,6 +3792,13 @@ ORDER BY d.doc_id""",
 ${embedPairCtes("")}
 SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35
 ORDER BY vec_a, vec_b""",
+
+    // One banding chain, sides split by id parity at candidate
+    // generation only (see EmbedIncrOracleSql).
+    "q_embed_incr" -> EmbedIncrOracleSql,
+
+    // Registry round-trip serve ≡ inline probe: same oracle string.
+    "q_embed_served" -> EmbedIncrOracleSql,
 
     // Same planes/bucket/band CTEs as q_embed_neardup, aggregated into the
     // per-band census instead of joined into pairs. The pair count uses

@@ -414,6 +414,114 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** The corpus hyperplane band table as a STANDALONE artifact —
+    * (vec_id, band_idx, band_val), `bands` short rows per vector: the
+    * embedding-space twin of [[graft.ops.text.Dedup.signatureTable]].
+    * Commit via [[embedSignatureRefresh]], probe any committed version
+    * through [[embeddingNearDupAgainstSigs]] — per ingest batch only
+    * the batch computes its nPlanes dot products; corpus embeddings
+    * are read for candidate ids alone.
+    */
+  def embedSignatures(corpus: DataFrame, nPlanes: Int = 16,
+                      bands: Int = 4, dim: Int = 64,
+                      seed: Long = 7L): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val spark = corpus.sparkSession
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+    }
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"))
+      .select(col("vec_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Sign-and-commit [[embedSignatures]] as a versioned Manifest
+    * snapshot (the signatureRefresh idiom in embedding space).
+    */
+  def embedSignatureRefresh(corpus: DataFrame, table: String,
+                            nPlanes: Int = 16, bands: Int = 4,
+                            dim: Int = 64, seed: Long = 7L): Int =
+    graft.io.Manifest.write(
+      embedSignatures(corpus, nPlanes, bands, dim, seed), table)
+
+  /** Asymmetric embedding near-dup: flag INCOMING vectors that
+    * near-duplicate an EXISTING corpus — [[graft.ops.text.Dedup.nearDupAgainst]]'s
+    * embedding twin at band grain (the BATCH form of
+    * [[graft.streaming.IncrementalStream]]'s embedNearDupStream;
+    * [[graft.ops.Clustering.semanticDedupAgainst]] is the
+    * cluster-first alternative). Output: (vec_inc, vec_corp, sim) for
+    * every cross pair at or above `threshold` — no corpus×corpus
+    * candidate generation at all.
+    */
+  def embeddingNearDupAgainst(corpus: DataFrame, incoming: DataFrame,
+                              nPlanes: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.35, dim: Int = 64,
+                              seed: Long = 7L): DataFrame =
+    embeddingNearDupAgainstSigs(
+      embedSignatures(corpus, nPlanes, bands, dim, seed), corpus, incoming,
+      nPlanes, bands, threshold, dim, seed)
+
+  /** [[embeddingNearDupAgainst]] served from a PERSISTED
+    * [[embedSignatures]] registry (any Manifest version, same
+    * (nPlanes, bands, seed)): only the incoming batch pays the
+    * nPlanes-fold hashing; corpus embeddings are touched for candidate
+    * vec_ids only (one left-semi join), with norms recomputed for just
+    * those rows. Identical output to the inline form on the registry's
+    * training corpus (SimilaritySpec pins the equality; the shared
+    * oracle string proves the round-trip changes nothing).
+    *
+    * Scale posture: the registry is corpus-sized — always
+    * shuffle_hash-joined, never broadcast; candidate pairs pinned
+    * (read by the semi-join and the verify), batch-sized at steady
+    * state.
+    */
+  def embeddingNearDupAgainstSigs(registry: DataFrame, corpus: DataFrame,
+                                  incoming: DataFrame, nPlanes: Int = 16,
+                                  bands: Int = 4, threshold: Double = 0.35,
+                                  dim: Int = 64,
+                                  seed: Long = 7L): DataFrame = {
+    require(nPlanes % bands == 0, s"nPlanes=$nPlanes not divisible by bands=$bands")
+    val r = nPlanes / bands
+    val mask = (1L << r) - 1
+    val spark = incoming.sparkSession
+    val bucketedI = graft.CacheScope.pin(incoming
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), nPlanes, dim, seed).as("bucket"),
+        sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm")))
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("bucket"), j * r).bitwiseAND(lit(mask))
+    }
+    val bandsI = bucketedI.select(col("vec_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val candidates = graft.CacheScope.pin(bandsI
+      .select(col("band_idx"), col("band_val"), col("vec_id").as("vec_inc"))
+      .join(registry
+        .select(col("band_idx"), col("band_val"), col("vec_id").as("vec_corp"))
+        .hint("shuffle_hash"), Seq("band_idx", "band_val"))
+      .select("vec_inc", "vec_corp")
+      .distinct())
+    val touched = corpus.join(
+      candidates.select(col("vec_corp").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("vec_corp"), col("embedding").as("emb_b"),
+        sqrt(dotOrdered(col("embedding"), col("embedding"))).as("norm_b"))
+    candidates
+      .join(bucketedI.select(col("vec_id").as("vec_inc"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+        .hint("shuffle_hash"), "vec_inc")
+      .join(touched.hint("shuffle_hash"), "vec_corp")
+      .withColumn("sim",
+        dotOrdered(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("sim") >= threshold)
+      .select("vec_inc", "vec_corp", "sim")
+  }
+
   /** Blocking-quality audit for [[embeddingNearDup]] — the candidate
     * census to run BEFORE paying for the verify join on an unknown
     * corpus (the [[graft.ops.Distribution.skewAudit]] pattern in LSH

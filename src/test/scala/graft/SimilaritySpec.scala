@@ -155,6 +155,29 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (_, _, s) => assert(s >= 0.35) }
   }
 
+  test("embeddingNearDupAgainst: cross pairs of the union run; registry " +
+    "serve equals inline across the Manifest boundary") {
+    val corpus = emb.filter($"vec_id" % 2 === 0)
+    val incoming = emb.filter($"vec_id" % 2 === 1)
+    val inline = Similarity.embeddingNearDupAgainst(corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    // equals the symmetric run restricted to cross-side pairs
+    val viaUnion = Similarity.embeddingNearDup(emb)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, s) => if (a % 2 == 1) (a, b, s) else (b, a, s) }
+      .toSet
+    assert(inline == viaUnion, s"inline=${inline.size} union=${viaUnion.size}")
+
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_esig").toString + "/esig"
+    assert(Similarity.embedSignatureRefresh(corpus, table) == 1)
+    val served = Similarity.embeddingNearDupAgainstSigs(
+      graft.io.Manifest.read(spark, table), corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == inline)
+  }
+
   test("embedNearDupAudit: census is exact vs the candidate join, and " +
     "candidates drop as r (bits per band) grows") {
     // exactness: total candidate_pairs across bands equals the number of
