@@ -878,20 +878,41 @@ object Corpus {
     */
   def scoreBuckets(df: DataFrame, valueCol: String, strataCol: String,
                    pcts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
-                   accuracy: Int = 10000): DataFrame = {
+                   accuracy: Int = 10000): DataFrame =
+    scoreBucketsWith(df,
+      scoreBucketThresholds(df, valueCol, strataCol, pcts, accuracy),
+      valueCol, strataCol)
+
+  /** [[scoreBuckets]]'s fit side standalone — the |strata|-row
+    * boundary table (strata, ths array<double>), persistable like
+    * [[quantileThresholds]] so every ingest batch buckets against the
+    * SAME reference distribution (CCNet trains its buckets on the
+    * reference corpus once, then routes every crawl snapshot).
+    */
+  def scoreBucketThresholds(df: DataFrame, valueCol: String,
+                            strataCol: String,
+                            pcts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                            accuracy: Int = 10000): DataFrame = {
     require(pcts.nonEmpty && pcts == pcts.sorted &&
       pcts.forall(p => p > 0 && p < 1),
       s"pcts must be sorted and in (0,1), got $pcts")
     val pctArr = pcts.mkString("array(", ", ", ")")
-    val thresholds = df.groupBy(col(strataCol))
+    df.groupBy(col(strataCol))
       .agg(expr(s"approx_percentile($valueCol, $pctArr, $accuracy)")
         .as("__ths"))
+  }
+
+  /** Serve side: bucket against a provided boundary table. Unknown
+    * strata DROP (no calibrated boundaries — the [[quantileGateWith]]
+    * contract); broadcast join + one literal fold, stream-safe.
+    */
+  def scoreBucketsWith(df: DataFrame, thresholds: DataFrame,
+                       valueCol: String, strataCol: String): DataFrame =
     df.join(broadcast(thresholds), Seq(strataCol))
       .withColumn("bucket",
         when(col(valueCol).isNotNull,
           size(filter(col("__ths"), t => col(valueCol) > t))))
       .drop("__ths")
-  }
 
   /** C4-style LINE-level cleaning: drop individual lines that fail the
     * rule set, keep the rest of the document — the within-document

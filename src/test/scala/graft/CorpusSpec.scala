@@ -603,6 +603,20 @@ class CorpusSpec extends SparkSpec {
       7L -> 3, 8L -> 3).map { case (k, v) => k -> Some(v) }
     assert(out.filterKeys(_ <= 8L).toMap == expect)
     assert(out(9L).isEmpty, "null score keeps a null bucket")
+
+    // fit/serve split: serving the persisted boundary table is the same
+    // call scoreBuckets composes; unknown strata drop (no calibrated
+    // boundaries)
+    val th = Corpus.scoreBucketThresholds(df, "v", "lang",
+      Seq(0.25, 0.5, 0.75))
+    val served = Corpus.scoreBucketsWith(
+      df.unionByName(Seq((99L, "xx", 5.0)).toDF("doc_id", "lang", "v")
+        .withColumn("v", col("v"))), th, "v", "lang")
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        Option(r.get(r.fieldIndex("bucket"))).map(_.asInstanceOf[Int]))
+      .toMap
+    assert(served.filterKeys(_ <= 8L).toMap == expect)
+    assert(!served.contains(99L), "unknown stratum drops")
   }
 
   test("splitAudit: naive hash split leaks near-twins, group-safe split never") {
