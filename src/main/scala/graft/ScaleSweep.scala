@@ -77,7 +77,7 @@ object ScaleSweep {
     // the composed DAGs last: every ingredient family is attributed
     // above, so these two rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read)
-    "q_curation_report", "q_curation_classified")
+    "q_curation_report", "q_curation_classified", "q_curation_budget")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")

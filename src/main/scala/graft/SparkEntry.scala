@@ -452,9 +452,15 @@ kept2 AS (
 
   /** Curation-DAG tail CTEs (decontamination over `survivors`, then the
     * split buckets) — parameterized on the surviving relation so the
-    * classified oracle reads kept2c where the base oracle reads kept2.
+    * classified oracle reads kept2c where the base oracle reads kept2,
+    * and on the split source so the budget oracle splits kept4.
     */
-  private def curationTailCtes(survivors: String): String = s"""
+  private def curationTailCtes(survivors: String,
+                               splitFrom: String = "kept3"): String =
+    curationDeconCtes(survivors) + ",\n" + curationSpCte(splitFrom)
+
+  /** Decontamination stage CTEs over `survivors` → kept3. */
+  private def curationDeconCtes(survivors: String): String = s"""
 shd AS (
   SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
           for i in generate_series(1, len(toks) - 2)]) AS sh
@@ -467,13 +473,39 @@ ov AS (
   JOIN bench USING (s2) GROUP BY 1),
 kept3 AS (
   SELECT k.doc_id, k.canonical_id FROM $survivors k LEFT JOIN ov USING (doc_id)
-  WHERE coalesce(ov.n_overlap, 0) < 2),
+  WHERE coalesce(ov.n_overlap, 0) < 2)"""
+
+  /** Split-bucket CTE over an arbitrary (doc_id, canonical_id) source. */
+  private def curationSpCte(from: String): String = s"""
 sp AS (
   SELECT doc_id,
    CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
         WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         ELSE 'test' END AS split
-  FROM kept3)"""
+  FROM $from)"""
+
+  /** Token-budget stage CTEs: kept3 rejoined to its quality facts, the
+    * score-CLASS cumulative window, and the per-language cutoff — the
+    * q_token_budget machinery inside the composed DAG (budget literal
+    * mirrored from the Spark call).
+    */
+  private def curationBudgetCtes(budget: Long): String = s"""
+k3q AS (
+  SELECT k.doc_id, k.canonical_id, q.lang, q.quality_score, qb.n_tokens
+  FROM kept3 k JOIN q ON k.doc_id = q.doc_id JOIN qb ON k.doc_id = qb.doc_id),
+bcls AS (
+  SELECT lang, quality_score, sum(n_tokens) AS tok
+  FROM k3q GROUP BY lang, quality_score),
+bcum AS (
+  SELECT lang, quality_score,
+   sum(tok) OVER (PARTITION BY lang ORDER BY quality_score DESC) AS cum
+  FROM bcls),
+bth AS (
+  SELECT lang, min(quality_score) AS t
+  FROM bcum WHERE cum <= $budget GROUP BY lang),
+kept4 AS (
+  SELECT k.doc_id, k.canonical_id
+  FROM k3q k JOIN bth USING (lang) WHERE k.quality_score >= bth.t)"""
 
   /** [[MinhashPairCtes]] over an arbitrary source relation (`src` must
     * expose doc_id + text) — q_curation_report runs the pair pipeline
@@ -1820,6 +1852,21 @@ res$sfx AS (SELECT '$qid' AS query_id,
         docs.filter(col("doc_id") % 97 === 0),
         classifierWeights = Some(w),
         resolvedCanon = Some(curationCanon(s, dir)))
+      report.orderBy("stage_idx")
+    }),
+
+    // The budget variant: the SAME DAG with the token-budget stage
+    // between decontamination and the split — per language the best
+    // whole score-classes of the decontaminated survivors fill an
+    // 800-token budget (literal mirrored in curationBudgetCtes). Reads
+    // the persisted resolution (consumer shape).
+    "q_curation_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, report) = pipeline.Curation.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        resolvedCanon = Some(curationCanon(s, dir)),
+        tokenBudget = Some(800L))
       report.orderBy("stage_idx")
     }),
 
@@ -3657,6 +3704,27 @@ SELECT * FROM (
   UNION ALL SELECT 2, 'quality_kept', (SELECT count(*) FROM kept2)
   UNION ALL SELECT 3, 'classifier_kept', (SELECT count(*) FROM kept2c)
   UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM kept3)
+  UNION ALL SELECT 5, 'train', (SELECT count(*) FROM sp WHERE split = 'train')
+  UNION ALL SELECT 6, 'val', (SELECT count(*) FROM sp WHERE split = 'val')
+  UNION ALL SELECT 7, 'test', (SELECT count(*) FROM sp WHERE split = 'test')
+) ORDER BY stage_idx"""),
+
+    // The budget variant: decon CTEs over kept2, the token-budget stage
+    // (class window, 800-token literal — mirror of the Spark call),
+    // split over kept4, and the funnel gains a budget_kept row.
+    "q_curation_budget" -> ("WITH RECURSIVE\n" +
+      "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +
+      minhashPairCtes("csrc") + ",\n" +
+      CurationHeadCtes + ",\n" + curationDeconCtes(survivors = "kept2") +
+      ",\n" + curationBudgetCtes(800L) + ",\n" +
+      curationSpCte("kept4") + "\n" + """
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+         (SELECT count(*) FROM csrc) AS n_docs
+  UNION ALL SELECT 1, 'near_dup_kept', (SELECT count(*) FROM kept1)
+  UNION ALL SELECT 2, 'quality_kept', (SELECT count(*) FROM kept2)
+  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM kept3)
+  UNION ALL SELECT 4, 'budget_kept', (SELECT count(*) FROM kept4)
   UNION ALL SELECT 5, 'train', (SELECT count(*) FROM sp WHERE split = 'train')
   UNION ALL SELECT 6, 'val', (SELECT count(*) FROM sp WHERE split = 'val')
   UNION ALL SELECT 7, 'test', (SELECT count(*) FROM sp WHERE split = 'test')

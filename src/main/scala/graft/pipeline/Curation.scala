@@ -22,6 +22,10 @@ import graft.ops.text.{Corpus, Dedup, TextStats}
   *      — and keep docs at or above the probability floor,
   *   3. benchmark decontamination (n-gram overlap against the held-out
   *      eval set),
+  *   3b. OPTIONAL token-budget selection (the data-constrained step:
+  *      per language keep the best whole score-classes of the cleaned
+  *      survivors until `tokenBudget` tokens fill —
+  *      [[graft.ops.text.Corpus.tokenBudgetSelect]]),
   *   4. leakage-safe train/val/test split (keyed on the near-dup
   *      CANONICAL id from stage 1, so near-twins never straddle splits).
   *
@@ -62,7 +66,8 @@ object Curation {
              trainPct: Int = 80, valPct: Int = 10,
              classifierWeights: Option[Array[Double]] = None,
              classifierMin: Double = 0.5,
-             resolvedCanon: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+             resolvedCanon: Option[DataFrame] = None,
+             tokenBudget: Option[Long] = None): (DataFrame, DataFrame) = {
     // 1. near-dup resolution (covers exact dups too: identical docs are
     //    jaccard-1 pairs). k/bands pinned EXPLICITLY to the oracle
     //    contract (minhashPairCtes replays 32 signatures in 8 bands of
@@ -89,8 +94,10 @@ object Curation {
       TextStats.qualityScore(kept1, Seq("lang", "canonical_id")),
       "quality_score", "lang", qualityP)
     // pinned: stage-2's count and the two downstream stages all read it
+    // (n_tokens rides along for the optional budget stage; dropped from
+    // the curated output)
     val kept2 = graft.CacheScope.pin(gated.filter(col("is_kept"))
-      .select("doc_id", "lang", "canonical_id", "quality_score"))
+      .select("doc_id", "lang", "canonical_id", "quality_score", "n_tokens"))
     // 2b. optional model-based filter: score the gate survivors under the
     //     trained weights (one map pass; the label column only feeds the
     //     diagnostic y output, so serving passes a constant predicate)
@@ -112,11 +119,26 @@ object Curation {
       benchmark, ngram, minOverlap)
     val kept3 = kept2c
       .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
+    // 3b. OPTIONAL token-budget stage: per language keep the best whole
+    //     score-classes of the decontaminated survivors until `budget`
+    //     tokens fill — the data-constrained selection step between
+    //     cleaning and splitting (pinned like kept2c: the funnel row
+    //     and the split both read it)
+    val kept3b = tokenBudget match {
+      case Some(b) =>
+        graft.CacheScope.pin(
+          Corpus.tokenBudgetSelect(kept3, "quality_score", "n_tokens",
+            "lang", b)
+            .filter(col("is_kept"))
+            .select("doc_id", "lang", "canonical_id", "quality_score",
+              "n_tokens"))
+      case None => kept3
+    }
     // 4. leakage-safe split on the stage-1 canonical
     // pinned: the funnel report reads it four times (stage 3 + three
     // split rows) and the caller consumes it after — without the pin
     // the decontamination join and gate subtrees replay per read
-    val curated = graft.CacheScope.pin(Corpus.hashSplit(kept3,
+    val curated = graft.CacheScope.pin(Corpus.hashSplit(kept3b,
       idCol = "canonical_id", trainPct = trainPct, valPct = valPct)
       .select("doc_id", "lang", "canonical_id", "quality_score", "split"))
     def stage(i: Int, name: String, df: DataFrame): DataFrame =
@@ -127,8 +149,14 @@ object Curation {
         ("quality_kept", kept2)) ++
       (if (classifierWeights.isDefined) Seq(("classifier_kept", kept2c))
        else Nil) ++
-      Seq(("decontaminated", curated), // hashSplit is 1:1 with kept3
-        ("train", curated.filter(col("split") === "train")),
+      // without a budget stage, hashSplit is 1:1 with kept3 so the
+      // pinned curated output doubles as the decontaminated count;
+      // with one, kept3 is counted directly (one extra pass over the
+      // pinned kept2c) and budget_kept = curated
+      (if (tokenBudget.isDefined)
+        Seq(("decontaminated", kept3), ("budget_kept", curated))
+       else Seq(("decontaminated", curated))) ++
+      Seq(("train", curated.filter(col("split") === "train")),
         ("val", curated.filter(col("split") === "val")),
         ("test", curated.filter(col("split") === "test")))
     val report = funnel.zipWithIndex

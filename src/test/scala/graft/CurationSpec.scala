@@ -139,4 +139,23 @@ class CurationSpec extends SparkSpec {
       .agg(max("n")).as[Long].head()
     assert(perCanon <= 1L)
   }
+
+  test("curate with a token budget: the budget stage cuts between " +
+    "decontamination and the split, splits partition the budgeted set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (curated, report) = Curation.curate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      tokenBudget = Some(300L))
+    val byStage = report.as[(Int, String, Long)].collect()
+      .map(s => s._2 -> s._3).toMap
+    assert(byStage.contains("budget_kept"), s"funnel: $byStage")
+    assert(byStage("decontaminated") >= byStage("budget_kept"))
+    assert(byStage("budget_kept") > 0, "a 300-token budget keeps something")
+    assert(byStage("budget_kept") < byStage("decontaminated"),
+      "a 300-token budget cuts something at this corpus size")
+    assert(byStage("train") + byStage("val") + byStage("test") ==
+      byStage("budget_kept"))
+    assert(curated.count() == byStage("budget_kept"))
+  }
 }
