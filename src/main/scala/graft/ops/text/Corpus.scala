@@ -1162,6 +1162,36 @@ object Corpus {
       .distinct()
   }
 
+  /** Bootstrap-and-commit [[lineRegistry]] as a versioned Manifest
+    * snapshot — returns the committed version.
+    */
+  def lineRegistryRefresh(documents: DataFrame, table: String,
+                          delim: String = "\n"): Int =
+    graft.io.Manifest.write(lineRegistry(documents, delim), table)
+
+  /** The registry MAINTENANCE step the [[dedupLinesAgainst]] scaladoc
+    * promises: union an ACCEPTED batch's distinct line hashes into the
+    * current snapshot and commit the result as the next version —
+    * read-modify-commit under the Manifest's single-maintenance-writer
+    * contract, so in-flight readers of the previous version are
+    * undisturbed and the ingest loop alternates probe(vN) → accept →
+    * update(vN+1). Returns the new version.
+    *
+    * Scale posture: one distinct over (registry ∪ batch hashes) — the
+    * registry is corpus-sized, but this is the ingest loop's ONE
+    * registry-wide pass, replacing the corpus-wide re-scan a
+    * registryless design pays per batch.
+    */
+  def lineRegistryUpdate(table: String, accepted: DataFrame,
+                         delim: String = "\n"): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(lineRegistry(accepted, delim))
+        .distinct(),
+      table)
+  }
+
   /** Incremental [[dedupLines]]: flag each INCOMING document's lines
     * against the persisted [[lineRegistry]] — the recurring-ingestion
     * form (the nearDupAgainst shape for lines). Emits one row per

@@ -188,6 +188,24 @@ object Dedup {
                        bands: Int = 8): Int =
     graft.io.Manifest.write(signatureTable(documents, k, bands), table)
 
+  /** The registry MAINTENANCE step: append an ACCEPTED batch's own band
+    * rows to the current snapshot and commit the result as the next
+    * version — the read-modify-commit loop [[signatureTable]]'s
+    * scaladoc describes (probe vN with [[nearDupAgainstSigs]], accept
+    * the batch, update to vN+1). Only the batch is signed; the
+    * registry rows pass through untouched (band keys are per-document,
+    * so append IS the correct merge — same (k, bands) required).
+    * Returns the new version.
+    */
+  def signatureUpdate(table: String, accepted: DataFrame, k: Int = 16,
+                      bands: Int = 8): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(signatureTable(accepted, k, bands)),
+      table)
+  }
+
   /** [[nearDupAgainst]] served from a PERSISTED corpus signature table —
     * `registry` is a committed [[signatureTable]] (any Manifest version;
     * trained with the SAME (k, bands), which the band join implicitly

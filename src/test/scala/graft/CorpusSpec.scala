@@ -573,6 +573,28 @@ class CorpusSpec extends SparkSpec {
     assert(twice == Seq(false, false))
   }
 
+  test("lineRegistry maintenance: refresh then update; the next batch's " +
+    "probe sees the accepted lines") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_lreg").toString + "/lines"
+    val corpus = docs(10L -> "seen before\nalso seen")
+    assert(Corpus.lineRegistryRefresh(corpus, table) == 1)
+    val batch1 = docs(1L -> "brand new\nalso seen")
+    val p1 = Corpus.dedupLinesAgainst(batch1,
+      graft.io.Manifest.read(spark, table))
+      .select("line", "known").as[(String, Boolean)].collect().toMap
+    assert(p1 == Map("brand new" -> false, "also seen" -> true))
+    // accept batch1: its fresh lines join v2
+    assert(Corpus.lineRegistryUpdate(table, batch1) == 2)
+    val p2 = Corpus.dedupLinesAgainst(docs(2L -> "brand new\nnever seen"),
+      graft.io.Manifest.read(spark, table))
+      .select("line", "known").as[(String, Boolean)].collect().toMap
+    assert(p2 == Map("brand new" -> true, "never seen" -> false))
+    // the registry stays distinct across updates
+    val reg = graft.io.Manifest.read(spark, table)
+    assert(reg.count() == reg.distinct().count())
+  }
+
   test("lineRepetition: duplicate-line and char fractions on known docs") {
     val out = Corpus.lineRepetition(docs(
       1L -> "a\nb\na",   // 3 lines, 2 distinct; dup chars 1 of 3

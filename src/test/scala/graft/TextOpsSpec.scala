@@ -114,6 +114,24 @@ class TextOpsSpec extends SparkSpec {
       k = 16, bands = 8, threshold = 0.5, maxBucketSize = 1)
       .as[(Long, Long, Double)].collect().toSet
     assert(cappedServed == cappedInline)
+
+    // maintenance loop: accept the batch, append its band rows as v2 —
+    // a third batch then pairs against BOTH corpora through the registry
+    assert(Dedup.signatureUpdate(table, incoming, k = 16, bands = 8) == 2)
+    val third = Seq(201L -> mutate(sent(3), 5),   // dups original corpus
+      202L -> mutate(sent(101), 9))               // dups the ACCEPTED batch
+      .toDF("doc_id", "text")
+    val grown = corpus.unionByName(incoming)
+    val v2 = Dedup.nearDupAgainstSigs(
+      graft.io.Manifest.read(spark, table), grown, third,
+      k = 16, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val v2Inline = Dedup.nearDupAgainst(grown, third, k = 16, bands = 8,
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(v2 == v2Inline)
+    assert(v2.exists(p => p._1 == 201L && p._2 == 3L))
+    assert(v2.exists(p => p._1 == 202L && p._2 == 101L),
+      "accepted-batch dup must pair through the updated registry")
   }
 
   test("simhash: identical docs hash equal, near-dups are close in Hamming distance") {
