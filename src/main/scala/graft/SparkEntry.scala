@@ -1691,6 +1691,13 @@ res$sfx AS (SELECT '$qid' AS query_id,
         minhashPairs(s, dir))
         .orderBy("split_a", "split_b")),
 
+    // Cross-source overlap matrix over the same shared pair table:
+    // which sources duplicate which, normalized by possible-pair volume
+    // (the mixture-design read naming WHERE a mirror's content lives).
+    "q_source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(t(s, dir, "documents"), minhashPairs(s, dir))
+        .orderBy("source_a", "source_b")),
+
     // Exact stratified sample: exactly 20 docs per language in stable
     // md5(salt:id) order (rank compiles to WindowGroupLimit).
     "q_stratified" -> ((s, dir) =>
@@ -4730,6 +4737,33 @@ ORDER BY vec_id, pair_type, partner_id"""
           |JOIN sp a ON p.doc_a = a.doc_id
           |JOIN sp b ON p.doc_b = b.doc_id
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Shared pair CTEs + the source dimension joined on both pair ends;
+    // pair_rate divides exact longs through an engine-identical DOUBLE
+    // tree (possible-pair volume overflows long arithmetic at scale).
+    "q_source_overlap" ->
+      (s"WITH $MinhashPairCtes,\n" +
+        """sz AS (SELECT source AS src, count(*) AS n_docs
+          |        FROM documents GROUP BY 1),
+          |m AS (
+          |  SELECT least(a.source, b.source) AS source_a,
+          |   greatest(a.source, b.source) AS source_b,
+          |   count(*) AS n_pairs
+          |  FROM mpairs p
+          |  JOIN documents a ON p.doc_a = a.doc_id
+          |  JOIN documents b ON p.doc_b = b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT m.source_a, m.source_b, m.n_pairs,
+          | sa.n_docs AS n_docs_a, sb.n_docs AS n_docs_b,
+          | CAST(m.n_pairs AS DOUBLE) /
+          |  (CASE WHEN m.source_a = m.source_b
+          |        THEN CAST(sa.n_docs AS DOUBLE) * (sa.n_docs - 1) / 2
+          |        ELSE CAST(sa.n_docs AS DOUBLE) * sb.n_docs END) AS pair_rate,
+          | m.source_a <> m.source_b AS is_cross
+          |FROM m
+          |JOIN sz sa ON m.source_a = sa.src
+          |JOIN sz sb ON m.source_b = sb.src
+          |ORDER BY 1, 2""".stripMargin),
 
     "q_epoch_shuffle" ->
       """SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

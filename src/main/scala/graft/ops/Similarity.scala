@@ -907,6 +907,45 @@ object Similarity {
         col("s.id").as("neighbor_id"), col("s.sim").as("sim"))
   }
 
+  /** Build-and-commit [[ivfAssign]] as a versioned Manifest snapshot —
+    * returns the committed version (the signatureRefresh / lmRefresh
+    * idiom applied to the ANN family's index). Serve any committed
+    * version through [[ivfTopKIndexed]] with the SAME cell table the
+    * index was assigned under — cells and assignment are only
+    * meaningful as a pair, so a deployment versions the cell model
+    * (e.g. [[graft.ops.Clustering.kmeansCellsExact]] committed via
+    * Manifest) alongside the index it routed.
+    */
+  def ivfIndexRefresh(corpus: DataFrame, table: String,
+                      centroids: DataFrame): Int =
+    graft.io.Manifest.write(ivfAssign(corpus, centroids), table)
+
+  /** The index MAINTENANCE step for the ANN family: assign an ACCEPTED
+    * ingest batch against the SAME cell geometry and append its
+    * (cell, vec_id, embedding) rows to the current index snapshot,
+    * committing the next version — the probe(vN) → accept → update(vN+1)
+    * loop [[graft.ops.text.Dedup.signatureUpdate]] closes for MinHash
+    * signatures, closed here for the IVF index. Cell assignment depends
+    * only on a vector's own embedding and the broadcast cell table, so
+    * append IS the correct merge (no existing row changes); only the
+    * batch pays assignment work, and in-flight readers of vN stay
+    * undisturbed. Returns the new version.
+    *
+    * The one maintenance read this append does NOT cover is cell DRIFT:
+    * a corpus whose density moves away from the trained geometry fills
+    * few cells disproportionately — watch [[ivfProbeSweep]]'s cell
+    * balance (or re-run the elbow sweep) and retrain + full
+    * [[ivfIndexRefresh]] when the whale-cell share grows.
+    */
+  def ivfIndexUpdate(table: String, accepted: DataFrame,
+                     centroids: DataFrame): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(ivfAssign(accepted, centroids)),
+      table)
+  }
+
   /** Recall@k of an APPROXIMATE neighbor table against the EXACT one —
     * the evaluation every ANN deployment runs before trusting a recall
     * trade at scale: per query, the share of true top-k neighbors the

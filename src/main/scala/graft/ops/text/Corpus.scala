@@ -774,6 +774,54 @@ object Corpus {
       .withColumn("is_leak", col("split_a") =!= col("split_b"))
   }
 
+  /** Cross-SOURCE near-dup overlap matrix — which sources duplicate
+    * which: the near-dup pair table counted per (source, source)
+    * combination, normalized by the combination's possible-pair volume.
+    * The mixture-design companion to [[sourceNovelty]]: novelty says a
+    * mirror source's CONTENT exists elsewhere, this names WHERE — a
+    * high cross `pair_rate` between an aggregator and a primary source
+    * is the "drop the mirror, keep the primary" read, and a high
+    * diagonal rate is a source that syndicates against itself
+    * (boilerplate templates). The [[splitAudit]] counting shape keyed
+    * by source instead of split.
+    *
+    * `pairs` is caller-provided ((doc_a, doc_b) grain —
+    * [[graft.ops.text.Dedup.nearDupPairs]], the embedding family, or a
+    * persisted resolution's pair table), so the matrix INHERITS the
+    * index's scale posture. Two id-keyed shuffle_hash joins of the pair
+    * table + one combinable count; source sizes are a |sources|-row
+    * broadcast. `pair_rate` divides exact longs in DOUBLE space
+    * (possible-pair volumes overflow long arithmetic at 100 TB doc
+    * counts; the double tree is engine-identical).
+    *
+    * Output: (source_a, source_b ordered ≤, n_pairs, n_docs_a,
+    * n_docs_b, pair_rate, is_cross).
+    */
+  def sourceOverlap(documents: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id", srcCol: String = "source",
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val s = documents.select(col(idCol), col(srcCol))
+    val sizes = documents.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    val matrix = pairs
+      .join(s.toDF(aCol, "src_l").hint("shuffle_hash"), aCol)
+      .join(s.toDF(bCol, "src_r").hint("shuffle_hash"), bCol)
+      .select(least(col("src_l"), col("src_r")).as("source_a"),
+        greatest(col("src_l"), col("src_r")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val possible = when(col("source_a") === col("source_b"),
+      col("n_docs_a").cast("double") * (col("n_docs_a") - 1) / 2)
+      .otherwise(col("n_docs_a").cast("double") * col("n_docs_b"))
+    matrix
+      .join(broadcast(sizes.toDF("source_a", "n_docs_a")), "source_a")
+      .join(broadcast(sizes.toDF("source_b", "n_docs_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("n_docs_a"), col("n_docs_b"),
+        (col("n_pairs").cast("double") / possible).as("pair_rate"),
+        (col("source_a") =!= col("source_b")).as("is_cross"))
+  }
+
   /** Exact stratified sampling: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by a stable pseudo-random order — the corpus-audit /
     * eval-set op where Bernoulli sampling (`sampleBy`, [[weightedSample]])

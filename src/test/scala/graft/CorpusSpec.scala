@@ -662,6 +662,29 @@ class CorpusSpec extends SparkSpec {
     assert(!safe.exists(_._3), s"group-safe split must not leak: ${safe.toSeq}")
   }
 
+  test("sourceOverlap: pairs count once per (source, source) combination; " +
+    "rates normalize by possible-pair volume") {
+    // sources: a = ids 1-4 (4 docs), b = ids 5-8 (4 docs), c = id 9 (1 doc)
+    val d = (1L to 9L).map(i =>
+      (i, if (i <= 4) "a" else if (i <= 8) "b" else "c", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    // pairs: within-a (1,2), (3,4); cross a-b (2,5), (4,6), (1,7); cross b-c (8,9)
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 5L), (4L, 6L), (1L, 7L), (8L, 9L))
+      .toDF("doc_a", "doc_b").withColumn("jaccard", lit(0.9))
+    val got = Corpus.sourceOverlap(d, pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got.keySet == Set(("a", "a"), ("a", "b"), ("b", "c")))
+    // diagonal: 2 pairs over C(4,2)=6 possible
+    assert(got(("a", "a")) == ((2L, 4L, 4L, 2.0 / 6, false)))
+    // cross a-b: 3 pairs over 4*4=16 possible
+    assert(got(("a", "b")) == ((3L, 4L, 4L, 3.0 / 16, true)))
+    // cross b-c: 1 pair over 4*1 possible
+    assert(got(("b", "c")) == ((1L, 4L, 1L, 0.25, true)))
+    assert(got.values.map(_._1).sum == pairs.count(), "every pair counted once")
+  }
+
   test("tokenBudgetSelect: whole score-classes fill the budget; overflow strata all-false") {
     val d = Seq(
       (1L, "en", 0.9, 10L), (2L, "en", 0.9, 10L), // class .9 -> 20 tokens

@@ -366,6 +366,33 @@ class SimilaritySpec extends SparkSpec {
       "persisted-index serving must equal inline assignment bit-for-bit")
   }
 
+  test("ivfIndexRefresh/ivfIndexUpdate: the append maintenance step " +
+    "serves the union exactly; the superseded version still serves the " +
+    "old corpus") {
+    val cells = graft.ops.Clustering.kmeansCellsExact(emb, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfu").toString
+    val table = s"$dir/ivf_index"
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 =!= 0)
+    val v1 = Similarity.ivfIndexRefresh(base, table, cells)
+    val v2 = Similarity.ivfIndexUpdate(table, batch, cells)
+    assert(v2 == v1 + 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // v2 = assign-on-union, bit-for-bit (assignment is per-vector pure)
+    assert(rows(Similarity.ivfTopKIndexed(
+      graft.io.Manifest.read(spark, table), queries, 3, cells, nProbe = 2)) ==
+      rows(Similarity.ivfTopKWith(emb, queries, 3, cells, nProbe = 2)),
+      "updated index must serve the union corpus exactly")
+    // time travel: the pre-update version still serves the base corpus
+    assert(rows(Similarity.ivfTopKIndexed(
+      graft.io.Manifest.readVersion(spark, table, v1), queries, 3, cells,
+      nProbe = 2)) ==
+      rows(Similarity.ivfTopKWith(base, queries, 3, cells, nProbe = 2)),
+      "superseded index version must replay the old corpus")
+  }
+
   test("annProbeSweep: probe budget buys candidates and recall " +
     "monotonically; rows agree with the standalone recall measurement") {
     val sweep = Similarity.annProbeSweep(emb, queries, 3)
