@@ -1965,6 +1965,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // Kneser–Ney twin of q_lm_score: absolute discounting + smoothed
+    // continuation unigram — KenLM's smoothing family (knScore is
+    // fit ∘ serve of the knModel artifact, so this pins the serve
+    // joins too); probabilities are division/multiplication over exact
+    // counts, compared at the same 6-dp ln rounding.
+    "q_kn_score" -> ((s, dir) =>
+      TextStats.knScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
     // The LM as a served artifact: fit the model table, score through
     // the serve joins — on the training corpus this must EQUAL
     // q_lm_score bit-for-bit (same oracle string).
@@ -5071,6 +5082,36 @@ ORDER BY vec_id, j"""
     // Bigram LM scoring: identical count/smoothing arithmetic, ln at the
     // 6-decimal stable rounding. α=0.4 must track lmScore's default.
     "q_lm_score" -> LmScoreOracleSql,
+
+    // Interpolated Kneser–Ney: c(v) is the bigram-CONTEXT count (grams
+    // grouped by w1, so Σ_w c(vw) = c(v)); the probability tree
+    // parenthesizes exactly as the Spark expression — (greatest/cv) +
+    // ((d·nf)/cv)·((np+αc)/(types+αc·V)) — so everything before ln is
+    // bit-identical; ln compares at the 6-dp rounding.
+    "q_kn_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg,
+        |           t[i] AS w1, t[i + 1] AS w2 FROM pos),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |ctx AS (SELECT w1, count(*) AS cv, count(DISTINCT w2) AS nf
+        |        FROM grams GROUP BY w1),
+        |pc AS (SELECT w2, count(DISTINCT w1) AS npc FROM grams GROUP BY w2),
+        |sc AS (SELECT count(DISTINCT bg) AS types FROM grams),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM
+        |         (SELECT unnest(t) AS w FROM toks)),
+        |scored AS (
+        |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |    avg(ln(
+        |      greatest(c2 - 0.75, 0.0) / cv +
+        |      0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v))
+        |    )) AS avg_logp
+        |  FROM grams g JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+        |  CROSS JOIN sc CROSS JOIN voc
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, s.n_bigrams, round(s.avg_logp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Self-model serve ≡ fit+score: the oracle is q_lm_score's verbatim
     // (every serve-join hits on the training corpus; the OOV floor is

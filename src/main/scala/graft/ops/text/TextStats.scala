@@ -264,6 +264,129 @@ object TextStats {
     lines.join(scored, Seq("doc_id", "pos"), "left")
   }
 
+  /** Interpolated Kneser–Ney bigram model — the smoothing KenLM (hence
+    * CCNet's actual reference filter) uses, where [[lmScore]]'s add-α is
+    * the teaching-grade baseline: absolute discounting plus a
+    * CONTINUATION unigram (how many distinct contexts a word follows —
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass is tiny and the model stops over-rewarding it in
+    * novel contexts). All quantities are exact integer counts:
+    *
+    *   - `bi`    (key = bigram, cnt = c(vw))
+    *   - `ctx`   (key = v, cnt = c(v·) positions, cnt2 = N1+(v·) distinct followers)
+    *   - `np`    (key = w, cnt = N1+(·w) distinct preceders)
+    *   - `types` (cnt = distinct bigram types), `vocab` (cnt = |V|)
+    *
+    * one kind-tagged relation (the [[lmModel]] idiom, plus a `cnt2`
+    * column so the serve side pays ONE join for the two context
+    * statistics). c(v) here is the bigram-CONTEXT count (positions
+    * 1..n−1, so Σ_w c(vw) = c(v) — the identity discounting needs),
+    * not lmScore's all-positions unigram count. Three combinable count
+    * aggregates + two scalar rows; commit via [[knRefresh]], serve any
+    * version through [[knScoreWith]].
+    */
+  def knModel(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks.select(explode(shingles(col("t"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val bi = grams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .select(lit("bi").as("kind"), col("bg").as("key"), col("cnt"),
+        lit(null).cast("long").as("cnt2"))
+    val ctx = grams.groupBy("w1")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("w2")).as("cnt2"))
+      .select(lit("ctx").as("kind"), col("w1").as("key"), col("cnt"),
+        col("cnt2"))
+    val np = grams.groupBy("w2")
+      .agg(count_distinct(col("w1")).as("cnt"))
+      .select(lit("np").as("kind"), col("w2").as("key"), col("cnt"),
+        lit(null).cast("long").as("cnt2"))
+    val types = grams.agg(count_distinct(col("bg")).as("cnt"))
+      .select(lit("types").as("kind"), lit("").as("key"), col("cnt"),
+        lit(null).cast("long").as("cnt2"))
+    val v = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("cnt"))
+      .select(lit("vocab").as("kind"), lit("").as("key"), col("cnt"),
+        lit(null).cast("long").as("cnt2"))
+    bi.unionByName(ctx).unionByName(np).unionByName(types).unionByName(v)
+  }
+
+  /** Train-and-commit [[knModel]] as a versioned Manifest snapshot —
+    * returns the committed version (the lmRefresh idiom).
+    */
+  def knRefresh(documents: DataFrame, table: String): Int =
+    graft.io.Manifest.write(knModel(documents), table)
+
+  /** Score documents under a persisted [[knModel]] — interpolated
+    * Kneser–Ney with an add-α'd continuation floor so the probability
+    * is positive EVERYWHERE (KenLM's OOV handling in spirit):
+    *
+    *   Pcont(w) = (N1+(·w) + αc) / (types + αc·V)
+    *   P(w|v)   = max(c(vw) − d, 0)/c(v) + (d·N1+(v·)/c(v))·Pcont(w)
+    *              ... or Pcont(w) alone when v was never a context
+    *
+    * (the pure-continuation backoff for unseen contexts; a seen context
+    * with an unseen continuation keeps its full discount mass
+    * d·N1+(v·)/c(v) on the floor'd Pcont, and a wholly unseen word
+    * still gets αc's share — no zero probabilities, no ln domain
+    * errors). The αc smoothing is the one departure from textbook KN,
+    * which leaves unseen continuations at exactly zero; on the training
+    * corpus it only perturbs Pcont's denominator, uniformly.
+    *
+    * Output: (doc_id, n_bigrams, avg_logp), nulls for docs under 2
+    * tokens — [[lmScoreWith]]'s contract, so the two models swap behind
+    * one quantile gate. Same scale posture: three shuffle_hash equi-
+    * joins against count relations (bigram, context, preceder) + one
+    * broadcast scalar row + one combinable per-doc average; the
+    * probability tree is division/multiplication over exact longs, so
+    * everything before `ln` is engine-identical (oracle compares at the
+    * established 6-dp ln rounding).
+    */
+  def knScoreWith(documents: DataFrame, model: DataFrame,
+                  discount: Double = 0.75, alphaC: Double = 0.4): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    val biC = model.filter(col("kind") === "bi")
+      .select(col("key").as("bg"), col("cnt").as("c2"))
+    val ctxC = model.filter(col("kind") === "ctx")
+      .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
+    val npC = model.filter(col("kind") === "np")
+      .select(col("key").as("pw"), col("cnt").as("np"))
+    val scalars = model.filter(col("kind") === "types")
+      .select(col("cnt").as("types"))
+      .crossJoin(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
+      (col("types") + lit(alphaC) * col("v"))
+    val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cv") +
+      lit(discount) * col("nf") / col("cv") * pcont
+    val scored = grams
+      .join(biC.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(ctxC.hint("shuffle_hash"), col("w1") === col("cw"), "left")
+      .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("logp", log(when(col("cv").isNull, pcont).otherwise(pSeen)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        avg(col("logp")).as("avg_logp"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** Self-trained Kneser–Ney scoring — fit ∘ serve of [[knModel]] /
+    * [[knScoreWith]] on the corpus's own bigram statistics (every join
+    * hits, the backoff branch never fires): [[lmScore]]'s drop-in
+    * upgrade, ranking documents by in-corpus typicality under the
+    * better-calibrated smoothing.
+    */
+  def knScore(documents: DataFrame, discount: Double = 0.75,
+              alphaC: Double = 0.4): DataFrame =
+    knScoreWith(documents, knModel(documents), discount, alphaC)
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

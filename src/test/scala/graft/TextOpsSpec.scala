@@ -586,6 +586,61 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(oov.getDouble(2) - math.log(1.0 / v)) < 1e-12)
   }
 
+  test("knScore: hand-computed Kneser-Ney probabilities; continuation " +
+    "mass punishes the frequent-but-predictable continuation") {
+    import spark.implicits._
+    // grams: (a b) x2, (a c) x1 -> ctx a: cv=3 nf=2; np: b<-{a}=1, c<-{a}=1
+    // types=2, V={a,b,c}=3
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextStats.knScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pcont = (1 + 0.4) / (2 + 0.4 * 3) // both b and c have np=1
+    val pAB = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcont
+    val pAC = (1 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcont
+    assert(math.abs(got(1L) - math.log(pAB)) < 1e-12, s"got ${got(1L)}")
+    assert(math.abs(got(2L) - math.log(pAC)) < 1e-12, s"got ${got(2L)}")
+    assert(got(3L) == got(1L))
+    assert(got(1L) > got(2L), "the twice-seen bigram outscores the once-seen")
+  }
+
+  test("knScoreWith: unseen context backs off to pure continuation; " +
+    "seen context with unseen continuation keeps its discount mass") {
+    import spark.implicits._
+    val model = TextStats.knModel(
+      Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text"))
+    def score(text: String) = TextStats.knScoreWith(
+      Seq((9L, text)).toDF("doc_id", "text"), model).head().getDouble(2)
+    // "x y": ctx x unseen -> P = Pcont(y) = (0 + 0.4) / (2 + 0.4*3)
+    assert(math.abs(score("x y") - math.log(0.4 / 3.2)) < 1e-12)
+    // "a a": ctx a seen, bigram (a a) unseen, word a never a continuation
+    // -> P = 0 + (0.75*2/3) * ((0 + 0.4) / 3.2)
+    assert(math.abs(score("a a") - math.log(0.75 * 2 / 3.0 * (0.4 / 3.2))) < 1e-12)
+    // "a b": the fully-seen case scores strictly above both backoffs
+    assert(score("a b") > score("a a") && score("a a") > Double.NegativeInfinity)
+  }
+
+  test("knRefresh: Manifest round-trip serves the committed KN model " +
+    "exactly; typical docs outscore gibberish") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val common = (1 to 50).map(_ => "the quick brown fox jumps over the lazy dog")
+    val gib = (1 to 3).map(_ =>
+      (1 to 9).map(_ => s"zq${rnd.nextInt(100000)}").mkString(" "))
+    val docs = (common ++ gib).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val table = java.nio.file.Files.createTempDirectory("graft_kn").toString + "/kn"
+    TextStats.knRefresh(docs, table)
+    val served = TextStats.knScoreWith(docs,
+      graft.io.Manifest.read(spark, table)).orderBy("doc_id").collect().toSeq
+    assert(served == TextStats.knScore(docs).orderBy("doc_id").collect().toSeq,
+      "artifact round-trip must change nothing")
+    val scores = served.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val commonAvg = (0 until 50).map(i => scores(i.toLong)).sum / 50
+    val gibAvg = (50 until 53).map(i => scores(i.toLong)).sum / 3
+    assert(commonAvg > gibAvg + 1.0,
+      s"common=$commonAvg should clearly outscore gibberish=$gibAvg")
+  }
+
   test("lmRefresh: Manifest round-trip serves the committed model exactly") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
