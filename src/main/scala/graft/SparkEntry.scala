@@ -1179,6 +1179,19 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "quality_score", "lang")
         .orderBy("doc_id")),
 
+    // Rank fusion of two incomparable signals (char count, token count)
+    // into one per-language fused score — all signals share ONE
+    // class-grain ranking chain; the blend is a literal fold, so fusion
+    // compares exactly (no rounding).
+    "q_score_fuse" -> ((s, dir) =>
+      Corpus.scoreFuse(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+        Seq("n_chars" -> 2.0, "n_tokens" -> 1.0), "lang")
+        .select(col("doc_id"), col("lang"), col("rank_n_chars"),
+          col("rank_n_tokens"), col("fused_score"))
+        .orderBy("doc_id")),
+
     // CCNet's head/middle/tail move generalized: per-language QUARTILE
     // buckets of the blended quality score (bucket = # thresholds
     // strictly below — ties join the lower bucket on both engines; the
@@ -3012,6 +3025,26 @@ res$sfx AS (SELECT '$qid' AS query_id,
         | stopword_ratio, type_token_ratio, quality_score,
         | percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS pct_rank
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Two document-grain percent_rank windows (the class-relation
+    // computation's exact equal) + the identical literal-fold blend
+    // tree: coalesce'd weighted ranks over CASE'd present weights.
+    "q_score_fuse" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |   CAST(n_chars AS DOUBLE) AS v1,
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS v2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |   percent_rank() OVER (PARTITION BY lang ORDER BY v1) AS r1,
+        |   percent_rank() OVER (PARTITION BY lang ORDER BY v2) AS r2
+        |  FROM d)
+        |SELECT doc_id, lang, r1 AS rank_n_chars, r2 AS rank_n_tokens,
+        | (coalesce(2.0 * r1, 0.0) + coalesce(1.0 * r2, 0.0)) /
+        | ((CASE WHEN r1 IS NOT NULL THEN 2.0 ELSE 0.0 END)
+        |  + (CASE WHEN r2 IS NOT NULL THEN 1.0 ELSE 0.0 END)) AS fused_score
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same b/q CTEs as q_quality_gate; score-classes (lang, score) with
     // their token mass, descending cumulative window over the CLASS

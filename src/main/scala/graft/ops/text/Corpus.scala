@@ -1093,6 +1093,68 @@ object Corpus {
     df.join(cls.hint("shuffle_hash"), Seq(strataCol, valueCol))
   }
 
+  /** Weighted RANK-FUSION of heterogeneous quality signals — the
+    * [[scoreRank]] consumer: each signal column is percentile-ranked
+    * within its stratum (so an LM logprob, a classifier score, and a
+    * rule count all land on [0,1]) and the ranks blend under caller
+    * weights into ONE `fused_score` a quantile gate / token budget can
+    * consume. A row missing a signal (NULL) keeps its other signals and
+    * renormalizes over the PRESENT weights — a doc without an LM score
+    * is still rankable by its classifier, and a signal's absence never
+    * reads as "worst".
+    *
+    * Scale posture: all signals STACK into one (stratum, signal, value)
+    * relation and share ONE class-grain ranking chain (the scoreRank
+    * shape with `signal` joining the partition key — never a
+    * document-grain window, never one chain per signal), then one
+    * combinable pivot-back aggregate per (id, stratum) and a
+    * literal-fold blend in fixed signal order — the numerator/
+    * denominator trees are engine-identical, so fusion is
+    * oracle-comparable without rounding.
+    *
+    * Output: (idCol, strataCol, rank_<signal>..., fused_score).
+    */
+  def scoreFuse(df: DataFrame, signals: Seq[(String, Double)],
+                strataCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(signals.nonEmpty, "at least one signal column required")
+    require(signals.forall(_._2 > 0), s"weights must be positive: $signals")
+    require(!df.columns.contains("signal") && !df.columns.contains("value"),
+      "input already has a signal/value column")
+    val stacked = df.select(col(idCol), col(strataCol),
+      explode(map(signals.flatMap { case (c, _) =>
+        Seq(lit(c), col(c).cast("double")) }: _*)).as(Seq("signal", "value")))
+      .filter(col("value").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("signal")).orderBy(col("value"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("signal"))
+    val cls = stacked.groupBy(col(strataCol), col("signal"), col("value"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__below", sum(col("__c")).over(w) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .withColumn("pct_rank",
+        when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)))
+      .select(col(strataCol), col("signal"), col("value"), col("pct_rank"))
+    val ranked = stacked
+      .join(cls.hint("shuffle_hash"), Seq(strataCol, "signal", "value"))
+    val pivoted = ranked.groupBy(col(idCol), col(strataCol))
+      .agg(max(when(col("signal") === signals.head._1, col("pct_rank")))
+        .as(s"rank_${signals.head._1}"),
+        signals.tail.map { case (c, _) =>
+          max(when(col("signal") === c, col("pct_rank"))).as(s"rank_$c")
+        }: _*)
+    val num = signals.map { case (c, wt) =>
+      coalesce(lit(wt) * col(s"rank_$c"), lit(0.0))
+    }.reduce(_ + _)
+    val den = signals.map { case (c, wt) =>
+      when(col(s"rank_$c").isNotNull, lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pivoted.withColumn("fused_score",
+      when(den > 0, num / den).otherwise(lit(null).cast("double")))
+  }
+
   /** Fit side of the token-budget selection: per stratum, the score
     * cutoff that fills a TOKEN budget from the top of the score
     * distribution — the "data-constrained" curation move (a 100 TB

@@ -662,6 +662,29 @@ class CorpusSpec extends SparkSpec {
     assert(!safe.exists(_._3), s"group-safe split must not leak: ${safe.toSeq}")
   }
 
+  test("scoreFuse: per-stratum rank fusion; a NULL signal renormalizes " +
+    "over the present weights") {
+    val d = Seq(
+      (1L, "en", 10L, Some(1.0)), (2L, "en", 20L, None),
+      (3L, "en", 20L, Some(3.0)), (4L, "en", 40L, Some(2.0)),
+      (5L, "de", 7L, Some(5.0)))
+      .toDF("doc_id", "lang", "s1", "s2")
+    val got = Corpus.scoreFuse(d, Seq("s1" -> 1.0, "s2" -> 1.0), "lang")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("rank_s1"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("rank_s2"))).map(_.asInstanceOf[Double]),
+          r.getDouble(r.fieldIndex("fused_score"))))).toMap
+    // en s1 ranks: 10 -> 0, {20, 20} -> 1/3, 40 -> 1; s2 over the 3
+    // present values: 1.0 -> 0, 2.0 -> 0.5, 3.0 -> 1
+    assert(got(1L) == ((Some(0.0), Some(0.0), 0.0)))
+    assert(got(2L) == ((Some(1.0 / 3), None, 1.0 / 3)),
+      "missing signal must renormalize, not zero-fill")
+    assert(got(3L) == ((Some(1.0 / 3), Some(1.0), (1.0 / 3 + 1.0) / 2)))
+    assert(got(4L) == ((Some(1.0), Some(0.5), 0.75)))
+    // 1-row stratum ranks 0.0 on every signal
+    assert(got(5L) == ((Some(0.0), Some(0.0), 0.0)))
+  }
+
   test("sourceOverlap: pairs count once per (source, source) combination; " +
     "rates normalize by possible-pair volume") {
     // sources: a = ids 1-4 (4 docs), b = ids 5-8 (4 docs), c = id 9 (1 doc)
