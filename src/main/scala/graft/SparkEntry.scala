@@ -2332,6 +2332,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.Clustering.kmeansSweep(t(s, dir, "embeddings"),
         ks = Seq(2, 4, 8), iters = 2).orderBy("k")),
 
+    // Embedding-space drift: occupancy of the full corpus vs the odd-id
+    // batch under the SAME trained cell geometry (k = 8, 3 exact-Lloyd
+    // iterations — the q_ann_ivf_trained training constants; the oracle
+    // replays the loop and the clamped-L2 assignment).
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ops.Clustering.embeddingDrift(emb,
+        emb.filter(col("vec_id") % 2 === 1),
+        ops.Clustering.kmeansCellsExact(emb, k = 8, iters = 3))
+        .orderBy("cell")
+    }),
+
     // SemDeDup: k-means partition (exact-integer assignment) + within-
     // cluster exact-cosine drop of higher-id near-duplicates.
     // k = 8 / threshold = 0.35 are mirrored as LIMIT 8 / >= 0.35
@@ -4400,6 +4412,51 @@ SELECT q_id,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 ORDER BY q_id, rank""",
+
+    // The drift monitor: the q_ann_ivf_trained quantize + Lloyd prefix,
+    // then the CLAMPED-L2 final assignment (kmeansSweep's asgf shape —
+    // the geometry's own partition, not the serving cosine), occupancy
+    // counts for the full corpus vs the odd-id batch, and the identical
+    // NULL-guarded share/shift trees.
+    "q_embed_drift" ->
+      s"""WITH qs AS (
+  SELECT vec_id, embedding,
+    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+         THEN 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         ELSE 0.0 END AS q_scale
+  FROM embeddings),
+qe AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> floor(CAST(x AS DOUBLE) * q_scale + 0.5)) AS embedding
+  FROM qs),
+qn AS (SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2 FROM qe),
+cent0 AS (
+  SELECT vec_id AS cell, embedding AS c, n2 AS cn2 FROM qn ORDER BY vec_id LIMIT 8),
+${lloydIterCtes(1)},
+${lloydIterCtes(2)},
+${lloydIterCtes(3)},
+asgf AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        greatest(CAST(0.0 AS DOUBLE),
+          v.n2 + c.cn2 - CAST(2.0 AS DOUBLE) * ${duckDot("v.embedding", "c.c")}) ASC,
+        c.cell ASC) AS rn
+    FROM qn v, cent3 c) WHERE rn = 1),
+cr AS (SELECT cell, count(*) AS n_ref FROM asgf GROUP BY 1),
+ci AS (SELECT cell, count(*) AS n_inc FROM asgf WHERE vec_id % 2 = 1 GROUP BY 1),
+t AS (SELECT (SELECT count(*) FROM asgf) AS t_ref,
+             (SELECT count(*) FROM asgf WHERE vec_id % 2 = 1) AS t_inc),
+j AS (
+  SELECT c.cell, coalesce(cr.n_ref, 0) AS n_ref, coalesce(ci.n_inc, 0) AS n_inc
+  FROM cent3 c LEFT JOIN cr USING (cell) LEFT JOIN ci USING (cell))
+SELECT j.cell, j.n_ref, j.n_inc,
+  CASE WHEN t_ref > 0 THEN CAST(j.n_ref AS DOUBLE) / t_ref END AS share_ref,
+  CASE WHEN t_inc > 0 THEN CAST(j.n_inc AS DOUBLE) / t_inc END AS share_inc,
+  (CASE WHEN t_inc > 0 THEN CAST(j.n_inc AS DOUBLE) / t_inc END)
+  - (CASE WHEN t_ref > 0 THEN CAST(j.n_ref AS DOUBLE) / t_ref END) AS shift
+FROM j CROSS JOIN t ORDER BY cell""",
 
     // Replicates knnLabelAudit: full self-join minus self, exact cosine
     // (same ordered-fold dots), top-5 by (sim DESC, id), majority vote

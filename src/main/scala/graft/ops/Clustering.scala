@@ -586,6 +586,63 @@ object Clustering {
     } finally graft.CacheScope.unpin(qv)
   }
 
+  /** Embedding-space DRIFT monitor — per-cell occupancy of a reference
+    * corpus vs an incoming batch under ONE persisted cell geometry
+    * ([[kmeansCellsExact]] output, or its Manifest snapshot): the
+    * maintenance read [[graft.ops.Similarity.ivfIndexUpdate]]'s append
+    * loop cannot see. A corpus whose density moves away from the
+    * trained cells concentrates `shift` mass in few rows — the
+    * "retrain + full refresh" signal; ½·Σ|shift| is the total-variation
+    * distance between the two occupancy distributions (fold the k rows
+    * in cell order if comparing against a budget). The histogramDrift
+    * idea transplanted to embedding space, with the trained cells as
+    * the shared bins.
+    *
+    * Assignment is the exact clamped-L2 argmin over the quantized view
+    * (the kmeansSweep final-assignment shape — ties to the smaller
+    * cell, bit-reproducible cross-engine), built from the k collected
+    * cell rows as a literal fold: ZERO shuffle per side beyond one
+    * k-row combinable count. Shares are single long/long divisions in
+    * double space, NULL-guarded on an empty side.
+    *
+    * Output: (cell, n_ref, n_inc, share_ref, share_inc, shift), one row
+    * per cell — empty cells kept at zero counts (their outflow IS the
+    * drift).
+    */
+  def embeddingDrift(reference: DataFrame, incoming: DataFrame,
+                     cells: DataFrame): DataFrame = {
+    val cents = cells.select(col("cell"), col("c_emb"))
+      .collect().toSeq // bounded: k cell rows
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, "empty cell table — no geometry to drift against")
+    val candidates = array(cents.map { case (cid, cv) =>
+      val cn2 = cv.foldLeft(0.0)((s2, x) => s2 + x * x)
+      struct(
+        greatest(lit(0.0), col("qn2") + lit(cn2) -
+          lit(2.0) * graft.functions.DotOrdered(col("qv"), typedLit(cv)))
+          .as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    def cellCounts(emb: DataFrame, out: String): DataFrame =
+      quantizedView(emb)
+        .select(array_min(candidates).getField("cid").as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as(out))
+    val joined = cells.select(col("cell"))
+      .join(cellCounts(reference, "n_ref"), Seq("cell"), "left")
+      .join(cellCounts(incoming, "n_inc"), Seq("cell"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_inc", coalesce(col("n_inc"), lit(0L)))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_inc").as("t_inc"))
+    joined.crossJoin(broadcast(tot)) // 1-row totals — constant-size build
+      .withColumn("share_ref",
+        when(col("t_ref") > 0, col("n_ref").cast("double") / col("t_ref")))
+      .withColumn("share_inc",
+        when(col("t_inc") > 0, col("n_inc").cast("double") / col("t_inc")))
+      .select(col("cell"), col("n_ref"), col("n_inc"),
+        col("share_ref"), col("share_inc"),
+        (col("share_inc") - col("share_ref")).as("shift"))
+  }
+
   private def lloydBase(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))

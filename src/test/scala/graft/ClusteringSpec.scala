@@ -73,6 +73,31 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.kmeansCellsExact(empty, k = 3).isEmpty)
   }
 
+  test("embeddingDrift: a cluster-concentrated batch shows the planted " +
+    "shift; self-drift is zero; an empty side NULL-guards") {
+    val cells = Clustering.kmeansCellsExact(points, k = 3, iters = 3)
+    val batch = points.filter($"vec_id" % 3 === 0) // cluster 0 only
+    val got = Clustering.embeddingDrift(points, batch, cells)
+      .orderBy("cell").collect()
+    assert(got.length == 3)
+    val byCell = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))).toMap
+    assert(byCell(0L) == ((10L, 10L, 10.0 / 30, 1.0, 1.0 - 10.0 / 30)))
+    assert(byCell(1L) == ((10L, 0L, 10.0 / 30, 0.0, 0.0 - 10.0 / 30)))
+    assert(byCell(2L) == ((10L, 0L, 10.0 / 30, 0.0, 0.0 - 10.0 / 30)))
+    // TV distance = half the absolute shift mass
+    val tv = got.map(r => math.abs(r.getDouble(5))).sum / 2
+    assert(math.abs(tv - 2.0 / 3) < 1e-12)
+    // self-drift: identical sides shift nowhere
+    assert(Clustering.embeddingDrift(points, points, cells)
+      .collect().forall(_.getDouble(5) == 0.0))
+    // empty incoming: counts 0, shares/shift NULL (no distribution)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = Clustering.embeddingDrift(points, empty, cells).collect()
+    assert(e.forall(r => r.getLong(2) == 0L && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("kmeansSweep: elbow table invariants on the separated clusters") {
     val out = Clustering.kmeansSweep(points, ks = Seq(2, 3, 30), iters = 2)
       .collect().map(r => r.getInt(0) ->

@@ -36,6 +36,9 @@ class PlanGuardSpec extends SparkSpec {
       // the trained-cell serve: same broadcast k-row cell cross-build as
       // q_ann_ivf (router + assignment), over the quantized table
       "q_ann_ivf_trained",
+      // drift monitor: 1-row occupancy totals broadcast over the k-row
+      // cell relation (constant-size build, the skewAudit bounds shape)
+      "q_embed_drift",
       // the probe-budget sweeps compose bruteForceTopK (the documented
       // broadcast linear-scan baseline) + constant-size 1-row × 1-row
       // aggregate cross-builds per config row (q_ivf_sweep adds the
@@ -62,6 +65,8 @@ class PlanGuardSpec extends SparkSpec {
       // bigram stream (BM25's corpus-stats pattern); the serve path
       // carries the same 1-row vocab cross from the model table
       "q_lm_score", "q_lm_serve", "q_lm_lines",
+      // KN twin: the same 1-row scalar (types × vocab) cross-build
+      "q_kn_score",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",
