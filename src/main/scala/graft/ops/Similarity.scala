@@ -449,6 +449,21 @@ object Similarity {
     graft.io.Manifest.write(
       embedSignatures(corpus, nPlanes, bands, dim, seed), table)
 
+  /** The band-registry DELETE step — the embedding twin of
+    * [[graft.ops.text.Dedup.signatureRetract]]: drop removed vectors'
+    * band rows (id-keyed anti-join; band values are per-vector, so the
+    * anti-join IS the retraction) and commit the next version. The
+    * removed-id set broadcasts; the registry never moves.
+    */
+  def embedSignatureRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"),
+      table)
+  }
+
   /** Asymmetric embedding near-dup: flag INCOMING vectors that
     * near-duplicate an EXISTING corpus — [[graft.ops.text.Dedup.nearDupAgainst]]'s
     * embedding twin at band grain (the BATCH form of
@@ -943,6 +958,23 @@ object Similarity {
     graft.io.Manifest.write(
       graft.io.Manifest.read(spark, table)
         .unionByName(ivfAssign(accepted, centroids)),
+      table)
+  }
+
+  /** The index DELETE step — [[ivfIndexUpdate]]'s inverse: drop removed
+    * vectors' assignment rows and commit the next version (one row per
+    * vector, so the id-keyed anti-join IS the retraction; cell
+    * geometry is untouched — retraction never changes WHERE the
+    * surviving vectors live, only drift does, and [[graft.ops
+    * .Clustering.embeddingDrift]] is the read for that). The removed-id
+    * set broadcasts; the index never moves.
+    */
+  def ivfIndexRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"),
       table)
   }
 

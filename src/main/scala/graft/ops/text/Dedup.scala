@@ -206,6 +206,26 @@ object Dedup {
       table)
   }
 
+  /** The registry DELETE step — [[signatureUpdate]]'s inverse: drop a
+    * REMOVED batch's band rows (takedowns, retention expiry, a source
+    * pulled from the mixture) and commit the next version. Band keys
+    * are per-document, so an id-keyed anti-join IS the correct
+    * retraction — no other document's rows depend on the removed ones
+    * (contrast the LINE registry, where a hash may be owned by many
+    * docs and exact removal requires [[graft.ops.text.Corpus
+    * .lineRegistryRefresh]] over the surviving corpus). The removed-id
+    * set is batch-sized and broadcasts; the registry never moves.
+    * Returns the new version.
+    */
+  def signatureRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti"),
+      table)
+  }
+
   /** [[nearDupAgainst]] served from a PERSISTED corpus signature table —
     * `registry` is a committed [[signatureTable]] (any Manifest version;
     * trained with the SAME (k, bands), which the band join implicitly

@@ -176,6 +176,19 @@ class SimilaritySpec extends SparkSpec {
       graft.io.Manifest.read(spark, table), corpus, incoming)
       .as[(Long, Long, Double)].collect().toSet
     assert(served == inline)
+
+    // maintenance loop closes both ways: append the accepted batch (v2),
+    // then retract it — v3 equals v1 row-for-row
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(Similarity.embedSignatures(incoming)), table)
+    assert(Similarity.embedSignatureRetract(table,
+      incoming.select($"vec_id")) == 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.io.Manifest.read(spark, table)) ==
+      rows(graft.io.Manifest.readVersion(spark, table, 1)),
+      "retract(append(v1, batch), batch) must equal v1")
   }
 
   test("embedNearDupAudit: census is exact vs the candidate join, and " +
@@ -391,6 +404,15 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 2)) ==
       rows(Similarity.ivfTopKWith(base, queries, 3, cells, nProbe = 2)),
       "superseded index version must replay the old corpus")
+    // the DELETE step: retracting the batch restores v1 row-for-row
+    // (assignments compare on (cell, vec_id) — the embedding column is
+    // vec_id-determined)
+    assert(Similarity.ivfIndexRetract(table, batch.select($"vec_id")) == v2 + 1)
+    def asg(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    assert(asg(graft.io.Manifest.read(spark, table)) ==
+      asg(graft.io.Manifest.readVersion(spark, table, v1)),
+      "retract(update(v1, batch), batch) must equal v1")
   }
 
   test("annProbeSweep: probe budget buys candidates and recall " +

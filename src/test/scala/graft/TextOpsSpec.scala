@@ -132,6 +132,15 @@ class TextOpsSpec extends SparkSpec {
     assert(v2.exists(p => p._1 == 201L && p._2 == 3L))
     assert(v2.exists(p => p._1 == 202L && p._2 == 101L),
       "accepted-batch dup must pair through the updated registry")
+
+    // the DELETE step: retracting the accepted batch restores the v1
+    // registry row-for-row (band rows are per-document)
+    assert(Dedup.signatureRetract(table, incoming.select($"doc_id")) == 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.io.Manifest.read(spark, table)) ==
+      rows(graft.io.Manifest.readVersion(spark, table, 1)),
+      "retract(update(v1, batch), batch) must equal v1")
   }
 
   test("simhash: identical docs hash equal, near-dups are close in Hamming distance") {
