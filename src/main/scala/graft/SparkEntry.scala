@@ -1609,6 +1609,11 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_repetition" -> ((s, dir) =>
       Corpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Gopher's other repetition rule: the most frequent bigram and the
+    // token-character share its occurrences cover (capped at 1.0).
+    "q_ngram_top" -> ((s, dir) =>
+      Corpus.topNgramStats(t(s, dir, "documents")).orderBy("doc_id")),
+
     // Corpus vocabulary: term/document frequency, top-100 by tf.
     "q_vocab" -> ((s, dir) => Corpus.vocab(t(s, dir, "documents"))),
 
@@ -4640,6 +4645,28 @@ UNION ALL
 SELECT * FROM neg WHERE sim < CAST(0.3 AS DOUBLE)
 ORDER BY vec_id, pair_type, partner_id"""
     },
+
+    // Per-doc bigram counts + an argmax window (cnt DESC, ng DESC — the
+    // max_by struct order), character share as exact integers into one
+    // guarded division with the least(1.0, ·) cap.
+    "q_ngram_top" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS ng FROM pos),
+        |counts AS (SELECT doc_id, ng, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, ng AS top_ngram, cnt AS top_cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS INT) AS n_ngrams
+        |  FROM counts
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ng DESC) = 1),
+        |chars AS (SELECT doc_id, len(array_to_string(t, '')) AS tok_chars FROM toks)
+        |SELECT c.doc_id, top.n_ngrams, top.top_ngram, top.top_cnt,
+        | CASE WHEN top.top_cnt IS NOT NULL AND c.tok_chars > 0 THEN
+        |   least(1.0, CAST(len(replace(top.top_ngram, ' ', '')) * top.top_cnt AS DOUBLE)
+        |     / c.tok_chars)
+        | END AS top_char_frac
+        |FROM chars c LEFT JOIN top ON c.doc_id = top.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH g AS (

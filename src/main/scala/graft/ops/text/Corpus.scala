@@ -40,6 +40,48 @@ object Corpus {
           .otherwise(lit(0.0)).as("dup_ngram_ratio"))
   }
 
+  /** Top-n-gram character coverage — Gopher's OTHER repetition rule
+    * (Rae et al. 2021 §A1.1: "fraction of characters contained within
+    * the most frequently-occurring n-gram"), the within-doc signal
+    * [[repetitionStats]]' duplicate-n-gram ratio misses: a page whose
+    * single nav string repeats 40 times has a HIGH top-n-gram share
+    * even when its remaining text is diverse. Per document: its most
+    * frequent n-gram (ties to the lexicographically LAST — UTF-8 byte
+    * order on both engines), that n-gram's occurrence count, and the
+    * token-character share those occurrences cover, capped at 1.0
+    * (overlapping occurrences can over-count — "a a a" has two "a a"
+    * bigrams over three characters; the cap keeps the rule's [0,1]
+    * contract). Docs with no n-grams carry NULLs.
+    *
+    * Scale posture: one (doc, ngram) combinable count + one per-doc
+    * combinable `max_by` argmax — never a per-doc window — plus one
+    * doc-keyed join back to the character totals. Everything is exact
+    * integer arithmetic into one guarded division.
+    */
+  def topNgramStats(documents: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val counts = toks
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("ng"))
+      .groupBy("doc_id", "ng").agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy("doc_id")
+      .agg(sum("cnt").cast("int").as("n_ngrams"),
+        max_by(struct(col("ng"), col("cnt")),
+          struct(col("cnt"), col("ng"))).as("m"))
+      .select(col("doc_id"), col("n_ngrams"),
+        col("m.ng").as("top_ngram"), col("m.cnt").as("top_cnt"))
+    toks.select(col("doc_id"),
+        length(concat_ws("", col("t"))).as("tok_chars"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"), col("top_ngram"),
+        col("top_cnt"),
+        when(col("top_cnt").isNotNull && col("tok_chars") > 0,
+          least(lit(1.0),
+            (length(translate(col("top_ngram"), " ", "")) * col("top_cnt"))
+              .cast("double") / col("tok_chars")))
+          .as("top_char_frac"))
+  }
+
   /** Corpus vocabulary: term frequency (total occurrences) and document
     * frequency per term, top `limit` by tf with a deterministic term
     * tie-break. The df count is exact COUNT(DISTINCT doc_id) — at real

@@ -662,6 +662,25 @@ class CorpusSpec extends SparkSpec {
     assert(!safe.exists(_._3), s"group-safe split must not leak: ${safe.toSeq}")
   }
 
+  test("topNgramStats: most frequent bigram with char coverage capped " +
+    "at 1.0; ties go to the lexicographically last; no-gram docs NULL") {
+    val d = Seq(
+      (1L, "a a a"),     // "a a" x2 over 3 token chars -> capped 1.0
+      (2L, "x y x y z"), // "x y" x2 over 5 token chars -> 4/5
+      (3L, "q"),         // no bigrams
+      (4L, "b c d"))     // tie: "b c" / "c d" both once -> "c d"
+      .toDF("doc_id", "text")
+    val got = Corpus.topNgramStats(d)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Int]),
+          Option(r.getString(2)), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((Some(2), Some("a a"), Some(2L), Some(1.0))))
+    assert(got(2L) == ((Some(4), Some("x y"), Some(2L), Some(4.0 / 5))))
+    assert(got(3L) == ((None, None, None, None)))
+    assert(got(4L)._2.contains("c d"), s"tie must break last: ${got(4L)}")
+  }
+
   test("scoreFuse: per-stratum rank fusion; a NULL signal renormalizes " +
     "over the present weights") {
     val d = Seq(
