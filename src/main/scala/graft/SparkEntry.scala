@@ -2228,6 +2228,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
         topK = 20)
         .orderBy("rank")),
 
+    // Pseudo-relevance-feedback expansion (the RM3 move, deterministic
+    // form): top-5 feedback docs -> 3 expansion terms by tf_fb·idf_r ->
+    // one weighted re-scoring pass (originals 1.0, expansion 0.5). The
+    // oracle replays the first pass, the selection, and the weighted
+    // fold (list_reduce in position order).
+    "q_bm25_rm3" -> ((s, dir) =>
+      ops.text.Retrieval.bm25Expanded(t(s, dir, "documents"),
+        Seq("merge", "sort", "window", "hash"), fbDocs = 5, fbTerms = 3,
+        expWeight = 0.5, k1 = 1.2, b = 0.75, topK = 20)
+        .orderBy("rank")),
+
     // Graded retrieval eval: the cheap first-stage ranker (raw tf
     // top-10) scored per query against exact rational-BM25 truth —
     // recall@10, MRR, and nDCG@10 with the truth's own scores as
@@ -5384,6 +5395,77 @@ ORDER BY vec_id, j"""
     // Index round-trip serve ≡ inline scoring: same oracle string (the
     // q_lm_serve / q_minhash_served pattern for retrieval).
     "q_bm25_served" -> Bm25OracleSql,
+
+    // The full RM3 chain: q_bm25's scoring tree (tf1/df1/s1/agg1) picks
+    // the 5 feedback docs, selection scores tf_fb·idf_r over the
+    // feedback vocabulary (exact ints into one rational product), and
+    // the final pass folds per-term contributions with list_reduce in
+    // position order — weight-1.0 terms keep the unweighted tree, so
+    // skipping absent terms (vs Spark's literal 0.0 additions) cannot
+    // change any sum.
+    "q_bm25_rm3" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM u
+        |        WHERE term IN ('merge', 'sort', 'window', 'hash')
+        |        GROUP BY doc_id, term),
+        |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+        |s1 AS (SELECT tf1.doc_id, tf1.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |       FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |agg1 AS (SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
+        |        FROM s1 GROUP BY doc_id),
+        |fb AS (SELECT doc_id FROM agg1 ORDER BY score DESC, doc_id LIMIT 5),
+        |cand AS (SELECT term, count(*) AS tf_fb FROM u
+        |         WHERE doc_id IN (SELECT doc_id FROM fb)
+        |           AND term NOT IN ('merge', 'sort', 'window', 'hash')
+        |         GROUP BY term),
+        |dfc AS (SELECT u.term, count(DISTINCT u.doc_id) AS df FROM u
+        |        JOIN (SELECT term FROM cand) ct ON u.term = ct.term
+        |        GROUP BY u.term),
+        |exp AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY
+        |      CAST(tf_fb AS DOUBLE) *
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5)) DESC,
+        |      term) AS INT) AS rnk
+        |  FROM cand JOIN dfc USING (term) CROSS JOIN c
+        |  QUALIFY rnk <= 3),
+        |allt AS (
+        |  SELECT * FROM (VALUES ('merge', 1, CAST(1.0 AS DOUBLE)),
+        |                        ('sort', 2, CAST(1.0 AS DOUBLE)),
+        |                        ('window', 3, CAST(1.0 AS DOUBLE)),
+        |                        ('hash', 4, CAST(1.0 AS DOUBLE))) t(term, pos, w)
+        |  UNION ALL SELECT term, 4 + rnk, CAST(0.5 AS DOUBLE) FROM exp),
+        |tf2 AS (SELECT u.doc_id, u.term, count(*) AS tf FROM u
+        |        JOIN (SELECT term FROM allt) a ON u.term = a.term
+        |        GROUP BY u.doc_id, u.term),
+        |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+        |s2 AS (SELECT tf2.doc_id, tf2.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |       FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |wagg AS (
+        |  SELECT s2.doc_id,
+        |    list_reduce(
+        |      list(CASE WHEN a.w = 1.0 THEN s2.sc ELSE s2.sc * a.w END
+        |           ORDER BY a.pos),
+        |      (x, y) -> x + y) AS score
+        |  FROM s2 JOIN allt a USING (term) GROUP BY s2.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        | doc_id, score
+        |FROM wagg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // Three (BM25 truth, tf candidate) chain pairs from the SAME
     // RetrievalEvalQueries term sets, then the eval join: hits are the

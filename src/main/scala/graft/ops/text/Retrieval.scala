@@ -87,7 +87,20 @@ object Retrieval {
     */
   private def bm25Score(tf: DataFrame, df: DataFrame, dl: DataFrame,
                         corpus: DataFrame, terms: Seq[String],
-                        k1: Double, b: Double, topK: Int): DataFrame = {
+                        k1: Double, b: Double, topK: Int): DataFrame =
+    bm25ScoreWeighted(tf, df, dl, corpus, terms.map(_ -> 1.0), k1, b, topK)
+
+  /** The weighted generalization of the shared scoring tail — per-term
+    * contributions scale by their query weight before the fixed-order
+    * fold ([[bm25Expanded]]'s expansion terms carry `expWeight`).
+    * Weight-1.0 terms keep the exact unweighted expression tree, so the
+    * unweighted paths ([[bm25Rational]]/[[bm25With]]) are bit-unchanged
+    * through this delegation.
+    */
+  private def bm25ScoreWeighted(tf: DataFrame, df: DataFrame, dl: DataFrame,
+                                corpus: DataFrame,
+                                terms: Seq[(String, Double)],
+                                k1: Double, b: Double, topK: Int): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5)
@@ -100,8 +113,11 @@ object Retrieval {
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), col("term"), (idf * tfn).as("sc"))
 
-    val score = terms.map(tm =>
-        coalesce(max(when(col("term") === tm, col("sc"))), lit(0.0)))
+    val score = terms.map { case (tm, w) =>
+        val contrib =
+          coalesce(max(when(col("term") === tm, col("sc"))), lit(0.0))
+        if (w == 1.0) contrib else contrib * lit(w)
+      }
       .reduceLeft(_ + _)
     val top = scored.groupBy("doc_id").agg(score.as("score"))
       .orderBy(desc("score"), asc("doc_id")).limit(topK)
@@ -109,6 +125,91 @@ object Retrieval {
         row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
           .cast("int"))
       .select("rank", "doc_id", "score")
+  }
+
+  /** Pseudo-relevance-feedback expansion-term selection — the RM3 move
+    * (Lavrenko & Croft 2001 relevance models, as deployed in Anserini/
+    * Indri): the top `fbDocs` first-pass documents are ASSUMED relevant
+    * and mined for the terms that characterize them. Selection score =
+    * tf_fb · idf_r — total occurrences inside the feedback set times
+    * BM25's own rational idf, so a term must be both feedback-frequent
+    * AND corpus-rare ("the" never expands; the feedback docs' topical
+    * vocabulary does). Deliberately an EXACT-arithmetic score (integer
+    * counts into one rational product — RM1's per-doc length-normalized
+    * mixture needs a cross-row double sum whose addition order no
+    * engine replay can pin); original query terms are excluded. Ties
+    * break to the lexicographically smaller term.
+    *
+    * Output: (rank, term, tf_fb, df, exp_score), `fbTerms` rows.
+    *
+    * Scale posture: the feedback-doc id set is fbDocs rows (broadcast);
+    * candidate stats are two combinable count aggregates over one
+    * corpus scan — the inline-BM25 economics (a deployment with a
+    * committed [[searchIndex]] reads postings instead; same selection
+    * tail).
+    */
+  def expansionTerms(documents: DataFrame, terms: Seq[String],
+                     fbDocs: Int = 5, fbTerms: Int = 5,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0,
+      s"need positive feedback sizes, got fbDocs=$fbDocs fbTerms=$fbTerms")
+    val fb = bm25Rational(documents, terms, k1, b, topK = fbDocs)
+      .select("doc_id")
+    val toksE = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cand = toksE.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf_fb"))
+    // corpus df restricted to the candidate terms (feedback-vocabulary
+    // sized — broadcast), never a full-vocabulary df build
+    val dfc = toksE.join(broadcast(cand.select("term")), "term")
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val corpus = documents.agg(count(lit(1)).as("n_docs"))
+    cand.join(dfc, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("exp_score", col("tf_fb").cast("double") *
+        ((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .orderBy(desc("exp_score"), asc("term")).limit(fbTerms)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("exp_score"), asc("term"))).cast("int"))
+      .select("rank", "term", "tf_fb", "df", "exp_score")
+  }
+
+  /** BM25 with pseudo-relevance-feedback query expansion — first pass,
+    * [[expansionTerms]] selection, then ONE weighted re-scoring pass
+    * over original ∪ expansion terms: originals keep weight 1.0 (their
+    * contribution trees are bit-identical to plain [[bm25Rational]]),
+    * expansion terms contribute at `expWeight` — RM3's interpolation as
+    * a fixed per-term weight, which is what keeps the whole pipeline
+    * deterministic and engine-replayable. The fbTerms selected terms
+    * are collected (bounded — the seed-centroids pattern) so the final
+    * fold order is original-query order then expansion rank order.
+    *
+    * The recall move a lexical first stage needs: a relevant doc using
+    * a synonym the query never said now matches through the expansion
+    * vocabulary; measure the trade with [[rankingEval]] before rollout.
+    */
+  def bm25Expanded(documents: DataFrame, terms: Seq[String],
+                   fbDocs: Int = 5, fbTerms: Int = 5,
+                   expWeight: Double = 0.5, k1: Double = 1.2,
+                   b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(expWeight > 0 && expWeight <= 1,
+      s"expWeight=$expWeight not in (0,1]")
+    val exp = expansionTerms(documents, terms, fbDocs, fbTerms, k1, b)
+      .orderBy("rank").select("term")
+      .collect().map(_.getString(0)).toSeq // bounded: fbTerms rows
+    val weighted = terms.map(_ -> 1.0) ++ exp.map(_ -> expWeight)
+    val allTerms = weighted.map(_._1)
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoreWeighted(tf, df, dl, corpus, weighted, k1, b, topK)
   }
 
   /** The search index as ONE persistable relation — the artifact a

@@ -52,6 +52,9 @@ class PlanGuardSpec extends SparkSpec {
       "q_bm25",
       // the served twin: same 1-row stats build, read from the index
       "q_bm25_served",
+      // RM3: two BM25 chains (first pass + weighted re-score) and the
+      // 1-row n_docs build under the expansion selection
+      "q_bm25_rm3",
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",

@@ -128,6 +128,47 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
   }
 
+  test("expansionTerms: feedback-frequent AND corpus-rare terms expand; " +
+    "corpus-wide terms are idf-suppressed; originals excluded") {
+    // "merge" retrieves docs 1-5; they share "compaction" (rare);
+    // "the" occurs EVERYWHERE so its idf_r collapses toward 0
+    val docs = ((1L to 5L).map(i =>
+      (i, "the merge compaction compaction step")) ++ Seq(
+      (6L, "the compaction compaction compaction log"),
+      (7L, "the alpha beta gamma delta"),
+      (8L, "the epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val exp = Retrieval.expansionTerms(docs, Seq("merge"),
+      fbDocs = 5, fbTerms = 2)
+      .orderBy("rank").collect()
+    assert(exp.length == 2)
+    assert(exp(0).getString(1) == "compaction",
+      s"rare feedback term must rank first: ${exp.toSeq}")
+    assert(exp.forall(_.getString(1) != "merge"), "originals never expand")
+    assert(exp.forall(_.getString(1) != "the"),
+      s"everywhere-term must be idf-suppressed below rank 2: ${exp.toSeq}")
+  }
+
+  test("bm25Expanded: expansion recalls a synonym-only doc the plain " +
+    "query misses; original top doc survives") {
+    val docs = ((1L to 5L).map(i =>
+      (i, "the merge compaction compaction step")) ++ Seq(
+      (6L, "the compaction compaction compaction log"),
+      (7L, "the alpha beta gamma delta"),
+      (8L, "the epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val plain = Retrieval.bm25Rational(docs, Seq("merge"), topK = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(6L), "doc 6 has no query term")
+    val expanded = Retrieval.bm25Expanded(docs, Seq("merge"),
+      fbDocs = 5, fbTerms = 1, expWeight = 0.5, topK = 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(expanded.contains(6L),
+      s"expansion must recall the compaction-only doc: $expanded")
+    assert(plain.subsetOf(expanded.keySet),
+      "original matches survive the expanded query")
+  }
+
   test("hardNegatives: top-scored non-relevant docs, densely re-ranked") {
     val ranked = Seq(
       ("q1", 1, 10L, 5.0), ("q1", 2, 20L, 4.0), ("q1", 3, 30L, 3.0),
