@@ -1422,6 +1422,13 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_jaccard_ngram" -> ((s, dir) =>
       Dedup.jaccardNearDup(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // Asymmetric excerpt detection: directional shingle containment
+    // |A∩B|/|A| >= 0.8 (oracle = naive all-ordered-pairs on the same
+    // string shingles; the prefix filter is lossless).
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
+
     // Embedding-cosine near-dup: hyperplane-LSH banded candidates + exact
     // cosine verify (the oracle replicates the same plane constants).
     "q_embed_neardup" -> ((s, dir) =>
@@ -3562,6 +3569,20 @@ ORDER BY doc_a, doc_b"""
         |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Directional containment over the same 3-gram shingle sets:
+    // |A∩B|/|A| with a <> b ordered pairs.
+    "q_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        |FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same pair list as q_jaccard_ngram's oracle, then connected

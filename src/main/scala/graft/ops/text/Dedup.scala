@@ -898,6 +898,70 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric dedup case the
+    * symmetric families structurally miss: an EXCERPT (a quote, a
+    * syndicated paragraph, a truncated mirror) has high containment
+    * C(A,B) = |A∩B| / |A| in its source but low Jaccard (the union is
+    * dominated by the container), so no resemblance threshold catches
+    * it. Directional output: (doc_a, doc_b, containment) means doc_a's
+    * shingles are ≥ `threshold` covered by doc_b — doc_a is the
+    * contained side. An exact duplicate pair appears in BOTH
+    * directions; [[graft.ops.text.Spans]] is the complementary
+    * span-grain view (which tokens are shared), this is the doc-grain
+    * keep/drop signal.
+    *
+    * [[jaccardNearDup]]'s prefix-filter economics, adapted: the
+    * CONTAINED side indexes only its first |A| − ceil(t·|A|) + 1
+    * shingles in rare-first order (if none of them is in B, the overlap
+    * is ≤ ceil(t·|A|) − 1 < t·|A| — lossless, same ε-loosened ceils),
+    * but the CONTAINER side stays unpruned — containment puts no lower
+    * bound on B's overlap SHARE, so B-side prefix or length pruning
+    * would drop real pairs (the one admissible size filter is
+    * |B| ≥ ceil(t·|A|), applied per candidate). `maxDf` is the same
+    * stop-shingle skew lever with the same documented recall trade.
+    * Default keeps everything — exact, oracle-checked semantics.
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+                       threshold: Double = 0.8,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val spark = documents.sparkSession
+    val sets = graft.CacheScope.pin(documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val nz = sets.filter(size(col("sh")) > 0)
+    val ex = nz.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val eps = 1e-9
+    val indexed = graft.CacheScope.pin(ex
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .withColumn("rn", row_number().over(wDoc)))
+    val a = indexed
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = indexed.select(col("s"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"))
+    val candidates = a.join(b.hint("shuffle_hash"), "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(nz.toDF("doc_a", "sh_a").hint("shuffle_hash"), "doc_a")
+      .join(nz.toDF("doc_b", "sh_b").hint("shuffle_hash"), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Recall/precision audit of a MinHash-LSH configuration against EXACT
     * ground truth on an eval slice — the quality twin of
     * [[minhashBandAudit]] (census = what the banding COSTS; this = what

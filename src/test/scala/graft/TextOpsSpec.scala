@@ -200,6 +200,47 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: an excerpt is caught directionally; exact dups " +
+    "pair both ways; the container direction stays below threshold") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, excerpt),                                 // contained in 2 and 4
+      (2L, body),
+      (3L, (101 to 130).map(i => s"v$i").mkString(" ")), // unrelated
+      (4L, body))                                    // exact dup of 2
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // excerpt: 8 trigram shingles, all inside the body's 28
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L), (4L, 2L)),
+      s"got $got")
+    assert(got((1L, 2L)) == 1.0 && got((2L, 4L)) == 1.0)
+    assert(!got.contains((2L, 1L)), "container direction is 8/28 — below")
+  }
+
+  test("containmentPairs is lossless on the fixture corpus: equals naive " +
+    "all-ordered-pairs containment") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.7, 0.8, 0.9)) {
+      val fast = Dedup.containmentPairs(docs, n = 3, threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sets = docs
+        .select($"doc_id", TextFns.tokens($"text").as("toks"))
+        .select($"doc_id",
+          array_distinct(transform(TextFns.shingles($"toks", 3), s => xxhash64(s))).as("sh"))
+        .filter(size($"sh") > 0)
+      val naive = sets.toDF("doc_a", "sh_a")
+        .crossJoin(sets.toDF("doc_b", "sh_b"))
+        .filter($"doc_a" =!= $"doc_b")
+        .filter(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size($"sh_a") >= t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(fast == naive, s"threshold $t: prefix-filtered ${fast.size} != naive ${naive.size}")
+    }
+  }
+
   test("simhashPairs candidate recall: every pair within maxHamming that shares a band is found") {
     // Band-join completeness check on the fixture corpus: brute-force the
     // fingerprints, recompute band membership, and confirm simhashPairs
