@@ -1429,6 +1429,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Dedup.containmentPairs(t(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
 
+    // Containment survivorship: strict excerpts drop, mutual containment
+    // keeps the smallest id, chains resolve greedily.
+    "q_contain_resolve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.resolveContained(d, Dedup.containmentPairs(d))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: hyperplane-LSH banded candidates + exact
     // cosine verify (the oracle replicates the same plane constants).
     "q_embed_neardup" -> ((s, dir) =>
@@ -3584,6 +3592,26 @@ ORDER BY doc_a, doc_b"""
         |FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_containment's pair CTE + the survivorship rule: drop strict
+    // excerpts (no reverse pair) and the larger id of mutual pairs.
+    "q_contain_resolve" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8),
+        |drops AS (
+        |  SELECT DISTINCT p.doc_a AS doc_id
+        |  FROM p LEFT JOIN p r ON p.doc_a = r.doc_b AND p.doc_b = r.doc_a
+        |  WHERE r.doc_a IS NULL OR p.doc_a > p.doc_b)
+        |SELECT d.doc_id, drops.doc_id IS NULL AS is_kept
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same pair list as q_jaccard_ngram's oracle, then connected
     // components as recursive-CTE reachability: reach(u,v) = "u reaches

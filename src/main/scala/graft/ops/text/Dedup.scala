@@ -962,6 +962,34 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Containment survivorship — [[containmentPairs]]' keep/drop
+    * decision: drop every STRICT excerpt (contained in a doc that does
+    * not contain it back — its content survives in the container), and
+    * for MUTUAL containment (shingle-set equality up to threshold,
+    * e.g. exact duplicates) keep the smallest id — [[resolveCanonical]]'s
+    * tie rule. Containment chains resolve greedily: in a ⊂ b ⊂ c all
+    * but the outermost container drop, even when a never paired with c
+    * directly (a's content survives transitively — the standard
+    * survivorship accept). Output: (doc_id, is_kept) for EVERY input
+    * document.
+    *
+    * One self-join of the pair table (directional vs reversed, both
+    * pair-sized) + one id-keyed left join back to the corpus — the
+    * caller-provided pair table inherits its producer's posture.
+    */
+  def resolveContained(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val rev = pairs.select(col("doc_a").as("r_b"), col("doc_b").as("r_a"))
+    val drops = pairs
+      .join(rev.hint("shuffle_hash"),
+        col("doc_a") === col("r_a") && col("doc_b") === col("r_b"), "left")
+      .filter(col("r_a").isNull || col("doc_a") > col("doc_b"))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("dropped", lit(true))
+    documents.select("doc_id")
+      .join(drops.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dropped").isNull.as("is_kept"))
+  }
+
   /** Recall/precision audit of a MinHash-LSH configuration against EXACT
     * ground truth on an eval slice — the quality twin of
     * [[minhashBandAudit]] (census = what the banding COSTS; this = what

@@ -220,6 +220,30 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains((2L, 1L)), "container direction is 8/28 — below")
   }
 
+  test("resolveContained: strict excerpts drop, mutual containment keeps " +
+    "the smallest id, chains drop everything but the outermost container") {
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // excerpt of 2/4
+      (2L, body),
+      (3L, (101 to 130).map(i => s"v$i").mkString(" ")), // unrelated
+      (4L, body))                                        // exact dup of 2
+      .toDF("doc_id", "text")
+    val got = Dedup.resolveContained(d, Dedup.containmentPairs(d))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
+      s"got $got")
+    // chain: a (10 toks) ⊂ b (20) ⊂ c (40) — only c survives
+    val chain = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val gotChain = Dedup.resolveContained(chain, Dedup.containmentPairs(chain))
+      .as[(Long, Boolean)].collect().toMap
+    assert(gotChain == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
   test("containmentPairs is lossless on the fixture corpus: equals naive " +
     "all-ordered-pairs containment") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
