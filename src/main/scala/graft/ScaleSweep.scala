@@ -74,6 +74,13 @@ object ScaleSweep {
     // role): swept to record the wall the ANN-table drop-in avoids —
     // and q_contrastive_ann IS that drop-in (bucket search positives)
     "q_contrastive", "q_contrastive_ann",
+    // r12 session 3: cross-source overlap + KN LM + rank fusion +
+    // top-n-gram (linear families), RM3 (two BM25 passes + selection),
+    // the containment family (prefix-filtered but with an unpruned
+    // container side — the row to watch), and the drift monitor
+    // (retrains its cell geometry in-query, the ivf_trained cost class)
+    "q_source_overlap", "q_kn_score", "q_score_fuse", "q_ngram_top",
+    "q_bm25_rm3", "q_containment", "q_contain_resolve", "q_embed_drift",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these two rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read)
