@@ -765,6 +765,74 @@ ORDER BY vec_inc, vec_corp"""
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The RM3 oracle — shared verbatim by q_bm25_rm3 (inline) and
+    * q_rm3_served (postings-only: fit + serve of the same index must
+    * change nothing).
+    */
+  private val Rm3OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM u
+        |        WHERE term IN ('merge', 'sort', 'window', 'hash')
+        |        GROUP BY doc_id, term),
+        |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+        |s1 AS (SELECT tf1.doc_id, tf1.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |       FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |agg1 AS (SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
+        |        FROM s1 GROUP BY doc_id),
+        |fb AS (SELECT doc_id FROM agg1 ORDER BY score DESC, doc_id LIMIT 5),
+        |cand AS (SELECT term, count(*) AS tf_fb FROM u
+        |         WHERE doc_id IN (SELECT doc_id FROM fb)
+        |           AND term NOT IN ('merge', 'sort', 'window', 'hash')
+        |         GROUP BY term),
+        |dfc AS (SELECT u.term, count(DISTINCT u.doc_id) AS df FROM u
+        |        JOIN (SELECT term FROM cand) ct ON u.term = ct.term
+        |        GROUP BY u.term),
+        |exp AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY
+        |      CAST(tf_fb AS DOUBLE) *
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5)) DESC,
+        |      term) AS INT) AS rnk
+        |  FROM cand JOIN dfc USING (term) CROSS JOIN c
+        |  QUALIFY rnk <= 3),
+        |allt AS (
+        |  SELECT * FROM (VALUES ('merge', 1, CAST(1.0 AS DOUBLE)),
+        |                        ('sort', 2, CAST(1.0 AS DOUBLE)),
+        |                        ('window', 3, CAST(1.0 AS DOUBLE)),
+        |                        ('hash', 4, CAST(1.0 AS DOUBLE))) t(term, pos, w)
+        |  UNION ALL SELECT term, 4 + rnk, CAST(0.5 AS DOUBLE) FROM exp),
+        |tf2 AS (SELECT u.doc_id, u.term, count(*) AS tf FROM u
+        |        JOIN (SELECT term FROM allt) a ON u.term = a.term
+        |        GROUP BY u.doc_id, u.term),
+        |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+        |s2 AS (SELECT tf2.doc_id, tf2.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |       FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |wagg AS (
+        |  SELECT s2.doc_id,
+        |    list_reduce(
+        |      list(CASE WHEN a.w = 1.0 THEN s2.sc ELSE s2.sc * a.w END
+        |           ORDER BY a.pos),
+        |      (x, y) -> x + y) AS score
+        |  FROM s2 JOIN allt a USING (term) GROUP BY s2.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+        | doc_id, score
+        |FROM wagg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Full SCD2 rebuild over orders — shared by `q_scd2` and (because the
     * incremental merge equals the full recompute under in-order arrival)
     * `q_scd2_apply`.
@@ -2250,6 +2318,16 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // fold (list_reduce in position order).
     "q_bm25_rm3" -> ((s, dir) =>
       ops.text.Retrieval.bm25Expanded(t(s, dir, "documents"),
+        Seq("merge", "sort", "window", "hash"), fbDocs = 5, fbTerms = 3,
+        expWeight = 0.5, k1 = 1.2, b = 0.75, topK = 20)
+        .orderBy("rank")),
+
+    // RM3 served from the persisted index: both retrieval passes and
+    // the expansion selection read postings only — must equal inline
+    // (same oracle string).
+    "q_rm3_served" -> ((s, dir) =>
+      ops.text.Retrieval.bm25ExpandedWith(
+        ops.text.Retrieval.searchIndex(t(s, dir, "documents")),
         Seq("merge", "sort", "window", "hash"), fbDocs = 5, fbTerms = 3,
         expWeight = 0.5, k1 = 1.2, b = 0.75, topK = 20)
         .orderBy("rank")),
@@ -5452,69 +5530,11 @@ ORDER BY vec_id, j"""
     // position order — weight-1.0 terms keep the unweighted tree, so
     // skipping absent terms (vs Spark's literal 0.0 additions) cannot
     // change any sum.
-    "q_bm25_rm3" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
-        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM u
-        |        WHERE term IN ('merge', 'sort', 'window', 'hash')
-        |        GROUP BY doc_id, term),
-        |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
-        |s1 AS (SELECT tf1.doc_id, tf1.term,
-        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
-        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
-        |       FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
-        |agg1 AS (SELECT doc_id,
-        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
-        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
-        |        FROM s1 GROUP BY doc_id),
-        |fb AS (SELECT doc_id FROM agg1 ORDER BY score DESC, doc_id LIMIT 5),
-        |cand AS (SELECT term, count(*) AS tf_fb FROM u
-        |         WHERE doc_id IN (SELECT doc_id FROM fb)
-        |           AND term NOT IN ('merge', 'sort', 'window', 'hash')
-        |         GROUP BY term),
-        |dfc AS (SELECT u.term, count(DISTINCT u.doc_id) AS df FROM u
-        |        JOIN (SELECT term FROM cand) ct ON u.term = ct.term
-        |        GROUP BY u.term),
-        |exp AS (
-        |  SELECT term, CAST(row_number() OVER (ORDER BY
-        |      CAST(tf_fb AS DOUBLE) *
-        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-        |         (CAST(df AS DOUBLE) + 0.5)) DESC,
-        |      term) AS INT) AS rnk
-        |  FROM cand JOIN dfc USING (term) CROSS JOIN c
-        |  QUALIFY rnk <= 3),
-        |allt AS (
-        |  SELECT * FROM (VALUES ('merge', 1, CAST(1.0 AS DOUBLE)),
-        |                        ('sort', 2, CAST(1.0 AS DOUBLE)),
-        |                        ('window', 3, CAST(1.0 AS DOUBLE)),
-        |                        ('hash', 4, CAST(1.0 AS DOUBLE))) t(term, pos, w)
-        |  UNION ALL SELECT term, 4 + rnk, CAST(0.5 AS DOUBLE) FROM exp),
-        |tf2 AS (SELECT u.doc_id, u.term, count(*) AS tf FROM u
-        |        JOIN (SELECT term FROM allt) a ON u.term = a.term
-        |        GROUP BY u.doc_id, u.term),
-        |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
-        |s2 AS (SELECT tf2.doc_id, tf2.term,
-        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
-        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
-        |       FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
-        |wagg AS (
-        |  SELECT s2.doc_id,
-        |    list_reduce(
-        |      list(CASE WHEN a.w = 1.0 THEN s2.sc ELSE s2.sc * a.w END
-        |           ORDER BY a.pos),
-        |      (x, y) -> x + y) AS score
-        |  FROM s2 JOIN allt a USING (term) GROUP BY s2.doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
-        | doc_id, score
-        |FROM wagg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_rm3" -> Rm3OracleSql,
+
+    // Served RM3 reads postings only; on the training corpus it must
+    // equal inline row-for-row — the oracle string is shared.
+    "q_rm3_served" -> Rm3OracleSql,
 
     // Three (BM25 truth, tf candidate) chain pairs from the SAME
     // RetrievalEvalQueries term sets, then the eval join: hits are the

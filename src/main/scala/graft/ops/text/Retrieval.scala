@@ -165,6 +165,16 @@ object Retrieval {
     val dfc = toksE.join(broadcast(cand.select("term")), "term")
       .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
     val corpus = documents.agg(count(lit(1)).as("n_docs"))
+    selectExpansion(cand, dfc, corpus, fbTerms)
+  }
+
+  /** The shared selection tail over prepared (tf_fb, df, n_docs)
+    * relations — one expression tree for the inline and served
+    * expansion paths (the bm25Score delegation move), so they cannot
+    * drift.
+    */
+  private def selectExpansion(cand: DataFrame, dfc: DataFrame,
+                              corpus: DataFrame, fbTerms: Int): DataFrame =
     cand.join(dfc, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("exp_score", col("tf_fb").cast("double") *
@@ -174,6 +184,58 @@ object Retrieval {
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("exp_score"), asc("term"))).cast("int"))
       .select("rank", "term", "tf_fb", "df", "exp_score")
+
+  /** [[expansionTerms]] from a PERSISTED [[searchIndex]] — zero
+    * tokenization, zero corpus text: tf_fb folds the feedback docs'
+    * postings counts, candidate df counts postings rows, n_docs comes
+    * precomputed. On the index's training corpus the selection EQUALS
+    * inline (postings carry exactly the token stream's counts; shared
+    * selection tail).
+    */
+  def expansionTermsWith(index: DataFrame, terms: Seq[String],
+                         fbDocs: Int = 5, fbTerms: Int = 5,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0,
+      s"need positive feedback sizes, got fbDocs=$fbDocs fbTerms=$fbTerms")
+    val fb = bm25With(index, terms, k1, b, topK = fbDocs).select("doc_id")
+    val tfAll = index.filter(col("kind") === "tf")
+    val cand = tfAll.join(broadcast(fb), "doc_id")
+      .filter(!col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("n")).as("tf_fb"))
+    val dfc = tfAll.join(broadcast(cand.select("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = index.filter(col("kind") === "stats")
+      .agg(max(when(col("term") === "n_docs", col("n"))).as("n_docs"))
+    selectExpansion(cand, dfc, corpus, fbTerms)
+  }
+
+  /** [[bm25Expanded]] served entirely from a PERSISTED [[searchIndex]]
+    * — both retrieval passes AND the expansion selection read postings
+    * only (the 100 TB shape: at no point does query-time work touch
+    * corpus text). Identical output to inline on the training corpus —
+    * the oracle string is shared.
+    */
+  def bm25ExpandedWith(index: DataFrame, terms: Seq[String],
+                       fbDocs: Int = 5, fbTerms: Int = 5,
+                       expWeight: Double = 0.5, k1: Double = 1.2,
+                       b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(expWeight > 0 && expWeight <= 1,
+      s"expWeight=$expWeight not in (0,1]")
+    val exp = expansionTermsWith(index, terms, fbDocs, fbTerms, k1, b)
+      .orderBy("rank").select("term")
+      .collect().map(_.getString(0)).toSeq // bounded: fbTerms rows
+    val weighted = terms.map(_ -> 1.0) ++ exp.map(_ -> expWeight)
+    val allTerms = weighted.map(_._1)
+    val tf = index.filter(col("kind") === "tf" &&
+        col("term").isin(allTerms: _*))
+      .select(col("doc_id"), col("term"), col("n").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = index.filter(col("kind") === "dl")
+      .select(col("doc_id"), col("n").as("dl"))
+    val corpus = index.filter(col("kind") === "stats")
+      .agg(max(when(col("term") === "n_docs", col("n"))).as("n_docs"),
+        max(when(col("term") === "sum_dl", col("n"))).as("sum_dl"))
+    bm25ScoreWeighted(tf, df, dl, corpus, weighted, k1, b, topK)
   }
 
   /** BM25 with pseudo-relevance-feedback query expansion — first pass,

@@ -55,6 +55,8 @@ class PlanGuardSpec extends SparkSpec {
       // RM3: two BM25 chains (first pass + weighted re-score) and the
       // 1-row n_docs build under the expansion selection
       "q_bm25_rm3",
+      // the served twin: same 1-row builds, read from the index
+      "q_rm3_served",
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",

@@ -169,6 +169,28 @@ class RetrievalSpec extends SparkSpec {
       "original matches survive the expanded query")
   }
 
+  test("bm25ExpandedWith: postings-only RM3 equals inline on the " +
+    "training corpus (selection and both passes)") {
+    val docs = ((1L to 5L).map(i =>
+      (i, "the merge compaction compaction step")) ++ Seq(
+      (6L, "the compaction compaction compaction log"),
+      (7L, "the alpha beta gamma delta"),
+      (8L, "the epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val idx = Retrieval.searchIndex(docs)
+    val selInline = Retrieval.expansionTerms(docs, Seq("merge"),
+      fbDocs = 5, fbTerms = 2).collect().map(_.toSeq).toSeq
+    val selServed = Retrieval.expansionTermsWith(idx, Seq("merge"),
+      fbDocs = 5, fbTerms = 2).collect().map(_.toSeq).toSeq
+    assert(selServed == selInline,
+      s"selection must match: $selServed vs $selInline")
+    val inline = Retrieval.bm25Expanded(docs, Seq("merge"),
+      fbDocs = 5, fbTerms = 1, topK = 10).collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25ExpandedWith(idx, Seq("merge"),
+      fbDocs = 5, fbTerms = 1, topK = 10).collect().map(_.toSeq).toSeq
+    assert(served == inline, "served RM3 must equal inline bit-for-bit")
+  }
+
   test("hardNegatives: top-scored non-relevant docs, densely re-ranked") {
     val ranked = Seq(
       ("q1", 1, 10L, 5.0), ("q1", 2, 20L, 4.0), ("q1", 3, 30L, 3.0),
