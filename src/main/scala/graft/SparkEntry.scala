@@ -693,6 +693,96 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 ORDER BY doc_inc, doc_corp"""
   }
 
+  /** The ingest-funnel oracle (q_curation_batch): the DedupIncrOracleSql
+    * signature chain with the incoming side restricted to the batch's
+    * exact-dedup winners, the corpus-fit quantile gate (thresholds from
+    * the EVEN side only — the served-artifact semantics), and the
+    * q_decontaminate overlap scan, rolled into one 5-row funnel.
+    */
+  private lazy val CurationBatchOracleSql: String = {
+    val p = Dedup.MinhashP
+    val sigExprs = (0 until 32)
+      .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
+      .mkString(",\n   ")
+    val bandSelects = (0 until 8).map { j =>
+      val key = (4 * j until 4 * j + 4)
+        .map(i => s"CAST(sig_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_idx, md5($key) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+  SELECT doc_id,
+   list_distinct([array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+hashes AS (
+  SELECT doc_id,
+   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
+sigs AS (
+  SELECT doc_id,
+   $sigExprs
+  FROM hashes GROUP BY doc_id),
+bands AS (
+  $bandSelects),
+x1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+  GROUP BY md5(lower(text))),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_inc, c.doc_id AS doc_corp
+  FROM bands i JOIN bands c
+    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+   AND c.doc_id % 2 = 0
+  WHERE i.doc_id IN (SELECT doc_id FROM x1)),
+dup AS (
+  SELECT DISTINCT doc_inc AS doc_id
+  FROM cand JOIN base x ON doc_inc = x.doc_id
+            JOIN base y ON doc_corp = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+     / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+x2 AS (SELECT doc_id FROM x1 WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+b AS (
+  SELECT doc_id, lang,
+   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+   CAST(len(regexp_extract_all(text, '\\b(the|and|of|is|in|to|a)\\b')) AS INT) AS stopword_cnt
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+     + CAST(stopword_cnt AS DOUBLE) / n_tokens * 0.3
+     + CAST(n_distinct AS DOUBLE) / n_tokens * 0.2 AS quality_score
+  FROM b),
+th AS (
+  SELECT lang, quantile_disc(quality_score, 0.5) AS threshold
+  FROM q WHERE doc_id % 2 = 0 GROUP BY lang),
+x3 AS (
+  SELECT q.doc_id FROM q JOIN x2 USING (doc_id) JOIN th ON q.lang = th.lang
+  WHERE q.quality_score >= th.threshold),
+sh3 AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+          for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh3 WHERE doc_id % 97 = 0),
+ov AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh3
+        WHERE doc_id IN (SELECT doc_id FROM x3)) t
+  JOIN bench USING (s) GROUP BY 1),
+x4 AS (
+  SELECT x3.doc_id FROM x3 LEFT JOIN ov ON x3.doc_id = ov.doc_id
+  WHERE coalesce(ov.n_overlap, 0) < 2)
+SELECT * FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage,
+    (SELECT count(*) FROM documents
+     WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0) AS n_docs
+  UNION ALL SELECT 1, 'exact_kept', (SELECT count(*) FROM x1)
+  UNION ALL SELECT 2, 'near_dup_kept', (SELECT count(*) FROM x2)
+  UNION ALL SELECT 3, 'quality_kept', (SELECT count(*) FROM x3)
+  UNION ALL SELECT 4, 'accepted', (SELECT count(*) FROM x4))
+ORDER BY stage_idx"""
+  }
+
   /** The asymmetric embedding near-dup oracle — shared verbatim by
     * q_embed_incr (inline) and q_embed_served (probed through the
     * persisted band registry): one banding chain over all vectors
@@ -1943,6 +2033,27 @@ res$sfx AS (SELECT '$qid' AS query_id,
       val (_, report) = pipeline.Curation.curate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
+      report.orderBy("stage_idx")
+    }),
+
+    // The INGEST-time DAG: odd-id batch (less the benchmark slice)
+    // against the even-id corpus's PERSISTED artifacts — signature
+    // registry (32/8) and reference quality thresholds (p=0.5) — then
+    // decontamination against the %97 benchmark. The oracle replays the
+    // signature chain, the exact-dedup fingerprints, the corpus-fit
+    // gate, and the overlap scan into one funnel statement.
+    "q_curation_batch" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1 &&
+        col("doc_id") % 97 =!= 0)
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+      val registry = Dedup.signatureTable(corpus, k = 32, bands = 8)
+      val thresholds = Corpus.quantileThresholds(
+        TextStats.qualityScore(corpus, Seq("lang")),
+        "quality_score", "lang", p = 0.5)
+      val (_, report) = pipeline.Curation.curateBatch(
+        batch, corpus, registry, thresholds, benchmark)
       report.orderBy("stage_idx")
     }),
 
@@ -3870,6 +3981,8 @@ ORDER BY doc_a, doc_b"""
     // the q_quality_gate score/threshold chain over the survivors, the
     // q_decontaminate overlap scan, and the hashSplit bucket CASE —
     // each stage's count compared against the Spark pipeline's funnel.
+    "q_curation_batch" -> CurationBatchOracleSql,
+
     "q_curation_report" -> ("WITH RECURSIVE\n" +
       "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +
       minhashPairCtes("csrc") + ",\n" +

@@ -164,4 +164,72 @@ object Curation {
       .reduce(_ unionByName _)
     (curated, report)
   }
+
+  /** INGEST-time curation — the steady-state DAG an accepted corpus
+    * runs on every incoming batch, where [[curate]] is the one-time
+    * corpus-wide pass: every expensive stage reads a PERSISTED artifact
+    * instead of recomputing it, so per-batch cost is O(batch +
+    * candidates) regardless of corpus size:
+    *
+    *   1. within-batch exact dedup ([[Dedup.exactDedup]] fingerprints,
+    *      keep-first by doc_id),
+    *   2. cross-corpus near-dup drop ([[Dedup.nearDupAgainstSigs]]
+    *      probing the committed signature `registry` — only the batch
+    *      is signed; corpus text is touched for candidate ids alone),
+    *   3. served quality gate ([[Corpus.quantileGateWith]] against the
+    *      committed `thresholds` — the REFERENCE distribution's bar, so
+    *      a low-quality batch can never lower its own bar; unknown
+    *      strata drop),
+    *   4. benchmark decontamination (n-gram overlap, as in [[curate]]).
+    *
+    * Returns (accepted, report): accepted = (doc_id, lang,
+    * quality_score) batch survivors; report = the 5-row ingest funnel
+    * (input, exact_kept, near_dup_kept, quality_kept, accepted). On
+    * acceptance the caller closes the maintenance loop —
+    * `Dedup.signatureUpdate(table, accepted batch)` commits the next
+    * registry version ([[graft.ops.text.Dedup.signatureRetract]] is
+    * the delete side). Every stage is batch-sized map/join work against
+    * broadcast or candidate-pruned relations — the identical call
+    * shapes are the stream-proven ones where stages allow (gate,
+    * decontamination), so this is also the foreachBatch body of a
+    * streaming ingest.
+    */
+  def curateBatch(batch: DataFrame, corpus: DataFrame, registry: DataFrame,
+                  thresholds: DataFrame, benchmark: DataFrame,
+                  k: Int = 32, bands: Int = 8, dupThreshold: Double = 0.5,
+                  ngram: Int = 3, minOverlap: Int = 2)
+  : (DataFrame, DataFrame) = {
+    // 1. within-batch exact dedup (keep-first)
+    val kept1 = graft.CacheScope.pin(batch.join(
+      Dedup.exactDedup(batch).select(col("keep_doc_id").as("doc_id")),
+      "doc_id"))
+    // 2. cross-corpus near-dup drop through the persisted registry
+    val pairs = Dedup.nearDupAgainstSigs(registry, corpus, kept1,
+      k = k, bands = bands, threshold = dupThreshold)
+    val kept2 = graft.CacheScope.pin(kept1.join(
+      pairs.select(col("doc_inc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti"))
+    // 3. served quality gate against the reference thresholds
+    val gated = Corpus.quantileGateWith(
+      TextStats.qualityScore(kept2, Seq("lang")),
+      thresholds, "quality_score", "lang")
+    val kept3 = graft.CacheScope.pin(gated.filter(col("is_kept"))
+      .select("doc_id", "lang", "quality_score"))
+    // 4. decontamination over the survivors
+    val dec = Corpus.decontaminate(
+      kept3.join(batch.select("doc_id", "text"), "doc_id"),
+      benchmark, ngram, minOverlap)
+    val accepted = graft.CacheScope.pin(kept3.join(
+      dec.filter(!col("contaminated")).select("doc_id"), "doc_id"))
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    val report = Seq(
+      ("input", batch), ("exact_kept", kept1), ("near_dup_kept", kept2),
+      ("quality_kept", kept3), ("accepted", accepted))
+      .zipWithIndex
+      .map { case ((name, df), i) => stage(i, name, df) }
+      .reduce(_ unionByName _)
+    (accepted, report)
+  }
 }

@@ -95,6 +95,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curateBatch: each planted ingest defect falls out at its own " +
+    "stage against the persisted artifacts") {
+    import graft.ops.text.{Corpus, Dedup, TextStats}
+    val corp = Seq(
+      (10L, "the cat and the dog ran in the park with the red ball", "en"),
+      (12L, "the fox and the hen sat in the barn with the old hat", "en"))
+      .toDF("doc_id", "text", "lang")
+    val goodText = "the weather in the mountains is mild and the rain " +
+      "falls in the valley near the lake"
+    val batch = Seq(
+      (21L, goodText, "en"),                 // accepted
+      (23L, goodText, "en"),                 // exact within-batch dup -> drop
+      (25L, "the cat and the dog ran in the park with the red ball quickly",
+        "en"),                               // near-dups corpus 10 -> drop
+      (27L, "zzz qqq xxx yyy", "en"),        // below the corpus bar -> drop
+      (29L, benchText, "en"))                // benchmark copy -> drop
+      .toDF("doc_id", "text", "lang")
+    val registry = Dedup.signatureTable(corp, k = 32, bands = 8)
+    val thresholds = Corpus.quantileThresholds(
+      TextStats.qualityScore(corp, Seq("lang")),
+      "quality_score", "lang", p = 0.5)
+    val (accepted, report) = Curation.curateBatch(
+      batch, corp, registry, thresholds, benchmark)
+    val stages = report.orderBy("stage_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(stages.map(s => s._2 -> s._3) == Seq(
+      "input" -> 5L, "exact_kept" -> 4L, "near_dup_kept" -> 3L,
+      "quality_kept" -> 2L, "accepted" -> 1L), s"funnel: $stages")
+    assert(accepted.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+  }
+
   test("curate with a persisted dedup resolution equals the inline build") {
     import graft.ops.text.Dedup
     val canon = Dedup.resolveCanonical(corpus,
