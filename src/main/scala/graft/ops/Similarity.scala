@@ -449,6 +449,23 @@ object Similarity {
     graft.io.Manifest.write(
       embedSignatures(corpus, nPlanes, bands, dim, seed), table)
 
+  /** The band-registry MAINTENANCE step — the embedding twin of
+    * [[graft.ops.text.Dedup.signatureUpdate]]: append an ACCEPTED
+    * batch's own band rows (only the batch pays the nPlanes-fold
+    * hashing; band values are per-vector, so append IS the merge —
+    * same banding required) and commit the next version. Returns the
+    * new version.
+    */
+  def embedSignatureUpdate(table: String, accepted: DataFrame,
+                           nPlanes: Int = 16, bands: Int = 4,
+                           dim: Int = 64, seed: Long = 7L): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(embedSignatures(accepted, nPlanes, bands, dim, seed)),
+      table)
+  }
+
   /** The band-registry DELETE step — the embedding twin of
     * [[graft.ops.text.Dedup.signatureRetract]]: drop removed vectors'
     * band rows (id-keyed anti-join; band values are per-vector, so the

@@ -179,9 +179,7 @@ class SimilaritySpec extends SparkSpec {
 
     // maintenance loop closes both ways: append the accepted batch (v2),
     // then retract it — v3 equals v1 row-for-row
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(Similarity.embedSignatures(incoming)), table)
+    assert(Similarity.embedSignatureUpdate(table, incoming) == 2)
     assert(Similarity.embedSignatureRetract(table,
       incoming.select($"vec_id")) == 3)
     def rows(df: org.apache.spark.sql.DataFrame) =
