@@ -2188,6 +2188,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // The KN line twin of q_lm_lines: the doc-trained KN model scores
+    // each 8-token line (every within-line bigram hits the doc-trained
+    // joins — lines are contiguous token runs).
+    "q_kn_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.knScoreLines(newlineified(d), TextStats.knModel(d))
+        .select(col("doc_id"), col("pos"), col("line"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // The LM as a served artifact: fit the model table, score through
     // the serve joins — on the training corpus this must EQUAL
     // q_lm_score bit-for-bit (same oracle string).
@@ -5485,6 +5496,50 @@ ORDER BY vec_id, j"""
     // (every serve-join hits on the training corpus; the OOV floor is
     // spec-pinned where the oracle cannot see it).
     "q_lm_serve" -> LmScoreOracleSql,
+
+    // q_lm_lines' line CTEs + q_kn_score's model CTEs: within-line
+    // bigrams of the doc-trained model always hit, so inner joins carry
+    // the pSeen tree (identical parenthesization); ln at 6-dp.
+    "q_kn_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |posn AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg,
+        |           t[i] AS w1, t[i + 1] AS w2 FROM posn),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |ctx AS (SELECT w1, count(*) AS cv, count(DISTINCT w2) AS nf
+        |        FROM grams GROUP BY w1),
+        |pc AS (SELECT w2, count(DISTINCT w1) AS npc FROM grams GROUP BY w2),
+        |tys AS (SELECT count(DISTINCT bg) AS types FROM grams),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM
+        |         (SELECT unnest(t) AS w FROM toks)),
+        |lt AS (SELECT doc_id, pos, string_split(line, ' ') AS t FROM l),
+        |lp AS (SELECT doc_id, pos, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |       FROM lt),
+        |lg AS (SELECT doc_id, pos, t[i] || ' ' || t[i + 1] AS bg,
+        |        t[i] AS w1, t[i + 1] AS w2 FROM lp),
+        |sc AS (
+        |  SELECT lg.doc_id, lg.pos, CAST(count(*) AS INT) AS n_bigrams,
+        |    avg(ln(
+        |      greatest(c2 - 0.75, 0.0) / cv +
+        |      0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v))
+        |    )) AS avg_logp
+        |  FROM lg JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+        |  CROSS JOIN tys CROSS JOIN voc
+        |  GROUP BY lg.doc_id, lg.pos)
+        |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.line,
+        |  sc.n_bigrams, round(sc.avg_logp, 6) AS avg_logp
+        |FROM l LEFT JOIN sc ON l.doc_id = sc.doc_id AND l.pos = sc.pos
+        |ORDER BY l.doc_id, l.pos""".stripMargin,
 
     // The q_lm_score model CTEs (trained on FULL docs) scoring the
     // newline-ified corpus's lines: every within-line bigram also

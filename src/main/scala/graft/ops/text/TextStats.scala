@@ -344,6 +344,21 @@ object TextStats {
     */
   def knScoreWith(documents: DataFrame, model: DataFrame,
                   discount: Double = 0.75, alphaC: Double = 0.4): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
+    val scored = knScored(grams, model, Seq("doc_id"), discount, alphaC)
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** The shared KN scoring tail over a prepared bigram stream (`grams`:
+    * groupCols + `bg`) — ONE expression tree for the document
+    * ([[knScoreWith]]) and line ([[knScoreLines]]) grains, so they
+    * cannot drift.
+    */
+  private def knScored(grams: DataFrame, model: DataFrame,
+                       groupCols: Seq[String], discount: Double,
+                       alphaC: Double): DataFrame = {
     require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
     val biC = model.filter(col("kind") === "bi")
       .select(col("key").as("bg"), col("cnt").as("c2"))
@@ -355,26 +370,46 @@ object TextStats {
       .select(col("cnt").as("types"))
       .crossJoin(model.filter(col("kind") === "vocab")
         .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
-    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
-    val grams = toks
-      .select(col("doc_id"), explode(shingles(col("t"), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
     val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
       (col("types") + lit(alphaC) * col("v"))
     val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
       lit(0.0)) / col("cv") +
       lit(discount) * col("nf") / col("cv") * pcont
-    val scored = grams
+    grams
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
       .join(biC.hint("shuffle_hash"), Seq("bg"), "left")
       .join(ctxC.hint("shuffle_hash"), col("w1") === col("cw"), "left")
       .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
       .crossJoin(broadcast(scalars))
       .withColumn("logp", log(when(col("cv").isNull, pcont).otherwise(pSeen)))
-      .groupBy("doc_id")
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         avg(col("logp")).as("avg_logp"))
-    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** Per-LINE Kneser–Ney scoring under a served [[knModel]] — the
+    * [[lmScoreLines]] shape with the KN probability: CCNet's filtering
+    * unit under the better-calibrated smoothing. Lines are contiguous
+    * token runs, so a model trained on the full docs hits every
+    * within-line bigram join; the OOV floors still guard foreign
+    * corpora. Output: (doc_id, pos, line, n_bigrams, avg_logp), NULL
+    * score for lines under 2 tokens. Same scale posture as
+    * lmScoreLines with one extra count join.
+    */
+  def knScoreLines(documents: DataFrame, model: DataFrame,
+                   discount: Double = 0.75, alphaC: Double = 0.4,
+                   delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+    val grams = lines
+      .select(col("doc_id"), col("pos"),
+        explode(shingles(tokens(col("line")), 2)).as("bg"))
+    val scored = knScored(grams, model, Seq("doc_id", "pos"),
+      discount, alphaC)
+    lines.join(scored, Seq("doc_id", "pos"), "left")
   }
 
   /** Self-trained Kneser–Ney scoring — fit ∘ serve of [[knModel]] /

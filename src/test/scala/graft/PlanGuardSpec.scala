@@ -70,8 +70,8 @@ class PlanGuardSpec extends SparkSpec {
       // bigram stream (BM25's corpus-stats pattern); the serve path
       // carries the same 1-row vocab cross from the model table
       "q_lm_score", "q_lm_serve", "q_lm_lines",
-      // KN twin: the same 1-row scalar (types × vocab) cross-build
-      "q_kn_score",
+      // KN twins: the same 1-row scalar (types × vocab) cross-build
+      "q_kn_score", "q_kn_lines",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",

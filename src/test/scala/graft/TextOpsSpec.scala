@@ -693,6 +693,22 @@ class TextOpsSpec extends SparkSpec {
     assert(score("a b") > score("a a") && score("a a") > Double.NegativeInfinity)
   }
 
+  test("knScoreLines: within-line bigrams score under the doc-trained " +
+    "KN model; short lines NULL") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val nl = Seq((1L, "a b\nc")).toDF("doc_id", "text")
+    val rows = TextStats.knScoreLines(nl, TextStats.knModel(corpus))
+      .orderBy("doc_id", "pos").collect()
+    // line 0 "a b": P(b|a) = (2-.75)/3 + (.75*2/3)*((1+.4)/(2+.4*3))
+    val pAB = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * ((1 + 0.4) / (2 + 0.4 * 3))
+    assert(rows(0).getInt(rows(0).fieldIndex("n_bigrams")) == 1)
+    assert(math.abs(rows(0).getDouble(rows(0).fieldIndex("avg_logp")) -
+      math.log(pAB)) < 1e-12)
+    // line 1 "c": no bigrams -> NULL
+    assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
+  }
+
   test("knRefresh: Manifest round-trip serves the committed KN model " +
     "exactly; typical docs outscore gibberish") {
     import spark.implicits._
