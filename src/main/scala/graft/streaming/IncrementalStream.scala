@@ -770,4 +770,63 @@ object IncrementalStream {
           }
       }
   }
+
+  /** STREAMING ingest curation — the probe(vN) → accept → update(vN+1)
+    * loop under Structured Streaming: per micro-batch,
+    * [[graft.pipeline.Curation.curateBatch]] runs against the CURRENT
+    * registry version and the reference threshold artifact; accepted
+    * docs append to `acceptedPath` (joined back to their text — the
+    * next batches' near-dup corpus) and
+    * [[graft.ops.text.Dedup.signatureUpdate]] commits the next registry
+    * version, so a batch-2 near-copy of a batch-1 ACCEPTED doc is
+    * dropped (StreamingSpec pins exactly that). The corpus each batch
+    * dedups against is the seed corpus plus everything accepted so far.
+    *
+    * Exactly-once posture: the checkpoint's batch log deduplicates
+    * replays at the SOURCE, and a replayed batch re-probes a registry
+    * that already contains its rows — its docs read as near-dups of
+    * themselves and drop, so the accepted table never double-admits
+    * (the J4-free idempotency argument, via the registry itself).
+    * Releases its per-batch CacheScope pins — run it in its own
+    * session if other pins must survive.
+    */
+  def runCurationIngest(spark: SparkSession, batchStream: DataFrame,
+                        corpusPath: String, registryTable: String,
+                        thresholds: DataFrame, benchmark: DataFrame,
+                        acceptedPath: String, checkpoint: String,
+                        k: Int = 32, bands: Int = 8,
+                        dupThreshold: Double = 0.5): StreamingQuery = {
+    val q = batchStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val seed = sp.read.parquet(corpusPath)
+          val p = new org.apache.hadoop.fs.Path(acceptedPath)
+          val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val corpus =
+            if (fs.exists(p) &&
+              fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+              seed.unionByName(
+                sp.read.parquet(acceptedPath).select(seed.columns.map(col): _*))
+            else seed
+          val registry = graft.io.Manifest.read(sp, registryTable)
+          val (accepted, _) = graft.pipeline.Curation.curateBatch(
+            batch, corpus, registry, thresholds, benchmark,
+            k = k, bands = bands, dupThreshold = dupThreshold)
+          val acceptedDocs = accepted
+            .join(batch.select("doc_id", "text"), "doc_id")
+          if (!acceptedDocs.isEmpty) {
+            acceptedDocs.write.mode(SaveMode.Append).parquet(acceptedPath)
+            graft.ops.text.Dedup.signatureUpdate(registryTable,
+              acceptedDocs, k, bands)
+          }
+          graft.CacheScope.release(sp)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

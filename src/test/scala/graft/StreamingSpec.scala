@@ -192,6 +192,62 @@ class StreamingSpec extends SparkSpec {
       "refusal must not recreate the marker from the caller's value")
   }
 
+  test("streaming ingest curation: the registry advances between " +
+    "batches, so a wave-2 near-copy of a wave-1 ACCEPT drops") {
+    import graft.ops.text.{Corpus, Dedup, TextStats}
+    import graft.pipeline
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    val corpusSeed = Seq(
+      (10L, "the cat and the dog ran in the park with the red ball", "en"),
+      (12L, "the fox and the hen sat in the barn with the old hat", "en"))
+      .toDF("doc_id", "text", "lang")
+    corpusSeed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/sigs"
+    assert(Dedup.signatureRefresh(corpusSeed, registryTable,
+      k = 32, bands = 8) == 1)
+    val thresholds = Corpus.quantileThresholds(
+      TextStats.qualityScore(corpusSeed, Seq("lang")),
+      "quality_score", "lang", p = 0.5)
+    val benchmark = Seq((100L,
+      "the physics question is about the speed of light and the mass of the sun",
+      "en")).toDF("doc_id", "text", "lang")
+
+    val novelA = "the weather in the mountains is mild and the rain " +
+      "falls in the valley near the lake"
+    val novelB = "the wind and the rain came in the night and the door " +
+      "of the house shut"
+    val mem = MemoryStream[(Long, String, String)](spark)
+    def drain(): Unit =
+      IncrementalStream.runCurationIngest(spark,
+        mem.toDF().toDF("doc_id", "text", "lang"),
+        s"$root/corpus", registryTable, thresholds, benchmark,
+        s"$root/accepted", s"$root/ckpt")
+    // wave 1: novel A accepted; a corpus-10 near-copy drops
+    mem.addData(
+      (21L, novelA, "en"),
+      (23L, "the cat and the dog ran in the park with the red ball quickly", "en"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    // registry advanced past the seed version
+    assert(graft.io.Manifest.read(spark, registryTable)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    // wave 2: a near-copy of WAVE-1-ACCEPTED doc 21 must drop (the
+    // registry advance is what catches it); novel B is accepted
+    mem.addData(
+      (31L, novelA + " today", "en"),
+      (33L, novelB, "en"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 near-copy of the accepted doc must drop via the updated registry")
+    assert(graft.io.Manifest.read(spark, registryTable)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(10L, 12L, 21L, 33L))
+  }
+
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
     val base = DataGen.defaultBaseMs
     def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
