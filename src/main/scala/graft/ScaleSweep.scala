@@ -81,10 +81,14 @@ object ScaleSweep {
     // (retrains its cell geometry in-query, the ivf_trained cost class)
     "q_source_overlap", "q_kn_score", "q_score_fuse", "q_ngram_top",
     "q_bm25_rm3", "q_containment", "q_contain_resolve", "q_embed_drift",
+    // served-RM3 and line-grain KN (the linear retrieval/LM additions)
+    "q_rm3_served", "q_kn_lines",
     // the composed DAGs last: every ingredient family is attributed
-    // above, so these two rows measure COMPOSITION cost (producer =
-    // in-DAG pair build; consumer = persisted-resolution read)
-    "q_curation_report", "q_curation_classified", "q_curation_budget")
+    // above, so these rows measure COMPOSITION cost (producer =
+    // in-DAG pair build; consumer = persisted-resolution read;
+    // curation_batch = the INGEST DAG against in-sweep artifacts)
+    "q_curation_report", "q_curation_classified", "q_curation_budget",
+    "q_curation_batch")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
