@@ -2444,6 +2444,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
         expWeight = 0.5, k1 = 1.2, b = 0.75, topK = 20)
         .orderBy("rank")),
 
+    // Reciprocal-rank fusion of the BM25 and raw-tf rankers over the
+    // same terms — the hybrid-retrieval merge, rank-only arithmetic
+    // (one IEEE division per list, fold in list order: compares exact).
+    "q_rrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ts = Seq("merge", "sort", "window", "hash")
+      ops.text.Retrieval.rrfFuse(Seq(
+        ops.text.Retrieval.bm25Rational(d, ts, topK = 20),
+        ops.text.Retrieval.tfTopK(d, ts, topK = 20)))
+        .orderBy("rank")
+    }),
+
     // RM3 served from the persisted index: both retrieval passes and
     // the expansion selection read postings only — must equal inline
     // (same oracle string).
@@ -5690,6 +5702,49 @@ ORDER BY vec_id, j"""
     // Index round-trip serve ≡ inline scoring: same oracle string (the
     // q_lm_serve / q_minhash_served pattern for retrieval).
     "q_bm25_served" -> Bm25OracleSql,
+
+    // The q_bm25 scoring chain and the raw-tf chain, top-20 each, FULL
+    // JOINed and fused with the identical coalesce'd 1/(60+rank) sum in
+    // list order.
+    "q_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf1 AS (SELECT doc_id, term, count(*) AS tf FROM u
+        |        WHERE term IN ('merge', 'sort', 'window', 'hash')
+        |        GROUP BY doc_id, term),
+        |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+        |s1 AS (SELECT tf1.doc_id, tf1.term,
+        |        ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |            (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |       FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN c),
+        |agg1 AS (SELECT doc_id,
+        |         coalesce(max(CASE WHEN term = 'merge' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'sort' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'window' THEN sc END), 0.0)
+        |         + coalesce(max(CASE WHEN term = 'hash' THEN sc END), 0.0) AS score
+        |        FROM s1 GROUP BY doc_id),
+        |bmr AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+        |        FROM agg1 QUALIFY r <= 20),
+        |tft AS (SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY tf_total DESC, doc_id) AS INT) AS r
+        |        FROM (SELECT doc_id, count(*) AS tf_total FROM u
+        |              WHERE term IN ('merge', 'sort', 'window', 'hash')
+        |              GROUP BY doc_id)
+        |        QUALIFY r <= 20),
+        |f AS (SELECT coalesce(b.doc_id, t.doc_id) AS doc_id, b.r AS r0, t.r AS r1
+        |      FROM bmr b FULL JOIN tft t ON b.doc_id = t.doc_id),
+        |sc AS (SELECT doc_id,
+        |        coalesce(CAST(1.0 AS DOUBLE) / (60 + r0), CAST(0 AS DOUBLE))
+        |        + coalesce(CAST(1.0 AS DOUBLE) / (60 + r1), CAST(0 AS DOUBLE)) AS rrf_score
+        |       FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+        | doc_id, rrf_score
+        |FROM sc QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
 
     // The full RM3 chain: q_bm25's scoring tree (tf1/df1/s1/agg1) picks
     // the 5 feedback docs, selection scores tf_fb·idf_r over the

@@ -362,6 +362,53 @@ object Retrieval {
       .select("rank", "doc_id", "tf_total")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the HYBRID-RETRIEVAL merge: rankings from incomparable scorers
+    * (BM25's idf scale, a dense index's cosine, a raw tf count) fuse by
+    * RANK alone, score(d) = Σ_lists 1/(kRrf + rank_list(d)), with an
+    * absent list contributing 0 — no score normalization, no training,
+    * and robust to one ranker's scale drifting. This is the standard
+    * first-stage merge of a lexical + vector hybrid search (fuse
+    * [[bm25Rational]] with [[graft.ops.Similarity.annTopK]] output via
+    * `keyCols = Seq("q_id")`, `idCol = "neighbor_id"`).
+    *
+    * Cross-engine exactness: 1/(k+rank) is one IEEE division of exact
+    * ints and the per-doc sum folds in LIST-INDEX order (the scoreFuse
+    * pivot — one combinable aggregate, never a per-doc collection), so
+    * fused scores compare without rounding. Ties break to the smaller
+    * id. Scale posture: input lists are top-k tables (eval-sized); one
+    * union + one combinable pivot aggregate + a per-key window over
+    * ≤ Σ topK rows.
+    *
+    * Output: (keyCols..., rank, idCol, rrf_score), top `topK` per key.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, topK: Int = 20,
+              idCol: String = "doc_id", rankCol: String = "rank",
+              keyCols: Seq[String] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val keyId = keyCols :+ idCol
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(keyId.map(col) :+ col(rankCol).cast("int").as("__r"): _*)
+        .withColumn("__src", lit(i))
+    }.reduce(_ unionByName _)
+    val pivoted = tagged.groupBy(keyId.map(col): _*)
+      .agg(max(when(col("__src") === 0, col("__r"))).as("__r0"),
+        rankings.indices.tail.map(i =>
+          max(when(col("__src") === i, col("__r"))).as(s"__r$i")): _*)
+    val score = rankings.indices.map(i =>
+        coalesce(lit(1.0) / (lit(kRrf) + col(s"__r$i")), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    pivoted.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(keyCols.map(col) ++
+        Seq(col("rank"), col(idCol), col("rrf_score")): _*)
+  }
+
   /** Graded ranking evaluation — recall@k, MRR, and nDCG@k of a candidate
     * ranking against a graded truth ranking, per query: the retrieval
     * twin of [[graft.ops.Similarity.recallAtK]], adding rank discounting

@@ -57,6 +57,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_bm25_rm3",
       // the served twin: same 1-row builds, read from the index
       "q_rm3_served",
+      // RRF fuses the BM25 chain (with its 1-row stats build) + raw tf
+      "q_rrf",
       // the eval composes three BM25 truth chains — each carries q_bm25's
       // 1-row corpus-stats cross-build (the eval join itself is keyed)
       "q_retrieval_eval",

@@ -169,6 +169,30 @@ class RetrievalSpec extends SparkSpec {
       "original matches survive the expanded query")
   }
 
+  test("rrfFuse: rank-only fusion with exact 1/(k+r) scores; absent " +
+    "lists contribute zero; ties break to the smaller id") {
+    val r0 = Seq((1, 100L), (2, 200L), (3, 300L)).toDF("rank", "doc_id")
+    val r1 = Seq((1, 200L), (2, 400L)).toDF("rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(r0, r1), kRrf = 60, topK = 10)
+      .orderBy("rank").as[(Int, Long, Double)].collect().toSeq
+    // B(200): 1/61+1/62; A(100): 1/61; D(400): 1/62; C(300): 1/63
+    assert(got.map(_._2) == Seq(200L, 100L, 400L, 300L), s"got $got")
+    assert(got(0)._3 == 1.0 / 61 + 1.0 / 62,
+      "fold must run in list-index order (r0's term first)")
+    assert(got(1)._3 == 1.0 / 61 && got(2)._3 == 1.0 / 62 &&
+      got(3)._3 == 1.0 / 63)
+    // keyed form: per-query fusion partitions independently
+    val k0 = Seq((7L, 1, 100L), (7L, 2, 200L), (8L, 1, 300L))
+      .toDF("q_id", "rank", "doc_id")
+    val k1 = Seq((7L, 1, 200L), (8L, 1, 100L))
+      .toDF("q_id", "rank", "doc_id")
+    val keyed = Retrieval.rrfFuse(Seq(k0, k1), keyCols = Seq("q_id"))
+      .orderBy("q_id", "rank").as[(Long, Int, Long, Double)].collect().toSeq
+    assert(keyed.map(r => (r._1, r._2, r._3)) ==
+      Seq((7L, 1, 200L), (7L, 2, 100L), (8L, 1, 100L), (8L, 2, 300L)),
+      s"keyed: $keyed")
+  }
+
   test("bm25ExpandedWith: postings-only RM3 equals inline on the " +
     "training corpus (selection and both passes)") {
     val docs = ((1L to 5L).map(i =>
