@@ -1587,6 +1587,15 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Dedup.containmentPairs(t(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
 
+    // Ingest excerpt check: odd-id incoming docs whose shingles are
+    // >= 0.8 covered by an even-id corpus doc (no corpus self-pairing).
+    "q_contain_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.containmentAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
+
     // Containment survivorship: strict excerpts drop, mutual containment
     // keeps the smallest id, chains resolve greedily.
     "q_contain_resolve" -> ((s, dir) => {
@@ -3804,6 +3813,20 @@ ORDER BY doc_a, doc_b"""
         |FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_containment's shingle CTE with the sides split by id parity:
+    // incoming (odd) contained in corpus (even) only.
+    "q_contain_incr" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_inc, b.doc_id AS doc_corp,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        |FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+        |ORDER BY doc_inc, doc_corp""".stripMargin,
 
     // q_containment's pair CTE + the survivorship rule: drop strict
     // excerpts (no reverse pair) and the larger id of mutual pairs.

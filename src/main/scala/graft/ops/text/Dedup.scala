@@ -962,6 +962,68 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Asymmetric INGEST form of [[containmentPairs]] — flag incoming
+    * documents that are EXCERPTS of the existing corpus (a quote, a
+    * syndicated fragment, a truncated mirror arriving after its
+    * source): only incoming docs take the contained side, so there is
+    * no corpus×corpus candidate generation — the [[nearDupAgainst]]
+    * economics for the containment relation. The df/prefix order is
+    * computed over the UNION (order is an optimization, not a
+    * correctness condition — any fixed prefix of the required size is
+    * lossless), and ids must be distinct across sides (the
+    * nearDupAgainst convention). Output: (doc_inc, doc_corp,
+    * containment) — doc_inc's shingles ≥ `threshold` covered by
+    * doc_corp. TextOpsSpec pins equality with the symmetric run
+    * restricted to cross pairs.
+    */
+  def containmentAgainst(corpus: DataFrame, incoming: DataFrame,
+                         n: Int = 3, threshold: Double = 0.8,
+                         maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val spark = corpus.sparkSession
+    val tagged = corpus.select(col("doc_id"), col("text"))
+      .withColumn("__inc", lit(false))
+      .unionByName(incoming.select(col("doc_id"), col("text"))
+        .withColumn("__inc", lit(true)))
+    val sets = graft.CacheScope.pin(tagged
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("__inc"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("__inc"),
+        transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), col("__inc"),
+        array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val nz = sets.filter(size(col("sh")) > 0)
+    val ex = nz.select(col("doc_id"), col("__inc"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val eps = 1e-9
+    val indexed = graft.CacheScope.pin(ex
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .withColumn("rn", row_number().over(wDoc)))
+    val a = indexed.filter(col("__inc"))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
+      .select(col("s"), col("doc_id").as("doc_inc"), col("sz").as("sz_a"))
+    val b = indexed.filter(!col("__inc"))
+      .select(col("s"), col("doc_id").as("doc_corp"), col("sz").as("sz_b"))
+    val candidates = a.join(b.hint("shuffle_hash"), "s")
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
+      .select("doc_inc", "doc_corp").distinct()
+    candidates
+      .join(nz.filter(col("__inc")).select(col("doc_id").as("doc_inc"),
+        col("sh").as("sh_a")).hint("shuffle_hash"), "doc_inc")
+      .join(nz.filter(!col("__inc")).select(col("doc_id").as("doc_corp"),
+        col("sh").as("sh_b")).hint("shuffle_hash"), "doc_corp")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("doc_inc", "doc_corp", "containment")
+  }
+
   /** Containment survivorship — [[containmentPairs]]' keep/drop
     * decision: drop every STRICT excerpt (contained in a doc that does
     * not contain it back — its content survives in the container), and

@@ -244,6 +244,22 @@ class TextOpsSpec extends SparkSpec {
     assert(gotChain == Map(1L -> false, 2L -> false, 3L -> true))
   }
 
+  test("containmentAgainst: equals the symmetric run restricted to " +
+    "cross pairs; no corpus self-pairing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val asym = Dedup.containmentAgainst(corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaUnion = Dedup.containmentPairs(docs)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 == 1 && b % 2 == 0 }
+      .toSet
+    assert(asym == viaUnion, s"asym=${asym.size} union=${viaUnion.size}")
+    assert(!asym.exists(p => p._1 % 2 == 0 || p._2 % 2 == 1),
+      "sides must not self-pair")
+  }
+
   test("containmentPairs is lossless on the fixture corpus: equals naive " +
     "all-ordered-pairs containment") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
