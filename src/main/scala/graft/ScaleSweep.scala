@@ -83,6 +83,9 @@ object ScaleSweep {
     "q_bm25_rm3", "q_containment", "q_contain_resolve", "q_embed_drift",
     // served-RM3 and line-grain KN (the linear retrieval/LM additions)
     "q_rm3_served", "q_kn_lines",
+    // hybrid-retrieval fusion (eval-sized) and the ingest excerpt check
+    // (the asymmetric containment economics at scale)
+    "q_rrf", "q_contain_incr",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;
