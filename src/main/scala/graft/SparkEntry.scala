@@ -1024,6 +1024,33 @@ res$sfx AS (SELECT '$qid' AS query_id,
       t(spark, d, "customer"), t(spark, d, "nation"), t(spark, d, "region"))
   }
 
+  /** q_linkrank / q_graph_audit shared parameters — interpolated into
+    * BOTH the Spark calls and the oracle CTE chains (the house rule for
+    * hyperparameters: one Scala val, two readers). The edge table is the
+    * co-purchase graph over high-quantity lineitems (`l_quantity >=
+    * LrMinQty` keeps ~2% of parts edge-less, so the dangling
+    * redistribution path is live in the real data, not just in specs).
+    */
+  private val LrIters = 3
+  private val LrBase = 1000000L
+  private val LrDampNum = 85L
+  private val LrDampDen = 100L
+  private val LrMinQty = 40
+
+  /** Directed weighted co-purchase edges: (src, dst, weight) for parts
+    * sharing an order among lineitems at or above `LrMinQty` quantity.
+    * Order-keyed self equi-join — fan-out bounded by order size, linear
+    * in lineitems at any scale.
+    */
+  private def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.filter(col("l_quantity") >= LrMinQty)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.select(col("ok"), col("l_partkey").as("src"))
+      .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Each wrapper appends the oracle-compare's deterministic ORDER BY here —
@@ -2616,7 +2643,28 @@ res$sfx AS (SELECT '$qid' AS query_id,
         emb.filter(col("vec_id") % 2 === 1),
         k = 8, threshold = 0.35)
         .orderBy("vec_id")
-    })
+    }),
+
+    // Link-graph pre-flight: one-row census (nodes, edges, dangling
+    // share, hub skew) of the co-purchase graph the authority rounds
+    // will run on — read BEFORE paying for q_linkrank's iterations.
+    "q_graph_audit" -> ((s, dir) =>
+      ops.Graph.degreeAudit(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")))),
+
+    // Damped integer-mass link authority (PageRank family) over the
+    // co-purchase graph: LrIters rounds of Long floor-division
+    // arithmetic, bit-identical across engines because every cross-row
+    // sum is an integer sum. The oracle unrolls the rounds as chained
+    // CTEs with // floor division.
+    "q_linkrank" -> ((s, dir) =>
+      ops.Graph.linkRank(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        iters = LrIters, base = LrBase, dampNum = LrDampNum,
+        dampDen = LrDampDen)
+        .orderBy("node"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -6064,6 +6112,66 @@ ORDER BY query_id, neg_rank"""),
         |SELECT n.vec_id, n.cid, dropped.vec_id IS NULL AS kept
         |FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
         |WHERE n.vec_id % 2 = 1
-        |ORDER BY n.vec_id""".stripMargin
+        |ORDER BY n.vec_id""".stripMargin,
+
+    "q_graph_audit" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity >= $LrMinQty),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |        count(*) AS weight
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+        |      FROM e GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_nodes,
+        |         count(CASE WHEN o.src IS NULL THEN 1 END) AS n_dangling,
+        |         CAST(coalesce(max(o.w_out), 0) AS BIGINT) AS max_out_weight
+        |       FROM part LEFT JOIN o ON part.p_partkey = o.src),
+        |es AS (SELECT count(*) AS n_edges,
+        |         CAST(coalesce(sum(weight), 0) AS BIGINT) AS total_weight
+        |       FROM e)
+        |SELECT n_nodes, n_edges, total_weight, n_dangling, max_out_weight,
+        |  CASE WHEN total_weight > 0 THEN
+        |    CAST(max_out_weight AS DOUBLE) / CAST(total_weight AS DOUBLE)
+        |  END AS top_hub_share
+        |FROM ns CROSS JOIN es""".stripMargin,
+
+    // Graph.linkRank's rounds unrolled as chained CTEs — same Long
+    // floor-division arithmetic (DuckDB // ≡ Spark div on non-negative
+    // operands), same teleport/damping constants interpolated from the
+    // shared Scala vals, so every mass matches bit-for-bit.
+    "q_linkrank" -> {
+      val teleport = (LrDampDen - LrDampNum) * LrBase / LrDampDen
+      val rounds = (1 to LrIters).map { i =>
+        val prev = s"m${i - 1}"
+        s"""i$i AS (SELECT e.dst AS node,
+          |    CAST(sum((m.mass * e.weight) // o.w_out) AS BIGINT) AS in_mass
+          |  FROM e JOIN $prev m ON e.src = m.node JOIN o ON e.src = o.src
+          |  GROUP BY 1),
+          |d$i AS (SELECT CAST(coalesce(sum(m.mass), 0) AS BIGINT) AS dang
+          |  FROM $prev m LEFT JOIN o ON m.node = o.src
+          |  WHERE o.src IS NULL),
+          |m$i AS (SELECT n.node,
+          |    CAST($teleport + ($LrDampNum * (coalesce(s.in_mass, 0)
+          |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)))
+          |      // $LrDampDen AS BIGINT) AS mass
+          |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity >= $LrMinQty),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |        count(*) AS weight
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+        |      FROM e GROUP BY 1),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |m0 AS (SELECT node, CAST($LrBase AS BIGINT) AS mass FROM nodes),
+        |$rounds
+        |SELECT node, mass FROM m$LrIters ORDER BY node""".stripMargin
+    }
   )
 }

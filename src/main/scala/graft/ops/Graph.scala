@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — the web-graph signal family a corpus
+  * curation pipeline fuses into its quality priors (domain authority as
+  * a keep/weight input; the reference's warehouse has no graph surface,
+  * so this is beyond-reference scope like the rest of the LLM-pipeline
+  * families).
+  *
+  * The centerpiece is [[linkRank]], a damped authority iteration
+  * (PageRank family: Page et al. 1999, "The PageRank Citation Ranking")
+  * computed in DETERMINISTIC INTEGER MASS rather than floating-point
+  * probability. Every node starts with `base` units of integer mass;
+  * each round a node ships `floor(mass · w_edge / w_out)` units down
+  * each out-edge, dangling nodes (no out-edges) redistribute uniformly,
+  * and damping mixes a constant teleport grant back in — all in `Long`
+  * arithmetic (`div` floor division, non-negative operands throughout).
+  * Integer sums are order-independent, so the result is bit-identical
+  * regardless of partitioning, join order, or engine — the same move
+  * that made the k-means and gradient-descent training loops
+  * oracle-replayable (int8 quantization / dec6 residuals): an oracle
+  * engine replaying the rounds as chained CTEs with `//` floor division
+  * reproduces every mass exactly. Floor rounding loses at most
+  * `w_out − 1` units per node per round (plus `n − 1` on the dangling
+  * pool) — a deterministic leak both engines share, irrelevant to
+  * ranking use.
+  *
+  * Scale posture: one round = one edge⋈mass equi-join on `src` + one
+  * map-side-combinable `sum` shuffle keyed on `dst` + one 1-row dangling
+  * aggregate — the Pregel shape, linear in |E| with no all-pairs
+  * anywhere. Round state is one (node, mass) row per node, pinned via
+  * lazy `localCheckpoint` and freed as soon as the next round
+  * materializes (the connected-components loop's lifecycle,
+  * [[graft.ops.text.Dedup.componentLabels]]); the edge and out-weight
+  * tables are pinned once through [[graft.CacheScope]] so K rounds scan
+  * the raw input once, not K times.
+  *
+  * Overflow bound (documented, `require`-checked): masses are bounded by
+  * the conserved total `n · base`, so the round expression needs
+  * `dampNum · n · base < 2^63` and the share expression
+  * `max_mass · max_edge_weight < 2^63`. At `base = 10^6` that admits
+  * ~10^11 nodes with 4 bits to spare for edge weights — raise/lower
+  * `base` to trade rank resolution against headroom.
+  */
+object Graph {
+
+  /** Pre-flight degree audit — the census to read BEFORE paying for
+    * [[linkRank]] rounds on an unknown graph (the near-dup families'
+    * band-census idiom, SURVEY §8): node/edge counts, dangling share
+    * (how much mass the uniform redistribution will move), and
+    * out-weight skew (the hub whose share computation dominates a
+    * round, and the first overflow suspect when raising `base`).
+    *
+    * Output: ONE row — (n_nodes, n_edges, total_weight, n_dangling,
+    * max_out_weight, top_hub_share). `top_hub_share` is one int/int
+    * double division — exact cross-engine parity.
+    *
+    * Shape: one combinable groupBy(src) over edges + two 1-row
+    * aggregates, broadcast-joined — flat in graph size.
+    */
+  def degreeAudit(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val outW = edges.groupBy("src").agg(sum("weight").as("w_out"))
+    val nodeSide = nodes
+      .join(outW, nodes("node") === outW("src"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(col("w_out").isNull, lit(1))).as("n_dangling"),
+        coalesce(max("w_out"), lit(0L)).as("max_out_weight"))
+    val edgeSide = edges.agg(count(lit(1)).as("n_edges"),
+      coalesce(sum("weight"), lit(0L)).as("total_weight"))
+    nodeSide.crossJoin(broadcast(edgeSide))
+      .select(col("n_nodes"), col("n_edges"), col("total_weight"),
+        col("n_dangling"), col("max_out_weight"),
+        when(col("total_weight") > 0,
+          col("max_out_weight").cast("double") /
+            col("total_weight").cast("double"))
+          .as("top_hub_share"))
+  }
+
+  /** Damped integer-mass link authority after exactly `iters` rounds
+    * (see object doc for the arithmetic and why it is engine-exact).
+    *
+    *   - `nodes`: (node: Long) — the FULL vertex set; vertices without
+    *     out-edges are dangling and redistribute uniformly, vertices
+    *     absent from `nodes` are outside the graph (shares sent to them
+    *     are dropped — keep edges ⊆ nodes × nodes);
+    *   - `edges`: (src: Long, dst: Long, weight: Long > 0) — directed,
+    *     pre-aggregated (one row per (src, dst); build multiplicity into
+    *     `weight`);
+    *   - round update, all `Long` floor division:
+    *     {{{
+    *     share(s → d)  = (mass_s * weight_sd) div w_out_s
+    *     dang_share    = (Σ mass over dangling) div n_nodes
+    *     mass'_n       = teleport + (dampNum * (in_n + dang_share)) div dampDen
+    *     teleport      = ((dampDen - dampNum) * base) div dampDen
+    *     }}}
+    *
+    * Output: (node, mass) — one row per `nodes` row. Ranking consumers
+    * sort by (mass DESC, node); fusion consumers feed mass straight
+    * into [[graft.ops.Quality]]-side weighted signal fusion.
+    */
+  def linkRank(nodes: DataFrame, edges: DataFrame, iters: Int = 4,
+               base: Long = 1000000L, dampNum: Long = 85L,
+               dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"need at least one round, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    require(base > 0, s"base mass must be positive, got $base")
+    val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
+    val nNodes = nodeTbl.count()
+    require(nNodes > 0, "empty node set")
+    // conserved-total overflow guard (object doc): every mass is bounded
+    // by n·base + n·teleport ≤ 2·n·base, so the damped sum stays in Long
+    // when dampNum · 2 · n · base < 2^63.
+    require(BigInt(dampNum) * 2 * BigInt(nNodes) * BigInt(base) <
+      BigInt(Long.MaxValue),
+      s"dampNum*2*n*base overflows Long: n=$nNodes base=$base")
+    val edgeTbl = graft.CacheScope.pin(
+      edges.select(col("src"), col("dst"), col("weight")))
+    val outW = graft.CacheScope.pin(
+      edgeTbl.groupBy("src").agg(sum("weight").as("w_out")))
+    val teleport = (dampDen - dampNum) * base / dampDen
+    var mass = nodeTbl.select(col("node"), lit(base).as("mass"))
+      .localCheckpoint(false)
+    var round = 0
+    while (round < iters) {
+      val inMass = edgeTbl
+        .join(mass.withColumnRenamed("node", "src"), "src")
+        .join(outW, "src")
+        .select(col("dst").as("node"),
+          expr("(mass * weight) div w_out").as("share"))
+        .groupBy("node").agg(sum("share").as("in_mass"))
+      val dangRow = mass
+        .join(outW, mass("node") === outW("src"), "left_anti")
+        .agg(coalesce(sum("mass"), lit(0L)).as("dang_total"))
+      val next = nodeTbl
+        .join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(dangRow))
+        .select(col("node"),
+          expr(s"$teleport + ($dampNum * (coalesce(in_mass, 0L) + " +
+            s"(dang_total div ${nNodes}L))) div $dampDen").as("mass"))
+        .localCheckpoint(false)
+      // materialize the round, then free the superseded state's blocks
+      // (Dataset.unpersist is a no-op on localCheckpoint blocks — the
+      // componentLabels lifecycle note applies verbatim).
+      next.count()
+      graft.unpersistCheckpoint(mass)
+      mass = next
+      round += 1
+    }
+    mass
+  }
+}

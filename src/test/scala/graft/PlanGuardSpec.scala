@@ -46,6 +46,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_ann_sweep", "q_ivf_sweep",
       // the gap-fill grid build (types × 1-row bounds), like q_gapfill
       "q_forecast_backtest",
+      // graph census: 1-row edge totals × 1-row node-side aggregate
+      "q_graph_audit",
+      // each linkRank round broadcasts its 1-row dangling-mass aggregate
+      // over the node table (skewAudit's constant-size-build shape)
+      "q_linkrank",
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
