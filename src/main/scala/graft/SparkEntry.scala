@@ -2664,6 +2664,30 @@ res$sfx AS (SELECT '$qid' AS query_id,
         coPurchaseEdges(t(s, dir, "lineitem")),
         iters = LrIters, base = LrBase, dampNum = LrDampNum,
         dampDen = LrDampDen)
+        .orderBy("node")),
+
+    // Personalized (seeded) authority: teleport and the dangling pool
+    // flow only to the trusted-seed set (p_partkey % 20 = 0 — the
+    // deterministic membership the oracle replays as the same
+    // predicate); non-seeds earn mass exclusively through in-edges.
+    "q_linkrank_seeded" -> ((s, dir) => {
+      val nodes = t(s, dir, "part").select(col("p_partkey").as("node"))
+      ops.Graph.linkRankSeeded(nodes,
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        nodes.filter(col("node") % 20 === 0),
+        iters = LrIters, base = LrBase, dampNum = LrDampNum,
+        dampDen = LrDampDen)
+        .orderBy("node")
+    }),
+
+    // Exact triangle census over the undirected co-purchase graph:
+    // degree-ordered orientation (each triangle found once, wedge
+    // fan-out O(√m)), per-node counts + clustering coefficient — the
+    // local-density signal. Two equi-joins, zero iteration.
+    "q_triangles" -> ((s, dir) =>
+      ops.Graph.triangles(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")))
         .orderBy("node"))
   )
 
@@ -6172,6 +6196,97 @@ ORDER BY query_id, neg_rank"""),
         |m0 AS (SELECT node, CAST($LrBase AS BIGINT) AS mass FROM nodes),
         |$rounds
         |SELECT node, mass FROM m$LrIters ORDER BY node""".stripMargin
-    }
+    },
+
+    // linkRankSeeded's rounds — the q_linkrank chain with the teleport
+    // and dangling-share terms gated on the seed predicate (node % 20 =
+    // 0), replayed verbatim on both engines.
+    "q_linkrank_seeded" -> {
+      val teleport = (LrDampDen - LrDampNum) * LrBase / LrDampDen
+      val seedPred = "n.node % 20 = 0"
+      val rounds = (1 to LrIters).map { i =>
+        val prev = s"m${i - 1}"
+        s"""i$i AS (SELECT e.dst AS node,
+          |    CAST(sum((m.mass * e.weight) // o.w_out) AS BIGINT) AS in_mass
+          |  FROM e JOIN $prev m ON e.src = m.node JOIN o ON e.src = o.src
+          |  GROUP BY 1),
+          |d$i AS (SELECT CAST(coalesce(sum(m.mass), 0) AS BIGINT) AS dang
+          |  FROM $prev m LEFT JOIN o ON m.node = o.src
+          |  WHERE o.src IS NULL),
+          |m$i AS (SELECT n.node,
+          |    CAST((CASE WHEN $seedPred THEN $teleport ELSE 0 END)
+          |      + ($LrDampNum * (coalesce(s.in_mass, 0)
+          |        + (CASE WHEN $seedPred THEN
+          |            (SELECT dang FROM d$i) // (SELECT n FROM ns)
+          |          ELSE 0 END)))
+          |      // $LrDampDen AS BIGINT) AS mass
+          |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity >= $LrMinQty),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |        count(*) AS weight
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+        |      FROM e GROUP BY 1),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |ns AS (SELECT count(*) AS n FROM nodes n WHERE $seedPred),
+        |m0 AS (SELECT n.node,
+        |    CAST(CASE WHEN $seedPred THEN $LrBase ELSE 0 END AS BIGINT)
+        |      AS mass FROM nodes n),
+        |$rounds
+        |SELECT node, mass FROM m$LrIters ORDER BY node""".stripMargin
+    },
+
+    // Graph.triangles' two joins replayed verbatim: same undirected
+    // collapse, same (degree, node) orientation and wedge rank filter,
+    // same 2·tri/(deg·(deg−1)) IEEE tree (e-notation literals so DuckDB
+    // parses DOUBLE, not DECIMAL).
+    "q_triangles" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity >= $LrMinQty),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |          greatest(src, dst) AS v FROM e),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |          SELECT u AS node FROM und
+        |          UNION ALL SELECT v AS node FROM und) GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS a,
+        |    CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS b,
+        |    CASE WHEN du.degree < dv.degree
+        |           OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN dv.degree ELSE du.degree END AS db
+        |  FROM und JOIN deg du ON und.u = du.node
+        |    JOIN deg dv ON und.v = dv.node),
+        |w AS (SELECT e1.a, e1.b AS wb, e2.b AS wc
+        |      FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+        |      WHERE e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b)),
+        |tri AS (SELECT w.a, w.wb, w.wc
+        |        FROM w JOIN ori ON ori.a = w.wb AND ori.b = w.wc),
+        |pn AS (SELECT node, count(*) AS triangles FROM (
+        |         SELECT a AS node FROM tri
+        |         UNION ALL SELECT wb AS node FROM tri
+        |         UNION ALL SELECT wc AS node FROM tri) GROUP BY 1)
+        |SELECT n.node,
+        |  CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+        |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+        |    (2.0e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)) /
+        |      (CAST(deg.degree AS DOUBLE) *
+        |        (CAST(deg.degree AS DOUBLE) - 1.0e0))
+        |  END AS clustering_coeff
+        |FROM (SELECT p_partkey AS node FROM part) n
+        |  LEFT JOIN deg ON n.node = deg.node
+        |  LEFT JOIN pn ON n.node = pn.node
+        |ORDER BY n.node""".stripMargin
   )
 }

@@ -95,6 +95,119 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(row.fieldIndex("top_hub_share")) == 4.0 / 11.0)
   }
 
+  /** Scalar replay of the SEEDED variant: teleport and dangling pool
+    * flow only to seeds; non-seeds start at zero.
+    */
+  private def naiveSeeded(nodes: Seq[Long], edges: Seq[(Long, Long, Long)],
+                          seeds: Set[Long], iters: Int, base: Long,
+                          dampNum: Long, dampDen: Long): Map[Long, Long] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val teleport = (dampDen - dampNum) * base / dampDen
+    var mass = nodes.map(n => n -> (if (seeds(n)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+      for ((s, d, w) <- edges)
+        in(d) = in.getOrElse(d, 0L) + mass(s) * w / outW(s)
+      val dang = nodes.filter(n => !outW.contains(n)).map(mass).sum
+      val share = dang / seeds.size
+      mass = nodes.map { n =>
+        n -> ((if (seeds(n)) teleport else 0L) +
+          dampNum * (in.getOrElse(n, 0L) + (if (seeds(n)) share else 0L)) /
+            dampDen)
+      }.toMap
+    }
+    mass
+  }
+
+  test("linkRankSeeded equals its scalar replay; non-seeds earn mass " +
+    "only through in-edges") {
+    val seeds = Set(1L, 5L)
+    val got = Graph.linkRankSeeded(
+      nodes.toDF("node"), edges.toDF("src", "dst", "weight"),
+      seeds.toSeq.toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(got == naiveSeeded(nodes, edges, seeds, 3, 1000000L, 85L, 100L))
+    // 6 is isolated and unseeded: no teleport, no in-edges → exactly zero
+    assert(got(6L) == 0L)
+    // the hub is reachable from seed 1 and seed 5 → positive mass
+    assert(got(3L) > 0L)
+  }
+
+  test("warm-start continues the exact trajectory: from(cold(k1), k2) " +
+    "== cold(k1+k2)") {
+    val nodesDf = nodes.toDF("node")
+    val edgesDf = edges.toDF("src", "dst", "weight")
+    val cold2 = Graph.linkRank(nodesDf, edgesDf, iters = 2)
+    val warm = Graph.linkRankFrom(cold2, nodesDf, edgesDf, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold5 = Graph.linkRank(nodesDf, edgesDf, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(warm == cold5)
+  }
+
+  test("authority registry: refresh commits v1, update warm-continues " +
+    "to v2 == the longer cold run") {
+    val dir = java.nio.file.Files.createTempDirectory("authreg").toString
+    val table = s"$dir/authority"
+    val nodesDf = nodes.toDF("node")
+    val edgesDf = edges.toDF("src", "dst", "weight")
+    assert(Graph.authorityRefresh(nodesDf, edgesDf, table, iters = 2) == 1)
+    assert(Graph.authorityUpdate(nodesDf, edgesDf, table, iters = 2) == 2)
+    val served = graft.io.Manifest.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(served == naiveRank(nodes, edges, 4, 1000000L, 85L, 100L))
+    // time travel: v1 still reads as the 2-round state
+    val v1 = graft.io.Manifest.readVersion(spark, table, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 == naiveRank(nodes, edges, 2, 1000000L, 85L, 100L))
+  }
+
+  test("triangles: exact counts, degrees, and coefficients on the fixture") {
+    val out = Graph.triangles(
+      nodes.toDF("node"), edges.toDF("src", "dst", "weight"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    CacheScope.release(spark)
+    // undirected simple graph: {1,2},{1,3},{2,3},{3,4},{3,5},{5,7} —
+    // exactly one triangle {1,2,3}
+    assert(out(1L) == ((2L, 1L, Some(1.0))))
+    assert(out(2L) == ((2L, 1L, Some(1.0))))
+    assert(out(3L) == ((4L, 1L, Some(2.0 * 1.0 / (4.0 * 3.0)))))
+    assert(out(4L) == ((1L, 0L, None)))
+    assert(out(5L) == ((2L, 0L, Some(0.0))))
+    assert(out(6L) == ((0L, 0L, None)))
+    assert(out(7L) == ((1L, 0L, None)))
+  }
+
+  test("triangles matches brute-force enumeration on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 40L
+    val rawEdges = Seq.fill(300)((rnd.nextLong(n), rnd.nextLong(n), 1L))
+      .filter { case (a, b, _) => a != b }
+    val und = rawEdges.map { case (a, b, _) => (a min b, a max b) }.distinct
+    val undSet = und.toSet
+    val expectTri = (0L until n).map { x =>
+      val nbrs = und.collect {
+        case (a, b) if a == x => b
+        case (a, b) if b == x => a
+      }
+      var c = 0L
+      for (i <- nbrs.indices; j <- i + 1 until nbrs.size)
+        if (undSet(((nbrs(i) min nbrs(j)), (nbrs(i) max nbrs(j))))) c += 1
+      x -> c
+    }.toMap
+    val got = Graph.triangles(
+      (0L until n).toDF("node"), rawEdges.toDF("src", "dst", "weight"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    CacheScope.release(spark)
+    assert(got == expectTri)
+  }
+
   test("degreeAudit on an edgeless graph reports zero weight, null share") {
     val row = Graph.degreeAudit(
       nodes.toDF("node"),

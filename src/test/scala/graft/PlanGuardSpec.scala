@@ -50,7 +50,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_graph_audit",
       // each linkRank round broadcasts its 1-row dangling-mass aggregate
       // over the node table (skewAudit's constant-size-build shape)
-      "q_linkrank",
+      "q_linkrank", "q_linkrank_seeded",
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
