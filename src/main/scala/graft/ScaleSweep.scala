@@ -86,6 +86,11 @@ object ScaleSweep {
     // hybrid-retrieval fusion (eval-sized) and the ingest excerpt check
     // (the asymmetric containment economics at scale)
     "q_rrf", "q_contain_incr",
+    // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
+    // iterations over the co-purchase graph; edge build dominates), the
+    // seeded twin (same joins, gated teleport), and the triangle census
+    // (the wedge join is the row to watch — O(√m) fan-out bound)
+    "q_linkrank", "q_linkrank_seeded", "q_triangles", "q_graph_audit",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;
@@ -376,5 +381,34 @@ object ScaleSweep {
       .toDF("vec_id", "embedding", "label")
       .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // Graph-family input at sf1 proportions (1.5M orders, ~6M lineitems,
+    // 200k parts — the TPC-H sf1 shape the graph queries' edge builder
+    // reads). Part popularity is POWER-LAW (u^2.5 mapping), unlike the
+    // uniform fixture tables, so the sweep stresses exactly what the
+    // orientation/banding arguments claim to survive: hub nodes with
+    // 1000× the median degree. Hash-derived and seed-deterministic.
+    locally {
+      import org.apache.spark.sql.functions._
+      val nParts = 200000L
+      val nOrders = 1500000L
+      spark.range(nParts).select(col("id").as("p_partkey"))
+        .repartition(8).write.mode("overwrite")
+        .parquet(s"$outDir/part.parquet")
+      val u = pmod(xxhash64(col("l_orderkey"), col("ln"), lit(seed)),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      spark.range(nOrders)
+        .select(col("id").as("l_orderkey"),
+          explode(sequence(lit(1),
+            (pmod(xxhash64(col("id"), lit(seed)), lit(7L)) + lit(1))
+              .cast("int"))).as("ln"))
+        .select(col("l_orderkey"),
+          floor(pow(u, 2.5) * lit(nParts.toDouble)).cast("long")
+            .as("l_partkey"),
+          (pmod(xxhash64(col("l_orderkey"), col("ln"), lit(seed + 1)),
+            lit(50L)) + lit(1)).cast("double").as("l_quantity"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$outDir/lineitem.parquet")
+    }
   }
 }
