@@ -2688,7 +2688,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.Graph.triangles(
         t(s, dir, "part").select(col("p_partkey").as("node")),
         coPurchaseEdges(t(s, dir, "lineitem")))
-        .orderBy("node"))
+        .orderBy("node")),
+
+    // TextRank keyword extraction: the q_cooccur pair graph feeding the
+    // q_linkrank rounds at term grain — top-30 terms by integer mass.
+    // window/minPairCount mirror q_cooccur's literals; iters/base/damping
+    // are the Lr* vals the oracle chain interpolates.
+    "q_textrank" -> ((s, dir) =>
+      Corpus.textRank(t(s, dir, "documents"), window = 3,
+        minPairCount = 2, topK = 30, iters = LrIters, base = LrBase,
+        dampNum = LrDampNum, dampDen = LrDampDen)
+        .orderBy("rank"))
   )
 
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
@@ -6287,6 +6297,51 @@ ORDER BY query_id, neg_rank"""),
         |FROM (SELECT p_partkey AS node FROM part) n
         |  LEFT JOIN deg ON n.node = deg.node
         |  LEFT JOIN pn ON n.node = pn.node
-        |ORDER BY n.node""".stripMargin
+        |ORDER BY n.node""".stripMargin,
+
+    // q_cooccur's pair CTEs chained into q_linkrank's rounds at term
+    // grain (VARCHAR nodes), then the rank window — rank CAST AS INT
+    // (DuckDB row_number is BIGINT, Spark's is int).
+    "q_textrank" -> {
+      val teleport = (LrDampDen - LrDampNum) * LrBase / LrDampDen
+      val rounds = (1 to LrIters).map { i =>
+        val prev = s"m${i - 1}"
+        s"""i$i AS (SELECT e.dst AS node,
+          |    CAST(sum((m.mass * e.weight) // o.w_out) AS BIGINT) AS in_mass
+          |  FROM e JOIN $prev m ON e.src = m.node JOIN o ON e.src = o.src
+          |  GROUP BY 1),
+          |d$i AS (SELECT CAST(coalesce(sum(m.mass), 0) AS BIGINT) AS dang
+          |  FROM $prev m LEFT JOIN o ON m.node = o.src
+          |  WHERE o.src IS NULL),
+          |m$i AS (SELECT n.node,
+          |    CAST($teleport + ($LrDampNum * (coalesce(s.in_mass, 0)
+          |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)))
+          |      // $LrDampDen AS BIGINT) AS mass
+          |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        |        FROM toks),
+        |pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+        |       FROM pos a JOIN pos b
+        |         ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+        |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM pr
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT w1 AS src, w2 AS dst, pair_cnt AS weight FROM pc
+        |      UNION ALL
+        |      SELECT w2 AS src, w1 AS dst, pair_cnt AS weight FROM pc),
+        |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+        |      FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT w AS node FROM pos),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |m0 AS (SELECT node, CAST($LrBase AS BIGINT) AS mass FROM nodes),
+        |$rounds
+        |SELECT CAST(row_number() OVER (ORDER BY mass DESC, node) AS INT)
+        |    AS rank,
+        |  node AS term, mass
+        |FROM m$LrIters
+        |ORDER BY mass DESC, term LIMIT 30""".stripMargin
+    }
   )
 }

@@ -363,6 +363,53 @@ object Corpus {
           .as("lift"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text"): [[graft.ops.Graph.linkRank]] over the
+    * window-`window` token co-occurrence graph — terms that co-occur
+    * with many well-connected terms rank highest, the classic
+    * unsupervised keyphrase signal a curation pipeline reports per
+    * shard (topic drift shows up as keyword churn before it shows up
+    * in loss). Composes [[cooccurrence]] (pair counts, `minPairCount`
+    * floor) as the symmetric weighted edge set with the integer-mass
+    * authority rounds — so the whole extraction inherits linkRank's
+    * bit-exact cross-engine replay (the oracle chains the q_cooccur
+    * CTEs into the q_linkrank rounds at term grain).
+    *
+    * Output: (rank, term, mass) — the `topK` heaviest terms, rank by
+    * (mass DESC, term). Isolated terms (no qualifying pair) are
+    * dangling nodes: they keep teleport-floor mass and never make a
+    * real top-k.
+    *
+    * Scale posture: the graph is VOCABULARY-sized (nodes = distinct
+    * terms, edges = qualifying pairs), so the rounds run over
+    * relations orders of magnitude smaller than the corpus; the one
+    * corpus-sized cost is the pair-count scan [[cooccurrence]] already
+    * pays. The final top-k is one window over the vocab-bounded mass
+    * table (the BPE argmax precedent).
+    */
+  def textRank(documents: DataFrame, window: Int = 3,
+               minPairCount: Long = 2, topK: Int = 50, iters: Int = 3,
+               base: Long = 1000000L, dampNum: Long = 85L,
+               dampDen: Long = 100L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pc = cooccurrence(documents, window, minPairCount)
+      .select(col("w1"), col("w2"), col("pair_cnt"))
+    val edges = pc.select(col("w1").as("src"), col("w2").as("dst"),
+        col("pair_cnt").as("weight"))
+      .unionAll(pc.select(col("w2").as("src"), col("w1").as("dst"),
+        col("pair_cnt").as("weight")))
+    val nodes = documents
+      .select(explode(tokens(col("text"))).as("node")).distinct()
+    val ranked = graft.ops.Graph.linkRank(nodes, edges, iters, base,
+      dampNum, dampDen)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mass").desc, col("node").asc)
+    ranked
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("node").as("term"), col("mass"))
+  }
+
   /** Mixture resampling — the "data mixing" step that reweights corpus
     * sources/languages to a target distribution by deterministic
     * replication: weight w gives every doc ⌊w⌋ copies plus one more iff

@@ -208,6 +208,50 @@ class GraphSpec extends SparkSpec {
     assert(got == expectTri)
   }
 
+  test("textRank == linkRank replay over the operator's own " +
+    "co-occurrence graph (composition equality)") {
+    val docs = Seq(
+      (1L, "spark shuffles data across spark executors"),
+      (2L, "spark executors cache data partitions"),
+      (3L, "data partitions spill when executors thrash"),
+      (4L, "a lonely sentence about nothing relevant"),
+      (5L, "spark executors cache data partitions")
+    ).toDF("doc_id", "text")
+    val pc = graft.ops.text.Corpus.cooccurrence(docs, window = 3,
+      minPairCount = 2)
+      .select("w1", "w2", "pair_cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pc.nonEmpty, "fixture must produce qualifying pairs")
+    val edges = pc.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().toSeq
+    // scalar replay at string-node grain (naiveRank's arithmetic)
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    val teleport = (100L - 85L) * 1000000L / 100L
+    var mass = vocab.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[String, Long]
+      for ((s, d, w) <- edges)
+        in(d) = in.getOrElse(d, 0L) + mass(s) * w / outW(s)
+      val dang = vocab.filter(n => !outW.contains(n)).map(mass).sum
+      val share = dang / vocab.size
+      mass = vocab.map { n =>
+        n -> (teleport + 85L * (in.getOrElse(n, 0L) + share) / 100L)
+      }.toMap
+    }
+    val want = mass.toSeq.sortBy { case (t, m) => (-m, t) }.take(5)
+    val got = graft.ops.text.Corpus.textRank(docs, window = 3,
+      minPairCount = 2, topK = 5, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    CacheScope.release(spark)
+    assert(got.map(_._1).toSeq == (1 to 5))
+    assert(got.map(x => (x._2, x._3)).toSeq == want)
+    // the isolated sentence's terms are dangling: teleport-floor mass,
+    // strictly below every connected term in `want`
+    assert(!want.exists(_._1 == "lonely"))
+  }
+
   test("degreeAudit on an edgeless graph reports zero weight, null share") {
     val row = Graph.degreeAudit(
       nodes.toDF("node"),

@@ -51,6 +51,9 @@ class PlanGuardSpec extends SparkSpec {
       // each linkRank round broadcasts its 1-row dangling-mass aggregate
       // over the node table (skewAudit's constant-size-build shape)
       "q_linkrank", "q_linkrank_seeded",
+      // TextRank composes q_cooccur's 1-row totals build + the linkRank
+      // dangling broadcasts
+      "q_textrank",
       // the funnel-unpivot pattern: 1 counts row × |rules| constant build
       "q_expectations",
       // BM25's 1-row corpus-stats (N, sum dl) broadcast over postings
