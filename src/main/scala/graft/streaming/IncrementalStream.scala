@@ -829,4 +829,72 @@ object IncrementalStream {
     q.awaitTermination()
     q
   }
+
+  /** STREAMING authority maintenance — the edge-registry twin of
+    * [[runCurationIngest]]'s probe→update loop, for the link-graph
+    * family: per micro-batch of weighted edge deltas (src, dst,
+    * weight),
+    *
+    *   1. MERGE the delta into the edge registry (unionByName +
+    *      groupBy-sum on the edge key — weights are additive counts,
+    *      so append-then-sum IS the correct merge) and commit the next
+    *      Manifest version;
+    *   2. WARM-CONTINUE the authority table through `iters` more
+    *      rounds over the merged graph
+    *      ([[graft.ops.Graph.linkRankFrom]] from the committed masses;
+    *      first batch runs the cold start) and commit it.
+    *
+    * The node set is derived from the merged registry (src ∪ dst), so
+    * vertices appear as soon as an edge lands; brand-new nodes enter
+    * the warm rounds at mass 0 (linkRankFrom's contract) exactly as a
+    * batch replay would place them. Every step is the deterministic
+    * integer arithmetic of the batch operators, so the streamed result
+    * equals the batch chain
+    * `linkRankFrom(linkRank(g1, k), g1 ⊎ g2, k)` bit-for-bit —
+    * StreamingSpec pins stream ≡ batch-replay equality.
+    *
+    * Exactly-once posture: the checkpoint's batch log deduplicates
+    * source replays; the two Manifest commits per batch are not atomic
+    * TOGETHER (a crash between them leaves edges at vN+1 and authority
+    * one warm cycle behind — a staleness the next batch repairs, never
+    * a corruption, since warm rounds read whatever edge version is
+    * current). Releases its CacheScope pins per batch.
+    */
+  def runAuthorityStream(spark: SparkSession, edgeStream: DataFrame,
+                         edgeTable: String, authorityTable: String,
+                         checkpoint: String, iters: Int = 2,
+                         base: Long = 1000000L, dampNum: Long = 85L,
+                         dampDen: Long = 100L): StreamingQuery = {
+    val q = edgeStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val delta = batch.select(col("src"), col("dst"), col("weight"))
+          val merged = (graft.io.Manifest.currentVersion(sp, edgeTable) match {
+            case Some(_) =>
+              graft.io.Manifest.read(sp, edgeTable).unionByName(delta)
+            case None => delta
+          }).groupBy("src", "dst").agg(sum("weight").as("weight"))
+          graft.io.Manifest.write(merged, edgeTable)
+          val edges = graft.io.Manifest.read(sp, edgeTable)
+          val nodes = edges.select(col("src").as("node"))
+            .unionAll(edges.select(col("dst").as("node"))).distinct()
+          val ranked =
+            graft.io.Manifest.currentVersion(sp, authorityTable) match {
+              case Some(_) => graft.ops.Graph.linkRankFrom(
+                graft.io.Manifest.read(sp, authorityTable), nodes, edges,
+                iters, base, dampNum, dampDen)
+              case None => graft.ops.Graph.linkRank(nodes, edges, iters,
+                base, dampNum, dampDen)
+            }
+          graft.io.Manifest.write(ranked, authorityTable)
+          graft.CacheScope.release(sp)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

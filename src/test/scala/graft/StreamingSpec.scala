@@ -1099,4 +1099,52 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().toSeq
     assert(got.sorted == batch.sorted, "stream must equal batch")
   }
+
+  test("streaming authority maintenance: edge merge advances the " +
+    "registry and warm rounds equal the batch replay chain") {
+    import graft.ops.Graph
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_authority").toString
+    val edgeTable = s"$root/edges"
+    val authTable = s"$root/authority"
+    val wave1 = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val wave2 = Seq((1L, 2L, 1L), (3L, 4L, 2L), (4L, 1L, 1L))
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    def drain(): Unit =
+      IncrementalStream.runAuthorityStream(spark,
+        mem.toDF().toDF("src", "dst", "weight"),
+        edgeTable, authTable, s"$root/ckpt", iters = 2)
+    mem.addData(wave1: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1))
+    assert(graft.io.Manifest.currentVersion(spark, authTable).contains(1))
+    mem.addData(wave2: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(2))
+    // edge registry v2 == groupBy-sum of ALL deltas
+    val gotEdges = graft.io.Manifest.read(spark, edgeTable)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantEdges = (wave1 ++ wave2).groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSet
+    assert(gotEdges == wantEdges)
+    // streamed authority == the batch chain: cold 2 rounds on wave-1's
+    // graph, then warm 2 rounds on the merged graph (bit-exact)
+    def graph(edges: Set[(Long, Long, Long)]) = {
+      val e = edges.toSeq.toDF("src", "dst", "weight")
+      val n = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      (n, e)
+    }
+    val e1 = wave1.groupBy(e => (e._1, e._2))
+      .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSet
+    val (n1, g1) = graph(e1)
+    val (nAll, gAll) = graph(wantEdges)
+    val want = Graph.linkRankFrom(
+      Graph.linkRank(n1, g1, iters = 2), nAll, gAll, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val gotAuth = graft.io.Manifest.read(spark, authTable)
+      .as[(Long, Long)].collect().toMap
+    CacheScope.release(spark)
+    assert(gotAuth == want, "stream must equal the batch replay chain")
+  }
 }
