@@ -5939,8 +5939,8 @@ ORDER BY query_id, neg_rank"""),
         |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
         |  FROM tk),
         |k AS (SELECT doc_id, lines,
-        |  list_filter(lines, x -> len(string_split(x, ' ')) >= 3
-        |    AND len(list_intersect(string_split(x, ' '), ['the', 'a'])) = 0) AS kept
+        |  list_filter(lines, x -> len(list_filter(regexp_split_to_array(x, '\s+'), t -> t != '')) >= 3
+        |    AND len(list_intersect(list_filter(regexp_split_to_array(x, '\s+'), t -> t != ''), ['the', 'a'])) = 0) AS kept
         | FROM nl)
         |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
         |  CAST(len(kept) AS INT) AS n_kept,

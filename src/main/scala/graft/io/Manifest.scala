@@ -197,6 +197,49 @@ object Manifest {
       df.write.parquet(dir)
     }
 
+  private val TagFile = "_graft_tag"
+
+  /** [[write]] plus a COMMIT TAG — a tiny `_graft_tag` file inside the
+    * snapshot dir (underscore-prefixed, so every parquet reader ignores
+    * it) recording which logical operation produced the version. This is
+    * the idempotent-replay hook for streaming maintenance loops: a
+    * foreachBatch that tags each commit with its streaming batchId can
+    * detect, on crash-replay, that the current version was ALREADY
+    * produced by this batch and skip the merge instead of double-applying
+    * it (a groupBy-sum or unionByName merge re-run on the same delta is
+    * silent corruption). The tag rides inside the snapshot dir — not a
+    * sibling marker — so it is atomic with the commit: visible iff the
+    * version committed, vacuumed with it, versioned with it.
+    */
+  def writeTagged(df: DataFrame, table: String, tag: String): Int =
+    commit(df.sparkSession, table) { dir =>
+      df.write.parquet(dir)
+      val f = fs(df.sparkSession, table)
+      val out = f.create(new Path(s"$dir/$TagFile"), false)
+      try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** The current snapshot's commit tag: None when the table has no
+    * committed version OR the current version was written untagged
+    * (plain [[write]] / [[compact]] — compaction rewrites data, not
+    * logical lineage, so a compacted version intentionally reads as
+    * untagged and a replaying stream treats it as "not mine").
+    */
+  def currentTag(spark: SparkSession, table: String): Option[String] =
+    currentVersion(spark, table).flatMap { v =>
+      val f = fs(spark, table)
+      val p = new Path(s"$table/v$v/$TagFile")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+          Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    }
+
   /** Read the current snapshot (empty-schema error if never committed —
     * same behavior as reading a missing parquet path).
     */

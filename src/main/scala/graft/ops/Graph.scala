@@ -283,6 +283,17 @@ object Graph {
       s"dampNum*2*n*base overflows Long: n=$nNodes base=$base")
     val edgeTbl = graft.CacheScope.pin(
       edges.select(col("src"), col("dst"), col("weight")))
+    // share-expression overflow guard (object doc): `mass * weight` with
+    // mass <= 2*n*base needs 2*n*base*max(weight) < 2^63. One combinable
+    // max over the already-pinned edge table — textRank feeds corpus-scale
+    // pair COUNTS as weights, so this bound is reachable, not theoretical.
+    val maxW = edgeTbl.agg(coalesce(max("weight"), lit(0L)))
+      .first().getLong(0)
+    require(BigInt(2) * BigInt(nNodes) * BigInt(base) * BigInt(maxW) <
+      BigInt(Long.MaxValue),
+      s"2*n*base*maxWeight overflows Long in the share expression: " +
+        s"n=$nNodes base=$base maxWeight=$maxW — lower base or rescale " +
+        "edge weights (rank is invariant to a uniform weight rescale)")
     val outW = graft.CacheScope.pin(
       edgeTbl.groupBy("src").agg(sum("weight").as("w_out")))
     val teleport = (dampDen - dampNum) * base / dampDen

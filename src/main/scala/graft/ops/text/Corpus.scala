@@ -384,8 +384,11 @@ object Corpus {
     * terms, edges = qualifying pairs), so the rounds run over
     * relations orders of magnitude smaller than the corpus; the one
     * corpus-sized cost is the pair-count scan [[cooccurrence]] already
-    * pays. The final top-k is one window over the vocab-bounded mass
-    * table (the BPE argmax precedent).
+    * pays. The final top-k plans as TakeOrderedAndProject over the mass
+    * table; only the <= topK survivors see a rank window (the
+    * bm25ScoreWeighted shape — the vocabulary itself is corpus-unbounded
+    * by Heaps' law, so a global rank window over it would serialize
+    * billions of rows through one task at web scale).
     */
   def textRank(documents: DataFrame, window: Int = 3,
                minPairCount: Long = 2, topK: Int = 50, iters: Int = 3,
@@ -402,11 +405,15 @@ object Corpus {
       .select(explode(tokens(col("text"))).as("node")).distinct()
     val ranked = graft.ops.Graph.linkRank(nodes, edges, iters, base,
       dampNum, dampDen)
+    // Global top-k as TakeOrderedAndProject FIRST (the vocabulary is
+    // corpus-unbounded — Heaps' law), then rank only the <= topK
+    // survivors: the bm25ScoreWeighted shape, never a full-vocab
+    // single-partition window.
+    val top = ranked.orderBy(col("mass").desc, col("node").asc).limit(topK)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("mass").desc, col("node").asc)
-    ranked
+    top
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("node").as("term"), col("mass"))
   }
 
@@ -1051,29 +1058,6 @@ object Corpus {
           size(filter(col("__ths"), t => col(valueCol) > t))))
       .drop("__ths")
 
-  /** C4-style LINE-level cleaning: drop individual lines that fail the
-    * rule set, keep the rest of the document — the within-document
-    * counterpart of [[filterCorpus]]'s whole-document gate (C4 drops
-    * lines under 3 words or containing blacklist terms before any
-    * document-level filter runs; most web boilerplate — nav menus,
-    * cookie banners, button labels — dies here, not at the doc level).
-    *
-    * Rules (a line survives only if ALL hold):
-    *   - at least `minTokens` whitespace tokens;
-    *   - none of its tokens appear in `banned` (exact token match — the
-    *     C4 "bad word / boilerplate phrase" list shape).
-    *
-    * Output: input columns plus (n_lines, n_kept, text_clean) with
-    * text_clean the surviving lines re-joined on `delim` in original
-    * order — empty string when nothing survives, so a downstream
-    * [[filterCorpus]] can drop the husk by its own length rule.
-    *
-    * Scale posture: pure per-document map work — codegen'd split/filter/
-    * array_join HOFs, no UDFs, no shuffle, linear in corpus bytes. The
-    * line array is staged as its own projection (the [[graft.ops.text]]
-    * shingle-pipeline pattern) so the text splits once, not once per
-    * consuming expression.
-    */
   /** Corpus-WIDE exact line dedup, keep-first — C4's global dedup step
     * (it removes repeated three-sentence spans corpus-wide; the unit
     * here is the line): every occurrence of a line AFTER its first
@@ -1420,13 +1404,41 @@ object Corpus {
         coalesce(col("known"), lit(false)).as("known"))
   }
 
+  /** C4-style LINE-level cleaning: drop individual lines that fail the
+    * rule set, keep the rest of the document — the within-document
+    * counterpart of [[filterCorpus]]'s whole-document gate (C4 drops
+    * lines under 3 words or containing blacklist terms before any
+    * document-level filter runs; most web boilerplate — nav menus,
+    * cookie banners, button labels — dies here, not at the doc level).
+    *
+    * Rules (a line survives only if ALL hold):
+    *   - at least `minTokens` whitespace tokens (split on a `\s+` run —
+    *     tabs and multi-space gaps are one separator, and the empty
+    *     fragment a leading separator leaves behind is dropped, so it
+    *     can neither satisfy minTokens nor dodge the blacklist);
+    *   - none of its tokens appear in `banned` (exact token match — the
+    *     C4 "bad word / boilerplate phrase" list shape).
+    *
+    * Output: input columns plus (n_lines, n_kept, text_clean) with
+    * text_clean the surviving lines re-joined on `delim` in original
+    * order — empty string when nothing survives, so a downstream
+    * [[filterCorpus]] can drop the husk by its own length rule.
+    *
+    * Scale posture: pure per-document map work — codegen'd split/filter/
+    * array_join HOFs, no UDFs, no shuffle, linear in corpus bytes. The
+    * line array is staged as its own projection (the [[graft.ops.text]]
+    * shingle-pipeline pattern) so the text splits once, not once per
+    * consuming expression.
+    */
   def cleanLines(documents: DataFrame, minTokens: Int = 3,
                  banned: Seq[String] = Seq.empty,
                  delim: String = "\n"): DataFrame = {
     val q = java.util.regex.Pattern.quote(delim)
+    val toks = (l: org.apache.spark.sql.Column) =>
+      filter(split(l, "\\s+"), t => t =!= "")
     val keepLine = (l: org.apache.spark.sql.Column) =>
-      size(split(l, " ")) >= minTokens &&
-        !arrays_overlap(split(l, " "), typedLit(banned))
+      size(toks(l)) >= minTokens &&
+        !arrays_overlap(toks(l), typedLit(banned))
     documents
       .withColumn("__lines", split(col("text"), q))
       .withColumn("__kept", filter(col("__lines"), keepLine))

@@ -149,8 +149,11 @@ object Dedup {
                      k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
                      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val setsC = shingleSets(corpus).cache()
-    val setsI = shingleSets(incoming).cache()
+    // Pinned via CacheScope (not bare .cache()): the returned lazy plan
+    // reads each side twice (band join + verify join); the caller frees
+    // both with CacheScope.release once the result is consumed.
+    val setsC = graft.CacheScope.pin(shingleSets(corpus))
+    val setsI = graft.CacheScope.pin(shingleSets(incoming))
     val bandsC = capBuckets(bandTable(setsC, k, bands), maxBucketSize)
     val bandsI = bandTable(setsI, k, bands)
     val candidates = bandsI
@@ -195,15 +198,21 @@ object Dedup {
     * the batch, update to vN+1). Only the batch is signed; the
     * registry rows pass through untouched (band keys are per-document,
     * so append IS the correct merge — same (k, bands) required).
-    * Returns the new version.
+    * Returns the new version. `tag`, when given, is recorded as the
+    * commit tag ([[graft.io.Manifest.writeTagged]]) — the streaming
+    * ingest loop tags each update with its batchId so a crash-replay
+    * can detect an already-applied merge instead of appending the same
+    * batch's band rows twice.
     */
   def signatureUpdate(table: String, accepted: DataFrame, k: Int = 16,
-                      bands: Int = 8): Int = {
+                      bands: Int = 8, tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(signatureTable(accepted, k, bands)),
-      table)
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(signatureTable(accepted, k, bands))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
   }
 
   /** The registry DELETE step — [[signatureUpdate]]'s inverse: drop a
@@ -776,7 +785,9 @@ object Dedup {
     require(SimhashBits % bands == 0, s"$SimhashBits bits not divisible by $bands bands")
     val width = SimhashBits / bands
     val mask = (1L << width) - 1
-    val fps = simhashDocs(documents).cache()
+    // Pinned via CacheScope: read by the band self-join AND the verify
+    // join below; CacheScope.release is the caller's free boundary.
+    val fps = graft.CacheScope.pin(simhashDocs(documents))
     val bandCols = (0 until bands).map { j =>
       shiftright(col("fp"), j * width).bitwiseAND(lit(mask))
     }
@@ -826,12 +837,13 @@ object Dedup {
     // predicate pushdown drags the filter's full shingle expression beneath
     // the repartition exchange, re-running the whole pipeline serially
     // inside the single-partition file scan (measured 4.2 s at sf0.1).
-    val sets = documents
+    // Pinned via CacheScope (release() is the caller's free boundary);
+    // the filter sits above the pin for the pushdown reason above.
+    val sets = graft.CacheScope.pin(documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
-      .cache()
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh")))
       .filter(size(col("sh")) > 0)
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     // Document frequency via count-over-window instead of a groupBy + join:
@@ -855,13 +867,12 @@ object Dedup {
     // per-key fan-out; rn shrinks with the index so the positional bound
     // only loosens (no false prunes). Default keeps everything — the exact,
     // oracle-checked semantics.
-    val prefixes = ex
+    val prefixes = graft.CacheScope.pin(ex
       .withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= maxDf)
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
-      .select("doc_id", "sz", "s", "rn")
-      .cache()
+      .select("doc_id", "sz", "s", "rn"))
     val a = prefixes.select(col("s"), col("doc_id").as("doc_a"),
       col("sz").as("sz_a"), col("rn").as("rn_a"))
     val b = prefixes.select(col("s"), col("doc_id").as("doc_b"),

@@ -782,13 +782,23 @@ object IncrementalStream {
     * dropped (StreamingSpec pins exactly that). The corpus each batch
     * dedups against is the seed corpus plus everything accepted so far.
     *
-    * Exactly-once posture: the checkpoint's batch log deduplicates
-    * replays at the SOURCE, and a replayed batch re-probes a registry
-    * that already contains its rows — its docs read as near-dups of
-    * themselves and drop, so the accepted table never double-admits
-    * (the J4-free idempotency argument, via the registry itself).
-    * Releases its per-batch CacheScope pins — run it in its own
-    * session if other pins must survive.
+    * Exactly-once posture, closed over EVERY crash window: accepted
+    * docs land in a batchId-named subdirectory with overwrite
+    * semantics, and the registry commit carries the batchId as its
+    * Manifest commit tag. A replay after a crash (a) before the
+    * accepted write — redoes everything; (b) between the write and the
+    * registry commit — recomputes the identical accepted set (the
+    * registry is unchanged, and the probe runs against the REGISTRY,
+    * never the accepted files) and overwrites its own subdir with the
+    * same rows; (c) between the registry commit and the checkpoint
+    * mark — sees its own batchId as the registry's current tag and
+    * skips outright (without the tag this window would re-probe a
+    * registry that already holds the batch, find every doc a near-dup
+    * of itself, and skip the merge anyway — but relying on that would
+    * leave a batch whose accept set was EMPTY unprotected, and the tag
+    * also documents lineage). No path appends twice, so the accepted
+    * table never double-admits. Releases its per-batch CacheScope
+    * pins — run it in its own session if other pins must survive.
     */
   def runCurationIngest(spark: SparkSession, batchStream: DataFrame,
                         corpusPath: String, registryTable: String,
@@ -799,9 +809,16 @@ object IncrementalStream {
     val q = batchStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val sp = batch.sparkSession
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val tag = s"curation-ingest-batch-$batchId"
+        // replay of a fully-committed batch: the registry's current
+        // version was produced by THIS batchId, and the accepted write
+        // happens strictly before that commit — nothing left to redo
+        val alreadyCommitted =
+          graft.io.Manifest.currentVersion(sp, registryTable).isDefined &&
+            graft.io.Manifest.currentTag(sp, registryTable).contains(tag)
+        if (!batch.isEmpty && !alreadyCommitted) {
           val seed = sp.read.parquet(corpusPath)
           val p = new org.apache.hadoop.fs.Path(acceptedPath)
           val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
@@ -818,9 +835,12 @@ object IncrementalStream {
           val acceptedDocs = accepted
             .join(batch.select("doc_id", "text"), "doc_id")
           if (!acceptedDocs.isEmpty) {
-            acceptedDocs.write.mode(SaveMode.Append).parquet(acceptedPath)
+            // batchId-keyed subdir + overwrite: a replayed batch lands on
+            // its own directory again instead of appending a second copy
+            acceptedDocs.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch=$batchId")
             graft.ops.text.Dedup.signatureUpdate(registryTable,
-              acceptedDocs, k, bands)
+              acceptedDocs, k, bands, tag = Some(tag))
           }
           graft.CacheScope.release(sp)
         }
@@ -854,11 +874,20 @@ object IncrementalStream {
     * StreamingSpec pins stream ≡ batch-replay equality.
     *
     * Exactly-once posture: the checkpoint's batch log deduplicates
-    * source replays; the two Manifest commits per batch are not atomic
-    * TOGETHER (a crash between them leaves edges at vN+1 and authority
-    * one warm cycle behind — a staleness the next batch repairs, never
-    * a corruption, since warm rounds read whatever edge version is
-    * current). Releases its CacheScope pins per batch.
+    * source replays, and BOTH Manifest commits carry the streaming
+    * batchId as their commit tag, so a crash-replay skips exactly the
+    * legs that already committed: (a) crash before the edge commit —
+    * the replay redoes the whole batch; (b) crash between the edge and
+    * authority commits — the replay sees its own tag on the edge
+    * registry, skips the merge (re-running it would union the same
+    * delta again and the groupBy-sum would double-count the weights —
+    * permanent corruption), and re-runs only the authority warm rounds
+    * over the already-merged graph, landing bit-identically to the
+    * uncrashed run; (c) crash after both commits — the replay sees its
+    * tag on both tables and no-ops, so the authority table never
+    * advances extra warm rounds (which would break the documented
+    * stream ≡ batch-replay equality). Releases its CacheScope pins per
+    * batch.
     */
   def runAuthorityStream(spark: SparkSession, edgeStream: DataFrame,
                          edgeTable: String, authorityTable: String,
@@ -868,28 +897,45 @@ object IncrementalStream {
     val q = edgeStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sp = batch.sparkSession
-          val delta = batch.select(col("src"), col("dst"), col("weight"))
-          val merged = (graft.io.Manifest.currentVersion(sp, edgeTable) match {
-            case Some(_) =>
-              graft.io.Manifest.read(sp, edgeTable).unionByName(delta)
-            case None => delta
-          }).groupBy("src", "dst").agg(sum("weight").as("weight"))
-          graft.io.Manifest.write(merged, edgeTable)
-          val edges = graft.io.Manifest.read(sp, edgeTable)
-          val nodes = edges.select(col("src").as("node"))
-            .unionAll(edges.select(col("dst").as("node"))).distinct()
-          val ranked =
-            graft.io.Manifest.currentVersion(sp, authorityTable) match {
-              case Some(_) => graft.ops.Graph.linkRankFrom(
-                graft.io.Manifest.read(sp, authorityTable), nodes, edges,
-                iters, base, dampNum, dampDen)
-              case None => graft.ops.Graph.linkRank(nodes, edges, iters,
-                base, dampNum, dampDen)
-            }
-          graft.io.Manifest.write(ranked, authorityTable)
+          val tag = s"authority-batch-$batchId"
+          def tagOf(table: String): Option[String] =
+            if (graft.io.Manifest.currentVersion(sp, table).isDefined)
+              graft.io.Manifest.currentTag(sp, table)
+            else None
+          // 1. edge merge — skipped when the current edge version was
+          // already produced by THIS batch (crash-replay after the edge
+          // commit): re-merging would union the same delta twice and the
+          // groupBy-sum would double-count its weights.
+          if (!tagOf(edgeTable).contains(tag)) {
+            val delta = batch.select(col("src"), col("dst"), col("weight"))
+            val merged = (graft.io.Manifest.currentVersion(sp, edgeTable) match {
+              case Some(_) =>
+                graft.io.Manifest.read(sp, edgeTable).unionByName(delta)
+              case None => delta
+            }).groupBy("src", "dst").agg(sum("weight").as("weight"))
+            graft.io.Manifest.writeTagged(merged, edgeTable, tag)
+          }
+          // 2. authority warm rounds — skipped only when ALREADY committed
+          // for this batch (crash-replay after both commits); a replay
+          // that merged in a previous attempt still runs this leg, over
+          // the merged graph, exactly as the uncrashed run would have.
+          if (!tagOf(authorityTable).contains(tag)) {
+            val edges = graft.io.Manifest.read(sp, edgeTable)
+            val nodes = edges.select(col("src").as("node"))
+              .unionAll(edges.select(col("dst").as("node"))).distinct()
+            val ranked =
+              graft.io.Manifest.currentVersion(sp, authorityTable) match {
+                case Some(_) => graft.ops.Graph.linkRankFrom(
+                  graft.io.Manifest.read(sp, authorityTable), nodes, edges,
+                  iters, base, dampNum, dampDen)
+                case None => graft.ops.Graph.linkRank(nodes, edges, iters,
+                  base, dampNum, dampDen)
+              }
+            graft.io.Manifest.writeTagged(ranked, authorityTable, tag)
+          }
           graft.CacheScope.release(sp)
         }
       }

@@ -537,6 +537,19 @@ class CorpusSpec extends SparkSpec {
     assert(out.getInt(0) == 1 && out.getString(1) == "a b c")
   }
 
+  test("cleanLines: whitespace runs and tabs tokenize as one separator") {
+    // "x  y" is TWO tokens (the empty fragment between the spaces must not
+    // count toward minTokens); "p\tthe\tq" tokenizes on the tab so the
+    // banned term is seen; " a b c" survives (leading-space empty fragment
+    // dropped, 3 real tokens).
+    val out = Corpus.cleanLines(docs(
+      1L -> "x  y\np\tthe\tq\n a b c"),
+      minTokens = 3, banned = Seq("the"))
+      .select("n_lines", "n_kept", "text_clean").collect().head
+    assert(out.getInt(0) == 3 && out.getInt(1) == 1 &&
+      out.getString(2) == " a b c")
+  }
+
   test("dedupLines: later occurrences drop, firsts survive in place") {
     val out = Corpus.dedupLines(docs(
       1L -> "shared line\nunique one",

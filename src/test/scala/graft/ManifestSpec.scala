@@ -68,6 +68,24 @@ class ManifestSpec extends SparkSpec {
       s"got $d")
   }
 
+  test("writeTagged records a commit tag; plain writes read as untagged; " +
+    "the tag is parquet-invisible and versioned with the snapshot") {
+    val t = tmp()
+    assert(Manifest.currentTag(spark, t).isEmpty, "no table -> no tag")
+    Manifest.write((1L to 3L).toDF("x"), t)
+    assert(Manifest.currentTag(spark, t).isEmpty, "plain write -> untagged")
+    val v2 = Manifest.writeTagged((1L to 5L).toDF("x"), t, "batch-7")
+    assert(v2 == 2)
+    assert(Manifest.currentTag(spark, t).contains("batch-7"))
+    // the _graft_tag file must not leak into the data read
+    assert(Manifest.read(spark, t).count() == 5)
+    // a later untagged commit hides the old tag (it belongs to v2, not v3)
+    Manifest.write((1L to 2L).toDF("x"), t)
+    assert(Manifest.currentTag(spark, t).isEmpty)
+    // time-travel: v2's data is intact and still carries its tag file
+    assert(Manifest.readVersion(spark, t, 2).count() == 5)
+  }
+
   test("vacuum keeps the newest snapshots and drops marker before data") {
     val t = tmp()
     (1 to 4).foreach(i => Manifest.write((1L to i.toLong).toDF("x"), t))

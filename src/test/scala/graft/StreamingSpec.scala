@@ -1147,4 +1147,112 @@ class StreamingSpec extends SparkSpec {
     CacheScope.release(spark)
     assert(gotAuth == want, "stream must equal the batch replay chain")
   }
+
+  test("authority stream replay-idempotency: a fully-committed batch " +
+    "replays as a no-op (no double-counted weights, no extra rounds)") {
+    val root = Files.createTempDirectory("graft_auth_replay").toString
+    val edgeTable = s"$root/edges"
+    val authTable = s"$root/authority"
+    val wave = Seq((1L, 2L, 2L), (2L, 1L, 1L))
+    val mem1 = MemoryStream[(Long, Long, Long)](spark)
+    mem1.addData(wave: _*)
+    IncrementalStream.runAuthorityStream(spark,
+      mem1.toDF().toDF("src", "dst", "weight"),
+      edgeTable, authTable, s"$root/ckpt1", iters = 2)
+    val edges1 = graft.io.Manifest.read(spark, edgeTable)
+      .as[(Long, Long, Long)].collect().toSet
+    val auth1 = graft.io.Manifest.read(spark, authTable)
+      .as[(Long, Long)].collect().toMap
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1))
+    // replay batch 0 from a FRESH checkpoint — the crash window after
+    // both Manifest commits but before the checkpoint mark: both legs
+    // find their own batchId tag and skip
+    val mem2 = MemoryStream[(Long, Long, Long)](spark)
+    mem2.addData(wave: _*)
+    IncrementalStream.runAuthorityStream(spark,
+      mem2.toDF().toDF("src", "dst", "weight"),
+      edgeTable, authTable, s"$root/ckpt2", iters = 2)
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1),
+      "replayed merge must be skipped — re-merging double-counts weights")
+    assert(graft.io.Manifest.currentVersion(spark, authTable).contains(1),
+      "replayed authority leg must be skipped — extra warm rounds drift")
+    assert(graft.io.Manifest.read(spark, edgeTable)
+      .as[(Long, Long, Long)].collect().toSet == edges1)
+    assert(graft.io.Manifest.read(spark, authTable)
+      .as[(Long, Long)].collect().toMap == auth1)
+    CacheScope.release(spark)
+  }
+
+  test("authority stream crash BETWEEN the edge and authority commits: " +
+    "the replay skips only the merge and lands like the uncrashed run") {
+    import graft.ops.Graph
+    val root = Files.createTempDirectory("graft_auth_halfcommit").toString
+    val edgeTable = s"$root/edges"
+    val authTable = s"$root/authority"
+    val wave = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
+    // simulate the half-committed state: the merge of batch 0 landed
+    // (tagged with its batchId) but the crash hit before the authority
+    // commit
+    graft.io.Manifest.writeTagged(wave.toDF("src", "dst", "weight"),
+      edgeTable, "authority-batch-0")
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    mem.addData(wave: _*)
+    IncrementalStream.runAuthorityStream(spark,
+      mem.toDF().toDF("src", "dst", "weight"),
+      edgeTable, authTable, s"$root/ckpt", iters = 2)
+    // merge leg skipped: still v1, weights NOT doubled
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1))
+    assert(graft.io.Manifest.read(spark, edgeTable)
+      .as[(Long, Long, Long)].collect().toSet == wave.toSet,
+      "a replayed merge would have doubled every weight")
+    // authority leg ran: cold-start rounds over the committed graph
+    val e = wave.toDF("src", "dst", "weight")
+    val n = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val want = Graph.linkRank(n, e, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(graft.io.Manifest.read(spark, authTable)
+      .as[(Long, Long)].collect().toMap == want)
+    CacheScope.release(spark)
+  }
+
+  test("curation ingest replay-idempotency: a replayed committed batch " +
+    "never double-admits") {
+    import graft.ops.text.{Corpus, Dedup, TextStats}
+    val root = Files.createTempDirectory("graft_ingest_replay").toString
+    val corpusSeed = Seq(
+      (10L, "the cat and the dog ran in the park with the red ball", "en"))
+      .toDF("doc_id", "text", "lang")
+    corpusSeed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/sigs"
+    Dedup.signatureRefresh(corpusSeed, registryTable, k = 32, bands = 8)
+    val thresholds = Corpus.quantileThresholds(
+      TextStats.qualityScore(corpusSeed, Seq("lang")),
+      "quality_score", "lang", p = 0.5)
+    val benchmark = Seq((100L,
+      "the physics question is about the speed of light", "en"))
+      .toDF("doc_id", "text", "lang")
+    val novel = "the weather in the mountains is mild and the rain " +
+      "falls in the valley near the lake"
+    def drainWith(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String, String)](spark)
+      mem.addData((21L, novel, "en"))
+      IncrementalStream.runCurationIngest(spark,
+        mem.toDF().toDF("doc_id", "text", "lang"),
+        s"$root/corpus", registryTable, thresholds, benchmark,
+        s"$root/accepted", ckpt)
+    }
+    drainWith(s"$root/ckpt1")
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    assert(graft.io.Manifest.currentVersion(spark, registryTable).contains(2))
+    // replay batch 0 from a fresh checkpoint — the crash window after the
+    // registry commit: the batchId tag short-circuits the whole batch
+    drainWith(s"$root/ckpt2")
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of doc 21")
+    assert(graft.io.Manifest.currentVersion(spark, registryTable).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
 }
