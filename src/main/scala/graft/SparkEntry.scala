@@ -1036,20 +1036,50 @@ res$sfx AS (SELECT '$qid' AS query_id,
   private val LrDampNum = 85L
   private val LrDampDen = 100L
   private val LrMinQty = 40
+  private val LrMaxItemsPerOrder = 64L
+
+  /** Qualifying lineitems with the WHALE-ORDER guard: the per-order
+    * self-join below emits |items|² pairs per order, so one 10⁴-item
+    * B2B cart would be a 10⁸-row hot key — orders with more than
+    * [[LrMaxItemsPerOrder]] qualifying items are dropped wholesale
+    * (TPC-H orders carry ≤ 7 lineitems, so the fixture loses nothing;
+    * `q_copurchase_cap` is the one-row audit of what the cap would
+    * drop). One `ok`-keyed count window; the pair join reuses the same
+    * exchange.
+    */
+  private def coPurchaseItems(lineitem: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ok")
+    lineitem.filter(col("l_quantity") >= LrMinQty)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .withColumn("n_items", count(lit(1)).over(w))
+      .filter(col("n_items") <= LrMaxItemsPerOrder)
+      .drop("n_items")
+  }
 
   /** Directed weighted co-purchase edges: (src, dst, weight) for parts
     * sharing an order among lineitems at or above `LrMinQty` quantity.
-    * Order-keyed self equi-join — fan-out bounded by order size, linear
-    * in lineitems at any scale.
+    * Order-keyed self equi-join — fan-out bounded by order size (capped
+    * at [[LrMaxItemsPerOrder]], see [[coPurchaseItems]]), linear in
+    * lineitems at any scale.
     */
   private def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.filter(col("l_quantity") >= LrMinQty)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val li = coPurchaseItems(lineitem)
     li.select(col("ok"), col("l_partkey").as("src"))
       .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
   }
+
+  /** [[coPurchaseItems]]'s cap, as oracle CTE text — interpolated into
+    * every co-purchase oracle chain so both engines build the identical
+    * bounded graph.
+    */
+  private lazy val LrLiCte: String =
+    s"""li AS (SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS n_items
+       |    FROM lineitem WHERE l_quantity >= $LrMinQty)
+       |  WHERE n_items <= $LrMaxItemsPerOrder)""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
@@ -2653,6 +2683,25 @@ res$sfx AS (SELECT '$qid' AS query_id,
         t(s, dir, "part").select(col("p_partkey").as("node")),
         coPurchaseEdges(t(s, dir, "lineitem")))),
 
+    // The whale-order cap's one-row audit: how many qualifying orders
+    // the LrMaxItemsPerOrder guard drops from the co-purchase graph and
+    // how many directed pairs that saves — read alongside q_graph_audit
+    // before paying for rounds (0 capped on TPC-H-shaped fixtures, where
+    // orders carry <= 7 lineitems; the count is the evidence, not an
+    // assumption).
+    "q_copurchase_cap" -> ((s, dir) => {
+      val sizes = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= LrMinQty)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      sizes.agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("n_items") > LrMaxItemsPerOrder, 1)).as("n_capped"),
+        coalesce(sum(when(col("n_items") > LrMaxItemsPerOrder,
+          col("n_items") * (col("n_items") - 1))), lit(0L))
+          .as("pairs_dropped"),
+        max(col("n_items")).as("max_items"))
+    }),
+
     // Damped integer-mass link authority (PageRank family) over the
     // co-purchase graph: LrIters rounds of Long floor-division
     // arithmetic, bit-identical across engines because every cross-row
@@ -2701,10 +2750,60 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("rank"))
   )
 
+  /** DuckDB CTE-materialization hint, applied uniformly to every oracle
+    * statement: rewrite each non-recursive CTE head `name AS (` to
+    * `name AS MATERIALIZED (`.
+    *
+    * Why this exists: DuckDB 1.0 INLINES a CTE at every reference site,
+    * so an oracle whose final SELECT reads five funnel stages — each a
+    * count over a CTE chain that shares the minhash-pair + reachability
+    * prefix — re-executes that whole prefix once per reference, and the
+    * optimizer occasionally picks a catastrophic join order for one of
+    * the copies. The whole-DAG curation replays paid for this
+    * multiplicatively: q_curation_budget alone cost 703 s at sf0.01 in
+    * the r12 gate's budget (the round's official correctness file came
+    * back EMPTY because the 175-query compare outgrew the driver's
+    * window). `AS MATERIALIZED` is a pure evaluation fence — each CTE
+    * runs once, results are provably identical (validated over all 172
+    * r12 oracles: 0 diffs, 896.6 s -> 52.6 s total).
+    *
+    * Exclusions, both structural: (a) a RECURSIVE member (its body
+    * references its own name — materialization is meaningless there and
+    * DuckDB rejects it); (b) a named-WINDOW clause (`WINDOW w AS (...)`),
+    * which shares the `name AS (` surface syntax but is not a CTE. CTE
+    * bodies in this registry are sequential at the top level, so "body =
+    * text up to the next head" is exact for the self-reference test.
+    */
+  private def materializeCtes(sql: String): String = {
+    val head = """(\w+)\s+AS\s*\(""".r
+    def isWindowClause(start: Int): Boolean =
+      sql.substring(0, start).reverse.dropWhile(_.isWhitespace)
+        .take(6).reverse.equalsIgnoreCase("WINDOW")
+    val heads = head.findAllMatchIn(sql).toList
+      .filterNot(m => isWindowClause(m.start))
+    val recursive = heads.zipWithIndex.collect {
+      case (m, i) if {
+        val bodyEnd =
+          if (i + 1 < heads.size) heads(i + 1).start else sql.length
+        ("""\b""" + java.util.regex.Pattern.quote(m.group(1)) + """\b""").r
+          .findFirstIn(sql.substring(m.end, bodyEnd)).isDefined
+      } => m.group(1)
+    }.toSet
+    head.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (recursive(m.group(1)) || isWindowClause(m.start)) m.matched
+        else s"${m.group(1)} AS MATERIALIZED ("))
+  }
+
   /** DuckDB-runnable oracle per query (same parquet tables, same aliases,
     * same ORDER BY). Decimal/rounding policy mirrors graft.package helpers.
+    * Every statement passes through [[materializeCtes]] — a semantics-free
+    * DuckDB evaluation hint; see its scaladoc.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
@@ -6148,9 +6247,23 @@ ORDER BY query_id, neg_rank"""),
         |WHERE n.vec_id % 2 = 1
         |ORDER BY n.vec_id""".stripMargin,
 
+    // One-row cap audit: count(CASE) / sum(CASE) in BIGINT like the
+    // Spark aggregates (DuckDB sum widens to HUGEINT — cast back).
+    "q_copurchase_cap" ->
+      s"""WITH sizes AS (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |  WHERE l_quantity >= $LrMinQty GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(CASE WHEN n_items > $LrMaxItemsPerOrder THEN 1 END)
+        |    AS BIGINT) AS n_capped,
+        |  CAST(coalesce(sum(CASE WHEN n_items > $LrMaxItemsPerOrder
+        |    THEN n_items * (n_items - 1) END), 0) AS BIGINT)
+        |    AS pairs_dropped,
+        |  CAST(max(n_items) AS BIGINT) AS max_items
+        |FROM sizes""".stripMargin,
+
     "q_graph_audit" ->
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity >= $LrMinQty),
+      s"""WITH $LrLiCte,
         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
         |        count(*) AS weight
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -6192,8 +6305,7 @@ ORDER BY query_id, neg_rank"""),
           |      // $LrDampDen AS BIGINT) AS mass
           |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity >= $LrMinQty),
+      s"""WITH $LrLiCte,
         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
         |        count(*) AS weight
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -6232,8 +6344,7 @@ ORDER BY query_id, neg_rank"""),
           |      // $LrDampDen AS BIGINT) AS mass
           |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity >= $LrMinQty),
+      s"""WITH $LrLiCte,
         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
         |        count(*) AS weight
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -6255,8 +6366,7 @@ ORDER BY query_id, neg_rank"""),
     // same 2·tri/(deg·(deg−1)) IEEE tree (e-notation literals so DuckDB
     // parses DOUBLE, not DECIMAL).
     "q_triangles" ->
-      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-        |  WHERE l_quantity >= $LrMinQty),
+      s"""WITH $LrLiCte,
         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         |        AND a.l_partkey <> b.l_partkey),

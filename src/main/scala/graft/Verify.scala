@@ -34,7 +34,13 @@ object Verify {
     // comma-separated subset of query names (driver always runs all)
     val only = args.lift(2).map(_.split(",").toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default sized to the box (capped: sf0.01 queries are small, and
+    // past ~16 threads task-launch overhead outweighs parallelism): the
+    // dump is half the correctness gate's wall budget, and the driver
+    // does not export SPARK_GRAFT_CPUS — r12's gate came back empty
+    // partly because the dump idled 28 of 32 cores.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 16).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

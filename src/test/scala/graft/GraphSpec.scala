@@ -261,4 +261,29 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_dangling")) == 7L)
     assert(row.isNullAt(row.fieldIndex("top_hub_share")))
   }
+
+  test("co-purchase whale-order cap: an over-cap order contributes no " +
+    "edges, and the cap audit prices exactly what it dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_whale").toString
+    // order 1: a 70-item whale (over the 64-item cap -> 70*69 directed
+    // pairs saved); order 2: 3 qualifying items; order 3: items below the
+    // quantity floor (never qualify)
+    val whale = (1 to 70).map(i => (1L, 1000L + i, 50))
+    val small = Seq((2L, 1L, 50), (2L, 2L, 50), (2L, 3L, 50))
+    val lowQty = Seq((3L, 1L, 5), (3L, 2L, 5))
+    (whale ++ small ++ lowQty)
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    (1L to 3L).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    val audit = SparkEntry.queries("q_graph_audit")(spark, dir)
+      .collect().head
+    assert(audit.getLong(audit.fieldIndex("n_edges")) == 6L,
+      "only the 3-item order's 3*2 directed edges survive the cap")
+    val cap = SparkEntry.queries("q_copurchase_cap")(spark, dir)
+      .collect().head
+    assert(cap.getLong(cap.fieldIndex("n_orders")) == 2L)
+    assert(cap.getLong(cap.fieldIndex("n_capped")) == 1L)
+    assert(cap.getLong(cap.fieldIndex("pairs_dropped")) == 70L * 69L)
+    assert(cap.getLong(cap.fieldIndex("max_items")) == 70L)
+  }
 }
