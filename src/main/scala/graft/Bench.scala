@@ -103,8 +103,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // codegen/JIT warm for the calibration shape itself
-    val cal0 = calibrate()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    def measure(): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
       // Min-of-reps per query: a transient external load spike (the
       // round-3 record was ~7x inflated by one; round 5's total was 2.2x)
       // distorts a single-shot time but rarely every rep. Two reps always;
@@ -136,6 +136,34 @@ object Bench {
       val err = reps.collectFirst { case (_, Some(e)) => e }
       (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err)
     }
+    // One measured pass, bracketed by the calibration probes. When the
+    // probes disagree by >3x (and the worse one is clearly above the
+    // ~0.2s steady state), the window was contention-tainted — the r12
+    // official number carried cal0=0.16/cal1=0.94 and untouched query
+    // groups inflated 2-5x. Refuse that measurement and retry ONCE,
+    // then report whichever pass has the calmer probes; "retry":1 in
+    // the line records that the first pass was discarded. A still-loaded
+    // box yields a second bad pass whose cal values disclose it — the
+    // probes make contention visible, the retry just buys one chance to
+    // dodge a transient.
+    def pass(): (Double, Seq[(String, Double, Option[String])], Double) = {
+      val c0 = calibrate()
+      val r = measure()
+      (c0, r, calibrate())
+    }
+    def tainted(p: (Double, Seq[(String, Double, Option[String])], Double)): Boolean = {
+      val hi = math.max(p._1, p._3); val lo = math.min(p._1, p._3)
+      hi > 3 * lo + 0.05 && hi > 0.5
+    }
+    val first = pass()
+    val (chosen, retried) =
+      if (!tainted(first)) (first, false)
+      else {
+        val second = pass()
+        (if (math.max(second._1, second._3) <= math.max(first._1, first._3))
+          second else first, true)
+      }
+    val (cal0, results, cal1) = chosen
     // The harness records only the last ~2000 chars of output; round 4's
     // full-precision line (~2.2k chars for 67 queries) overflowed that
     // window and the official bench number was lost ("parsed": null").
@@ -144,7 +172,6 @@ object Bench {
     // ("0.50"→"0.5", "2.00"→"2"), failures/errors omitted when zero, and
     // the sf path reduced to its basename. Centiseconds are already below
     // this box's run-to-run noise.
-    val cal1 = calibrate()
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
@@ -172,7 +199,8 @@ object Bench {
         .sortBy { case (f, v) => (-v, f) }
       val qs = fams.map { case (f, v) => jstr(f) + ":" + num(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","nq":${results.size},"cal0":${num(cal0, 2)},"cal1":${num(cal1, 2)},"queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
+      val retry = if (retried) ""","retry":1""" else ""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","nq":${results.size},"cal0":${num(cal0, 2)},"cal1":${num(cal1, 2)}$retry,"queries":$qs,"failures":$failures,"errors":$errs,"sf":"$sfName"}"""
     }
     // adaptive precision: drop to deciseconds (then whole seconds) only
     // when a finer line would overflow the record window. The window holds

@@ -1081,6 +1081,42 @@ res$sfx AS (SELECT '$qid' AS query_id,
        |    FROM lineitem WHERE l_quantity >= $LrMinQty)
        |  WHERE n_items <= $LrMaxItemsPerOrder)""".stripMargin
 
+  /** The full uniform-linkRank oracle chain (capped co-purchase edges,
+    * out-weights, node set, and the LrIters unrolled integer-mass
+    * rounds m0..m\$LrIters) — shared by q_linkrank (final masses) and
+    * q_linkrank_residual (consecutive-round diffs).
+    */
+  private lazy val LrChainCtes: String = {
+    val teleport = (LrDampDen - LrDampNum) * LrBase / LrDampDen
+    val rounds = (1 to LrIters).map { i =>
+      val prev = s"m${i - 1}"
+      s"""i$i AS (SELECT e.dst AS node,
+        |    CAST(sum((m.mass * e.weight) // o.w_out) AS BIGINT) AS in_mass
+        |  FROM e JOIN $prev m ON e.src = m.node JOIN o ON e.src = o.src
+        |  GROUP BY 1),
+        |d$i AS (SELECT CAST(coalesce(sum(m.mass), 0) AS BIGINT) AS dang
+        |  FROM $prev m LEFT JOIN o ON m.node = o.src
+        |  WHERE o.src IS NULL),
+        |m$i AS (SELECT n.node,
+        |    CAST($teleport + ($LrDampNum * (coalesce(s.in_mass, 0)
+        |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)))
+        |      // $LrDampDen AS BIGINT) AS mass
+        |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$LrLiCte,
+      |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |        count(*) AS weight
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey <> b.l_partkey
+      |      GROUP BY 1, 2),
+      |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
+      |      FROM e GROUP BY 1),
+      |nodes AS (SELECT p_partkey AS node FROM part),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |m0 AS (SELECT node, CAST($LrBase AS BIGINT) AS mass FROM nodes),
+      |$rounds""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Each wrapper appends the oracle-compare's deterministic ORDER BY here —
@@ -2714,6 +2750,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
         iters = LrIters, base = LrBase, dampNum = LrDampNum,
         dampDen = LrDampDen)
         .orderBy("node")),
+
+    // Convergence post-flight: per round, max |Δmass| and changed-node
+    // count over the same chain — did LrIters rounds suffice? (Integer
+    // max/count: order-independent, replayed by diffing the oracle's
+    // consecutive m_i CTEs.)
+    "q_linkrank_residual" -> ((s, dir) =>
+      ops.Graph.linkRankResidual(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        iters = LrIters, base = LrBase, dampNum = LrDampNum,
+        dampDen = LrDampDen)
+        .orderBy("round")),
 
     // Personalized (seeded) authority: teleport and the dangling pool
     // flow only to the trusted-seed set (p_partkey % 20 = 0 — the
@@ -6288,36 +6336,26 @@ ORDER BY query_id, neg_rank"""),
     // floor-division arithmetic (DuckDB // ≡ Spark div on non-negative
     // operands), same teleport/damping constants interpolated from the
     // shared Scala vals, so every mass matches bit-for-bit.
-    "q_linkrank" -> {
-      val teleport = (LrDampDen - LrDampNum) * LrBase / LrDampDen
-      val rounds = (1 to LrIters).map { i =>
-        val prev = s"m${i - 1}"
-        s"""i$i AS (SELECT e.dst AS node,
-          |    CAST(sum((m.mass * e.weight) // o.w_out) AS BIGINT) AS in_mass
-          |  FROM e JOIN $prev m ON e.src = m.node JOIN o ON e.src = o.src
-          |  GROUP BY 1),
-          |d$i AS (SELECT CAST(coalesce(sum(m.mass), 0) AS BIGINT) AS dang
-          |  FROM $prev m LEFT JOIN o ON m.node = o.src
-          |  WHERE o.src IS NULL),
-          |m$i AS (SELECT n.node,
-          |    CAST($teleport + ($LrDampNum * (coalesce(s.in_mass, 0)
-          |      + (SELECT dang FROM d$i) // (SELECT n FROM nn)))
-          |      // $LrDampDen AS BIGINT) AS mass
-          |  FROM nodes n LEFT JOIN i$i s ON n.node = s.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $LrLiCte,
-        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
-        |        count(*) AS weight
-        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |        AND a.l_partkey <> b.l_partkey
-        |      GROUP BY 1, 2),
-        |o AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out
-        |      FROM e GROUP BY 1),
-        |nodes AS (SELECT p_partkey AS node FROM part),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |m0 AS (SELECT node, CAST($LrBase AS BIGINT) AS mass FROM nodes),
-        |$rounds
-        |SELECT node, mass FROM m$LrIters ORDER BY node""".stripMargin
+    "q_linkrank" ->
+      s"""WITH $LrChainCtes
+        |SELECT node, mass FROM m$LrIters ORDER BY node""".stripMargin,
+
+    // linkRankResidual: the SAME unrolled chain, then per consecutive
+    // round pair the max |Δmass| and changed-node count — integer max
+    // and count, so order-independent like every mass.
+    "q_linkrank_residual" -> {
+      val perRound = (1 to LrIters).map { i =>
+        s"""SELECT $i AS round,
+          |  (SELECT CAST(coalesce(max(abs(a.mass - b.mass)), 0) AS BIGINT)
+          |   FROM m$i a JOIN m${i - 1} b ON a.node = b.node) AS max_abs_delta,
+          |  (SELECT CAST(count(*) AS BIGINT)
+          |   FROM m$i a JOIN m${i - 1} b ON a.node = b.node
+          |   WHERE a.mass <> b.mass) AS n_changed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $LrChainCtes
+        |SELECT * FROM (
+        |$perRound
+        |) ORDER BY round""".stripMargin
     },
 
     // linkRankSeeded's rounds — the q_linkrank chain with the teleport

@@ -260,13 +260,52 @@ object Graph {
               (col("degree").cast("double") - lit(1.0)))))
   }
 
+  /** Convergence POST-FLIGHT — [[degreeAudit]]'s sibling on the other
+    * side of the rounds: runs [[linkRank]]'s exact arithmetic and
+    * reports, per round, the maximum |Δmass| across nodes and how many
+    * nodes moved at all. Fixed-`iters` rounds otherwise give the
+    * operator no signal whether 4 rounds SUFFICED on this graph (a
+    * long-diameter chain needs more; a dense co-purchase core needs
+    * fewer) — this table is that signal: a tail residual near the
+    * integer floor (≲ a few mass units) means converged-for-ranking;
+    * a large one means raise `iters` (or lower it where rounds are
+    * wasted). Cost: the rounds themselves plus ONE combinable
+    * (max, count) aggregate per round over the state the round already
+    * materialized — nothing new shuffles.
+    *
+    * Output: (round, max_abs_delta, n_changed), round 1..iters —
+    * integer max/count over integer deltas, so order-independent and
+    * oracle-replayable like every mass (the oracle unrolls the same
+    * chained CTEs and diffs consecutive rounds).
+    */
+  def linkRankResidual(nodes: DataFrame, edges: DataFrame, iters: Int = 4,
+                       base: Long = 1000000L, dampNum: Long = 85L,
+                       dampDen: Long = 100L): DataFrame = {
+    val spark = nodes.sparkSession
+    val nodeTbl = graft.CacheScope.pin(
+      nodes.select(col("node"), lit(true).as("is_seed")))
+    val buf = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    iterate(nodeTbl, edges,
+      init = nodeTbl.select(col("node"), lit(base).as("mass")),
+      iters, base, dampNum, dampDen, residuals = Some(buf))
+    import spark.implicits._
+    buf.toSeq.zipWithIndex
+      .map { case ((d, n), i) => (i + 1, d, n) }
+      .toDF("round", "max_abs_delta", "n_changed")
+  }
+
   /** The shared round loop. `nodeTbl` is (node, is_seed) — already
     * pinned by the caller; teleport and the dangling pool flow only to
     * seed rows (`is_seed` all-true degenerates to uniform [[linkRank]]).
+    * With `residuals` set, each round also appends (max |Δmass|,
+    * count of changed nodes) vs the previous round's state — one
+    * combinable aggregate over the two checkpointed states
+    * ([[linkRankResidual]]'s instrumentation; None skips it entirely).
     */
   private def iterate(nodeTbl: DataFrame, edges: DataFrame,
                       init: DataFrame, iters: Int, base: Long,
-                      dampNum: Long, dampDen: Long): DataFrame = {
+                      dampNum: Long, dampDen: Long,
+                      residuals: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
     require(iters >= 1, s"need at least one round, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -322,6 +361,15 @@ object Graph {
       // (Dataset.unpersist is a no-op on localCheckpoint blocks — the
       // componentLabels lifecycle note applies verbatim).
       next.count()
+      residuals.foreach { buf =>
+        val r = next
+          .join(mass.withColumnRenamed("mass", "prev_mass"), "node")
+          .agg(coalesce(max(abs(col("mass") - col("prev_mass"))), lit(0L))
+            .as("d"),
+            count(when(col("mass") =!= col("prev_mass"), 1)).as("n"))
+          .first()
+        buf += ((r.getLong(0), r.getLong(1)))
+      }
       graft.unpersistCheckpoint(mass)
       mass = next
       round += 1

@@ -262,6 +262,32 @@ class GraphSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("top_hub_share")))
   }
 
+  test("linkRankResidual equals the scalar replay's per-round diffs and " +
+    "decays monotonically on the fixture") {
+    val iters = 4
+    val got = Graph.linkRankResidual(
+      nodes.toDF("node"), edges.toDF("src", "dst", "weight"), iters = iters)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    CacheScope.release(spark)
+    // scalar replay: per-round masses from scratch, diff consecutive
+    val states = (0 to iters).map {
+      case 0 => nodes.map(_ -> 1000000L).toMap
+      case k => naiveRank(nodes, edges, k, 1000000L, 85L, 100L)
+    }
+    val want = (1 to iters).map { k =>
+      val (prev, cur) = (states(k - 1), states(k))
+      (k, nodes.map(n => math.abs(cur(n) - prev(n))).max,
+        nodes.count(n => cur(n) != prev(n)).toLong)
+    }
+    assert(got == want)
+    // the whole point of the post-flight: residual shrinks round over
+    // round on a damped graph (monotone on this fixture)
+    val ds = got.map(_._2)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a },
+      s"residuals must decay: $ds")
+  }
+
   test("co-purchase whale-order cap: an over-cap order contributes no " +
     "edges, and the cap audit prices exactly what it dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_whale").toString
