@@ -1689,6 +1689,28 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("doc_inc", "doc_corp")
     }),
 
+    // Serve-path twin of q_contain_incr: the corpus side probed THROUGH
+    // the (s, doc_id, sz) containment index relation, incoming prefix in
+    // hash order — output identical to the inline form (losslessness is
+    // order-free), so the oracle is the inline statement verbatim.
+    "q_contain_served" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      Dedup.containmentAgainstIndex(
+        Dedup.containmentIndex(corpus), corpus,
+        d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
+
+    // Recall certificate for the containment maxDf lever on the fixed
+    // eval slice (doc_id < 400): exact all-ordered-pairs truth vs the
+    // df<=3-pruned prefix index's candidates — the priced recall trade
+    // the corpus-wide run would commit to.
+    "q_contain_recall" -> ((s, dir) =>
+      Dedup.containmentRecallEval(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        n = 3, threshold = 0.8, maxDf = 3L)),
+
     // Containment survivorship: strict excerpts drop, mutual containment
     // keeps the smallest id, chains resolve greedily.
     "q_contain_resolve" -> ((s, dir) => {
@@ -4056,6 +4078,60 @@ ORDER BY doc_a, doc_b"""
         |FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
         |ORDER BY doc_inc, doc_corp""".stripMargin,
+
+    // The registry round-trip changes nothing (losslessness is
+    // prefix-order-free), so the serve-path oracle IS the inline
+    // statement — the q_minhash_served precedent.
+    "q_contain_served" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_inc, b.doc_id AS doc_corp,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        |FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+        |ORDER BY doc_inc, doc_corp""".stripMargin,
+
+    // Recall-certificate replay: string 3-gram shingles, the df window,
+    // the (df, shingle) prefix order, and the two eps-loosened ceil
+    // bounds — all replayed verbatim (ASCII shingles sort identically;
+    // CAST(0.8 AS DOUBLE) keeps DuckDB out of DECIMAL arithmetic).
+    "q_contain_recall" ->
+      """WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM smp)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |        >= CAST(0.8 AS DOUBLE)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM nz),
+        |ix AS (SELECT doc_id, sz, s,
+        |    count(*) OVER (PARTITION BY s) AS df
+        |  FROM ex),
+        |ix2 AS (SELECT doc_id, sz, s, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn
+        |  FROM ix WHERE df <= 3),
+        |pa AS (SELECT s, doc_id AS doc_a, sz AS sz_a FROM ix2
+        |  WHERE rn <= sz - ceil(CAST(0.8 AS DOUBLE) * sz - 1e-9) + 1),
+        |pb AS (SELECT s, doc_id AS doc_b, sz AS sz_b FROM ix2),
+        |cd AS (SELECT DISTINCT doc_a, doc_b
+        |  FROM pa JOIN pb USING (s)
+        |  WHERE doc_a <> doc_b
+        |    AND sz_b >= ceil(CAST(0.8 AS DOUBLE) * sz_a - 1e-9)),
+        |th AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+        |  FROM tr LEFT JOIN cd c
+        |    ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+        |nd AS (SELECT count(*) AS n_docs FROM nz),
+        |nc AS (SELECT count(*) AS n_cand FROM cd)
+        |SELECT CAST(3 AS BIGINT) AS max_df, n_docs, n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+        |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+        |FROM nd, th, nc""".stripMargin,
 
     // q_containment's pair CTE + the survivorship rule: drop strict
     // excerpts (no reverse pair) and the larger id of mutual pairs.

@@ -1164,4 +1164,209 @@ object Dedup {
     configs.map { case (k, b) => recallRowOn(sets, truth, k, b) }
       .reduce(_ unionByName _)
   }
+
+  /** Recall certificate for the containment family's `maxDf` skew lever
+    * — [[minhashRecallEval]]'s shape at the containment relation: the
+    * exact all-ordered-pairs containment truth on a FIXED eval slice
+    * versus the df-pruned prefix index's candidate set. At the default
+    * `maxDf` the prefix filter is lossless (recall 1.0 by theorem —
+    * measured anyway, which is the point of a certificate); with a
+    * finite `maxDf` the number reported here is exactly the recall the
+    * corpus-wide run trades for bounded per-key fan-out, priced on the
+    * slice BEFORE committing the lever corpus-wide.
+    *
+    * Eval-path detail: shingles stay STRINGS here and the prefix order
+    * is (df asc, shingle asc) — byte-identical ordering on both engines
+    * for ASCII shingles — where the production operators order by
+    * (df, shingle HASH). The pruning POLICY (df computation, prefix
+    * size, length filter) is identical; only df-tie membership at the
+    * prefix boundary can differ, noise at certificate granularity. The
+    * quadratic truth is confined to the eval slice, one pass.
+    *
+    * Output, one row: (max_df, n_docs, n_truth, n_cand, n_hit, recall,
+    * "precision") — n_cand is the verify-join bill per slice pair.
+    */
+  def containmentRecallEval(evalSlice: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val spark = evalSlice.sparkSession
+    val eps = 1e-9
+    val sets = graft.CacheScope.pin(evalSlice
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val truth = sets.toDF("doc_a", "sh_a")
+      .crossJoin(sets.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(col("sh_a")) >= threshold)
+      .select("doc_a", "doc_b")
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val indexed = ex
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .withColumn("rn", row_number().over(wDoc))
+    val a = indexed
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
+      .select(col("s"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = indexed.select(col("s"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"))
+    val cand = a.join(b.hint("shuffle_hash"), "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
+      .select("doc_a", "doc_b").distinct()
+    val truthHit = truth
+      .join(cand.withColumn("is_cand", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("is_cand")).as("n_hit"))
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    nDocs.crossJoin(truthHit).crossJoin(nCand)
+      .select(lit(maxDf).as("max_df"), col("n_docs"), col("n_truth"),
+        col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand")).as("precision"))
+  }
+
+  /** The CONTAINER side of [[containmentAgainst]] as a persistable
+    * registry relation — the [[signatureTable]] move for the
+    * containment family (closing registry symmetry across all four
+    * asymmetric-ingest families: text signatures, embedding bands, IVF
+    * cells, containment shingles): one (s, doc_id, sz) row per corpus
+    * document per distinct shingle hash, df-pruned at build time when
+    * `maxDf` is set. Commit via [[containmentIndexRefresh]]; probe with
+    * [[containmentAgainstIndex]] — the corpus is then tokenized ONCE
+    * per registry build instead of once per incoming batch, which is
+    * the entire per-batch cost of the inline form at 100 TB (its df
+    * window and prefix index re-scan the full corpus every call).
+    *
+    * `maxDf` prices the same recall trade as everywhere in the family;
+    * after [[containmentIndexUpdate]] appends, stored df decisions are
+    * NOT re-priced (df only grows, so a once-kept stop shingle may
+    * outgrow the cap until the next refresh — the signature-registry
+    * staleness contract, lossless at the default).
+    */
+  def containmentIndex(corpus: DataFrame, n: Int = 3,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val spark = corpus.sparkSession
+    val ex = corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    ex.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .select("s", "doc_id", "sz")
+  }
+
+  /** Build-and-commit [[containmentIndex]] as a versioned Manifest
+    * snapshot (the signatureRefresh idiom). Returns the version.
+    */
+  def containmentIndexRefresh(corpus: DataFrame, table: String, n: Int = 3,
+                              maxDf: Long = Long.MaxValue): Int =
+    graft.io.Manifest.write(containmentIndex(corpus, n, maxDf), table)
+
+  /** Registry MAINTENANCE: append an accepted batch's own index rows
+    * (computed batch-local, df-unpruned — a batch has no meaningful df)
+    * and commit the next version. Index rows are per-document, so
+    * append IS the merge (same n required). Returns the new version.
+    */
+  def containmentIndexUpdate(table: String, accepted: DataFrame,
+                             n: Int = 3): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(containmentIndex(accepted, n)),
+      table)
+  }
+
+  /** Registry DELETE — [[containmentIndexUpdate]]'s inverse: drop a
+    * removed batch's rows by doc_id and commit (the signatureRetract
+    * contract: rows are per-document, an id anti-join IS the exact
+    * retraction). Returns the new version.
+    */
+  def containmentIndexRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        // the anti-join fronts its key — restore the registry schema so
+        // every committed version reads (s, doc_id, sz)
+        .select("s", "doc_id", "sz"),
+      table)
+  }
+
+  /** [[containmentAgainst]] served from a PERSISTED [[containmentIndex]]
+    * — only the INCOMING batch is tokenized and signed; corpus text is
+    * touched exactly for the candidate doc ids (one semi join), so the
+    * per-batch cost is O(batch + candidates) regardless of corpus size
+    * (the nearDupAgainstSigs economics at the containment relation).
+    *
+    * The incoming prefix orders by the shingle HASH alone — no df. Any
+    * fixed prefix of size |A| − ceil(t·|A|) + 1 is lossless (if every
+    * prefix shingle misses B, overlap ≤ ceil(t·|A|) − 1 < t·|A|), and
+    * batch-local df would mis-rank corpus-frequent shingles anyway; the
+    * candidate-count optimization df buys lives on the REGISTRY side,
+    * where build-time `maxDf` already dropped stop shingles. Output and
+    * semantics are IDENTICAL to inline [[containmentAgainst]] on the
+    * registry's corpus at the default maxDf (TextOpsSpec pins the
+    * equality; the oracle replays the registry chain inline).
+    */
+  def containmentAgainstIndex(registry: DataFrame, corpus: DataFrame,
+                              incoming: DataFrame, n: Int = 3,
+                              threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val spark = incoming.sparkSession
+    val eps = 1e-9
+    val setsI = graft.CacheScope.pin(incoming
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s"))
+    val a = setsI
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
+      .select(col("s"), col("doc_id").as("doc_inc"), col("sz").as("sz_a"))
+    val candidates = graft.CacheScope.pin(a
+      .join(registry.select(col("s"), col("doc_id").as("doc_corp"),
+        col("sz").as("sz_b")).hint("shuffle_hash"), "s")
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
+      .select("doc_inc", "doc_corp").distinct())
+    // corpus text only for candidate container ids — the serve economics
+    val candCorpus = corpus
+      .join(candidates.select(col("doc_corp").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val setsC = candCorpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id").as("doc_corp"),
+        array_distinct(hashedShingles(col("th"), n)).as("sh_b"))
+    candidates
+      .join(setsI.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_inc")
+      .join(setsC.hint("shuffle_hash"), "doc_corp")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("doc_inc", "doc_corp", "containment")
+  }
 }

@@ -96,7 +96,11 @@ class PlanGuardSpec extends SparkSpec {
       // its three 1-row count aggregates crossed into the result row
       "q_minhash_recall",
       // the same eval-sized truth cross + per-config 1-row count crosses
-      "q_minhash_sweep")
+      "q_minhash_sweep",
+      // the containment recall certificate: q_minhash_recall's shape at
+      // the containment relation (eval-sized all-ordered-pairs truth +
+      // 1-row count crosses)
+      "q_contain_recall")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

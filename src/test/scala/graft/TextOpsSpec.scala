@@ -260,6 +260,61 @@ class TextOpsSpec extends SparkSpec {
       "sides must not self-pair")
   }
 
+  test("containmentAgainstIndex: persisted-registry serve equals inline " +
+    "containmentAgainst; update/retract maintain the index exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cidx").toString + "/cidx"
+    assert(Dedup.containmentIndexRefresh(corpus, table) == 1)
+    val registry = graft.io.Manifest.read(spark, table)
+    val served = Dedup.containmentAgainstIndex(registry, corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.containmentAgainst(corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    CacheScope.release(spark)
+    assert(served == inline,
+      s"served=${served.size} inline=${inline.size}")
+
+    // update appends a batch's rows; retract removes them exactly
+    // (deterministic membership — a bare limit() re-evaluates per action)
+    val batch = incoming.filter($"doc_id" < 20)
+    assert(Dedup.containmentIndexUpdate(table, batch) == 2)
+    val afterUpdate = graft.io.Manifest.read(spark, table)
+    val direct = Dedup.containmentIndex(corpus)
+      .unionByName(Dedup.containmentIndex(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(afterUpdate.as[(Long, Long, Int)].collect().toSet == direct)
+    assert(Dedup.containmentIndexRetract(table,
+      batch.select($"doc_id")) == 3)
+    val afterRetract = graft.io.Manifest.read(spark, table)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(afterRetract ==
+      Dedup.containmentIndex(corpus).as[(Long, Long, Int)].collect().toSet,
+      "retract must restore exactly the corpus-only index")
+  }
+
+  test("containmentRecallEval: lossless at the default maxDf (recall 1), " +
+    "and the pruned index's miss is priced, not hidden") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.containmentRecallEval(docs).collect().head
+    CacheScope.release(spark)
+    assert(full.getLong(full.fieldIndex("n_truth")) > 0,
+      "fixture must plant containment pairs or the certificate is vacuous")
+    assert(full.getDouble(full.fieldIndex("recall")) == 1.0,
+      "default maxDf is the lossless theorem — measured")
+    assert(full.getLong(full.fieldIndex("n_hit")) ==
+      full.getLong(full.fieldIndex("n_truth")))
+    // an aggressive cap may or may not lose pairs on this corpus; the
+    // contract is that n_cand shrinks and recall reports the truth share
+    val pruned = Dedup.containmentRecallEval(docs, maxDf = 2).collect().head
+    CacheScope.release(spark)
+    assert(pruned.getLong(pruned.fieldIndex("n_cand")) <=
+      full.getLong(full.fieldIndex("n_cand")))
+    assert(pruned.getDouble(pruned.fieldIndex("recall")) <= 1.0)
+  }
+
   test("containmentPairs is lossless on the fixture corpus: equals naive " +
     "all-ordered-pairs containment") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
