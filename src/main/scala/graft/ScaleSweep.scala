@@ -84,13 +84,20 @@ object ScaleSweep {
     // served-RM3 and line-grain KN (the linear retrieval/LM additions)
     "q_rm3_served", "q_kn_lines",
     // hybrid-retrieval fusion (eval-sized) and the ingest excerpt check
-    // (the asymmetric containment economics at scale)
-    "q_rrf", "q_contain_incr",
+    // (the asymmetric containment economics at scale); the served twin
+    // right after it quantifies the persisted containment index's
+    // per-batch saving, and the recall certificate runs on the FIXED
+    // slice (flat in corpus size, like q_minhash_recall)
+    "q_rrf", "q_contain_incr", "q_contain_served", "q_contain_recall",
     // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
     // iterations over the co-purchase graph; edge build dominates), the
     // seeded twin (same joins, gated teleport), and the triangle census
-    // (the wedge join is the row to watch — O(√m) fan-out bound)
-    "q_linkrank", "q_linkrank_seeded", "q_triangles", "q_graph_audit",
+    // (the wedge join is the row to watch — O(√m) fan-out bound);
+    // r13: the convergence post-flight (rounds + one aggregate each),
+    // the whale-cap audit (one grouped count), and textRank (vocab-graph
+    // rounds + TakeOrderedAndProject top-k)
+    "q_linkrank", "q_linkrank_seeded", "q_linkrank_residual",
+    "q_triangles", "q_graph_audit", "q_copurchase_cap", "q_textrank",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;

@@ -294,18 +294,62 @@ object Graph {
       .toDF("round", "max_abs_delta", "n_changed")
   }
 
+  /** Convergence-GATED authority — [[linkRankResidual]]'s measurement
+    * acting as the STOPPING RULE: rounds run until max |Δmass| ≤ `tol`
+    * or `maxIters`, whichever first. This closes the fixed-`iters`
+    * guesswork both ways (a long-diameter chain gets the extra rounds
+    * it needs; a dense core stops paying for rounds that move nothing)
+    * while staying fully oracle-replayable: the per-round residual is
+    * an integer max — a deterministic function of the graph — so the
+    * stop round is too, and the oracle unrolls `maxIters` chains, computes
+    * the same residuals, and gates its final SELECT on the same
+    * first-round-under-tol decision (the census-dispatch idiom, at the
+    * iteration dimension). Extra cost over plain rounds: the one
+    * combinable residual aggregate per round.
+    *
+    * Output: (node, mass, rounds) — `rounds` the constant round count
+    * actually taken, for observability and replay audit. Choosing tol:
+    * mass resolution is `base`-scaled, so `tol ≈ base/10` stops when
+    * ranking order is stable at the top; `tol = 0` runs to the exact
+    * integer fixpoint or `maxIters`.
+    */
+  def linkRankConverged(nodes: DataFrame, edges: DataFrame, tol: Long,
+                        maxIters: Int = 8, base: Long = 1000000L,
+                        dampNum: Long = 85L,
+                        dampDen: Long = 100L): DataFrame = {
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    val nodeTbl = graft.CacheScope.pin(
+      nodes.select(col("node"), lit(true).as("is_seed")))
+    val (mass, rounds) = iterateCounted(nodeTbl, edges,
+      init = nodeTbl.select(col("node"), lit(base).as("mass")),
+      maxIters, base, dampNum, dampDen, stopTol = Some(tol))
+    mass.withColumn("rounds", lit(rounds))
+  }
+
+  private def iterate(nodeTbl: DataFrame, edges: DataFrame,
+                      init: DataFrame, iters: Int, base: Long,
+                      dampNum: Long, dampDen: Long,
+                      residuals: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame =
+    iterateCounted(nodeTbl, edges, init, iters, base, dampNum, dampDen,
+      residuals)._1
+
   /** The shared round loop. `nodeTbl` is (node, is_seed) — already
     * pinned by the caller; teleport and the dangling pool flow only to
     * seed rows (`is_seed` all-true degenerates to uniform [[linkRank]]).
     * With `residuals` set, each round also appends (max |Δmass|,
     * count of changed nodes) vs the previous round's state — one
     * combinable aggregate over the two checkpointed states
-    * ([[linkRankResidual]]'s instrumentation; None skips it entirely).
+    * ([[linkRankResidual]]'s instrumentation). With `stopTol` set, the
+    * loop breaks as soon as that residual is ≤ the tolerance
+    * ([[linkRankConverged]]'s gate; either option forces the per-round
+    * aggregate, neither adds a shuffle). Returns (final state, rounds
+    * taken).
     */
-  private def iterate(nodeTbl: DataFrame, edges: DataFrame,
+  private def iterateCounted(nodeTbl: DataFrame, edges: DataFrame,
                       init: DataFrame, iters: Int, base: Long,
                       dampNum: Long, dampDen: Long,
-                      residuals: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None): DataFrame = {
+                      residuals: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
+                      stopTol: Option[Long] = None): (DataFrame, Int) = {
     require(iters >= 1, s"need at least one round, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -338,7 +382,8 @@ object Graph {
     val teleport = (dampDen - dampNum) * base / dampDen
     var mass = init.localCheckpoint(false)
     var round = 0
-    while (round < iters) {
+    var converged = false
+    while (round < iters && !converged) {
       val inMass = edgeTbl
         .join(mass.withColumnRenamed("node", "src"), "src")
         .join(outW, "src")
@@ -361,19 +406,20 @@ object Graph {
       // (Dataset.unpersist is a no-op on localCheckpoint blocks — the
       // componentLabels lifecycle note applies verbatim).
       next.count()
-      residuals.foreach { buf =>
+      if (residuals.isDefined || stopTol.isDefined) {
         val r = next
           .join(mass.withColumnRenamed("mass", "prev_mass"), "node")
           .agg(coalesce(max(abs(col("mass") - col("prev_mass"))), lit(0L))
             .as("d"),
             count(when(col("mass") =!= col("prev_mass"), 1)).as("n"))
           .first()
-        buf += ((r.getLong(0), r.getLong(1)))
+        residuals.foreach(_ += ((r.getLong(0), r.getLong(1))))
+        if (stopTol.exists(r.getLong(0) <= _)) converged = true
       }
       graft.unpersistCheckpoint(mass)
       mass = next
       round += 1
     }
-    mass
+    (mass, round)
   }
 }

@@ -288,6 +288,38 @@ class GraphSpec extends SparkSpec {
       s"residuals must decay: $ds")
   }
 
+  test("linkRankConverged stops at the first round whose residual " +
+    "clears the tolerance, and lands on exactly that round's masses") {
+    // scalar residuals on the fixture decide the expected stop round
+    val states = (0 to 6).map {
+      case 0 => nodes.map(_ -> 1000000L).toMap
+      case k => naiveRank(nodes, edges, k, 1000000L, 85L, 100L)
+    }
+    val resid = (1 to 6).map { k =>
+      nodes.map(n => math.abs(states(k)(n) - states(k - 1)(n))).max
+    }
+    // pick a tol that stops strictly inside (1, 6) so the gate is live
+    val stopAt = 3
+    val tol = resid(stopAt - 1) // residual of round `stopAt` clears it...
+    assert(resid(stopAt - 2) > tol, "fixture must not stop a round early")
+    val out = Graph.linkRankConverged(
+      nodes.toDF("node"), edges.toDF("src", "dst", "weight"),
+      tol = tol, maxIters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    CacheScope.release(spark)
+    assert(out.forall(_._3 == stopAt), s"rounds must be $stopAt")
+    assert(out.map(t => t._1 -> t._2).toMap == states(stopAt),
+      "masses must be exactly the stop round's state")
+    // an unreachable tolerance runs to maxIters
+    val full = Graph.linkRankConverged(
+      nodes.toDF("node"), edges.toDF("src", "dst", "weight"),
+      tol = 0L, maxIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    CacheScope.release(spark)
+    assert(full.forall(_._3 == 2) &&
+      full.map(t => t._1 -> t._2).toMap == states(2))
+  }
+
   test("co-purchase whale-order cap: an over-cap order contributes no " +
     "edges, and the cap audit prices exactly what it dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_whale").toString

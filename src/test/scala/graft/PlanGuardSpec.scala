@@ -51,6 +51,8 @@ class PlanGuardSpec extends SparkSpec {
       // each linkRank round broadcasts its 1-row dangling-mass aggregate
       // over the node table (skewAudit's constant-size-build shape)
       "q_linkrank", "q_linkrank_seeded",
+      // the residual-gated variant: same per-round 1-row dangling builds
+      "q_linkrank_conv",
       // TextRank composes q_cooccur's 1-row totals build + the linkRank
       // dangling broadcasts
       "q_textrank",
