@@ -98,6 +98,12 @@ object ScaleSweep {
     // rounds + TakeOrderedAndProject top-k)
     "q_linkrank", "q_linkrank_seeded", "q_linkrank_residual",
     "q_triangles", "q_graph_audit", "q_copurchase_cap", "q_textrank",
+    // r13 session 2 graph additions on the same power-law graph: BFS
+    // frontier rounds (each edge relaxed once across the run), LPA's
+    // per-round edge⋈label join + argmax (the hub's label pull is the
+    // row to watch), and 6 peeling rounds (degree census + 2 semi
+    // joins each)
+    "q_hops", "q_communities", "q_kcore",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;

@@ -1044,6 +1044,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
   // into the Spark call AND the oracle's round-selection CTEs.
   private val LrConvTol = 300000L
   private val LrConvMaxIters = 6
+  // q_hops / q_communities / q_kcore (r13): the BFS horizon, the LPA
+  // round count, and the peeling threshold/budget — all interpolated
+  // into both engines like the Lr* family. KcoreMaxRounds = 6 clears
+  // the sf0.01 fixpoint (peeling stabilizes at round 5 there; extra
+  // peels are no-ops, so an unconverged bigger SF still matches the
+  // oracle's fixed unroll bit-for-bit). HopSeedMod reuses
+  // q_linkrank_seeded's deterministic seed predicate (node % 20 = 0).
+  private val HopMaxHops = 4
+  private val HopSeedMod = 20L
+  private val LpRounds = 3
+  private val KcoreK = 3
+  private val KcoreMaxRounds = 6
 
   /** Qualifying lineitems with the WHALE-ORDER guard: the per-order
     * self-join below emits |items|² pairs per order, so one 10⁴-item
@@ -2831,6 +2843,45 @@ res$sfx AS (SELECT '$qid' AS query_id,
       ops.Graph.triangles(
         t(s, dir, "part").select(col("p_partkey").as("node")),
         coPurchaseEdges(t(s, dir, "lineitem")))
+        .orderBy("node")),
+
+    // BFS hop distance from the trusted-seed set over the co-purchase
+    // graph: frontier-based min-plus rounds, each edge relaxed at most
+    // once across the whole run; unreachable-within-horizon stays NULL.
+    // Early stop ≡ the oracle's fixed HopMaxHops unroll (idempotent
+    // tail), so no stop decision needs replaying.
+    "q_hops" -> ((s, dir) => {
+      val nodes = t(s, dir, "part").select(col("p_partkey").as("node"))
+      ops.Graph.hopDistance(nodes,
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        nodes.filter(col("node") % HopSeedMod === 0),
+        maxHops = HopMaxHops)
+        .orderBy("node")
+    }),
+
+    // Synchronous weighted label propagation (deterministic LPA):
+    // LpRounds rounds of argmax-by-(incident weight, min label) over the
+    // symmetrized co-purchase graph — integer totals, so the labeling
+    // replays exactly; the oracle's per-round argmax is a node-
+    // partitioned row_number.
+    "q_communities" -> ((s, dir) =>
+      ops.Graph.labelPropagate(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        rounds = LpRounds)
+        .orderBy("node")),
+
+    // k-core membership by iterative peeling: KcoreMaxRounds synchronized
+    // peels of the undirected simple co-purchase graph (stable at round 5
+    // on sf0.01 — a LIVE multi-round cascade, not a one-shot degree
+    // filter); survivors with residual degree. Peeling is idempotent at
+    // the fixpoint, so the early-stopped loop equals the oracle's fixed
+    // unroll.
+    "q_kcore" -> ((s, dir) =>
+      ops.Graph.kcore(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        k = KcoreK, maxRounds = KcoreMaxRounds)
         .orderBy("node")),
 
     // TextRank keyword extraction: the q_cooccur pair graph feeding the
@@ -6569,6 +6620,100 @@ ORDER BY query_id, neg_rank"""),
         |  LEFT JOIN deg ON n.node = deg.node
         |  LEFT JOIN pn ON n.node = pn.node
         |ORDER BY n.node""".stripMargin,
+
+    // hopDistance: HopMaxHops dense min-plus rounds unrolled — with
+    // unit weights a node's hops is fixed the first round it is
+    // reached, so rounds past settlement are no-ops and the fixed
+    // unroll equals the operator's frontier loop regardless of where
+    // the early stop fired.
+    "q_hops" -> {
+      val rounds = (1 to HopMaxHops).map { i =>
+        val prev = s"h${i - 1}"
+        s"""h$i AS (SELECT s.node,
+          |    CAST(coalesce(s.hops,
+          |      CASE WHEN c.node IS NOT NULL THEN $i END) AS BIGINT) AS hops
+          |  FROM $prev s LEFT JOIN (
+          |    SELECT DISTINCT e.dst AS node
+          |    FROM e JOIN $prev p ON e.src = p.node
+          |    WHERE p.hops = ${i - 1}) c ON s.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LrLiCte,
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |h0 AS (SELECT node, CASE WHEN node % $HopSeedMod = 0
+        |         THEN CAST(0 AS BIGINT) END AS hops FROM nodes),
+        |$rounds
+        |SELECT node, hops FROM h$HopMaxHops ORDER BY node""".stripMargin
+    },
+
+    // labelPropagate: LpRounds synchronous rounds — per round one
+    // (node, label) weight sum over the symmetrized edges, then the
+    // argmax as a node-partitioned row_number by (w DESC, label ASC),
+    // the window twin of the operator's combinable max-of-(w, -label)
+    // struct. Integer weight totals keep every round order-independent.
+    "q_communities" -> {
+      val rounds = (1 to LpRounds).map { i =>
+        val prev = s"l${i - 1}"
+        s"""nb$i AS (SELECT s.dst AS node, l.label,
+          |    CAST(sum(s.weight) AS BIGINT) AS w
+          |  FROM sym s JOIN $prev l ON s.src = l.node GROUP BY 1, 2),
+          |b$i AS (SELECT node, label FROM (
+          |    SELECT node, label, row_number() OVER (
+          |      PARTITION BY node ORDER BY w DESC, label ASC) AS rn
+          |    FROM nb$i) WHERE rn = 1),
+          |l$i AS (SELECT p.node, coalesce(b.label, p.label) AS label
+          |  FROM $prev p LEFT JOIN b$i b ON p.node = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LrLiCte,
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |        count(*) AS weight
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |sym AS (SELECT src, dst, CAST(sum(weight) AS BIGINT) AS weight
+        |        FROM (SELECT src, dst, weight FROM e
+        |              UNION ALL SELECT dst, src, weight FROM e)
+        |        GROUP BY 1, 2),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |$rounds
+        |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
+    },
+
+    // kcore: KcoreMaxRounds peels unrolled — peeling is monotone and
+    // idempotent at the fixpoint, so the operator's early-stopped loop
+    // equals this fixed unroll whether or not the graph converged
+    // inside the budget; the final census + >= k filter is replayed
+    // verbatim.
+    "q_kcore" -> {
+      val rounds = (1 to KcoreMaxRounds).map { i =>
+        val prev = s"u${i - 1}"
+        s"""d$i AS (SELECT node, count(*) AS degree FROM (
+          |    SELECT u AS node FROM $prev
+          |    UNION ALL SELECT v AS node FROM $prev) GROUP BY 1),
+          |u$i AS (SELECT pe.u, pe.v FROM $prev pe
+          |  JOIN d$i da ON pe.u = da.node
+          |  JOIN d$i db ON pe.v = db.node
+          |  WHERE da.degree >= $KcoreK AND db.degree >= $KcoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LrLiCte,
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |u0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e
+        |       WHERE least(src, dst) IN (SELECT node FROM nodes)
+        |         AND greatest(src, dst) IN (SELECT node FROM nodes)),
+        |$rounds
+        |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT u AS node FROM u$KcoreMaxRounds
+        |  UNION ALL SELECT v AS node FROM u$KcoreMaxRounds) GROUP BY 1
+        |HAVING count(*) >= $KcoreK
+        |ORDER BY node""".stripMargin
+    },
 
     // q_cooccur's pair CTEs chained into q_linkrank's rounds at term
     // grain (VARCHAR nodes), then the rank window — rank CAST AS INT

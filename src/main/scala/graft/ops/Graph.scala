@@ -326,6 +326,178 @@ object Graph {
     mass.withColumn("rounds", lit(rounds))
   }
 
+  /** BFS hop distance from a trusted SEED set — the "how many links from
+    * a source I trust" crawl-frontier signal that complements
+    * [[linkRankSeeded]]'s mass-proximity prior (hops is the metric a
+    * crawl-depth keep rule actually thresholds on; seeded mass is the
+    * weighted analogue). Directed: distance follows `src → dst` edges.
+    *
+    * Frontier-based min-plus propagation: round h joins ONLY the nodes
+    * settled at distance h−1 against the edge table, so each edge is
+    * relaxed at most once over the whole run (total work O(|E|) across
+    * all rounds — not O(rounds · |E|) like a dense relaxation), and the
+    * loop stops as soon as a round settles nothing. With unit weights
+    * the first time a node is reached IS its minimal distance, so early
+    * stop and extra rounds are both semantic no-ops — the oracle simply
+    * unrolls `maxHops` dense rounds and matches bit-for-bit, no stop
+    * decision to replay (the idempotent-tail idiom, also [[kcore]]).
+    *
+    * Output: (node, hops) one row per `nodes` row — hops NULL when the
+    * node is unreachable from every seed within `maxHops`.
+    */
+  def hopDistance(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                  maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val edgeTbl = graft.CacheScope.pin(
+      edges.select(col("src"), col("dst")).distinct())
+    var state = nodes.select(col("node"))
+      .join(seeds.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+      .select(col("node"), when(col("is_seed"), lit(0L)).as("hops"))
+      .localCheckpoint(false)
+    var hop = 0
+    var frontierSize = state.filter(col("hops") === 0L).count()
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      val reached = edgeTbl
+        .join(state.filter(col("hops") === lit(hop - 1).cast("long"))
+          .select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+      val next = state
+        .join(reached.withColumn("hit", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("hops").isNotNull, col("hops"))
+            .otherwise(when(col("hit"), lit(hop.toLong))).as("hops"))
+        .localCheckpoint(false)
+      frontierSize = next.filter(col("hops") === lit(hop).cast("long")).count()
+      graft.unpersistCheckpoint(state)
+      state = next
+    }
+    state
+  }
+
+  /** Community detection by synchronous weighted label propagation
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") — the grouping
+    * signal BETWEEN connected components and near-dup clusters: a
+    * mirror farm is one tight community inside a component that also
+    * contains its organic neighborhood, and a curation mixture wants to
+    * cap per-community, not per-component. Labels live on the
+    * UNDIRECTED weighted graph under `edges` (symmetrized, parallel
+    * edges merged by weight sum).
+    *
+    * Determinism (the async-LPA coin-flip replaced): all nodes update
+    * simultaneously each round, a node adopts the label with the
+    * largest total incident weight, and ties break to the SMALLEST
+    * label — an integer-total order, so the labeling after `rounds` is
+    * a pure function of the graph and both engines replay it exactly
+    * (synchronous LPA can oscillate on bipartite structure; the fixed
+    * round count makes that a bounded, deterministic behavior rather
+    * than a termination hazard). Per round: one edge⋈label equi-join,
+    * one combinable (node, label) weight sum, one combinable
+    * max-of-struct argmax — the Pregel shape, no windows over nodes.
+    *
+    * Output: (node, label) one row per `nodes` row; isolated nodes keep
+    * their own id as label.
+    */
+  def labelPropagate(nodes: DataFrame, edges: DataFrame,
+                     rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val sym = graft.CacheScope.pin(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("weight"))
+        .unionAll(edges.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+        .groupBy("src", "dst").agg(sum("weight").as("weight")))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < rounds) {
+      val nb = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("weight").as("w"))
+      // argmax by (weight DESC, label ASC) as one combinable max over
+      // (w, -label) — labels are node ids >= 0, so negation is a safe
+      // total-order flip in Long
+      val best = nb
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("w").as("w"), (-col("label")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("nb_label"))
+      val next = labels
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nb_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+      next.count()
+      graft.unpersistCheckpoint(labels)
+      labels = next
+      r += 1
+    }
+    labels
+  }
+
+  /** k-core membership by iterative peeling (Seidman 1983, "Network
+    * structure and minimum degree"): repeatedly delete nodes whose
+    * degree in the SURVIVING undirected simple graph is below `k`,
+    * until stable or `maxRounds` peels. The k-core is the standard
+    * "dense enough to matter" mask over a link graph — spam farms and
+    * boilerplate rings sit in high cores while organic long-tail pages
+    * peel away — and the iterative cascade is exactly what a one-shot
+    * degree filter misses (removing leaves exposes new leaves).
+    *
+    * Peeling is MONOTONE and idempotent at the fixpoint: once a round
+    * deletes nothing, every further round deletes nothing. So the
+    * early-stopped loop equals the oracle's fixed `maxRounds` unroll
+    * bit-for-bit, converged or not — no stop decision to replay (the
+    * [[hopDistance]] argument). Per round: one combinable degree count
+    * + two semi joins, linear in surviving edges; round state is one
+    * (u, v) row per surviving edge, checkpointed and freed like every
+    * loop here.
+    *
+    * Output: (node, degree) for nodes surviving all peels, with their
+    * residual degree — at the fixpoint every residual degree ≥ k.
+    */
+  def kcore(nodes: DataFrame, edges: DataFrame, k: Int,
+            maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"need at least one peel, got $maxRounds")
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .join(nodes.select(col("node").as("u")), Seq("u"), "semi")
+      .join(nodes.select(col("node").as("v")), Seq("v"), "semi")
+      .select("u", "v")
+      .localCheckpoint(false)
+    var edgeCount = und.count()
+    var round = 0
+    var stable = edgeCount == 0L
+    while (round < maxRounds && !stable) {
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k)
+      val next = und
+        .join(keep.select(col("node").as("u")), Seq("u"), "semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+      val nextCount = next.count()
+      if (nextCount == edgeCount) { stable = true; graft.unpersistCheckpoint(next) }
+      else {
+        graft.unpersistCheckpoint(und)
+        und = next
+        edgeCount = nextCount
+      }
+      round += 1
+    }
+    und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
   private def iterate(nodeTbl: DataFrame, edges: DataFrame,
                       init: DataFrame, iters: Int, base: Long,
                       dampNum: Long, dampDen: Long,

@@ -344,4 +344,89 @@ class GraphSpec extends SparkSpec {
     assert(cap.getLong(cap.fieldIndex("pairs_dropped")) == 70L * 69L)
     assert(cap.getLong(cap.fieldIndex("max_items")) == 70L)
   }
+
+  test("hopDistance: BFS levels on a directed path, unreachable stays " +
+    "NULL, and early stop equals a longer maxHops") {
+    // 1→2→3→4 plus back-edge 4→1; 9 is isolated; 8→1 points AT the seed
+    // (so 8 is unreachable — direction matters)
+    val ns = Seq(1L, 2L, 3L, 4L, 8L, 9L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (8L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def hops(maxHops: Int): Map[Long, Option[Long]] =
+      Graph.hopDistance(ns, es, seeds, maxHops)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = hops(6)
+    CacheScope.release(spark)
+    assert(got == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 8L -> None, 9L -> None))
+    // eccentricity is 3, so maxHops 3 and 6 agree (extra rounds no-op)
+    val tight = hops(3)
+    CacheScope.release(spark)
+    assert(tight == got)
+    // a capped horizon truncates to NULL beyond it
+    val capped = hops(2)
+    CacheScope.release(spark)
+    assert(capped(4L).isEmpty && capped(3L).contains(2L))
+  }
+
+  test("labelPropagate: two weight-10 triangles over a weight-1 bridge " +
+    "converge to per-triangle min labels; isolated keeps its own") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    // undirected intent: pass each edge once, operator symmetrizes
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val got = Graph.labelPropagate(ns, es, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 9L -> 9L))
+  }
+
+  test("labelPropagate matches the hand round: sync update with " +
+    "(max weight, min label) tie-break after ONE round") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val got = Graph.labelPropagate(ns, es, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    // each node sees two w=10 neighbors with distinct self-labels →
+    // tie → min neighbor label (node 3 also sees 4 at w=1, dominated;
+    // node 4 likewise sees 3 at w=1)
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 5L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("kcore: the K4 survives k=3 while the tail peels; cascade needs " +
+    "multiple rounds; over-k empties; fixed peels match the truncated run") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val ns = (1L to 7L).toDF("node")
+    val es = (k4 ++ tail).map { case (u, v) => (u, v, 1L) }
+      .toDF("src", "dst", "weight")
+    val core3 = Graph.kcore(ns, es, k = 3, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kcore(ns, es, k = 5, maxRounds = 8).count() == 0L)
+    CacheScope.release(spark)
+    // pure path at k=2 peels one level per round: 3 rounds to empty,
+    // and a 1-round truncation leaves exactly the one >=2-degree node
+    val pn = (1L to 5L).toDF("node")
+    val pe = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (u, v) => (u, v, 1L) }.toDF("src", "dst", "weight")
+    assert(Graph.kcore(pn, pe, k = 2, maxRounds = 8).count() == 0L)
+    CacheScope.release(spark)
+    val oneRound = Graph.kcore(pn, pe, k = 2, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(oneRound == Map(3L -> 2L))
+  }
 }
