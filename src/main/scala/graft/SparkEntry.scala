@@ -2512,6 +2512,35 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "doc_id", "s", maxDist = 2, q = 3)
         .orderBy("id_a", "id_b")),
 
+    // Ingest entity-resolution check: odd-id incoming prefixes within
+    // Levenshtein 2 of an even-id corpus prefix — the asymmetric Ed-Join
+    // (no corpus self-pairing; batch prefix ordered by the CORPUS gram
+    // frequencies). Oracle is the naive cross scan.
+    "q_edit_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("s"))
+      ops.text.Fuzzy.editDistanceAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "s", maxDist = 2, q = 3)
+        .orderBy("id_inc", "id_corp")
+    }),
+
+    // Serve-path twin of q_edit_incr: the corpus side probed THROUGH the
+    // persisted hash-ordered (doc_id, len, g, occ) ed-index relation —
+    // candidate generation is lossless under ANY shared total order and
+    // the verify is exact, so output equals the inline form and the
+    // oracle is the cross statement verbatim.
+    "q_edit_served" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("s"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      ops.text.Fuzzy.editDistanceAgainstIndex(
+        ops.text.Fuzzy.edIndex(corpus, "doc_id", "s", maxDist = 2, q = 3),
+        corpus, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "s", maxDist = 2, q = 3)
+        .orderBy("id_inc", "id_corp")
+    }),
+
     // SCD Type-2 dimension history: per-customer status/priority version
     // intervals rebuilt from the order stream (one window shuffle).
     "q_scd2" -> ((s, dir) =>
@@ -5753,6 +5782,26 @@ ORDER BY vec_id, j"""
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Naive CROSS oracle (incoming odd × corpus even) for the asymmetric
+    // Ed-Join — half the all-pairs statement's work.
+    "q_edit_incr" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_inc, id_corp""".stripMargin,
+
+    // Registry round-trip changes nothing (losslessness is prefix-order-
+    // free) — the serve-path oracle IS the inline cross statement.
+    "q_edit_served" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_inc, id_corp""".stripMargin,
 
     // Change rows via null-safe lag compare (IS DISTINCT FROM ≡ Spark's
     // <=> negation), then validity intervals via lead over the survivors —

@@ -60,17 +60,22 @@ object Fuzzy {
     */
   private case class EdParts(base: DataFrame, long: DataFrame,
                              short: DataFrame, prefix: DataFrame,
-                             prefixLen: Int, maxDist: Int, q: Int)
+                             prefixLen: Int, maxDist: Int, q: Int,
+                             freq: DataFrame)
 
-  /** Steps 1-3 of the Ed-Join shape (gram multiset → global frequencies
-    * → rarest-gram prefix) — the part whose OUTPUT is also the cost
-    * signal the auto dispatcher reads.
+  /** Steps 1-2 of the Ed-Join shape: normalized inputs, the long/short
+    * split, and the positional gram multiset — everything BEFORE an
+    * ordering is chosen. Shared by the symmetric df-ordered prefix
+    * ([[gramPrefix]]), the asymmetric probe (incoming side ordered by
+    * the CORPUS df), and the hash-ordered registry ([[edIndex]]).
     */
-  private def gramPrefix(df: DataFrame, idCol: String, strCol: String,
-                         maxDist: Int, q: Int): EdParts = {
+  private case class EdRaw(base: DataFrame, long: DataFrame,
+                           short: DataFrame, exploded: DataFrame)
+
+  private def gramExplode(df: DataFrame, idCol: String, strCol: String,
+                          maxDist: Int, q: Int): EdRaw = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 2, s"q must be >= 2, got $q")
-    val prefixLen = q * maxDist + 1
     val id = col(idCol)
     val s = col(strCol)
 
@@ -93,13 +98,23 @@ object Fuzzy {
       .select(col("_id"), col("_len"), explode(gramOcc).as("go"))
       .select(col("_id"), col("_len"),
         col("go.g").as("g"), col("go.occ").as("occ"))
+    EdRaw(base, long, short, exploded)
+  }
 
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("_gdf"))
+  /** Step 3 of the Ed-Join shape (gram multiset → global frequencies
+    * → rarest-gram prefix) — the part whose OUTPUT is also the cost
+    * signal the auto dispatcher reads.
+    */
+  private def gramPrefix(df: DataFrame, idCol: String, strCol: String,
+                         maxDist: Int, q: Int): EdParts = {
+    val prefixLen = q * maxDist + 1
+    val r = gramExplode(df, idCol, strCol, maxDist, q)
+    val freq = r.exploded.groupBy("g").agg(count(lit(1)).as("_gdf"))
     val prefix = graft.ops.Relational.topKPerGroup(
-      exploded.join(broadcast(freq), Seq("g")),
+      r.exploded.join(broadcast(freq), Seq("g")),
       Seq("_id"), Seq(asc("_gdf"), asc("g"), asc("occ")), prefixLen)
       .drop("rank", "_gdf")
-    EdParts(base, long, short, prefix, prefixLen, maxDist, q)
+    EdParts(r.base, r.long, r.short, prefix, prefixLen, maxDist, q, freq)
   }
 
   /** Step 4: the prefix self-join + verify tail over a prepared
@@ -376,4 +391,195 @@ object Fuzzy {
                  maxCandidatesPerString: Double = 64.0): String =
     if (edJoinAudit(df, idCol, strCol, maxDist, q).candidatesPerString >
       maxCandidatesPerString) "partition" else "prefix"
+
+  /** ASYMMETRIC Ed-Join — the ingest form of [[editDistanceJoin]]: every
+    * (incoming, corpus) pair within Levenshtein `maxDist`, with no
+    * corpus self-pairing (the [[Dedup.nearDupAgainst]] /
+    * [[Dedup.containmentAgainst]] economics at the string-similarity
+    * member of the dedup family). The batch side's prefix is ordered by
+    * the CORPUS gram frequencies, with grams the corpus has never seen
+    * ranked rarest (df 0) — a consistent extension of the corpus total
+    * order, so the cross-side prefix lemma holds: any two strings within
+    * `maxDist` share a positional gram inside both `q·maxDist+1` prefixes
+    * drawn from ONE total order, whatever that order is. The order only
+    * prices pruning; correctness lives in the verify.
+    *
+    * Short strings pair through batch-side length-bucket explodes in
+    * BOTH directions (incoming shorts × any corpus length, incoming
+    * longs × corpus shorts) — the explode always rides the batch, so
+    * per-batch work stays batch-proportional plus the corpus prefix
+    * build (which [[editDistanceAgainstIndex]] amortizes into a
+    * committed artifact).
+    *
+    * Output: (id_inc, id_corp, dist) — one row per qualifying cross
+    * pair; a re-ingested identical string surfaces as dist 0.
+    */
+  def editDistanceAgainst(corpus: DataFrame, incoming: DataFrame,
+                          idCol: String, strCol: String,
+                          maxDist: Int, q: Int = 2): DataFrame = {
+    val cp = gramPrefix(corpus, idCol, strCol, maxDist, q)
+    val ir = gramExplode(incoming, idCol, strCol, maxDist, q)
+    val iPrefix = graft.ops.Relational.topKPerGroup(
+      ir.exploded.join(broadcast(cp.freq), Seq("g"), "left")
+        .withColumn("_gdf", coalesce(col("_gdf"), lit(0L))),
+      Seq("_id"), Seq(asc("_gdf"), asc("g"), asc("occ")), cp.prefixLen)
+      .drop("rank", "_gdf")
+    asymVerify(
+      asymCandidates(iPrefix, ir,
+        cp.prefix.select(col("_id").as("id_corp"), col("_len").as("_lb"),
+          col("g"), col("occ")),
+        cp.base.select(col("_id").as("id_corp"), col("_len")),
+        cp.short.select(col("_id").as("id_corp"), col("_len")),
+        maxDist),
+      ir.base, corpus, idCol, strCol, maxDist)
+  }
+
+  /** The corpus side of [[editDistanceAgainst]] as a persistable
+    * registry relation — the signature-table move for the FIFTH
+    * asymmetric-ingest family (after text signatures, embedding bands,
+    * IVF cells, and containment shingles): one row per corpus string
+    * per prefix gram, plus one `g`-NULL row per short string (they
+    * carry no prefix but must stay reachable through the length
+    * buckets).
+    *
+    * The prefix here is ordered by GRAM HASH, not df: any total order
+    * shared by both sides is lossless (see [[editDistanceAgainst]]),
+    * and a df-free order makes the committed relation SELF-CONTAINED
+    * and append-stable — [[edIndexUpdate]] appends a batch's rows
+    * computed in isolation and the result is bit-identical to a full
+    * rebuild (no stale-frequency contract at all, unlike the
+    * containment index's once-kept stop shingles). The price is pruning
+    * quality: hash order ignores rarity, so candidate volume runs above
+    * the df-ordered inline form on skewed gram distributions — the
+    * inline/served sf1 sweep rows price exactly that trade, and the
+    * verify keeps outputs identical either way.
+    *
+    * Schema: (doc_id, len, g, occ) — `g` NULL marks a short string.
+    */
+  def edIndex(corpus: DataFrame, idCol: String, strCol: String,
+              maxDist: Int, q: Int = 2): DataFrame = {
+    val r = gramExplode(corpus, idCol, strCol, maxDist, q)
+    val prefix = graft.ops.Relational.topKPerGroup(
+      r.exploded.withColumn("_h", xxhash64(col("g"))),
+      Seq("_id"), Seq(asc("_h"), asc("g"), asc("occ")), q * maxDist + 1)
+      .drop("rank", "_h")
+      .select(col("_id").as("doc_id"), col("_len").as("len"),
+        col("g"), col("occ"))
+    val shorts = r.short.select(col("_id").as("doc_id"),
+      col("_len").as("len"), lit(null).cast("string").as("g"),
+      lit(null).cast("int").as("occ"))
+    prefix.unionByName(shorts)
+  }
+
+  /** Build-and-commit [[edIndex]] as a versioned Manifest snapshot.
+    * Returns the version. */
+  def edIndexRefresh(corpus: DataFrame, table: String, idCol: String,
+                     strCol: String, maxDist: Int, q: Int = 2): Int =
+    graft.io.Manifest.write(edIndex(corpus, idCol, strCol, maxDist, q), table)
+
+  /** Registry MAINTENANCE: append an accepted batch's rows and commit
+    * the next version. The hash order is corpus-independent, so append
+    * IS the merge — update(v, batch) reads bit-identical to a rebuild
+    * over corpus ∪ batch (FuzzySpec pins it; same maxDist/q required).
+    * Returns the new version. */
+  def edIndexUpdate(table: String, accepted: DataFrame, idCol: String,
+                    strCol: String, maxDist: Int, q: Int = 2): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(edIndex(accepted, idCol, strCol, maxDist, q)),
+      table)
+  }
+
+  /** Registry DELETE — [[edIndexUpdate]]'s inverse: drop removed ids'
+    * rows and commit. Returns the new version. */
+  def edIndexRetract(table: String, removedIds: DataFrame,
+                     idCol: String): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "len", "g", "occ"),
+      table)
+  }
+
+  /** [[editDistanceAgainst]] served from a PERSISTED [[edIndex]] — only
+    * the incoming batch is grammed and prefixed (in the registry's hash
+    * order); corpus strings are touched exactly for candidate ids (one
+    * semi join), so per-batch cost is O(batch + candidates) regardless
+    * of corpus size. Output is IDENTICAL to the inline form: both
+    * candidate generations are lossless and the verify is shared, so
+    * the oracle is the naive cross statement verbatim.
+    */
+  def editDistanceAgainstIndex(registry: DataFrame, corpus: DataFrame,
+                               incoming: DataFrame, idCol: String,
+                               strCol: String, maxDist: Int,
+                               q: Int = 2): DataFrame = {
+    val ir = gramExplode(incoming, idCol, strCol, maxDist, q)
+    val iPrefix = graft.ops.Relational.topKPerGroup(
+      ir.exploded.withColumn("_h", xxhash64(col("g"))),
+      Seq("_id"), Seq(asc("_h"), asc("g"), asc("occ")), q * maxDist + 1)
+      .drop("rank", "_h")
+    val cand = asymCandidates(iPrefix, ir,
+      registry.filter(col("g").isNotNull)
+        .select(col("doc_id").as("id_corp"), col("len").as("_lb"),
+          col("g"), col("occ")),
+      registry.select(col("doc_id").as("id_corp"), col("len").as("_len"))
+        .distinct(),
+      registry.filter(col("g").isNull)
+        .select(col("doc_id").as("id_corp"), col("len").as("_len")),
+      maxDist)
+    // corpus text only for candidate ids — the serve economics
+    val candCorpus = corpus.join(
+      cand.select(col("id_corp").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    asymVerify(cand, ir.base, candCorpus, idCol, strCol, maxDist)
+  }
+
+  /** Cross-side candidate generation shared by the inline and served
+    * asymmetric forms: prefix equi-join on (gram, occ) + length band
+    * for long×long, batch-side length-bucket explodes for every pair
+    * involving a short string. `corpusLens`/`corpusShortLens` are
+    * (id_corp, _len) relations.
+    */
+  private def asymCandidates(iPrefix: DataFrame, ir: EdRaw,
+                             corpusPrefix: DataFrame,
+                             corpusLens: DataFrame,
+                             corpusShortLens: DataFrame,
+                             maxDist: Int): DataFrame = {
+    val a = iPrefix.select(col("_id").as("id_inc"), col("_len").as("_la"),
+      col("g"), col("occ"))
+    val longCand = a.join(corpusPrefix.hint("shuffle_hash"), Seq("g", "occ"))
+      .filter(abs(col("_la") - col("_lb")) <= maxDist)
+      .select("id_inc", "id_corp")
+    val shortIncCand = ir.short
+      .select(col("_id").as("id_inc"),
+        explode(sequence(col("_len") - lit(maxDist),
+          col("_len") + lit(maxDist))).as("_tl"))
+      .join(corpusLens.withColumnRenamed("_len", "_tl"), Seq("_tl"))
+      .select("id_inc", "id_corp")
+    val shortCorpCand = ir.long
+      .select(col("_id").as("id_inc"),
+        explode(sequence(col("_len") - lit(maxDist),
+          col("_len") + lit(maxDist))).as("_tl"))
+      .join(corpusShortLens.withColumnRenamed("_len", "_tl"), Seq("_tl"))
+      .select("id_inc", "id_corp")
+    longCand.unionByName(shortIncCand).unionByName(shortCorpCand)
+  }
+
+  /** Asymmetric verify tail: dedupe cross pairs, rejoin each side's
+    * string exactly once, keep pairs the banded Levenshtein confirms.
+    */
+  private def asymVerify(cand: DataFrame, incBase: DataFrame,
+                         corpusStrings: DataFrame, idCol: String,
+                         strCol: String, maxDist: Int): DataFrame =
+    cand.distinct()
+      .join(incBase.select(col("_id").as("id_inc"), col("_s").as("_sa")),
+        Seq("id_inc"))
+      .join(corpusStrings.select(col(idCol).as("id_corp"),
+        col(strCol).as("_sb")), Seq("id_corp"))
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_inc", "id_corp", "dist")
 }

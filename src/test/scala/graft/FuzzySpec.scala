@@ -231,4 +231,88 @@ class FuzzySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(prefix.nonEmpty && prefix == seg)
   }
+
+  /** Naive CROSS truth for the asymmetric family: every (inc, corp)
+    * pair within d, both directions of shortness exercised by callers.
+    */
+  private def naiveCross(inc: Seq[(Long, String)], corp: Seq[(Long, String)],
+                         d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for { (ii, si) <- inc; (ic, sc) <- corp; dd = lev(si, sc); if dd <= d }
+      yield (ii, ic, dd)).toSet
+  }
+
+  test("editDistanceAgainst: lossless vs naive cross on mutated strings, " +
+    "shorts in BOTH sides, no corpus self-pairing") {
+    val rng = new scala.util.Random(77)
+    val alpha = "abcdefgh"
+    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
+        case 1 => t.take(i) + t.drop(i + 1)
+        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
+      }
+    }
+    val seeds = Seq.fill(30)(word())
+    // corpus even ids, incoming odd ids; sprinkle shorts ("ab", "x") on
+    // both sides so all three candidate paths fire
+    val corp = seeds.zipWithIndex.map { case (s, i) => (2L * i, s) } ++
+      Seq((200L, "ab"), (202L, "xy"))
+    val inc = seeds.zipWithIndex.map { case (s, i) =>
+      (2L * i + 1, mutate(s, rng.nextInt(4))) } ++
+      Seq((201L, "ab"), (203L, "q"))
+    val got = Fuzzy.editDistanceAgainst(
+      corp.toDF("id", "s"), inc.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naiveCross(inc, corp, 2), s"got ${got.size} pairs")
+    assert(got.exists(_._3 == 0), "exact re-ingest must surface as dist 0")
+  }
+
+  test("editDistanceAgainstIndex: persisted-registry serve equals inline; " +
+    "edIndexUpdate is append==rebuild; retract restores exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
+    val corpus = docs.filter($"id" % 2 === 0)
+    val incoming = docs.filter($"id" % 2 === 1)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_edidx").toString + "/edidx"
+    assert(Fuzzy.edIndexRefresh(corpus, table, "id", "s", maxDist = 2, q = 3) == 1)
+    val registry = graft.io.Manifest.read(spark, table)
+    val served = Fuzzy.editDistanceAgainstIndex(registry, corpus, incoming,
+      "id", "s", maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Fuzzy.editDistanceAgainst(corpus, incoming, "id", "s",
+      maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == inline, s"served=${served.size} inline=${inline.size}")
+    assert(served.nonEmpty)
+
+    // hash order is corpus-independent: update's append reads
+    // bit-identical to a rebuild over corpus ∪ batch
+    val batch = incoming.filter($"id" < 40)
+    assert(Fuzzy.edIndexUpdate(table, batch, "id", "s", maxDist = 2, q = 3) == 2)
+    val afterUpdate = graft.io.Manifest.read(spark, table)
+      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+    val rebuilt = Fuzzy.edIndex(corpus.unionByName(batch), "id", "s",
+      maxDist = 2, q = 3)
+      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+    assert(afterUpdate == rebuilt, "append must equal rebuild")
+    assert(Fuzzy.edIndexRetract(table, batch.select($"id"), "id") == 3)
+    val afterRetract = graft.io.Manifest.read(spark, table)
+      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+    assert(afterRetract == Fuzzy.edIndex(corpus, "id", "s", maxDist = 2, q = 3)
+      .as[(Long, Long, Option[String], Option[Int])].collect().toSet,
+      "retract must restore exactly the corpus-only index")
+  }
 }
