@@ -645,6 +645,72 @@ FROM th$k, nc$k"""
     (ctes, row)
   }
 
+  /** The SimHash fingerprint CTE chain over a source relation — the
+    * q_dedup_simhash replay (60-bit md5-prefix feature hash, ±1 bit
+    * votes), generated from [[Dedup.SimhashBits]] so the sides cannot
+    * drift. Yields relations `sh`, `h`, `votes`, `fps(doc_id, fp)`.
+    */
+  private def simhashFpCtes(src: String): String = {
+    val bits = Dedup.SimhashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+      .mkString(",\n   ")
+    val fp = (0 until bits)
+      .map(i => s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""sh AS (
+  SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
+                  for i in generate_series(1, len(toks) - 1)] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+votes AS (
+  SELECT doc_id,
+   $votes
+  FROM h GROUP BY doc_id),
+fps AS (
+  SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes)"""
+  }
+
+  /** One band-config chain + final row of the SimHash recall oracle:
+    * band cohabitation candidates at `b` bands, truth-hit counts against
+    * the shared `tr` Hamming-truth CTE, the one-row certificate SELECT.
+    */
+  private def simhashRecallChain(b: Int, maxH: Int): (String, String) = {
+    val width = Dedup.SimhashBits / b
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until b)
+      .map(j => s"SELECT doc_id, $j AS band_idx, " +
+        s"(fp >> ${j * width}) & $mask AS band_val FROM fps")
+      .mkString("\n  UNION ALL ")
+    val ctes = s"""bd$b AS (
+  $bandSelects),
+cd$b AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd$b a JOIN bd$b b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+th$b AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+  FROM tr LEFT JOIN cd$b c
+    ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+nc$b AS (SELECT count(*) AS n_cand FROM cd$b)"""
+    val row = s"""SELECT CAST($b AS INT) AS bands, CAST($maxH AS INT) AS max_hamming,
+  (SELECT count(*) FROM fps) AS n_docs, n_truth, n_cand, n_hit,
+  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+FROM th$b, nc$b"""
+    (ctes, row)
+  }
+
+  /** The exact all-pairs Hamming truth CTE shared by both SimHash
+    * certificate oracles. */
+  private def simhashTruthCte(maxH: Int): String =
+    s"""tr AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.fp, y.fp)) <= $maxH)"""
+
   /** The asymmetric-minhash oracle — shared verbatim by
     * q_dedup_incremental (inline [[graft.ops.text.Dedup.nearDupAgainst]])
     * and q_minhash_served (the same probe through the persisted
@@ -1592,6 +1658,23 @@ res$sfx AS (SELECT '$qid' AS query_id,
         t(s, dir, "documents").filter(col("doc_id") < 400),
         Seq((8, 4), (16, 8), (32, 8)), threshold = 0.5)
         .orderBy("k", "bands")),
+
+    // SimHash recall certificate on the same fixed eval slice: exact
+    // all-pairs Hamming truth vs the 4-band cohabitation candidates.
+    // Pigeonhole is exact only for d < bands, so at (4 bands, d <= 6)
+    // recall < 1 is possible — this is the instrument that prices it.
+    "q_simhash_recall" -> ((s, dir) =>
+      Dedup.simhashRecallEval(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        bands = 4, maxHamming = 6)),
+
+    // The Hamming-family band sweep: one fingerprint + truth pass
+    // shared across the grid (truth is bands-independent).
+    "q_simhash_sweep" -> ((s, dir) =>
+      Dedup.simhashBandSweep(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        Seq(2, 4, 6), maxHamming = 6)
+        .orderBy("bands")),
 
     // Per-source content novelty: the share of each source's distinct
     // bigram shingles that exist in NO other source — the mixture-design
@@ -4004,6 +4087,26 @@ res$sfx AS (SELECT '$qid' AS query_id,
         chains.map(_._1).mkString(",\n") + "\n" +
         chains.map(_._2).mkString("\nUNION ALL\n") +
         "\nORDER BY k, bands"
+    },
+
+    // SimHash certificate replay: the q_dedup_simhash fingerprint chain
+    // on the fixed slice, exact Hamming truth, the 4-band cohabitation
+    // candidates, three exact-count aggregates crossed into one row.
+    "q_simhash_recall" -> {
+      val (ctes, row) = simhashRecallChain(4, 6)
+      s"WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),\n" +
+        s"${simhashFpCtes("smp")},\n${simhashTruthCte(6)},\n$ctes\n$row"
+    },
+
+    // The band-grid oracle: one fingerprint head + Hamming-truth CTE,
+    // one band/count chain per config, rows UNION ALLed.
+    "q_simhash_sweep" -> {
+      val chains = Seq(2, 4, 6).map(b => simhashRecallChain(b, 6))
+      s"WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),\n" +
+        s"${simhashFpCtes("smp")},\n${simhashTruthCte(6)},\n" +
+        chains.map(_._1).mkString(",\n") + "\n" +
+        chains.map(_._2).mkString("\nUNION ALL\n") +
+        "\nORDER BY bands"
     },
 
     // Per-source distinct-shingle inventory vs the cross-source df: a

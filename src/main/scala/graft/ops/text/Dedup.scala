@@ -1165,6 +1165,98 @@ object Dedup {
       .reduce(_ unionByName _)
   }
 
+  /** Recall certificate for the SIMHASH banding — [[minhashRecallEval]]'s
+    * shape at the Hamming-space family: exact all-pairs truth (every
+    * `a < b` slice pair with fingerprint Hamming distance ≤ `maxHamming`)
+    * versus the band table's bucket cohabitations over the SAME slice.
+    * The pigeonhole guarantee is exact only for d < bands (d flipped
+    * bits can straddle every band once d ≥ bands), so at the operator
+    * default (4 bands, maxHamming 6) recall < 1 is POSSIBLE and this
+    * certificate is the instrument that prices it before a corpus-wide
+    * run commits to the banding — fingerprints depend only on a doc's
+    * own shingles, so intra-slice collision behavior equals the full
+    * corpus's for these pairs. Same bounded-slice contract and
+    * one-row output family as the MinHash/containment certificates:
+    * (bands, max_hamming, n_docs, n_truth, n_cand, n_hit, recall,
+    * precision), NULL on empty denominators.
+    */
+  def simhashRecallEval(evalSlice: DataFrame, bands: Int = 4,
+                        maxHamming: Int = 6): DataFrame = {
+    require(SimhashBits % bands == 0,
+      s"$SimhashBits bits not divisible by $bands bands")
+    val fps = graft.CacheScope.pin(simhashDocs(evalSlice))
+    simhashRecallRow(fps, simhashTruthPairs(fps, maxHamming),
+      bands, maxHamming)
+  }
+
+  /** Exact all-pairs Hamming truth within an eval slice's fingerprints
+    * (`a < b`, ≤ maxHamming) — shared by the certificate and the band
+    * sweep, which amortizes the one quadratic pass across configs.
+    */
+  private def simhashTruthPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    fps.toDF("doc_a", "fp_a")
+      .crossJoin(fps.toDF("doc_b", "fp_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select("doc_a", "doc_b")
+
+  /** One (bands) recall/precision row over already-built fingerprints
+    * and truth pairs — [[simhashRecallEval]]'s guts, reused per sweep
+    * config.
+    */
+  private def simhashRecallRow(fps: DataFrame, truth: DataFrame,
+                               bands: Int, maxHamming: Int): DataFrame = {
+    val width = SimhashBits / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { j =>
+      shiftright(col("fp"), j * width).bitwiseAND(lit(mask))
+    }
+    val bt = fps.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val cand = bt.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_a"))
+      .join(bt.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val truthHit = truth
+      .join(cand.withColumn("is_cand", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("is_cand")).as("n_hit"))
+    val nDocs = fps.agg(count(lit(1)).as("n_docs"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    nDocs.crossJoin(truthHit).crossJoin(nCand)
+      .select(lit(bands).as("bands"), lit(maxHamming).as("max_hamming"),
+        col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).as("recall"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand")).as("precision"))
+  }
+
+  /** [[simhashRecallEval]] over a band-count GRID — one row per config,
+    * fingerprints and the exact Hamming truth built ONCE (truth is
+    * bands-independent): [[minhashConfigSweep]]'s economics for the
+    * Hamming family. Read with a recall floor and take the fewest-
+    * candidates config above it (n_cand is the verify bill; more bands
+    * → wider recall AND more candidate fan-out, the opposite trade
+    * direction from MinHash's r).
+    */
+  def simhashBandSweep(evalSlice: DataFrame, bandConfigs: Seq[Int],
+                       maxHamming: Int = 6): DataFrame = {
+    require(bandConfigs.nonEmpty, "bandConfigs must be non-empty")
+    bandConfigs.foreach { b =>
+      require(SimhashBits % b == 0,
+        s"$SimhashBits bits not divisible by $b bands")
+    }
+    val fps = graft.CacheScope.pin(simhashDocs(evalSlice))
+    val truth = graft.CacheScope.pin(simhashTruthPairs(fps, maxHamming))
+    bandConfigs.map(b => simhashRecallRow(fps, truth, b, maxHamming))
+      .reduce(_ unionByName _)
+  }
+
   /** Recall certificate for the containment family's `maxDf` skew lever
     * — [[minhashRecallEval]]'s shape at the containment relation: the
     * exact all-ordered-pairs containment truth on a FIXED eval slice

@@ -356,6 +356,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhashRecallEval/simhashBandSweep: counts match the brute-force " +
+    "truth; truth is bands-independent and recall never decreases with " +
+    "bands") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = Dedup.simhashDocs(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxH = 6
+    val truth = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= maxH
+    } yield (a, b)).toSet
+    def bruteRow(bands: Int): (Long, Long, Long) = {
+      val width = Dedup.SimhashBits / bands
+      val mask = (1L << width) - 1
+      def bandVals(f: Long): Seq[Long] =
+        (0 until bands).map(j => (f >> (j * width)) & mask)
+      val cand = (for {
+        (a, fa) <- fp; (b, fb) <- fp if a < b
+        if bandVals(fa).zip(bandVals(fb)).exists { case (x, y) => x == y }
+      } yield (a, b)).toSet
+      (truth.size.toLong, cand.size.toLong, (truth & cand).size.toLong)
+    }
+    val one = Dedup.simhashRecallEval(docs, bands = 4, maxHamming = maxH)
+      .select("n_docs", "n_truth", "n_cand", "n_hit")
+      .as[(Long, Long, Long, Long)].collect().head
+    val (t4, c4, h4) = bruteRow(4)
+    assert(one == ((fp.length.toLong, t4, c4, h4)), s"got $one")
+    graft.CacheScope.release(spark)
+
+    val sweep = Dedup.simhashBandSweep(docs, Seq(2, 4, 6), maxHamming = maxH)
+      .select("bands", "n_truth", "n_cand", "n_hit")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    graft.CacheScope.release(spark)
+    assert(sweep.map(_._1).toSeq == Seq(2, 4, 6))
+    // one shared truth pass: every row sees the same bands-independent truth
+    assert(sweep.forall(_._2 == t4))
+    sweep.foreach { case (b, _, c, h) =>
+      val (_, cb, hb) = bruteRow(b)
+      assert((c, h) == ((cb, hb)), s"bands=$b: got ($c,$h) want ($cb,$hb)")
+    }
+    // recall is monotone in bands (wider pigeonhole coverage)
+    val hits = sweep.map(_._4)
+    assert(hits.zip(hits.tail).forall { case (x, y) => x <= y })
+  }
+
   test("minhashBandAudit: exact census; a boilerplate crowd dominates " +
     "max_bucket in every band") {
     import graft.ops.text.Dedup
