@@ -47,6 +47,13 @@ object ScaleSweep {
     "q_cooccur", "q_bpe_train", "q_bpe_segment", "q_bpe_encode",
     "q_quality_model", "q_quality_predict",
     "q_jaccard_ngram", "q_edit_pairs", "q_edit_seg", "q_edit_auto",
+    // r13: the asymmetric Ed-Join pair — inline (corpus grammed and
+    // df-ordered per run) vs served (the persisted hash-ordered
+    // ed-index; only the batch grams) — the per-batch saving row
+    "q_edit_incr", "q_edit_served",
+    // r13: sorted-neighborhood — O(n·w·passes) by construction, the
+    // gram-skew-immune regime; its certificate runs on the FIXED slice
+    "q_snm_pairs", "q_snm_recall",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
     "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep", "q_kmeans_sweep",
@@ -62,6 +69,9 @@ object ScaleSweep {
     // q_calibration trains its own contains-'dup' GD model at sweep scale
     "q_dedup_lines", "q_clean_lines", "q_dedup_lines_incr",
     "q_minhash_recall", "q_minhash_sweep", "q_calibration",
+    // r13: the Hamming-family certificates, same FIXED-slice contract
+    // (rows certify flatness in corpus size, not growth)
+    "q_simhash_recall", "q_simhash_sweep",
     "q_hard_negatives",
     // r12 session 2: the per-doc line-repetition signal, the budget/
     // bucket selection pair over the quality scorer, and inline-vs-

@@ -2608,6 +2608,26 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("id_inc", "id_corp")
     }),
 
+    // Multi-pass sorted-neighborhood blocking (the third edit-distance
+    // candidate regime — O(n·w) by construction, gram-skew-immune, NOT
+    // lossless): pairs within 10 positions in the (s, id) or
+    // (reverse(s), id) order, exact-verified at distance 2.
+    "q_snm_pairs" -> ((s, dir) =>
+      ops.text.Fuzzy.sortedNeighborhoodPairs(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
+        "doc_id", "s", window = 10, maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // The SNM recall certificate on the fixed eval slice: exact all-pairs
+    // truth vs the two-pass window candidates — SNM has no losslessness
+    // theorem, so this instrument is the ONLY recall evidence.
+    "q_snm_recall" -> ((s, dir) =>
+      ops.text.Fuzzy.snmRecallEval(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
+        "doc_id", "s", window = 10, maxDist = 2)),
+
     // Serve-path twin of q_edit_incr: the corpus side probed THROUGH the
     // persisted hash-ordered (doc_id, len, g, occ) ed-index relation —
     // candidate generation is lossless under ANY shared total order and
@@ -5895,6 +5915,52 @@ ORDER BY vec_id, j"""
         |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_inc, id_corp""".stripMargin,
+
+    // SNM replay: global row_number per pass order (ASCII sorts
+    // identically in both engines), pairs within the window in either
+    // pass, exact-Levenshtein verify. The operator's blocked-rank +
+    // offset-cumsum positions equal this global order by construction.
+    "q_snm_pairs" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents),
+        |p1 AS (SELECT doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn FROM s),
+        |c1 AS (SELECT a.doc_id AS x, b.doc_id AS y
+        |       FROM p1 a JOIN p1 b ON b.rn - a.rn BETWEEN 1 AND 10),
+        |p2 AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(s), doc_id) AS rn FROM s),
+        |c2 AS (SELECT a.doc_id AS x, b.doc_id AS y
+        |       FROM p2 a JOIN p2 b ON b.rn - a.rn BETWEEN 1 AND 10),
+        |cd AS (SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b
+        |       FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
+        |SELECT id_a, id_b, CAST(levenshtein(xs.s, ys.s) AS INT) AS dist
+        |FROM cd JOIN s xs ON id_a = xs.doc_id JOIN s ys ON id_b = ys.doc_id
+        |WHERE levenshtein(xs.s, ys.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Certificate replay: all-pairs truth + the same two-pass window
+    // candidates on the slice, three exact counts crossed into one row.
+    "q_snm_recall" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s
+        |           FROM documents WHERE doc_id < 400),
+        |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |       WHERE levenshtein(a.s, b.s) <= 2),
+        |p1 AS (SELECT doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn FROM s),
+        |c1 AS (SELECT a.doc_id AS x, b.doc_id AS y
+        |       FROM p1 a JOIN p1 b ON b.rn - a.rn BETWEEN 1 AND 10),
+        |p2 AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(s), doc_id) AS rn FROM s),
+        |c2 AS (SELECT a.doc_id AS x, b.doc_id AS y
+        |       FROM p2 a JOIN p2 b ON b.rn - a.rn BETWEEN 1 AND 10),
+        |cd AS (SELECT DISTINCT least(x, y) AS doc_a, greatest(x, y) AS doc_b
+        |       FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+        |th AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+        |       FROM tr LEFT JOIN cd c
+        |         ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+        |nd AS (SELECT count(*) AS n_docs FROM s),
+        |nc AS (SELECT count(*) AS n_cand FROM cd)
+        |SELECT CAST(10 AS INT) AS "window", CAST(2 AS INT) AS max_dist,
+        |  n_docs, n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+        |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+        |FROM nd, th, nc""".stripMargin,
 
     // Registry round-trip changes nothing (losslessness is prefix-order-
     // free) — the serve-path oracle IS the inline cross statement.

@@ -279,6 +279,73 @@ class FuzzySpec extends SparkSpec {
     assert(got.exists(_._3 == 0), "exact re-ingest must surface as dist 0")
   }
 
+  /** Brute-force SNM replay: global (key, id) positions per pass, pairs
+    * within w in EITHER order, exact-distance verify. */
+  private def naiveSnm(rows: Seq[(Long, String)], w: Int,
+                       d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    def passPairs(key: ((Long, String)) => String): Set[(Long, Long)] = {
+      val order = rows.sortBy(r => (key(r), r._1)).map(_._1).toArray
+      (for {
+        i <- order.indices; j <- (i + 1) to math.min(i + w, order.length - 1)
+      } yield (math.min(order(i), order(j)), math.max(order(i), order(j)))).toSet
+    }
+    val cand = passPairs(_._2) ++ passPairs(r => r._2.reverse)
+    val byId = rows.toMap
+    cand.map { case (a, b) => (a, b, lev(byId(a), byId(b))) }
+      .filter(_._3 <= d)
+  }
+
+  test("sortedNeighborhoodPairs: blocked-rank positions replay the global " +
+    "sorted order exactly (both passes), windows union, verify is exact") {
+    val rng = new scala.util.Random(4242)
+    val alpha = "abcdef"
+    def word() = Seq.fill(5 + rng.nextInt(10))(alpha(rng.nextInt(alpha.length))).mkString
+    val rows = (0 until 120).map(i => (i.toLong, word())) ++
+      // planted near-dups: head-corrupted (reversed pass catches) and
+      // tail-corrupted (forward pass catches)
+      Seq((200L, "zzhello world tail"), (201L, "axhello world tail"),
+          (202L, "prefix same headzz"), (203L, "prefix same headax"))
+    val w = 8
+    val got = Fuzzy.sortedNeighborhoodPairs(
+      rows.toDF("id", "s"), "id", "s", window = w, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == naiveSnm(rows, w, 3), s"got ${got.size} pairs")
+    // a wider window can only add pairs
+    val wider = Fuzzy.sortedNeighborhoodPairs(
+      rows.toDF("id", "s"), "id", "s", window = 2 * w, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.subsetOf(wider))
+  }
+
+  test("snmRecallEval: counts match brute force; SNM is NOT lossless and " +
+    "the certificate says so") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val w = 10
+    val truth = naive(rows, 2)
+    val candAll = naiveSnm(rows, w, 2)
+    val one = Fuzzy.snmRecallEval(docs, "id", "s", window = w, maxDist = 2)
+      .select("n_docs", "n_truth", "n_hit")
+      .as[(Long, Long, Long)].collect().head
+    graft.CacheScope.release(spark)
+    assert(one._1 == rows.size.toLong)
+    assert(one._2 == truth.size.toLong)
+    // hits = truth pairs the two-pass window surfaced = verified SNM pairs
+    assert(one._3 == candAll.size.toLong,
+      s"n_hit ${one._3} != verified SNM pairs ${candAll.size}")
+    assert(one._3 <= one._2)
+  }
+
   test("editDistanceAgainstIndex: persisted-registry serve equals inline; " +
     "edIndexUpdate is append==rebuild; retract restores exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -102,7 +102,13 @@ class PlanGuardSpec extends SparkSpec {
       // the containment recall certificate: q_minhash_recall's shape at
       // the containment relation (eval-sized all-ordered-pairs truth +
       // 1-row count crosses)
-      "q_contain_recall")
+      "q_contain_recall",
+      // the SimHash certificates: the same eval-sized all-pairs Hamming
+      // truth cross + 1-row count crosses (per config for the sweep)
+      "q_simhash_recall", "q_simhash_sweep",
+      // the SNM certificate: eval-sized all-pairs Levenshtein truth
+      // cross + 1-row count crosses
+      "q_snm_recall")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.
