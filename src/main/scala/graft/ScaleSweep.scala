@@ -51,6 +51,11 @@ object ScaleSweep {
     // df-ordered per run) vs served (the persisted hash-ordered
     // ed-index; only the batch grams) — the per-batch saving row
     "q_edit_incr", "q_edit_served",
+    // r13: the SEGMENT asym regime + its registry serve + auto dispatch
+    // — the remediation for the 132/189 s gram-asym rows above (segment
+    // keys keep selectivity on this fixture-vocab corpus; the registry
+    // is per-string, so no hash-order compromise)
+    "q_edit_incr_seg", "q_edit_served_seg", "q_edit_incr_auto",
     // r13: sorted-neighborhood — O(n·w·passes) by construction, the
     // gram-skew-immune regime; its certificate runs on the FIXED slice
     "q_snm_pairs", "q_snm_recall",

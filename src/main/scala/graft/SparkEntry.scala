@@ -2608,6 +2608,43 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("id_inc", "id_corp")
     }),
 
+    // The segment-regime ingest twin: corpus own-scheme segments indexed,
+    // batch probes partner schemes — one direction of the pigeonhole
+    // suffices cross-side. Same contract, same cross oracle.
+    "q_edit_incr_seg" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("s"))
+      ops.text.Fuzzy.editDistanceAgainstPartitioned(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "s", maxDist = 2)
+        .orderBy("id_inc", "id_corp")
+    }),
+
+    // Serve-path twin through the persisted SEGMENT registry — rows are
+    // per-string functions (no frequency order at all), so the committed
+    // relation keeps full segment-key selectivity AND append-stability.
+    "q_edit_served_seg" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("s"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      ops.text.Fuzzy.editDistanceAgainstSegIndex(
+        ops.text.Fuzzy.segIndex(corpus, "doc_id", "s", maxDist = 2),
+        corpus, d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "s", maxDist = 2)
+        .orderBy("id_inc", "id_corp")
+    }),
+
+    // Automatic regime selection at the ingest form: corpus prefix
+    // census → gram-prefix or segment asym. Both lossless — same oracle.
+    "q_edit_incr_auto" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("s"))
+      ops.text.Fuzzy.editDistanceAgainstAuto(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "s", maxDist = 2, q = 3)
+        .orderBy("id_inc", "id_corp")
+    }),
+
     // Multi-pass sorted-neighborhood blocking (the third edit-distance
     // candidate regime — O(n·w) by construction, gram-skew-immune, NOT
     // lossless): pairs within 10 positions in the (s, id) or
@@ -5909,6 +5946,35 @@ ORDER BY vec_id, j"""
     // Naive CROSS oracle (incoming odd × corpus even) for the asymmetric
     // Ed-Join — half the all-pairs statement's work.
     "q_edit_incr" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_inc, id_corp""".stripMargin,
+
+    // Both asym regimes are lossless with a shared exact verify, so the
+    // segment twin's oracle is the same naive cross statement.
+    "q_edit_incr_seg" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_inc, id_corp""".stripMargin,
+
+    // The segment-registry round-trip changes nothing either.
+    "q_edit_served_seg" ->
+      """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
+        |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_inc, id_corp""".stripMargin,
+
+    // Auto dispatches between two lossless regimes — same contract,
+    // same cross oracle.
+    "q_edit_incr_auto" ->
       """WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s FROM documents)
         |SELECT a.doc_id AS id_inc, b.doc_id AS id_corp,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS dist

@@ -209,7 +209,6 @@ object Fuzzy {
                                   maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val nseg = maxDist + 1
-    val K = maxDist
     val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"),
       length(col(strCol)).as("_len"))
     // every segment must be nonempty for the pigeonhole bound; shorter
@@ -217,41 +216,10 @@ object Fuzzy {
     val long = base.filter(col("_len") >= nseg)
     val short = base.filter(col("_len") < nseg)
 
-    // deterministic scheme for length l: segment i (0-based) has length
-    // floor(l/nseg) + (i < l mod nseg ? 1 : 0), start 1 + i*floor(l/nseg)
-    // + min(i, l mod nseg) — both sides derive it from the SAME arithmetic
-    def segLen(l: Column, i: Int): Column =
-      floor(l / nseg).cast("int") + when(lit(i) < l % nseg, 1).otherwise(0)
-    def segStart(l: Column, i: Int): Column =
-      lit(1) + lit(i) * floor(l / nseg).cast("int") + least(lit(i), l % nseg)
-
-    val index = long
-      .select(col("_id"), col("_len").as("_li"), explode(array(
-        (0 until nseg).map(i => struct(lit(i).as("si"),
-          col("_s").substr(segStart(col("_len"), i),
-            segLen(col("_len"), i)).as("sv"))): _*)).as("seg"))
-      .select(col("_id").as("id_i"), col("_li"),
-        col("seg.si").as("si"), col("seg.sv").as("sv"))
-
-    // probe rows: for each partner length l within ±K, each segment of
-    // scheme(l), each start within the ±K edit-shift window (clamped to
-    // the string) — one flattened array per row, a single explode
-    val emptyProbe = array().cast("array<struct<l:int,si:int,sv:string>>")
-    val probeArr = flatten(transform(
-      sequence(col("_len") - K, col("_len") + K), l => concat(
-        (0 until nseg).map { i =>
-          val sl = segLen(l, i)
-          val lo = greatest(lit(1), segStart(l, i) - K)
-          val hi = least(col("_len") - sl + 1, segStart(l, i) + K)
-          when(l >= nseg && sl > 0 && lo <= hi,
-            transform(sequence(lo, hi), st => struct(l.cast("int").as("l"),
-              lit(i).as("si"), col("_s").substr(st, sl).as("sv"))))
-            .otherwise(emptyProbe)
-        }: _*)))
-    val probes = long
-      .select(col("_id"), explode(probeArr).as("pr"))
-      .select(col("_id").as("id_p"), col("pr.l").as("_li"),
-        col("pr.si").as("si"), col("pr.sv").as("sv"))
+    val index = segIndexRows(long, maxDist)
+      .withColumnRenamed("_id", "id_i")
+    val probes = segProbeRows(long, maxDist)
+      .withColumnRenamed("_id", "id_p")
 
     // the (_li, si, sv) equi-join bakes the length band in: a probe row
     // exists only FOR partner length _li. Ids only, like the prefix join.
@@ -262,6 +230,58 @@ object Fuzzy {
 
     verifyCandidates(base,
       longCand.unionByName(lengthBucketCand(short, base, maxDist)), maxDist)
+  }
+
+  /** Deterministic PASS-JOIN scheme for length l: segment i (0-based)
+    * has length floor(l/nseg) + (i < l mod nseg ? 1 : 0), start
+    * 1 + i·floor(l/nseg) + min(i, l mod nseg) — index and probe sides
+    * derive it from the SAME arithmetic.
+    */
+  private def segLenC(l: Column, i: Int, nseg: Int): Column =
+    floor(l / nseg).cast("int") + when(lit(i) < l % nseg, 1).otherwise(0)
+  private def segStartC(l: Column, i: Int, nseg: Int): Column =
+    lit(1) + lit(i) * floor(l / nseg).cast("int") + least(lit(i), l % nseg)
+
+  /** Own-scheme segment rows for long strings: (_id, _li = own length,
+    * si, sv) — nseg rows per string. A string's rows are a pure function
+    * of the string alone (no corpus statistics), which is what makes the
+    * persisted [[segIndex]] append-stable.
+    */
+  private def segIndexRows(long: DataFrame, maxDist: Int): DataFrame = {
+    val nseg = maxDist + 1
+    long
+      .select(col("_id"), col("_len").as("_li"), explode(array(
+        (0 until nseg).map(i => struct(lit(i).as("si"),
+          col("_s").substr(segStartC(col("_len"), i, nseg),
+            segLenC(col("_len"), i, nseg)).as("sv"))): _*)).as("seg"))
+      .select(col("_id"), col("_li"),
+        col("seg.si").as("si"), col("seg.sv").as("sv"))
+  }
+
+  /** Probe rows: for each partner length l within ±maxDist, each segment
+    * of scheme(l), each start within the ±maxDist edit-shift window
+    * (clamped to the string) — one flattened array per row, a single
+    * explode. ≈ (2d+1)·(d+1)·(2d+1) rows per string at distance d.
+    */
+  private def segProbeRows(long: DataFrame, maxDist: Int): DataFrame = {
+    val nseg = maxDist + 1
+    val K = maxDist
+    val emptyProbe = array().cast("array<struct<l:int,si:int,sv:string>>")
+    val probeArr = flatten(transform(
+      sequence(col("_len") - K, col("_len") + K), l => concat(
+        (0 until nseg).map { i =>
+          val sl = segLenC(l, i, nseg)
+          val lo = greatest(lit(1), segStartC(l, i, nseg) - K)
+          val hi = least(col("_len") - sl + 1, segStartC(l, i, nseg) + K)
+          when(l >= nseg && sl > 0 && lo <= hi,
+            transform(sequence(lo, hi), st => struct(l.cast("int").as("l"),
+              lit(i).as("si"), col("_s").substr(st, sl).as("sv"))))
+            .otherwise(emptyProbe)
+        }: _*)))
+    long
+      .select(col("_id"), explode(probeArr).as("pr"))
+      .select(col("_id"), col("pr.l").as("_li"),
+        col("pr.si").as("si"), col("pr.sv").as("sv"))
   }
 
   /** Pre-flight cost audit of [[editDistanceJoin]]'s candidate volume,
@@ -416,8 +436,17 @@ object Fuzzy {
     */
   def editDistanceAgainst(corpus: DataFrame, incoming: DataFrame,
                           idCol: String, strCol: String,
-                          maxDist: Int, q: Int = 2): DataFrame = {
-    val cp = gramPrefix(corpus, idCol, strCol, maxDist, q)
+                          maxDist: Int, q: Int = 2): DataFrame =
+    asymPrefixJoin(gramPrefix(corpus, idCol, strCol, maxDist, q),
+      corpus, incoming, idCol, strCol, maxDist, q)
+
+  /** [[editDistanceAgainst]]'s body over a prepared corpus [[EdParts]] —
+    * split out so [[editDistanceAgainstAuto]] can reuse its pinned,
+    * already-censused prefix table. */
+  private def asymPrefixJoin(cp: EdParts, corpus: DataFrame,
+                             incoming: DataFrame, idCol: String,
+                             strCol: String, maxDist: Int,
+                             q: Int): DataFrame = {
     val ir = gramExplode(incoming, idCol, strCol, maxDist, q)
     val iPrefix = graft.ops.Relational.topKPerGroup(
       ir.exploded.join(broadcast(cp.freq), Seq("g"), "left")
@@ -553,19 +582,34 @@ object Fuzzy {
     val longCand = a.join(corpusPrefix.hint("shuffle_hash"), Seq("g", "occ"))
       .filter(abs(col("_la") - col("_lb")) <= maxDist)
       .select("id_inc", "id_corp")
-    val shortIncCand = ir.short
+    longCand.unionByName(
+      asymShortBuckets(ir.short, ir.long, corpusLens, corpusShortLens, maxDist))
+  }
+
+  /** Cross-side length-bucket pairing shared by both asymmetric regimes:
+    * incoming shorts pair with EVERY corpus length in band, incoming
+    * longs pair with corpus shorts — the explode always rides the batch.
+    * `corpusLens`/`corpusShortLens` are (id_corp, _len) relations; each
+    * regime supplies its own short/long split (gram-count bound for the
+    * prefix regime, len < maxDist+1 for the segment regime).
+    */
+  private def asymShortBuckets(incShort: DataFrame, incLong: DataFrame,
+                               corpusLens: DataFrame,
+                               corpusShortLens: DataFrame,
+                               maxDist: Int): DataFrame = {
+    val shortIncCand = incShort
       .select(col("_id").as("id_inc"),
         explode(sequence(col("_len") - lit(maxDist),
           col("_len") + lit(maxDist))).as("_tl"))
       .join(corpusLens.withColumnRenamed("_len", "_tl"), Seq("_tl"))
       .select("id_inc", "id_corp")
-    val shortCorpCand = ir.long
+    val shortCorpCand = incLong
       .select(col("_id").as("id_inc"),
         explode(sequence(col("_len") - lit(maxDist),
           col("_len") + lit(maxDist))).as("_tl"))
       .join(corpusShortLens.withColumnRenamed("_len", "_tl"), Seq("_tl"))
       .select("id_inc", "id_corp")
-    longCand.unionByName(shortIncCand).unionByName(shortCorpCand)
+    shortIncCand.unionByName(shortCorpCand)
   }
 
   /** Asymmetric verify tail: dedupe cross pairs, rejoin each side's
@@ -582,6 +626,164 @@ object Fuzzy {
       .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist))
       .filter(col("dist") >= 0)
       .select("id_inc", "id_corp", "dist")
+
+  /** ASYMMETRIC PASS-JOIN — [[editDistanceAgainst]]'s contract via the
+    * segment pigeonhole, and naturally index/probe shaped: the CORPUS
+    * partitions each string into `maxDist + 1` own-scheme segments (the
+    * index), the BATCH probes every admissible corpus length's scheme at
+    * every in-window start. One direction suffices: if ed(inc, corp) ≤ d
+    * then ≤ d of the corpus string's d+1 segments are touched by edits,
+    * so at least one appears EXACTLY in the incoming string within shift
+    * d — every true pair is a (corpus index row ⋈ incoming probe row)
+    * hit. Pairs involving a sub-scheme-length short string go through
+    * the shared length buckets ([[asymShortBuckets]]).
+    *
+    * WHEN TO PREFER over [[editDistanceAgainst]]: the same regime split
+    * as the symmetric family, but sharper — the sf1 sweep measured the
+    * gram-prefix asym at 132.6 s on the 50k fixture-vocab corpus (hot
+    * gram buckets) vs ~20 s for segment keys; on high-entropy corpora
+    * the gram prefix's near-zero fan-out wins. [[editDistanceAgainstAuto]]
+    * reads the corpus census and dispatches.
+    *
+    * Output: (id_inc, id_corp, dist) — identical to the gram-prefix
+    * asym (both candidate generations are lossless, verify is shared).
+    */
+  def editDistanceAgainstPartitioned(corpus: DataFrame, incoming: DataFrame,
+                                     idCol: String, strCol: String,
+                                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nseg = maxDist + 1
+    val cb = corpus.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      length(col(strCol)).as("_len"))
+    val ib = incoming.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      length(col(strCol)).as("_len"))
+    val cLong = cb.filter(col("_len") >= nseg)
+    val cShort = cb.filter(col("_len") < nseg)
+    val iLong = ib.filter(col("_len") >= nseg)
+    val iShort = ib.filter(col("_len") < nseg)
+    val longCand = segIndexRows(cLong, maxDist)
+      .select(col("_id").as("id_corp"), col("_li"), col("si"), col("sv"))
+      .join(segProbeRows(iLong, maxDist)
+        .select(col("_id").as("id_inc"), col("_li"), col("si"), col("sv"))
+        .hint("shuffle_hash"), Seq("_li", "si", "sv"))
+      .select("id_inc", "id_corp")
+    val cand = longCand.unionByName(asymShortBuckets(
+      iShort, iLong,
+      cb.select(col("_id").as("id_corp"), col("_len")),
+      cShort.select(col("_id").as("id_corp"), col("_len")),
+      maxDist))
+    asymVerify(cand, ib, corpus, idCol, strCol, maxDist)
+  }
+
+  /** The corpus side of [[editDistanceAgainstPartitioned]] as a
+    * persistable registry — the segment twin of [[edIndex]], and the
+    * BETTER registry on low-entropy corpora: a string's segment rows are
+    * a pure function of the string alone (no frequency ordering AT ALL),
+    * so append-stability needs no hash-order compromise — the committed
+    * relation keeps the full selectivity of ≈ len/(maxDist+1)-char
+    * segment keys that hash-ordered grams give up (sf1: the gram
+    * registry serve ran 188.8 s where segment keys run ~20 s).
+    *
+    * Schema: (doc_id, len, si, sv) — si/sv NULL marks a short string.
+    */
+  def segIndex(corpus: DataFrame, idCol: String, strCol: String,
+               maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nseg = maxDist + 1
+    val cb = corpus.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      length(col(strCol)).as("_len"))
+    val longRows = segIndexRows(cb.filter(col("_len") >= nseg), maxDist)
+      .select(col("_id").as("doc_id"), col("_li").as("len"),
+        col("si"), col("sv"))
+    val shortRows = cb.filter(col("_len") < nseg)
+      .select(col("_id").as("doc_id"), col("_len").as("len"),
+        lit(null).cast("int").as("si"), lit(null).cast("string").as("sv"))
+    longRows.unionByName(shortRows)
+  }
+
+  /** Build-and-commit [[segIndex]] as a versioned Manifest snapshot. */
+  def segIndexRefresh(corpus: DataFrame, table: String, idCol: String,
+                      strCol: String, maxDist: Int): Int =
+    graft.io.Manifest.write(segIndex(corpus, idCol, strCol, maxDist), table)
+
+  /** Registry MAINTENANCE: append an accepted batch's segment rows —
+    * trivially append==rebuild (rows are per-string functions; same
+    * maxDist required). Returns the new version. */
+  def segIndexUpdate(table: String, accepted: DataFrame, idCol: String,
+                     strCol: String, maxDist: Int): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(segIndex(accepted, idCol, strCol, maxDist)),
+      table)
+  }
+
+  /** Registry DELETE — drop removed ids' rows and commit. */
+  def segIndexRetract(table: String, removedIds: DataFrame,
+                      idCol: String): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "len", "si", "sv"),
+      table)
+  }
+
+  /** [[editDistanceAgainstPartitioned]] served from a persisted
+    * [[segIndex]]: only the batch is probed (its own explode); corpus
+    * strings are touched exactly for candidate ids. Output identical to
+    * the inline form — the oracle is the naive cross statement verbatim.
+    */
+  def editDistanceAgainstSegIndex(registry: DataFrame, corpus: DataFrame,
+                                  incoming: DataFrame, idCol: String,
+                                  strCol: String, maxDist: Int): DataFrame = {
+    val nseg = maxDist + 1
+    val ib = incoming.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      length(col(strCol)).as("_len"))
+    val iLong = ib.filter(col("_len") >= nseg)
+    val iShort = ib.filter(col("_len") < nseg)
+    val longCand = registry.filter(col("sv").isNotNull)
+      .select(col("doc_id").as("id_corp"), col("len").as("_li"),
+        col("si"), col("sv"))
+      .join(segProbeRows(iLong, maxDist)
+        .select(col("_id").as("id_inc"), col("_li"), col("si"), col("sv"))
+        .hint("shuffle_hash"), Seq("_li", "si", "sv"))
+      .select("id_inc", "id_corp")
+    val cand = longCand.unionByName(asymShortBuckets(
+      iShort, iLong,
+      registry.select(col("doc_id").as("id_corp"), col("len").as("_len"))
+        .distinct(),
+      registry.filter(col("sv").isNull)
+        .select(col("doc_id").as("id_corp"), col("len").as("_len")),
+      maxDist))
+    val candCorpus = corpus.join(
+      cand.select(col("id_corp").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    asymVerify(cand, ib, candCorpus, idCol, strCol, maxDist)
+  }
+
+  /** [[editDistanceAgainst]]'s contract with AUTOMATIC regime selection
+    * — [[editDistanceJoinAuto]]'s dispatcher at the ingest form: census
+    * the CORPUS side's prefix buckets (the corpus determines gram-bucket
+    * skew; the batch only probes them) and fall over to the segment
+    * regime past the same candidates-per-string threshold. On the prefix
+    * path the censused prefix table is pinned and reused by the join;
+    * on the segment path it is unpinned and abandoned (the documented
+    * inspection price of not guessing).
+    */
+  def editDistanceAgainstAuto(corpus: DataFrame, incoming: DataFrame,
+                              idCol: String, strCol: String,
+                              maxDist: Int, q: Int = 2,
+                              maxCandidatesPerString: Double = 64.0): DataFrame = {
+    val cp0 = gramPrefix(corpus, idCol, strCol, maxDist, q)
+    val cp = cp0.copy(prefix = graft.CacheScope.pin(cp0.prefix))
+    if (auditPrefix(cp).candidatesPerString > maxCandidatesPerString) {
+      graft.CacheScope.unpin(cp.prefix)
+      editDistanceAgainstPartitioned(corpus, incoming, idCol, strCol, maxDist)
+    } else
+      asymPrefixJoin(cp, corpus, incoming, idCol, strCol, maxDist, q)
+  }
 
   /** Multi-pass SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo,
     * SIGMOD'95) — the third candidate-generation regime for the

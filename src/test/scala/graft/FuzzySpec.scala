@@ -279,6 +279,76 @@ class FuzzySpec extends SparkSpec {
     assert(got.exists(_._3 == 0), "exact re-ingest must surface as dist 0")
   }
 
+  test("editDistanceAgainstPartitioned: segment pigeonhole lossless vs " +
+    "naive cross, shorts in BOTH sides; auto dispatches and matches both") {
+    val rng = new scala.util.Random(99)
+    val alpha = "abcdefgh"
+    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
+        case 1 => t.take(i) + t.drop(i + 1)
+        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
+      }
+    }
+    val seeds = Seq.fill(30)(word())
+    val corp = seeds.zipWithIndex.map { case (s, i) => (2L * i, s) } ++
+      Seq((200L, "ab"), (202L, "xy"))
+    val inc = seeds.zipWithIndex.map { case (s, i) =>
+      (2L * i + 1, mutate(s, rng.nextInt(4))) } ++
+      Seq((201L, "ab"), (203L, "q"))
+    val want = naiveCross(inc, corp, 2)
+    val seg = Fuzzy.editDistanceAgainstPartitioned(
+      corp.toDF("id", "s"), inc.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(seg == want, s"seg ${seg.size} vs naive ${want.size}")
+    val auto = Fuzzy.editDistanceAgainstAuto(
+      corp.toDF("id", "s"), inc.toDF("id", "s"), "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.CacheScope.release(spark)
+    assert(auto == want)
+  }
+
+  test("editDistanceAgainstSegIndex: persisted segment registry serve " +
+    "equals inline; update is append==rebuild; retract restores exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
+    val corpus = docs.filter($"id" % 2 === 0)
+    val incoming = docs.filter($"id" % 2 === 1)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_segidx").toString + "/segidx"
+    assert(Fuzzy.segIndexRefresh(corpus, table, "id", "s", maxDist = 2) == 1)
+    val registry = graft.io.Manifest.read(spark, table)
+    val served = Fuzzy.editDistanceAgainstSegIndex(registry, corpus, incoming,
+      "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val inline = Fuzzy.editDistanceAgainstPartitioned(corpus, incoming,
+      "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == inline && served.nonEmpty,
+      s"served=${served.size} inline=${inline.size}")
+    // ... and both equal the gram-prefix asym (cross-regime equality)
+    val gram = Fuzzy.editDistanceAgainst(corpus, incoming, "id", "s",
+      maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == gram)
+
+    val batch = incoming.filter($"id" < 40)
+    assert(Fuzzy.segIndexUpdate(table, batch, "id", "s", maxDist = 2) == 2)
+    val afterUpdate = graft.io.Manifest.read(spark, table)
+      .as[(Long, Long, Option[Int], Option[String])].collect().toSet
+    val rebuilt = Fuzzy.segIndex(corpus.unionByName(batch), "id", "s",
+      maxDist = 2)
+      .as[(Long, Long, Option[Int], Option[String])].collect().toSet
+    assert(afterUpdate == rebuilt, "append must equal rebuild")
+    assert(Fuzzy.segIndexRetract(table, batch.select($"id"), "id") == 3)
+    assert(graft.io.Manifest.read(spark, table)
+      .as[(Long, Long, Option[Int], Option[String])].collect().toSet ==
+      Fuzzy.segIndex(corpus, "id", "s", maxDist = 2)
+        .as[(Long, Long, Option[Int], Option[String])].collect().toSet)
+  }
+
   /** Brute-force SNM replay: global (key, id) positions per pass, pairs
     * within w in EITHER order, exact-distance verify. */
   private def naiveSnm(rows: Seq[(Long, String)], w: Int,
