@@ -77,6 +77,9 @@ object ScaleSweep {
     // r13: the Hamming-family certificates, same FIXED-slice contract
     // (rows certify flatness in corpus size, not growth)
     "q_simhash_recall", "q_simhash_sweep",
+    // r13: the SimHash asym pair — inline (corpus fingerprinted per run)
+    // vs served (the committed (doc_id, fp) registry; ZERO corpus text)
+    "q_simhash_incr", "q_simhash_served",
     "q_hard_negatives",
     // r12 session 2: the per-doc line-repetition signal, the budget/
     // bucket selection pair over the quality scorer, and inline-vs-

@@ -711,6 +711,38 @@ FROM th$b, nc$b"""
   FROM fps x JOIN fps y ON x.doc_id < y.doc_id
   WHERE bit_count(xor(x.fp, y.fp)) <= $maxH)"""
 
+  /** The asymmetric-SimHash oracle — shared verbatim by q_simhash_incr
+    * (inline) and q_simhash_served (the persisted fingerprint registry):
+    * fingerprint math is side-independent, so one fp chain over all docs
+    * with the sides split by id parity only at candidate generation
+    * equals the operators' split-first shape exactly, and serving from
+    * the committed registry must change NOTHING.
+    */
+  private lazy val SimhashIncrOracleSql: String = {
+    val bands = 4
+    val width = Dedup.SimhashBits / bands
+    val mask = (1L << width) - 1
+    def bandSel(src: String) = (0 until bands)
+      .map(j => s"SELECT doc_id, $j AS band_idx, " +
+        s"(fp >> ${j * width}) & $mask AS band_val FROM $src")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${simhashFpCtes("documents")},
+fi AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+fc AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+bi AS (
+  ${bandSel("fi")}),
+bc AS (
+  ${bandSel("fc")}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_inc, b.doc_id AS doc_corp
+  FROM bi a JOIN bc b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val)
+SELECT doc_inc, doc_corp, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+FROM cand JOIN fps x ON doc_inc = x.doc_id JOIN fps y ON doc_corp = y.doc_id
+WHERE bit_count(xor(x.fp, y.fp)) <= 6
+ORDER BY doc_inc, doc_corp"""
+  }
+
   /** The asymmetric-minhash oracle — shared verbatim by
     * q_dedup_incremental (inline [[graft.ops.text.Dedup.nearDupAgainst]])
     * and q_minhash_served (the same probe through the persisted
@@ -1658,6 +1690,29 @@ res$sfx AS (SELECT '$qid' AS query_id,
         t(s, dir, "documents").filter(col("doc_id") < 400),
         Seq((8, 4), (16, 8), (32, 8)), threshold = 0.5)
         .orderBy("k", "bands")),
+
+    // Ingest SimHash check: odd-id incoming docs within Hamming 6 of an
+    // even-id corpus fingerprint (no corpus self-pairing). Fingerprints
+    // are per-doc functions, so the oracle runs one fp chain over all
+    // docs and splits sides only at candidate generation.
+    "q_simhash_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
+
+    // Serve-path twin through the persisted (doc_id, fp) registry — the
+    // smallest registry of the asymmetric families, and the only one
+    // whose serve path reads ZERO corpus text (Hamming verifies on the
+    // fingerprint itself). Output identical — oracle verbatim.
+    "q_simhash_served" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.simhashAgainstIndex(
+        Dedup.simhashIndex(d.filter(col("doc_id") % 2 === 0)),
+        d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
 
     // SimHash recall certificate on the same fixed eval slice: exact
     // all-pairs Hamming truth vs the 4-band cohabitation candidates.
@@ -4145,6 +4200,11 @@ res$sfx AS (SELECT '$qid' AS query_id,
         chains.map(_._2).mkString("\nUNION ALL\n") +
         "\nORDER BY k, bands"
     },
+
+    // One fp chain, sides split at candidate generation only — and the
+    // registry round-trip changes nothing, so both asym queries share it.
+    "q_simhash_incr" -> SimhashIncrOracleSql,
+    "q_simhash_served" -> SimhashIncrOracleSql,
 
     // SimHash certificate replay: the q_dedup_simhash fingerprint chain
     // on the fixed slice, exact Hamming truth, the 4-band cohabitation

@@ -808,6 +808,98 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** ASYMMETRIC SimHash — the ingest form of [[simhashPairs]]: every
+    * (incoming, corpus) pair whose 60-bit fingerprints share a band and
+    * sit within `maxHamming`, with no corpus self-pairing. Fingerprints
+    * are per-document functions (bit votes over the doc's own shingles —
+    * zero corpus statistics), so the cross form is exactly the symmetric
+    * operator restricted to cross pairs, and the persisted registry
+    * ([[simhashIndex]]) is append-stable with NO ordering compromise.
+    *
+    * Output: (doc_inc, doc_corp, hamming).
+    */
+  def simhashAgainst(corpus: DataFrame, incoming: DataFrame,
+                     bands: Int = 4, maxHamming: Int = 6): DataFrame =
+    simhashCrossPairs(
+      graft.CacheScope.pin(simhashDocs(corpus)),
+      graft.CacheScope.pin(simhashDocs(incoming)), bands, maxHamming)
+
+  /** Candidate + verify tail shared by the inline and served asymmetric
+    * forms: band cohabitation across sides, Hamming verify on the full
+    * fingerprints — no document text touched (the fingerprint IS the
+    * verify input, which is why the served path reads ONLY the
+    * registry and the batch).
+    */
+  private def simhashCrossPairs(corpFps: DataFrame, incFps: DataFrame,
+                                bands: Int, maxHamming: Int): DataFrame = {
+    require(SimhashBits % bands == 0,
+      s"$SimhashBits bits not divisible by $bands bands")
+    val width = SimhashBits / bands
+    val mask = (1L << width) - 1
+    def bandTable(fps: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { j =>
+        shiftright(col("fp"), j * width).bitwiseAND(lit(mask))
+      }
+      fps.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    }
+    val cand = bandTable(incFps)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("doc_inc"))
+      .join(bandTable(corpFps)
+        .select(col("band_idx"), col("band_val"), col("doc_id").as("doc_corp"))
+        .hint("shuffle_hash"), Seq("band_idx", "band_val"))
+      .select("doc_inc", "doc_corp")
+      .distinct()
+    cand
+      .join(incFps.toDF("doc_inc", "fp_i").hint("shuffle_hash"), "doc_inc")
+      .join(corpFps.toDF("doc_corp", "fp_c").hint("shuffle_hash"), "doc_corp")
+      .withColumn("hamming",
+        bit_count(col("fp_i").bitwiseXOR(col("fp_c"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_inc", "doc_corp", "hamming")
+  }
+
+  /** The corpus fingerprint table as a persistable registry — ONE row
+    * per document (doc_id, fp): the smallest registry of the asymmetric
+    * families (8 bytes of signature per doc), and the only one whose
+    * serve path never reads corpus text (Hamming verifies on the
+    * fingerprint itself). Append IS the merge: fingerprints are
+    * per-document functions. */
+  def simhashIndex(corpus: DataFrame): DataFrame = simhashDocs(corpus)
+
+  /** Build-and-commit [[simhashIndex]]; returns the version. */
+  def simhashIndexRefresh(corpus: DataFrame, table: String): Int =
+    graft.io.Manifest.write(simhashDocs(corpus), table)
+
+  /** Registry MAINTENANCE: append an accepted batch's fingerprints —
+    * append==rebuild (per-doc signature math). Returns the new version. */
+  def simhashIndexUpdate(table: String, accepted: DataFrame): Int = {
+    val spark = accepted.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .unionByName(simhashDocs(accepted)), table)
+  }
+
+  /** Registry DELETE — drop removed ids' rows and commit. */
+  def simhashIndexRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "fp"), table)
+  }
+
+  /** [[simhashAgainst]] served from a persisted [[simhashIndex]]: only
+    * the incoming batch is tokenized/hashed; the corpus contributes its
+    * committed (doc_id, fp) rows and NOTHING else — per-batch cost
+    * O(batch + candidates) with zero corpus text reads. Output identical
+    * to the inline form (fingerprint math is side-independent). */
+  def simhashAgainstIndex(registry: DataFrame, incoming: DataFrame,
+                          bands: Int = 4, maxHamming: Int = 6): DataFrame =
+    simhashCrossPairs(registry,
+      graft.CacheScope.pin(simhashDocs(incoming)), bands, maxHamming)
+
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-style)
     * — the third dedup family: exact set similarity without sketching.
     *

@@ -356,6 +356,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("simhashAgainst: equals the symmetric run restricted to cross " +
+    "pairs; served-from-registry identical; update/retract exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val asym = Dedup.simhashAgainst(corpus, incoming)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.CacheScope.release(spark)
+    val viaSym = Dedup.simhashPairs(docs)
+      .as[(Long, Long, Int)].collect()
+      .flatMap { case (a, b, h) =>
+        // symmetric emits a < b; the cross form keys (inc, corp)
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b, h))
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a, h))
+        else None
+      }.toSet
+    graft.CacheScope.release(spark)
+    assert(asym == viaSym, s"asym=${asym.size} sym-cross=${viaSym.size}")
+    assert(asym.nonEmpty)
+    assert(!asym.exists(p => p._1 % 2 == 0 || p._2 % 2 == 1),
+      "sides must not self-pair")
+
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_shidx").toString + "/shidx"
+    assert(Dedup.simhashIndexRefresh(corpus, table) == 1)
+    val served = Dedup.simhashAgainstIndex(
+      graft.io.Manifest.read(spark, table), incoming)
+      .as[(Long, Long, Int)].collect().toSet
+    graft.CacheScope.release(spark)
+    assert(served == asym, s"served=${served.size} inline=${asym.size}")
+
+    val batch = incoming.filter($"doc_id" < 40)
+    assert(Dedup.simhashIndexUpdate(table, batch) == 2)
+    val afterUpdate = graft.io.Manifest.read(spark, table)
+      .as[(Long, Long)].collect().toSet
+    val rebuilt = Dedup.simhashDocs(corpus.unionByName(batch))
+      .as[(Long, Long)].collect().toSet
+    assert(afterUpdate == rebuilt, "append must equal rebuild")
+    assert(Dedup.simhashIndexRetract(table, batch.select($"doc_id")) == 3)
+    assert(graft.io.Manifest.read(spark, table)
+      .as[(Long, Long)].collect().toSet ==
+      Dedup.simhashDocs(corpus).as[(Long, Long)].collect().toSet)
+  }
+
   test("simhashRecallEval/simhashBandSweep: counts match the brute-force " +
     "truth; truth is bands-independent and recall never decreases with " +
     "bands") {
