@@ -708,14 +708,19 @@ object Fuzzy {
 
   /** Registry MAINTENANCE: append an accepted batch's segment rows —
     * trivially append==rebuild (rows are per-string functions; same
-    * maxDist required). Returns the new version. */
+    * maxDist required). `tag` stamps the commit for streaming replay
+    * detection (the [[graft.io.Manifest.writeTagged]] contract).
+    * Returns the new version. */
   def segIndexUpdate(table: String, accepted: DataFrame, idCol: String,
-                     strCol: String, maxDist: Int): Int = {
+                     strCol: String, maxDist: Int,
+                     tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(segIndex(accepted, idCol, strCol, maxDist)),
-      table)
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(segIndex(accepted, idCol, strCol, maxDist))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
   }
 
   /** Registry DELETE — drop removed ids' rows and commit. */

@@ -943,4 +943,77 @@ object IncrementalStream {
     q.awaitTermination()
     q
   }
+
+  /** STREAMING string-identity gate — [[runCurationIngest]]'s
+    * probe→accept→update loop at the edit-distance family, served from
+    * the persisted SEGMENT registry: per micro-batch of (id, string)
+    * rows,
+    *
+    *   1. PROBE the batch against the committed
+    *      [[graft.ops.text.Fuzzy.segIndex]]
+    *      ([[graft.ops.text.Fuzzy.editDistanceAgainstSegIndex]] — only
+    *      the batch explodes probe rows; corpus strings are read for
+    *      candidate ids only, so per-batch cost is
+    *      O(batch + candidates) regardless of corpus size);
+    *   2. ACCEPT rows with NO corpus string within `maxDist`
+    *      (anti-join on the match set — a re-sent identical string is
+    *      a dist-0 match and drops);
+    *   3. append accepted rows to `acceptedPath` (batchId-keyed
+    *      OVERWRITE subdir) and [[graft.ops.text.Fuzzy.segIndexUpdate]]
+    *      the registry, tagged with the batchId.
+    *
+    * Replay-idempotency, the [[runCurationIngest]] argument verbatim:
+    * candidates come from the REGISTRY alone, so a crash-replay whose
+    * own accepted rows already sit in `acceptedPath` (crash between
+    * the parquet write and the registry commit) never sees them as
+    * candidates — it recomputes the identical accepted set against the
+    * unchanged registry and overwrites its own subdir; a replay after
+    * the registry commit sees its batchId as the current tag and skips
+    * outright. No path appends twice. Releases its per-batch
+    * CacheScope pins — run in its own session if other pins must
+    * survive.
+    */
+  def runFuzzyIngest(spark: SparkSession, batchStream: DataFrame,
+                     corpusPath: String, registryTable: String,
+                     acceptedPath: String, checkpoint: String,
+                     idCol: String, strCol: String,
+                     maxDist: Int): StreamingQuery = {
+    val q = batchStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val tag = s"fuzzy-ingest-batch-$batchId"
+        val alreadyCommitted =
+          graft.io.Manifest.currentVersion(sp, registryTable).isDefined &&
+            graft.io.Manifest.currentTag(sp, registryTable).contains(tag)
+        if (!batch.isEmpty && !alreadyCommitted) {
+          val seed = sp.read.parquet(corpusPath)
+          val p = new org.apache.hadoop.fs.Path(acceptedPath)
+          val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val corpus =
+            if (fs.exists(p) &&
+              fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+              seed.unionByName(
+                sp.read.parquet(acceptedPath).select(seed.columns.map(col): _*))
+            else seed
+          val registry = graft.io.Manifest.read(sp, registryTable)
+          val matches = graft.ops.text.Fuzzy.editDistanceAgainstSegIndex(
+            registry, corpus, batch, idCol, strCol, maxDist)
+          val accepted = batch.join(
+            matches.select(col("id_inc").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          if (!accepted.isEmpty) {
+            accepted.write.mode(SaveMode.Overwrite)
+              .parquet(s"$acceptedPath/batch=$batchId")
+            graft.ops.text.Fuzzy.segIndexUpdate(registryTable, accepted,
+              idCol, strCol, maxDist, tag = Some(tag))
+          }
+          graft.CacheScope.release(sp)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -248,6 +248,50 @@ class StreamingSpec extends SparkSpec {
       Set(10L, 12L, 21L, 33L))
   }
 
+  test("streaming fuzzy ingest: the segment registry advances between " +
+    "batches, so a wave-2 near-copy of a wave-1 ACCEPT drops") {
+    import graft.ops.text.Fuzzy
+    val root = Files.createTempDirectory("graft_fzing").toString
+    val seed = Seq((10L, "spark streaming engine"),
+      (12L, "relational algebra kernel")).toDF("id", "s")
+    seed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/segs"
+    assert(Fuzzy.segIndexRefresh(seed, registryTable, "id", "s",
+      maxDist = 2) == 1)
+    val mem = MemoryStream[(Long, String)](spark)
+    def drain(): Unit = {
+      IncrementalStream.runFuzzyIngest(spark,
+        mem.toDF().toDF("id", "s"), s"$root/corpus", registryTable,
+        s"$root/accepted", s"$root/ckpt", "id", "s", maxDist = 2)
+      ()
+    }
+    // wave 1: novel string accepted; a dist-1 edit of seed 10 drops
+    mem.addData((21L, "quantum flux capacitor"),
+      (23L, "spark streaming enginex"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("id").as[Long].collect().toSeq == Seq(21L))
+    assert(graft.io.Manifest.read(spark, registryTable)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    // wave 2: a dist-1 edit of WAVE-1-ACCEPTED 21 must drop (the
+    // registry advance catches it); a novel string is accepted; an
+    // EXACT resend of the accepted string is a dist-0 match and drops
+    mem.addData((31L, "quantum flux capacitorz"),
+      (33L, "columnar shuffle service"),
+      (35L, "quantum flux capacitor"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 near-copy and exact resend must drop via the updated registry")
+    assert(graft.io.Manifest.read(spark, registryTable)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(10L, 12L, 21L, 33L))
+    // the registry's current tag names the last committing batch
+    assert(graft.io.Manifest.currentTag(spark, registryTable)
+      .exists(_.startsWith("fuzzy-ingest-batch-")))
+  }
+
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
     val base = DataGen.defaultBaseMs
     def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
