@@ -58,7 +58,7 @@ object ScaleSweep {
     "q_edit_incr_seg", "q_edit_served_seg", "q_edit_incr_auto",
     // r13: sorted-neighborhood — O(n·w·passes) by construction, the
     // gram-skew-immune regime; its certificate runs on the FIXED slice
-    "q_snm_pairs", "q_snm_recall",
+    "q_snm_pairs", "q_snm_recall", "q_snm_sweep",
     "q_quantize", "q_embedding_stats", "q_similarity_topk",
     "q_ann_lsh", "q_ann_multiprobe", "q_ann_ivf", "q_ann_quantized",
     "q_ann_ivf_trained", "q_ann_sweep", "q_ivf_sweep", "q_kmeans_sweep",

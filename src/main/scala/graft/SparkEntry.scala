@@ -2720,6 +2720,15 @@ res$sfx AS (SELECT '$qid' AS query_id,
           .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
         "doc_id", "s", window = 10, maxDist = 2)),
 
+    // The window grid: one position build + one truth pass shared
+    // across all windows (positions are window-independent).
+    "q_snm_sweep" -> ((s, dir) =>
+      ops.text.Fuzzy.snmWindowSweep(
+        t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"), substring(col("text"), 1, 20).as("s")),
+        "doc_id", "s", windows = Seq(4, 10, 25), maxDist = 2)
+        .orderBy("window")),
+
     // Serve-path twin of q_edit_incr: the corpus side probed THROUGH the
     // persisted hash-ordered (doc_id, len, g, occ) ed-index relation —
     // candidate generation is lossless under ANY shared total order and
@@ -6087,6 +6096,46 @@ ORDER BY vec_id, j"""
         |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
         |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
         |FROM nd, th, nc""".stripMargin,
+
+    // The window-grid replay: per-pass position diffs at the MAX window,
+    // min per pair, then one count chain per window — windows generated
+    // from the same literals as the Spark query.
+    "q_snm_sweep" -> {
+      val windows = Seq(4, 10, 25)
+      val wmax = windows.max
+      val chains = windows.map { w =>
+        (s"""cw$w AS (SELECT count(*) AS n_cand FROM dd WHERE d <= $w),
+hw$w AS (SELECT count(*) AS n_hit
+  FROM tr JOIN dd ON tr.doc_a = dd.doc_a AND tr.doc_b = dd.doc_b
+  WHERE d <= $w)""",
+          s"""SELECT CAST($w AS INT) AS "window", CAST(2 AS INT) AS max_dist,
+  n_docs, n_truth, n_cand, n_hit,
+  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+FROM nd, nt, cw$w, hw$w""")
+      }
+      s"""WITH s AS (SELECT doc_id, substring(text, 1, 20) AS s
+           FROM documents WHERE doc_id < 400),
+tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE levenshtein(a.s, b.s) <= 2),
+p1 AS (SELECT doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn FROM s),
+d1 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+              greatest(a.doc_id, b.doc_id) AS doc_b, b.rn - a.rn AS d
+       FROM p1 a JOIN p1 b ON b.rn - a.rn BETWEEN 1 AND $wmax),
+p2 AS (SELECT doc_id, row_number() OVER (ORDER BY reverse(s), doc_id) AS rn FROM s),
+d2 AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+              greatest(a.doc_id, b.doc_id) AS doc_b, b.rn - a.rn AS d
+       FROM p2 a JOIN p2 b ON b.rn - a.rn BETWEEN 1 AND $wmax),
+dd AS (SELECT doc_a, doc_b, min(d) AS d
+       FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+       GROUP BY doc_a, doc_b),
+nd AS (SELECT count(*) AS n_docs FROM s),
+nt AS (SELECT count(*) AS n_truth FROM tr),
+${chains.map(_._1).mkString(",\n")}
+${chains.map(_._2).mkString("\nUNION ALL\n")}
+ORDER BY "window""""
+    },
 
     // Registry round-trip changes nothing (losslessness is prefix-order-
     // free) — the serve-path oracle IS the inline cross statement.

@@ -835,10 +835,39 @@ object Fuzzy {
       .map(k => snmPassCandidates(base, k, window, blockLen))
       .reduce(_ unionByName _)
 
+  /** Per-pair MINIMUM position distance across both pass orders, for
+    * pairs within `maxWindow` in at least one — the window-independent
+    * quantity behind [[snmWindowSweep]]: a pair is a window-w candidate
+    * iff its min distance ≤ w, so ONE position build prices every
+    * window in the grid. */
+  private def snmPairDists(base: DataFrame, maxWindow: Int,
+                           blockLen: Int): DataFrame =
+    Seq(col("_s"), reverse(col("_s")))
+      .map(k => snmPassDists(base, k, maxWindow, blockLen))
+      .reduce(_ unionByName _)
+      .groupBy("id_a", "id_b").agg(min(col("_d")).as("_d"))
+
+  /** One pass of [[snmPairDists]]: the banded self-join keeping the
+    * position distance. */
+  private def snmPassDists(base: DataFrame, key: Column,
+                           window: Int, blockLen: Int): DataFrame =
+    snmPassJoin(base, key, window, blockLen)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        (col("_rb") - col("_ra")).as("_d"))
+
   /** One pass: block-partitioned ranks + tiny-offset cumsum → global
     * position, then the banded within-`window` self-join. */
   private def snmPassCandidates(base: DataFrame, key: Column,
-                                window: Int, blockLen: Int): DataFrame = {
+                                window: Int, blockLen: Int): DataFrame =
+    snmPassJoin(base, key, window, blockLen)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+
+  /** The pass's position build + banded self-join, positions kept:
+    * (id_x, id_y, _ra, _rb) with 1 ≤ _rb − _ra ≤ window. */
+  private def snmPassJoin(base: DataFrame, key: Column,
+                          window: Int, blockLen: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
     val keyed = base.select(col("_id"), key.as("_k"))
@@ -865,8 +894,7 @@ object Fuzzy {
         floor(col("_rn") / window) - 1)).as("_bkt"))
     a.join(b.hint("shuffle_hash"), Seq("_bkt"))
       .filter(col("_rb") - col("_ra") >= 1 && col("_rb") - col("_ra") <= window)
-      .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .select("id_x", "id_y", "_ra", "_rb")
   }
 
   /** Recall certificate for the sorted-neighborhood regime — the
@@ -879,6 +907,49 @@ object Fuzzy {
     * One row: (window, max_dist, n_docs, n_truth, n_cand, n_hit, recall,
     * precision), NULL on empty denominators.
     */
+  /** [[snmRecallEval]] over a WINDOW GRID — and cheaper than it looks:
+    * pass positions are window-independent, so ONE position build + one
+    * banded join at max(windows) prices every window (a pair is a
+    * window-w candidate iff its min cross-pass position distance ≤ w),
+    * and the exact truth is paid once ([[Dedup.minhashConfigSweep]]'s
+    * economics). Read with a recall floor and take the smallest window
+    * above it — n_cand is the verify bill the corpus-wide run pays.
+    * One row per window: (window, max_dist, n_docs, n_truth, n_cand,
+    * n_hit, recall, precision).
+    */
+  def snmWindowSweep(evalSlice: DataFrame, idCol: String, strCol: String,
+                     windows: Seq[Int], maxDist: Int,
+                     blockLen: Int = 2): DataFrame = {
+    require(windows.nonEmpty, "windows must be non-empty")
+    windows.foreach(w => require(w >= 1, s"window must be >= 1, got $w"))
+    val base = graft.CacheScope.pin(
+      evalSlice.select(col(idCol).as("_id"), col(strCol).as("_s")))
+    val truth = graft.CacheScope.pin(base.toDF("doc_a", "s_a")
+      .crossJoin(base.toDF("doc_b", "s_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(levenshtein(col("s_a"), col("s_b"), maxDist) >= 0)
+      .select("doc_a", "doc_b"))
+    val dists = graft.CacheScope.pin(
+      snmPairDists(base, windows.max, blockLen))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = windows.sorted.map { w =>
+      val cand = dists.filter(col("_d") <= w)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nDocs.crossJoin(nTruth).crossJoin(nCand).crossJoin(nHit)
+        .select(lit(w).as("window"), lit(maxDist).as("max_dist"),
+          col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast("double") / col("n_truth")).as("recall"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand")).as("precision"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   def snmRecallEval(evalSlice: DataFrame, idCol: String, strCol: String,
                     window: Int, maxDist: Int,
                     blockLen: Int = 2): DataFrame = {

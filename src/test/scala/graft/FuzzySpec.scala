@@ -416,6 +416,29 @@ class FuzzySpec extends SparkSpec {
     assert(one._3 <= one._2)
   }
 
+  test("snmWindowSweep: per-window rows equal the single-window " +
+    "certificate; truth shared; candidates monotone in window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 20).as("s"))
+    val windows = Seq(4, 10, 25)
+    val sweep = Fuzzy.snmWindowSweep(docs, "id", "s", windows, maxDist = 2)
+      .select("window", "n_truth", "n_cand", "n_hit")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    graft.CacheScope.release(spark)
+    assert(sweep.map(_._1).toSeq == windows)
+    assert(sweep.map(_._2).distinct.length == 1, "one shared truth")
+    windows.zip(sweep).foreach { case (w, row) =>
+      val single = Fuzzy.snmRecallEval(docs, "id", "s", window = w, maxDist = 2)
+        .select("n_truth", "n_cand", "n_hit")
+        .as[(Long, Long, Long)].collect().head
+      graft.CacheScope.release(spark)
+      assert((row._2, row._3, row._4) == single,
+        s"window $w: sweep $row vs single $single")
+    }
+    val cands = sweep.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b })
+  }
+
   test("editDistanceAgainstIndex: persisted-registry serve equals inline; " +
     "edIndexUpdate is append==rebuild; retract restores exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -107,8 +107,8 @@ class PlanGuardSpec extends SparkSpec {
       // truth cross + 1-row count crosses (per config for the sweep)
       "q_simhash_recall", "q_simhash_sweep",
       // the SNM certificate: eval-sized all-pairs Levenshtein truth
-      // cross + 1-row count crosses
-      "q_snm_recall")
+      // cross + 1-row count crosses (per window for the sweep)
+      "q_snm_recall", "q_snm_sweep")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.
