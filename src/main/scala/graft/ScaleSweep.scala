@@ -122,6 +122,9 @@ object ScaleSweep {
     // row to watch), and 6 peeling rounds (degree census + 2 semi
     // joins each)
     "q_hops", "q_communities", "q_kcore",
+    // r13 s3: the LPA residual ladder + convergence-gated twin (the
+    // changed-count rides each round's own materializing action)
+    "q_communities_residual", "q_communities_conv",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;

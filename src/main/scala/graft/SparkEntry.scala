@@ -645,6 +645,39 @@ FROM th$k, nc$k"""
     (ctes, row)
   }
 
+  /** LPA oracle prolog: whale-capped lineitems → co-purchase edges →
+    * symmetrized weights → part nodes → identity labeling l0. Shared by
+    * the three community oracles so the graph replay cannot drift. */
+  private def lpaPrologCtes(): String =
+    s"""$LrLiCte,
+e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        count(*) AS weight
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+sym AS (SELECT src, dst, CAST(sum(weight) AS BIGINT) AS weight
+        FROM (SELECT src, dst, weight FROM e
+              UNION ALL SELECT dst, src, weight FROM e)
+        GROUP BY 1, 2),
+nodes AS (SELECT p_partkey AS node FROM part),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+
+  /** One synchronous LPA round per i (1..n): neighbor label weights,
+    * node-partitioned argmax by (w DESC, label ASC), carry-forward. */
+  private def lpaRoundCtes(n: Int): String =
+    (1 to n).map { i =>
+      val prev = s"l${i - 1}"
+      s"""nb$i AS (SELECT s.dst AS node, l.label,
+        |    CAST(sum(s.weight) AS BIGINT) AS w
+        |  FROM sym s JOIN $prev l ON s.src = l.node GROUP BY 1, 2),
+        |b$i AS (SELECT node, label FROM (
+        |    SELECT node, label, row_number() OVER (
+        |      PARTITION BY node ORDER BY w DESC, label ASC) AS rn
+        |    FROM nb$i) WHERE rn = 1),
+        |l$i AS (SELECT p.node, coalesce(b.label, p.label) AS label
+        |  FROM $prev p LEFT JOIN b$i b ON p.node = b.node)""".stripMargin
+    }.mkString(",\n")
+
   /** The SimHash fingerprint CTE chain over a source relation — the
     * q_dedup_simhash replay (60-bit md5-prefix feature hash, ±1 bit
     * votes), generated from [[Dedup.SimhashBits]] so the sides cannot
@@ -1152,6 +1185,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
   private val HopMaxHops = 4
   private val HopSeedMod = 20L
   private val LpRounds = 3
+  // r13 s3: the LPA residual ladder depth and the convergence budget.
+  // The sf0.01 co-purchase labeling does NOT settle inside it (the
+  // residual ladder measures 1956→1066 changes over rounds 1-6 —
+  // synchronous LPA on a dense graph keeps trading labels), so the
+  // fixture exercises the maxRounds FALLBACK; GraphSpec's triangle
+  // fixture pins the live zero-change stop. Both replay from the same
+  // consecutive-round diffs.
+  private val LpConvMaxRounds = 6
   private val KcoreK = 3
   private val KcoreMaxRounds = 6
 
@@ -3102,6 +3143,27 @@ res$sfx AS (SELECT '$qid' AS query_id,
         t(s, dir, "part").select(col("p_partkey").as("node")),
         coPurchaseEdges(t(s, dir, "lineitem")),
         rounds = LpRounds)
+        .orderBy("node")),
+
+    // The LPA residual ladder: per-round changed-label counts over
+    // LpConvMaxRounds rounds — free at the operator's own cost (the
+    // count rides each round's materializing action).
+    "q_communities_residual" -> ((s, dir) =>
+      ops.Graph.labelPropResidual(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        rounds = LpConvMaxRounds)
+        .orderBy("round")),
+
+    // Convergence-GATED communities: stop at the first zero-change
+    // round (LIVE on this fixture), else LpConvMaxRounds; labels equal
+    // the fixed unroll by idempotence and `rounds` replays from the
+    // same consecutive-round diffs.
+    "q_communities_conv" -> ((s, dir) =>
+      ops.Graph.labelPropConverged(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        maxRounds = LpConvMaxRounds)
         .orderBy("node")),
 
     // k-core membership by iterative peeling: KcoreMaxRounds synchronized
@@ -7046,33 +7108,42 @@ ORDER BY query_id, neg_rank"""),
     // argmax as a node-partitioned row_number by (w DESC, label ASC),
     // the window twin of the operator's combinable max-of-(w, -label)
     // struct. Integer weight totals keep every round order-independent.
-    "q_communities" -> {
-      val rounds = (1 to LpRounds).map { i =>
-        val prev = s"l${i - 1}"
-        s"""nb$i AS (SELECT s.dst AS node, l.label,
-          |    CAST(sum(s.weight) AS BIGINT) AS w
-          |  FROM sym s JOIN $prev l ON s.src = l.node GROUP BY 1, 2),
-          |b$i AS (SELECT node, label FROM (
-          |    SELECT node, label, row_number() OVER (
-          |      PARTITION BY node ORDER BY w DESC, label ASC) AS rn
-          |    FROM nb$i) WHERE rn = 1),
-          |l$i AS (SELECT p.node, coalesce(b.label, p.label) AS label
-          |  FROM $prev p LEFT JOIN b$i b ON p.node = b.node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $LrLiCte,
-        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
-        |        count(*) AS weight
-        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |        AND a.l_partkey <> b.l_partkey
-        |      GROUP BY 1, 2),
-        |sym AS (SELECT src, dst, CAST(sum(weight) AS BIGINT) AS weight
-        |        FROM (SELECT src, dst, weight FROM e
-        |              UNION ALL SELECT dst, src, weight FROM e)
-        |        GROUP BY 1, 2),
-        |nodes AS (SELECT p_partkey AS node FROM part),
-        |l0 AS (SELECT node, node AS label FROM nodes),
-        |$rounds
-        |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
+    "q_communities" ->
+      s"""WITH ${lpaPrologCtes()},
+        |${lpaRoundCtes(LpRounds)}
+        |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin,
+
+    // Residual replay: diff consecutive unrolled rounds — deterministic
+    // integer counts, the q_linkrank_residual idiom at the label grain.
+    "q_communities_residual" -> {
+      val rs = (1 to LpConvMaxRounds).map { i =>
+        s"""SELECT CAST($i AS INT) AS round,
+          |  (SELECT count(*) FROM l$i a JOIN l${i - 1} b
+          |   ON a.node = b.node AND a.label <> b.label) AS n_changed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${lpaPrologCtes()},
+        |${lpaRoundCtes(LpConvMaxRounds)}
+        |$rs
+        |ORDER BY round""".stripMargin
+    },
+
+    // Convergence-gated replay: same diffs pick k = first zero-change
+    // round (else the budget); labels come from the DEEPEST unroll —
+    // equal to round k's by idempotence, so no branch dispatch needed.
+    "q_communities_conv" -> {
+      val rs = (1 to LpConvMaxRounds).map { i =>
+        s"""SELECT $i AS round,
+          |  (SELECT count(*) FROM l$i a JOIN l${i - 1} b
+          |   ON a.node = b.node AND a.label <> b.label) AS d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${lpaPrologCtes()},
+        |${lpaRoundCtes(LpConvMaxRounds)},
+        |rs AS (
+        |$rs),
+        |kk AS (SELECT coalesce(min(round), $LpConvMaxRounds) AS k
+        |       FROM rs WHERE d = 0)
+        |SELECT node, label, CAST((SELECT k FROM kk) AS INT) AS rounds
+        |FROM l$LpConvMaxRounds ORDER BY node""".stripMargin
     },
 
     // kcore: KcoreMaxRounds peels unrolled — peeling is monotone and

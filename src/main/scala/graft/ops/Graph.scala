@@ -401,20 +401,87 @@ object Graph {
     * their own id as label.
     */
   def labelPropagate(nodes: DataFrame, edges: DataFrame,
-                     rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, s"need at least one round, got $rounds")
+                     rounds: Int = 3): DataFrame =
+    lpaLoop(nodes, edges, rounds, stopOnStable = false, residuals = None)._1
+
+  /** Per-round CHANGED-LABEL counts for [[labelPropagate]] — the
+    * residual post-flight the authority family got in r13
+    * ([[linkRankResidual]]), at the community family: one row per round
+    * (round, n_changed), where n_changed counts nodes whose label
+    * differs from the previous round. FREE at the operator's own cost:
+    * the count rides the action each round already runs to materialize
+    * its checkpoint, so observability adds zero jobs. n_changed = 0
+    * means the labeling has reached its fixpoint (synchronous LPA is
+    * idempotent there — identical input rounds produce identical
+    * output), so the first zero names the round count
+    * [[labelPropConverged]] would take. Deterministic integer counts —
+    * oracle-replayable by diffing consecutive unrolled rounds.
+    */
+  def labelPropResidual(nodes: DataFrame, edges: DataFrame,
+                        rounds: Int = 3): DataFrame = {
+    val spark = nodes.sparkSession
+    val buf = scala.collection.mutable.Buffer.empty[Long]
+    lpaLoop(nodes, edges, rounds, stopOnStable = false,
+      residuals = Some(buf))
+    import spark.implicits._
+    buf.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("round", "n_changed")
+  }
+
+  /** Convergence-GATED label propagation — the residual acting as the
+    * stopping rule: rounds run until a round changes NO label or
+    * `maxRounds`, whichever first. Synchronous LPA is idempotent at the
+    * fixpoint (a zero-change round reproduces itself forever), so the
+    * early-stopped labeling equals a fixed `maxRounds` unroll
+    * bit-for-bit, and the emitted `rounds` — first zero-change round,
+    * else `maxRounds` — is a deterministic integer function of the
+    * graph the oracle recomputes from the same consecutive-round diffs
+    * (the [[linkRankConverged]] shape; labels themselves need no
+    * branch dispatch, by idempotence).
+    *
+    * Output: (node, label, rounds) — `rounds` constant.
+    *
+    * NOTE synchronous LPA has no convergence guarantee — dense or
+    * near-bipartite regions can trade labels indefinitely (the sf0.01
+    * co-purchase fixture still changes ~1k labels at round 6) — which
+    * is exactly why the budget exists and why [[labelPropResidual]] is
+    * the instrument to read BEFORE trusting a labeling: a ladder that
+    * plateaus instead of dying means the graph needs async/seeded
+    * variants or a coarser edge filter, not more rounds.
+    */
+  def labelPropConverged(nodes: DataFrame, edges: DataFrame,
+                         maxRounds: Int = 8): DataFrame = {
+    val (labels, taken) = lpaLoop(nodes, edges, maxRounds,
+      stopOnStable = true, residuals = None)
+    labels.withColumn("rounds", lit(taken))
+  }
+
+  /** The synchronous LPA loop shared by the three public forms. The
+    * per-round materializing action doubles as the changed-label count
+    * (filter-count over the just-checkpointed 3-column frame), so the
+    * residual instrument and the stop rule cost nothing beyond what
+    * the plain operator already paid.
+    */
+  private def lpaLoop(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                      stopOnStable: Boolean,
+                      residuals: Option[scala.collection.mutable.Buffer[Long]])
+      : (DataFrame, Int) = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
     val sym = graft.CacheScope.pin(
       edges.filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), col("weight"))
         .unionAll(edges.filter(col("src") =!= col("dst"))
           .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
         .groupBy("src", "dst").agg(sum("weight").as("weight")))
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var ckpt = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(false)
+    var labels = ckpt
     var r = 0
-    while (r < rounds) {
+    var taken = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
       val nb = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("weight").as("w"))
       // argmax by (weight DESC, label ASC) as one combinable max over
@@ -424,17 +491,23 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("w").as("w"), (-col("label")).as("nl"))).as("b"))
         .select(col("node"), (-col("b.nl")).as("nb_label"))
-      val next = labels
+      val next3 = labels
         .join(best, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("nb_label"), col("label")).as("label"))
+          coalesce(col("nb_label"), col("label")).as("label"),
+          col("label").as("_prev"))
         .localCheckpoint(false)
-      next.count()
-      graft.unpersistCheckpoint(labels)
-      labels = next
+      // materialize + measure in one action
+      val changed = next3.filter(col("label") =!= col("_prev")).count()
+      residuals.foreach(_ += changed)
+      graft.unpersistCheckpoint(ckpt)
+      ckpt = next3
+      labels = next3.select("node", "label")
+      taken += 1
+      if (stopOnStable && changed == 0L) stable = true
       r += 1
     }
-    labels
+    (labels, taken)
   }
 
   /** k-core membership by iterative peeling (Seidman 1983, "Network

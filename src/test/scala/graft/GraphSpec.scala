@@ -404,6 +404,61 @@ class GraphSpec extends SparkSpec {
       4L -> 5L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("labelPropResidual: per-round changed counts match the unrolled " +
+    "rounds; the first zero names the convergence round") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    // hand-unroll: round 1 rotates every triangle label (6 changed),
+    // round 2 settles both triangles to min labels (4 changed: 1->1 via
+    // 2, etc.), round 3+ change nothing
+    def labelsAt(r: Int): Map[Long, Long] = {
+      val m = Graph.labelPropagate(ns, es, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      CacheScope.release(spark)
+      m
+    }
+    val l1 = labelsAt(1); val l2 = labelsAt(2); val l3 = labelsAt(3)
+    val init = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).map(n => n -> n).toMap
+    def diff(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.count { case (k, v) => b(k) != v }.toLong
+    val res = Graph.labelPropResidual(ns, es, rounds = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(res == Map(1 -> diff(l1, init), 2 -> diff(l2, l1),
+      3 -> diff(l3, l2), 4 -> 0L), s"got $res")
+    assert(res(3) == 0L, "fixture converges at round 2; round 3 changes nothing")
+  }
+
+  test("labelPropConverged: stops at the first zero-change round, equals " +
+    "the fixed unroll, and reports the round count") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val conv = Graph.labelPropConverged(ns, es, maxRounds = 8).collect()
+    CacheScope.release(spark)
+    val rounds = conv.map(_.getInt(2)).distinct
+    assert(rounds.toSeq == Seq(3), s"fixture stops at round 3 (first zero), got ${rounds.toSeq}")
+    val labels = conv.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = Graph.labelPropagate(ns, es, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(labels == fixed, "early stop must equal the fixed unroll")
+    // a budget too small to converge reports maxRounds and still equals
+    // the same-depth fixed run
+    val trunc = Graph.labelPropConverged(ns, es, maxRounds = 1).collect()
+    CacheScope.release(spark)
+    assert(trunc.map(_.getInt(2)).distinct.toSeq == Seq(1))
+    assert(trunc.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Graph.labelPropagate(ns, es, rounds = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    CacheScope.release(spark)
+  }
+
   test("kcore: the K4 survives k=3 while the tail peels; cascade needs " +
     "multiple rounds; over-k empties; fixed peels match the truncated run") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
