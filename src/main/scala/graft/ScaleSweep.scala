@@ -107,6 +107,8 @@ object ScaleSweep {
     // per-batch saving, and the recall certificate runs on the FIXED
     // slice (flat in corpus size, like q_minhash_recall)
     "q_rrf", "q_contain_incr", "q_contain_served", "q_contain_recall",
+    // r13 s3: the maxDf grid (fixed slice — flat in corpus size)
+    "q_contain_sweep",
     // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
     // iterations over the co-purchase graph; edge build dominates), the
     // seeded twin (same joins, gated teleport), and the triangle census

@@ -1912,6 +1912,15 @@ res$sfx AS (SELECT '$qid' AS query_id,
         t(s, dir, "documents").filter(col("doc_id") < 400),
         n = 3, threshold = 0.8, maxDf = 3L)),
 
+    // The maxDf grid: shingles, exact truth, and the df annotation built
+    // once; per config only the prefix re-rank + count chain re-run.
+    // df=400 = uncapped on the 400-doc slice — the recall-1.0 anchor.
+    "q_contain_sweep" -> ((s, dir) =>
+      Dedup.containmentDfSweep(
+        t(s, dir, "documents").filter(col("doc_id") < 400),
+        maxDfs = Seq(2L, 3L, 400L), n = 3, threshold = 0.8)
+        .orderBy("max_df")),
+
     // Convergence-GATED authority: rounds run until max |Δmass| <=
     // LrConvTol or LrConvMaxIters — the residual post-flight as the
     // stopping rule. The stop round is a deterministic integer function
@@ -4550,6 +4559,52 @@ ORDER BY doc_a, doc_b"""
         |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
         |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
         |FROM nd, th, nc""".stripMargin,
+
+    // The maxDf-grid replay: shared smp/base/nz/tr/ex/ix head (df
+    // computed once), one ix2/pa/pb/cd/th/nc chain per config, rows
+    // UNION ALLed — configs generated from the same literals as Spark.
+    "q_contain_sweep" -> {
+      val dfs = Seq(2L, 3L, 400L)
+      val chains = dfs.map { m =>
+        (s"""ix2$m AS (SELECT doc_id, sz, s, df,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn
+           |  FROM ix WHERE df <= $m),
+           |pa$m AS (SELECT s, doc_id AS doc_a, sz AS sz_a FROM ix2$m
+           |  WHERE rn <= sz - ceil(CAST(0.8 AS DOUBLE) * sz - 1e-9) + 1),
+           |pb$m AS (SELECT s, doc_id AS doc_b, sz AS sz_b FROM ix2$m),
+           |cd$m AS (SELECT DISTINCT doc_a, doc_b
+           |  FROM pa$m JOIN pb$m USING (s)
+           |  WHERE doc_a <> doc_b
+           |    AND sz_b >= ceil(CAST(0.8 AS DOUBLE) * sz_a - 1e-9)),
+           |th$m AS (SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+           |  FROM tr LEFT JOIN cd$m c
+           |    ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b),
+           |nc$m AS (SELECT count(*) AS n_cand FROM cd$m)""".stripMargin,
+          s"""SELECT CAST($m AS BIGINT) AS max_df, n_docs, n_truth, n_cand, n_hit,
+           |  CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+           |  CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand END AS "precision"
+           |FROM nd, th$m, nc$m""".stripMargin)
+      }
+      s"""WITH smp AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM smp)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0),
+        |tr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |        >= CAST(0.8 AS DOUBLE)),
+        |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM nz),
+        |ix AS (SELECT doc_id, sz, s,
+        |    count(*) OVER (PARTITION BY s) AS df
+        |  FROM ex),
+        |nd AS (SELECT count(*) AS n_docs FROM nz),
+        |""".stripMargin +
+        chains.map(_._1).mkString(",\n") + "\n" +
+        chains.map(_._2).mkString("\nUNION ALL\n") +
+        "\nORDER BY max_df"
+    },
 
     // q_containment's pair CTE + the survivorship rule: drop strict
     // excerpts (no reverse pair) and the larger id of mutual pairs.

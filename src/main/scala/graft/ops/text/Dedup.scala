@@ -1373,10 +1373,40 @@ object Dedup {
   def containmentRecallEval(evalSlice: DataFrame, n: Int = 3,
                             threshold: Double = 0.8,
                             maxDf: Long = Long.MaxValue): DataFrame = {
+    val (sets, truth, exDf) = containmentEvalBase(evalSlice, n, threshold)
+    containmentRecallRow(sets, truth, exDf, threshold, maxDf)
+  }
+
+  /** [[containmentRecallEval]] over a `maxDf` GRID — the sweep the other
+    * certificate families already have ([[minhashConfigSweep]],
+    * [[simhashBandSweep]], `Fuzzy.snmWindowSweep`): shingle sets, the
+    * exact all-ordered-pairs truth, AND the df-annotated shingle explode
+    * (the expensive parts; df is config-independent) built ONCE; per
+    * config only the df filter, the prefix re-rank over survivors, and
+    * the count chain re-run. Read with a recall floor and take the
+    * smallest n_cand above it — the stop-shingle lever priced across
+    * its whole range before a corpus-wide run commits.
+    */
+  def containmentDfSweep(evalSlice: DataFrame, maxDfs: Seq[Long],
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(maxDfs.nonEmpty, "maxDfs must be non-empty")
+    val (sets, truth, exDf) = containmentEvalBase(evalSlice, n, threshold)
+    val truthP = graft.CacheScope.pin(truth)
+    val exDfP = graft.CacheScope.pin(exDf)
+    maxDfs.sorted
+      .map(m => containmentRecallRow(sets, truthP, exDfP, threshold, m))
+      .reduce(_ unionByName _)
+  }
+
+  /** Shared base of the containment certificates: pinned shingle sets,
+    * the exact truth, and the df-annotated shingle explode (df computed
+    * once — it does not depend on the pruning config). */
+  private def containmentEvalBase(evalSlice: DataFrame, n: Int,
+                                  threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold not in (0,1]")
     val spark = evalSlice.sparkSession
-    val eps = 1e-9
     val sets = graft.CacheScope.pin(evalSlice
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1388,13 +1418,23 @@ object Dedup {
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(col("sh_a")) >= threshold)
       .select("doc_a", "doc_b")
-    val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val exDf = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(wS))
+    (sets, truth, exDf)
+  }
+
+  /** One maxDf certificate row over the shared base — the per-config
+    * tail: df filter, prefix re-rank over survivors, candidate join,
+    * three exact counts crossed into the row. */
+  private def containmentRecallRow(sets: DataFrame, truth: DataFrame,
+                                   exDf: DataFrame, threshold: Double,
+                                   maxDf: Long): DataFrame = {
+    val eps = 1e-9
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val indexed = ex
-      .withColumn("df", count(lit(1)).over(wS))
+    val indexed = exDf
       .filter(col("df") <= maxDf)
       .withColumn("rn", row_number().over(wDoc))
     val a = indexed

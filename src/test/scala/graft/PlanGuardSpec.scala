@@ -101,8 +101,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_minhash_sweep",
       // the containment recall certificate: q_minhash_recall's shape at
       // the containment relation (eval-sized all-ordered-pairs truth +
-      // 1-row count crosses)
-      "q_contain_recall",
+      // 1-row count crosses) — and its maxDf grid
+      "q_contain_recall", "q_contain_sweep",
       // the SimHash certificates: the same eval-sized all-pairs Hamming
       // truth cross + 1-row count crosses (per config for the sweep)
       "q_simhash_recall", "q_simhash_sweep",

@@ -295,6 +295,32 @@ class TextOpsSpec extends SparkSpec {
       "retract must restore exactly the corpus-only index")
   }
 
+  test("containmentDfSweep: per-config rows equal the single-config " +
+    "certificate; truth shared; candidates monotone in maxDf") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dfs = Seq(2L, 3L, 400L)
+    val sweep = Dedup.containmentDfSweep(docs, dfs, n = 3, threshold = 0.8)
+      .select("max_df", "n_truth", "n_cand", "n_hit")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    graft.CacheScope.release(spark)
+    assert(sweep.map(_._1).toSeq == dfs)
+    assert(sweep.map(_._2).distinct.length == 1, "one shared truth")
+    dfs.zip(sweep).foreach { case (m, row) =>
+      val single = Dedup.containmentRecallEval(docs, n = 3,
+        threshold = 0.8, maxDf = m)
+        .select("n_truth", "n_cand", "n_hit")
+        .as[(Long, Long, Long)].collect().head
+      graft.CacheScope.release(spark)
+      assert((row._2, row._3, row._4) == single,
+        s"maxDf $m: sweep $row vs single $single")
+    }
+    val cands = sweep.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      "a looser df cap only admits candidates")
+    // df=400 is uncapped on this fixture slice → lossless → recall 1
+    assert(sweep.last._4 == sweep.last._2)
+  }
+
   test("containmentRecallEval: lossless at the default maxDf (recall 1), " +
     "and the pruned index's miss is priced, not hidden") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
