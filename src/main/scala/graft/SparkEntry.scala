@@ -706,19 +706,28 @@ fps AS (
   SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes)"""
   }
 
+  /** The banded view of a fingerprint relation, generated from
+    * [[Dedup.SimhashBits]] — shared by every SimHash oracle (the
+    * symmetric join, the certificates, and the asymmetric pair) so the
+    * band arithmetic cannot drift between them. Emits (doc_id, fp,
+    * band_idx, band_val) rows.
+    */
+  private def simhashBandSel(src: String, bands: Int): String = {
+    val width = Dedup.SimhashBits / bands
+    val mask = (1L << width) - 1
+    (0 until bands)
+      .map(j => s"SELECT doc_id, fp, $j AS band_idx, " +
+        s"(fp >> ${j * width}) & $mask AS band_val FROM $src")
+      .mkString("\n  UNION ALL ")
+  }
+
   /** One band-config chain + final row of the SimHash recall oracle:
     * band cohabitation candidates at `b` bands, truth-hit counts against
     * the shared `tr` Hamming-truth CTE, the one-row certificate SELECT.
     */
   private def simhashRecallChain(b: Int, maxH: Int): (String, String) = {
-    val width = Dedup.SimhashBits / b
-    val mask = (1L << width) - 1
-    val bandSelects = (0 until b)
-      .map(j => s"SELECT doc_id, $j AS band_idx, " +
-        s"(fp >> ${j * width}) & $mask AS band_val FROM fps")
-      .mkString("\n  UNION ALL ")
     val ctes = s"""bd$b AS (
-  $bandSelects),
+  ${simhashBandSel("fps", b)}),
 cd$b AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bd$b a JOIN bd$b b
@@ -751,21 +760,14 @@ FROM th$b, nc$b"""
     * equals the operators' split-first shape exactly, and serving from
     * the committed registry must change NOTHING.
     */
-  private lazy val SimhashIncrOracleSql: String = {
-    val bands = 4
-    val width = Dedup.SimhashBits / bands
-    val mask = (1L << width) - 1
-    def bandSel(src: String) = (0 until bands)
-      .map(j => s"SELECT doc_id, $j AS band_idx, " +
-        s"(fp >> ${j * width}) & $mask AS band_val FROM $src")
-      .mkString("\n  UNION ALL ")
+  private lazy val SimhashIncrOracleSql: String =
     s"""WITH ${simhashFpCtes("documents")},
 fi AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
 fc AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
 bi AS (
-  ${bandSel("fi")}),
+  ${simhashBandSel("fi", 4)}),
 bc AS (
-  ${bandSel("fc")}),
+  ${simhashBandSel("fc", 4)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_inc, b.doc_id AS doc_corp
   FROM bi a JOIN bc b
@@ -774,7 +776,6 @@ SELECT doc_inc, doc_corp, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
 FROM cand JOIN fps x ON doc_inc = x.doc_id JOIN fps y ON doc_corp = y.doc_id
 WHERE bit_count(xor(x.fp, y.fp)) <= 6
 ORDER BY doc_inc, doc_corp"""
-  }
 
   /** The asymmetric-minhash oracle — shared verbatim by
     * q_dedup_incremental (inline [[graft.ops.text.Dedup.nearDupAgainst]])
@@ -4399,35 +4400,10 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // Replicates simhashPairs deterministically: same 60-bit md5-prefix
     // feature hash, same ±1 bit votes, same 4×15-bit banding, same Hamming
     // verify — generated from Dedup's constants so the sides cannot drift.
-    "q_dedup_simhash" -> {
-      val bits = Dedup.SimhashBits
-      val bands = 4
-      val width = bits / bands
-      val votes = (0 until bits)
-        .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
-        .mkString(",\n   ")
-      val fp = (0 until bits)
-        .map(i => s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      val bandSelects = (0 until bands)
-        .map(j => s"SELECT doc_id, fp, $j AS band_idx, " +
-          s"(fp >> ${j * width}) & ${(1L << width) - 1} AS band_val FROM fps")
-        .mkString("\n  UNION ALL ")
-      s"""WITH sh AS (
-  SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
-                  for i in generate_series(1, len(toks) - 1)] AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-h AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
-  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
-votes AS (
-  SELECT doc_id,
-   $votes
-  FROM h GROUP BY doc_id),
-fps AS (
-  SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM votes),
+    "q_dedup_simhash" ->
+      s"""WITH ${simhashFpCtes("documents")},
 bands AS (
-  $bandSelects),
+  ${simhashBandSel("fps", 4)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -4436,8 +4412,7 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
 FROM cand JOIN fps x ON doc_a = x.doc_id JOIN fps y ON doc_b = y.doc_id
 WHERE bit_count(xor(x.fp, y.fp)) <= 6
-ORDER BY doc_a, doc_b"""
-    },
+ORDER BY doc_a, doc_b""",
 
     // Naive ALL-PAIRS exact Jaccard — deliberately not the prefix-filtered
     // plan: the Spark side's filter is lossless, so the outputs must agree.

@@ -897,16 +897,6 @@ object Fuzzy {
       .select("id_x", "id_y", "_ra", "_rb")
   }
 
-  /** Recall certificate for the sorted-neighborhood regime — the
-    * [[Dedup.minhashRecallEval]] instrument at the edit-distance family:
-    * exact all-pairs Levenshtein truth on a FIXED eval slice vs the
-    * two-pass window candidates. SNM is the one candidate regime here
-    * with NO losslessness theorem, so this certificate is not a formality
-    * — it is the only evidence a (window, passes) config catches the
-    * corpus's true pairs, measured BEFORE a corpus-wide run commits.
-    * One row: (window, max_dist, n_docs, n_truth, n_cand, n_hit, recall,
-    * precision), NULL on empty denominators.
-    */
   /** [[snmRecallEval]] over a WINDOW GRID — and cheaper than it looks:
     * pass positions are window-independent, so ONE position build + one
     * banded join at max(windows) prices every window (a pair is a
@@ -950,6 +940,16 @@ object Fuzzy {
     rows.reduce(_ unionByName _)
   }
 
+  /** Recall certificate for the sorted-neighborhood regime — the
+    * [[Dedup.minhashRecallEval]] instrument at the edit-distance family:
+    * exact all-pairs Levenshtein truth on a FIXED eval slice vs the
+    * two-pass window candidates. SNM is the one candidate regime here
+    * with NO losslessness theorem, so this certificate is not a formality
+    * — it is the only evidence a (window, passes) config catches the
+    * corpus's true pairs, measured BEFORE a corpus-wide run commits.
+    * One row: (window, max_dist, n_docs, n_truth, n_cand, n_hit, recall,
+    * precision), NULL on empty denominators.
+    */
   def snmRecallEval(evalSlice: DataFrame, idCol: String, strCol: String,
                     window: Int, maxDist: Int,
                     blockLen: Int = 2): DataFrame = {

@@ -949,6 +949,10 @@ object IncrementalStream {
     * the persisted SEGMENT registry: per micro-batch of (id, string)
     * rows,
     *
+    *   0. within-batch EXACT dedup (keep lowest id per identical
+    *      string — [[graft.pipeline.Curation.curateBatch]]'s step 1;
+    *      near-identical-but-unequal strings inside one batch are both
+    *      admitted, the sibling's documented posture);
     *   1. PROBE the batch against the committed
     *      [[graft.ops.text.Fuzzy.segIndex]]
     *      ([[graft.ops.text.Fuzzy.editDistanceAgainstSegIndex]] — only
@@ -997,12 +1001,24 @@ object IncrementalStream {
               seed.unionByName(
                 sp.read.parquet(acceptedPath).select(seed.columns.map(col): _*))
             else seed
+          // within-batch EXACT dedup first (keep lowest id per identical
+          // string) — without it a backlog drain carrying the same
+          // string twice in ONE batch admits both (the registry probe
+          // only sees cross-batch pairs). Near-identical-but-not-equal
+          // strings inside one batch remain both-admitted — the same
+          // documented posture as curateBatch's step 1.
+          val deduped = batch.join(
+            batch.groupBy(col(strCol)).agg(min(col(idCol)).as(idCol))
+              .select(idCol),
+            Seq(idCol), "left_semi")
           val registry = graft.io.Manifest.read(sp, registryTable)
           val matches = graft.ops.text.Fuzzy.editDistanceAgainstSegIndex(
-            registry, corpus, batch, idCol, strCol, maxDist)
-          val accepted = batch.join(
+            registry, corpus, deduped, idCol, strCol, maxDist)
+          // pinned: read by the isEmpty gate, the parquet write, AND the
+          // registry update — unpinned, the probe would run three times
+          val accepted = graft.CacheScope.pin(deduped.join(
             matches.select(col("id_inc").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
+            Seq(idCol), "left_anti"))
           if (!accepted.isEmpty) {
             accepted.write.mode(SaveMode.Overwrite)
               .parquet(s"$acceptedPath/batch=$batchId")

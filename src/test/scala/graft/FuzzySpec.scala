@@ -10,22 +10,49 @@ import org.apache.spark.sql.functions._
 class FuzzySpec extends SparkSpec {
   import spark.implicits._
 
-  private def naive(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] = {
-    def lev(a: String, b: String): Int = {
-      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
-          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      m(a.length)(b.length)
+  /** The one reference Levenshtein DP every naive helper shares. */
+  private def lev(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
     }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  private def naive(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
     (for {
       (ia, sa) <- rows; (ib, sb) <- rows
       if ia < ib
       dist = lev(sa, sb)
       if dist <= d
     } yield (ia, ib, dist)).toSet
+
+  /** Shared even-corpus / odd-incoming mutated fixture for the
+    * asymmetric tests: 30 seed words, incoming = ≤3-edit mutations,
+    * plus shorts planted on BOTH sides so every candidate path fires.
+    */
+  private def mutatedSplitFixture(seed: Int)
+      : (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val rng = new scala.util.Random(seed)
+    val alpha = "abcdefgh"
+    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
+      val i = rng.nextInt(t.length)
+      rng.nextInt(3) match {
+        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
+        case 1 => t.take(i) + t.drop(i + 1)
+        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
+      }
+    }
+    val seeds = Seq.fill(30)(word())
+    val corp = seeds.zipWithIndex.map { case (s, i) => (2L * i, s) } ++
+      Seq((200L, "ab"), (202L, "xy"))
+    val inc = seeds.zipWithIndex.map { case (s, i) =>
+      (2L * i + 1, mutate(s, rng.nextInt(4))) } ++
+      Seq((201L, "ab"), (203L, "q"))
+    (corp, inc)
   }
 
   private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2) =
@@ -237,40 +264,13 @@ class FuzzySpec extends SparkSpec {
     */
   private def naiveCross(inc: Seq[(Long, String)], corp: Seq[(Long, String)],
                          d: Int): Set[(Long, Long, Int)] = {
-    def lev(a: String, b: String): Int = {
-      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
-          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      m(a.length)(b.length)
-    }
     (for { (ii, si) <- inc; (ic, sc) <- corp; dd = lev(si, sc); if dd <= d }
       yield (ii, ic, dd)).toSet
   }
 
   test("editDistanceAgainst: lossless vs naive cross on mutated strings, " +
     "shorts in BOTH sides, no corpus self-pairing") {
-    val rng = new scala.util.Random(77)
-    val alpha = "abcdefgh"
-    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
-    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
-      val i = rng.nextInt(t.length)
-      rng.nextInt(3) match {
-        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
-        case 1 => t.take(i) + t.drop(i + 1)
-        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
-      }
-    }
-    val seeds = Seq.fill(30)(word())
-    // corpus even ids, incoming odd ids; sprinkle shorts ("ab", "x") on
-    // both sides so all three candidate paths fire
-    val corp = seeds.zipWithIndex.map { case (s, i) => (2L * i, s) } ++
-      Seq((200L, "ab"), (202L, "xy"))
-    val inc = seeds.zipWithIndex.map { case (s, i) =>
-      (2L * i + 1, mutate(s, rng.nextInt(4))) } ++
-      Seq((201L, "ab"), (203L, "q"))
+    val (corp, inc) = mutatedSplitFixture(77)
     val got = Fuzzy.editDistanceAgainst(
       corp.toDF("id", "s"), inc.toDF("id", "s"), "id", "s",
       maxDist = 2, q = 2)
@@ -281,23 +281,7 @@ class FuzzySpec extends SparkSpec {
 
   test("editDistanceAgainstPartitioned: segment pigeonhole lossless vs " +
     "naive cross, shorts in BOTH sides; auto dispatches and matches both") {
-    val rng = new scala.util.Random(99)
-    val alpha = "abcdefgh"
-    def word() = Seq.fill(6 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString
-    def mutate(s: String, k: Int): String = (1 to k).foldLeft(s) { (t, _) =>
-      val i = rng.nextInt(t.length)
-      rng.nextInt(3) match {
-        case 0 => t.updated(i, alpha(rng.nextInt(alpha.length)))
-        case 1 => t.take(i) + t.drop(i + 1)
-        case _ => t.take(i) + alpha(rng.nextInt(alpha.length)) + t.drop(i)
-      }
-    }
-    val seeds = Seq.fill(30)(word())
-    val corp = seeds.zipWithIndex.map { case (s, i) => (2L * i, s) } ++
-      Seq((200L, "ab"), (202L, "xy"))
-    val inc = seeds.zipWithIndex.map { case (s, i) =>
-      (2L * i + 1, mutate(s, rng.nextInt(4))) } ++
-      Seq((201L, "ab"), (203L, "q"))
+    val (corp, inc) = mutatedSplitFixture(99)
     val want = naiveCross(inc, corp, 2)
     val seg = Fuzzy.editDistanceAgainstPartitioned(
       corp.toDF("id", "s"), inc.toDF("id", "s"), "id", "s", maxDist = 2)
@@ -353,15 +337,6 @@ class FuzzySpec extends SparkSpec {
     * within w in EITHER order, exact-distance verify. */
   private def naiveSnm(rows: Seq[(Long, String)], w: Int,
                        d: Int): Set[(Long, Long, Int)] = {
-    def lev(a: String, b: String): Int = {
-      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-        if (i == 0) j else if (j == 0) i else 0
-      }
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
-          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      m(a.length)(b.length)
-    }
     def passPairs(key: ((Long, String)) => String): Set[(Long, Long)] = {
       val order = rows.sortBy(r => (key(r), r._1)).map(_._1).toArray
       (for {

@@ -276,10 +276,13 @@ class StreamingSpec extends SparkSpec {
       Set(10L, 12L, 21L))
     // wave 2: a dist-1 edit of WAVE-1-ACCEPTED 21 must drop (the
     // registry advance catches it); a novel string is accepted; an
-    // EXACT resend of the accepted string is a dist-0 match and drops
+    // EXACT resend of the accepted string is a dist-0 match and drops;
+    // a SAME-BATCH duplicate of the novel string admits only the
+    // lowest id (the within-batch exact dedup)
     mem.addData((31L, "quantum flux capacitorz"),
       (33L, "columnar shuffle service"),
-      (35L, "quantum flux capacitor"))
+      (35L, "quantum flux capacitor"),
+      (37L, "columnar shuffle service"))
     drain()
     assert(spark.read.parquet(s"$root/accepted")
       .select("id").as[Long].collect().toSet == Set(21L, 33L),
