@@ -109,6 +109,9 @@ object ScaleSweep {
     "q_rrf", "q_contain_incr", "q_contain_served", "q_contain_recall",
     // r13 s3: the maxDf grid (fixed slice — flat in corpus size)
     "q_contain_sweep",
+    // r13 s3: the exact-Jaccard ingest form (both-sides-pruned PPJoin
+    // at half-corpus batch volume — expect well under q_jaccard_ngram)
+    "q_jaccard_incr",
     // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
     // iterations over the co-purchase graph; edge build dominates), the
     // seeded twin (same joins, gated teleport), and the triangle census

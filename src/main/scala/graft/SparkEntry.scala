@@ -1875,6 +1875,17 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_jaccard_ngram" -> ((s, dir) =>
       Dedup.jaccardNearDup(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // Ingest exact-Jaccard check: odd-id incoming docs with n-gram
+    // Jaccard >= 0.6 against an even-id corpus doc (no corpus
+    // self-pairing) — PPJoin prefixes on both sides under the shared
+    // union-df order, exact verify. Oracle is the naive cross scan.
+    "q_jaccard_incr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.jaccardAgainst(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
+
     // Asymmetric excerpt detection: directional shingle containment
     // |A∩B|/|A| >= 0.8 (oracle = naive all-ordered-pairs on the same
     // string shingles; the prefix filter is lossless).
@@ -4413,6 +4424,22 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
 FROM cand JOIN fps x ON doc_a = x.doc_id JOIN fps y ON doc_b = y.doc_id
 WHERE bit_count(xor(x.fp, y.fp)) <= 6
 ORDER BY doc_a, doc_b""",
+
+    // Naive CROSS exact Jaccard (incoming odd × corpus even) — the
+    // prefix-filtered asym plan is lossless, so outputs must agree.
+    "q_jaccard_incr" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_inc, b.doc_id AS doc_corp,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY doc_inc, doc_corp""".stripMargin,
 
     // Naive ALL-PAIRS exact Jaccard — deliberately not the prefix-filtered
     // plan: the Spark side's filter is lossless, so the outputs must agree.

@@ -1079,6 +1079,70 @@ object Dedup {
     * doc_corp. TextOpsSpec pins equality with the symmetric run
     * restricted to cross pairs.
     */
+  /** ASYMMETRIC exact-Jaccard — [[jaccardNearDup]]'s ingest form, the
+    * EIGHTH member of the asymmetric family: every (incoming, corpus)
+    * pair with n-gram Jaccard ≥ `threshold`, no corpus self-pairing.
+    * [[containmentAgainst]]'s union-tagged shape: one shingle pipeline
+    * over both sides, document frequency over the union (any SHARED
+    * total order keeps the prefix principle lossless — if every shared
+    * shingle sat outside a doc's |s| − ceil(t·|s|) + 1 smallest
+    * elements, the overlap could not reach t·|s|, whatever the order),
+    * PPJoin prefixes on BOTH sides, the bidirectional length filter,
+    * and the exact-Jaccard verify deciding. `maxDf` is the same
+    * stop-shingle recall lever as the symmetric operator's.
+    *
+    * Output: (doc_inc, doc_corp, jaccard).
+    */
+  def jaccardAgainst(corpus: DataFrame, incoming: DataFrame,
+                     n: Int = 3, threshold: Double = 0.6,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val spark = corpus.sparkSession
+    val tagged = corpus.select(col("doc_id"), col("text"))
+      .withColumn("__inc", lit(false))
+      .unionByName(incoming.select(col("doc_id"), col("text"))
+        .withColumn("__inc", lit(true)))
+    val sets = graft.CacheScope.pin(tagged
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("__inc"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("__inc"),
+        transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), col("__inc"),
+        array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val nz = sets.filter(size(col("sh")) > 0)
+    val ex = nz.select(col("doc_id"), col("__inc"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val eps = 1e-9
+    val indexed = graft.CacheScope.pin(ex
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= maxDf)
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1))
+    val a = indexed.filter(col("__inc"))
+      .select(col("s"), col("doc_id").as("doc_inc"), col("sz").as("sz_a"))
+    val b = indexed.filter(!col("__inc"))
+      .select(col("s"), col("doc_id").as("doc_corp"), col("sz").as("sz_b"))
+    val candidates = a.join(b.hint("shuffle_hash"), "s")
+      .filter(col("sz_a") >= ceil(lit(threshold) * col("sz_b") - eps) &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps))
+      .select("doc_inc", "doc_corp").distinct()
+    candidates
+      .join(nz.filter(col("__inc")).select(col("doc_id").as("doc_inc"),
+        col("sh").as("sh_a")).hint("shuffle_hash"), "doc_inc")
+      .join(nz.filter(!col("__inc")).select(col("doc_id").as("doc_corp"),
+        col("sh").as("sh_b")).hint("shuffle_hash"), "doc_corp")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_inc", "doc_corp", "jaccard")
+  }
+
   def containmentAgainst(corpus: DataFrame, incoming: DataFrame,
                          n: Int = 3, threshold: Double = 0.8,
                          maxDf: Long = Long.MaxValue): DataFrame = {

@@ -244,6 +244,33 @@ class TextOpsSpec extends SparkSpec {
     assert(gotChain == Map(1L -> false, 2L -> false, 3L -> true))
   }
 
+  test("jaccardAgainst: equals the symmetric run restricted to cross " +
+    "pairs; no corpus self-pairing; maxDf recall loss is priced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val asym = Dedup.jaccardAgainst(corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.CacheScope.release(spark)
+    val viaSym = Dedup.jaccardNearDup(docs)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) =>
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b, j))
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a, j))
+        else None
+      }.toSet
+    graft.CacheScope.release(spark)
+    assert(asym == viaSym, s"asym=${asym.size} sym-cross=${viaSym.size}")
+    assert(asym.nonEmpty)
+    assert(!asym.exists(p => p._1 % 2 == 0 || p._2 % 2 == 1),
+      "sides must not self-pair")
+    // a brutal df cap can only LOSE pairs, never invent them
+    val capped = Dedup.jaccardAgainst(corpus, incoming, maxDf = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.CacheScope.release(spark)
+    assert(capped.subsetOf(asym))
+  }
+
   test("containmentAgainst: equals the symmetric run restricted to " +
     "cross pairs; no corpus self-pairing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
