@@ -3240,14 +3240,37 @@ res$sfx AS (SELECT '$qid' AS query_id,
     def isWindowClause(start: Int): Boolean =
       sql.substring(0, start).reverse.dropWhile(_.isWhitespace)
         .take(6).reverse.equalsIgnoreCase("WINDOW")
+    // the CTE body ends at its own balanced close paren (quote-aware:
+    // parens inside '...' literals don't count) — NOT at the next head
+    // or end-of-statement. The earlier next-head heuristic over-extended
+    // the LAST CTE's body into the final SELECT, which always references
+    // it, so the last CTE of every statement was misread as recursive
+    // and silently left unmaterialized (q_contain_served's self-joined
+    // nz, q_kcore's twice-read u6 — exactly the double-inlining this
+    // fence exists to stop).
+    def bodyEnd(openEnd: Int): Int = {
+      var depth = 1
+      var i = openEnd
+      var inQuote = false
+      while (i < sql.length && depth > 0) {
+        val c = sql.charAt(i)
+        if (inQuote) { if (c == '\'') inQuote = false }
+        else c match {
+          case '\'' => inQuote = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      i
+    }
     val heads = head.findAllMatchIn(sql).toList
       .filterNot(m => isWindowClause(m.start))
-    val recursive = heads.zipWithIndex.collect {
-      case (m, i) if {
-        val bodyEnd =
-          if (i + 1 < heads.size) heads(i + 1).start else sql.length
+    val recursive = heads.collect {
+      case m if {
         ("""\b""" + java.util.regex.Pattern.quote(m.group(1)) + """\b""").r
-          .findFirstIn(sql.substring(m.end, bodyEnd)).isDefined
+          .findFirstIn(sql.substring(m.end, bodyEnd(m.end))).isDefined
       } => m.group(1)
     }.toSet
     head.replaceAllIn(sql, m =>

@@ -285,9 +285,12 @@ object Graph {
     val nodeTbl = graft.CacheScope.pin(
       nodes.select(col("node"), lit(true).as("is_seed")))
     val buf = scala.collection.mutable.Buffer.empty[(Long, Long)]
-    iterate(nodeTbl, edges,
+    // the final mass state is discarded here (the residual LADDER is the
+    // output) — free its checkpoint blocks instead of leaking them
+    val finalMass = iterate(nodeTbl, edges,
       init = nodeTbl.select(col("node"), lit(base).as("mass")),
       iters, base, dampNum, dampDen, residuals = Some(buf))
+    graft.unpersistCheckpoint(finalMass)
     import spark.implicits._
     buf.toSeq.zipWithIndex
       .map { case ((d, n), i) => (i + 1, d, n) }
@@ -402,7 +405,8 @@ object Graph {
     */
   def labelPropagate(nodes: DataFrame, edges: DataFrame,
                      rounds: Int = 3): DataFrame =
-    lpaLoop(nodes, edges, rounds, stopOnStable = false, residuals = None)._1
+    lpaLoop(nodes, edges, rounds, stopOnStable = false, residuals = None)
+      ._1
 
   /** Per-round CHANGED-LABEL counts for [[labelPropagate]] — the
     * residual post-flight the authority family got in r13
@@ -421,8 +425,12 @@ object Graph {
                         rounds: Int = 3): DataFrame = {
     val spark = nodes.sparkSession
     val buf = scala.collection.mutable.Buffer.empty[Long]
-    lpaLoop(nodes, edges, rounds, stopOnStable = false,
-      residuals = Some(buf))
+    // the final labeling is discarded (the ladder is the output) —
+    // free its checkpoint blocks instead of leaking them (unpersist
+    // must see the CHECKPOINTED frame, not the derived projection)
+    val (_, finalCkpt, _) = lpaLoopCk(nodes, edges, rounds,
+      stopOnStable = false, residuals = Some(buf))
+    graft.unpersistCheckpoint(finalCkpt)
     import spark.implicits._
     buf.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }
       .toDF("round", "n_changed")
@@ -456,16 +464,34 @@ object Graph {
     labels.withColumn("rounds", lit(taken))
   }
 
-  /** The synchronous LPA loop shared by the three public forms. The
-    * per-round materializing action doubles as the changed-label count
-    * (filter-count over the just-checkpointed 3-column frame), so the
-    * residual instrument and the stop rule cost nothing beyond what
-    * the plain operator already paid.
-    */
+  /** [[lpaLoop]] with the final CHECKPOINTED frame exposed, for callers
+    * that discard the labeling and must free its blocks. */
+  private def lpaLoopCk(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                        stopOnStable: Boolean,
+                        residuals: Option[scala.collection.mutable.Buffer[Long]])
+      : (DataFrame, DataFrame, Int) = lpaLoopImpl(nodes, edges, maxRounds,
+    stopOnStable, residuals)
+
   private def lpaLoop(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
                       stopOnStable: Boolean,
                       residuals: Option[scala.collection.mutable.Buffer[Long]])
       : (DataFrame, Int) = {
+    val (labels, _, taken) = lpaLoopImpl(nodes, edges, maxRounds,
+      stopOnStable, residuals)
+    (labels, taken)
+  }
+
+  /** The synchronous LPA loop shared by the three public forms. The
+    * per-round materializing action doubles as the changed-label count
+    * (filter-count over the just-checkpointed 3-column frame), so the
+    * residual instrument and the stop rule cost nothing beyond what
+    * the plain operator already paid. Returns (labels projection,
+    * final checkpointed frame, rounds taken).
+    */
+  private def lpaLoopImpl(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                          stopOnStable: Boolean,
+                          residuals: Option[scala.collection.mutable.Buffer[Long]])
+      : (DataFrame, DataFrame, Int) = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
     val sym = graft.CacheScope.pin(
       edges.filter(col("src") =!= col("dst"))
@@ -507,7 +533,7 @@ object Graph {
       if (stopOnStable && changed == 0L) stable = true
       r += 1
     }
-    (labels, taken)
+    (labels, ckpt, taken)
   }
 
   /** k-core membership by iterative peeling (Seidman 1983, "Network
@@ -615,6 +641,13 @@ object Graph {
     // mass <= 2*n*base needs 2*n*base*max(weight) < 2^63. One combinable
     // max over the already-pinned edge table — textRank feeds corpus-scale
     // pair COUNTS as weights, so this bound is reachable, not theoretical.
+    // The bound is deliberately JOINTLY-PESSIMISTIC (it assumes one node
+    // holds ~all conserved mass AND owns the max-weight edge) — a run it
+    // rejects may have been numerically fine, but the failure mode it
+    // prevents is a silent negative-mass wrap, so the guard errs loud.
+    // The remedy it names is always available and exact: rank is
+    // invariant to a uniform integer rescale of edge weights (and to
+    // lowering base), so divide weights by a common factor and re-run.
     val maxW = edgeTbl.agg(coalesce(max("weight"), lit(0L)))
       .first().getLong(0)
     require(BigInt(2) * BigInt(nNodes) * BigInt(base) * BigInt(maxW) <

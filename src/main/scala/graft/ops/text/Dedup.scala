@@ -931,11 +931,7 @@ object Dedup {
     // inside the single-partition file scan (measured 4.2 s at sf0.1).
     // Pinned via CacheScope (release() is the caller's free boundary);
     // the filter sits above the pin for the pushdown reason above.
-    val sets = graft.CacheScope.pin(documents
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val sets = graft.CacheScope.pin(hashedShingleSets(documents, n))
       .filter(size(col("sh")) > 0)
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     // Document frequency via count-over-window instead of a groupBy + join:
@@ -1030,11 +1026,7 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold not in (0,1]")
     val spark = documents.sparkSession
-    val sets = graft.CacheScope.pin(documents
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val sets = graft.CacheScope.pin(hashedShingleSets(documents, n))
     val nz = sets.filter(size(col("sh")) > 0)
     val ex = nz.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
@@ -1079,6 +1071,30 @@ object Dedup {
     * doc_corp. TextOpsSpec pins equality with the symmetric run
     * restricted to cross pairs.
     */
+
+  /** The hashed-shingle pipeline shared by every exact set-similarity
+    * operator (Jaccard, containment, their asymmetric forms, the
+    * persisted containment index): optional few-fat-files spread, token
+    * hashes computed ONCE, n-gram shingle hashes chained, distinct set
+    * per doc — (doc_id [, extra cols], sh). Pin and empty-set-filter
+    * placement stay at the CALLER (the filter-above-the-pin pushdown
+    * hazard documented at [[jaccardNearDup]]). One definition so the
+    * persisted index can never silently diverge from the inline forms.
+    */
+  private def hashedShingleSets(df: DataFrame, n: Int,
+                                extra: Seq[String] = Nil,
+                                spread: Boolean = true): DataFrame = {
+    val keep = col("doc_id") +: extra.map(col)
+    val base =
+      if (spread) df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      else df
+    base
+      .select(keep :+ tokens(col("text")).as("toks"): _*)
+      .select(keep :+ transform(col("toks"), t => xxhash64(t)).as("th"): _*)
+      .select(keep :+ array_distinct(hashedShingles(col("th"), n)).as("sh"): _*)
+  }
+
   /** ASYMMETRIC exact-Jaccard — [[jaccardNearDup]]'s ingest form, the
     * EIGHTH member of the asymmetric family: every (incoming, corpus)
     * pair with n-gram Jaccard ≥ `threshold`, no corpus self-pairing.
@@ -1103,13 +1119,8 @@ object Dedup {
       .withColumn("__inc", lit(false))
       .unionByName(incoming.select(col("doc_id"), col("text"))
         .withColumn("__inc", lit(true)))
-    val sets = graft.CacheScope.pin(tagged
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("__inc"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("__inc"),
-        transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), col("__inc"),
-        array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val sets = graft.CacheScope.pin(
+      hashedShingleSets(tagged, n, extra = Seq("__inc")))
     val nz = sets.filter(size(col("sh")) > 0)
     val ex = nz.select(col("doc_id"), col("__inc"),
       size(col("sh")).as("sz"), explode(col("sh")).as("s"))
@@ -1153,13 +1164,8 @@ object Dedup {
       .withColumn("__inc", lit(false))
       .unionByName(incoming.select(col("doc_id"), col("text"))
         .withColumn("__inc", lit(true)))
-    val sets = graft.CacheScope.pin(tagged
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("__inc"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("__inc"),
-        transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), col("__inc"),
-        array_distinct(hashedShingles(col("th"), n)).as("sh")))
+    val sets = graft.CacheScope.pin(
+      hashedShingleSets(tagged, n, extra = Seq("__inc")))
     val nz = sets.filter(size(col("sh")) > 0)
     val ex = nz.select(col("doc_id"), col("__inc"),
       size(col("sh")).as("sz"), explode(col("sh")).as("s"))
@@ -1546,11 +1552,7 @@ object Dedup {
   def containmentIndex(corpus: DataFrame, n: Int = 3,
                        maxDf: Long = Long.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
-    val ex = corpus
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
+    val ex = hashedShingleSets(corpus, n)
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
     val wS = org.apache.spark.sql.expressions.Window.partitionBy("s")
@@ -1620,11 +1622,7 @@ object Dedup {
       s"threshold=$threshold not in (0,1]")
     val spark = incoming.sparkSession
     val eps = 1e-9
-    val setsI = graft.CacheScope.pin(incoming
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), n)).as("sh"))
+    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n)
       .filter(size(col("sh")) > 0))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("s"))
@@ -1642,11 +1640,8 @@ object Dedup {
     val candCorpus = corpus
       .join(candidates.select(col("doc_corp").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    val setsC = candCorpus
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id").as("doc_corp"),
-        array_distinct(hashedShingles(col("th"), n)).as("sh_b"))
+    val setsC = hashedShingleSets(candCorpus, n, spread = false)
+      .select(col("doc_id").as("doc_corp"), col("sh").as("sh_b"))
     candidates
       .join(setsI.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
         .hint("shuffle_hash"), "doc_inc")

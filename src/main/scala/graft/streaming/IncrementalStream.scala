@@ -27,6 +27,24 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQ
   */
 object IncrementalStream {
 
+  /** Stream identity for replay-detection commit tags. batchId alone is
+    * NOT a safe key: a stream restarted with a FRESH checkpoint (the
+    * disaster-recovery case) restarts batchIds at 0 carrying NEW data,
+    * and a bare `*-batch-0` tag from the old run would make the new
+    * run's first batches silently skip. Scoping the tag by the
+    * checkpoint path closes that: a genuine crash-replay reuses the
+    * SAME checkpoint (same scope, same batchId — skip, correctly),
+    * while a fresh-checkpoint restart gets a new scope and re-runs.
+    * Tests pass an explicit scope to simulate same-stream replays from
+    * fresh checkpoints.
+    */
+  private def tagScopeOf(checkpoint: String,
+                         explicit: Option[String]): String =
+    explicit.getOrElse(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString)
+
   /** File-source order stream with the explicit nested schema (S2) and
     * `.json`-only filename predicate (P6).
     */
@@ -799,19 +817,28 @@ object IncrementalStream {
     * also documents lineage). No path appends twice, so the accepted
     * table never double-admits. Releases its per-batch CacheScope
     * pins — run it in its own session if other pins must survive.
+    *
+    * LAYOUT contract: `acceptedPath` holds `batch=<id>` subdirectories
+    * (readers see an inferred `batch` partition column — the internal
+    * corpus read projects it away). An acceptedPath populated by a
+    * pre-r13 flat-append run cannot be extended in place (Spark rejects
+    * mixed-depth parquet layouts); migrate old part-files into a
+    * `batch=-1` subdir once, or start a fresh path.
     */
   def runCurationIngest(spark: SparkSession, batchStream: DataFrame,
                         corpusPath: String, registryTable: String,
                         thresholds: DataFrame, benchmark: DataFrame,
                         acceptedPath: String, checkpoint: String,
                         k: Int = 32, bands: Int = 8,
-                        dupThreshold: Double = 0.5): StreamingQuery = {
+                        dupThreshold: Double = 0.5,
+                        tagScope: Option[String] = None): StreamingQuery = {
+    val scope = tagScopeOf(checkpoint, tagScope)
     val q = batchStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val tag = s"curation-ingest-batch-$batchId"
+        val tag = s"curation-ingest-$scope-batch-$batchId"
         // replay of a fully-committed batch: the registry's current
         // version was produced by THIS batchId, and the accepted write
         // happens strictly before that commit — nothing left to redo
@@ -888,19 +915,33 @@ object IncrementalStream {
     * advances extra warm rounds (which would break the documented
     * stream ≡ batch-replay equality). Releases its CacheScope pins per
     * batch.
+    *
+    * OWNERSHIP contract (the tag's blind spot): the skip decision reads
+    * the CURRENT version's tag, so an untagged maintenance commit
+    * (compact, manual write) landing between a crash and its replay
+    * erases the evidence and the replayed merge would double-count.
+    * While this stream owns `edgeTable`/`authorityTable`, no other
+    * writer may commit to them — the repo-wide single-maintenance-
+    * writer rule (Manifest object doc), stated here because the cost
+    * of violating it is silent weight corruption, not just a stale
+    * read. Tags are scoped by the checkpoint path (see [[tagScopeOf]]),
+    * so a fresh-checkpoint restart is a NEW identity and re-runs
+    * rather than falsely skipping on a colliding batchId.
     */
   def runAuthorityStream(spark: SparkSession, edgeStream: DataFrame,
                          edgeTable: String, authorityTable: String,
                          checkpoint: String, iters: Int = 2,
                          base: Long = 1000000L, dampNum: Long = 85L,
-                         dampDen: Long = 100L): StreamingQuery = {
+                         dampDen: Long = 100L,
+                         tagScope: Option[String] = None): StreamingQuery = {
+    val scope = tagScopeOf(checkpoint, tagScope)
     val q = edgeStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sp = batch.sparkSession
-          val tag = s"authority-batch-$batchId"
+          val tag = s"authority-$scope-batch-$batchId"
           def tagOf(table: String): Option[String] =
             if (graft.io.Manifest.currentVersion(sp, table).isDefined)
               graft.io.Manifest.currentTag(sp, table)
@@ -975,19 +1016,22 @@ object IncrementalStream {
     * the registry commit sees its batchId as the current tag and skips
     * outright. No path appends twice. Releases its per-batch
     * CacheScope pins — run in its own session if other pins must
-    * survive.
+    * survive. Same `batch=<id>` LAYOUT contract on `acceptedPath` as
+    * [[runCurationIngest]] (no mixing with flat-append layouts).
     */
   def runFuzzyIngest(spark: SparkSession, batchStream: DataFrame,
                      corpusPath: String, registryTable: String,
                      acceptedPath: String, checkpoint: String,
                      idCol: String, strCol: String,
-                     maxDist: Int): StreamingQuery = {
+                     maxDist: Int,
+                     tagScope: Option[String] = None): StreamingQuery = {
+    val scope = tagScopeOf(checkpoint, tagScope)
     val q = batchStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val tag = s"fuzzy-ingest-batch-$batchId"
+        val tag = s"fuzzy-ingest-$scope-batch-$batchId"
         val alreadyCommitted =
           graft.io.Manifest.currentVersion(sp, registryTable).isDefined &&
             graft.io.Manifest.currentTag(sp, registryTable).contains(tag)

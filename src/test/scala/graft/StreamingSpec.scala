@@ -290,9 +290,10 @@ class StreamingSpec extends SparkSpec {
     assert(graft.io.Manifest.read(spark, registryTable)
       .select("doc_id").distinct().as[Long].collect().toSet ==
       Set(10L, 12L, 21L, 33L))
-    // the registry's current tag names the last committing batch
+    // the registry's current tag names the last committing batch,
+    // scoped by the stream's checkpoint-derived identity
     assert(graft.io.Manifest.currentTag(spark, registryTable)
-      .exists(_.startsWith("fuzzy-ingest-batch-")))
+      .exists(t => t.startsWith("fuzzy-ingest-") && t.contains("-batch-")))
   }
 
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
@@ -1205,7 +1206,8 @@ class StreamingSpec extends SparkSpec {
     mem1.addData(wave: _*)
     IncrementalStream.runAuthorityStream(spark,
       mem1.toDF().toDF("src", "dst", "weight"),
-      edgeTable, authTable, s"$root/ckpt1", iters = 2)
+      edgeTable, authTable, s"$root/ckpt1", iters = 2,
+      tagScope = Some("t"))
     val edges1 = graft.io.Manifest.read(spark, edgeTable)
       .as[(Long, Long, Long)].collect().toSet
     val auth1 = graft.io.Manifest.read(spark, authTable)
@@ -1218,7 +1220,8 @@ class StreamingSpec extends SparkSpec {
     mem2.addData(wave: _*)
     IncrementalStream.runAuthorityStream(spark,
       mem2.toDF().toDF("src", "dst", "weight"),
-      edgeTable, authTable, s"$root/ckpt2", iters = 2)
+      edgeTable, authTable, s"$root/ckpt2", iters = 2,
+      tagScope = Some("t"))
     assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1),
       "replayed merge must be skipped — re-merging double-counts weights")
     assert(graft.io.Manifest.currentVersion(spark, authTable).contains(1),
@@ -1227,6 +1230,19 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == edges1)
     assert(graft.io.Manifest.read(spark, authTable)
       .as[(Long, Long)].collect().toMap == auth1)
+    // a DIFFERENT stream identity (default checkpoint-derived scope)
+    // restarting at batchId 0 with NEW data must NOT be mistaken for a
+    // replay — the pre-fix bare `authority-batch-0` tag would silently
+    // skip this merge
+    val mem3 = MemoryStream[(Long, Long, Long)](spark)
+    mem3.addData((3L, 4L, 5L))
+    IncrementalStream.runAuthorityStream(spark,
+      mem3.toDF().toDF("src", "dst", "weight"),
+      edgeTable, authTable, s"$root/ckpt3", iters = 2)
+    assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(2),
+      "new data under a new stream identity must merge, not skip")
+    assert(graft.io.Manifest.read(spark, edgeTable)
+      .as[(Long, Long, Long)].collect().toSet == edges1 + ((3L, 4L, 5L)))
     CacheScope.release(spark)
   }
 
@@ -1241,12 +1257,13 @@ class StreamingSpec extends SparkSpec {
     // (tagged with its batchId) but the crash hit before the authority
     // commit
     graft.io.Manifest.writeTagged(wave.toDF("src", "dst", "weight"),
-      edgeTable, "authority-batch-0")
+      edgeTable, "authority-t-batch-0")
     val mem = MemoryStream[(Long, Long, Long)](spark)
     mem.addData(wave: _*)
     IncrementalStream.runAuthorityStream(spark,
       mem.toDF().toDF("src", "dst", "weight"),
-      edgeTable, authTable, s"$root/ckpt", iters = 2)
+      edgeTable, authTable, s"$root/ckpt", iters = 2,
+      tagScope = Some("t"))
     // merge leg skipped: still v1, weights NOT doubled
     assert(graft.io.Manifest.currentVersion(spark, edgeTable).contains(1))
     assert(graft.io.Manifest.read(spark, edgeTable)
@@ -1287,7 +1304,7 @@ class StreamingSpec extends SparkSpec {
       IncrementalStream.runCurationIngest(spark,
         mem.toDF().toDF("doc_id", "text", "lang"),
         s"$root/corpus", registryTable, thresholds, benchmark,
-        s"$root/accepted", ckpt)
+        s"$root/accepted", ckpt, tagScope = Some("t"))
     }
     drainWith(s"$root/ckpt1")
     assert(spark.read.parquet(s"$root/accepted")
