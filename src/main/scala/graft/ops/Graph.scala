@@ -481,6 +481,17 @@ object Graph {
     (labels, taken)
   }
 
+  /** `-label` with the non-negative-id contract enforced IN-expression:
+    * raises on the first negative label instead of silently inverting
+    * the smallest-label tie-break (and sidesteps the Long.MinValue
+    * negation overflow). Rides the aggregate that uses it — no extra
+    * validation job.
+    */
+  private def negLabel(label: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(label >= 0, -label)
+      .otherwise(raise_error(format_string(
+        "LPA labels must be non-negative node ids; got %d", label)).cast("long"))
+
   /** The synchronous LPA loop shared by the three public forms. The
     * per-round materializing action doubles as the changed-label count
     * (filter-count over the just-checkpointed 3-column frame), so the
@@ -512,10 +523,15 @@ object Graph {
         .agg(sum("weight").as("w"))
       // argmax by (weight DESC, label ASC) as one combinable max over
       // (w, -label) — labels are node ids >= 0, so negation is a safe
-      // total-order flip in Long
+      // total-order flip in Long. The >= 0 assumption is ENFORCED, not
+      // assumed: a negative id would silently invert the smallest-label
+      // tie-break (and Long.MinValue negation overflows), so the flip
+      // raises on the first negative label it meets — riding the round's
+      // existing aggregate, zero extra jobs, and scoped exactly to the
+      // labels that participate in a tie-break.
       val best = nb
         .groupBy(col("dst").as("node"))
-        .agg(max(struct(col("w").as("w"), (-col("label")).as("nl"))).as("b"))
+        .agg(max(struct(col("w").as("w"), negLabel(col("label")).as("nl"))).as("b"))
         .select(col("node"), (-col("b.nl")).as("nb_label"))
       val next3 = labels
         .join(best, Seq("node"), "left")
@@ -527,6 +543,135 @@ object Graph {
       val changed = next3.filter(col("label") =!= col("_prev")).count()
       residuals.foreach(_ += changed)
       graft.unpersistCheckpoint(ckpt)
+      ckpt = next3
+      labels = next3.select("node", "label")
+      taken += 1
+      if (stopOnStable && changed == 0L) stable = true
+      r += 1
+    }
+    (labels, ckpt, taken)
+  }
+
+  /** Community detection by SEMI-SYNCHRONOUS label propagation — the
+    * published remedy (Cordasco & Gargano 2010, "Community detection
+    * via semi-synchronous label propagation algorithms") for the one
+    * failure mode the synchronous form honestly instruments but cannot
+    * fix: on dense / near-bipartite structure, simultaneous updates
+    * trade labels forever ([[labelPropResidual]] measures the sf0.01
+    * co-purchase fixture plateauing at ~1k changed labels per round).
+    * The cure is to color the nodes and update ONE color class per
+    * sub-step, so a node never updates simultaneously with the
+    * neighbors it is reading — the two-sided swap that powers the
+    * oscillation cannot happen between color classes. The coloring here
+    * is the cheap deterministic 2-coloring by node-id parity: each
+    * round updates even nodes from the current labeling, then odd nodes
+    * from the half-updated one.
+    *
+    * Determinism: both sub-steps are the same argmax-by-(weight DESC,
+    * label ASC) integer tie-break as [[labelPropagate]], and the
+    * sub-step ORDER (even first) is fixed — the labeling after any
+    * round count is a pure function of the graph, so the oracle unrolls
+    * the same two sub-steps per round and matches bit-for-bit. Per
+    * round the join volume equals ONE synchronous round (each
+    * symmetrized edge feeds exactly the sub-step of its head's color);
+    * the extra price is one more aggregate+join latency per round.
+    *
+    * Stops at the first round that changes NO label (a full-round
+    * fixpoint reproduces itself — both sub-steps are argmax-stable — so
+    * the early stop equals the fixed unroll, the [[labelPropConverged]]
+    * argument), else `maxRounds`.
+    *
+    * Output: (node, label, rounds) — `rounds` constant: the first
+    * zero-change round, else `maxRounds`.
+    */
+  def labelPropSemiSync(nodes: DataFrame, edges: DataFrame,
+                        maxRounds: Int = 8): DataFrame = {
+    val (labels, taken) = semiLoop(nodes, edges, maxRounds,
+      stopOnStable = true, residuals = None)
+    labels.withColumn("rounds", lit(taken))
+  }
+
+  /** Per-round CHANGED-LABEL counts for [[labelPropSemiSync]] — the
+    * residual ladder at the semi-synchronous family: one (round,
+    * n_changed) row per round, counting nodes whose label after BOTH
+    * sub-steps differs from the round start. This is the instrument
+    * that certifies the semi-sync claim: on the fixture where the
+    * synchronous ladder plateaus, this one reaches a zero row. Free at
+    * the operator's own cost (the count rides each round's
+    * materializing action).
+    */
+  def labelPropSemiSyncResidual(nodes: DataFrame, edges: DataFrame,
+                                rounds: Int = 8): DataFrame = {
+    val spark = nodes.sparkSession
+    val buf = scala.collection.mutable.Buffer.empty[Long]
+    val (_, finalCkpt, _) = semiLoopImpl(nodes, edges, rounds,
+      stopOnStable = false, residuals = Some(buf))
+    graft.unpersistCheckpoint(finalCkpt)
+    import spark.implicits._
+    buf.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("round", "n_changed")
+  }
+
+  private def semiLoop(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                       stopOnStable: Boolean,
+                       residuals: Option[scala.collection.mutable.Buffer[Long]])
+      : (DataFrame, Int) = {
+    val (labels, _, taken) = semiLoopImpl(nodes, edges, maxRounds,
+      stopOnStable, residuals)
+    (labels, taken)
+  }
+
+  /** The semi-synchronous loop: per round, sub-step 0 re-labels even
+    * nodes from the round-start labeling, sub-step 1 re-labels odd
+    * nodes from the half-updated one. The edge filter (`dst % 2`) sits
+    * UNDER the label join, so each sub-step shuffles only its color's
+    * incident edges and a full round moves the same join volume as one
+    * synchronous round. Sub-step state is lazily checkpointed and the
+    * round's single count action materializes both; previous-round and
+    * sub-step blocks are freed as soon as the round lands.
+    */
+  private def semiLoopImpl(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+                           stopOnStable: Boolean,
+                           residuals: Option[scala.collection.mutable.Buffer[Long]])
+      : (DataFrame, DataFrame, Int) = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    val sym = graft.CacheScope.pin(
+      edges.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("weight"))
+        .unionAll(edges.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+        .groupBy("src", "dst").agg(sum("weight").as("weight")))
+    // one color class recomputes its argmax from `cur`; `best` carries
+    // only that color's nodes, so the coalesce is the carry for the rest
+    def substep(cur: DataFrame, color: Int): DataFrame = {
+      val nb = sym.filter(col("dst") % 2 === color)
+        .join(cur.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(sum("weight").as("w"))
+      val best = nb
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("w").as("w"), negLabel(col("label")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("nb_label"))
+      cur.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nb_label"), col("label")).as("label"),
+          col("_prev"))
+    }
+    var ckpt = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    var labels = ckpt
+    var r = 0
+    var taken = 0
+    var stable = false
+    while (r < maxRounds && !stable) {
+      val start = ckpt.select(col("node"), col("label"),
+        col("label").as("_prev"))
+      val half = substep(start, 0).localCheckpoint(false)
+      val next3 = substep(half, 1).localCheckpoint(false)
+      val changed = next3.filter(col("label") =!= col("_prev")).count()
+      residuals.foreach(_ += changed)
+      graft.unpersistCheckpoint(ckpt)
+      graft.unpersistCheckpoint(half)
       ckpt = next3
       labels = next3.select("node", "label")
       taken += 1

@@ -850,9 +850,15 @@ object Dedup {
         .hint("shuffle_hash"), Seq("band_idx", "band_val"))
       .select("doc_inc", "doc_corp")
       .distinct()
+    // rename BY NAME, never positionally: corpFps can be a PERSISTED
+    // registry, and a positional toDF would silently swap ids and
+    // fingerprints if a committed relation's column order ever differed
+    // from (doc_id, fp) — select-by-name fails loudly instead.
     cand
-      .join(incFps.toDF("doc_inc", "fp_i").hint("shuffle_hash"), "doc_inc")
-      .join(corpFps.toDF("doc_corp", "fp_c").hint("shuffle_hash"), "doc_corp")
+      .join(incFps.select(col("doc_id").as("doc_inc"), col("fp").as("fp_i"))
+        .hint("shuffle_hash"), "doc_inc")
+      .join(corpFps.select(col("doc_id").as("doc_corp"), col("fp").as("fp_c"))
+        .hint("shuffle_hash"), "doc_corp")
       .withColumn("hamming",
         bit_count(col("fp_i").bitwiseXOR(col("fp_c"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

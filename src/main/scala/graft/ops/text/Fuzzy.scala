@@ -483,7 +483,11 @@ object Fuzzy {
     * inline/served sf1 sweep rows price exactly that trade, and the
     * verify keeps outputs identical either way.
     *
-    * Schema: (doc_id, len, g, occ) — `g` NULL marks a short string.
+    * Schema: (doc_id, len, g, occ, max_dist, gram_q) — `g` NULL marks a
+    * short string; max_dist/gram_q stamp the BUILD parameters into the
+    * committed relation (constant columns, RLE'd to nothing in parquet)
+    * so a serve-time parameter mismatch fails loudly instead of
+    * silently under-recalling ([[requireStamp]]).
     */
   def edIndex(corpus: DataFrame, idCol: String, strCol: String,
               maxDist: Int, q: Int = 2): DataFrame = {
@@ -498,6 +502,30 @@ object Fuzzy {
       col("_len").as("len"), lit(null).cast("string").as("g"),
       lit(null).cast("int").as("occ"))
     prefix.unionByName(shorts)
+      .withColumn("max_dist", lit(maxDist))
+      .withColumn("gram_q", lit(q))
+  }
+
+  /** Row-level registry PARAMETER guard: the serve call's (maxDist, q)
+    * must equal the build's — a registry built at maxDist=2 but served
+    * at 3 silently under-recalls (its prefixes are one gram too short
+    * for the larger radius). The build params are stamped into every
+    * index row and this filter raises on the first mismatched row,
+    * riding the registry scan the probe join pays anyway — zero extra
+    * jobs, and a mixed-parameter registry (a buggy union of two builds)
+    * is caught wherever the mismatch sits.
+    */
+  private def requireStamp(registry: DataFrame, what: String,
+                           params: (String, Int)*): DataFrame = {
+    val ok = params.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val expect = params.map { case (c, v) => s"$c=$v" }.mkString(", ")
+    val fmt = s"$what registry was built with different parameters than " +
+      s"it is served with: serve expects $expect, row carries " +
+      params.map(p => s"${p._1}=%d").mkString(", ") +
+      " — rebuild the registry or serve with the build parameters"
+    registry.filter(when(ok, lit(true)).otherwise(
+      raise_error(format_string(fmt, params.map(p => col(p._1)): _*))
+        .cast("boolean")))
   }
 
   /** Build-and-commit [[edIndex]] as a versioned Manifest snapshot.
@@ -529,7 +557,7 @@ object Fuzzy {
       graft.io.Manifest.read(spark, table)
         .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
           Seq("doc_id"), "left_anti")
-        .select("doc_id", "len", "g", "occ"),
+        .select("doc_id", "len", "g", "occ", "max_dist", "gram_q"),
       table)
   }
 
@@ -541,10 +569,12 @@ object Fuzzy {
     * candidate generations are lossless and the verify is shared, so
     * the oracle is the naive cross statement verbatim.
     */
-  def editDistanceAgainstIndex(registry: DataFrame, corpus: DataFrame,
+  def editDistanceAgainstIndex(registry0: DataFrame, corpus: DataFrame,
                                incoming: DataFrame, idCol: String,
                                strCol: String, maxDist: Int,
                                q: Int = 2): DataFrame = {
+    val registry = requireStamp(registry0, "ed-gram",
+      "max_dist" -> maxDist, "gram_q" -> q)
     val ir = gramExplode(incoming, idCol, strCol, maxDist, q)
     val iPrefix = graft.ops.Relational.topKPerGroup(
       ir.exploded.withColumn("_h", xxhash64(col("g"))),
@@ -684,7 +714,10 @@ object Fuzzy {
     * segment keys that hash-ordered grams give up (sf1: the gram
     * registry serve ran 188.8 s where segment keys run ~20 s).
     *
-    * Schema: (doc_id, len, si, sv) — si/sv NULL marks a short string.
+    * Schema: (doc_id, len, si, sv, max_dist) — si/sv NULL marks a short
+    * string; max_dist stamps the build parameter ([[requireStamp]] —
+    * segment schemes are a function of maxDist, so a serve-time
+    * mismatch would silently miss pairs).
     */
   def segIndex(corpus: DataFrame, idCol: String, strCol: String,
                maxDist: Int): DataFrame = {
@@ -699,6 +732,7 @@ object Fuzzy {
       .select(col("_id").as("doc_id"), col("_len").as("len"),
         lit(null).cast("int").as("si"), lit(null).cast("string").as("sv"))
     longRows.unionByName(shortRows)
+      .withColumn("max_dist", lit(maxDist))
   }
 
   /** Build-and-commit [[segIndex]] as a versioned Manifest snapshot. */
@@ -731,7 +765,7 @@ object Fuzzy {
       graft.io.Manifest.read(spark, table)
         .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
           Seq("doc_id"), "left_anti")
-        .select("doc_id", "len", "si", "sv"),
+        .select("doc_id", "len", "si", "sv", "max_dist"),
       table)
   }
 
@@ -740,9 +774,11 @@ object Fuzzy {
     * strings are touched exactly for candidate ids. Output identical to
     * the inline form — the oracle is the naive cross statement verbatim.
     */
-  def editDistanceAgainstSegIndex(registry: DataFrame, corpus: DataFrame,
+  def editDistanceAgainstSegIndex(registry0: DataFrame, corpus: DataFrame,
                                   incoming: DataFrame, idCol: String,
                                   strCol: String, maxDist: Int): DataFrame = {
+    val registry = requireStamp(registry0, "ed-segment",
+      "max_dist" -> maxDist)
     val nseg = maxDist + 1
     val ib = incoming.select(col(idCol).as("_id"), col(strCol).as("_s"),
       length(col(strCol)).as("_len"))

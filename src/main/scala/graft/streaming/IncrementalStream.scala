@@ -40,10 +40,15 @@ object IncrementalStream {
     */
   private def tagScopeOf(checkpoint: String,
                          explicit: Option[String]): String =
+    // full 16-byte digest: a truncated scope (the first cut used 4
+    // bytes) makes scope COLLISION between two different checkpoints
+    // possible, and a collision recreates exactly the false-skip
+    // (silent batch drop) the scope exists to prevent. Tag strings
+    // have no length constraint, so there is nothing to save.
     explicit.getOrElse(
       java.security.MessageDigest.getInstance("MD5")
         .digest(checkpoint.getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString)
+        .map("%02x".format(_)).mkString)
 
   /** File-source order stream with the explicit nested schema (S2) and
     * `.json`-only filename predicate (P6).
@@ -1048,13 +1053,18 @@ object IncrementalStream {
           // within-batch EXACT dedup first (keep lowest id per identical
           // string) — without it a backlog drain carrying the same
           // string twice in ONE batch admits both (the registry probe
-          // only sees cross-batch pairs). Near-identical-but-not-equal
-          // strings inside one batch remain both-admitted — the same
-          // documented posture as curateBatch's step 1.
-          val deduped = batch.join(
-            batch.groupBy(col(strCol)).agg(min(col(idCol)).as(idCol))
-              .select(idCol),
-            Seq(idCol), "left_semi")
+          // only sees cross-batch pairs). Dedup on ROWS, not ids: the
+          // earlier min-id semi-join on idCol alone kept a duplicate
+          // string whenever one batch carried the same id on two
+          // different strings (the kept id was the min for the OTHER
+          // string). A string-partitioned rank admits exactly one row
+          // per distinct string, no global window. Near-identical-but-
+          // not-equal strings inside one batch remain both-admitted —
+          // the same documented posture as curateBatch's step 1.
+          val deduped = batch.withColumn("_rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col(strCol)).orderBy(col(idCol))))
+            .filter(col("_rn") === 1).drop("_rn")
           val registry = graft.io.Manifest.read(sp, registryTable)
           val matches = graft.ops.text.Fuzzy.editDistanceAgainstSegIndex(
             registry, corpus, deduped, idCol, strCol, maxDist)

@@ -321,16 +321,16 @@ class FuzzySpec extends SparkSpec {
     val batch = incoming.filter($"id" < 40)
     assert(Fuzzy.segIndexUpdate(table, batch, "id", "s", maxDist = 2) == 2)
     val afterUpdate = graft.io.Manifest.read(spark, table)
-      .as[(Long, Long, Option[Int], Option[String])].collect().toSet
+      .as[(Long, Long, Option[Int], Option[String], Int)].collect().toSet
     val rebuilt = Fuzzy.segIndex(corpus.unionByName(batch), "id", "s",
       maxDist = 2)
-      .as[(Long, Long, Option[Int], Option[String])].collect().toSet
+      .as[(Long, Long, Option[Int], Option[String], Int)].collect().toSet
     assert(afterUpdate == rebuilt, "append must equal rebuild")
     assert(Fuzzy.segIndexRetract(table, batch.select($"id"), "id") == 3)
     assert(graft.io.Manifest.read(spark, table)
-      .as[(Long, Long, Option[Int], Option[String])].collect().toSet ==
+      .as[(Long, Long, Option[Int], Option[String], Int)].collect().toSet ==
       Fuzzy.segIndex(corpus, "id", "s", maxDist = 2)
-        .as[(Long, Long, Option[Int], Option[String])].collect().toSet)
+        .as[(Long, Long, Option[Int], Option[String], Int)].collect().toSet)
   }
 
   /** Brute-force SNM replay: global (key, id) positions per pass, pairs
@@ -438,16 +438,16 @@ class FuzzySpec extends SparkSpec {
     val batch = incoming.filter($"id" < 40)
     assert(Fuzzy.edIndexUpdate(table, batch, "id", "s", maxDist = 2, q = 3) == 2)
     val afterUpdate = graft.io.Manifest.read(spark, table)
-      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+      .as[(Long, Long, Option[String], Option[Int], Int, Int)].collect().toSet
     val rebuilt = Fuzzy.edIndex(corpus.unionByName(batch), "id", "s",
       maxDist = 2, q = 3)
-      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+      .as[(Long, Long, Option[String], Option[Int], Int, Int)].collect().toSet
     assert(afterUpdate == rebuilt, "append must equal rebuild")
     assert(Fuzzy.edIndexRetract(table, batch.select($"id"), "id") == 3)
     val afterRetract = graft.io.Manifest.read(spark, table)
-      .as[(Long, Long, Option[String], Option[Int])].collect().toSet
+      .as[(Long, Long, Option[String], Option[Int], Int, Int)].collect().toSet
     assert(afterRetract == Fuzzy.edIndex(corpus, "id", "s", maxDist = 2, q = 3)
-      .as[(Long, Long, Option[String], Option[Int])].collect().toSet,
+      .as[(Long, Long, Option[String], Option[Int], Int, Int)].collect().toSet,
       "retract must restore exactly the corpus-only index")
   }
 }
