@@ -347,36 +347,50 @@ object Graph {
     *
     * Output: (node, hops) one row per `nodes` row — hops NULL when the
     * node is unreachable from every seed within `maxHops`.
+    *
+    * State compaction (r14): the loop checkpoints only the PER-ROUND
+    * DELTA — the nodes first settled this round — never the full
+    * (node, hops) relation. Settled state is the lazy union of the
+    * round deltas (≤ maxHops + 1 checkpointed frames, together at most
+    * one row per reachable node), so total checkpoint WRITE volume is
+    * O(|reached|), not the O(rounds · |V|) a full-state re-checkpoint
+    * pays — at 100 TB node scale that factor is the difference between
+    * a bounded frontier crawl and re-serializing the node table every
+    * round (sf1-scale measurement in SURVEY §8). The per-round count
+    * that drives the early stop doubles as the delta's materializing
+    * action, and the final left join pins nothing new.
     */
   def hopDistance(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                   maxHops: Int = 6): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val edgeTbl = graft.CacheScope.pin(
       edges.select(col("src"), col("dst")).distinct())
-    var state = nodes.select(col("node"))
-      .join(seeds.select(col("node"), lit(true).as("is_seed")),
-        Seq("node"), "left")
-      .select(col("node"), when(col("is_seed"), lit(0L)).as("hops"))
+    val nodeTbl = nodes.select(col("node"))
+    // hop-0 delta: the seed rows (semi join — a duplicated seed id must
+    // not duplicate a node row)
+    var delta = nodeTbl
+      .join(seeds.select(col("node")), Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(false)
+    val deltas = scala.collection.mutable.Buffer(delta)
     var hop = 0
-    var frontierSize = state.filter(col("hops") === 0L).count()
+    var frontierSize = delta.count()
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
+      val settled = deltas.map(_.select("node")).reduce(_ unionAll _)
       val reached = edgeTbl
-        .join(state.filter(col("hops") === lit(hop - 1).cast("long"))
-          .select(col("node").as("src")), "src")
+        .join(delta.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-      val next = state
-        .join(reached.withColumn("hit", lit(true)), Seq("node"), "left")
-        .select(col("node"),
-          when(col("hops").isNotNull, col("hops"))
-            .otherwise(when(col("hit"), lit(hop.toLong))).as("hops"))
+      // min-plus with unit weights: first touch IS the minimal distance,
+      // so the new frontier is exactly reached-minus-settled
+      delta = reached.join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("hops"))
         .localCheckpoint(false)
-      frontierSize = next.filter(col("hops") === lit(hop).cast("long")).count()
-      graft.unpersistCheckpoint(state)
-      state = next
+      frontierSize = delta.count()
+      deltas += delta
     }
-    state
+    nodeTbl.join(deltas.reduce(_ unionAll _), Seq("node"), "left")
+      .select(col("node"), col("hops"))
   }
 
   /** Community detection by synchronous weighted label propagation
@@ -562,19 +576,27 @@ object Graph {
     * The cure is to color the nodes and update ONE color class per
     * sub-step, so a node never updates simultaneously with the
     * neighbors it is reading — the two-sided swap that powers the
-    * oscillation cannot happen between color classes. The coloring here
-    * is the cheap deterministic 2-coloring by node-id parity: each
-    * round updates even nodes from the current labeling, then odd nodes
-    * from the half-updated one.
+    * oscillation cannot happen between color classes. The guarantee
+    * needs a PROPER coloring (no edge inside a class); a distributed
+    * proper coloring is itself an iterative job, so the coloring here
+    * is the cheap deterministic approximation `node % numColors`, and
+    * the RESIDUAL LADDER is the certificate that the approximation
+    * suffices: on the sf0.01 co-purchase fixture, `numColors = 2`
+    * (parity) still leaves enough same-color edges to sustain a 3-node
+    * limit cycle (the ladder plateaus at exactly 3 changed labels per
+    * round, measured to round 36), while `numColors = 4` reaches a
+    * zero-change round at round 16 and stays there. Pick C by reading
+    * the ladder, not by faith.
     *
-    * Determinism: both sub-steps are the same argmax-by-(weight DESC,
+    * Determinism: every sub-step is the same argmax-by-(weight DESC,
     * label ASC) integer tie-break as [[labelPropagate]], and the
-    * sub-step ORDER (even first) is fixed — the labeling after any
-    * round count is a pure function of the graph, so the oracle unrolls
-    * the same two sub-steps per round and matches bit-for-bit. Per
-    * round the join volume equals ONE synchronous round (each
-    * symmetrized edge feeds exactly the sub-step of its head's color);
-    * the extra price is one more aggregate+join latency per round.
+    * sub-step ORDER (color 0 first, ascending) is fixed — the labeling
+    * after any round count is a pure function of the graph, so the
+    * oracle unrolls the same C sub-steps per round and matches
+    * bit-for-bit. Per round the join volume equals ONE synchronous
+    * round (each symmetrized edge feeds exactly the sub-step of its
+    * head's color); the extra price is C-1 more aggregate+join
+    * latencies per round.
     *
     * Stops at the first round that changes NO label (a full-round
     * fixpoint reproduces itself — both sub-steps are argmax-stable — so
@@ -585,27 +607,30 @@ object Graph {
     * zero-change round, else `maxRounds`.
     */
   def labelPropSemiSync(nodes: DataFrame, edges: DataFrame,
-                        maxRounds: Int = 8): DataFrame = {
+                        maxRounds: Int = 8,
+                        numColors: Int = 2): DataFrame = {
     val (labels, taken) = semiLoop(nodes, edges, maxRounds,
-      stopOnStable = true, residuals = None)
+      stopOnStable = true, residuals = None, numColors)
     labels.withColumn("rounds", lit(taken))
   }
 
   /** Per-round CHANGED-LABEL counts for [[labelPropSemiSync]] — the
     * residual ladder at the semi-synchronous family: one (round,
-    * n_changed) row per round, counting nodes whose label after BOTH
-    * sub-steps differs from the round start. This is the instrument
-    * that certifies the semi-sync claim: on the fixture where the
-    * synchronous ladder plateaus, this one reaches a zero row. Free at
-    * the operator's own cost (the count rides each round's
+    * n_changed) row per round, counting nodes whose label after ALL
+    * numColors sub-steps differs from the round start. This is the
+    * instrument that certifies both the semi-sync claim AND the color
+    * count: on the fixture where the synchronous ladder plateaus at
+    * ~1k, parity (C=2) plateaus at 3 and C=4 reaches a zero row. Free
+    * at the operator's own cost (the count rides each round's
     * materializing action).
     */
   def labelPropSemiSyncResidual(nodes: DataFrame, edges: DataFrame,
-                                rounds: Int = 8): DataFrame = {
+                                rounds: Int = 8,
+                                numColors: Int = 2): DataFrame = {
     val spark = nodes.sparkSession
     val buf = scala.collection.mutable.Buffer.empty[Long]
     val (_, finalCkpt, _) = semiLoopImpl(nodes, edges, rounds,
-      stopOnStable = false, residuals = Some(buf))
+      stopOnStable = false, residuals = Some(buf), numColors)
     graft.unpersistCheckpoint(finalCkpt)
     import spark.implicits._
     buf.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n) }
@@ -614,27 +639,31 @@ object Graph {
 
   private def semiLoop(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
                        stopOnStable: Boolean,
-                       residuals: Option[scala.collection.mutable.Buffer[Long]])
+                       residuals: Option[scala.collection.mutable.Buffer[Long]],
+                       numColors: Int = 2)
       : (DataFrame, Int) = {
     val (labels, _, taken) = semiLoopImpl(nodes, edges, maxRounds,
-      stopOnStable, residuals)
+      stopOnStable, residuals, numColors)
     (labels, taken)
   }
 
-  /** The semi-synchronous loop: per round, sub-step 0 re-labels even
-    * nodes from the round-start labeling, sub-step 1 re-labels odd
-    * nodes from the half-updated one. The edge filter (`dst % 2`) sits
-    * UNDER the label join, so each sub-step shuffles only its color's
-    * incident edges and a full round moves the same join volume as one
-    * synchronous round. Sub-step state is lazily checkpointed and the
-    * round's single count action materializes both; previous-round and
-    * sub-step blocks are freed as soon as the round lands.
+  /** The semi-synchronous loop: per round, sub-step c (for c = 0 ..
+    * numColors-1 in order) re-labels the nodes with `node % numColors
+    * == c` from the partially-updated labeling the previous sub-steps
+    * left. The edge filter (`dst % numColors`) sits UNDER the label
+    * join, so each sub-step shuffles only its color's incident edges
+    * and a full round moves the same join volume as one synchronous
+    * round. Sub-step state is lazily checkpointed and the round's
+    * single count action materializes the chain; previous-round and
+    * intermediate sub-step blocks are freed as soon as the round lands.
     */
   private def semiLoopImpl(nodes: DataFrame, edges: DataFrame, maxRounds: Int,
                            stopOnStable: Boolean,
-                           residuals: Option[scala.collection.mutable.Buffer[Long]])
+                           residuals: Option[scala.collection.mutable.Buffer[Long]],
+                           numColors: Int = 2)
       : (DataFrame, DataFrame, Int) = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    require(numColors >= 2, s"need at least two colors, got $numColors")
     val sym = graft.CacheScope.pin(
       edges.filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), col("weight"))
@@ -644,7 +673,7 @@ object Graph {
     // one color class recomputes its argmax from `cur`; `best` carries
     // only that color's nodes, so the coalesce is the carry for the rest
     def substep(cur: DataFrame, color: Int): DataFrame = {
-      val nb = sym.filter(col("dst") % 2 === color)
+      val nb = sym.filter(col("dst") % numColors === color)
         .join(cur.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst"), col("label"))
         .agg(sum("weight").as("w"))
@@ -666,12 +695,17 @@ object Graph {
     while (r < maxRounds && !stable) {
       val start = ckpt.select(col("node"), col("label"),
         col("label").as("_prev"))
-      val half = substep(start, 0).localCheckpoint(false)
-      val next3 = substep(half, 1).localCheckpoint(false)
+      val partials = scala.collection.mutable.Buffer.empty[DataFrame]
+      var cur = start
+      for (c <- 0 until numColors) {
+        cur = substep(cur, c).localCheckpoint(false)
+        partials += cur
+      }
+      val next3 = cur
       val changed = next3.filter(col("label") =!= col("_prev")).count()
       residuals.foreach(_ += changed)
       graft.unpersistCheckpoint(ckpt)
-      graft.unpersistCheckpoint(half)
+      partials.dropRight(1).foreach(graft.unpersistCheckpoint)
       ckpt = next3
       labels = next3.select("node", "label")
       taken += 1

@@ -459,6 +459,78 @@ class GraphSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
+  test("labelPropSemiSync: converges where sync LPA oscillates forever " +
+    "(bipartite 4-cycle)") {
+    // the canonical sync-LPA failure: a 4-cycle with equal weights is
+    // bipartite, so simultaneous updates trade labels between the two
+    // sides every round, period 2, forever
+    val ns = Seq(10L, 11L, 12L, 13L).toDF("node")
+    val es = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 10L, 1L)).toDF("src", "dst", "weight")
+    val sync = Graph.labelPropResidual(ns, es, rounds = 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert((1 to 6).forall(sync(_) > 0L),
+      s"sync LPA must never settle on the bipartite cycle, got $sync")
+    val semi = Graph.labelPropSemiSyncResidual(ns, es, rounds = 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(semi.exists(_._2 == 0L),
+      s"semi-sync must reach a zero-change round, got $semi")
+    val conv = Graph.labelPropSemiSync(ns, es, maxRounds = 8).collect()
+    CacheScope.release(spark)
+    // hand-run (colors by node % 2, sub-step order 0 then 1): sub-step 0
+    // relabels 10 and 12 from {11, 13}'s self-labels -> both 11; sub-step
+    // 1 then sees unanimous 11 -> 11 and 13 adopt it; round 2 changes
+    // nothing, so the stop is at round 2 with every node labeled 11
+    assert(conv.map(_.getInt(2)).distinct.toSeq == Seq(2))
+    assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 11L, 11L -> 11L, 12L -> 11L, 13L -> 11L))
+  }
+
+  test("labelPropSemiSync: a same-color edge defeats parity (C=2 " +
+    "plateaus forever) and C=4 settles it — the color count is an " +
+    "instrument-read choice, not a guarantee") {
+    // one edge between two EVEN nodes: under parity both endpoints sit
+    // in sub-step 0 and update simultaneously from each other -> they
+    // swap labels every round exactly like sync LPA; under C=4 they land
+    // in different sub-steps (2 % 4 = 2, 4 % 4 = 0) and settle at once.
+    // This is the 2-node version of the sf0.01 co-purchase plateau (the
+    // parity ladder sticks at 3 changed labels; node%4 reaches zero).
+    val ns = Seq(2L, 4L).toDF("node")
+    val es = Seq((2L, 4L, 1L)).toDF("src", "dst", "weight")
+    val parity = Graph.labelPropSemiSyncResidual(ns, es, rounds = 5,
+      numColors = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert((1 to 5).forall(parity(_) == 2L),
+      s"parity must swap the even pair forever, got $parity")
+    val c4 = Graph.labelPropSemiSync(ns, es, maxRounds = 5, numColors = 4)
+      .collect()
+    CacheScope.release(spark)
+    assert(c4.map(_.getInt(2)).distinct.toSeq == Seq(2),
+      "C=4 sequentializes the pair: settled entering round 2")
+    assert(c4.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 2L, 4L -> 2L))
+  }
+
+  test("labelPropSemiSync: early stop equals the fixed unroll, and a " +
+    "too-small budget reports maxRounds") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val conv = Graph.labelPropSemiSync(ns, es, maxRounds = 8).collect()
+    CacheScope.release(spark)
+    val k = conv.map(_.getInt(2)).distinct
+    assert(k.length == 1 && k.head < 8, s"fixture must stop live, got ${k.toSeq}")
+    // truncated run: labels equal the same-depth budget-capped run
+    val trunc = Graph.labelPropSemiSync(ns, es, maxRounds = 1).collect()
+    CacheScope.release(spark)
+    assert(trunc.map(_.getInt(2)).distinct.toSeq == Seq(1))
+  }
+
   test("kcore: the K4 survives k=3 while the tail peels; cascade needs " +
     "multiple rounds; over-k empties; fixed peels match the truncated run") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
