@@ -352,6 +352,101 @@ object Fuzzy {
       prefixPairs + shortPairs)
   }
 
+  /** Pre-flight cost audit of [[editDistanceJoinPartitioned]]'s
+    * candidate volume — [[edJoinAudit]]'s twin at the SEGMENT regime, so
+    * a dispatcher can detect the corpus where BOTH lossless regimes
+    * flood (the boilerplate signature: a tiny effective alphabet makes
+    * even the rarest grams common AND segment values collide).
+    * Candidate pairs = Σ over (partner-length, segment-index, segment-
+    * value) keys of index-count × probe-count, halved (each true pair
+    * can hit from both directions; self-hits are left in — the audit
+    * errs toward predicting MORE flood, the cautious direction), plus
+    * the short-string length-bucket rows (shorter than maxDist+1 — the
+    * segment regime's short bound). Costs the two explodes + two
+    * key-grain censuses + one key-grain join — work the regime's own
+    * join pays anyway, minus the verify.
+    */
+  def segJoinAudit(df: DataFrame, idCol: String, strCol: String,
+                   maxDist: Int): EdJoinAudit = {
+    val nseg = maxDist + 1
+    val base = df.select(col(idCol).as("_id"), col(strCol).as("_s"),
+      length(col(strCol)).as("_len"))
+    val long = base.filter(col("_len") >= nseg)
+    val idx = segIndexRows(long, maxDist)
+      .groupBy("_li", "si", "sv").agg(count(lit(1)).as("ci"))
+    val prb = segProbeRows(long, maxDist)
+      .groupBy("_li", "si", "sv").agg(count(lit(1)).as("cp"))
+    val joinRows = idx.join(prb.hint("shuffle_hash"), Seq("_li", "si", "sv"))
+      // per-key products summed in double (exact past any real census),
+      // cast back — the auditPrefix convention
+      .agg(coalesce(sum((col("ci") * col("cp")).cast("double")), lit(0.0))
+        .cast("long").as("rows"))
+      .head().getLong(0)
+    val lens = base.groupBy("_len").agg(count(lit(1)).as("n"))
+      .collect().filterNot(_.isNullAt(0))
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    def band(l: Int): Long =
+      (l - maxDist to l + maxDist).iterator
+        .map(lens.getOrElse(_, 0L)).sum
+    val shortPairs = lens.iterator
+      .collect { case (l, n) if l < nseg => n * (band(l) - 1) }
+      .sum
+    EdJoinAudit(lens.valuesIterator.sum, joinRows / 2 + shortPairs)
+  }
+
+  /** A tiered dispatch result: the qualifying pairs, the regime that
+    * produced them ("prefix" | "partition" | "snm"), and — on the lossy
+    * SNM tier ONLY — the freshly-computed recall certificate that MUST
+    * accompany any lossy output (None on the lossless tiers, where
+    * recall is a theorem, not a measurement).
+    */
+  case class EdDispatch(pairs: DataFrame, regime: String,
+                        certificate: Option[DataFrame])
+
+  /** [[editDistanceJoinAuto]] extended with the CERTIFIED LOSSY third
+    * tier: when the prefix census floods AND [[segJoinAudit]] shows the
+    * segment regime flooding too (the both-regimes boilerplate
+    * signature), an `allowLossy = true` caller is routed to
+    * [[sortedNeighborhoodPairs]] — O(n·window) by construction,
+    * gram-skew-immune — and the result carries a fresh
+    * [[snmRecallEval]] certificate over `certSlice` computed IN THE SAME
+    * RUN: SNM has no losslessness theorem, so an uncertified SNM output
+    * is not a result, and the dispatcher refuses to produce one
+    * (`require`). The default is unchanged: `allowLossy = false` picks
+    * the less-bad lossless regime exactly as [[editDistanceJoinAuto]]
+    * does, whatever the segment census says.
+    */
+  def editDistanceJoinTiered(df: DataFrame, idCol: String, strCol: String,
+                             maxDist: Int, q: Int = 2,
+                             maxCandidatesPerString: Double = 64.0,
+                             allowLossy: Boolean = false,
+                             snmWindow: Int = 10,
+                             certSlice: Option[DataFrame] = None): EdDispatch = {
+    require(!allowLossy || certSlice.isDefined,
+      "allowLossy = true requires certSlice: the SNM tier must emit a " +
+        "recall certificate over a bounded eval slice alongside its output")
+    val p0 = gramPrefix(df, idCol, strCol, maxDist, q)
+    val p = p0.copy(prefix = graft.CacheScope.pin(p0.prefix))
+    if (auditPrefix(p).candidatesPerString <= maxCandidatesPerString)
+      EdDispatch(prefixJoin(p, maxDist), "prefix", None)
+    else {
+      graft.CacheScope.unpin(p.prefix)
+      val segFloods = allowLossy &&
+        segJoinAudit(df, idCol, strCol, maxDist).candidatesPerString >
+          maxCandidatesPerString
+      if (!segFloods)
+        EdDispatch(
+          editDistanceJoinPartitioned(df, idCol, strCol, maxDist),
+          "partition", None)
+      else
+        EdDispatch(
+          sortedNeighborhoodPairs(df, idCol, strCol, snmWindow, maxDist),
+          "snm",
+          Some(snmRecallEval(certSlice.get, idCol, strCol, snmWindow,
+            maxDist)))
+    }
+  }
+
   /** [[editDistanceJoin]]'s contract with AUTOMATIC regime selection —
     * the dispatcher the r8 verdict asked for: measure the prefix
     * filter's candidate volume with [[edJoinAudit]]'s aggregate, and

@@ -371,6 +371,78 @@ class FuzzySpec extends SparkSpec {
     assert(got.subsetOf(wider))
   }
 
+  test("editDistanceJoinTiered: a both-regimes-flooded corpus routes to " +
+    "SNM only under allowLossy, with the mandatory fresh certificate") {
+    val rng = new scala.util.Random(99)
+    // every string is 3 words from a 4-word vocabulary: all grams are
+    // corpus-common (prefix buckets grow with n) AND segment values
+    // collide (<= 64 distinct strings) — the boilerplate signature where
+    // BOTH lossless regimes flood
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val poor = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(3)(vocab(rng.nextInt(4))).mkString(" ")))
+    val df = poor.toDF("id", "s")
+    assert(Fuzzy.edJoinAudit(df, "id", "s", maxDist = 2, q = 3)
+      .candidatesPerString > 64, "prefix census must flood here")
+    assert(Fuzzy.segJoinAudit(df, "id", "s", maxDist = 2)
+      .candidatesPerString > 64, "segment census must flood here")
+    // default: LOSSLESS — the less-bad segment regime, exact output, no
+    // certificate, whatever the segment census says
+    val lossless = Fuzzy.editDistanceJoinTiered(df, "id", "s",
+      maxDist = 2, q = 3)
+    assert(lossless.regime == "partition" && lossless.certificate.isEmpty)
+    assert(lossless.pairs.as[(Long, Long, Int)].collect().toSet ==
+      naive(poor, 2))
+    // an uncertified lossy run is refused outright
+    intercept[IllegalArgumentException] {
+      Fuzzy.editDistanceJoinTiered(df, "id", "s", maxDist = 2, q = 3,
+        allowLossy = true)
+    }
+    // opt-in: SNM pairs + the freshly-computed certificate in ONE run
+    val slice = df.filter($"id" < 60)
+    val snm = Fuzzy.editDistanceJoinTiered(df, "id", "s", maxDist = 2,
+      q = 3, allowLossy = true, snmWindow = 10, certSlice = Some(slice))
+    assert(snm.regime == "snm" && snm.certificate.isDefined)
+    assert(snm.pairs.as[(Long, Long, Int)].collect().toSet ==
+      Fuzzy.sortedNeighborhoodPairs(df, "id", "s", window = 10, maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet)
+    val cert = snm.certificate.get.collect().head
+    val expect = Fuzzy.snmRecallEval(slice, "id", "s", window = 10,
+      maxDist = 2).collect().head
+    assert(cert.toSeq == expect.toSeq,
+      "the certificate must BE snmRecallEval's row over the slice")
+    graft.CacheScope.release(spark)
+    // a high-entropy corpus stays on tier 1 even with allowLossy on
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rich = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(15)(alpha(rng.nextInt(36))).mkString))
+    val r = Fuzzy.editDistanceJoinTiered(rich.toDF("id", "s"), "id", "s",
+      maxDist = 2, q = 3, allowLossy = true,
+      certSlice = Some(rich.toDF("id", "s")))
+    assert(r.regime == "prefix" && r.certificate.isEmpty)
+    graft.CacheScope.release(spark)
+  }
+
+  test("segJoinAudit: key-census product matches the segment join's own " +
+    "candidate volume direction on known corpora") {
+    // identical strings: every segment key collides — the census must
+    // predict a flood (n=40 copies -> ~n^2/2 pairs per... actually all
+    // three keys shared by all 40)
+    val dup = (0 until 40).map(i => (i.toLong, "alpha beta gamma"))
+    val aDup = Fuzzy.segJoinAudit(dup.toDF("id", "s"), "id", "s", maxDist = 2)
+    assert(aDup.nStrings == 40)
+    assert(aDup.candidatesPerString > 20,
+      s"all-identical corpus must flood: ${aDup.candidatesPerString}")
+    // high-entropy strings: segment values are unique, census near zero
+    val rng = new scala.util.Random(5)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val rich = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(15)(alpha(rng.nextInt(36))).mkString))
+    val aRich = Fuzzy.segJoinAudit(rich.toDF("id", "s"), "id", "s", maxDist = 2)
+    assert(aRich.candidatesPerString < 8,
+      s"high-entropy corpus must not flood: ${aRich.candidatesPerString}")
+  }
+
   test("snmRecallEval: counts match brute force; SNM is NOT lossless and " +
     "the certificate says so") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
