@@ -878,12 +878,18 @@ object Dedup {
     graft.io.Manifest.write(simhashDocs(corpus), table)
 
   /** Registry MAINTENANCE: append an accepted batch's fingerprints —
-    * append==rebuild (per-doc signature math). Returns the new version. */
-  def simhashIndexUpdate(table: String, accepted: DataFrame): Int = {
+    * append==rebuild (per-doc signature math). `tag` stamps the commit
+    * for replay-idempotent streaming callers (the segIndexUpdate
+    * contract). Returns the new version. */
+  def simhashIndexUpdate(table: String, accepted: DataFrame,
+                         tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(simhashDocs(accepted)), table)
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(simhashDocs(accepted))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
   }
 
   /** Registry DELETE — drop removed ids' rows and commit. */
@@ -1580,12 +1586,15 @@ object Dedup {
     * append IS the merge (same n required). Returns the new version.
     */
   def containmentIndexUpdate(table: String, accepted: DataFrame,
-                             n: Int = 3): Int = {
+                             n: Int = 3,
+                             tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(containmentIndex(accepted, n)),
-      table)
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(containmentIndex(accepted, n))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
   }
 
   /** Registry DELETE — [[containmentIndexUpdate]]'s inverse: drop a

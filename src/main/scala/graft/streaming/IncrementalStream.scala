@@ -1029,55 +1029,158 @@ object IncrementalStream {
                      acceptedPath: String, checkpoint: String,
                      idCol: String, strCol: String,
                      maxDist: Int,
-                     tagScope: Option[String] = None): StreamingQuery = {
+                     tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      idCol, strCol, "fuzzy-ingest", tagScope,
+      probe = (registry, deduped) => {
+        val sp = deduped.sparkSession
+        graft.ops.text.Fuzzy.editDistanceAgainstSegIndex(
+          registry, corpusWithAccepted(sp, corpusPath, acceptedPath),
+          deduped, idCol, strCol, maxDist)
+      },
+      matchIncCol = "id_inc",
+      update = (accepted, tag) => graft.ops.text.Fuzzy.segIndexUpdate(
+        registryTable, accepted, idCol, strCol, maxDist, tag = Some(tag)))
+
+  /** [[runFuzzyIngest]]'s loop at the SIMHASH family (r14): probe each
+    * micro-batch of (doc_id, text) rows through the persisted
+    * (doc_id, fp) fingerprint registry
+    * ([[graft.ops.text.Dedup.simhashAgainstIndex]] — the one family
+    * whose probe reads NO corpus text at all: Hamming verifies on the
+    * fingerprint itself, so there is no corpus path to union), accept
+    * docs with no registry fingerprint within `maxHamming` (an exact
+    * resend is a Hamming-0 match and drops), append accepted docs to
+    * the batchId-keyed subdir, and
+    * [[graft.ops.text.Dedup.simhashIndexUpdate]] the registry tagged
+    * with the batchId. Replay-idempotency: the [[runFuzzyIngest]]
+    * argument verbatim.
+    */
+  def runSimhashIngest(spark: SparkSession, batchStream: DataFrame,
+                       registryTable: String, acceptedPath: String,
+                       checkpoint: String,
+                       bands: Int = 4, maxHamming: Int = 6,
+                       tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      "doc_id", "text", "simhash-ingest", tagScope,
+      probe = (registry, deduped) =>
+        graft.ops.text.Dedup.simhashAgainstIndex(registry, deduped,
+          bands, maxHamming),
+      matchIncCol = "doc_inc",
+      update = (accepted, tag) => graft.ops.text.Dedup.simhashIndexUpdate(
+        registryTable, accepted, tag = Some(tag)))
+
+  /** [[runFuzzyIngest]]'s loop at the CONTAINMENT family (r14): probe
+    * each micro-batch of (doc_id, text) rows through the persisted
+    * (s, doc_id, sz) containment index
+    * ([[graft.ops.text.Dedup.containmentAgainstIndex]] — batch-side
+    * shingling only, corpus text read for candidate container ids
+    * alone), accept docs NOT contained (>= `threshold` of their
+    * shingles) in any corpus doc (an exact resend has containment 1.0
+    * and drops), append accepted docs to the batchId-keyed subdir, and
+    * [[graft.ops.text.Dedup.containmentIndexUpdate]] the registry
+    * tagged with the batchId. Replay-idempotency: the
+    * [[runFuzzyIngest]] argument verbatim.
+    */
+  def runContainmentIngest(spark: SparkSession, batchStream: DataFrame,
+                           corpusPath: String, registryTable: String,
+                           acceptedPath: String, checkpoint: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      "doc_id", "text", "containment-ingest", tagScope,
+      probe = (registry, deduped) => {
+        val sp = deduped.sparkSession
+        graft.ops.text.Dedup.containmentAgainstIndex(registry,
+          corpusWithAccepted(sp, corpusPath, acceptedPath), deduped,
+          n, threshold)
+      },
+      matchIncCol = "doc_inc",
+      update = (accepted, tag) => graft.ops.text.Dedup.containmentIndexUpdate(
+        registryTable, accepted, n, tag = Some(tag)))
+
+  /** Seed corpus plus any previously-accepted batches — the corpus view
+    * a text-reading probe serves candidate ids from (accepted docs must
+    * be probe-able, or a doc near-duplicating an earlier ACCEPT would be
+    * admitted). Column order is normalized to the seed's so the union
+    * never depends on writer layout.
+    */
+  private def corpusWithAccepted(sp: SparkSession, corpusPath: String,
+                                 acceptedPath: String): DataFrame = {
+    val seed = sp.read.parquet(corpusPath)
+    val p = new org.apache.hadoop.fs.Path(acceptedPath)
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+      fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+      seed.unionByName(
+        sp.read.parquet(acceptedPath)
+          .select(seed.columns.map(col).toIndexedSeq: _*))
+    else seed
+  }
+
+  /** The probe→accept→update ingest loop shared by the edit-distance,
+    * SimHash, and containment families — one body, three probes, so the
+    * replay-idempotency argument is proved once:
+    *
+    *   0. within-batch EXACT dedup (keep lowest id per identical
+    *      string — curateBatch's step 1; on ROWS, not ids: a min-id
+    *      semi-join on idCol alone kept a duplicate string whenever one
+    *      batch carried the same id on two different strings. A
+    *      string-partitioned rank admits exactly one row per distinct
+    *      string, no global window. Near-identical-but-not-equal
+    *      strings inside one batch remain both-admitted — the
+    *      documented posture);
+    *   1. PROBE the batch against the committed registry (each family's
+    *      closure; candidates always come from the REGISTRY alone);
+    *   2. ACCEPT rows with no match (anti-join on `matchIncCol` — an
+    *      exact resend always matches itself and drops);
+    *   3. append accepted rows to `acceptedPath` (batchId-keyed
+    *      OVERWRITE subdir) and commit the registry update tagged with
+    *      the batchId.
+    *
+    * Replay-idempotency: candidates come from the REGISTRY alone, so a
+    * crash-replay whose own accepted rows already sit in `acceptedPath`
+    * (crash between the parquet write and the registry commit) never
+    * sees them as candidates — it recomputes the identical accepted set
+    * against the unchanged registry and overwrites its own subdir; a
+    * replay after the registry commit sees its batchId as the current
+    * tag and skips outright. No path appends twice. Releases its
+    * per-batch CacheScope pins — run in its own session if other pins
+    * must survive. `batch=<id>` LAYOUT contract on `acceptedPath` as
+    * [[runCurationIngest]] (no mixing with flat-append layouts).
+    */
+  private def runAsymIngest(batchStream: DataFrame, registryTable: String,
+                            acceptedPath: String, checkpoint: String,
+                            idCol: String, strCol: String,
+                            familyTag: String, tagScope: Option[String],
+                            probe: (DataFrame, DataFrame) => DataFrame,
+                            matchIncCol: String,
+                            update: (DataFrame, String) => Unit): StreamingQuery = {
     val scope = tagScopeOf(checkpoint, tagScope)
     val q = batchStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val tag = s"fuzzy-ingest-$scope-batch-$batchId"
+        val tag = s"$familyTag-$scope-batch-$batchId"
         val alreadyCommitted =
           graft.io.Manifest.currentVersion(sp, registryTable).isDefined &&
             graft.io.Manifest.currentTag(sp, registryTable).contains(tag)
         if (!batch.isEmpty && !alreadyCommitted) {
-          val seed = sp.read.parquet(corpusPath)
-          val p = new org.apache.hadoop.fs.Path(acceptedPath)
-          val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
-          val corpus =
-            if (fs.exists(p) &&
-              fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
-              seed.unionByName(
-                sp.read.parquet(acceptedPath).select(seed.columns.map(col): _*))
-            else seed
-          // within-batch EXACT dedup first (keep lowest id per identical
-          // string) — without it a backlog drain carrying the same
-          // string twice in ONE batch admits both (the registry probe
-          // only sees cross-batch pairs). Dedup on ROWS, not ids: the
-          // earlier min-id semi-join on idCol alone kept a duplicate
-          // string whenever one batch carried the same id on two
-          // different strings (the kept id was the min for the OTHER
-          // string). A string-partitioned rank admits exactly one row
-          // per distinct string, no global window. Near-identical-but-
-          // not-equal strings inside one batch remain both-admitted —
-          // the same documented posture as curateBatch's step 1.
           val deduped = batch.withColumn("_rn",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy(col(strCol)).orderBy(col(idCol))))
             .filter(col("_rn") === 1).drop("_rn")
           val registry = graft.io.Manifest.read(sp, registryTable)
-          val matches = graft.ops.text.Fuzzy.editDistanceAgainstSegIndex(
-            registry, corpus, deduped, idCol, strCol, maxDist)
+          val matches = probe(registry, deduped)
           // pinned: read by the isEmpty gate, the parquet write, AND the
           // registry update — unpinned, the probe would run three times
           val accepted = graft.CacheScope.pin(deduped.join(
-            matches.select(col("id_inc").as(idCol)).distinct(),
+            matches.select(col(matchIncCol).as(idCol)).distinct(),
             Seq(idCol), "left_anti"))
           if (!accepted.isEmpty) {
             accepted.write.mode(SaveMode.Overwrite)
               .parquet(s"$acceptedPath/batch=$batchId")
-            graft.ops.text.Fuzzy.segIndexUpdate(registryTable, accepted,
-              idCol, strCol, maxDist, tag = Some(tag))
+            update(accepted, tag)
           }
           graft.CacheScope.release(sp)
         }

@@ -296,6 +296,162 @@ class StreamingSpec extends SparkSpec {
       .exists(t => t.startsWith("fuzzy-ingest-") && t.contains("-batch-")))
   }
 
+  test("streaming simhash ingest: the fingerprint registry advances " +
+    "between batches; near-copy and exact resend drop; replay never " +
+    "double-admits") {
+    import graft.ops.text.Dedup
+    val root = Files.createTempDirectory("graft_shing").toString
+    // long docs: one changed token out of 24 leaves ~22/23 bigram
+    // shingles shared -> small Hamming; unrelated docs share none
+    def doc(w: String): String =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        s"mu nu xi omicron pi rho sigma tau upsilon phi chi psi $w"
+    val novel1 = "storage engines compact levels and bloom filters guard " +
+      "the manifest while write amplification stays bounded by tiering " +
+      "and the compaction scheduler drains each level before promotion " +
+      "so read amplification holds steady under sustained ingest"
+    val novel2 = "the crawler frontier orders hosts by politeness budget " +
+      "and revisits stale pages on an adaptive schedule each day"
+    val seed = Seq((10L, doc("omega")),
+      (12L, "an entirely different second corpus document about nothing " +
+        "in particular that shares no shingles with the first one at all"))
+      .toDF("doc_id", "text")
+    val registryTable = s"$root/fps"
+    assert(Dedup.simhashIndexRefresh(seed, registryTable) == 1)
+    // fixture sanity: the near-copy really is a simhash near-dup of seed
+    // 10 under the serve defaults (failure here names the fixture, not
+    // the stream)
+    assert(Dedup.simhashAgainstIndex(
+      graft.io.Manifest.read(spark, registryTable),
+      Seq((23L, doc("omegaz"))).toDF("doc_id", "text"))
+      .filter($"doc_corp" === 10L).count() == 1,
+      "fixture must be a simhash near-dup of seed 10")
+    val mem = MemoryStream[(Long, String)](spark)
+    def drain(): Unit = {
+      IncrementalStream.runSimhashIngest(spark,
+        mem.toDF().toDF("doc_id", "text"), registryTable,
+        s"$root/accepted", s"$root/ckpt")
+      ()
+    }
+    // wave 1: novel doc accepted; the near-copy of seed 10 drops
+    mem.addData((21L, novel1), (23L, doc("omegaz")))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    assert(graft.io.Manifest.read(spark, registryTable)
+      .select("doc_id").distinct().as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    // wave 2: a near-copy of WAVE-1-ACCEPTED 21 drops (registry
+    // advance); a novel doc is accepted; an EXACT resend of novel1 is a
+    // Hamming-0 match and drops; a same-batch duplicate of novel2
+    // admits only the lowest id (within-batch exact dedup)
+    val nearCopy21 = novel1.replace("bounded", "boundedz")
+    assert(Dedup.simhashAgainstIndex(
+      graft.io.Manifest.read(spark, registryTable),
+      Seq((31L, nearCopy21)).toDF("doc_id", "text"))
+      .filter($"doc_corp" === 21L).count() == 1,
+      "fixture must be a simhash near-dup of wave-1-accepted 21")
+    mem.addData((31L, nearCopy21),
+      (33L, novel2), (35L, novel1), (37L, novel2))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 near-copy and exact resend must drop via the updated registry")
+    assert(graft.io.Manifest.currentTag(spark, registryTable)
+      .exists(t => t.startsWith("simhash-ingest-") && t.contains("-batch-")))
+    // replay leg: a fully-committed batch replayed from a FRESH
+    // checkpoint (same explicit tag scope) skips outright
+    val root2 = Files.createTempDirectory("graft_shing_rp").toString
+    val table2 = s"$root2/fps"
+    assert(Dedup.simhashIndexRefresh(seed, table2) == 1)
+    def drainWith(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, String)](spark)
+      m.addData((21L, novel1))
+      IncrementalStream.runSimhashIngest(spark,
+        m.toDF().toDF("doc_id", "text"), table2,
+        s"$root2/accepted", ckpt, tagScope = Some("t"))
+      ()
+    }
+    drainWith(s"$root2/ckpt1")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2))
+    drainWith(s"$root2/ckpt2")
+    assert(spark.read.parquet(s"$root2/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of doc 21")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
+
+  test("streaming containment ingest: the shingle index advances between " +
+    "batches; an excerpt and an exact resend drop; replay never " +
+    "double-admits") {
+    import graft.ops.text.Dedup
+    val root = Files.createTempDirectory("graft_cting").toString
+    val seedText = "the quick brown fox jumps over the lazy dog while the " +
+      "hunter watches from the hill beyond the river bend at dusk"
+    val novel1 = "partition pruning keeps the scan on the touched dates " +
+      "only so the fact table read stays bounded by the batch span"
+    val novel2 = "watermarks bound the state store while late events " +
+      "revise the closed windows through the documented grace interval"
+    val seed = Seq((10L, seedText),
+      (12L, "another unrelated corpus document about graph coloring and " +
+        "label propagation over the co purchase network fixture"))
+      .toDF("doc_id", "text")
+    seed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/cidx"
+    assert(Dedup.containmentIndexRefresh(seed, registryTable) == 1)
+    // a 12-token contiguous EXCERPT of seed 10: all its 3-shingles are
+    // the seed's, containment 1.0 >= 0.8 -> must drop
+    val excerpt = "quick brown fox jumps over the lazy dog while the " +
+      "hunter watches"
+    val mem = MemoryStream[(Long, String)](spark)
+    def drain(): Unit = {
+      IncrementalStream.runContainmentIngest(spark,
+        mem.toDF().toDF("doc_id", "text"), s"$root/corpus", registryTable,
+        s"$root/accepted", s"$root/ckpt")
+      ()
+    }
+    mem.addData((21L, novel1), (23L, excerpt))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    // wave 2: an excerpt of WAVE-1-ACCEPTED novel1 drops (the registry
+    // advance catches it AND its text is probe-able via acceptedPath);
+    // a novel doc is accepted; an exact resend of novel1 drops
+    // (containment 1.0); a same-batch duplicate admits the lowest id
+    val excerpt21 = "partition pruning keeps the scan on the touched " +
+      "dates only so the fact"
+    mem.addData((31L, excerpt21), (33L, novel2), (35L, novel1),
+      (37L, novel2))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 excerpt and exact resend must drop via the updated registry")
+    assert(graft.io.Manifest.currentTag(spark, registryTable)
+      .exists(t => t.startsWith("containment-ingest-") && t.contains("-batch-")))
+    // replay leg (the curation-ingest contract verbatim)
+    val root2 = Files.createTempDirectory("graft_cting_rp").toString
+    seed.write.parquet(s"$root2/corpus")
+    val table2 = s"$root2/cidx"
+    assert(Dedup.containmentIndexRefresh(seed, table2) == 1)
+    def drainWith(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, String)](spark)
+      m.addData((21L, novel1))
+      IncrementalStream.runContainmentIngest(spark,
+        m.toDF().toDF("doc_id", "text"), s"$root2/corpus", table2,
+        s"$root2/accepted", ckpt, tagScope = Some("t"))
+      ()
+    }
+    drainWith(s"$root2/ckpt1")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2))
+    drainWith(s"$root2/ckpt2")
+    assert(spark.read.parquet(s"$root2/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of doc 21")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
+
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
     val base = DataGen.defaultBaseMs
     def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
