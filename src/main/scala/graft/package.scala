@@ -50,6 +50,23 @@ package object graft {
       .map { case (c, i) => when(idx === i, c) }
       .reduce(coalesce(_, _))
 
+  /** One-time log4j2 squelch for the INTENDED "RDD was locally
+    * checkpointed, its lineage has been truncated and cannot be
+    * recomputed after unpersisting" WARN that `RDD.unpersist` logs: every
+    * iterative operator here frees its previous round's truncated-lineage
+    * blocks ON PURPOSE (the round's successor was already materialized,
+    * nothing recomputes the freed RDD), so the warning carries zero
+    * information — and a 72-sub-step semisync run would pour hundreds of
+    * copies into a bench log. Scoped to the ONE concrete RDD class that
+    * logs it on this path, never the rdd package (stage/shuffle warnings
+    * there are real signals).
+    */
+  private lazy val squelchIntendedUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // log backend absent/replaced: cosmetic
+
   /** Free the executor blocks behind a localCheckpoint'd Dataset.
     * `Dataset.unpersist` only uncaches CacheManager plans and silently
     * no-ops on a checkpoint's LogicalRDD; the blocks belong to the
@@ -58,10 +75,12 @@ package object graft {
     * clusterComponents, Bpe bpeTrain, Classifier fit).
     */
   private[graft] def unpersistCheckpoint(
-      df: org.apache.spark.sql.DataFrame): Unit =
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    squelchIntendedUnpersistWarn
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => df.unpersist()
     }
+  }
 }

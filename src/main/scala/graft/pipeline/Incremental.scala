@@ -98,7 +98,12 @@ object Incremental {
     if (staged == 0)
       return RunResult(batchId, 0, 0, Nil, 0) // sensor: nothing landed
 
-    stagingRaw.cache()
+    // pin/unpin, not bare cache/unpersist: the repo-wide CacheScope
+    // convention — a caller-level release(spark) can then reclaim
+    // anything a crashed run left pinned, and the registry stays an
+    // accurate census of live operator caches (this module was the last
+    // one outside the convention, r14)
+    graft.CacheScope.pin(stagingRaw)
     try {
       // Schema-validation gate (README.md:126): a malformed NDJSON line
       // fails the load, like BigQuery's schema-checked load job would.
@@ -136,7 +141,7 @@ object Incremental {
             lit(", Reported: "), BqFloatStr(col("total_amount").cast("double"))).as("issue_description"),
           lit("warning").as("severity"),
           lit(batchId).as("batch_id"))
-      mismatches.cache()
+      graft.CacheScope.pin(mismatches)
       // Gate on THIS batch's violations only — the cumulative audit table
       // would report all history (and double-count re-runs).
       val mismGate = Quality.gate("amount_mismatch", mismatches)
@@ -168,7 +173,7 @@ object Incremental {
         count(lit(1)).as("n_lines"),
         sum(col("line_total").cast("double")).as("revenue"),
         count(when(col("product_name").isNull, 1)).as("n_missing_product"))
-      newRows.cache()
+      graft.CacheScope.pin(newRows)
       val newCount = newRows.count()
       val observed = obs.get
 
@@ -214,7 +219,7 @@ object Incremental {
         if (newMismatches.limit(1).count() > 0)
           newMismatches.write.mode(SaveMode.Append).parquet(wh.qualityChecks)
       }
-      mismatches.unpersist()
+      graft.CacheScope.unpin(mismatches)
 
       // S4 + S7: append, partitioned by order_date (date-filtered reads
       // prune partitions; README.md:103).
@@ -252,9 +257,9 @@ object Incremental {
       // S6: archive processed files under the batch id.
       val archived = Sources.archiveFiles(spark, landingDir, s"${wh.root}/archive", batchId)
 
-      newRows.unpersist()
+      graft.CacheScope.unpin(newRows)
       RunResult(batchId, staged, newCount, Seq(dupGate, mismGate), archived, observed)
-    } finally stagingRaw.unpersist()
+    } finally graft.CacheScope.unpin(stagingRaw)
   }
 
   /** `run` under the reference DAG's retry contract
