@@ -3303,6 +3303,22 @@ res$sfx AS (SELECT '$qid' AS query_id,
         maxRounds = SemiMaxRounds, numColors = SemiColors)
         .orderBy("node")),
 
+    // Community QUALITY: Newman modularity of the sync labeling at the
+    // 3-round and 6-round depths — the instrument that turns "more
+    // rounds help" into a measured claim (exact integer/decimal
+    // aggregates, ONE final division to double). Two cheap LPA runs +
+    // two aggregate passes; no iteration beyond the labelings.
+    "q_modularity" -> ((s, dir) => {
+      val nodes = t(s, dir, "part").select(col("p_partkey").as("node"))
+      val edges = coPurchaseEdges(t(s, dir, "lineitem"))
+      Seq(LpRounds, LpConvMaxRounds).map { r =>
+        ops.Graph.modularity(
+          ops.Graph.labelPropagate(nodes, edges, rounds = r), edges)
+          .select(lit(r).as("rounds"), col("two_m"),
+            col("n_communities"), col("modularity"))
+      }.reduce(_ unionByName _).orderBy("rounds")
+    }),
+
     // k-core membership by iterative peeling: KcoreMaxRounds synchronized
     // peels of the undirected simple co-purchase graph (stable at round 5
     // on sf0.01 — a LIVE multi-round cascade, not a one-shot degree
@@ -7362,6 +7378,39 @@ ORDER BY query_id, neg_rank"""),
         |       FROM rs WHERE d = 0)
         |SELECT node, label, CAST((SELECT k FROM kk) AS INT) AS rounds
         |FROM l$SemiMaxRounds ORDER BY node""".stripMargin
+    },
+
+    // Modularity replay: per depth, one pass over labeled symmetrized
+    // edges for per-community (in_c, tot_c), then the exact-integer
+    // numerator in HUGEINT (Spark: DECIMAL(38,0)) and ONE division to
+    // double — both engines round the same exact operands.
+    "q_modularity" -> {
+      val rows = Seq(LpRounds, LpConvMaxRounds).map { k =>
+        s"""SELECT CAST($k AS INT) AS rounds,
+          |  (SELECT CAST(coalesce(sum(tot_c), 0) AS BIGINT) FROM mc$k) AS two_m,
+          |  (SELECT count(DISTINCT label) FROM l$k) AS n_communities,
+          |  (SELECT CASE WHEN coalesce(sum(tot_c), 0) > 0 THEN
+          |     CAST(CAST(sum(in_c) AS HUGEINT) * CAST(sum(tot_c) AS HUGEINT)
+          |          - sum(CAST(tot_c AS HUGEINT) * CAST(tot_c AS HUGEINT))
+          |       AS DOUBLE)
+          |     / CAST(CAST(sum(tot_c) AS HUGEINT) * CAST(sum(tot_c) AS HUGEINT)
+          |       AS DOUBLE)
+          |   END FROM mc$k) AS modularity""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val mcs = Seq(LpRounds, LpConvMaxRounds).map { k =>
+        s"""mc$k AS (SELECT a.label AS label,
+          |    CAST(sum(CASE WHEN a.label = b.label THEN s.weight
+          |             ELSE 0 END) AS BIGINT) AS in_c,
+          |    CAST(sum(s.weight) AS BIGINT) AS tot_c
+          |  FROM sym s JOIN l$k a ON s.src = a.node
+          |  JOIN l$k b ON s.dst = b.node
+          |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${lpaPrologCtes()},
+        |${lpaRoundCtes(LpConvMaxRounds)},
+        |$mcs
+        |$rows
+        |ORDER BY rounds""".stripMargin
     },
 
     // kcore: KcoreMaxRounds peels unrolled — peeling is monotone and

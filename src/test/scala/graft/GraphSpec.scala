@@ -514,6 +514,90 @@ class GraphSpec extends SparkSpec {
       Map(2L -> 2L, 4L -> 2L))
   }
 
+  test("community registry: warm-start composes exactly (from(cold(k1), " +
+    "k2) == cold(k1+k2)); refresh/update commit versions; new nodes " +
+    "start at their own id") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val m = df.select("node", "label").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      CacheScope.release(spark)
+      m
+    }
+    // composition: 1 cold round then 2 warm == 3 cold
+    val cold1 = Graph.labelPropagate(ns, es, rounds = 1)
+    val warm = labelsOf(Graph.labelPropFrom(cold1, ns, es, rounds = 2))
+    assert(warm == labelsOf(Graph.labelPropagate(ns, es, rounds = 3)),
+      "warm continuation must advance the exact cold trajectory")
+    // registry: refresh commits v1 (2 rounds), update warm-continues to
+    // v2 == the 3-round cold run; v1 still time-travels
+    val dir = java.nio.file.Files.createTempDirectory("commreg").toString
+    val table = s"$dir/communities"
+    assert(Graph.communityRefresh(ns, es, table, rounds = 2) == 1)
+    assert(Graph.communityUpdate(ns, es, table, rounds = 1) == 2)
+    assert(labelsOf(graft.io.Manifest.read(spark, table)) ==
+      labelsOf(Graph.labelPropagate(ns, es, rounds = 3)))
+    assert(labelsOf(graft.io.Manifest.readVersion(spark, table, 1)) ==
+      labelsOf(Graph.labelPropagate(ns, es, rounds = 2)))
+    // a node unseen by the committed state starts at its own id: with no
+    // incident edges it keeps it through any number of warm rounds
+    val ns2 = ns.unionByName(Seq(99L).toDF("node"))
+    val cont = labelsOf(Graph.labelPropFrom(
+      graft.io.Manifest.read(spark, table), ns2, es, rounds = 1))
+    assert(cont(99L) == 99L, "a new isolated node labels itself")
+  }
+
+  test("modularity: hand-computed on the two-triangle fixture; isolated " +
+    "node is its own zero-contribution community") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val labels = Graph.labelPropagate(ns, es, rounds = 3)
+    val row = Graph.modularity(labels, es).collect().head
+    CacheScope.release(spark)
+    // 2m = 2*(6*10 + 1) = 122; per triangle in_c = 60, tot_c = 61;
+    // bridge edge crosses; isolated 9: in = tot = 0, still a community.
+    // Q = (120*122 - 2*61^2) / 122^2 = 7198/14884
+    assert(row.getLong(0) == 122L)
+    assert(row.getLong(1) == 3L)
+    assert(row.getDouble(2) == 7198.0 / 14884.0, s"got ${row.getDouble(2)}")
+  }
+
+  test("modularity: the oscillating sync labeling scores NEGATIVE where " +
+    "semi-sync's converged one scores zero — the instrument behind the " +
+    "residual plateau warning") {
+    val ns = Seq(10L, 11L, 12L, 13L).toDF("node")
+    val es = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 10L, 1L)).toDF("src", "dst", "weight")
+    // sync after any odd/even round count: alternating labels, every
+    // edge crosses -> Q = (0 - 2*4^2)/8^2 = -0.5 (worse than one blob)
+    val qSync = Graph.modularity(
+      Graph.labelPropagate(ns, es, rounds = 3), es).collect().head
+    CacheScope.release(spark)
+    assert(qSync.getDouble(2) == -0.5, s"got ${qSync.getDouble(2)}")
+    // semi-sync converges to one community: in_all = 2m -> Q = 0
+    val qSemi = Graph.modularity(
+      Graph.labelPropSemiSync(ns, es, maxRounds = 8)
+        .select($"node", $"label"), es).collect().head
+    CacheScope.release(spark)
+    assert(qSemi.getDouble(2) == 0.0, s"got ${qSemi.getDouble(2)}")
+  }
+
+  test("modularity: edgeless graph reports two_m = 0 and NULL modularity") {
+    val ns = Seq(1L, 2L).toDF("node")
+    val es = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    val row = Graph.modularity(
+      ns.select($"node", $"node".as("label")), es).collect().head
+    CacheScope.release(spark)
+    assert(row.getLong(0) == 0L && row.getLong(1) == 2L && row.isNullAt(2))
+  }
+
   test("labelPropSemiSync: early stop equals the fixed unroll, and a " +
     "too-small budget reports maxRounds") {
     val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
