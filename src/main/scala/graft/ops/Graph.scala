@@ -545,8 +545,11 @@ object Graph {
     * this table on `src` once per round (LPA) or per sub-step
     * (semi-sync, 72 times at the bench budget), and a cached relation's
     * partitioning is reused by the join — one build-time shuffle buys a
-    * shuffle-free big side for the whole loop (measured: the semisync
-    * round loop dropped ~40% wall at sf0.1).
+    * shuffle-free big side for the whole loop. At sf0.1 the measured
+    * gain is modest (~7% on the semisync loop — per-stage dispatch
+    * latency dominates at that scale); the term it removes is the one
+    * that GROWS with the graph, |E| shuffled per round, which is what
+    * matters at the 100 TB target.
     */
   private def symmetrized(edges: DataFrame): DataFrame =
     edges.filter(col("src") =!= col("dst"))
