@@ -47,6 +47,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness decision: the intended per-round checkpoint frees must not
+    // flood the recorded log (graft package object doc)
+    graft.squelchIntendedUnpersistWarn()
     // Session warmup: first-job scheduler/codegen/parquet-reader init would
     // otherwise land entirely on whichever query happens to run first and
     // distort its number (~5s on this box). Steady-state per-query times

@@ -151,6 +151,7 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.squelchIntendedUnpersistWarn()
 
     generate(spark, outDir, nDocs = 50000, nVecs = 20000, seed = 1042L)
 

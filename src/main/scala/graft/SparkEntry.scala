@@ -3311,9 +3311,14 @@ res$sfx AS (SELECT '$qid' AS query_id,
     "q_modularity" -> ((s, dir) => {
       val nodes = t(s, dir, "part").select(col("p_partkey").as("node"))
       val edges = coPurchaseEdges(t(s, dir, "lineitem"))
+      // symmetrize ONCE and pin: both labelings' quality passes score
+      // the same graph (symmetrizing a symmetric table would double
+      // weights, hence the explicit flag)
+      val sym = graft.CacheScope.pin(ops.Graph.symmetrized(edges))
       Seq(LpRounds, LpConvMaxRounds).map { r =>
         ops.Graph.modularity(
-          ops.Graph.labelPropagate(nodes, edges, rounds = r), edges)
+          ops.Graph.labelPropagate(nodes, edges, rounds = r), sym,
+          edgesSymmetrized = true)
           .select(lit(r).as("rounds"), col("two_m"),
             col("n_communities"), col("modularity"))
       }.reduce(_ unionByName _).orderBy("rounds")

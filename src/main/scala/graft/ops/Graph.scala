@@ -383,8 +383,15 @@ object Graph {
         .join(delta.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
       // min-plus with unit weights: first touch IS the minimal distance,
-      // so the new frontier is exactly reached-minus-settled
+      // so the new frontier is exactly reached-minus-settled — RESTRICTED
+      // to the node table: an edge endpoint absent from `nodes` is not a
+      // vertex of this graph and must neither settle nor propagate (the
+      // full-state loop had this for free because its state was built
+      // from `nodes`; the delta loop must impose it, or distances leak
+      // through phantom vertices the oracle's node-joined rounds never
+      // see)
       delta = reached.join(settled, Seq("node"), "left_anti")
+        .join(nodeTbl, Seq("node"), "left_semi")
         .select(col("node"), lit(hop.toLong).as("hops"))
         .localCheckpoint(false)
       frontierSize = delta.count()
@@ -551,7 +558,7 @@ object Graph {
     * that GROWS with the graph, |E| shuffled per round, which is what
     * matters at the 100 TB target.
     */
-  private def symmetrized(edges: DataFrame): DataFrame =
+  def symmetrized(edges: DataFrame): DataFrame =
     edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("weight"))
       .unionAll(edges.filter(col("src") =!= col("dst"))
@@ -580,9 +587,17 @@ object Graph {
     *
     * Output: 1 row (two_m, n_communities, modularity) — modularity NULL
     * on an edgeless graph (2m = 0: undefined, not 0).
+    *
+    * `edgesSymmetrized = true` declares `edges` ALREADY in the
+    * [[symmetrized]] form (both directions, merged weights, no self
+    * loops) and skips the rebuild — for callers scoring several
+    * labelings of one graph, who should symmetrize-and-pin once
+    * (symmetrizing a symmetric table would double every weight, so the
+    * flag is explicit, never inferred).
     */
-  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = symmetrized(edges)
+  def modularity(labels: DataFrame, edges: DataFrame,
+                 edgesSymmetrized: Boolean = false): DataFrame = {
+    val sym = if (edgesSymmetrized) edges else symmetrized(edges)
     val l = labels.select(col("node"), col("label"))
     val labeled = sym
       .join(l.select(col("node").as("src"), col("label").as("_la")), "src")
@@ -622,6 +637,29 @@ object Graph {
       .otherwise(raise_error(format_string(
         "LPA labels must be non-negative node ids; got %d", label)).cast("long"))
 
+  /** The ONE synchronous relabel kernel every LPA form shares — the
+    * oracles must match this argmax bit-for-bit, so it exists exactly
+    * once: neighbor-label weight totals over `edgeSlice`, argmax by
+    * (weight DESC, label ASC) as one combinable max over (w, −label)
+    * — labels are node ids ≥ 0, ENFORCED by [[negLabel]] inside the
+    * aggregate (a negative id would silently invert the smallest-label
+    * tie-break, and Long.MinValue negation overflows) — then the
+    * coalesce carry for nodes the slice gave no neighbors. Extra
+    * columns on `cur` (e.g. a `_prev` carry) pass through the join
+    * untouched; the caller reselects.
+    */
+  private def relabel(edgeSlice: DataFrame, cur: DataFrame): DataFrame = {
+    val nb = edgeSlice
+      .join(cur.select(col("node").as("src"), col("label")), "src")
+      .groupBy(col("dst"), col("label"))
+      .agg(sum("weight").as("w"))
+    val best = nb
+      .groupBy(col("dst").as("node"))
+      .agg(max(struct(col("w").as("w"), negLabel(col("label")).as("nl"))).as("b"))
+      .select(col("node"), (-col("b.nl")).as("nb_label"))
+    cur.join(best, Seq("node"), "left")
+  }
+
   /** The synchronous LPA loop shared by the three public forms. The
     * per-round materializing action doubles as the changed-label count
     * (filter-count over the just-checkpointed 3-column frame), so the
@@ -645,24 +683,7 @@ object Graph {
     var taken = 0
     var stable = false
     while (r < maxRounds && !stable) {
-      val nb = sym
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst"), col("label"))
-        .agg(sum("weight").as("w"))
-      // argmax by (weight DESC, label ASC) as one combinable max over
-      // (w, -label) — labels are node ids >= 0, so negation is a safe
-      // total-order flip in Long. The >= 0 assumption is ENFORCED, not
-      // assumed: a negative id would silently invert the smallest-label
-      // tie-break (and Long.MinValue negation overflows), so the flip
-      // raises on the first negative label it meets — riding the round's
-      // existing aggregate, zero extra jobs, and scoped exactly to the
-      // labels that participate in a tie-break.
-      val best = nb
-        .groupBy(col("dst").as("node"))
-        .agg(max(struct(col("w").as("w"), negLabel(col("label")).as("nl"))).as("b"))
-        .select(col("node"), (-col("b.nl")).as("nb_label"))
-      val next3 = labels
-        .join(best, Seq("node"), "left")
+      val next3 = relabel(sym, labels)
         .select(col("node"),
           coalesce(col("nb_label"), col("label")).as("label"),
           col("label").as("_prev"))
@@ -779,22 +800,14 @@ object Graph {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
     require(numColors >= 2, s"need at least two colors, got $numColors")
     val sym = graft.CacheScope.pin(symmetrized(edges))
-    // one color class recomputes its argmax from `cur`; `best` carries
-    // only that color's nodes, so the coalesce is the carry for the rest
-    def substep(cur: DataFrame, color: Int): DataFrame = {
-      val nb = sym.filter(col("dst") % numColors === color)
-        .join(cur.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst"), col("label"))
-        .agg(sum("weight").as("w"))
-      val best = nb
-        .groupBy(col("dst").as("node"))
-        .agg(max(struct(col("w").as("w"), negLabel(col("label")).as("nl"))).as("b"))
-        .select(col("node"), (-col("b.nl")).as("nb_label"))
-      cur.join(best, Seq("node"), "left")
+    // one color class recomputes its argmax from `cur` via the shared
+    // [[relabel]] kernel; `best` carries only that color's nodes, so
+    // the coalesce is the carry for the rest
+    def substep(cur: DataFrame, color: Int): DataFrame =
+      relabel(sym.filter(col("dst") % numColors === color), cur)
         .select(col("node"),
           coalesce(col("nb_label"), col("label")).as("label"),
           col("_prev"))
-    }
     var ckpt = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(false)
     var labels = ckpt

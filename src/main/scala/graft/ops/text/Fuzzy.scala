@@ -612,6 +612,7 @@ object Fuzzy {
     */
   private def requireStamp(registry: DataFrame, what: String,
                            params: (String, Int)*): DataFrame = {
+    requireStampColumns(registry, what, params.map(_._1))
     val ok = params.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
     val expect = params.map { case (c, v) => s"$c=$v" }.mkString(", ")
     val fmt = s"$what registry was built with different parameters than " +
@@ -621,6 +622,23 @@ object Fuzzy {
     registry.filter(when(ok, lit(true)).otherwise(
       raise_error(format_string(fmt, params.map(p => col(p._1)): _*))
         .cast("boolean")))
+  }
+
+  /** MIGRATION guard for the stamp columns: a registry committed BEFORE
+    * parameter stamping (r14) has no max_dist/gram_q columns, and every
+    * serve/update/retract would otherwise die with an unresolved-column
+    * AnalysisException that never names the remedy. Fail with the
+    * remedy instead: rebuild via the family's `*Refresh`.
+    */
+  private def requireStampColumns(registry: DataFrame, what: String,
+                                  cols: Seq[String]): Unit = {
+    val missing = cols.filterNot(registry.columns.contains)
+    require(missing.isEmpty,
+      s"$what registry predates parameter stamping (missing column(s) " +
+        s"${missing.mkString(", ")}): it was committed by a version " +
+        "without build-parameter stamps — rebuild it with the family's " +
+        "refresh (segIndexRefresh / edIndexRefresh) before serving, " +
+        "updating, or retracting")
   }
 
   /** Build-and-commit [[edIndex]] as a versioned Manifest snapshot.
@@ -637,9 +655,10 @@ object Fuzzy {
   def edIndexUpdate(table: String, accepted: DataFrame, idCol: String,
                     strCol: String, maxDist: Int, q: Int = 2): Int = {
     val spark = accepted.sparkSession
+    val cur = graft.io.Manifest.read(spark, table)
+    requireStampColumns(cur, "ed-gram", Seq("max_dist", "gram_q"))
     graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(edIndex(accepted, idCol, strCol, maxDist, q)),
+      cur.unionByName(edIndex(accepted, idCol, strCol, maxDist, q)),
       table)
   }
 
@@ -648,9 +667,10 @@ object Fuzzy {
   def edIndexRetract(table: String, removedIds: DataFrame,
                      idCol: String): Int = {
     val spark = removedIds.sparkSession
+    val cur = graft.io.Manifest.read(spark, table)
+    requireStampColumns(cur, "ed-gram", Seq("max_dist", "gram_q"))
     graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
+      cur.join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "len", "g", "occ", "max_dist", "gram_q"),
       table)
@@ -844,8 +864,9 @@ object Fuzzy {
                      strCol: String, maxDist: Int,
                      tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    val next = graft.io.Manifest.read(spark, table)
-      .unionByName(segIndex(accepted, idCol, strCol, maxDist))
+    val cur = graft.io.Manifest.read(spark, table)
+    requireStampColumns(cur, "ed-segment", Seq("max_dist"))
+    val next = cur.unionByName(segIndex(accepted, idCol, strCol, maxDist))
     tag match {
       case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
       case None    => graft.io.Manifest.write(next, table)
@@ -856,9 +877,10 @@ object Fuzzy {
   def segIndexRetract(table: String, removedIds: DataFrame,
                       idCol: String): Int = {
     val spark = removedIds.sparkSession
+    val cur = graft.io.Manifest.read(spark, table)
+    requireStampColumns(cur, "ed-segment", Seq("max_dist"))
     graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
+      cur.join(broadcast(removedIds.select(col(idCol).as("doc_id"))),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "len", "si", "sv", "max_dist"),
       table)

@@ -50,18 +50,22 @@ package object graft {
       .map { case (c, i) => when(idx === i, c) }
       .reduce(coalesce(_, _))
 
-  /** One-time log4j2 squelch for the INTENDED "RDD was locally
+  /** HARNESS-ONLY log4j2 squelch for the INTENDED "RDD was locally
     * checkpointed, its lineage has been truncated and cannot be
-    * recomputed after unpersisting" WARN that `RDD.unpersist` logs: every
-    * iterative operator here frees its previous round's truncated-lineage
-    * blocks ON PURPOSE (the round's successor was already materialized,
-    * nothing recomputes the freed RDD), so the warning carries zero
-    * information — and a 72-sub-step semisync run would pour hundreds of
-    * copies into a bench log. Scoped to the ONE concrete RDD class that
-    * logs it on this path, never the rdd package (stage/shuffle warnings
-    * there are real signals).
+    * recomputed after unpersisting" WARN that `RDD.unpersist` logs:
+    * every iterative operator here frees its previous round's
+    * truncated-lineage blocks ON PURPOSE (the round's successor was
+    * already materialized, nothing recomputes the freed RDD), so in the
+    * bench/verify harness the warning carries zero information — a
+    * 72-sub-step semisync run would pour hundreds of copies into the
+    * recorded log. Scoped to the ONE concrete RDD class that logs it on
+    * this path, never the rdd package. Deliberately NOT called from
+    * library code: an embedding application keeps the warning (an
+    * unpersist of a still-needed checkpoint is a real bug this warning
+    * surfaces), and mutating global log config is a harness decision,
+    * not a library side effect.
     */
-  private lazy val squelchIntendedUnpersistWarn: Unit =
+  def squelchIntendedUnpersistWarn(): Unit =
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
@@ -75,12 +79,10 @@ package object graft {
     * clusterComponents, Bpe bpeTrain, Classifier fit).
     */
   private[graft] def unpersistCheckpoint(
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    squelchIntendedUnpersistWarn
+      df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => df.unpersist()
     }
-  }
 }

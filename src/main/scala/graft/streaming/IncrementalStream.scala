@@ -1024,7 +1024,7 @@ object IncrementalStream {
     * survive. Same `batch=<id>` LAYOUT contract on `acceptedPath` as
     * [[runCurationIngest]] (no mixing with flat-append layouts).
     */
-  def runFuzzyIngest(spark: SparkSession, batchStream: DataFrame,
+  def runFuzzyIngest(batchStream: DataFrame,
                      corpusPath: String, registryTable: String,
                      acceptedPath: String, checkpoint: String,
                      idCol: String, strCol: String,
@@ -1055,7 +1055,7 @@ object IncrementalStream {
     * with the batchId. Replay-idempotency: the [[runFuzzyIngest]]
     * argument verbatim.
     */
-  def runSimhashIngest(spark: SparkSession, batchStream: DataFrame,
+  def runSimhashIngest(batchStream: DataFrame,
                        registryTable: String, acceptedPath: String,
                        checkpoint: String,
                        bands: Int = 4, maxHamming: Int = 6,
@@ -1081,7 +1081,7 @@ object IncrementalStream {
     * tagged with the batchId. Replay-idempotency: the
     * [[runFuzzyIngest]] argument verbatim.
     */
-  def runContainmentIngest(spark: SparkSession, batchStream: DataFrame,
+  def runContainmentIngest(batchStream: DataFrame,
                            corpusPath: String, registryTable: String,
                            acceptedPath: String, checkpoint: String,
                            n: Int = 3, threshold: Double = 0.8,

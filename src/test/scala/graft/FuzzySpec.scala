@@ -443,6 +443,49 @@ class FuzzySpec extends SparkSpec {
       s"high-entropy corpus must not flood: ${aRich.candidatesPerString}")
   }
 
+  test("a registry committed BEFORE parameter stamping fails serve/update/" +
+    "retract with the rebuild remedy, never an unresolved column") {
+    val corpus = (0 until 20)
+      .map(i => (i.toLong, s"corpus string number $i")).toSeq
+      .toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("legacyreg").toString
+    val table = s"$dir/segs"
+    // the pre-r14 registry shape: stamp columns absent
+    graft.io.Manifest.write(
+      Fuzzy.segIndex(corpus, "id", "s", maxDist = 2).drop("max_dist"), table)
+    val probe = corpus.filter($"id" < 3)
+    val eServe = intercept[IllegalArgumentException] {
+      Fuzzy.editDistanceAgainstSegIndex(
+        graft.io.Manifest.read(spark, table), corpus, probe,
+        "id", "s", maxDist = 2)
+    }
+    assert(eServe.getMessage.contains("rebuild") &&
+      eServe.getMessage.contains("max_dist"), eServe.getMessage)
+    intercept[IllegalArgumentException] {
+      Fuzzy.segIndexUpdate(table, probe, "id", "s", maxDist = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Fuzzy.segIndexRetract(table, probe.select($"id"), "id")
+    }
+    // same contract at the gram family
+    val table2 = s"$dir/grams"
+    graft.io.Manifest.write(
+      Fuzzy.edIndex(corpus, "id", "s", maxDist = 2, q = 3)
+        .drop("max_dist", "gram_q"), table2)
+    val eGram = intercept[IllegalArgumentException] {
+      Fuzzy.editDistanceAgainstIndex(
+        graft.io.Manifest.read(spark, table2), corpus, probe,
+        "id", "s", maxDist = 2, q = 3)
+    }
+    assert(eGram.getMessage.contains("rebuild"), eGram.getMessage)
+    intercept[IllegalArgumentException] {
+      Fuzzy.edIndexUpdate(table2, probe, "id", "s", maxDist = 2, q = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Fuzzy.edIndexRetract(table2, probe.select($"id"), "id")
+    }
+  }
+
   test("snmRecallEval: counts match brute force; SNM is NOT lossless and " +
     "the certificate says so") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -372,6 +372,23 @@ class GraphSpec extends SparkSpec {
     assert(capped(4L).isEmpty && capped(3L).contains(2L))
   }
 
+  test("hopDistance: an edge endpoint absent from the node table neither " +
+    "settles nor propagates (phantom-vertex regression, r14)") {
+    // 1 -> 2 -> 3 with vertex 2 NOT in nodes: 3 must stay unreachable —
+    // the delta loop must restrict its frontier to the node table (the
+    // oracle's rounds join the node-built state, so a phantom relay
+    // would diverge engine from oracle on malformed edge data)
+    val ns = Seq(1L, 3L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.hopDistance(ns, es, Seq(1L).toDF("node"), maxHops = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    CacheScope.release(spark)
+    assert(got == Map(1L -> Some(0L), 3L -> None),
+      s"vertex 2 is not in the graph and must not relay: got $got")
+  }
+
   test("labelPropagate: two weight-10 triangles over a weight-1 bridge " +
     "converge to per-triangle min labels; isolated keeps its own") {
     val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")

@@ -260,7 +260,7 @@ class StreamingSpec extends SparkSpec {
       maxDist = 2) == 1)
     val mem = MemoryStream[(Long, String)](spark)
     def drain(): Unit = {
-      IncrementalStream.runFuzzyIngest(spark,
+      IncrementalStream.runFuzzyIngest(
         mem.toDF().toDF("id", "s"), s"$root/corpus", registryTable,
         s"$root/accepted", s"$root/ckpt", "id", "s", maxDist = 2)
       ()
@@ -328,7 +328,7 @@ class StreamingSpec extends SparkSpec {
       "fixture must be a simhash near-dup of seed 10")
     val mem = MemoryStream[(Long, String)](spark)
     def drain(): Unit = {
-      IncrementalStream.runSimhashIngest(spark,
+      IncrementalStream.runSimhashIngest(
         mem.toDF().toDF("doc_id", "text"), registryTable,
         s"$root/accepted", s"$root/ckpt")
       ()
@@ -367,7 +367,7 @@ class StreamingSpec extends SparkSpec {
     def drainWith(ckpt: String): Unit = {
       val m = MemoryStream[(Long, String)](spark)
       m.addData((21L, novel1))
-      IncrementalStream.runSimhashIngest(spark,
+      IncrementalStream.runSimhashIngest(
         m.toDF().toDF("doc_id", "text"), table2,
         s"$root2/accepted", ckpt, tagScope = Some("t"))
       ()
@@ -406,7 +406,7 @@ class StreamingSpec extends SparkSpec {
       "hunter watches"
     val mem = MemoryStream[(Long, String)](spark)
     def drain(): Unit = {
-      IncrementalStream.runContainmentIngest(spark,
+      IncrementalStream.runContainmentIngest(
         mem.toDF().toDF("doc_id", "text"), s"$root/corpus", registryTable,
         s"$root/accepted", s"$root/ckpt")
       ()
@@ -437,7 +437,7 @@ class StreamingSpec extends SparkSpec {
     def drainWith(ckpt: String): Unit = {
       val m = MemoryStream[(Long, String)](spark)
       m.addData((21L, novel1))
-      IncrementalStream.runContainmentIngest(spark,
+      IncrementalStream.runContainmentIngest(
         m.toDF().toDF("doc_id", "text"), s"$root2/corpus", table2,
         s"$root2/accepted", ckpt, tagScope = Some("t"))
       ()
