@@ -130,6 +130,13 @@ object ScaleSweep {
     // r13 s3: the LPA residual ladder + convergence-gated twin (the
     // changed-count rides each round's own materializing action)
     "q_communities_residual", "q_communities_conv",
+    // r14: semi-sync LPA (18 rounds x 4 per-color sub-steps — the
+    // deepest iterative instrument in the registry; each round moves
+    // ONE sync round's join volume off the src-partitioned pinned edge
+    // table, so the sweep row prices sub-step latency at 10x the bench
+    // graph) and the modularity instrument (two labelings scored off
+    // one pinned symmetrized table — two joins + two aggregates each)
+    "q_communities_semisync", "q_modularity",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;
