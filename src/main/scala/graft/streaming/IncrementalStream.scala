@@ -938,7 +938,76 @@ object IncrementalStream {
                          checkpoint: String, iters: Int = 2,
                          base: Long = 1000000L, dampNum: Long = 85L,
                          dampDen: Long = 100L,
-                         tagScope: Option[String] = None): StreamingQuery = {
+                         tagScope: Option[String] = None): StreamingQuery =
+    runGraphMaintenanceStream(edgeStream, edgeTable, authorityTable,
+      checkpoint, "authority", tagScope,
+      advance = (nodes, edges, state) => state match {
+        case Some(s) => graft.ops.Graph.linkRankFrom(s, nodes, edges,
+          iters, base, dampNum, dampDen)
+        case None => graft.ops.Graph.linkRank(nodes, edges, iters,
+          base, dampNum, dampDen)
+      })
+
+  /** [[runAuthorityStream]]'s maintenance loop at the COMMUNITY family
+    * (r14): per edge micro-batch, merge the delta into the persisted
+    * weighted edge registry, then warm-continue the committed labeling
+    * through `rounds` more synchronous LPA rounds
+    * ([[graft.ops.Graph.labelPropFrom]] — first batch cold-starts via
+    * [[graft.ops.Graph.labelPropagate]]) and commit it. New nodes enter
+    * the warm rounds at their own id (labelPropFrom's contract),
+    * exactly as a batch replay would place them, so the streamed
+    * labeling equals the batch chain
+    * `labelPropFrom(labelPropagate(g1, k), g1 ⊎ g2, k)` bit-for-bit —
+    * StreamingSpec pins it. Exactly-once posture, tag scoping, and the
+    * single-maintenance-writer OWNERSHIP contract: the
+    * [[runGraphMaintenanceStream]] argument verbatim.
+    */
+  def runCommunityStream(spark: SparkSession, edgeStream: DataFrame,
+                         edgeTable: String, communityTable: String,
+                         checkpoint: String, rounds: Int = 1,
+                         tagScope: Option[String] = None): StreamingQuery =
+    runGraphMaintenanceStream(edgeStream, edgeTable, communityTable,
+      checkpoint, "community", tagScope,
+      advance = (nodes, edges, state) => state match {
+        case Some(s) => graft.ops.Graph.labelPropFrom(s, nodes, edges,
+          rounds)
+        case None => graft.ops.Graph.labelPropagate(nodes, edges, rounds)
+      })
+
+  /** The two-leg graph maintenance loop shared by the authority and
+    * community streams — one body, one replay-idempotency proof:
+    *
+    *   1. EDGE MERGE — union the batch's (src, dst, weight) delta into
+    *      the persisted edge registry and re-aggregate; skipped when
+    *      the current edge version already carries THIS batch's tag
+    *      (crash-replay after the edge commit: re-merging would union
+    *      the same delta twice and the groupBy-sum would double-count
+    *      its weights — permanent corruption).
+    *   2. STATE ADVANCE — derive the node set from the merged registry
+    *      (src ∪ dst, so vertices appear as soon as an edge lands),
+    *      warm-continue the committed state via `advance` (None on the
+    *      cold start) and commit it; skipped only when already
+    *      committed for this batch, so a replay that merged in a
+    *      previous attempt still advances over the merged graph exactly
+    *      as the uncrashed run would have.
+    *
+    * Both commits carry the streaming batchId as their tag, scoped by
+    * the checkpoint identity ([[tagScopeOf]]). OWNERSHIP contract (the
+    * tag's blind spot): the skip decision reads the CURRENT version's
+    * tag, so an untagged maintenance commit landing between a crash and
+    * its replay erases the evidence and the replayed merge would
+    * double-count — while a stream owns its two tables, no other writer
+    * may commit to them (the repo-wide single-maintenance-writer rule).
+    * Releases its CacheScope pins per batch.
+    */
+  private def runGraphMaintenanceStream(edgeStream: DataFrame,
+                                        edgeTable: String,
+                                        stateTable: String,
+                                        checkpoint: String,
+                                        familyTag: String,
+                                        tagScope: Option[String],
+                                        advance: (DataFrame, DataFrame, Option[DataFrame]) => DataFrame)
+      : StreamingQuery = {
     val scope = tagScopeOf(checkpoint, tagScope)
     val q = edgeStream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -946,15 +1015,11 @@ object IncrementalStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sp = batch.sparkSession
-          val tag = s"authority-$scope-batch-$batchId"
+          val tag = s"$familyTag-$scope-batch-$batchId"
           def tagOf(table: String): Option[String] =
             if (graft.io.Manifest.currentVersion(sp, table).isDefined)
               graft.io.Manifest.currentTag(sp, table)
             else None
-          // 1. edge merge — skipped when the current edge version was
-          // already produced by THIS batch (crash-replay after the edge
-          // commit): re-merging would union the same delta twice and the
-          // groupBy-sum would double-count its weights.
           if (!tagOf(edgeTable).contains(tag)) {
             val delta = batch.select(col("src"), col("dst"), col("weight"))
             val merged = (graft.io.Manifest.currentVersion(sp, edgeTable) match {
@@ -964,23 +1029,15 @@ object IncrementalStream {
             }).groupBy("src", "dst").agg(sum("weight").as("weight"))
             graft.io.Manifest.writeTagged(merged, edgeTable, tag)
           }
-          // 2. authority warm rounds — skipped only when ALREADY committed
-          // for this batch (crash-replay after both commits); a replay
-          // that merged in a previous attempt still runs this leg, over
-          // the merged graph, exactly as the uncrashed run would have.
-          if (!tagOf(authorityTable).contains(tag)) {
+          if (!tagOf(stateTable).contains(tag)) {
             val edges = graft.io.Manifest.read(sp, edgeTable)
             val nodes = edges.select(col("src").as("node"))
               .unionAll(edges.select(col("dst").as("node"))).distinct()
-            val ranked =
-              graft.io.Manifest.currentVersion(sp, authorityTable) match {
-                case Some(_) => graft.ops.Graph.linkRankFrom(
-                  graft.io.Manifest.read(sp, authorityTable), nodes, edges,
-                  iters, base, dampNum, dampDen)
-                case None => graft.ops.Graph.linkRank(nodes, edges, iters,
-                  base, dampNum, dampDen)
-              }
-            graft.io.Manifest.writeTagged(ranked, authorityTable, tag)
+            val state =
+              graft.io.Manifest.currentVersion(sp, stateTable)
+                .map(_ => graft.io.Manifest.read(sp, stateTable))
+            graft.io.Manifest.writeTagged(advance(nodes, edges, state),
+              stateTable, tag)
           }
           graft.CacheScope.release(sp)
         }

@@ -1352,6 +1352,78 @@ class StreamingSpec extends SparkSpec {
     assert(gotAuth == want, "stream must equal the batch replay chain")
   }
 
+  test("streaming community maintenance: edge merge advances the " +
+    "registry and warm LPA rounds equal the batch replay chain; " +
+    "replay never double-advances") {
+    import graft.ops.Graph
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_community").toString
+    val edgeTable = s"$root/edges"
+    val commTable = s"$root/communities"
+    // wave 1: one triangle; wave 2 densifies and attaches node 4
+    val wave1 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 1L, 10L))
+    val wave2 = Seq((1L, 2L, 5L), (3L, 4L, 2L), (4L, 1L, 1L))
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    def drain(): Unit =
+      IncrementalStream.runCommunityStream(spark,
+        mem.toDF().toDF("src", "dst", "weight"),
+        edgeTable, commTable, s"$root/ckpt", rounds = 2,
+        tagScope = Some("t"))
+    mem.addData(wave1: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, commTable).contains(1))
+    mem.addData(wave2: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, commTable).contains(2))
+    // streamed labeling == the batch chain: cold 2 rounds on wave-1's
+    // graph, then warm 2 rounds on the merged graph (bit-exact)
+    def graph(edges: Seq[(Long, Long, Long)]) = {
+      val e = edges.groupBy(x => (x._1, x._2))
+        .map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+        .toDF("src", "dst", "weight")
+      val n = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      (n, e)
+    }
+    val (n1, g1) = graph(wave1)
+    val (nAll, gAll) = graph(wave1 ++ wave2)
+    val want = Graph.labelPropFrom(
+      Graph.labelPropagate(n1, g1, rounds = 2), nAll, gAll, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    val got = graft.io.Manifest.read(spark, commTable)
+      .as[(Long, Long)].collect().toMap
+    CacheScope.release(spark)
+    assert(got == want, "stream must equal the batch replay chain")
+    assert(got.contains(4L), "the wave-2 node must be labeled")
+    // replay leg (the authority-replay contract verbatim, own tables):
+    // a fully-committed single batch replayed from a FRESH checkpoint
+    // under the same scope skips both legs — no extra edge version
+    // (double-merge double-counts weights), no extra warm rounds (which
+    // would break stream ≡ batch-replay)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_comm_replay").toString
+    def drainReplay(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Long, Long)](spark)
+      m.addData(wave1: _*)
+      IncrementalStream.runCommunityStream(spark,
+        m.toDF().toDF("src", "dst", "weight"),
+        s"$root2/edges", s"$root2/communities", ckpt, rounds = 2,
+        tagScope = Some("t"))
+      ()
+    }
+    drainReplay(s"$root2/ckpt1")
+    val labels1 = graft.io.Manifest.read(spark, s"$root2/communities")
+      .as[(Long, Long)].collect().toMap
+    drainReplay(s"$root2/ckpt2")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/edges")
+      .contains(1), "replayed merge must skip — re-merging double-counts")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/communities")
+      .contains(1), "replayed label leg must skip — extra rounds drift")
+    assert(graft.io.Manifest.read(spark, s"$root2/communities")
+      .as[(Long, Long)].collect().toMap == labels1)
+    CacheScope.release(spark)
+  }
+
   test("authority stream replay-idempotency: a fully-committed batch " +
     "replays as a no-op (no double-counted weights, no extra rounds)") {
     val root = Files.createTempDirectory("graft_auth_replay").toString
