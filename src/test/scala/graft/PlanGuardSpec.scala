@@ -78,6 +78,10 @@ class PlanGuardSpec extends SparkSpec {
       // the coverage curve crosses the 1-row (n_types, total_cf) totals
       // into the 1-row cut aggregate (the corpus-stats pattern)
       "q_vocab_coverage",
+      // modularity: the 1-row global (in_all, two_m, tot_sq) aggregate
+      // crossed with the 1-row n_communities count, per labeling depth
+      // (the q_graph_audit 1-row x 1-row census shape)
+      "q_modularity",
       // lmScore's 1-row vocabulary-size scalar broadcast over the scored
       // bigram stream (BM25's corpus-stats pattern); the serve path
       // carries the same 1-row vocab cross from the model table
