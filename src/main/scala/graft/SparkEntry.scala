@@ -3295,7 +3295,12 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // neighbors it reads. The stop is LIVE on this fixture (zero-change
     // at round 16 < SemiMaxRounds=18) and the oracle CERTIFIES it: the
     // replayed diff ladder must find d=0 at the same round for the
-    // `rounds` column to match.
+    // `rounds` column to match. Convergence ≠ quality: q_modularity's
+    // instrument shows the converged labeling is near-trivial on this
+    // dense graph (the monster-community sweep; labelPropSemiSync
+    // scaladoc carries the measured numbers) — this row certifies the
+    // TERMINATION device, the modularity row certifies which labeling
+    // to ship.
     "q_communities_semisync" -> ((s, dir) =>
       ops.Graph.labelPropSemiSync(
         t(s, dir, "part").select(col("p_partkey").as("node")),

@@ -738,6 +738,20 @@ object Graph {
     * the early stop equals the fixed unroll, the [[labelPropConverged]]
     * argument), else `maxRounds`.
     *
+    * CONVERGENCE ≠ QUALITY — read [[modularity]] before trusting the
+    * converged labeling: sequentializing the updates is also what lets
+    * the largest label SWEEP a dense graph (the LPA literature's
+    * monster-community epidemic, which the synchronous form's
+    * simultaneous updates resist). Measured on the co-purchase
+    * fixtures: the converged semisync labeling scores Q ≈ 0.007
+    * (sf0.01, 48 communities) / 0.004 (sf0.1) — barely better than one
+    * blob — where the UNconverged 6-round synchronous labeling scores
+    * Q ≈ 0.297 / 0.299. The production recipe this pair of instruments
+    * points at is budgeted synchronous rounds gated by modularity, with
+    * semisync as the termination device only where the sweep does not
+    * bite (sparse or well-separated graphs; the bipartite spec
+    * fixture).
+    *
     * Output: (node, label, rounds) — `rounds` constant: the first
     * zero-change round, else `maxRounds`.
     */
