@@ -767,6 +767,21 @@ l0 AS (SELECT node, node AS label FROM nodes)"""
       }
     }.mkString(",\n")
 
+  /** Per-depth modularity ingredient CTEs: one pass over labeled
+    * symmetrized edges per depth k yielding mc$k(label, in_c, tot_c) —
+    * shared by q_modularity and q_communities_gated so the quality
+    * replay cannot drift between the instrument and the actor.
+    */
+  private def modularityMcCtes(depths: Seq[Int]): String = depths.map { k =>
+    s"""mc$k AS (SELECT a.label AS label,
+      |    CAST(sum(CASE WHEN a.label = b.label THEN s.weight
+      |             ELSE 0 END) AS BIGINT) AS in_c,
+      |    CAST(sum(s.weight) AS BIGINT) AS tot_c
+      |  FROM sym s JOIN l$k a ON s.src = a.node
+      |  JOIN l$k b ON s.dst = b.node
+      |  GROUP BY 1)""".stripMargin
+  }.mkString(",\n")
+
   /** The SimHash fingerprint CTE chain over a source relation — the
     * q_dedup_simhash replay (60-bit md5-prefix feature hash, ±1 bit
     * votes), generated from [[Dedup.SimhashBits]] so the sides cannot
@@ -3328,6 +3343,19 @@ res$sfx AS (SELECT '$qid' AS query_id,
             col("n_communities"), col("modularity"))
       }.reduce(_ unionByName _).orderBy("rounds")
     }),
+
+    // Modularity-GATED communities — the production recipe the two
+    // instruments above point at: LpConvMaxRounds budgeted synchronous
+    // rounds, ship the labeling of the argmax-modularity round. The
+    // selection compares exact DECIMAL numerators (all rounds share the
+    // (2m)^2 denominator), so the oracle replays the identical integer
+    // argmax — earliest round on exact ties.
+    "q_communities_gated" -> ((s, dir) =>
+      ops.Graph.labelPropQualityGated(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        maxRounds = LpConvMaxRounds)
+        .orderBy("node")),
 
     // k-core membership by iterative peeling: KcoreMaxRounds synchronized
     // peels of the undirected simple co-purchase graph (stable at round 5
@@ -7407,20 +7435,41 @@ ORDER BY query_id, neg_rank"""),
           |       AS DOUBLE)
           |   END FROM mc$k) AS modularity""".stripMargin
       }.mkString("\nUNION ALL\n")
-      val mcs = Seq(LpRounds, LpConvMaxRounds).map { k =>
-        s"""mc$k AS (SELECT a.label AS label,
-          |    CAST(sum(CASE WHEN a.label = b.label THEN s.weight
-          |             ELSE 0 END) AS BIGINT) AS in_c,
-          |    CAST(sum(s.weight) AS BIGINT) AS tot_c
-          |  FROM sym s JOIN l$k a ON s.src = a.node
-          |  JOIN l$k b ON s.dst = b.node
-          |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
       s"""WITH ${lpaPrologCtes()},
         |${lpaRoundCtes(LpConvMaxRounds)},
-        |$mcs
+        |${modularityMcCtes(Seq(LpRounds, LpConvMaxRounds))}
         |$rows
         |ORDER BY rounds""".stripMargin
+    },
+
+    // Gated replay: the same per-depth (in_c, tot_c) passes for every
+    // round in the budget, the exact HUGEINT numerator argmax (earliest
+    // depth on ties — all depths share the (2m)^2 denominator so the
+    // numerator IS the quality order), labels from the selected depth.
+    "q_communities_gated" -> {
+      val numRows = (1 to LpConvMaxRounds).map { k =>
+        s"""SELECT $k AS depth,
+          |  (SELECT CAST(coalesce(sum(in_c), 0) AS HUGEINT)
+          |     * CAST(coalesce(sum(tot_c), 0) AS HUGEINT)
+          |     - coalesce(sum(CAST(tot_c AS HUGEINT)
+          |         * CAST(tot_c AS HUGEINT)), 0)
+          |   FROM mc$k) AS num""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val labelUnion = (1 to LpConvMaxRounds).map(k =>
+        s"SELECT $k AS depth, node, label FROM l$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${lpaPrologCtes()},
+        |${lpaRoundCtes(LpConvMaxRounds)},
+        |${modularityMcCtes(1 to LpConvMaxRounds)},
+        |nums AS (
+        |$numRows),
+        |kk AS (SELECT min(depth) AS k FROM nums
+        |       WHERE num = (SELECT max(num) FROM nums)),
+        |lab AS (
+        |$labelUnion)
+        |SELECT node, label, CAST((SELECT k FROM kk) AS INT) AS rounds
+        |FROM lab WHERE depth = (SELECT k FROM kk)
+        |ORDER BY node""".stripMargin
     },
 
     // kcore: KcoreMaxRounds peels unrolled — peeling is monotone and

@@ -486,6 +486,58 @@ object Graph {
     labels.withColumn("rounds", lit(taken))
   }
 
+  /** Modularity-GATED label propagation — the production recipe the
+    * r14 instruments point at: run `maxRounds` budgeted SYNCHRONOUS
+    * rounds (the form that resists the monster-community sweep) and
+    * return the labeling of the round with the HIGHEST modularity —
+    * selection by QUALITY, not by termination, because the two
+    * instruments measurably disagree about which labeling to ship
+    * (the residual ladder never settles on a dense graph, yet the
+    * 6-round labeling scores Q ≈ 0.30 where the converged semisync one
+    * scores ≈ 0.007).
+    *
+    * The selection is EXACT: every round of one graph shares the (2m)²
+    * modularity denominator, so comparing the DECIMAL(38,0) numerators
+    * q_num = in_all·2m − Σ tot_c² IS comparing Q, with no double
+    * anywhere in the decision — the oracle replays the same integer
+    * argmax (earliest round on exact ties). Per round the price is one
+    * [[relabel]] pass plus one [[modularityParts]] aggregate (two joins
+    * against the pinned symmetrized table, 1-row result); only the
+    * incumbent-best and current checkpoints stay alive.
+    *
+    * Output: (node, label, rounds) — `rounds` = the selected round.
+    */
+  def labelPropQualityGated(nodes: DataFrame, edges: DataFrame,
+                            maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    val sym = graft.CacheScope.pin(symmetrized(edges))
+    var cur = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    var best: DataFrame = null
+    var bestNum: java.math.BigDecimal = null
+    var bestRound = 0
+    for (r <- 1 to maxRounds) {
+      val next = relabel(sym, cur)
+        .select(col("node"),
+          coalesce(col("nb_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+      // the 1-row exact quality aggregate doubles as the round's
+      // materializing action
+      val num = modularityParts(next, sym).select("q_num").head().getDecimal(0)
+      val prev = cur
+      cur = next
+      if (bestNum == null || num.compareTo(bestNum) > 0) {
+        if (best != null && !(best eq prev)) graft.unpersistCheckpoint(best)
+        best = next
+        bestNum = num
+        bestRound = r
+      }
+      if (!(prev eq best)) graft.unpersistCheckpoint(prev)
+    }
+    if (!(cur eq best)) graft.unpersistCheckpoint(cur)
+    best.withColumn("rounds", lit(bestRound))
+  }
+
   /** WARM-START label propagation — continue synchronous rounds from a
     * committed (node, label) state instead of the identity labeling.
     * The loop's entire state IS the labeling, so the trajectory
@@ -598,6 +650,27 @@ object Graph {
   def modularity(labels: DataFrame, edges: DataFrame,
                  edgesSymmetrized: Boolean = false): DataFrame = {
     val sym = if (edgesSymmetrized) edges else symmetrized(edges)
+    modularityParts(labels, sym)
+      .select(
+        col("two_m"),
+        col("n_communities"),
+        when(col("two_m") > 0,
+          col("q_num").cast("double") /
+            (col("two_m").cast(Dec38) * col("two_m").cast(Dec38))
+              .cast("double"))
+          .as("modularity"))
+  }
+
+  private val Dec38 = "decimal(38,0)"
+
+  /** The exact 1-row quality aggregate behind [[modularity]] and
+    * [[labelPropQualityGated]]: (in_all, two_m, tot_sq, q_num,
+    * n_communities) over an ALREADY-symmetrized edge table. `q_num` =
+    * in_all·2m − Σ tot_c² in DECIMAL(38,0) — every round of one graph
+    * shares the (2m)² denominator, so comparing q_num IS comparing Q
+    * exactly, with no double anywhere in the decision.
+    */
+  private def modularityParts(labels: DataFrame, sym: DataFrame): DataFrame = {
     val l = labels.select(col("node"), col("label"))
     val labeled = sym
       .join(l.select(col("node").as("src"), col("label").as("_la")), "src")
@@ -609,21 +682,16 @@ object Graph {
       .agg(sum(when(col("_la") === col("_lb"), col("weight"))
         .otherwise(lit(0L))).as("in_c"),
         sum(col("weight")).as("tot_c"))
-    val dec = "decimal(38,0)"
     perC
       .agg(sum(col("in_c")).as("in_all"),
         coalesce(sum(col("tot_c")), lit(0L)).as("two_m"),
-        sum(col("tot_c").cast(dec) * col("tot_c").cast(dec)).as("tot_sq"),
-        count(lit(1)).as("n_edge_communities"))
+        coalesce(sum(col("tot_c").cast(Dec38) * col("tot_c").cast(Dec38)),
+          lit(0L).cast(Dec38)).as("tot_sq"))
       .crossJoin(l.agg(countDistinct(col("label")).as("n_communities")))
-      .select(
-        col("two_m"),
-        col("n_communities"),
-        when(col("two_m") > 0,
-          (col("in_all").cast(dec) * col("two_m").cast(dec) - col("tot_sq"))
-            .cast("double") /
-            (col("two_m").cast(dec) * col("two_m").cast(dec)).cast("double"))
-          .as("modularity"))
+      .select(col("in_all"), col("two_m"), col("tot_sq"),
+        (coalesce(col("in_all"), lit(0L)).cast(Dec38) *
+          col("two_m").cast(Dec38) - col("tot_sq")).as("q_num"),
+        col("n_communities"))
   }
 
   /** `-label` with the non-negative-id contract enforced IN-expression:

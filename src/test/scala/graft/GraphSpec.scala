@@ -606,6 +606,46 @@ class GraphSpec extends SparkSpec {
     assert(qSemi.getDouble(2) == 0.0, s"got ${qSemi.getDouble(2)}")
   }
 
+  test("labelPropQualityGated: ships the argmax-modularity round's " +
+    "labeling, earliest on exact ties") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    // hand numerators: round 1 (rotating triangle labels) num = 677,
+    // round 2 settles both triangles at num = 7198, rounds 3-4 repeat
+    // it exactly -> argmax is round 2, earliest tie
+    val gated = Graph.labelPropQualityGated(ns, es, maxRounds = 4)
+      .collect()
+    CacheScope.release(spark)
+    assert(gated.map(_.getInt(2)).distinct.toSeq == Seq(2),
+      s"best round must be 2, got ${gated.map(_.getInt(2)).distinct.toSeq}")
+    val want = Graph.labelPropagate(ns, es, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(gated.map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // the oscillating 4-cycle: every round scores the same negative Q
+    // (alternating labels, all edges cross) -> earliest round wins
+    val ns2 = Seq(10L, 11L, 12L, 13L).toDF("node")
+    val es2 = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 10L, 1L)).toDF("src", "dst", "weight")
+    val osc = Graph.labelPropQualityGated(ns2, es2, maxRounds = 4)
+      .collect()
+    CacheScope.release(spark)
+    assert(osc.map(_.getInt(2)).distinct.toSeq == Seq(1),
+      "all rounds tie exactly: the earliest must be shipped")
+    // edgeless: every numerator is exactly 0 -> round 1, identity labels
+    val lone = Graph.labelPropQualityGated(
+      Seq(7L, 8L).toDF("node"),
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"),
+      maxRounds = 3).collect()
+    CacheScope.release(spark)
+    assert(lone.map(_.getInt(2)).distinct.toSeq == Seq(1))
+    assert(lone.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("modularity: edgeless graph reports two_m = 0 and NULL modularity") {
     val ns = Seq(1L, 2L).toDF("node")
     val es = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
