@@ -136,7 +136,7 @@ object ScaleSweep {
     // table, so the sweep row prices sub-step latency at 10x the bench
     // graph) and the modularity instrument (two labelings scored off
     // one pinned symmetrized table — two joins + two aggregates each)
-    "q_communities_semisync", "q_modularity",
+    "q_communities_semisync", "q_modularity", "q_communities_gated",
     // the composed DAGs last: every ingredient family is attributed
     // above, so these rows measure COMPOSITION cost (producer =
     // in-DAG pair build; consumer = persisted-resolution read;
