@@ -366,7 +366,9 @@ object Graph {
     val edgeTbl = graft.CacheScope.pin(
       edges.select(col("src"), col("dst")).distinct()
         .repartition(col("src")))
-    val nodeTbl = nodes.select(col("node"))
+    // pinned for the same reason as edgeTbl: the per-round frontier
+    // restriction (left_semi) re-reads it every hop
+    val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
     // hop-0 delta: the seed rows (semi join — a duplicated seed id must
     // not duplicate a node row)
     var delta = nodeTbl

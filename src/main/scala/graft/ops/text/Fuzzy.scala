@@ -655,8 +655,12 @@ object Fuzzy {
   def edIndexUpdate(table: String, accepted: DataFrame, idCol: String,
                     strCol: String, maxDist: Int, q: Int = 2): Int = {
     val spark = accepted.sparkSession
-    val cur = graft.io.Manifest.read(spark, table)
-    requireStampColumns(cur, "ed-gram", Seq("max_dist", "gram_q"))
+    // VALUE-checked, not just presence-checked: an update at different
+    // parameters than the build would commit a mixed-stamp registry
+    // that bricks every later serve — the per-row guard rides the scan
+    // the union's write pays anyway
+    val cur = requireStamp(graft.io.Manifest.read(spark, table), "ed-gram",
+      "max_dist" -> maxDist, "gram_q" -> q)
     graft.io.Manifest.write(
       cur.unionByName(edIndex(accepted, idCol, strCol, maxDist, q)),
       table)
@@ -864,8 +868,10 @@ object Fuzzy {
                      strCol: String, maxDist: Int,
                      tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    val cur = graft.io.Manifest.read(spark, table)
-    requireStampColumns(cur, "ed-segment", Seq("max_dist"))
+    // value-checked (edIndexUpdate's rationale): a maxDist-3 update on
+    // a maxDist-2 registry must fail HERE, not corrupt a version
+    val cur = requireStamp(graft.io.Manifest.read(spark, table),
+      "ed-segment", "max_dist" -> maxDist)
     val next = cur.unionByName(segIndex(accepted, idCol, strCol, maxDist))
     tag match {
       case Some(t) => graft.io.Manifest.writeTagged(next, table, t)

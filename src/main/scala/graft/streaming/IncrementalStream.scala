@@ -962,7 +962,7 @@ object IncrementalStream {
     * single-maintenance-writer OWNERSHIP contract: the
     * [[runGraphMaintenanceStream]] argument verbatim.
     */
-  def runCommunityStream(spark: SparkSession, edgeStream: DataFrame,
+  def runCommunityStream(edgeStream: DataFrame,
                          edgeTable: String, communityTable: String,
                          checkpoint: String, rounds: Int = 1,
                          tagScope: Option[String] = None): StreamingQuery =

@@ -484,6 +484,27 @@ class FuzzySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Fuzzy.edIndexRetract(table2, probe.select($"id"), "id")
     }
+    // VALUE mismatch (columns present, parameters different): an update
+    // at maxDist=3 on a maxDist=2 registry must fail at the update, not
+    // commit a mixed-stamp version that bricks every later serve
+    val table3 = s"$dir/segs_v"
+    assert(Fuzzy.segIndexRefresh(corpus, table3, "id", "s", maxDist = 2) == 1)
+    val eVal = intercept[Exception] {
+      Fuzzy.segIndexUpdate(table3, probe, "id", "s", maxDist = 3)
+    }
+    assert(eVal.getMessage.contains("different parameters"),
+      s"got: ${eVal.getMessage}")
+    assert(graft.io.Manifest.currentVersion(spark, table3).contains(1),
+      "the mismatched update must not commit a new version")
+    val table4 = s"$dir/grams_v"
+    assert(Fuzzy.edIndexRefresh(corpus, table4, "id", "s",
+      maxDist = 2, q = 3) == 1)
+    val eVal2 = intercept[Exception] {
+      Fuzzy.edIndexUpdate(table4, probe, "id", "s", maxDist = 2, q = 2)
+    }
+    assert(eVal2.getMessage.contains("different parameters"),
+      s"got: ${eVal2.getMessage}")
+    assert(graft.io.Manifest.currentVersion(spark, table4).contains(1))
   }
 
   test("snmRecallEval: counts match brute force; SNM is NOT lossless and " +

@@ -1365,7 +1365,7 @@ class StreamingSpec extends SparkSpec {
     val wave2 = Seq((1L, 2L, 5L), (3L, 4L, 2L), (4L, 1L, 1L))
     val mem = MemoryStream[(Long, Long, Long)](spark)
     def drain(): Unit =
-      IncrementalStream.runCommunityStream(spark,
+      IncrementalStream.runCommunityStream(
         mem.toDF().toDF("src", "dst", "weight"),
         edgeTable, commTable, s"$root/ckpt", rounds = 2,
         tagScope = Some("t"))
@@ -1405,7 +1405,7 @@ class StreamingSpec extends SparkSpec {
     def drainReplay(ckpt: String): Unit = {
       val m = MemoryStream[(Long, Long, Long)](spark)
       m.addData(wave1: _*)
-      IncrementalStream.runCommunityStream(spark,
+      IncrementalStream.runCommunityStream(
         m.toDF().toDF("src", "dst", "weight"),
         s"$root2/edges", s"$root2/communities", ckpt, rounds = 2,
         tagScope = Some("t"))
