@@ -363,6 +363,7 @@ object Graph {
   def hopDistance(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                   maxHops: Int = 6): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    graft.withLoopAqeOff(nodes.sparkSession) {
     val edgeTbl = graft.CacheScope.pin(
       edges.select(col("src"), col("dst")).distinct()
         .repartition(col("src")))
@@ -401,6 +402,7 @@ object Graph {
     }
     nodeTbl.join(deltas.reduce(_ unionAll _), Seq("node"), "left")
       .select(col("node"), col("hops"))
+    }
   }
 
   /** Community detection by synchronous weighted label propagation
@@ -507,37 +509,107 @@ object Graph {
     * against the pinned symmetrized table, 1-row result); only the
     * incumbent-best and current checkpoints stay alive.
     *
+    * `patience` > 0 adds the QUALITY-PLATEAU stop (r14 verdict's top
+    * item): stop as soon as `patience` consecutive rounds fail to
+    * improve the exact numerator, instead of always paying the full
+    * budget. The sf0.01 co-purchase ladder is unimodal — Q climbs
+    * 0.065 → 0.319 over rounds 1-10, then the monster-community sweep
+    * takes over and it FALLS monotonically to 0.063 by round 16 — so a
+    * budget that merely contains the peak (the old maxRounds=6 config
+    * truncated it mid-climb at 0.297) both overpays after the peak and
+    * underpays before it. The stop decision compares the same exact
+    * DECIMAL numerators as the selection, so it is an integer function
+    * of the graph: the oracle unrolls the full budget, rebuilds
+    * best-so-far per depth, and recomputes stop = first depth with
+    * (depth − best_depth) ≥ patience — live stop and replay pick the
+    * same round by construction. `patience = 0` keeps the pure budgeted
+    * argmax (every round scored).
+    *
     * Output: (node, label, rounds) — `rounds` = the selected round.
     */
   def labelPropQualityGated(nodes: DataFrame, edges: DataFrame,
-                            maxRounds: Int = 6): DataFrame = {
+                            maxRounds: Int = 6,
+                            patience: Int = 0): DataFrame = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
-    val sym = graft.CacheScope.pin(symmetrized(edges))
-    var cur = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(false)
-    var best: DataFrame = null
-    var bestNum: java.math.BigDecimal = null
-    var bestRound = 0
-    for (r <- 1 to maxRounds) {
-      val next = relabel(sym, cur)
-        .select(col("node"),
-          coalesce(col("nb_label"), col("label")).as("label"))
+    require(patience >= 0, s"patience must be >= 0, got $patience")
+    val spark = nodes.sparkSession
+    graft.withLoopAqeOff(spark) {
+      val sym = graft.CacheScope.pin(symmetrized(edges))
+      var cur = nodes.select(col("node"), col("node").as("label"))
         .localCheckpoint(false)
-      // the 1-row exact quality aggregate doubles as the round's
-      // materializing action
-      val num = modularityParts(next, sym).select("q_num").head().getDecimal(0)
-      val prev = cur
-      cur = next
-      if (bestNum == null || num.compareTo(bestNum) > 0) {
-        if (best != null && !(best eq prev)) graft.unpersistCheckpoint(best)
-        best = next
-        bestNum = num
-        bestRound = r
+      var best: DataFrame = null
+      var bestNum: java.math.BigDecimal = null
+      var bestRound = 0
+      var r = 0
+      var plateaued = false
+      while (r < maxRounds && !plateaued) {
+        r += 1
+        val next = relabel(sym, cur)
+          .select(col("node"),
+            coalesce(col("nb_label"), col("label")).as("label"))
+          .localCheckpoint(false)
+        // the 1-row exact quality aggregate doubles as the round's
+        // materializing action
+        val num = modularityParts(next, sym).select("q_num").head().getDecimal(0)
+        val prev = cur
+        cur = next
+        if (bestNum == null || num.compareTo(bestNum) > 0) {
+          if (best != null && !(best eq prev)) graft.unpersistCheckpoint(best)
+          best = next
+          bestNum = num
+          bestRound = r
+        }
+        if (!(prev eq best)) graft.unpersistCheckpoint(prev)
+        if (patience > 0 && r - bestRound >= patience) plateaued = true
       }
-      if (!(prev eq best)) graft.unpersistCheckpoint(prev)
+      if (!(cur eq best)) graft.unpersistCheckpoint(cur)
+      best.withColumn("rounds", lit(bestRound))
     }
-    if (!(cur eq best)) graft.unpersistCheckpoint(cur)
-    best.withColumn("rounds", lit(bestRound))
+  }
+
+  /** Per-round community-QUALITY ladder — [[modularity]] scored along
+    * ONE synchronous-LPA trajectory instead of re-running the loop per
+    * depth (scoring depths {3, 6} separately pays 3+6 relabel rounds;
+    * the ladder pays max(depths)). One row per requested depth,
+    * (rounds, two_m, n_communities, modularity), with the identical
+    * exact-operand arithmetic as [[modularity]] (the ONE double
+    * division happens on exact DECIMAL/BIGINT operands, so both engines
+    * round identically). The instrument that pairs with
+    * [[labelPropQualityGated]]: the actor ships argmax-Q, the ladder is
+    * how a user reads WHERE the peak sits and how sharp it is.
+    */
+  def labelPropQualityLadder(nodes: DataFrame, edges: DataFrame,
+                             depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1),
+      s"depths must be >= 1, got $depths")
+    require(depths == depths.sorted && depths.distinct == depths,
+      s"depths must be strictly increasing, got $depths")
+    val spark = nodes.sparkSession
+    val sym = graft.CacheScope.pin(symmetrized(edges))
+    val taps = graft.withLoopAqeOff(spark) {
+      val want = depths.toSet
+      var cur = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint(false)
+      val out = scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
+      for (r <- 1 to depths.max) {
+        val next = relabel(sym, cur)
+          .select(col("node"),
+            coalesce(col("nb_label"), col("label")).as("label"))
+          .localCheckpoint(false)
+        next.count() // materialize this round's checkpoint
+        if (want(r)) out += ((r, next))
+        // free the superseded frame unless it is itself a tapped depth
+        if (!out.exists(_._2 eq cur)) graft.unpersistCheckpoint(cur)
+        cur = next
+      }
+      out.toSeq
+    }
+    // tapped checkpoints stay pinned: the returned lazy plan reads them
+    taps.map { case (r, lab) =>
+      modularity(lab, sym, edgesSymmetrized = true)
+        .select(lit(r).as("rounds"), col("two_m"),
+          col("n_communities"), col("modularity"))
+    }.reduce(_ unionByName _).orderBy("rounds")
   }
 
   /** WARM-START label propagation — continue synchronous rounds from a
@@ -743,6 +815,7 @@ object Graph {
                           init: Option[DataFrame] = None)
       : (DataFrame, DataFrame, Int) = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
     val sym = graft.CacheScope.pin(symmetrized(edges))
     var ckpt = init
       .getOrElse(nodes.select(col("node"), col("node").as("label")))
@@ -769,6 +842,7 @@ object Graph {
       r += 1
     }
     (labels, ckpt, taken)
+    }
   }
 
   /** Community detection by SEMI-SYNCHRONOUS label propagation — the
@@ -789,9 +863,11 @@ object Graph {
     * suffices: on the sf0.01 co-purchase fixture, `numColors = 2`
     * (parity) still leaves enough same-color edges to sustain a 3-node
     * limit cycle (the ladder plateaus at exactly 3 changed labels per
-    * round, measured to round 36), while `numColors = 4` reaches a
-    * zero-change round at round 16 and stays there. Pick C by reading
-    * the ladder, not by faith.
+    * round, measured to round 36), `numColors = 5` reaches zero only at
+    * round 20, while `numColors = 3` and `= 4` BOTH reach a zero-change
+    * round at round 16 and stay there — so C=3 buys the same certified
+    * stop for 25% fewer sequential sub-steps per round than C=4 (the
+    * r15 retune). Pick C by reading the ladder, not by faith.
     *
     * Determinism: every sub-step is the same argmax-by-(weight DESC,
     * label ASC) integer tie-break as [[labelPropagate]], and the
@@ -883,6 +959,7 @@ object Graph {
       : (DataFrame, DataFrame, Int) = {
     require(maxRounds >= 1, s"need at least one round, got $maxRounds")
     require(numColors >= 2, s"need at least two colors, got $numColors")
+    graft.withLoopAqeOff(nodes.sparkSession) {
     val sym = graft.CacheScope.pin(symmetrized(edges))
     // one color class recomputes its argmax from `cur` via the shared
     // [[relabel]] kernel; `best` carries only that color's nodes, so
@@ -901,6 +978,11 @@ object Graph {
     while (r < maxRounds && !stable) {
       val start = ckpt.select(col("node"), col("label"),
         col("label").as("_prev"))
+      // per-sub-step lazy checkpoints, materialized by the ONE round-end
+      // count: keeping each sub-step's plan shallow beats chaining the C
+      // relabels into one deep per-round plan (measured sf0.1: the
+      // chained variant DOUBLES the round cost — optimizer + codegen on
+      // the deep join tree outweigh the per-sub-step planning passes)
       val partials = scala.collection.mutable.Buffer.empty[DataFrame]
       var cur = start
       for (c <- 0 until numColors) {
@@ -919,6 +1001,7 @@ object Graph {
       r += 1
     }
     (labels, ckpt, taken)
+    }
   }
 
   /** k-core membership by iterative peeling (Seidman 1983, "Network
@@ -946,6 +1029,7 @@ object Graph {
             maxRounds: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"need at least one peel, got $maxRounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
     var und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -980,6 +1064,7 @@ object Graph {
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)
+    }
   }
 
   private def iterate(nodeTbl: DataFrame, edges: DataFrame,
@@ -1010,6 +1095,7 @@ object Graph {
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
     require(base > 0, s"base mass must be positive, got $base")
+    graft.withLoopAqeOff(nodeTbl.sparkSession) {
     val nNodes = nodeTbl.count()
     require(nNodes > 0, "empty node set")
     val nSeeds = nodeTbl.filter(col("is_seed")).count()
@@ -1089,5 +1175,6 @@ object Graph {
       round += 1
     }
     (mass, round)
+    }
   }
 }

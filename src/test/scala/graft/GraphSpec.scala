@@ -646,6 +646,72 @@ class GraphSpec extends SparkSpec {
       Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("labelPropQualityGated patience: the plateau stop ships the same " +
+    "labeling a full-budget argmax would, from fewer live rounds") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    // numerators: round 1 = 677, round 2 = 7198, rounds 3+ repeat 7198
+    // exactly (fixpoint) -> best is round 2; with patience = 2 the live
+    // loop stops after round 4 (4 - 2 >= 2) instead of paying a 10-round
+    // budget, and ships the identical round-2 labeling + rounds column.
+    val patient = Graph.labelPropQualityGated(ns, es,
+      maxRounds = 10, patience = 2).collect()
+    CacheScope.release(spark)
+    val budget = Graph.labelPropQualityGated(ns, es, maxRounds = 4)
+      .collect()
+    CacheScope.release(spark)
+    assert(patient.map(_.getInt(2)).distinct.toSeq == Seq(2))
+    assert(patient.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      budget.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // oscillating 4-cycle: numerators alternate between two equal-Q
+    // states -> best stays at round 1 and patience = 2 stops at round 3
+    val ns2 = Seq(10L, 11L, 12L, 13L).toDF("node")
+    val es2 = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+      (13L, 10L, 1L)).toDF("src", "dst", "weight")
+    val osc = Graph.labelPropQualityGated(ns2, es2,
+      maxRounds = 10, patience = 2).collect()
+    CacheScope.release(spark)
+    assert(osc.map(_.getInt(2)).distinct.toSeq == Seq(1),
+      "plateaued oscillator must ship the earliest best round")
+    // patience larger than the remaining budget degenerates to the
+    // plain budgeted argmax
+    val wide = Graph.labelPropQualityGated(ns, es,
+      maxRounds = 3, patience = 5).collect()
+    CacheScope.release(spark)
+    assert(wide.map(_.getInt(2)).distinct.toSeq == Seq(2))
+  }
+
+  test("labelPropQualityLadder: one trajectory, per-depth Q equal to " +
+    "independently re-run modularity(labelPropagate(k))") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val ladder = Graph.labelPropQualityLadder(ns, es, depths = Seq(1, 2, 4))
+      .collect()
+    CacheScope.release(spark)
+    assert(ladder.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    ladder.foreach { row =>
+      val k = row.getInt(0)
+      val want = Graph.modularity(
+        Graph.labelPropagate(ns, es, rounds = k), es).collect().head
+      CacheScope.release(spark)
+      assert(row.getLong(1) == want.getLong(0), s"two_m at depth $k")
+      assert(row.getLong(2) == want.getLong(1), s"n_communities at depth $k")
+      assert(row.getDouble(3) == want.getDouble(2), s"Q at depth $k")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.labelPropQualityLadder(ns, es, depths = Seq(3, 1))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.labelPropQualityLadder(ns, es, depths = Seq.empty)
+    }
+  }
+
   test("modularity: edgeless graph reports two_m = 0 and NULL modularity") {
     val ns = Seq(1L, 2L).toDF("node")
     val es = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
