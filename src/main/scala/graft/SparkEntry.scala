@@ -2015,6 +2015,22 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("doc_inc", "doc_corp")
     }),
 
+    // Serve-path twin of q_jaccard_incr (r15): the corpus side probed
+    // THROUGH the same committed (s, doc_id, sz) shingle index the
+    // containment family serves from — posting rows are family-agnostic,
+    // so one registry backs both probes. Single-side hash-order prefix
+    // (lossless against full corpus postings), bidirectional length
+    // filter, exact verify — output identical to the inline form, so the
+    // oracle is the inline statement verbatim.
+    "q_jaccard_served" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      Dedup.jaccardAgainstIndex(
+        containReg(s, dir), corpus,
+        d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_inc", "doc_corp")
+    }),
+
     // Asymmetric excerpt detection: directional shingle containment
     // |A∩B|/|A| >= 0.8 (oracle = naive all-ordered-pairs on the same
     // string shingles; the prefix filter is lossless).
@@ -4635,6 +4651,26 @@ ORDER BY doc_a, doc_b""",
     // Naive CROSS exact Jaccard (incoming odd × corpus even) — the
     // prefix-filtered asym plan is lossless, so outputs must agree.
     "q_jaccard_incr" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |nz AS (SELECT * FROM base WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_inc, b.doc_id AS doc_corp,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  AND 5 * len(a.sh) >= 3 * len(b.sh)
+        |  AND 5 * len(b.sh) >= 3 * len(a.sh)
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |ORDER BY doc_inc, doc_corp""".stripMargin,
+
+    // The registry round-trip changes nothing (the single-side prefix
+    // is lossless against full corpus postings), so the serve-path
+    // oracle IS the inline statement — the q_contain_served precedent
+    // at the jaccard family.
+    "q_jaccard_served" ->
       """WITH base AS (
         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
         |                  for i in generate_series(1, len(toks) - 2)]) AS sh

@@ -458,12 +458,15 @@ object Similarity {
     */
   def embedSignatureUpdate(table: String, accepted: DataFrame,
                            nPlanes: Int = 16, bands: Int = 4,
-                           dim: Int = 64, seed: Long = 7L): Int = {
+                           dim: Int = 64, seed: Long = 7L,
+                           tag: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .unionByName(embedSignatures(accepted, nPlanes, bands, dim, seed)),
-      table)
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(embedSignatures(accepted, nPlanes, bands, dim, seed))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
   }
 
   /** The band-registry DELETE step — the embedding twin of

@@ -1667,4 +1667,70 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("doc_inc", "doc_corp", "containment")
   }
+
+  /** [[jaccardAgainst]] served from a PERSISTED [[containmentIndex]] —
+    * the exact-Jaccard family's serve path, and deliberately the SAME
+    * (s, doc_id, sz) registry relation the containment family probes:
+    * a posting row is family-agnostic (shingle → document, with the
+    * document's set size alongside), so one committed index serves both
+    * "is this an excerpt" and "is this a near-copy" without a second
+    * corpus tokenization pass. Only the incoming batch is tokenized and
+    * prefixed; corpus text is touched for candidate doc ids alone (one
+    * semi join) — O(batch + candidates) per probe regardless of corpus
+    * size.
+    *
+    * Losslessness of the single-side prefix: J(A,B) ≥ t implies
+    * |A∩B| ≥ t·|A∪B| ≥ t·|A|, so if every shingle in A's
+    * |A| − ceil(t·|A|) + 1 smallest-hash elements missed B, the overlap
+    * could not reach t·|A| — any FIXED order works because the registry
+    * stores B's full posting list (the inline form's two-sided prefixes
+    * need the shared union-df order; the index form trades that
+    * candidate-count optimization for a corpus that never re-tokenizes).
+    * The bidirectional length filter (sz_b ≥ ceil(t·sz_a) AND
+    * sz_a ≥ ceil(t·sz_b), both from |A∩B| ≤ min and |A∪B| ≥ max)
+    * prunes before the verify; the exact-Jaccard verify decides.
+    * Output and semantics are IDENTICAL to inline [[jaccardAgainst]]
+    * on the registry's corpus at the default maxDf (TextOpsSpec pins
+    * the equality; the oracle replays the inline statement verbatim).
+    * A registry built with `maxDf` pruning trades the same measured
+    * recall as everywhere in the family.
+    *
+    * Output: (doc_inc, doc_corp, jaccard).
+    */
+  def jaccardAgainstIndex(registry: DataFrame, corpus: DataFrame,
+                          incoming: DataFrame, n: Int = 3,
+                          threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold not in (0,1]")
+    val eps = 1e-9
+    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n)
+      .filter(size(col("sh")) > 0))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s"))
+    val a = setsI
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
+      .select(col("s"), col("doc_id").as("doc_inc"), col("sz").as("sz_a"))
+    val candidates = graft.CacheScope.pin(a
+      .join(registry.select(col("s"), col("doc_id").as("doc_corp"),
+        col("sz").as("sz_b")).hint("shuffle_hash"), "s")
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a") - eps) &&
+        col("sz_a") >= ceil(lit(threshold) * col("sz_b") - eps))
+      .select("doc_inc", "doc_corp").distinct())
+    val candCorpus = corpus
+      .join(candidates.select(col("doc_corp").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val setsC = hashedShingleSets(candCorpus, n, spread = false)
+      .select(col("doc_id").as("doc_corp"), col("sh").as("sh_b"))
+    candidates
+      .join(setsI.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_inc")
+      .join(setsC.hint("shuffle_hash"), "doc_corp")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_inc", "doc_corp", "jaccard")
+  }
 }

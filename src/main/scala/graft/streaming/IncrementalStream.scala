@@ -1155,6 +1155,75 @@ object IncrementalStream {
       update = (accepted, tag) => graft.ops.text.Dedup.containmentIndexUpdate(
         registryTable, accepted, n, tag = Some(tag)))
 
+  /** [[runFuzzyIngest]]'s loop at the EXACT-JACCARD family (r15, the
+    * last text family without it): probe each micro-batch of
+    * (doc_id, text) rows through the persisted (s, doc_id, sz) shingle
+    * registry ([[graft.ops.text.Dedup.jaccardAgainstIndex]] — the SAME
+    * [[graft.ops.text.Dedup.containmentIndex]] relation the containment
+    * loop maintains; posting rows are family-agnostic, so one registry
+    * can back both loops, though each stream needs its own table: the
+    * batchId tag names one committing stream), accept docs with no
+    * corpus doc at n-gram Jaccard ≥ `threshold` (an exact resend is a
+    * Jaccard-1.0 match and drops), append accepted docs to the
+    * batchId-keyed subdir, and
+    * [[graft.ops.text.Dedup.containmentIndexUpdate]] the registry
+    * tagged with the batchId. Replay-idempotency: the
+    * [[runFuzzyIngest]] argument verbatim.
+    */
+  def runJaccardIngest(batchStream: DataFrame,
+                       corpusPath: String, registryTable: String,
+                       acceptedPath: String, checkpoint: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      "doc_id", "text", "jaccard-ingest", tagScope,
+      probe = (registry, deduped) => {
+        val sp = deduped.sparkSession
+        graft.ops.text.Dedup.jaccardAgainstIndex(registry,
+          corpusWithAccepted(sp, corpusPath, acceptedPath), deduped,
+          n, threshold)
+      },
+      matchIncCol = "doc_inc",
+      update = (accepted, tag) => graft.ops.text.Dedup.containmentIndexUpdate(
+        registryTable, accepted, n, tag = Some(tag)))
+
+  /** [[runFuzzyIngest]]'s loop at the EMBEDDING family (r15, closing
+    * the registry-loop symmetry across every near-dup family): probe
+    * each micro-batch of (vec_id, embedding) rows through the persisted
+    * hyperplane band registry
+    * ([[graft.ops.Similarity.embeddingNearDupAgainstSigs]] — only the
+    * batch pays the nPlanes-fold hashing; corpus embeddings are read
+    * for candidate vec_ids alone, so per-batch cost is
+    * O(batch + candidates) regardless of corpus size), accept vectors
+    * with no corpus vector at cosine ≥ `threshold` (an exact resend is
+    * a cosine-1.0 match and drops; within-batch dedup keys on the
+    * embedding ARRAY — identical vectors admit the lowest vec_id),
+    * append accepted vectors to the batchId-keyed subdir, and
+    * [[graft.ops.Similarity.embedSignatureUpdate]] the registry tagged
+    * with the batchId (same (nPlanes, bands, seed) as the build —
+    * band values must merge under one hashing). Replay-idempotency:
+    * the [[runFuzzyIngest]] argument verbatim.
+    */
+  def runEmbedIngest(batchStream: DataFrame,
+                     corpusPath: String, registryTable: String,
+                     acceptedPath: String, checkpoint: String,
+                     nPlanes: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.35, dim: Int = 64,
+                     seed: Long = 7L,
+                     tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      "vec_id", "embedding", "embed-ingest", tagScope,
+      probe = (registry, deduped) => {
+        val sp = deduped.sparkSession
+        graft.ops.Similarity.embeddingNearDupAgainstSigs(registry,
+          corpusWithAccepted(sp, corpusPath, acceptedPath), deduped,
+          nPlanes, bands, threshold, dim, seed)
+      },
+      matchIncCol = "vec_inc",
+      update = (accepted, tag) => graft.ops.Similarity.embedSignatureUpdate(
+        registryTable, accepted, nPlanes, bands, dim, seed,
+        tag = Some(tag)))
+
   /** Seed corpus plus any previously-accepted batches — the corpus view
     * a text-reading probe serves candidate ids from (accepted docs must
     * be probe-able, or a doc near-duplicating an earlier ACCEPT would be

@@ -452,6 +452,163 @@ class StreamingSpec extends SparkSpec {
       "the replayed batch must not commit another registry version")
   }
 
+  test("streaming jaccard ingest: the shared shingle index advances " +
+    "between batches; near-copy and exact resend drop; replay never " +
+    "double-admits") {
+    import graft.ops.text.Dedup
+    val root = Files.createTempDirectory("graft_jcing").toString
+    // long docs: one changed token leaves jaccard >> 0.6 vs the source;
+    // unrelated docs share no 3-shingles
+    def doc(w: String): String =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda " +
+        s"mu nu xi omicron pi rho sigma tau upsilon phi chi psi $w"
+    val novel1 = "storage engines compact levels and bloom filters guard " +
+      "the manifest while write amplification stays bounded by tiering " +
+      "and the compaction scheduler drains each level before promotion"
+    val novel2 = "the crawler frontier orders hosts by politeness budget " +
+      "and revisits stale pages on an adaptive schedule each day"
+    val seed = Seq((10L, doc("omega")),
+      (12L, "another unrelated corpus document about graph coloring and " +
+        "label propagation over the co purchase network fixture"))
+      .toDF("doc_id", "text")
+    seed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/jidx"
+    assert(Dedup.containmentIndexRefresh(seed, registryTable) == 1)
+    // fixture sanity: the near-copy really is a jaccard>=0.6 match of
+    // seed 10 through the index probe
+    assert(Dedup.jaccardAgainstIndex(
+      graft.io.Manifest.read(spark, registryTable), seed,
+      Seq((23L, doc("omegaz"))).toDF("doc_id", "text"))
+      .filter($"doc_corp" === 10L).count() == 1,
+      "fixture must be a jaccard near-dup of seed 10")
+    val mem = MemoryStream[(Long, String)](spark)
+    def drain(): Unit = {
+      IncrementalStream.runJaccardIngest(
+        mem.toDF().toDF("doc_id", "text"), s"$root/corpus", registryTable,
+        s"$root/accepted", s"$root/ckpt")
+      ()
+    }
+    // wave 1: novel doc accepted; the near-copy of seed 10 drops
+    mem.addData((21L, novel1), (23L, doc("omegaz")))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    // wave 2: a near-copy of WAVE-1-ACCEPTED 21 drops (registry
+    // advance); a novel doc is accepted; an exact resend of novel1 is
+    // a jaccard-1.0 match and drops; a same-batch duplicate of novel2
+    // admits only the lowest id (within-batch exact dedup)
+    val nearCopy21 = novel1.replace("bounded", "boundedz")
+    mem.addData((31L, nearCopy21), (33L, novel2), (35L, novel1),
+      (37L, novel2))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 near-copy and exact resend must drop via the updated registry")
+    assert(graft.io.Manifest.currentTag(spark, registryTable)
+      .exists(t => t.startsWith("jaccard-ingest-") && t.contains("-batch-")))
+    // replay leg: a fully-committed batch replayed from a FRESH
+    // checkpoint (same explicit tag scope) skips outright
+    val root2 = Files.createTempDirectory("graft_jcing_rp").toString
+    seed.write.parquet(s"$root2/corpus")
+    val table2 = s"$root2/jidx"
+    assert(Dedup.containmentIndexRefresh(seed, table2) == 1)
+    def drainWith(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, String)](spark)
+      m.addData((21L, novel1))
+      IncrementalStream.runJaccardIngest(
+        m.toDF().toDF("doc_id", "text"), s"$root2/corpus", table2,
+        s"$root2/accepted", ckpt, tagScope = Some("t"))
+      ()
+    }
+    drainWith(s"$root2/ckpt1")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2))
+    drainWith(s"$root2/ckpt2")
+    assert(spark.read.parquet(s"$root2/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of doc 21")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
+
+  test("streaming embed ingest: the band registry advances between " +
+    "batches; near-copy and exact resend drop; replay never " +
+    "double-admits") {
+    import graft.ops.Similarity
+    val root = Files.createTempDirectory("graft_ebing").toString
+    val (np, nb, dm, sd) = (8, 4, 4, 7L)
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val v10 = v(1f, 0f, 0f, 0f)
+    val novel1 = v(0f, 0f, 1f, 0f)
+    val novel2 = v(0f, 0f, 0f, 1f)
+    val seed = Seq((10L, v10), (12L, v(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    seed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/ebands"
+    assert(Similarity.embedSignatureRefresh(seed, registryTable,
+      nPlanes = np, bands = nb, dim = dm, seed = sd) == 1)
+    // a tiny perturbation of v10: cosine ~0.9999, same hyperplane signs
+    val near10 = v(0.999f, 0.001f, 0.001f, 0f)
+    assert(Similarity.embeddingNearDupAgainstSigs(
+      graft.io.Manifest.read(spark, registryTable), seed,
+      Seq((23L, near10)).toDF("vec_id", "embedding"),
+      nPlanes = np, bands = nb, dim = dm, seed = sd)
+      .filter($"vec_corp" === 10L).count() == 1,
+      "fixture must be an embedding near-dup of seed 10")
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    def drain(): Unit = {
+      IncrementalStream.runEmbedIngest(
+        mem.toDF().toDF("vec_id", "embedding"), s"$root/corpus",
+        registryTable, s"$root/accepted", s"$root/ckpt",
+        nPlanes = np, bands = nb, dim = dm, seed = sd)
+      ()
+    }
+    // wave 1: the orthogonal novel vector is accepted; the near-copy of
+    // seed 10 drops
+    mem.addData((21L, novel1), (23L, near10))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("vec_id").as[Long].collect().toSeq == Seq(21L))
+    // wave 2: a near-copy of WAVE-1-ACCEPTED 21 drops (registry
+    // advance); a novel orthogonal vector is accepted; an EXACT resend
+    // of novel1 is a cosine-1.0 match and drops; a same-batch duplicate
+    // of novel2's exact array admits only the lowest id (within-batch
+    // dedup keys on the embedding array)
+    val near21 = v(0.001f, 0f, 0.999f, 0.001f)
+    mem.addData((31L, near21), (33L, novel2), (35L, novel1),
+      (37L, novel2))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("vec_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 near-copy and exact resend must drop via the updated registry")
+    assert(graft.io.Manifest.currentTag(spark, registryTable)
+      .exists(t => t.startsWith("embed-ingest-") && t.contains("-batch-")))
+    // replay leg: a fully-committed batch replayed from a FRESH
+    // checkpoint (same explicit tag scope) skips outright
+    val root2 = Files.createTempDirectory("graft_ebing_rp").toString
+    seed.write.parquet(s"$root2/corpus")
+    val table2 = s"$root2/ebands"
+    assert(Similarity.embedSignatureRefresh(seed, table2,
+      nPlanes = np, bands = nb, dim = dm, seed = sd) == 1)
+    def drainWith(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Array[Float])](spark)
+      m.addData((21L, novel1))
+      IncrementalStream.runEmbedIngest(
+        m.toDF().toDF("vec_id", "embedding"), s"$root2/corpus", table2,
+        s"$root2/accepted", ckpt,
+        nPlanes = np, bands = nb, dim = dm, seed = sd,
+        tagScope = Some("t"))
+      ()
+    }
+    drainWith(s"$root2/ckpt1")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2))
+    drainWith(s"$root2/ckpt2")
+    assert(spark.read.parquet(s"$root2/accepted")
+      .select("vec_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of vec 21")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
+
   test("streaming sequence match: cascaded interval joins equal the batch instance count") {
     val base = DataGen.defaultBaseMs
     def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)

@@ -322,6 +322,27 @@ class TextOpsSpec extends SparkSpec {
       "retract must restore exactly the corpus-only index")
   }
 
+  test("jaccardAgainstIndex: the SAME containment index serves the " +
+    "exact-Jaccard probe; served equals inline jaccardAgainst") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_jidx").toString + "/jidx"
+    assert(Dedup.containmentIndexRefresh(corpus, table) == 1)
+    val registry = graft.io.Manifest.read(spark, table)
+    val served = Dedup.jaccardAgainstIndex(registry, corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = Dedup.jaccardAgainst(corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    CacheScope.release(spark)
+    assert(served == inline,
+      s"served=${served.size} inline=${inline.size}")
+    assert(served.nonEmpty, "fixture must exercise at least one pair")
+    assert(!served.exists(p => p._1 % 2 == 0 || p._2 % 2 == 1),
+      "sides must not self-pair")
+  }
+
   test("containmentDfSweep: per-config rows equal the single-config " +
     "certificate; truth shared; candidates monotone in maxDf") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
