@@ -55,15 +55,19 @@ for name, sql in sorted(oracle.items()):
             except Exception:
                 pass
     except Exception as e:
-        times[name] = time.time() - t0
+        # an errored statement is excluded from times[] entirely: its
+        # elapsed wall would otherwise also trip the per-statement and
+        # total ceilings, stacking overlapping violations on one root
+        # cause (the errors counter already fails the run on its own)
         errors += 1
-        print(f"ERROR {name}: {e}", flush=True)
+        print(f"ERROR {name}: {e} ({time.time() - t0:.2f}s elapsed)", flush=True)
+        continue
     print(f"{times[name]:8.2f}  {name}", flush=True)
 print("---- sorted ----")
 for name, s in sorted(times.items(), key=lambda kv: -kv[1]):
     print(f"{s:8.2f}  {name}")
 total = sum(times.values())
-print(f"TOTAL {total:.1f}s over {len(times)} oracles")
+print(f"TOTAL {total:.1f}s over {len(times)} timed oracles ({errors} errored, untimed)")
 
 # --- budget enforcement (nonzero exit so CI/checklists fail loudly) ---
 over = {n: s for n, s in times.items() if s > PER_STATEMENT_CEILING_S}

@@ -106,8 +106,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // codegen/JIT warm for the calibration shape itself
-    def measure(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // r15: the MID-RUN calibration ladder. The r14 official window
+    // inflated two queries ~2.6x with clean START/END brackets —
+    // same-query co-inflation that min-of-reps cannot correct and the
+    // two endpoint probes cannot see. A cheap probe every CalEvery
+    // queries timestamps contention WITHIN the run, so a reader can
+    // discount per-query taint by its neighborhood in the ladder
+    // without rerunning. Recorded in BENCH_DETAIL.json (keyed by the
+    // query measured right after each probe); the capped stdout line's
+    // schema is unchanged.
+    val CalEvery = 25
+    def measure(): (Seq[(String, Double, Option[String])], Seq[(String, Double)]) = {
+      val ladder = scala.collection.mutable.Buffer.empty[(String, Double)]
+      val rs = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % CalEvery == 0) ladder += ((name, calibrate()))
       // Min-of-reps per query: a transient external load spike (the
       // round-3 record was ~7x inflated by one; round 5's total was 2.2x)
       // distorts a single-shot time but rarely every rep. Two reps always;
@@ -138,6 +150,8 @@ object Bench {
       while (reps.forall(_._2.isEmpty) && !settled && reps.size < 4) reps :+= rep()
       val err = reps.collectFirst { case (_, Some(e)) => e }
       (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err)
+      }
+      (rs, ladder.toSeq)
     }
     // One measured pass, bracketed by the calibration probes. When the
     // probes disagree by >3x (and the worse one is clearly above the
@@ -149,13 +163,13 @@ object Bench {
     // box yields a second bad pass whose cal values disclose it — the
     // probes make contention visible, the retry just buys one chance to
     // dodge a transient.
-    def pass(): (Double, Seq[(String, Double, Option[String])], Double) = {
+    def pass(): (Double, Seq[(String, Double, Option[String])], Seq[(String, Double)], Double) = {
       val c0 = calibrate()
-      val r = measure()
-      (c0, r, calibrate())
+      val (r, ladder) = measure()
+      (c0, r, ladder, calibrate())
     }
-    def tainted(p: (Double, Seq[(String, Double, Option[String])], Double)): Boolean = {
-      val hi = math.max(p._1, p._3); val lo = math.min(p._1, p._3)
+    def tainted(p: (Double, Seq[(String, Double, Option[String])], Seq[(String, Double)], Double)): Boolean = {
+      val hi = math.max(p._1, p._4); val lo = math.min(p._1, p._4)
       hi > 3 * lo + 0.05 && hi > 0.5
     }
     val first = pass()
@@ -163,10 +177,10 @@ object Bench {
       if (!tainted(first)) (first, false)
       else {
         val second = pass()
-        (if (math.max(second._1, second._3) <= math.max(first._1, first._3))
+        (if (math.max(second._1, second._4) <= math.max(first._1, first._4))
           second else first, true)
       }
-    val (cal0, results, cal1) = chosen
+    val (cal0, results, calLadder, cal1) = chosen
     // The harness records only the last ~2000 chars of output; round 4's
     // full-precision line (~2.2k chars for 67 queries) overflowed that
     // window and the official bench number was lost ("parsed": null").
@@ -222,8 +236,13 @@ object Bench {
       if (new java.io.File("build.sbt").isFile) {
         val detail = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 3) }
           .mkString("{", ",", "}")
+        // the mid-run probe ladder, keyed by the query measured right
+        // after each probe — a clean ladder around an inflated query
+        // acquits the box; an elevated neighborhood indicts the window
+        val ladder = calLadder.map { case (k, v) => jstr(k) + ":" + num(v, 3) }
+          .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"queries_ms_precision":$detail}""" + "\n")
+          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail}""" + "\n")
       } else System.err.println(
         "[bench] cwd is not the repo root; skipping BENCH_DETAIL.json")
     } catch { case _: Exception => () } // detail file is best-effort

@@ -110,8 +110,14 @@ object ScaleSweep {
     // r13 s3: the maxDf grid (fixed slice — flat in corpus size)
     "q_contain_sweep",
     // r13 s3: the exact-Jaccard ingest form (both-sides-pruned PPJoin
-    // at half-corpus batch volume — expect well under q_jaccard_ngram)
-    "q_jaccard_incr",
+    // at half-corpus batch volume — expect well under q_jaccard_ngram);
+    // r15: its registry-served twin (single-side prefix against the
+    // persisted containment index — the per-batch corpus-tokenization
+    // saving row at the jaccard family)
+    "q_jaccard_incr", "q_jaccard_served",
+    // r15: trigram KN — one order up from q_kn_score (two extra count
+    // relations, five serve joins; still one pass + combinable aggs)
+    "q_kn3_score",
     // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
     // iterations over the co-purchase graph; edge build dominates), the
     // seeded twin (same joins, gated teleport), and the triangle census
@@ -127,6 +133,10 @@ object ScaleSweep {
     // row to watch), and 6 peeling rounds (degree census + 2 semi
     // joins each)
     "q_hops", "q_communities", "q_kcore",
+    // r15: weighted min-plus rounds — unlike unit BFS, reached nodes
+    // can RE-IMPROVE, so state re-checkpoints per round; the sweep row
+    // prices that honest extra write volume on the power-law graph
+    "q_hops_weighted",
     // r13 s3: the LPA residual ladder + convergence-gated twin (the
     // changed-count rides each round's own materializing action)
     "q_communities_residual", "q_communities_conv",

@@ -1289,6 +1289,10 @@ res$sfx AS (SELECT '$qid' AS query_id,
   // q_linkrank_seeded's deterministic seed predicate (node % 20 = 0).
   private val HopMaxHops = 4
   private val HopSeedMod = 20L
+  // r15: the weighted min-plus budget. Early stop is fixpoint-idempotent
+  // (a no-improvement round reproduces itself), so the oracle's fixed
+  // 6-round unroll matches whether or not sf0.01 converges inside it.
+  private val WHopMaxRounds = 6
   private val LpRounds = 3
   // r13 s3: the LPA residual ladder depth and the convergence budget.
   // The sf0.01 co-purchase labeling does NOT settle inside it (the
@@ -2695,6 +2699,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // TRIGRAM Kneser–Ney (r15): one order up from q_kn_score, backing
+    // off through the identical bigram tier (the committed knModel
+    // rows are reused verbatim inside kn3Model, so the two orders
+    // cannot drift). Self-trained — every trigram/context join hits, so
+    // the oracle carries the full two-tier probability tree with inner
+    // joins, identically parenthesized; ln compares at 6 dp.
+    "q_kn3_score" -> ((s, dir) =>
+      TextStats.kn3Score(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
     // The KN line twin of q_lm_lines: the doc-trained KN model scores
     // each 8-token line (every within-line bigram hits the doc-trained
     // joins — lines are contiguous token runs).
@@ -3296,6 +3312,23 @@ res$sfx AS (SELECT '$qid' AS query_id,
         coPurchaseEdges(t(s, dir, "lineitem")),
         nodes.filter(col("node") % HopSeedMod === 0),
         maxHops = HopMaxHops)
+        .orderBy("node")
+    }),
+
+    // WEIGHTED hop distance (r15): min-plus relaxation rounds over the
+    // weighted co-purchase edges from the same seed set — the cheapest
+    // total edge weight within WHopMaxRounds edges, where q_hops counts
+    // the fewest edges. Frontier Bellman-Ford equals the oracle's dense
+    // per-round relaxation by the standard induction (a non-improved
+    // source's contributions are already min-folded into state), and
+    // the early stop is fixpoint-idempotent — no stop decision to
+    // replay, the q_hops/q_kcore idiom.
+    "q_hops_weighted" -> ((s, dir) => {
+      val nodes = t(s, dir, "part").select(col("p_partkey").as("node"))
+      ops.Graph.hopDistanceWeighted(nodes,
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        nodes.filter(col("node") % HopSeedMod === 0),
+        maxRounds = WHopMaxRounds)
         .orderBy("node")
     }),
 
@@ -6705,6 +6738,48 @@ ORDER BY "window""""
     // spec-pinned where the oracle cannot see it).
     "q_lm_serve" -> LmScoreOracleSql,
 
+    // Trigram KN: q_kn_score's model CTEs plus the trigram tier (c3 per
+    // trigram, (cuv, nf2) per two-word context), the two-tier tree
+    // parenthesized exactly as the Spark expression —
+    // (greatest/cuv) + ((d·nf2)/cuv)·(the verbatim bigram-tier tree) —
+    // self-trained, so inner joins carry the seen branches everywhere.
+    "q_kn3_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg,
+        |           t[i] AS w1, t[i + 1] AS w2 FROM pos),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |ctx AS (SELECT w1, count(*) AS cv, count(DISTINCT w2) AS nf
+        |        FROM grams GROUP BY w1),
+        |pc AS (SELECT w2, count(DISTINCT w1) AS npc FROM grams GROUP BY w2),
+        |sc AS (SELECT count(DISTINCT bg) AS types FROM grams),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM
+        |         (SELECT unnest(t) AS w FROM toks)),
+        |pos3 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+        |g3 AS (SELECT doc_id,
+        |        t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg,
+        |        t[i] || ' ' || t[i + 1] AS c2k,
+        |        t[i + 1] || ' ' || t[i + 2] AS bg,
+        |        t[i + 1] AS w1, t[i + 2] AS w2 FROM pos3),
+        |tri AS (SELECT tg, count(*) AS c3 FROM g3 GROUP BY tg),
+        |ctx2 AS (SELECT c2k, count(*) AS cuv, count(DISTINCT w2) AS nf2
+        |         FROM g3 GROUP BY c2k),
+        |scored AS (
+        |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_trigrams,
+        |    avg(ln(
+        |      greatest(c3 - 0.75, 0.0) / cuv +
+        |      0.75 * nf2 / cuv * (
+        |        greatest(c2 - 0.75, 0.0) / cv +
+        |        0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v)))
+        |    )) AS avg_logp
+        |  FROM g3 g JOIN tri USING (tg) JOIN ctx2 USING (c2k)
+        |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+        |  CROSS JOIN sc CROSS JOIN voc
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id, s.n_trigrams, round(s.avg_logp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // q_lm_lines' line CTEs + q_kn_score's model CTEs: within-line
     // bigrams of the doc-trained model always hit, so inner joins carry
     // the pSeen tree (identical parenthesization); ln at 6-dp.
@@ -7416,6 +7491,36 @@ ORDER BY query_id, neg_rank"""),
         |         THEN CAST(0 AS BIGINT) END AS hops FROM nodes),
         |$rounds
         |SELECT node, hops FROM h$HopMaxHops ORDER BY node""".stripMargin
+    },
+
+    // Weighted min-plus replay: WHopMaxRounds DENSE relaxation rounds
+    // (per round: min over in-edges of source dist + weight, folded
+    // into the running per-node minimum) — equal to the operator's
+    // frontier form by induction, and to its early-stopped run by
+    // fixpoint idempotence. All-integer BIGINT arithmetic.
+    "q_hops_weighted" -> {
+      val rounds = (1 to WHopMaxRounds).map { i =>
+        val prev = s"d${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node, min(p.dist + e.weight) AS c
+          |  FROM e JOIN $prev p ON e.src = p.node
+          |  WHERE p.dist IS NOT NULL GROUP BY 1),
+          |d$i AS (SELECT s.node,
+          |    CAST(CASE WHEN c.c IS NOT NULL
+          |         AND (s.dist IS NULL OR c.c < s.dist)
+          |      THEN c.c ELSE s.dist END AS BIGINT) AS dist
+          |  FROM $prev s LEFT JOIN c$i c ON s.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LrLiCte,
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |        CAST(count(*) AS BIGINT) AS weight
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey <> b.l_partkey
+        |      GROUP BY 1, 2),
+        |nodes AS (SELECT p_partkey AS node FROM part),
+        |d0 AS (SELECT node, CASE WHEN node % $HopSeedMod = 0
+        |         THEN CAST(0 AS BIGINT) END AS dist FROM nodes),
+        |$rounds
+        |SELECT node, dist FROM d$WHopMaxRounds ORDER BY node""".stripMargin
     },
 
     // labelPropagate: LpRounds synchronous rounds — per round one

@@ -29,12 +29,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * maintenance COMMITS serialize safely — each writer claims its version
   * up front (`_claim-v<N>` exclusive create, see [[commit]]) so racing
   * writers land whole snapshots under DISTINCT versions and the newest
-  * marker wins `currentVersion`. What stays out of scope is multi-writer
-  * APPEND coordination (merging concurrent logical changes into one
-  * lineage) — exactly what the full table formats add; the incremental
-  * pipeline's appends go through its own sinks, with this layer reserved
-  * for wholesale snapshot swaps (dim reloads, compaction, epoch
-  * rewrites).
+  * marker wins `currentVersion`. Multi-writer APPEND coordination
+  * (merging concurrent logical changes into ONE lineage) goes through
+  * [[append]] — a CAS-retry on the next version slot, so concurrent
+  * appenders serialize instead of silently dropping each other's rows;
+  * interleaving appends with wholesale replaces stays out of scope
+  * (replace semantics beat appends by definition).
   *
   * Scale: one directory listing per read resolves the snapshot — no file
   * enumeration beyond the snapshot's own dir; vacuum bounds storage to
@@ -150,8 +150,7 @@ object Manifest {
     * This makes snapshot PUBLICATION safe under concurrent maintenance
     * (each commit lands whole, as its own version; the newest marker
     * wins `currentVersion`). Multi-writer APPEND coordination — merging
-    * concurrent logical changes — remains table-format territory and out
-    * of scope.
+    * concurrent logical changes into one lineage — is [[append]]'s job.
     */
   def commit(spark: SparkSession, table: String)(writeFn: String => Unit): Int = {
     val f = fs(spark, table)
@@ -219,6 +218,92 @@ object Manifest {
       try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+
+  /** Multi-writer APPEND with CAS-retry coordination (r15, closing the
+    * one operational sharp edge [[commit]]'s scope note carried): merge
+    * `df`'s rows into the table's lineage so CONCURRENT appenders never
+    * lose each other's rows. [[commit]] alone cannot give this — racing
+    * writers land whole snapshots under distinct versions and the newest
+    * marker wins, so two concurrent read-union-write appends each
+    * publish a snapshot missing the other's rows (the classic lost
+    * update).
+    *
+    * The CAS: an appender reading base version b may only publish
+    * version b+1, and the existing `_claim-v<N>` exclusive-create is the
+    * compare-and-swap on that slot — exactly one appender wins claim
+    * b+1; losers re-read the (possibly advanced) current version after a
+    * short backoff and retry against the new base, so every append's
+    * snapshot provably contains its predecessor's rows and the history
+    * is LINEAR (no version gaps between appends). Retries are bounded:
+    * a claim that never resolves (a crashed appender's — no heartbeat
+    * exists on a plain FS) exhausts the budget and fails LOUDLY naming
+    * the stale claim rather than guessing it dead; reclaim it via
+    * [[vacuum]]/manual inspection, the documented posture everywhere in
+    * this layer. Each append rewrites the table (read ∪ df) — the same
+    * economics as every registry `*Update` in the codebase; what this
+    * adds is that the single-maintenance-writer contract is now enforced
+    * per-VERSION by the filesystem instead of assumed by the caller.
+    *
+    * Out of scope, still: interleaving appends with concurrent WHOLESALE
+    * [[write]]/[[compact]] commits — replace semantics beat appends by
+    * definition (a replace committed after your append supersedes it;
+    * one committed before it makes your append the replacement's
+    * successor missing nothing of its own).
+    *
+    * Returns the committed version. `tag` rides inside the snapshot dir
+    * exactly as [[writeTagged]].
+    */
+  def append(df: DataFrame, table: String, tag: Option[String] = None,
+             maxRetries: Int = 16, backoffMs: Long = 50L): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    f.mkdirs(new Path(table))
+    var committed = -1
+    var attempt = 0
+    while (committed < 0) {
+      val base = currentVersion(spark, table)
+      val v = base.getOrElse(0) + 1
+      val claim = new Path(s"$table/_claim-v$v")
+      if (exclusiveCreate(f, claim)) {
+        val dir = s"$table/v$v"
+        val marker = new Path(s"$table/_commit-v$v")
+        def abortVacuumed(): Nothing = {
+          f.delete(marker, false)
+          f.delete(new Path(dir), true)
+          throw new IllegalStateException(
+            s"append of $dir aborted: a concurrent vacuum reclaimed the " +
+              s"claim mid-write; retry the append")
+        }
+        val next = base match {
+          case Some(_) => read(spark, table).unionByName(df)
+          case None    => df
+        }
+        next.write.parquet(dir)
+        tag.foreach { t =>
+          val out = f.create(new Path(s"$dir/$TagFile"), false)
+          try out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        // the claim-as-vacuum-lease re-verification, the commit() dance
+        if (!f.exists(claim)) abortVacuumed()
+        f.create(marker, false).close()
+        if (!f.exists(claim)) abortVacuumed()
+        committed = v
+      } else {
+        attempt += 1
+        if (attempt > maxRetries) throw new IllegalStateException(
+          s"could not claim append slot under $table after $attempt " +
+            s"attempts: _claim-v$v exists without a commit marker — a " +
+            "racing appender is mid-flight or crashed (no heartbeat can " +
+            "tell them apart on a plain filesystem); if crashed, reclaim " +
+            "the stale claim and retry")
+        // the racing winner's marker usually lands within the backoff;
+        // re-reading currentVersion then rebases onto their snapshot
+        Thread.sleep(backoffMs)
+      }
+    }
+    committed
+  }
 
   /** The current snapshot's commit tag: None when the table has no
     * committed version OR the current version was written untagged

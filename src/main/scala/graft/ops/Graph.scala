@@ -381,6 +381,27 @@ object Graph {
     var frontierSize = delta.count()
     while (hop < maxHops && frontierSize > 0) {
       hop += 1
+      // Periodic delta FOLD (r14 ADVICE): the settled set is the lazy
+      // union of per-round delta frames, so round h's anti-join would
+      // re-scan h checkpointed frames — O(maxHops²) frame reads over a
+      // deep crawl, with every delta checkpoint alive until the end. At
+      // the documented maxHops=6 that is ≤ 7 tiny frames (fine); past 8
+      // frames the older deltas fold into ONE compacted checkpoint, so
+      // a deep crawl reads O(1) folded + O(fold window) frames per
+      // round and write volume stays O(|reached|·rounds/window), never
+      // the full-state O(rounds·|V|) re-checkpoint the delta design
+      // exists to avoid. The live frontier (deltas.last) is never
+      // folded — the relax join reads it standalone.
+      if (deltas.size > 8) {
+        val keep = deltas.last
+        val folded = deltas.dropRight(1).reduce(_ unionAll _)
+          .localCheckpoint(false)
+        folded.count()
+        deltas.dropRight(1).foreach(graft.unpersistCheckpoint)
+        deltas.clear()
+        deltas += folded
+        deltas += keep
+      }
       val settled = deltas.map(_.select("node")).reduce(_ unionAll _)
       val reached = edgeTbl
         .join(delta.select(col("node").as("src")), "src")
@@ -402,6 +423,89 @@ object Graph {
     }
     nodeTbl.join(deltas.reduce(_ unionAll _), Seq("node"), "left")
       .select(col("node"), col("hops"))
+    }
+  }
+
+  /** WEIGHTED hop distance — [[hopDistance]]'s min-plus generalization
+    * (Bellman-Ford relaxation rounds in the same frontier shape): the
+    * cheapest total edge weight from the seed set, where unit BFS would
+    * return the fewest EDGES. The distinction bites exactly when a
+    * multi-hop light path undercuts a direct heavy edge (the GraphSpec
+    * fixture: 1→3 direct at cost 100 vs 1→2→3 at 20 — unit BFS says
+    * hops=1, the weighted read says 20 via the longer path), which is
+    * the read a crawl-budget or trust-propagation rule over weighted
+    * links actually wants.
+    *
+    * Frontier-based: round h relaxes only edges OUT of nodes whose
+    * distance improved in round h−1, so a settled region stops paying;
+    * unlike unit BFS a reached node CAN improve later (the cheaper
+    * longer path arrives in a later round), so state is the reached
+    * (node, dist) relation re-checkpointed per round — write volume
+    * O(rounds · |reached|), the honest price of re-improvable state
+    * (the unit-BFS delta compaction does not apply; its first-touch-
+    * is-final argument is exactly what weights break). Rounds bound
+    * path LENGTH: after `maxRounds` rounds every cheapest path of at
+    * most `maxRounds` edges is exact (full Bellman-Ford needs |V|−1).
+    *
+    * Stops early when a round improves nothing — min-plus is idempotent
+    * at the fixpoint (a no-improvement round reproduces itself), so the
+    * early-stopped state equals the oracle's fixed `maxRounds` unroll
+    * bit-for-bit, no stop decision to replay (the [[hopDistance]] /
+    * [[kcore]] idiom). All-integer arithmetic; parallel directed edges
+    * merge by MIN weight (only the lightest can matter); non-negative
+    * weights are ENFORCED in-expression (a negative weight would break
+    * the monotone-improvement contract silently — the [[negLabel]]
+    * raise_error-rider style, no extra validation job).
+    *
+    * Output: (node, dist) one row per `nodes` row — dist NULL when the
+    * node is unreachable from every seed within `maxRounds` edges.
+    */
+  def hopDistanceWeighted(nodes: DataFrame, edges: DataFrame,
+                          seeds: DataFrame,
+                          maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
+    val guarded = when(col("weight") >= 0, col("weight"))
+      .otherwise(raise_error(format_string(
+        "hopDistanceWeighted needs non-negative weights; got %d",
+        col("weight"))).cast("long"))
+    val edgeTbl = graft.CacheScope.pin(
+      edges.select(col("src"), col("dst"), guarded.as("weight"))
+        .groupBy("src", "dst").agg(min("weight").as("weight"))
+        .repartition(col("src")))
+    val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
+    var state = nodeTbl
+      .join(seeds.select(col("node")), Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = state
+    var round = 0
+    var frontierSize = frontier.count()
+    while (round < maxRounds && frontierSize > 0) {
+      round += 1
+      // relax only the improved nodes' out-edges; phantom endpoints
+      // (absent from `nodes`) neither settle nor propagate — the
+      // hopDistance guard, same reason
+      val cand = edgeTbl
+        .join(frontier.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("weight")).as("c"))
+        .groupBy("node").agg(min("c").as("c"))
+        .join(nodeTbl, Seq("node"), "left_semi")
+      val improves = col("c").isNotNull &&
+        (col("dist").isNull || col("c") < col("dist"))
+      val next = state.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          when(improves, col("c")).otherwise(col("dist")).as("dist"),
+          improves.as("_imp"))
+        .localCheckpoint(false)
+      // materialize + measure in one action
+      frontierSize = next.filter(col("_imp")).count()
+      graft.unpersistCheckpoint(state)
+      state = next
+      frontier = next.filter(col("_imp")).select(col("node"), col("dist"))
+    }
+    nodeTbl.join(state.select(col("node"), col("dist")), Seq("node"), "left")
+      .select(col("node"), col("dist"))
     }
   }
 
@@ -720,6 +824,13 @@ object Graph {
     * labelings of one graph, who should symmetrize-and-pin once
     * (symmetrizing a symmetric table would double every weight, so the
     * flag is explicit, never inferred).
+    *
+    * `labels` must be a FULL labeling — every edge endpoint resolves a
+    * label — and that contract is ENFORCED in-expression (raise_error
+    * on the first unlabeled endpoint): a partial labeling would
+    * otherwise silently score only the induced subgraph with a shrunken
+    * 2m. Isolated nodes may be absent (no edge reads their label; they
+    * still count toward n_communities only if present).
     */
   def modularity(labels: DataFrame, edges: DataFrame,
                  edgesSymmetrized: Boolean = false): DataFrame = {
@@ -746,9 +857,23 @@ object Graph {
     */
   private def modularityParts(labels: DataFrame, sym: DataFrame): DataFrame = {
     val l = labels.select(col("node"), col("label"))
+    // FULL-labeling contract enforced in-expression (r14 ADVICE): with
+    // inner joins a partial labeling would silently score the induced
+    // subgraph (2m shrinks and the caller never learns); the left join +
+    // raise_error rider fails loudly on the first unlabeled endpoint and
+    // costs nothing on the always-full labelings the operators pass.
+    def req(endpoint: String,
+            label: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(label, raise_error(format_string(
+        "modularity needs a FULL labeling: edge endpoint %d has no label",
+        col(endpoint))).cast("long"))
     val labeled = sym
-      .join(l.select(col("node").as("src"), col("label").as("_la")), "src")
-      .join(l.select(col("node").as("dst"), col("label").as("_lb")), "dst")
+      .join(l.select(col("node").as("src"), col("label").as("_la")),
+        Seq("src"), "left")
+      .join(l.select(col("node").as("dst"), col("label").as("_lb")),
+        Seq("dst"), "left")
+      .select(col("weight"), req("src", col("_la")).as("_la"),
+        req("dst", col("_lb")).as("_lb"))
     // per-community totals: in_c (same-label weight, both directions) and
     // tot_c (degree weight) fall out of ONE pass over the labeled edges
     val perC = labeled

@@ -422,6 +422,121 @@ object TextStats {
               alphaC: Double = 0.4): DataFrame =
     knScoreWith(documents, knModel(documents), discount, alphaC)
 
+  /** TRIGRAM Kneser–Ney model (r15) — [[knModel]] extended one order:
+    * the full bigram-tier relation (reused verbatim, so the two orders
+    * cannot drift) plus two trigram-tier kinds in the same kind-tagged
+    * layout, with the one-join `cnt2` trick at the new context grain:
+    *
+    *   - `tri`  (key = trigram, cnt = c(uvw))
+    *   - `ctx2` (key = "u v", cnt = c(uv·) positions,
+    *             cnt2 = N1+(uv·) distinct followers)
+    *
+    * c(uv) is the trigram-CONTEXT count (positions 1..n−2, so
+    * Σ_w c(uvw) = c(uv) — the identity the top-tier discounting needs).
+    * CCNet-class quality filters typically run a 5-gram model; the
+    * construction generalizes the same way (one `kind` pair per extra
+    * order), order 3 being where the backoff chain becomes non-trivial.
+    */
+  def kn3Model(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val tg = toks.select(explode(shingles(col("t"), 3)).as("tg"))
+      .withColumn("c2k", substring_index(col("tg"), " ", 2))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+    val tri = tg.groupBy("tg").agg(count(lit(1)).as("cnt"))
+      .select(lit("tri").as("kind"), col("tg").as("key"), col("cnt"),
+        lit(null).cast("long").as("cnt2"))
+    val ctx2 = tg.groupBy("c2k")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("w3")).as("cnt2"))
+      .select(lit("ctx2").as("kind"), col("c2k").as("key"), col("cnt"),
+        col("cnt2"))
+    knModel(documents).unionByName(tri).unionByName(ctx2)
+  }
+
+  /** Train-and-commit [[kn3Model]] (the knRefresh idiom). */
+  def kn3Refresh(documents: DataFrame, table: String): Int =
+    graft.io.Manifest.write(kn3Model(documents), table)
+
+  /** Score documents under a persisted [[kn3Model]] — interpolated
+    * trigram Kneser–Ney BACKING OFF THROUGH THE BIGRAM TIER:
+    *
+    *   P3(w|uv) = max(c(uvw) − d, 0)/c(uv) + (d·N1+(uv·)/c(uv))·P2(w|v)
+    *              ... or P2(w|v) alone when uv was never a context,
+    *
+    * with P2 exactly [[knScoreWith]]'s tree (absolute discounting over
+    * raw bigram counts, αc-floored continuation unigram at the bottom) —
+    * so an unseen trigram degrades to precisely the bigram model this
+    * family already serves, and a wholly unseen word still bottoms out
+    * on the positive continuation floor. Like the αc floor, using RAW
+    * counts in the middle tier (rather than textbook modified-KN's
+    * continuation counts) is a documented departure: it makes the
+    * bigram tier IDENTICAL to the committed [[knModel]] artifact, so
+    * one backoff chain serves both orders and the order-2 scores never
+    * disagree with the standalone bigram model.
+    *
+    * Output: (doc_id, n_trigrams, avg_logp), nulls for docs under 3
+    * tokens. Scale posture: five shuffle_hash equi-joins against count
+    * relations + one broadcast scalar row + one combinable per-doc
+    * average; division/multiplication over exact longs before the one
+    * `ln` (the knScoreWith parity contract, one tier taller).
+    */
+  def kn3ScoreWith(documents: DataFrame, model: DataFrame,
+                   discount: Double = 0.75,
+                   alphaC: Double = 0.4): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), 3)).as("tg"))
+      .withColumn("c2k", substring_index(col("tg"), " ", 2))
+      .withColumn("bg", substring_index(col("tg"), " ", -2))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val triC = model.filter(col("kind") === "tri")
+      .select(col("key").as("tg"), col("cnt").as("c3"))
+    val ctx2C = model.filter(col("kind") === "ctx2")
+      .select(col("key").as("c2k"), col("cnt").as("cuv"),
+        col("cnt2").as("nf2"))
+    val biC = model.filter(col("kind") === "bi")
+      .select(col("key").as("bg"), col("cnt").as("c2"))
+    val ctxC = model.filter(col("kind") === "ctx")
+      .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
+    val npC = model.filter(col("kind") === "np")
+      .select(col("key").as("pw"), col("cnt").as("np"))
+    val scalars = model.filter(col("kind") === "types")
+      .select(col("cnt").as("types"))
+      .crossJoin(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
+    // the bigram tier, knScored's tree verbatim
+    val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
+      (col("types") + lit(alphaC) * col("v"))
+    val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cv") +
+      lit(discount) * col("nf") / col("cv") * pcont
+    val p2 = when(col("cv").isNull, pcont).otherwise(pSeen)
+    val p3Seen = greatest(coalesce(col("c3"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cuv") +
+      lit(discount) * col("nf2") / col("cuv") * p2
+    val scored = grams
+      .join(triC.hint("shuffle_hash"), Seq("tg"), "left")
+      .join(ctx2C.hint("shuffle_hash"), Seq("c2k"), "left")
+      .join(biC.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(ctxC.hint("shuffle_hash"), col("w1") === col("cw"), "left")
+      .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("logp", log(when(col("cuv").isNull, p2).otherwise(p3Seen)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_trigrams"),
+        avg(col("logp")).as("avg_logp"))
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** Self-trained trigram KN — fit ∘ serve of [[kn3Model]] /
+    * [[kn3ScoreWith]] (every join hits on the training corpus; the
+    * backoff branches never fire — the knScore contract one order up).
+    */
+  def kn3Score(documents: DataFrame, discount: Double = 0.75,
+               alphaC: Double = 0.4): DataFrame =
+    kn3ScoreWith(documents, kn3Model(documents), discount, alphaC)
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

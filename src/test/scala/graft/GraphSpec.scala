@@ -389,6 +389,70 @@ class GraphSpec extends SparkSpec {
       s"vertex 2 is not in the graph and must not relay: got $got")
   }
 
+  test("hopDistance: a deep crawl past the fold window keeps exact " +
+    "levels (delta-fold compaction, r15)") {
+    // a 14-node directed path forces 13 rounds > the 8-frame fold
+    // window; every level must still come out exact
+    val n = 14
+    val ns = (1 to n).map(_.toLong).toDF("node")
+    val es = (1 until n).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val got = Graph.hopDistance(ns, es, Seq(1L).toDF("node"),
+      maxHops = n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    assert(got == (1 to n).map(i => i.toLong -> (i - 1).toLong).toMap,
+      s"got $got")
+  }
+
+  test("hopDistanceWeighted: a two-hop light path beats the one-hop " +
+    "heavy edge unit BFS would pick; later rounds re-improve") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), // the light two-hop route to 3
+      (1L, 3L, 100L),               // the heavy direct edge
+      (1L, 4L, 1L)).toDF("src", "dst", "weight")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = asMap(Graph.hopDistanceWeighted(ns, es,
+      Seq(1L).toDF("node"), maxRounds = 4).collect())
+    CacheScope.release(spark)
+    // unit BFS says hops(3) = 1 (the direct edge); min-plus says 20 —
+    // node 3's state improves in round 2 AFTER being reached in round 1,
+    // the re-improvement unit-BFS first-touch-is-final cannot express
+    assert(got == Map(1L -> Some(0L), 2L -> Some(10L), 3L -> Some(20L),
+      4L -> Some(1L), 5L -> None), s"got $got")
+    val bfs = asMap(Graph.hopDistance(ns,
+      es.select($"src", $"dst"), Seq(1L).toDF("node"), maxHops = 4)
+      .collect())
+    CacheScope.release(spark)
+    assert(bfs(3L) == Some(1L),
+      "fixture sanity: unit BFS must reach 3 in one hop")
+    // a round budget that cuts the light path mid-way keeps the best
+    // distance KNOWN at that budget (the heavy direct edge)
+    val trunc = asMap(Graph.hopDistanceWeighted(ns, es,
+      Seq(1L).toDF("node"), maxRounds = 1).collect())
+    CacheScope.release(spark)
+    assert(trunc(3L) == Some(100L),
+      s"1-edge budget must keep the direct edge, got ${trunc(3L)}")
+    // parallel directed edges merge by MIN weight
+    val par = asMap(Graph.hopDistanceWeighted(
+      Seq(1L, 2L).toDF("node"),
+      Seq((1L, 2L, 7L), (1L, 2L, 3L)).toDF("src", "dst", "weight"),
+      Seq(1L).toDF("node"), maxRounds = 2).collect())
+    CacheScope.release(spark)
+    assert(par(2L) == Some(3L))
+    // a negative weight fails loud (in-expression guard, not a comment)
+    val err = intercept[Exception] {
+      Graph.hopDistanceWeighted(
+        Seq(1L, 2L).toDF("node"),
+        Seq((1L, 2L, -5L)).toDF("src", "dst", "weight"),
+        Seq(1L).toDF("node"), maxRounds = 2).collect()
+    }
+    CacheScope.release(spark)
+    assert(err.getMessage != null)
+  }
+
   test("labelPropagate: two weight-10 triangles over a weight-1 bridge " +
     "converge to per-triangle min labels; isolated keeps its own") {
     val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
@@ -710,6 +774,25 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.labelPropQualityLadder(ns, es, depths = Seq.empty)
     }
+  }
+
+  test("modularity: a PARTIAL labeling fails loudly instead of silently " +
+    "scoring the induced subgraph (full-labeling guard, r15)") {
+    val es = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "weight")
+    // node 3 unlabeled: the inner-join shape would quietly shrink 2m
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "label")
+    val e = intercept[Exception] {
+      Graph.modularity(partial, es).collect()
+    }
+    CacheScope.release(spark)
+    assert(e.getMessage != null)
+    // the full labeling still scores; an isolated EXTRA node is fine
+    // (no edge reads its label)
+    val full = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("node", "label")
+    val row = Graph.modularity(full, es).collect().head
+    CacheScope.release(spark)
+    assert(row.getLong(0) == 4L && row.getLong(1) == 2L)
   }
 
   test("modularity: edgeless graph reports two_m = 0 and NULL modularity") {

@@ -220,6 +220,66 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.currentVersion(spark, t).contains(vs.max))
   }
 
+  test("append: concurrent appenders CAS-serialize onto one linear " +
+    "lineage; no append loses another's rows") {
+    val t = tmp()
+    assert(Manifest.append(Seq((0L, "seed")).toDF("id", "who"), t) == 1)
+    // 4 appenders × 2 generations race; every row must survive into the
+    // final snapshot and the history must be gap-free (versions 2..9) —
+    // the lost-update scenario plain commit() cannot prevent
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val writers = (1 to 4).map { wid =>
+      new Thread(() => {
+        try {
+          (1 to 2).foreach { gen =>
+            versions.add(Manifest.append(
+              Seq((wid * 100L + gen, s"w$wid-g$gen")).toDF("id", "who"),
+              t, maxRetries = 200))
+          }
+        } catch { case e: Throwable => errors.add(s"appender $wid: $e") }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(240000))
+    assert(errors.isEmpty, s"appender failures: $errors")
+    val vs = versions.toArray(Array.empty[Integer]).map(_.toInt).toSeq.sorted
+    assert(vs == (2 to 9), s"appends must form a gap-free lineage: $vs")
+    val finalRows = Manifest.read(spark, t).select("who").as[String]
+      .collect().toSet
+    val want = Set("seed") ++
+      (for (w <- 1 to 4; g <- 1 to 2) yield s"w$w-g$g").toSet
+    assert(finalRows == want,
+      s"every concurrent append's rows must survive: $finalRows")
+    // each version strictly extends its predecessor by one appended row
+    (2 to 9).foreach { v =>
+      assert(Manifest.readVersion(spark, t, v).count() == v.toLong,
+        s"v$v must hold exactly $v rows (seed + ${v - 1} appends)")
+    }
+    // a tagged append records its tag like writeTagged
+    Manifest.append(Seq((999L, "tagged")).toDF("id", "who"), t,
+      tag = Some("append-tag-1"))
+    assert(Manifest.currentTag(spark, t).contains("append-tag-1"))
+  }
+
+  test("append: a stale claim (crashed appender, no marker) exhausts " +
+    "the bounded retries loudly instead of guessing it dead") {
+    val t = tmp()
+    Manifest.append(Seq((1L, "a")).toDF("id", "who"), t)
+    // simulate a crashed appender holding the next slot
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(t, "_claim-v2"))
+    val e = intercept[IllegalStateException] {
+      Manifest.append(Seq((2L, "b")).toDF("id", "who"), t,
+        maxRetries = 2, backoffMs = 5L)
+    }
+    assert(e.getMessage.contains("_claim-v2"),
+      s"the error must name the stale claim: ${e.getMessage}")
+    // reclaiming the stale claim unblocks the appender
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, "_claim-v2"))
+    assert(Manifest.append(Seq((2L, "b")).toDF("id", "who"), t) == 2)
+    assert(Manifest.read(spark, t).count() == 2)
+  }
+
   test("a writer whose claim was vacuumed mid-write aborts loudly and " +
     "commits nothing (claim-lease handshake)") {
     val t = tmp()

@@ -88,6 +88,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_lm_score", "q_lm_serve", "q_lm_lines",
       // KN twins: the same 1-row scalar (types × vocab) cross-build
       "q_kn_score", "q_kn_lines",
+      // the trigram tier carries the identical 1-row scalar cross-build
+      "q_kn3_score",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",

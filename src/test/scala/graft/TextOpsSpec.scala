@@ -964,6 +964,41 @@ class TextOpsSpec extends SparkSpec {
       s"common=$commonAvg should clearly outscore gibberish=$gibAvg")
   }
 
+  test("kn3ScoreWith: hand-computed two-tier tree; unseen trigram " +
+    "context backs off to the EXACT bigram-tier probability") {
+    import spark.implicits._
+    // trigrams: "a b c"x2, "a b d"x1; bigrams: "a b"x3, "b c"x2, "b d"x1
+    // ctx2("a b") = (cuv 3, nf2 2); ctx(b) = (cv 3, nf 2); V = 4, types = 3
+    val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val model = TextStats.kn3Model(corpus)
+    def score(text: String) = TextStats.kn3ScoreWith(
+      Seq((9L, text)).toDF("doc_id", "text"), model).head().getDouble(2)
+    val pcontB = (1 + 0.4) / (3 + 0.4 * 4)
+    val pcontC = (1 + 0.4) / (3 + 0.4 * 4)
+    // fully seen: P3(c|ab) = (2-.75)/3 + (.75*2/3)*P2(c|b)
+    val p2cb = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcontC
+    val p3 = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * p2cb
+    assert(math.abs(score("a b c") - math.log(p3)) < 1e-12)
+    // unseen trigram context "x a": backs off to exactly P2(b|a)
+    val p2ba = (3 - 0.75) / 3.0 + 0.75 * 1 / 3.0 * pcontB
+    assert(math.abs(score("x a b") - math.log(p2ba)) < 1e-12)
+    // wholly unseen: bottoms out on the continuation floor, positive
+    assert(math.abs(score("x y z") - math.log(0.4 / (3 + 0.4 * 4))) < 1e-12)
+    // under 3 tokens: NULL trigram score (the knScoreWith null contract)
+    val short = TextStats.kn3ScoreWith(
+      Seq((9L, "a b")).toDF("doc_id", "text"), model).head()
+    assert(short.isNullAt(1) && short.isNullAt(2))
+    // Manifest round-trip serves the committed model exactly
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_kn3").toString + "/kn3"
+    TextStats.kn3Refresh(corpus, table)
+    val served = TextStats.kn3ScoreWith(corpus,
+      graft.io.Manifest.read(spark, table)).orderBy("doc_id").collect().toSeq
+    assert(served ==
+      TextStats.kn3Score(corpus).orderBy("doc_id").collect().toSeq)
+  }
+
   test("lmRefresh: Manifest round-trip serves the committed model exactly") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
