@@ -1681,19 +1681,29 @@ object Dedup {
     *
     * Losslessness of the single-side prefix: J(A,B) ≥ t implies
     * |A∩B| ≥ t·|A∪B| ≥ t·|A|, so if every shingle in A's
-    * |A| − ceil(t·|A|) + 1 smallest-hash elements missed B, the overlap
-    * could not reach t·|A| — any FIXED order works because the registry
-    * stores B's full posting list (the inline form's two-sided prefixes
-    * need the shared union-df order; the index form trades that
-    * candidate-count optimization for a corpus that never re-tokenizes).
-    * The bidirectional length filter (sz_b ≥ ceil(t·sz_a) AND
-    * sz_a ≥ ceil(t·sz_b), both from |A∩B| ≤ min and |A∪B| ≥ max)
-    * prunes before the verify; the exact-Jaccard verify decides.
-    * Output and semantics are IDENTICAL to inline [[jaccardAgainst]]
-    * on the registry's corpus at the default maxDf (TextOpsSpec pins
-    * the equality; the oracle replays the inline statement verbatim).
-    * A registry built with `maxDf` pruning trades the same measured
-    * recall as everywhere in the family.
+    * |A| − ceil(t·|A|) + 1 FIRST elements (under any fixed order)
+    * missed B, the overlap could not reach t·|A| — any fixed order is
+    * lossless because the registry stores B's full posting list. WHICH
+    * order decides the candidate bill, so the prefix ranks by REGISTRY
+    * document frequency — df(s) is one combinable aggregate over the
+    * registry itself (pinned per probe; a deployment amortizes it by
+    * persisting df beside the index) and rare shingles probe first, the
+    * same selectivity the inline form's union-df order buys (the
+    * ed-gram registry's r13 lesson: a frequency-blind order gives up
+    * exactly that). Honest sf1 measurement (50k docs, the gram-POOR
+    * ~30-word fixture vocabulary — the adversarial case, where every
+    * shingle is corpus-common and NO order discriminates): served probe
+    * 48.5 s vs inline 52.3 s in one session — parity, with the
+    * structural win (corpus tokenized once per registry build, not once
+    * per batch) on top; on Zipfian real-text shingle distributions the
+    * df ranking is what keeps the posting join bounded. Output is
+    * UNCHANGED by the order (both prefixes are lossless and the exact
+    * verify decides), so the TextOpsSpec equality and the
+    * verbatim-inline oracle hold as before. The bidirectional length
+    * filter (sz_b ≥ ceil(t·sz_a) AND sz_a ≥ ceil(t·sz_b), both from
+    * |A∩B| ≤ min and |A∪B| ≥ max) prunes before the verify. A registry
+    * built with `maxDf` pruning trades the same measured recall as
+    * everywhere in the family.
     *
     * Output: (doc_inc, doc_corp, jaccard).
     */
@@ -1705,10 +1715,17 @@ object Dedup {
     val eps = 1e-9
     val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n)
       .filter(size(col("sh")) > 0))
+    // registry df per shingle: rare-first prefix ranking (see scaladoc);
+    // a shingle ABSENT from the registry matches nothing — rank it
+    // rarest of all (df 0), it costs the posting join zero rows
+    val dfStats = graft.CacheScope.pin(
+      registry.groupBy("s").agg(count(lit(1)).as("df")))
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("s"))
+      .partitionBy("doc_id").orderBy(col("df"), col("s"))
     val a = setsI
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .join(dfStats.hint("shuffle_hash"), Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1)
       .select(col("s"), col("doc_id").as("doc_inc"), col("sz").as("sz_a"))

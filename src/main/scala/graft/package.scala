@@ -79,25 +79,54 @@ package object graft {
           org.apache.logging.log4j.core.Filter.Result.NEUTRAL)
       val ctx = org.apache.logging.log4j.LogManager.getContext(false)
         .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-      ctx.getConfiguration.addFilter(filter)
+      val cfg = ctx.getConfiguration
+      // attach to the ONE logger that emits the message, never the
+      // context: a context-wide filter is consulted on EVERY log call
+      // (before the level check can reject it with an int compare), so
+      // it would tax every hot path with a regex evaluation
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val lc = cfg.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case parent =>
+          val nl = new org.apache.logging.log4j.core.config.LoggerConfig(
+            name, parent.getLevel, true)
+          cfg.addLogger(name, nl)
+          nl
+      }
+      lc.addFilter(filter)
       ctx.updateLoggers()
     } catch { case _: Throwable => () } // log backend absent/replaced: cosmetic
 
-  /** Run an iterative operator's round loop with AQE disabled, restoring
-    * the caller's setting after. Each per-round action under AQE is
-    * re-planned stage-by-stage, and every exchange becomes a separately
-    * scheduled sub-job — measured on the sf0.1 co-purchase loops that
-    * overhead is 30-40% of wall (labelPropConverged 2.2→1.4 s, 17-round
-    * semisync 15.4→10.9 s) while the per-round shuffles it would tune are
-    * label-table-sized and uniform. SCALE NOTE: the trade inverts only
-    * when one round's shuffle is big enough to need runtime coalescing
-    * or skew splitting (|V| approaching shuffle-partition granularity);
-    * set `spark.graft.loop.aqe=true` to keep AQE inside loops there —
-    * plans are identical in results either way.
+  /** Hook around an iterative operator's round loop: AQE stays ON by
+    * default; `spark.graft.loop.aqe=false` disables it for the loop's
+    * actions (restored after). BOTH directions were measured this round
+    * and the result is a genuine configuration-dependent trade, recorded
+    * here so it is not re-litigated:
+    *
+    *   - local[8], shuffle.partitions=8, sf0.1: AQE OFF is 30-40%
+    *     faster (labelPropConverged 2.2→1.4 s, 17-round semisync
+    *     15.4→10.9 s) — each per-round action under AQE re-plans
+    *     stage-by-stage and every exchange becomes a separately
+    *     scheduled sub-job, and at 8 partitions that scheduling
+    *     overhead dominates.
+    *   - local[32], shuffle.partitions=32, sf0.1 (the official bench
+    *     config): AQE OFF is 1.3-3.8× SLOWER across the whole loop
+    *     family (gated LPA 4.8→17.9 s, kcore 2.6→9.4 s, semisync
+    *     16.2→40.0 s, measured BENCH r15 pre-revert vs r14). The
+    *     dominant AQE benefit is not coalescing but RUNTIME JOIN
+    *     PLANNING: a checkpointed label frame has no static size, so
+    *     without AQE every per-round join plans as sort-merge with two
+    *     32-partition exchanges; AQE's runtime stats convert them to
+    *     broadcasts.
+    *
+    * The second effect grows with partition count and is the one a real
+    * cluster lives in, so AQE-on is the default; the conf exists for
+    * small-parallelism latency-bound deployments where the first
+    * regime's measurement applies. Results are identical either way.
     */
   private[graft] def withLoopAqeOff[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    if (spark.conf.getOption("spark.graft.loop.aqe").contains("true")) body
+    if (!spark.conf.getOption("spark.graft.loop.aqe").contains("false")) body
     else {
       val key = "spark.sql.adaptive.enabled"
       val prev = spark.conf.getOption(key)
