@@ -2722,6 +2722,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
         .orderBy("doc_id", "pos")
     }),
 
+    // The trigram line twin (r15): q_kn_lines one order up — the
+    // doc-trained kn3 model scores each 8-token line's trigrams
+    // (contiguous runs, so every within-line trigram join hits and the
+    // oracle carries the seen two-tier tree with inner joins).
+    "q_kn3_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.kn3ScoreLines(newlineified(d), TextStats.kn3Model(d))
+        .select(col("doc_id"), col("pos"), col("line"), col("n_trigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // The LM as a served artifact: fit the model table, score through
     // the serve joins — on the training corpus this must EQUAL
     // q_lm_score bit-for-bit (same oracle string).
@@ -6822,6 +6834,64 @@ ORDER BY "window""""
         |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.line,
         |  sc.n_bigrams, round(sc.avg_logp, 6) AS avg_logp
         |FROM l LEFT JOIN sc ON l.doc_id = sc.doc_id AND l.pos = sc.pos
+        |ORDER BY l.doc_id, l.pos""".stripMargin,
+
+    // q_kn_lines' line CTEs + q_kn3_score's two-tier model CTEs: every
+    // within-line trigram of the doc-trained model hits, so inner joins
+    // carry the seen branches (identical parenthesization); ln at 6-dp.
+    "q_kn3_lines" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |posn AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg,
+        |           t[i] AS w1, t[i + 1] AS w2 FROM posn),
+        |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+        |ctx AS (SELECT w1, count(*) AS cv, count(DISTINCT w2) AS nf
+        |        FROM grams GROUP BY w1),
+        |pc AS (SELECT w2, count(DISTINCT w1) AS npc FROM grams GROUP BY w2),
+        |tys AS (SELECT count(DISTINCT bg) AS types FROM grams),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM
+        |         (SELECT unnest(t) AS w FROM toks)),
+        |pos3 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+        |g3 AS (SELECT doc_id,
+        |        t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg,
+        |        t[i] || ' ' || t[i + 1] AS c2k,
+        |        t[i + 2] AS w3 FROM pos3),
+        |tri AS (SELECT tg, count(*) AS c3 FROM g3 GROUP BY tg),
+        |ctx2 AS (SELECT c2k, count(*) AS cuv, count(DISTINCT w3) AS nf2
+        |         FROM g3 GROUP BY c2k),
+        |lt AS (SELECT doc_id, pos, string_split(line, ' ') AS t FROM l),
+        |lp3 AS (SELECT doc_id, pos, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM lt),
+        |lg3 AS (SELECT doc_id, pos,
+        |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg,
+        |         t[i] || ' ' || t[i + 1] AS c2k,
+        |         t[i + 1] || ' ' || t[i + 2] AS bg,
+        |         t[i + 1] AS w1, t[i + 2] AS w2 FROM lp3),
+        |sc3 AS (
+        |  SELECT lg3.doc_id, lg3.pos, CAST(count(*) AS INT) AS n_trigrams,
+        |    avg(ln(
+        |      greatest(c3 - 0.75, 0.0) / cuv +
+        |      0.75 * nf2 / cuv * (
+        |        greatest(c2 - 0.75, 0.0) / cv +
+        |        0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v)))
+        |    )) AS avg_logp
+        |  FROM lg3 JOIN tri USING (tg) JOIN ctx2 USING (c2k)
+        |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+        |  CROSS JOIN tys CROSS JOIN voc
+        |  GROUP BY lg3.doc_id, lg3.pos)
+        |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.line,
+        |  sc3.n_trigrams, round(sc3.avg_logp, 6) AS avg_logp
+        |FROM l LEFT JOIN sc3 ON l.doc_id = sc3.doc_id AND l.pos = sc3.pos
         |ORDER BY l.doc_id, l.pos""".stripMargin,
 
     // The q_lm_score model CTEs (trained on FULL docs) scoring the

@@ -482,10 +482,23 @@ object TextStats {
   def kn3ScoreWith(documents: DataFrame, model: DataFrame,
                    discount: Double = 0.75,
                    alphaC: Double = 0.4): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks
       .select(col("doc_id"), explode(shingles(col("t"), 3)).as("tg"))
+    val scored = kn3Scored(grams, model, Seq("doc_id"), discount, alphaC)
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** The shared trigram-KN scoring tail over a prepared trigram stream
+    * (`grams`: groupCols + `tg`) — ONE expression tree for the document
+    * ([[kn3ScoreWith]]) and line ([[kn3ScoreLines]]) grains, so they
+    * cannot drift (the [[knScored]] convention one order up).
+    */
+  private def kn3Scored(grams0: DataFrame, model: DataFrame,
+                        groupCols: Seq[String], discount: Double,
+                        alphaC: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    val grams = grams0
       .withColumn("c2k", substring_index(col("tg"), " ", 2))
       .withColumn("bg", substring_index(col("tg"), " ", -2))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -515,7 +528,7 @@ object TextStats {
     val p3Seen = greatest(coalesce(col("c3"), lit(0L)) - lit(discount),
       lit(0.0)) / col("cuv") +
       lit(discount) * col("nf2") / col("cuv") * p2
-    val scored = grams
+    grams
       .join(triC.hint("shuffle_hash"), Seq("tg"), "left")
       .join(ctx2C.hint("shuffle_hash"), Seq("c2k"), "left")
       .join(biC.hint("shuffle_hash"), Seq("bg"), "left")
@@ -523,10 +536,31 @@ object TextStats {
       .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
       .crossJoin(broadcast(scalars))
       .withColumn("logp", log(when(col("cuv").isNull, p2).otherwise(p3Seen)))
-      .groupBy("doc_id")
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_trigrams"),
         avg(col("logp")).as("avg_logp"))
-    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** Per-LINE trigram-KN scoring under a served [[kn3Model]] —
+    * [[knScoreLines]] one order up: CCNet's filtering unit under the
+    * deeper backoff chain. Lines are contiguous token runs, so a model
+    * trained on the full docs hits every within-line trigram join; the
+    * backoff tiers still guard foreign corpora. Output: (doc_id, pos,
+    * line, n_trigrams, avg_logp), NULL score for lines under 3 tokens.
+    */
+  def kn3ScoreLines(documents: DataFrame, model: DataFrame,
+                    discount: Double = 0.75, alphaC: Double = 0.4,
+                    delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+    val grams = lines
+      .select(col("doc_id"), col("pos"),
+        explode(shingles(tokens(col("line")), 3)).as("tg"))
+    val scored = kn3Scored(grams, model, Seq("doc_id", "pos"),
+      discount, alphaC)
+    lines.join(scored, Seq("doc_id", "pos"), "left")
   }
 
   /** Self-trained trigram KN — fit ∘ serve of [[kn3Model]] /

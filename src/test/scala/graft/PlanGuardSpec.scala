@@ -89,7 +89,7 @@ class PlanGuardSpec extends SparkSpec {
       // KN twins: the same 1-row scalar (types × vocab) cross-build
       "q_kn_score", "q_kn_lines",
       // the trigram tier carries the identical 1-row scalar cross-build
-      "q_kn3_score",
+      "q_kn3_score", "q_kn3_lines",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",

@@ -999,6 +999,26 @@ class TextOpsSpec extends SparkSpec {
       TextStats.kn3Score(corpus).orderBy("doc_id").collect().toSeq)
   }
 
+  test("kn3ScoreLines: within-line trigrams score under the doc-trained " +
+    "model; short lines NULL; line grain equals doc grain on a " +
+    "one-line doc") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val model = TextStats.kn3Model(corpus)
+    val nl = Seq((1L, "a b c\nx y")).toDF("doc_id", "text")
+    val rows = TextStats.kn3ScoreLines(nl, model)
+      .orderBy("doc_id", "pos").collect()
+    // line 0 "a b c": exactly the doc-grain score of the same string
+    val doc = TextStats.kn3ScoreWith(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), model).head()
+    assert(rows(0).getInt(rows(0).fieldIndex("n_trigrams")) == 1)
+    assert(rows(0).getDouble(rows(0).fieldIndex("avg_logp")) ==
+      doc.getDouble(2), "line grain must equal doc grain on one line")
+    // line 1 "x y": under 3 tokens -> NULL
+    assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
+  }
+
   test("lmRefresh: Manifest round-trip serves the committed model exactly") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
