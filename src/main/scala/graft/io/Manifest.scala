@@ -33,8 +33,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (merging concurrent logical changes into ONE lineage) goes through
   * [[append]] — a CAS-retry on the next version slot, so concurrent
   * appenders serialize instead of silently dropping each other's rows;
-  * interleaving appends with wholesale replaces stays out of scope
-  * (replace semantics beat appends by definition).
+  * interleaving appends with wholesale replaces is detected via the
+  * replace-epoch fence ([[currentEpoch]]) — the append rebases when it
+  * can and fails loudly when its rows may be shadowed, never returning
+  * a silently-lost success.
   *
   * Scale: one directory listing per read resolves the snapshot — no file
   * enumeration beyond the snapshot's own dir; vacuum bounds storage to
@@ -45,6 +47,7 @@ object Manifest {
   private val MarkerRe = "_commit-v(\\d+)".r
   private val ClaimRe = "_claim-v(\\d+)".r
   private val DirRe = "v(\\d+)".r
+  private val EpochRe = "_epoch-(\\d+)".r
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,6 +92,49 @@ object Manifest {
       .collect { case st if st.isFile =>
         st.getPath.getName match { case MarkerRe(n) => Some(n.toInt); case _ => None }
       }.flatten.maxOption
+  }
+
+  /** Current REPLACE epoch: how many wholesale [[commit]]-path snapshots
+    * (write / writeTagged / compact — anything that replaces the table
+    * rather than extending its lineage) have ever published. Zero on a
+    * table that has only ever been appended to (or never written).
+    * `_epoch-<K>` files are exclusive-create markers exactly like
+    * commits; the highest K is the epoch. [[append]] records the epoch
+    * when it reads its base and re-checks it after publishing — a moved
+    * epoch means a replace interleaved with the append and MAY have
+    * shadowed its rows, which append turns into a loud named error
+    * instead of a silent success (the lost-append window the r15
+    * scaladoc documented out of scope).
+    */
+  def currentEpoch(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val p = new Path(table)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).toSeq
+      .collect { case st if st.isFile =>
+        st.getPath.getName match { case EpochRe(n) => Some(n.toInt); case _ => None }
+      }.flatten.maxOption.getOrElse(0)
+  }
+
+  /** Bump the replace epoch (exclusive-create the next `_epoch-<K>`; a
+    * lost race against another replace just bumps past it — each replace
+    * lands its own distinct epoch). Called by [[commit]] BEFORE the
+    * marker so no append can observe the replace's marker with the old
+    * epoch still current; the cost is that a commit aborted between
+    * bump and marker (vacuumed claim) leaves a bumped epoch with no
+    * replace — a concurrent append then fails spuriously-but-loudly,
+    * the safe direction.
+    */
+  private def bumpEpoch(f: org.apache.hadoop.fs.FileSystem,
+                        table: String, spark: SparkSession): Unit = {
+    var e = currentEpoch(spark, table) + 1
+    var attempts = 0
+    while (!exclusiveCreate(f, new Path(s"$table/_epoch-$e"))) {
+      attempts += 1
+      if (attempts > 1000) throw new IllegalStateException(
+        s"could not bump the replace epoch under $table after $attempts attempts")
+      e = math.max(e + 1, currentEpoch(spark, table) + 1)
+    }
   }
 
   /** Next version to write: one past every version with a marker, a
@@ -179,6 +225,10 @@ object Manifest {
     }
     writeFn(dir)
     if (!f.exists(claim)) abortVacuumed()
+    // replace-vs-append fence: the epoch moves BEFORE this replace
+    // becomes visible, so an in-flight append can never observe the new
+    // marker under the old epoch (see currentEpoch / append)
+    bumpEpoch(f, table, spark)
     val out = f.create(marker, false)
     out.close()
     // the claim is deleted FIRST by vacuum, the dir second — so a claim
@@ -244,11 +294,28 @@ object Manifest {
     * adds is that the single-maintenance-writer contract is now enforced
     * per-VERSION by the filesystem instead of assumed by the caller.
     *
-    * Out of scope, still: interleaving appends with concurrent WHOLESALE
-    * [[write]]/[[compact]] commits — replace semantics beat appends by
-    * definition (a replace committed after your append supersedes it;
-    * one committed before it makes your append the replacement's
-    * successor missing nothing of its own).
+    * Interleaving appends with concurrent WHOLESALE [[write]]/[[compact]]
+    * commits is DETECTED, not silently lost (r16, closing the r15
+    * scaladoc's out-of-scope note whose justification was wrong for one
+    * interleaving): a replace can land ABOVE an appender's claimed slot
+    * (commit's version numbering skips live claims), which would shadow
+    * the append's rows while append still returned success. Every
+    * replace now bumps the table's [[currentEpoch]] BEFORE its marker;
+    * append records the epoch with its base and re-checks it after
+    * winning the claim (rebase and retry) and again after publishing
+    * (loud failure naming the shadowed version — the rows are in
+    * `v<N>/` on disk for manual re-append, never silently dropped). A
+    * higher version under an UNCHANGED epoch is a successor append
+    * built on this snapshot — rows intact, success stands.
+    *
+    * Retry budget is progress-aware (r16): the budget bounds consecutive
+    * NO-PROGRESS attempts — whenever the observed current version
+    * advances (proof the contending winner is alive and committed), the
+    * count resets, and the backoff grows exponentially (capped) so
+    * losers wait out the winner's full read-union-rewrite instead of
+    * burning a fixed small count against a healthy slow appender. Only
+    * a claim that never resolves (a crashed appender's) exhausts the
+    * budget.
     *
     * Returns the committed version. `tag` rides inside the snapshot dir
     * exactly as [[writeTagged]].
@@ -259,12 +326,44 @@ object Manifest {
     val f = fs(spark, table)
     f.mkdirs(new Path(table))
     var committed = -1
-    var attempt = 0
+    var attempt = 0 // consecutive attempts with NO observed progress
+    var lastSeen = -1 // highest committed version observed so far
     while (committed < 0) {
+      // epoch read FIRST: if a replace commits between the two reads,
+      // base reflects it while epoch0 is stale-low → the post-claim
+      // check fires a spurious (safe) rebase, never the reverse
+      val epoch0 = currentEpoch(spark, table)
       val base = currentVersion(spark, table)
+      if (base.getOrElse(0) > lastSeen) {
+        lastSeen = base.getOrElse(0)
+        attempt = 0 // the contended slot committed: the winner is alive
+      }
       val v = base.getOrElse(0) + 1
       val claim = new Path(s"$table/_claim-v$v")
-      if (exclusiveCreate(f, claim)) {
+      def loseAttempt(): Unit = {
+        attempt += 1
+        if (attempt > maxRetries) throw new IllegalStateException(
+          s"could not claim append slot under $table after $attempt " +
+            s"no-progress attempts: _claim-v$v exists without a commit " +
+            "marker — a racing appender is mid-flight or crashed (no " +
+            "heartbeat can tell them apart on a plain filesystem); if " +
+            "crashed, vacuum(claimTtlMs=...) reclaims aged stale claims, " +
+            "or delete the claim manually and retry")
+        // exponential backoff, capped: the racing winner's marker —
+        // a full read-union-rewrite on big tables — resets the budget
+        // via the progress check above when it lands
+        Thread.sleep(math.min(backoffMs << math.min(attempt - 1, 6), 2000L))
+      }
+      if (!exclusiveCreate(f, claim)) loseAttempt()
+      else if (currentEpoch(spark, table) != epoch0 ||
+               currentVersion(spark, table).getOrElse(0) > base.getOrElse(0)) {
+        // post-claim CAS re-check: a wholesale replace slipped in
+        // between the base read and the claim (its version numbering
+        // skips our live claim, so it lands ABOVE v and would shadow
+        // this append). Release the slot and rebase onto its snapshot.
+        f.delete(claim, false)
+        loseAttempt()
+      } else {
         val dir = s"$table/v$v"
         val marker = new Path(s"$table/_commit-v$v")
         def abortVacuumed(): Nothing = {
@@ -288,18 +387,19 @@ object Manifest {
         if (!f.exists(claim)) abortVacuumed()
         f.create(marker, false).close()
         if (!f.exists(claim)) abortVacuumed()
+        // post-publish epoch fence: a replace bumps the epoch BEFORE
+        // its marker, so an unchanged epoch here PROVES no replace
+        // could have shadowed v; a moved one means this append's rows
+        // may already be invisible behind a replacement snapshot —
+        // fail loudly instead of returning a silently-shadowed success
+        if (currentEpoch(spark, table) != epoch0)
+          throw new IllegalStateException(
+            s"append published v$v under $table but a concurrent " +
+              "wholesale replace interleaved (epoch moved " +
+              s"$epoch0 -> ${currentEpoch(spark, table)}); the appended " +
+              s"rows are preserved in $dir but may be shadowed by the " +
+              "replacement — re-append them against the new snapshot")
         committed = v
-      } else {
-        attempt += 1
-        if (attempt > maxRetries) throw new IllegalStateException(
-          s"could not claim append slot under $table after $attempt " +
-            s"attempts: _claim-v$v exists without a commit marker — a " +
-            "racing appender is mid-flight or crashed (no heartbeat can " +
-            "tell them apart on a plain filesystem); if crashed, reclaim " +
-            "the stale claim and retry")
-        // the racing winner's marker usually lands within the backoff;
-        // re-reading currentVersion then rebases onto their snapshot
-        Thread.sleep(backoffMs)
       }
     }
     committed
@@ -390,10 +490,24 @@ object Manifest {
     * the ambiguity safely — the overtaken writer finds its claim gone
     * and aborts loudly, never publishing a half-vacuumed snapshot. An
     * uncommitted dir ABOVE the newest marker is left alone: that is what
-    * an in-flight commit of the next version looks like. A never-written
-    * table path is a no-op.
+    * an in-flight commit of the next version looks like — UNLESS its
+    * claim is older than `claimTtlMs` (r16, the ADVICE fix): a crashed
+    * APPENDER's stale claim sits above the newest marker at exactly the
+    * base+1 slot every future append must CAS, wedging the table
+    * forever, and the pre-r16 vacuum could not reclaim it (its dead-
+    * version filter stopped at the newest marker — the documented
+    * remediation could not clear the documented failure). Claims above
+    * the newest marker whose file is older than the TTL are reclaimed
+    * with the same claim-first / marker-recheck / dir-last dance, so a
+    * genuinely live writer that slow finds its claim gone and aborts
+    * loudly via the lease handshake instead of publishing torn state.
+    * The TTL must comfortably exceed the longest legitimate
+    * claim-to-marker window (a full snapshot write); default 15 min.
+    * Old `_epoch-<K>` fence files below the newest are trimmed too.
+    * A never-written table path is a no-op.
     */
-  def vacuum(spark: SparkSession, table: String, keep: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, table: String, keep: Int = 2,
+             claimTtlMs: Long = 15L * 60 * 1000): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val f = fs(spark, table)
     val p = new Path(table)
@@ -432,5 +546,28 @@ object Manifest {
           f.delete(new Path(s"$table/v$n"), true)
       }
     }
+    // Stale claims ABOVE the newest marker: in-flight versus crashed is
+    // decided by the claim file's age. A fresh claim is an in-flight
+    // writer — spared. An aged one is a crashed appender wedging the
+    // CAS slot (or a crashed commit's leavings); reclaim it claim-first
+    // so a pathologically slow live writer aborts via the lease
+    // handshake rather than publishing over a half-vacuumed version.
+    val now = System.currentTimeMillis()
+    listing.foreach { st =>
+      st.getPath.getName match {
+        case ClaimRe(n) if st.isFile && n.toInt > newest &&
+            !committedSet.contains(n.toInt) &&
+            now - st.getModificationTime > claimTtlMs =>
+          f.delete(st.getPath, false)
+          if (!f.exists(new Path(s"$table/_commit-v$n")))
+            f.delete(new Path(s"$table/v$n"), true)
+        case _ => ()
+      }
+    }
+    // epoch fence files: only the newest carries information
+    val epochs = listing.collect { case st if st.isFile =>
+      st.getPath.getName match { case EpochRe(n) => Some(n.toInt); case _ => None }
+    }.flatten.sorted
+    epochs.dropRight(1).foreach(e => f.delete(new Path(s"$table/_epoch-$e"), false))
   }
 }

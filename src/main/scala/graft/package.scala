@@ -123,6 +123,15 @@ package object graft {
     * cluster lives in, so AQE-on is the default; the conf exists for
     * small-parallelism latency-bound deployments where the first
     * regime's measurement applies. Results are identical either way.
+    *
+    * Single-threaded-session assumption (opt-in path only): when the
+    * escape hatch IS set, the override mutates the session-global
+    * `spark.sql.adaptive.enabled` for the loop's duration, so other
+    * work concurrently executing on the SAME SparkSession (a streaming
+    * micro-batch, an overlapping loop) would run without AQE or clobber
+    * the restore value. Deployments that opt in must run loops on a
+    * dedicated session (`spark.newSession()` shares the cluster but not
+    * the conf); the default AQE-on path never mutates anything.
     */
   private[graft] def withLoopAqeOff[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T = {

@@ -233,9 +233,13 @@ class ManifestSpec extends SparkSpec {
       new Thread(() => {
         try {
           (1 to 2).foreach { gen =>
+            // a SMALL budget suffices since r16: the count bounds
+            // NO-PROGRESS attempts only — every committed winner
+            // resets it, so healthy contention never exhausts it
+            // (pre-r16 this test needed maxRetries = 200)
             versions.add(Manifest.append(
               Seq((wid * 100L + gen, s"w$wid-g$gen")).toDF("id", "who"),
-              t, maxRetries = 200))
+              t, maxRetries = 8))
           }
         } catch { case e: Throwable => errors.add(s"appender $wid: $e") }
       })
@@ -317,6 +321,78 @@ class ManifestSpec extends SparkSpec {
     // claims of retained committed versions survive
     assert(new java.io.File(s"$t/_claim-v3").exists())
     assert(Manifest.read(spark, t).count() == 2)
+  }
+
+  test("append: a wholesale replace interleaving with an append fails " +
+    "LOUDLY via the epoch fence instead of silently shadowing the rows") {
+    val t = tmp()
+    assert(Manifest.append(Seq((1L, "seed")).toDF("id", "who"), t) == 1)
+    // The shadow df's evaluation runs INSIDE append's claim-to-marker
+    // window (during next.write.parquet). Its side effect simulates
+    // exactly what a concurrent commit() does observably: bump the
+    // epoch fence, then land a marker ABOVE the appender's claimed slot
+    // (commit's version numbering skips live claims, so it picks v3).
+    val tableDir = t
+    val shadow = spark.range(1).map { _ =>
+      val ep = java.nio.file.Paths.get(tableDir, "_epoch-1")
+      val mk = java.nio.file.Paths.get(tableDir, "_commit-v3")
+      if (!java.nio.file.Files.exists(ep)) java.nio.file.Files.createFile(ep)
+      if (!java.nio.file.Files.exists(mk)) java.nio.file.Files.createFile(mk)
+      (2L, "shadowed-append")
+    }.toDF("id", "who")
+    val e = intercept[IllegalStateException] {
+      Manifest.append(shadow, t)
+    }
+    assert(e.getMessage.contains("epoch moved") && e.getMessage.contains("v2"),
+      s"the error must name the fence and the shadowed version: ${e.getMessage}")
+    // never silent: the appended rows are preserved on disk for re-append
+    val preserved = spark.read.parquet(s"$t/v2").select("who").as[String]
+      .collect().toSet
+    assert(preserved.contains("shadowed-append"),
+      s"the shadowed append's rows must survive in v2 for re-append: $preserved")
+  }
+
+  test("vacuum reclaims AGED stale claims above the newest marker " +
+    "(the wedged-append remediation) and spares fresh in-flight ones") {
+    val t = tmp()
+    assert(Manifest.append(Seq((1L, "a")).toDF("id", "who"), t) == 1)
+    // crashed appender: stale claim at the base+1 CAS slot, plus a
+    // half-written data dir — wedges every future append
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(t, "_claim-v2"))
+    (9L to 9L).toDF("x").write.parquet(s"$t/v2")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(t, "_claim-v2"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    // a FRESH claim above (a live in-flight writer) must be spared
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(t, "_claim-v4"))
+    Manifest.vacuum(spark, t, keep = 2, claimTtlMs = 60L * 1000)
+    assert(!new java.io.File(s"$t/_claim-v2").exists(),
+      "aged stale claim above the newest marker must be reclaimed")
+    assert(!new java.io.File(s"$t/v2").exists(),
+      "the crashed writer's uncommitted dir goes with its claim")
+    assert(new java.io.File(s"$t/_claim-v4").exists(),
+      "a fresh (in-TTL) claim is an in-flight writer: spared")
+    // the documented remediation actually unwedges the table now
+    assert(Manifest.append(Seq((2L, "b")).toDF("id", "who"), t) == 2)
+    assert(Manifest.read(spark, t).count() == 2)
+  }
+
+  test("replace bumps the epoch fence; vacuum trims all but the newest") {
+    val t = tmp()
+    assert(Manifest.currentEpoch(spark, t) == 0)
+    Manifest.write((1L to 2L).toDF("x"), t)
+    Manifest.write((1L to 3L).toDF("x"), t)
+    Manifest.write((1L to 4L).toDF("x"), t)
+    assert(Manifest.currentEpoch(spark, t) == 3)
+    // appends do NOT move the epoch (successor appends are legitimate)
+    Manifest.append((9L to 9L).toDF("x"), t)
+    assert(Manifest.currentEpoch(spark, t) == 3)
+    Manifest.vacuum(spark, t, keep = 2)
+    assert(!new java.io.File(s"$t/_epoch-1").exists() &&
+      !new java.io.File(s"$t/_epoch-2").exists(),
+      "only the newest epoch fence file carries information")
+    assert(Manifest.currentEpoch(spark, t) == 3)
   }
 
   test("vacuum reclaims dead crashed-writer dirs, spares in-flight ones, no-ops on missing") {
