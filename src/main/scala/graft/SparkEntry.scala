@@ -1091,6 +1091,71 @@ ORDER BY vec_inc, vec_corp"""
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The shared 5-gram-KN model CTE block (bigram → 5-gram count tiers,
+    * trained on the FULL documents) — composed into q_kn5_score and
+    * q_kn5_lines so the two oracles' model arithmetic cannot drift,
+    * mirroring the shared kn5Scored tail on the Spark side. Each ctxN
+    * count is the (N+1)-gram-position count, the discounting identity
+    * kn5Model's scaladoc documents.
+    */
+  private val Kn5ModelCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |posn AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+      |grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg,
+      |           t[i] AS w1, t[i + 1] AS w2 FROM posn),
+      |bi AS (SELECT bg, count(*) AS c2 FROM grams GROUP BY bg),
+      |ctx AS (SELECT w1, count(*) AS cv, count(DISTINCT w2) AS nf
+      |        FROM grams GROUP BY w1),
+      |pc AS (SELECT w2, count(DISTINCT w1) AS npc FROM grams GROUP BY w2),
+      |tys AS (SELECT count(DISTINCT bg) AS types FROM grams),
+      |voc AS (SELECT count(DISTINCT w) AS v FROM
+      |         (SELECT unnest(t) AS w FROM toks)),
+      |pos3 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+      |g3 AS (SELECT doc_id,
+      |        t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg,
+      |        t[i] || ' ' || t[i + 1] AS c2k,
+      |        t[i + 2] AS w3 FROM pos3),
+      |tri AS (SELECT tg, count(*) AS c3 FROM g3 GROUP BY tg),
+      |ctx2 AS (SELECT c2k, count(*) AS cuv, count(DISTINCT w3) AS nf2
+      |         FROM g3 GROUP BY c2k),
+      |pos4 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i FROM toks),
+      |g4d AS (SELECT doc_id,
+      |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g4,
+      |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS c3k,
+      |         t[i + 3] AS w4 FROM pos4),
+      |q4 AS (SELECT g4, count(*) AS c4 FROM g4d GROUP BY g4),
+      |ctx3 AS (SELECT c3k, count(*) AS cuvw, count(DISTINCT w4) AS nf3
+      |         FROM g4d GROUP BY c3k),
+      |pos5 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks),
+      |g5d AS (SELECT doc_id,
+      |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS fg,
+      |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS c4k,
+      |         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS g4,
+      |         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS c3k,
+      |         t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS tg,
+      |         t[i + 2] || ' ' || t[i + 3] AS c2k,
+      |         t[i + 3] || ' ' || t[i + 4] AS bg,
+      |         t[i + 3] AS w1, t[i + 4] AS w2 FROM pos5),
+      |q5 AS (SELECT fg, count(*) AS c5 FROM g5d GROUP BY fg),
+      |ctx4 AS (SELECT c4k, count(*) AS cuvwx, count(DISTINCT w2) AS nf4
+      |         FROM g5d GROUP BY c4k)""".stripMargin
+
+  /** The four-tier 5-gram-KN probability tree, parenthesized exactly as
+    * the Spark expression in TextStats.kn5Scored — (greatest/cuvwx) +
+    * ((d·nf4)/cuvwx)·(the verbatim 4-gram tier, and so on down to the
+    * αc-floored continuation unigram) — so everything before ln is
+    * bit-identical cross-engine. Shared by both kn5 oracles.
+    */
+  private val Kn5ProbTree: String =
+    """greatest(c5 - 0.75, 0.0) / cuvwx +
+      |      0.75 * nf4 / cuvwx * (
+      |        greatest(c4 - 0.75, 0.0) / cuvw +
+      |        0.75 * nf3 / cuvw * (
+      |          greatest(c3 - 0.75, 0.0) / cuv +
+      |          0.75 * nf2 / cuv * (
+      |            greatest(c2 - 0.75, 0.0) / cv +
+      |            0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v)))))""".stripMargin
+
   /** The RM3 oracle — shared verbatim by q_bm25_rm3 (inline) and
     * q_rm3_served (postings-only: fit + serve of the same index must
     * change nothing).
@@ -2730,6 +2795,31 @@ res$sfx AS (SELECT '$qid' AS query_id,
       val d = t(s, dir, "documents")
       TextStats.kn3ScoreLines(newlineified(d), TextStats.kn3Model(d))
         .select(col("doc_id"), col("pos"), col("line"), col("n_trigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // 5-GRAM Kneser–Ney (r16): the production CCNet filter order —
+    // backing off through the committed trigram AND bigram tiers (the
+    // kn3Model/knModel rows ride inside kn5Model verbatim, so all
+    // three served orders share one chain). Self-trained, so every
+    // count join hits and the oracle carries the full four-tier
+    // probability tree with inner joins, identically parenthesized;
+    // ln compares at 6 dp.
+    "q_kn5_score" -> ((s, dir) =>
+      TextStats.kn5Score(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_5grams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // The 5-gram line twin (r16): q_kn3_lines two orders up — the
+    // doc-trained kn5 model scores each 8-token line's four 5-grams
+    // (contiguous runs, so every within-line join hits and the oracle
+    // carries the seen four-tier tree with inner joins).
+    "q_kn5_lines" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.kn5ScoreLines(newlineified(d), TextStats.kn5Model(d))
+        .select(col("doc_id"), col("pos"), col("line"), col("n_5grams"),
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id", "pos")
     }),
@@ -6893,6 +6983,70 @@ ORDER BY "window""""
         |  sc3.n_trigrams, round(sc3.avg_logp, 6) AS avg_logp
         |FROM l LEFT JOIN sc3 ON l.doc_id = sc3.doc_id AND l.pos = sc3.pos
         |ORDER BY l.doc_id, l.pos""".stripMargin,
+
+    // 5-gram KN: the shared Kn5ModelCtes model tiers + the shared
+    // Kn5ProbTree four-tier probability (both also composed into
+    // q_kn5_lines, so the two oracles cannot drift) — self-trained,
+    // so inner joins carry the seen branches everywhere.
+    "q_kn5_score" ->
+      (s"WITH $Kn5ModelCtes," + "\n" +
+        s"""scored AS (
+          |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_5grams,
+          |    avg(ln(
+          |      $Kn5ProbTree
+          |    )) AS avg_logp
+          |  FROM g5d g JOIN q5 USING (fg) JOIN ctx4 USING (c4k)
+          |    JOIN q4 USING (g4) JOIN ctx3 USING (c3k)
+          |    JOIN tri USING (tg) JOIN ctx2 USING (c2k)
+          |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+          |  CROSS JOIN tys CROSS JOIN voc
+          |  GROUP BY g.doc_id)
+          |SELECT d.doc_id, s.n_5grams, round(s.avg_logp, 6) AS avg_logp
+          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+
+    // q_kn_lines' line CTEs + the shared Kn5ModelCtes/Kn5ProbTree:
+    // every within-line 5-gram of the doc-trained model hits, so inner
+    // joins carry the seen branches (identical parenthesization).
+    "q_kn5_lines" ->
+      ("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |nl AS (SELECT doc_id,
+        |  [array_to_string(tk[i*8+1 : i*8+8], ' ')
+        |   for i in generate_series(0, (len(tk)-1)//8)] AS lines
+        |  FROM tk),
+        |l AS (SELECT doc_id,
+        |  unnest([{'pos': i - 1, 'line': lines[i]}
+        |          for i in generate_series(1, len(lines))],
+        |         recursive := true)
+        |  FROM nl),""".stripMargin + "\n" +
+        s"$Kn5ModelCtes," + "\n" +
+        s"""lt AS (SELECT doc_id, pos, string_split(line, ' ') AS t FROM l),
+          |lp5 AS (SELECT doc_id, pos, t, unnest(generate_series(1, len(t) - 4)) AS i
+          |        FROM lt),
+          |lg5 AS (SELECT doc_id, pos,
+          |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS fg,
+          |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS c4k,
+          |         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS g4,
+          |         t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS c3k,
+          |         t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4] AS tg,
+          |         t[i + 2] || ' ' || t[i + 3] AS c2k,
+          |         t[i + 3] || ' ' || t[i + 4] AS bg,
+          |         t[i + 3] AS w1, t[i + 4] AS w2 FROM lp5),
+          |sc5 AS (
+          |  SELECT lg5.doc_id, lg5.pos, CAST(count(*) AS INT) AS n_5grams,
+          |    avg(ln(
+          |      $Kn5ProbTree
+          |    )) AS avg_logp
+          |  FROM lg5 JOIN q5 USING (fg) JOIN ctx4 USING (c4k)
+          |    JOIN q4 USING (g4) JOIN ctx3 USING (c3k)
+          |    JOIN tri USING (tg) JOIN ctx2 USING (c2k)
+          |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+          |  CROSS JOIN tys CROSS JOIN voc
+          |  GROUP BY lg5.doc_id, lg5.pos)
+          |SELECT l.doc_id, CAST(l.pos AS INT) AS pos, l.line,
+          |  sc5.n_5grams, round(sc5.avg_logp, 6) AS avg_logp
+          |FROM l LEFT JOIN sc5 ON l.doc_id = sc5.doc_id AND l.pos = sc5.pos
+          |ORDER BY l.doc_id, l.pos""".stripMargin),
 
     // The q_lm_score model CTEs (trained on FULL docs) scoring the
     // newline-ified corpus's lines: every within-line bigram also

@@ -571,6 +571,196 @@ object TextStats {
                alphaC: Double = 0.4): DataFrame =
     kn3ScoreWith(documents, kn3Model(documents), discount, alphaC)
 
+  /** 5-GRAM Kneser–Ney model (r16) — the production CCNet-class filter
+    * order ([[kn3Model]]'s scaladoc promised the generalization: one
+    * `kind` pair per extra order). The committed bigram AND trigram
+    * tiers are reused verbatim — [[kn3Model]]'s rows unchanged inside
+    * this artifact, so all three served orders share one backoff chain
+    * and can never drift — plus four new kinds:
+    *
+    *   - `g4`   (key = 4-gram,          cnt = c(uvwx))
+    *   - `ctx3` (key = "u v w",         cnt = c(uvw·) positions,
+    *             cnt2 = N1+(uvw·) distinct followers)
+    *   - `g5`   (key = 5-gram,          cnt = c(uvwxy))
+    *   - `ctx4` (key = "u v w x",       cnt = c(uvwx·) positions,
+    *             cnt2 = N1+(uvwx·) distinct followers)
+    *
+    * Each ctxN count is the (N+1)-gram-POSITION count (so the followers
+    * of a context sum to exactly its count — the identity absolute
+    * discounting needs at every tier). Scale: four more map-side-
+    * combinable aggregates over exploded shingles, unioned into the
+    * same kind-tagged layout; model size is bounded by the corpus's
+    * distinct-5-gram count, the same envelope every KenLM build pays.
+    */
+  def kn5Model(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    def tier(n: Int, gramKind: String, ctxKind: String): DataFrame = {
+      val g = toks.select(explode(shingles(col("t"), n)).as("g"))
+        .withColumn("ck", substring_index(col("g"), " ", n - 1))
+        .withColumn("w", substring_index(col("g"), " ", -1))
+      val gc = g.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .select(lit(gramKind).as("kind"), col("g").as("key"), col("cnt"),
+          lit(null).cast("long").as("cnt2"))
+      val cc = g.groupBy("ck")
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("w")).as("cnt2"))
+        .select(lit(ctxKind).as("kind"), col("ck").as("key"), col("cnt"),
+          col("cnt2"))
+      gc.unionByName(cc)
+    }
+    kn3Model(documents)
+      .unionByName(tier(4, "g4", "ctx3"))
+      .unionByName(tier(5, "g5", "ctx4"))
+  }
+
+  /** Train-and-commit [[kn5Model]] (the knRefresh idiom). */
+  def kn5Refresh(documents: DataFrame, table: String): Int =
+    graft.io.Manifest.write(kn5Model(documents), table)
+
+  /** Score documents under a persisted [[kn5Model]] — interpolated
+    * 5-gram Kneser–Ney backing off order by order THROUGH THE COMMITTED
+    * LOWER TIERS:
+    *
+    *   P5(y|uvwx) = max(c(uvwxy) − d, 0)/c(uvwx)
+    *                + (d·N1+(uvwx·)/c(uvwx))·P4(y|vwx)
+    *                ... or P4(y|vwx) alone when uvwx was never a context,
+    *
+    * and identically P4 → P3 → P2, with P3/P2 exactly
+    * [[kn3ScoreWith]]/[[knScoreWith]]'s trees — an unseen 5-gram
+    * context degrades to precisely the committed 4-gram tier, an
+    * unseen 4-gram context to the committed trigram model, and a
+    * wholly unseen word still bottoms out on the positive continuation
+    * floor. Raw counts at every middle tier (the documented departure
+    * from textbook modified-KN's continuation counts) keep each tier
+    * IDENTICAL to the lower-order committed artifact, so one chain
+    * serves all orders and order-k scores never disagree with the
+    * standalone order-k model.
+    *
+    * Output: (doc_id, n_5grams, avg_logp), nulls for docs under 5
+    * tokens. Scale posture: nine shuffle_hash equi-joins against count
+    * relations + one broadcast scalar row + one combinable per-doc
+    * average; division/multiplication over exact longs before the one
+    * `ln` (the knScoreWith parity contract, three tiers taller).
+    */
+  def kn5ScoreWith(documents: DataFrame, model: DataFrame,
+                   discount: Double = 0.75,
+                   alphaC: Double = 0.4): DataFrame = {
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks
+      .select(col("doc_id"), explode(shingles(col("t"), 5)).as("fg"))
+    val scored = kn5Scored(grams, model, Seq("doc_id"), discount, alphaC)
+    documents.select("doc_id").join(scored, Seq("doc_id"), "left")
+  }
+
+  /** The shared 5-gram-KN scoring tail over a prepared 5-gram stream
+    * (`grams`: groupCols + `fg`) — ONE expression tree for the document
+    * ([[kn5ScoreWith]]) and line ([[kn5ScoreLines]]) grains, so they
+    * cannot drift (the [[knScored]] convention three orders up).
+    */
+  private def kn5Scored(grams0: DataFrame, model: DataFrame,
+                        groupCols: Seq[String], discount: Double,
+                        alphaC: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    val grams = grams0
+      .withColumn("c4k", substring_index(col("fg"), " ", 4))
+      .withColumn("g4", substring_index(col("fg"), " ", -4))
+      .withColumn("c3k", substring_index(col("g4"), " ", 3))
+      .withColumn("tg", substring_index(col("fg"), " ", -3))
+      .withColumn("c2k", substring_index(col("tg"), " ", 2))
+      .withColumn("bg", substring_index(col("fg"), " ", -2))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val g5C = model.filter(col("kind") === "g5")
+      .select(col("key").as("fg"), col("cnt").as("c5"))
+    val ctx4C = model.filter(col("kind") === "ctx4")
+      .select(col("key").as("c4k"), col("cnt").as("cuvwx"),
+        col("cnt2").as("nf4"))
+    val g4C = model.filter(col("kind") === "g4")
+      .select(col("key").as("g4"), col("cnt").as("c4"))
+    val ctx3C = model.filter(col("kind") === "ctx3")
+      .select(col("key").as("c3k"), col("cnt").as("cuvw"),
+        col("cnt2").as("nf3"))
+    val triC = model.filter(col("kind") === "tri")
+      .select(col("key").as("tg"), col("cnt").as("c3"))
+    val ctx2C = model.filter(col("kind") === "ctx2")
+      .select(col("key").as("c2k"), col("cnt").as("cuv"),
+        col("cnt2").as("nf2"))
+    val biC = model.filter(col("kind") === "bi")
+      .select(col("key").as("bg"), col("cnt").as("c2"))
+    val ctxC = model.filter(col("kind") === "ctx")
+      .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
+    val npC = model.filter(col("kind") === "np")
+      .select(col("key").as("pw"), col("cnt").as("np"))
+    val scalars = model.filter(col("kind") === "types")
+      .select(col("cnt").as("types"))
+      .crossJoin(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
+    // tiers 2 and 3: knScored's / kn3Scored's trees verbatim
+    val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
+      (col("types") + lit(alphaC) * col("v"))
+    val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cv") +
+      lit(discount) * col("nf") / col("cv") * pcont
+    val p2 = when(col("cv").isNull, pcont).otherwise(pSeen)
+    val p3Seen = greatest(coalesce(col("c3"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cuv") +
+      lit(discount) * col("nf2") / col("cuv") * p2
+    val p3 = when(col("cuv").isNull, p2).otherwise(p3Seen)
+    val p4Seen = greatest(coalesce(col("c4"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cuvw") +
+      lit(discount) * col("nf3") / col("cuvw") * p3
+    val p4 = when(col("cuvw").isNull, p3).otherwise(p4Seen)
+    val p5Seen = greatest(coalesce(col("c5"), lit(0L)) - lit(discount),
+      lit(0.0)) / col("cuvwx") +
+      lit(discount) * col("nf4") / col("cuvwx") * p4
+    grams
+      .join(g5C.hint("shuffle_hash"), Seq("fg"), "left")
+      .join(ctx4C.hint("shuffle_hash"), Seq("c4k"), "left")
+      .join(g4C.hint("shuffle_hash"), Seq("g4"), "left")
+      .join(ctx3C.hint("shuffle_hash"), Seq("c3k"), "left")
+      .join(triC.hint("shuffle_hash"), Seq("tg"), "left")
+      .join(ctx2C.hint("shuffle_hash"), Seq("c2k"), "left")
+      .join(biC.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(ctxC.hint("shuffle_hash"), col("w1") === col("cw"), "left")
+      .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("logp", log(when(col("cuvwx").isNull, p4).otherwise(p5Seen)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_5grams"),
+        avg(col("logp")).as("avg_logp"))
+  }
+
+  /** Per-LINE 5-gram-KN scoring under a served [[kn5Model]] —
+    * [[kn3ScoreLines]] two orders up: CCNet's filtering unit at the
+    * production model order. Lines are contiguous token runs, so a
+    * model trained on the full docs hits every within-line 5-gram
+    * join; the backoff tiers still guard foreign corpora. Output:
+    * (doc_id, pos, line, n_5grams, avg_logp), NULL score for lines
+    * under 5 tokens.
+    */
+  def kn5ScoreLines(documents: DataFrame, model: DataFrame,
+                    discount: Double = 0.75, alphaC: Double = 0.4,
+                    delim: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val lines = documents
+      .select(col("doc_id"), posexplode(split(col("text"), q))
+        .as(Seq("pos", "line")))
+    val grams = lines
+      .select(col("doc_id"), col("pos"),
+        explode(shingles(tokens(col("line")), 5)).as("fg"))
+    val scored = kn5Scored(grams, model, Seq("doc_id", "pos"),
+      discount, alphaC)
+    lines.join(scored, Seq("doc_id", "pos"), "left")
+  }
+
+  /** Self-trained 5-gram KN — fit ∘ serve of [[kn5Model]] /
+    * [[kn5ScoreWith]] (every join hits on the training corpus; the
+    * backoff branches never fire — the knScore contract at the
+    * production order).
+    */
+  def kn5Score(documents: DataFrame, discount: Double = 0.75,
+               alphaC: Double = 0.4): DataFrame =
+    kn5ScoreWith(documents, kn5Model(documents), discount, alphaC)
+
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram
     * profiling — pure codegen'd regex counting, no shuffle, and expressible

@@ -1019,6 +1019,77 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
   }
 
+  test("kn5ScoreWith: hand-computed four-tier tree; unseen 5-gram " +
+    "context backs off to the EXACT 4-gram tier, tier by tier to the " +
+    "continuation floor") {
+    import spark.implicits._
+    // 5-grams: "a b c d e"x2, "a b c d f"x1; ctx4("a b c d") = (3, 2)
+    // 4-grams: "a b c d"x3, "b c d e"x2, "b c d f"x1;
+    //   ctx3("a b c") = (3, 1), ctx3("b c d") = (3, 2)
+    // trigram/bigram tiers as in the kn3 fixture shape; types=5, V=6
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val model = TextStats.kn5Model(corpus)
+    def score(text: String) = TextStats.kn5ScoreWith(
+      Seq((9L, text)).toDF("doc_id", "text"), model).head().getDouble(2)
+    val pcE = (1 + 0.4) / (5 + 0.4 * 6)
+    val p2e = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcE // P2(e|d)
+    val p3e = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * p2e // P3(e|cd)
+    val p4e = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * p3e // P4(e|bcd)
+    val p5e = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * p4e // P5(e|abcd)
+    assert(math.abs(score("a b c d e") - math.log(p5e)) < 1e-12)
+    // unseen 5-gram context "x a b c": degrades to EXACTLY P4(d|abc)
+    val pcD = (1 + 0.4) / (5 + 0.4 * 6)
+    val p2d = (3 - 0.75) / 3.0 + 0.75 * 1 / 3.0 * pcD // P2(d|c)
+    val p3d = (3 - 0.75) / 3.0 + 0.75 * 1 / 3.0 * p2d // P3(d|bc)
+    val p4d = (3 - 0.75) / 3.0 + 0.75 * 1 / 3.0 * p3d // P4(d|abc)
+    assert(math.abs(score("x a b c d") - math.log(p4d)) < 1e-12,
+      "unseen top context must yield the exact 4-gram tier")
+    // two tiers unseen: degrades to P3(d|bc) — and that value must
+    // EQUAL the standalone kn3 model's score of the same trigram
+    // (kn3Model's rows ride inside kn5Model verbatim)
+    assert(math.abs(score("x y b c d") - math.log(p3d)) < 1e-12)
+    val kn3 = TextStats.kn3ScoreWith(
+      Seq((9L, "b c d")).toDF("doc_id", "text"),
+      TextStats.kn3Model(corpus)).head().getDouble(2)
+    assert(score("x y b c d") == kn3,
+      "order-3 degradation must equal the standalone trigram model bit-for-bit")
+    // wholly unseen: bottoms out on the continuation floor, positive
+    assert(math.abs(score("v w x y z") -
+      math.log(0.4 / (5 + 0.4 * 6))) < 1e-12)
+    // under 5 tokens: NULL (the knScoreWith null contract)
+    val short = TextStats.kn5ScoreWith(
+      Seq((9L, "a b c d")).toDF("doc_id", "text"), model).head()
+    assert(short.isNullAt(1) && short.isNullAt(2))
+    // Manifest round-trip serves the committed model exactly
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_kn5").toString + "/kn5"
+    TextStats.kn5Refresh(corpus, table)
+    val served = TextStats.kn5ScoreWith(corpus,
+      graft.io.Manifest.read(spark, table)).orderBy("doc_id").collect().toSeq
+    assert(served ==
+      TextStats.kn5Score(corpus).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("kn5ScoreLines: within-line 5-grams score under the doc-trained " +
+    "model; short lines NULL; line grain equals doc grain on a " +
+    "one-line doc") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val model = TextStats.kn5Model(corpus)
+    val nl = Seq((1L, "a b c d e\nx y")).toDF("doc_id", "text")
+    val rows = TextStats.kn5ScoreLines(nl, model)
+      .orderBy("doc_id", "pos").collect()
+    val doc = TextStats.kn5ScoreWith(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), model).head()
+    assert(rows(0).getInt(rows(0).fieldIndex("n_5grams")) == 1)
+    assert(rows(0).getDouble(rows(0).fieldIndex("avg_logp")) ==
+      doc.getDouble(2), "line grain must equal doc grain on one line")
+    // line 1 "x y": under 5 tokens -> NULL
+    assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
+  }
+
   test("lmRefresh: Manifest round-trip serves the committed model exactly") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
