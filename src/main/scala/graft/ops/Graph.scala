@@ -439,13 +439,21 @@ object Graph {
     * Frontier-based: round h relaxes only edges OUT of nodes whose
     * distance improved in round h−1, so a settled region stops paying;
     * unlike unit BFS a reached node CAN improve later (the cheaper
-    * longer path arrives in a later round), so state is the reached
-    * (node, dist) relation re-checkpointed per round — write volume
-    * O(rounds · |reached|), the honest price of re-improvable state
-    * (the unit-BFS delta compaction does not apply; its first-touch-
-    * is-final argument is exactly what weights break). Rounds bound
-    * path LENGTH: after `maxRounds` rounds every cheapest path of at
-    * most `maxRounds` edges is exact (full Bellman-Ford needs |V|−1).
+    * longer path arrives in a later round). State is DELTA-CHECKPOINTED
+    * (r16, closing the r15 verdict's named caveat): each round persists
+    * only its IMPROVED rows, and the current state is the lazy
+    * groupBy-MIN over the delta frames — correct because every
+    * improvement strictly lowers a node's value, so the minimum across
+    * all recorded values IS the latest. Write volume drops from
+    * O(rounds · |reached|) (the r15 full-state re-checkpoint) to
+    * O(Σ improved) — on the sf0.1 bench graph that is the difference
+    * between re-writing the whole reached relation six times and
+    * writing each node's improvements only. Past 8 frames the older
+    * deltas fold into one compacted groupBy-MIN checkpoint (the
+    * [[hopDistance]] fold, adapted to re-improvable state — fold =
+    * min-merge, not append). Rounds bound path LENGTH: after
+    * `maxRounds` rounds every cheapest path of at most `maxRounds`
+    * edges is exact (full Bellman-Ford needs |V|−1).
     *
     * Stops early when a round improves nothing — min-plus is idempotent
     * at the fixpoint (a no-improvement round reproduces itself), so the
@@ -459,10 +467,16 @@ object Graph {
     *
     * Output: (node, dist) one row per `nodes` row — dist NULL when the
     * node is unreachable from every seed within `maxRounds` edges.
+    * `checkpointRows`, when supplied, records the row count persisted
+    * each round (init + per-round improvements) — the write-volume
+    * instrument the delta design is measured by.
     */
   def hopDistanceWeighted(nodes: DataFrame, edges: DataFrame,
                           seeds: DataFrame,
-                          maxRounds: Int = 6): DataFrame = {
+                          maxRounds: Int = 6,
+                          checkpointRows:
+                            Option[scala.collection.mutable.Buffer[Long]] =
+                            None): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     graft.withLoopAqeOff(nodes.sparkSession) {
     val guarded = when(col("weight") >= 0, col("weight"))
@@ -474,39 +488,149 @@ object Graph {
         .groupBy("src", "dst").agg(min("weight").as("weight"))
         .repartition(col("src")))
     val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
-    var state = nodeTbl
+    val init = nodeTbl
       .join(seeds.select(col("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(false)
-    var frontier = state
+    val fin = minPlusLoop(nodeTbl, edgeTbl, init, maxRounds, checkpointRows)
+    nodeTbl.join(fin, Seq("node"), "left")
+      .select(col("node"), col("dist"))
+    }
+  }
+
+  /** The shared min-plus relaxation loop over DELTA-CHECKPOINTED state —
+    * one body for [[hopDistanceWeighted]] (weighted edges, cold seeds)
+    * and [[hopDistanceFrom]] (unit edges, warm state), so the two reads
+    * cannot drift. `init` is the round-0 state (node, dist), already
+    * restricted to `nodeTbl`; `edgeTbl`/`nodeTbl` are pinned by the
+    * caller. Per round: relax only the previous round's improved rows'
+    * out-edges, persist ONLY the improvements (every improvement
+    * strictly lowers a value, so the lazy groupBy-MIN over the frames
+    * is the current state), fold frames past the window. Stops early
+    * when a round improves nothing — min-plus is idempotent at the
+    * fixpoint, so the early-stopped state equals the fixed unroll
+    * bit-for-bit. Returns the final (node, dist) state relation.
+    */
+  private def minPlusLoop(nodeTbl: DataFrame, edgeTbl: DataFrame,
+                          init: DataFrame, maxRounds: Int,
+                          checkpointRows:
+                            Option[scala.collection.mutable.Buffer[Long]])
+      : DataFrame = {
+    var frontier = init.localCheckpoint(false)
+    val deltas = scala.collection.mutable.Buffer(frontier)
+    def stateView = deltas.reduce(_ unionAll _)
+      .groupBy("node").agg(min("dist").as("dist"))
     var round = 0
     var frontierSize = frontier.count()
+    checkpointRows.foreach(_ += frontierSize)
     while (round < maxRounds && frontierSize > 0) {
       round += 1
+      // the hopDistance fold window, adapted to re-improvable state:
+      // fold = groupBy-MIN compaction (an append-only fold would keep
+      // superseded values alive and the state view would be wrong)
+      if (deltas.size > 8) {
+        val keep = deltas.last
+        val folded = deltas.dropRight(1).reduce(_ unionAll _)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(false)
+        folded.count()
+        deltas.dropRight(1).foreach(graft.unpersistCheckpoint)
+        deltas.clear()
+        deltas += folded
+        deltas += keep
+      }
       // relax only the improved nodes' out-edges; phantom endpoints
       // (absent from `nodes`) neither settle nor propagate — the
       // hopDistance guard, same reason
-      val cand = edgeTbl
+      val improved = edgeTbl
         .join(frontier.select(col("node").as("src"), col("dist")), "src")
         .select(col("dst").as("node"), (col("dist") + col("weight")).as("c"))
         .groupBy("node").agg(min("c").as("c"))
         .join(nodeTbl, Seq("node"), "left_semi")
-      val improves = col("c").isNotNull &&
-        (col("dist").isNull || col("c") < col("dist"))
-      val next = state.join(cand, Seq("node"), "full_outer")
-        .select(col("node"),
-          when(improves, col("c")).otherwise(col("dist")).as("dist"),
-          improves.as("_imp"))
+        .join(stateView, Seq("node"), "left")
+        .filter(col("dist").isNull || col("c") < col("dist"))
+        .select(col("node"), col("c").as("dist"))
         .localCheckpoint(false)
-      // materialize + measure in one action
-      frontierSize = next.filter(col("_imp")).count()
-      graft.unpersistCheckpoint(state)
-      state = next
-      frontier = next.filter(col("_imp")).select(col("node"), col("dist"))
+      frontierSize = improved.count()
+      checkpointRows.foreach(_ += frontierSize)
+      frontier = improved
+      deltas += improved
     }
-    nodeTbl.join(state.select(col("node"), col("dist")), Seq("node"), "left")
-      .select(col("node"), col("dist"))
+    stateView
+  }
+
+  /** WARM-CONTINUE a committed hop-distance relation through `rounds`
+    * more min-plus relaxation rounds over the CURRENT edge table — the
+    * [[labelPropFrom]] contract at the distance family (r16, the one
+    * graph family that still recomputed cold every run): `state` is a
+    * previously computed (node, hops) relation; its non-null rows enter
+    * as upper bounds (seeds re-pinned to 0), and unit-weight relaxation
+    * improves them wherever the grown edge set opened a shorter path.
+    *
+    * Correctness contract (why warm start is sound here): min-plus
+    * relaxation converges to the unique shortest-distance fixpoint from
+    * ANY state whose values are valid upper bounds, and a distance
+    * computed on FEWER edges is always an upper bound on the distance
+    * over more — so this is exact under the edge registry's append-only
+    * growth (the only mutation [[graft.streaming.IncrementalStream]]'s
+    * maintenance loop performs). Edge REMOVAL would break it (distances
+    * may need to increase; a stale low bound never re-rises) — that is
+    * a [[distanceRefresh]] from cold, same as every registry family.
+    *
+    * On unchanged edges a CONVERGED state improves nothing and passes
+    * through bit-for-bit (min-plus idempotence), so warm(cold(g1), g1⊎g2)
+    * equals cold(g1⊎g2) once both converge — GraphSpec pins it. Unlike
+    * unit [[hopDistance]]'s first-touch delta loop, the warm loop must
+    * allow RE-improvement (a committed distance can shrink when a new
+    * edge lands), so it runs the [[minPlusLoop]] shape with unit
+    * weights. Round 1 relaxes every warm row's out-edges (one full
+    * sweep — the state does not record WHICH edges are new); subsequent
+    * rounds pay only for what actually improved.
+    *
+    * Output: (node, hops), one row per `nodes` row, NULL when
+    * unreached. New nodes (in `nodes` but not `state`) enter unreached
+    * and acquire distances through relaxation, exactly as a batch
+    * replay would place them.
+    */
+  def hopDistanceFrom(state: DataFrame, nodes: DataFrame, edges: DataFrame,
+                      seeds: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
+    val edgeTbl = graft.CacheScope.pin(
+      edges.select(col("src"), col("dst")).distinct()
+        .select(col("src"), col("dst"), lit(1L).as("weight"))
+        .repartition(col("src")))
+    val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
+    val init = nodeTbl
+      .join(state.select(col("node"), col("hops")), Seq("node"), "left")
+      .join(seeds.select(col("node")).distinct()
+        .select(col("node"), lit(true).as("_seed")), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_seed"), lit(0L)).otherwise(col("hops")).as("dist"))
+      .filter(col("dist").isNotNull)
+    val fin = minPlusLoop(nodeTbl, edgeTbl, init, rounds, None)
+    nodeTbl.join(fin, Seq("node"), "left")
+      .select(col("node"), col("dist").as("hops"))
     }
+  }
+
+  /** Build-and-commit the hop-distance relation as a versioned Manifest
+    * snapshot (the [[authorityRefresh]] idiom — cold [[hopDistance]]
+    * from the seed set). Returns the version. */
+  def distanceRefresh(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                      table: String, maxHops: Int = 6): Int =
+    graft.io.Manifest.write(hopDistance(nodes, edges, seeds, maxHops), table)
+
+  /** Registry MAINTENANCE — warm-continue the committed distances
+    * through `rounds` more relaxation rounds over the CURRENT edge
+    * table ([[hopDistanceFrom]]) and commit the next version. Sound
+    * only under append-only edge growth — see [[hopDistanceFrom]]'s
+    * contract. Returns the new version. */
+  def distanceUpdate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                     table: String, rounds: Int = 2): Int = {
+    val spark = nodes.sparkSession
+    graft.io.Manifest.write(
+      hopDistanceFrom(graft.io.Manifest.read(spark, table), nodes, edges,
+        seeds, rounds), table)
   }
 
   /** Community detection by synchronous weighted label propagation

@@ -387,6 +387,47 @@ object Multimodal {
       .select("media_inc", "media_corp", "hamming")
   }
 
+  /** Build-and-commit the (media_id, phash) fingerprint table as a
+    * versioned Manifest snapshot — the persisted corpus side every
+    * [[imageNearDupAgainst]] probe reads (decode once, serve forever:
+    * the real deployment never re-decodes the corpus). Returns the
+    * version. The containmentIndex refresh idiom at the image family.
+    */
+  def phashRefresh(media: Dataset[MediaRow], table: String): Int =
+    graft.io.Manifest.write(perceptualHashes(media), table)
+
+  /** Registry MAINTENANCE — decode an ACCEPTED batch's payloads and
+    * union their fingerprints into the committed phash table
+    * (Dedup.containmentIndexUpdate's contract: per-media rows, so
+    * union IS the merge; `tag` carries the streaming batchId for
+    * replay-idempotent commits). Returns the new version.
+    */
+  def phashUpdate(table: String, media: Dataset[MediaRow],
+                  tag: Option[String] = None): Int = {
+    val spark = media.sparkSession
+    val next = graft.io.Manifest.read(spark, table)
+      .unionByName(perceptualHashes(media))
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
+      case None    => graft.io.Manifest.write(next, table)
+    }
+  }
+
+  /** Registry DELETE — [[phashUpdate]]'s inverse: drop removed media ids
+    * and commit (rows are per-media, so an id anti-join IS the exact
+    * retraction — the containmentIndexRetract contract). Returns the
+    * new version.
+    */
+  def phashRetract(table: String, removedIds: DataFrame): Int = {
+    val spark = removedIds.sparkSession
+    graft.io.Manifest.write(
+      graft.io.Manifest.read(spark, table)
+        .join(broadcast(removedIds.select(col("media_id"))),
+          Seq("media_id"), "left_anti")
+        .select("media_id", "phash"),
+      table)
+  }
+
   /** Column-level metadata pass (no decode): cheap stats that should NOT
     * pay the decode cost — pure codegen'd expressions over the binary.
     */

@@ -974,6 +974,45 @@ object IncrementalStream {
         case None => graft.ops.Graph.labelPropagate(nodes, edges, rounds)
       })
 
+  /** [[runAuthorityStream]]'s maintenance loop at the DISTANCE family
+    * (r16 — the last graph family outside the shared maintenance
+    * body): per edge micro-batch, merge the delta into the persisted
+    * weighted edge registry, then warm-continue the committed
+    * hop-distance relation through `rounds` more unit min-plus
+    * relaxation rounds ([[graft.ops.Graph.hopDistanceFrom]] — first
+    * batch cold-starts via [[graft.ops.Graph.hopDistance]] at
+    * `maxHops`). The warm start is exact BECAUSE this loop only ever
+    * grows the edge registry (append + re-aggregate): a committed
+    * distance is an upper bound over more edges, and min-plus
+    * relaxation converges from any upper bound — see
+    * hopDistanceFrom's contract (edge removal demands a cold
+    * distanceRefresh instead). New nodes enter unreached and acquire
+    * distances through relaxation, exactly as a batch replay would
+    * place them, so the streamed relation equals the batch chain
+    * `hopDistanceFrom(hopDistance(g1, h), g1 ⊎ g2, seeds, k)`
+    * bit-for-bit — StreamingSpec pins it. Exactly-once posture, tag
+    * scoping, and the single-maintenance-writer OWNERSHIP contract:
+    * the [[runGraphMaintenanceStream]] argument verbatim.
+    */
+  def runDistanceStream(edgeStream: DataFrame,
+                        edgeTable: String, distanceTable: String,
+                        checkpoint: String, seeds: Seq[Long],
+                        rounds: Int = 2, maxHops: Int = 6,
+                        tagScope: Option[String] = None): StreamingQuery =
+    runGraphMaintenanceStream(edgeStream, edgeTable, distanceTable,
+      checkpoint, "distance", tagScope,
+      advance = (nodes, edges, state) => {
+        val sp = nodes.sparkSession
+        import sp.implicits._
+        val seedDf = seeds.toDF("node")
+        state match {
+          case Some(s) =>
+            graft.ops.Graph.hopDistanceFrom(s, nodes, edges, seedDf, rounds)
+          case None =>
+            graft.ops.Graph.hopDistance(nodes, edges, seedDf, maxHops)
+        }
+      })
+
   /** The two-leg graph maintenance loop shared by the authority and
     * community streams — one body, one replay-idempotency proof:
     *
@@ -1223,6 +1262,67 @@ object IncrementalStream {
       update = (accepted, tag) => graft.ops.Similarity.embedSignatureUpdate(
         registryTable, accepted, nPlanes, bands, dim, seed,
         tag = Some(tag)))
+
+  /** [[runFuzzyIngest]]'s loop at the IMAGE family (r16 — the last
+    * asymmetric registry family without the live probe→accept→update
+    * loop): per micro-batch of media rows (media_id, kind, payload,
+    * source_uri),
+    *
+    *   0. within-batch EXACT dedup on the payload BYTES (lowest
+    *      media_id per identical blob; a recompressed near-copy inside
+    *      one batch is admitted — the siblings' documented posture);
+    *   1. PROBE the batch against the committed phash registry
+    *      ([[graft.ops.Multimodal.imageNearDupAgainst]] — only the
+    *      batch pays the decode + dHash; the corpus side reads its
+    *      persisted (media_id, phash) rows alone, so per-batch cost is
+    *      O(batch + candidates) regardless of corpus size, and corpus
+    *      payloads are NEVER re-decoded);
+    *   2. ACCEPT images with no corpus image within `maxHamming` bits
+    *      (an exact resend is a hamming-0 match and drops; a
+    *      recompressed near-copy of a corpus image lands within the
+    *      dHash tolerance and drops — the perceptual gate byte-exact
+    *      dedup cannot express);
+    *   3. append accepted rows to `acceptedPath` (batchId-keyed
+    *      OVERWRITE subdir) and [[graft.ops.Multimodal.phashUpdate]]
+    *      the registry, tagged with the batchId.
+    *
+    * Unlike the text families there is no corpus-payload side-read at
+    * all: the phash registry is self-sufficient (the probe needs
+    * hashes, not pixels), so `corpusWithAccepted` does not apply —
+    * accepted batches become probe-able the moment their hashes commit.
+    * Replay-idempotency: the [[runFuzzyIngest]] argument verbatim
+    * (candidates from the registry alone; a crash between the parquet
+    * write and the registry commit recomputes the identical accepted
+    * set and overwrites its own subdir). Undecodable payloads never
+    * hash, so they pass the gate and are accepted — garbage filtering
+    * is a quality rule's job, not the dedup gate's. Seed the registry
+    * with [[graft.ops.Multimodal.phashRefresh]] before starting.
+    */
+  def runImageIngest(batchStream: DataFrame, registryTable: String,
+                     acceptedPath: String, checkpoint: String,
+                     maxHamming: Int = 3, bands: Int = 4,
+                     maxBucketSize: Long = Long.MaxValue,
+                     tagScope: Option[String] = None): StreamingQuery =
+    runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
+      "media_id", "payload", "image-ingest", tagScope,
+      probe = (registry, deduped) => {
+        val sp = deduped.sparkSession
+        import sp.implicits._
+        graft.ops.Multimodal.imageNearDupAgainst(
+          deduped.select(col("media_id"), col("kind"), col("payload"),
+            col("source_uri")).as[graft.ops.Multimodal.MediaRow],
+          registry, maxHamming, bands, maxBucketSize)
+      },
+      matchIncCol = "media_inc",
+      update = (accepted, tag) => {
+        val sp = accepted.sparkSession
+        import sp.implicits._
+        graft.ops.Multimodal.phashUpdate(registryTable,
+          accepted.select(col("media_id"), col("kind"), col("payload"),
+            col("source_uri")).as[graft.ops.Multimodal.MediaRow],
+          tag = Some(tag))
+        ()
+      })
 
   /** Seed corpus plus any previously-accepted batches — the corpus view
     * a text-reading probe serves candidate ids from (accepted docs must

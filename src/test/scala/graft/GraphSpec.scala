@@ -453,6 +453,67 @@ class GraphSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("hopDistanceWeighted: delta checkpoints persist only the " +
+    "improvements, never the full reached relation") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L), (1L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val rows = scala.collection.mutable.Buffer.empty[Long]
+    Graph.hopDistanceWeighted(ns, es, Seq(1L).toDF("node"),
+      maxRounds = 4, checkpointRows = Some(rows)).collect()
+    CacheScope.release(spark)
+    // init: the 1 seed; round 1 improves {2,3,4}; round 2 re-improves
+    // {3} (20 < 100); round 3 improves nothing and stops. Total persisted
+    // rows 1+3+1+0 = 5 — the r15 full-state design re-checkpointed the
+    // whole reached relation each round (1+4+5+5 = 15 on this fixture).
+    assert(rows.toSeq == Seq(1L, 3L, 1L, 0L), s"got $rows")
+  }
+
+  test("distance registry: warm-start converges to cold " +
+    "(from(cold(k1), k1+k2) == cold(k1+k2)); converged state passes " +
+    "through unchanged; refresh/update commit versions") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+    // k1: the path 1→2→3→4; k2 opens a SHORTCUT to 4 (via 5) and
+    // extends the reach to 6 — so warm continuation must both
+    // RE-IMPROVE a committed distance (4: 3→2) and fill new nulls
+    val k1 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val k12 = k1.unionByName(
+      Seq((1L, 5L), (5L, 4L), (4L, 6L)).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("node")
+    def asMap(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      CacheScope.release(spark)
+      m
+    }
+    val cold1 = asMap(Graph.hopDistance(ns, k1, seeds, maxHops = 6))
+    assert(cold1 == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> None, 6L -> None), s"fixture: $cold1")
+    val cold12 = asMap(Graph.hopDistance(ns, k12, seeds, maxHops = 6))
+    assert(cold12 == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(2L), 5L -> Some(1L), 6L -> Some(3L)), s"fixture: $cold12")
+    // warm composition: cold(k1) then enough warm rounds over k1+k2
+    // equals cold(k1+k2) — including the re-improved node 4
+    val warm = asMap(Graph.hopDistanceFrom(
+      Graph.hopDistance(ns, k1, seeds, maxHops = 6), ns, k12, seeds,
+      rounds = 4))
+    assert(warm == cold12, s"warm must converge to cold: $warm")
+    // registry: refresh commits v1 (cold k1), update warm-continues to
+    // v2 == cold(k1+k2); a further update on UNCHANGED edges is the
+    // min-plus fixpoint passing through bit-for-bit (v3 == v2)
+    val dir = java.nio.file.Files.createTempDirectory("distreg").toString
+    val table = s"$dir/distances"
+    assert(Graph.distanceRefresh(ns, k1, seeds, table, maxHops = 6) == 1)
+    assert(Graph.distanceUpdate(ns, k12, seeds, table, rounds = 4) == 2)
+    assert(asMap(graft.io.Manifest.read(spark, table)) == cold12)
+    assert(Graph.distanceUpdate(ns, k12, seeds, table, rounds = 2) == 3)
+    assert(asMap(graft.io.Manifest.read(spark, table)) == cold12,
+      "a converged state must pass through warm rounds unchanged")
+    assert(asMap(graft.io.Manifest.readVersion(spark, table, 1)) == cold1,
+      "v1 still time-travels to the cold k1 relation")
+  }
+
   test("labelPropagate: two weight-10 triangles over a weight-1 bridge " +
     "converge to per-triangle min labels; isolated keeps its own") {
     val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")

@@ -530,6 +530,103 @@ class StreamingSpec extends SparkSpec {
       "the replayed batch must not commit another registry version")
   }
 
+  test("streaming image ingest: the phash registry advances between " +
+    "batches; recompressed near-copy and exact resend drop; replay " +
+    "never double-admits") {
+    import graft.ops.Multimodal
+    val root = Files.createTempDirectory("graft_iming").toString
+    def encodeImg(pix: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) bi.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    // distinct dHash classes: ascending/descending horizontal gradients
+    // and their half-height mixes sit ≥ tens of bits apart; the one-hot
+    // -pixel variant of a gradient sits within the tolerance
+    val asc = (x: Int, _: Int) => grey(x * 8)
+    val desc = (x: Int, _: Int) => grey(255 - x * 8)
+    val novelApix = (x: Int, y: Int) =>
+      if (y < 16) grey(x * 8) else grey(255 - x * 8)
+    val novelBpix = (x: Int, y: Int) =>
+      if (y < 16) grey(255 - x * 8) else grey(x * 8)
+    val near10pix = (x: Int, y: Int) =>
+      if (x == 5 && y == 5) 0xffffff else asc(x, y)
+    val seed10 = encodeImg(asc, "png")
+    val seed12 = encodeImg(desc, "png")
+    val novelA = encodeImg(novelApix, "png")
+    val novelArec = encodeImg(novelApix, "bmp") // recompressed container
+    val novelB = encodeImg(novelBpix, "png")
+    val near10 = encodeImg(near10pix, "png")
+    def media(id: Long, p: Array[Byte]) =
+      Multimodal.MediaRow(id, "image", p, s"synthetic://$id")
+    // fixture sanity: the tolerance gaps the waves rely on really hold
+    val hs = Multimodal.perceptualHashes(spark.createDataset(Seq(
+      media(1L, seed10), media(2L, seed12), media(3L, novelA),
+      media(4L, novelB), media(5L, near10), media(6L, novelArec))))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 5L) <= 3, s"near-copy must be in tolerance: ${ham(1L, 5L)}")
+    assert(hs(3L) == hs(6L), "recompression must not change the dHash")
+    assert(Seq(ham(1L, 3L), ham(1L, 4L), ham(2L, 3L), ham(2L, 4L),
+      ham(3L, 4L), ham(2L, 5L)).forall(_ > 3),
+      s"novel fixtures must be far from seeds and each other: $hs")
+    val registry = s"$root/phash"
+    assert(Multimodal.phashRefresh(spark.createDataset(Seq(
+      media(10L, seed10), media(12L, seed12))), registry) == 1)
+    val mem = MemoryStream[(Long, String, Array[Byte], String)](spark)
+    def drain(): Unit = {
+      IncrementalStream.runImageIngest(
+        mem.toDF().toDF("media_id", "kind", "payload", "source_uri"),
+        registry, s"$root/accepted", s"$root/ckpt")
+      ()
+    }
+    // wave 1: the novel image is accepted; the near-copy of seed 10
+    // (one hot pixel away) drops through the seeded registry
+    mem.addData((21L, "image", novelA, "u21"), (23L, "image", near10, "u23"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("media_id").as[Long].collect().toSeq == Seq(21L))
+    // wave 2: a RECOMPRESSED copy of wave-1-accepted 21 drops (the
+    // registry advanced — the seed registry never saw that hash); a
+    // novel image is accepted; an exact byte resend of novelA is a
+    // hamming-0 match and drops; a same-batch duplicate of novelB
+    // admits only the lowest id (within-batch exact payload dedup)
+    mem.addData((31L, "image", novelArec, "u31"), (33L, "image", novelB, "u33"),
+      (35L, "image", novelA, "u35"), (37L, "image", novelB, "u37"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("media_id").as[Long].collect().toSet == Set(21L, 33L),
+      "wave-2 recompressed near-copy and exact resend must drop")
+    assert(graft.io.Manifest.currentTag(spark, registry)
+      .exists(t => t.startsWith("image-ingest-") && t.contains("-batch-")))
+    // replay leg: a fully-committed batch replayed from a FRESH
+    // checkpoint (same explicit tag scope) skips outright
+    val root2 = Files.createTempDirectory("graft_iming_rp").toString
+    val table2 = s"$root2/phash"
+    assert(Multimodal.phashRefresh(spark.createDataset(Seq(
+      media(10L, seed10), media(12L, seed12))), table2) == 1)
+    def drainWith(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, String, Array[Byte], String)](spark)
+      m.addData((21L, "image", novelA, "u21"))
+      IncrementalStream.runImageIngest(
+        m.toDF().toDF("media_id", "kind", "payload", "source_uri"),
+        table2, s"$root2/accepted", ckpt, tagScope = Some("t"))
+      ()
+    }
+    drainWith(s"$root2/ckpt1")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2))
+    drainWith(s"$root2/ckpt2")
+    assert(spark.read.parquet(s"$root2/accepted")
+      .select("media_id").as[Long].collect().toSeq == Seq(21L),
+      "the replayed batch must not append a second copy of image 21")
+    assert(graft.io.Manifest.currentVersion(spark, table2).contains(2),
+      "the replayed batch must not commit another registry version")
+  }
+
   test("streaming embed ingest: the band registry advances between " +
     "batches; near-copy and exact resend drop; replay never " +
     "double-admits") {
@@ -1578,6 +1675,79 @@ class StreamingSpec extends SparkSpec {
       .contains(1), "replayed label leg must skip — extra rounds drift")
     assert(graft.io.Manifest.read(spark, s"$root2/communities")
       .as[(Long, Long)].collect().toMap == labels1)
+    CacheScope.release(spark)
+  }
+
+  test("streaming distance maintenance: edge merge advances the " +
+    "registry and warm min-plus rounds equal the batch replay chain " +
+    "(including a RE-IMPROVED committed distance); replay never " +
+    "double-advances") {
+    import graft.ops.Graph
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_distance").toString
+    val edgeTable = s"$root/edges"
+    val distTable = s"$root/distances"
+    // wave 1: the path 1→2→3→4; wave 2 opens the shortcut 1→5→4 (node
+    // 4's committed distance must IMPROVE 3→2) and extends to 6
+    val wave1 = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val wave2 = Seq((1L, 5L, 1L), (5L, 4L, 1L), (4L, 6L, 1L))
+    val seeds = Seq(1L)
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    def drain(): Unit =
+      IncrementalStream.runDistanceStream(
+        mem.toDF().toDF("src", "dst", "weight"),
+        edgeTable, distTable, s"$root/ckpt", seeds,
+        rounds = 4, maxHops = 6, tagScope = Some("t"))
+    mem.addData(wave1: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, distTable).contains(1))
+    mem.addData(wave2: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, distTable).contains(2))
+    // streamed distances == the batch chain: cold BFS on wave-1's
+    // graph, then warm min-plus rounds on the merged graph (bit-exact)
+    def graph(edges: Seq[(Long, Long, Long)]) = {
+      val e = edges.toDF("src", "dst", "weight")
+      val n = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      (n, e)
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val (n1, g1) = graph(wave1)
+    val (nAll, gAll) = graph(wave1 ++ wave2)
+    val want = asMap(Graph.hopDistanceFrom(
+      Graph.hopDistance(n1, g1, seeds.toDF("node"), maxHops = 6),
+      nAll, gAll, seeds.toDF("node"), rounds = 4))
+    val got = asMap(graft.io.Manifest.read(spark, distTable))
+    CacheScope.release(spark)
+    assert(got == want, "stream must equal the batch replay chain")
+    assert(got(4L) == Some(2L),
+      "the committed wave-1 distance of node 4 must re-improve via the shortcut")
+    assert(got(6L) == Some(3L), "the wave-2 extension must be reached")
+    // replay leg: a fully-committed single batch replayed from a FRESH
+    // checkpoint under the same scope skips both legs — no extra edge
+    // version, no extra warm rounds
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_dist_replay").toString
+    def drainReplay(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Long, Long)](spark)
+      m.addData(wave1: _*)
+      IncrementalStream.runDistanceStream(
+        m.toDF().toDF("src", "dst", "weight"),
+        s"$root2/edges", s"$root2/distances", ckpt, seeds,
+        rounds = 4, maxHops = 6, tagScope = Some("t"))
+      ()
+    }
+    drainReplay(s"$root2/ckpt1")
+    val dist1 = asMap(graft.io.Manifest.read(spark, s"$root2/distances"))
+    drainReplay(s"$root2/ckpt2")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/edges")
+      .contains(1), "replayed merge must skip — re-merging double-counts")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/distances")
+      .contains(1), "replayed distance leg must skip")
+    assert(asMap(graft.io.Manifest.read(spark, s"$root2/distances")) == dist1)
     CacheScope.release(spark)
   }
 
