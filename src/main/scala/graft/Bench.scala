@@ -116,10 +116,16 @@ object Bench {
     // query measured right after each probe); the capped stdout line's
     // schema is unchanged.
     val CalEvery = 25
-    def measure(): (Seq[(String, Double, Option[String])], Seq[(String, Double)]) = {
-      val ladder = scala.collection.mutable.Buffer.empty[(String, Double)]
+    // Each query's result carries ALL its rep times, not just the min
+    // (r16): the r15 official artifact shipped one 5x-inflated row
+    // (q_linkrank_residual) that min-of-reps AND the probe ladder both
+    // missed because the two reps co-inflated between probes. With the
+    // per-rep times recorded, same-query co-inflation is detectable
+    // post-hoc (see the `suspect` derivation below) without a rerun.
+    def measure(): (Seq[(String, Double, Option[String], Seq[Double])], Seq[(Int, String, Double)]) = {
+      val ladder = scala.collection.mutable.Buffer.empty[(Int, String, Double)]
       val rs = SparkEntry.queries.toSeq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % CalEvery == 0) ladder += ((name, calibrate()))
+      if (i > 0 && i % CalEvery == 0) ladder += ((i, name, calibrate()))
       // Min-of-reps per query: a transient external load spike (the
       // round-3 record was ~7x inflated by one; round 5's total was 2.2x)
       // distorts a single-shot time but rarely every rep. Two reps always;
@@ -149,7 +155,8 @@ object Bench {
       }
       while (reps.forall(_._2.isEmpty) && !settled && reps.size < 4) reps :+= rep()
       val err = reps.collectFirst { case (_, Some(e)) => e }
-      (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err)
+      (name, if (err.isEmpty) reps.map(_._1).min else -1.0, err,
+        reps.map(_._1))
       }
       (rs, ladder.toSeq)
     }
@@ -163,12 +170,12 @@ object Bench {
     // box yields a second bad pass whose cal values disclose it — the
     // probes make contention visible, the retry just buys one chance to
     // dodge a transient.
-    def pass(): (Double, Seq[(String, Double, Option[String])], Seq[(String, Double)], Double) = {
+    def pass(): (Double, Seq[(String, Double, Option[String], Seq[Double])], Seq[(Int, String, Double)], Double) = {
       val c0 = calibrate()
       val (r, ladder) = measure()
       (c0, r, ladder, calibrate())
     }
-    def tainted(p: (Double, Seq[(String, Double, Option[String])], Seq[(String, Double)], Double)): Boolean = {
+    def tainted(p: (Double, Seq[(String, Double, Option[String], Seq[Double])], Seq[(Int, String, Double)], Double)): Boolean = {
       val hi = math.max(p._1, p._4); val lo = math.min(p._1, p._4)
       hi > 3 * lo + 0.05 && hi > 0.5
     }
@@ -189,10 +196,10 @@ object Bench {
     // ("0.50"→"0.5", "2.00"→"2"), failures/errors omitted when zero, and
     // the sf path reduced to its basename. Centiseconds are already below
     // this box's run-to-run noise.
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e.take(80)) }
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e.take(80)) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3.isDefined)
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val sfName = new java.io.File(sfDir).getName
     // "failures"/"errors" stay present even when zero/empty: every prior
     // round's recorded line carried them, and changing the clean-run
@@ -209,7 +216,7 @@ object Bench {
     // corrupt the aggregate); they are visible in failures/errors, and
     // "nq" records the per-query count behind the aggregation.
     def line(dp: Int): String = {
-      val fams = results.collect { case (k, v, None) =>
+      val fams = results.collect { case (k, v, None, _) =>
           (k.stripPrefix("q_").takeWhile(_ != '_'), v)
         }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
@@ -234,15 +241,48 @@ object Bench {
     // arbitrary cwd would silently strand the committed copy stale.
     try {
       if (new java.io.File("build.sbt").isFile) {
-        val detail = results.map { case (k, v, _) => jstr(k) + ":" + num(v, 3) }
+        val detail = results.map { case (k, v, _, _) => jstr(k) + ":" + num(v, 3) }
           .mkString("{", ",", "}")
         // the mid-run probe ladder, keyed by the query measured right
         // after each probe — a clean ladder around an inflated query
         // acquits the box; an elevated neighborhood indicts the window
-        val ladder = calLadder.map { case (k, v) => jstr(k) + ":" + num(v, 3) }
+        val ladder = calLadder.map { case (_, k, v) => jstr(k) + ":" + num(v, 3) }
           .mkString("{", ",", "}")
+        // ALL rep times per query (r16): min-of-reps hides same-query
+        // co-inflation (both reps loaded between two clean probes — the
+        // r15 q_linkrank_residual failure). With the raw reps a judge
+        // can discount taint post-hoc without rerunning.
+        val repsJson = results.map { case (k, _, _, rs) =>
+          jstr(k) + ":[" + rs.map(num(_, 3)).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        // derived taint flags, two heuristics:
+        //   rep-spread  — the best two reps never agreed within the
+        //                 settle band even after extra reps, so even
+        //                 the recorded min may be inflated;
+        //   hot-window  — a bounding calibration probe (cal0, ladder,
+        //                 cal1) ran >2x the run's median probe, so the
+        //                 whole neighborhood was externally loaded.
+        val probeSeq = ((0, cal0) +: calLadder.map(l => (l._1, l._3))) :+
+          (results.size, cal1)
+        val probeMed = probeSeq.map(_._2).sorted.apply(probeSeq.size / 2)
+        def hot(p: Double) = p > 2 * probeMed + 0.05
+        val suspects = results.zipWithIndex.flatMap { case ((k, _, err, rs), i) =>
+          if (err.isDefined) None
+          else {
+            val ts = rs.sorted
+            val spread = ts.size >= 2 && ts(1) > ts(0) * 1.4 + 0.05
+            // a ladder probe at index i runs BEFORE query i, so it
+            // opens the window that query i sits in
+            val before = probeSeq.filter(_._1 <= i).maxBy(_._1)._2
+            val after = probeSeq.filter(_._1 > i).minBy(_._1)._2
+            if (spread) Some(jstr(k) + ":" + jstr("rep-spread"))
+            else if (hot(before) || hot(after))
+              Some(jstr(k) + ":" + jstr("hot-window"))
+            else None
+          }
+        }.mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail}""" + "\n")
+          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail,"queries_reps":$repsJson,"suspect":$suspects}""" + "\n")
       } else System.err.println(
         "[bench] cwd is not the repo root; skipping BENCH_DETAIL.json")
     } catch { case _: Exception => () } // detail file is best-effort
