@@ -840,6 +840,153 @@ object Graph {
     }.reduce(_ unionByName _).orderBy("rounds")
   }
 
+  /** ONE synchronous-LPA trajectory, every round tapped — (round, node,
+    * label) for rounds 0..`maxRounds` (round 0 is the identity
+    * labeling). The materialization behind the r16 community-family
+    * consolidation: q_communities, the residual ladder, the
+    * convergence gate, the quality ladder, and the quality-plateau
+    * gate each used to unroll their OWN trajectory of the SAME graph —
+    * five runs of identical rounds. The trajectory is a pure integer
+    * function of the graph (the shared [[relabel]] kernel), so every
+    * instrument is a cheap projection/aggregate of this one relation:
+    * labels at depth d ARE `labelPropagate(d)`, consecutive-round
+    * diffs ARE the residual ladder, per-round quality numerators ARE
+    * the gate's decisions — all bit-exact, proven operator-vs-consumer
+    * in GraphSpec. In production this is the registry pattern: compute
+    * the trajectory once per graph snapshot, let every read tap it.
+    *
+    * Scale: maxRounds+1 tapped checkpoints of |V|-row labelings (the
+    * loop itself is the plain lpaLoop cost); the result unions them,
+    * so persist it (the callers go through a materialized table).
+    */
+  def labelPropTrajectory(nodes: DataFrame, edges: DataFrame,
+                          maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
+      val sym = graft.CacheScope.pin(symmetrized(edges))
+      var cur = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint(false)
+      val taps = scala.collection.mutable.Buffer((0, cur))
+      for (r <- 1 to maxRounds) {
+        val next = relabel(sym, cur)
+          .select(col("node"),
+            coalesce(col("nb_label"), col("label")).as("label"))
+          .localCheckpoint(false)
+        next.count() // materialize this round's checkpoint
+        taps += ((r, next))
+        cur = next
+      }
+      taps.map { case (r, lab) =>
+        lab.select(lit(r).as("round"), col("node"), col("label"))
+      }.reduce(_ unionAll _)
+    }
+  }
+
+  /** [[labelPropResidual]] read off a [[labelPropTrajectory]]: the
+    * per-round changed-label counts for rounds 1..`rounds` are the
+    * consecutive-round diffs of the trajectory — one self-join on
+    * (node, adjacent rounds), one combinable count. Bit-equal to the
+    * live instrument (GraphSpec proves operator == consumer).
+    */
+  def residualFromTrajectory(trajectory: DataFrame,
+                             rounds: Int): DataFrame =
+    trajectory.filter(col("round") between(1, rounds))
+      .join(trajectory
+        .select((col("round") + 1).as("round"), col("node"),
+          col("label").as("_prev")), Seq("round", "node"))
+      .groupBy("round")
+      .agg(sum(when(col("label") =!= col("_prev"), 1L).otherwise(0L))
+        .as("n_changed"))
+      .select(col("round").cast("int").as("round"), col("n_changed"))
+
+  /** [[labelPropConverged]] read off a [[labelPropTrajectory]]: the
+    * stop round is the FIRST zero-change round (else `maxRounds`) —
+    * replayed from the residual diffs, a bounded collect — and the
+    * shipped labels are the trajectory's tap at that round (identical
+    * by sync-LPA idempotence, the live operator's own argument).
+    */
+  def convergedFromTrajectory(trajectory: DataFrame,
+                              maxRounds: Int): DataFrame = {
+    val diffs = residualFromTrajectory(trajectory, maxRounds)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val taken = (1 to maxRounds).find(r => diffs(r) == 0L).getOrElse(maxRounds)
+    trajectory.filter(col("round") === taken)
+      .select(col("node"), col("label"), lit(taken).as("rounds"))
+  }
+
+  /** [[labelPropQualityGated]] read off a [[labelPropTrajectory]]: the
+    * per-round exact DECIMAL quality numerators for rounds
+    * 1..`maxRounds` come out of ONE pass (symmetrized edges joined to
+    * the trajectory on (endpoint, round) — |E|·rounds rows through two
+    * combinable aggregates, instead of the live loop's one aggregate
+    * per round), the plateau stop and argmax selection replay from the
+    * collected ≤ maxRounds-row ladder exactly as the live loop decides
+    * them (strict improvement, earliest round on exact ties, stop at
+    * `patience` consecutive non-improvements), and the shipped labels
+    * are the trajectory's tap at the selected round.
+    */
+  def qualityGatedFromTrajectory(trajectory: DataFrame, edges: DataFrame,
+                                 maxRounds: Int,
+                                 patience: Int = 0): DataFrame = {
+    require(maxRounds >= 1, s"need at least one round, got $maxRounds")
+    require(patience >= 0, s"patience must be >= 0, got $patience")
+    val sym = symmetrized(edges)
+    val la = trajectory.filter(col("round") between(1, maxRounds))
+      .select(col("round"), col("node").as("src"), col("label").as("_la"))
+    val lb = trajectory.filter(col("round") between(1, maxRounds))
+      .select(col("round"), col("node").as("dst"), col("label").as("_lb"))
+    // the modularityParts arithmetic verbatim, grouped by round — the
+    // trajectory labelings are FULL by construction, so the inner
+    // joins are the left-join + raise_error guard's happy path
+    val perRC = sym.join(la, Seq("src")).join(lb, Seq("dst", "round"))
+      .groupBy(col("round"), col("_la").as("label"))
+      .agg(sum(when(col("_la") === col("_lb"), col("weight"))
+        .otherwise(lit(0L))).as("in_c"),
+        sum(col("weight")).as("tot_c"))
+    val nums = perRC.groupBy("round")
+      .agg((coalesce(sum(col("in_c")), lit(0L)).cast(Dec38) *
+        coalesce(sum(col("tot_c")), lit(0L)).cast(Dec38) -
+        coalesce(sum(col("tot_c").cast(Dec38) * col("tot_c").cast(Dec38)),
+          lit(0L).cast(Dec38))).as("q_num"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    require((1 to maxRounds).forall(nums.contains),
+      s"trajectory must cover rounds 1..$maxRounds, has ${nums.keys.toSeq.sorted}")
+    var best: java.math.BigDecimal = null
+    var bestRound = 0
+    var r = 0
+    var plateaued = false
+    while (r < maxRounds && !plateaued) {
+      r += 1
+      val num = nums(r)
+      if (best == null || num.compareTo(best) > 0) {
+        best = num
+        bestRound = r
+      }
+      if (patience > 0 && r - bestRound >= patience) plateaued = true
+    }
+    trajectory.filter(col("round") === bestRound)
+      .select(col("node"), col("label"), lit(bestRound).as("rounds"))
+  }
+
+  /** [[labelPropQualityLadder]] read off a [[labelPropTrajectory]]:
+    * score the tapped depths with the shared [[modularity]] aggregate
+    * (symmetrize-and-pin once) — identical output, no relabel rounds.
+    */
+  def qualityLadderFromTrajectory(trajectory: DataFrame, edges: DataFrame,
+                                  depths: Seq[Int]): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1),
+      s"depths must be >= 1, got $depths")
+    require(depths == depths.sorted && depths.distinct == depths,
+      s"depths must be strictly increasing, got $depths")
+    val sym = graft.CacheScope.pin(symmetrized(edges))
+    depths.map { d =>
+      modularity(trajectory.filter(col("round") === d)
+        .select(col("node"), col("label")), sym, edgesSymmetrized = true)
+        .select(lit(d).as("rounds"), col("two_m"),
+          col("n_communities"), col("modularity"))
+    }.reduce(_ unionByName _).orderBy("rounds")
+  }
+
   /** WARM-START label propagation — continue synchronous rounds from a
     * committed (node, label) state instead of the identity labeling.
     * The loop's entire state IS the labeling, so the trajectory

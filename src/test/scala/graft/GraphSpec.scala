@@ -656,6 +656,47 @@ class GraphSpec extends SparkSpec {
       Map(2L -> 2L, 4L -> 2L))
   }
 
+  test("labelPropTrajectory consumers equal the live operators " +
+    "bit-for-bit: residual ladder, convergence gate, quality ladder, " +
+    "quality-plateau gate") {
+    // the two-triangle-plus-bridge fixture: converges at round 2 on
+    // sync LPA, so the gate/convergence branches all exercise
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val maxR = 5
+    val traj = Graph.labelPropTrajectory(ns, es, maxR)
+      .localCheckpoint(true)
+    CacheScope.release(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      CacheScope.release(spark)
+      r
+    }
+    // depth taps ARE labelPropagate at that depth
+    (1 to 3).foreach { d =>
+      assert(rows(traj.filter(col("round") === d).select("node", "label")) ==
+        rows(Graph.labelPropagate(ns, es, rounds = d)),
+        s"trajectory tap at depth $d must equal labelPropagate($d)")
+    }
+    assert(rows(Graph.residualFromTrajectory(traj, maxR)) ==
+      rows(Graph.labelPropResidual(ns, es, rounds = maxR)),
+      "residual consumer must equal the live instrument")
+    assert(rows(Graph.convergedFromTrajectory(traj, maxR)) ==
+      rows(Graph.labelPropConverged(ns, es, maxRounds = maxR)),
+      "convergence consumer must equal the live gate (incl. the rounds col)")
+    assert(rows(Graph.qualityLadderFromTrajectory(traj, es, Seq(1, 3))) ==
+      rows(Graph.labelPropQualityLadder(ns, es, Seq(1, 3))),
+      "quality-ladder consumer must equal the live ladder")
+    for (pat <- Seq(0, 2)) {
+      assert(rows(Graph.qualityGatedFromTrajectory(traj, es, maxR, pat)) ==
+        rows(Graph.labelPropQualityGated(ns, es, maxR, pat)),
+        s"quality-gated consumer must equal the live gate at patience $pat")
+    }
+  }
+
   test("community registry: warm-start composes exactly (from(cold(k1), " +
     "k2) == cold(k1+k2)); refresh/update commit versions; new nodes " +
     "start at their own id") {

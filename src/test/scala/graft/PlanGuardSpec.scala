@@ -90,6 +90,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_kn_score", "q_kn_lines",
       // the trigram tier carries the identical 1-row scalar cross-build
       "q_kn3_score", "q_kn3_lines",
+      // ...as does the 5-gram tier (one scalar row regardless of order)
+      "q_kn5_score", "q_kn5_lines",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",
