@@ -76,9 +76,11 @@ object SparkEntry {
     edSegReg(s, dir)
     edGramReg(s, dir)
     searchIndexReg(s, dir)
-    // the shared sync-LPA trajectory (r16): built once here so the five
-    // community instruments measure their reads, not the relabel rounds
+    // the shared sync-LPA and authority trajectories (r16): built once
+    // here so the community and linkRank instruments measure their
+    // reads, not the shared rounds
     communityTrajectory(s, dir).count()
+    authorityTrajectory(s, dir).count()
   }
 
   /** Training hyperparameters — the SINGLE source of truth shared by the
@@ -241,6 +243,21 @@ object SparkEntry {
         t(s, dir, "part").select(col("p_partkey").as("node")),
         coPurchaseEdges(t(s, dir, "lineitem")),
         maxRounds = LpGateMaxRounds))
+
+  /** ONE authority trajectory over the co-purchase graph (r16, the
+    * community convention at the linkRank family): q_linkrank, the
+    * residual ladder, and the convergence gate consume this shared
+    * materialization instead of each re-running the rounds.
+    * q_linkrank_seeded keeps its own loop (a different init), and
+    * q_textrank ranks a different (term) graph.
+    */
+  private def authorityTrajectory(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "linkrank_trajectory")(
+      ops.Graph.linkRankTrajectory(
+        t(s, dir, "part").select(col("p_partkey").as("node")),
+        coPurchaseEdges(t(s, dir, "lineitem")),
+        maxIters = LrConvMaxIters, base = LrBase,
+        dampNum = LrDampNum, dampDen = LrDampDen))
 
   /** DuckDB ordered-fold dot product over two list columns — the exact IEEE
     * operation sequence of the Spark `aggregate()` HOF (Similarity's numeric
@@ -2175,11 +2192,9 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // residuals, and gates its final SELECT on the same decision (the
     // census-dispatch idiom at the iteration dimension).
     "q_linkrank_conv" -> ((s, dir) =>
-      ops.Graph.linkRankConverged(
-        t(s, dir, "part").select(col("p_partkey").as("node")),
-        coPurchaseEdges(t(s, dir, "lineitem")),
-        tol = LrConvTol, maxIters = LrConvMaxIters, base = LrBase,
-        dampNum = LrDampNum, dampDen = LrDampDen)
+      ops.Graph.linkRankConvergedFromTrajectory(
+        authorityTrajectory(s, dir),
+        tol = LrConvTol, maxIters = LrConvMaxIters)
         .orderBy("node")),
 
     // Containment survivorship: strict excerpts drop, mutual containment
@@ -3380,12 +3395,12 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // arithmetic, bit-identical across engines because every cross-row
     // sum is an integer sum. The oracle unrolls the rounds as chained
     // CTEs with // floor division.
+    // Served from the shared authority trajectory (r16): the round-
+    // LrIters tap IS linkRank(LrIters) bit-for-bit (GraphSpec
+    // operator-vs-consumer equality — deterministic integer masses).
     "q_linkrank" -> ((s, dir) =>
-      ops.Graph.linkRank(
-        t(s, dir, "part").select(col("p_partkey").as("node")),
-        coPurchaseEdges(t(s, dir, "lineitem")),
-        iters = LrIters, base = LrBase, dampNum = LrDampNum,
-        dampDen = LrDampDen)
+      authorityTrajectory(s, dir).filter(col("round") === LrIters)
+        .select(col("node"), col("mass"))
         .orderBy("node")),
 
     // Convergence post-flight: per round, max |Δmass| and changed-node
@@ -3393,11 +3408,8 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // max/count: order-independent, replayed by diffing the oracle's
     // consecutive m_i CTEs.)
     "q_linkrank_residual" -> ((s, dir) =>
-      ops.Graph.linkRankResidual(
-        t(s, dir, "part").select(col("p_partkey").as("node")),
-        coPurchaseEdges(t(s, dir, "lineitem")),
-        iters = LrIters, base = LrBase, dampNum = LrDampNum,
-        dampDen = LrDampDen)
+      ops.Graph.linkRankResidualFromTrajectory(
+        authorityTrajectory(s, dir), iters = LrIters)
         .orderBy("round")),
 
     // Personalized (seeded) authority: teleport and the dangling pool

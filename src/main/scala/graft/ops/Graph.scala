@@ -329,6 +329,65 @@ object Graph {
     mass.withColumn("rounds", lit(rounds))
   }
 
+  /** ONE authority trajectory, every round tapped — (round, node, mass)
+    * for rounds 0..`maxIters` (round 0 = the uniform `base` init): the
+    * [[labelPropTrajectory]] convention at the authority family, so
+    * [[linkRank]] (a depth tap), [[linkRankResidual]] (adjacent-round
+    * diffs), and [[linkRankConverged]] (the tol stop replayed from the
+    * diff ladder) read one materialized relation instead of each
+    * re-running the rounds. Deterministic integer arithmetic makes the
+    * consumers bit-equal to the live operators (GraphSpec pins it).
+    */
+  def linkRankTrajectory(nodes: DataFrame, edges: DataFrame,
+                         maxIters: Int, base: Long = 1000000L,
+                         dampNum: Long = 85L,
+                         dampDen: Long = 100L): DataFrame = {
+    val nodeTbl = graft.CacheScope.pin(
+      nodes.select(col("node"), lit(true).as("is_seed")))
+    val taps = scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
+    iterateCounted(nodeTbl, edges,
+      init = nodeTbl.select(col("node"), lit(base).as("mass")),
+      maxIters, base, dampNum, dampDen, taps = Some(taps))
+    taps.map { case (r, m) =>
+      m.select(lit(r).as("round"), col("node"), col("mass"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[linkRankResidual]] read off a [[linkRankTrajectory]]: per-round
+    * (max |Δmass|, changed-node count) for rounds 1..`iters` are the
+    * adjacent-round diffs — one self-join, one combinable aggregate.
+    */
+  def linkRankResidualFromTrajectory(trajectory: DataFrame,
+                                     iters: Int): DataFrame =
+    trajectory.filter(col("round") between(1, iters))
+      .join(trajectory
+        .select((col("round") + 1).as("round"), col("node"),
+          col("mass").as("_prev")), Seq("round", "node"))
+      .groupBy("round")
+      .agg(coalesce(max(abs(col("mass") - col("_prev"))), lit(0L))
+        .as("max_abs_delta"),
+        count(when(col("mass") =!= col("_prev"), 1)).as("n_changed"))
+      .select(col("round").cast("int").as("round"),
+        col("max_abs_delta"), col("n_changed"))
+
+  /** [[linkRankConverged]] read off a [[linkRankTrajectory]]: the stop
+    * round is the FIRST round with max |Δmass| ≤ `tol` (else
+    * `maxIters`) — replayed from the bounded diff ladder — and the
+    * shipped masses are the trajectory's tap at that round (the live
+    * loop's state at its stop, by determinism).
+    */
+  def linkRankConvergedFromTrajectory(trajectory: DataFrame, tol: Long,
+                                      maxIters: Int): DataFrame = {
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    val diffs = linkRankResidualFromTrajectory(trajectory, maxIters)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require((1 to maxIters).forall(diffs.contains),
+      s"trajectory must cover rounds 1..$maxIters, has ${diffs.keys.toSeq.sorted}")
+    val taken = (1 to maxIters).find(r => diffs(r) <= tol).getOrElse(maxIters)
+    trajectory.filter(col("round") === taken)
+      .select(col("node"), col("mass"), lit(taken).as("rounds"))
+  }
+
   /** BFS hop distance from a trusted SEED set — the "how many links from
     * a source I trust" crawl-frontier signal that complements
     * [[linkRankSeeded]]'s mass-proximity prior (hops is the metric a
@@ -909,6 +968,8 @@ object Graph {
                               maxRounds: Int): DataFrame = {
     val diffs = residualFromTrajectory(trajectory, maxRounds)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require((1 to maxRounds).forall(diffs.contains),
+      s"trajectory must cover rounds 1..$maxRounds, has ${diffs.keys.toSeq.sorted}")
     val taken = (1 to maxRounds).find(r => diffs(r) == 0L).getOrElse(maxRounds)
     trajectory.filter(col("round") === taken)
       .select(col("node"), col("label"), lit(taken).as("rounds"))
@@ -1486,7 +1547,8 @@ object Graph {
                       init: DataFrame, iters: Int, base: Long,
                       dampNum: Long, dampDen: Long,
                       residuals: Option[scala.collection.mutable.Buffer[(Long, Long)]] = None,
-                      stopTol: Option[Long] = None): (DataFrame, Int) = {
+                      stopTol: Option[Long] = None,
+                      taps: Option[scala.collection.mutable.Buffer[(Int, DataFrame)]] = None): (DataFrame, Int) = {
     require(iters >= 1, s"need at least one round, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -1531,6 +1593,7 @@ object Graph {
       edgeTbl.groupBy("src").agg(sum("weight").as("w_out")))
     val teleport = (dampDen - dampNum) * base / dampDen
     var mass = init.localCheckpoint(false)
+    taps.foreach(_ += ((0, mass)))
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -1566,9 +1629,12 @@ object Graph {
         residuals.foreach(_ += ((r.getLong(0), r.getLong(1))))
         if (stopTol.exists(r.getLong(0) <= _)) converged = true
       }
-      graft.unpersistCheckpoint(mass)
+      // a tapped trajectory keeps every round's frame alive (the
+      // returned view reads them); the plain path frees superseded state
+      if (taps.isEmpty) graft.unpersistCheckpoint(mass)
       mass = next
       round += 1
+      taps.foreach(_ += ((round, next)))
     }
     (mass, round)
     }

@@ -147,6 +147,39 @@ class GraphSpec extends SparkSpec {
     assert(warm == cold5)
   }
 
+  test("linkRankTrajectory consumers equal the live operators " +
+    "bit-for-bit: depth taps, residual ladder, convergence gate") {
+    val nodesDf = nodes.toDF("node")
+    val edgesDf = edges.toDF("src", "dst", "weight")
+    val maxI = 5
+    val traj = Graph.linkRankTrajectory(nodesDf, edgesDf, maxI)
+      .localCheckpoint(true)
+    CacheScope.release(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+      CacheScope.release(spark)
+      r
+    }
+    (1 to 3).foreach { d =>
+      assert(rows(traj.filter(col("round") === d).select("node", "mass")) ==
+        rows(Graph.linkRank(nodesDf, edgesDf, iters = d)),
+        s"trajectory tap at depth $d must equal linkRank($d)")
+    }
+    assert(rows(Graph.linkRankResidualFromTrajectory(traj, maxI)) ==
+      rows(Graph.linkRankResidual(nodesDf, edgesDf, iters = maxI)),
+      "residual consumer must equal the live instrument")
+    // exercise both stop regimes: a tol the ladder crosses mid-budget
+    // and a tol it never crosses (budget exhaustion)
+    val lad = Graph.linkRankResidualFromTrajectory(traj, maxI)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CacheScope.release(spark)
+    for (tol <- Seq(lad(2), 0L)) {
+      assert(rows(Graph.linkRankConvergedFromTrajectory(traj, tol, maxI)) ==
+        rows(Graph.linkRankConverged(nodesDf, edgesDf, tol, maxI)),
+        s"convergence consumer must equal the live gate at tol=$tol")
+    }
+  }
+
   test("authority registry: refresh commits v1, update warm-continues " +
     "to v2 == the longer cold run") {
     val dir = java.nio.file.Files.createTempDirectory("authreg").toString
