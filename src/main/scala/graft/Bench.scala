@@ -19,6 +19,48 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Derived per-query taint flags (r16) over a measured pass — the
+    * post-hoc detector for the failure mode min-of-reps and the probe
+    * ladder both miss (both reps of ONE query co-inflating between two
+    * clean probes — the r15 artifact's 5×-off q_linkrank_residual row).
+    * Two heuristics, in priority order per query:
+    *
+    *   - `rep-spread`: the best two reps never agreed within the settle
+    *     band (sorted ts(1) > ts(0)·1.4 + 0.05) even after extra reps —
+    *     the recorded min itself is untrustworthy;
+    *   - `hot-window`: a bounding calibration probe (the one opening
+    *     the query's ladder segment, or the one closing it) ran more
+    *     than 2× the run's median probe (+0.05 s absolute floor) — the
+    *     whole neighborhood was externally loaded.
+    *
+    * `results` rows are (name, minSec, err, repSecs); errored queries
+    * are never flagged (their −1 sentinel already marks them).
+    * `probes` are (index-of-the-query-measured-right-after, seconds),
+    * with cal0 at index 0 and cal1 at results.size. Pure function —
+    * unit-tested in BenchSuspectSpec, used verbatim by the artifact
+    * writer.
+    */
+  private[graft] def suspectsOf(
+      results: Seq[(String, Double, Option[String], Seq[Double])],
+      probes: Seq[(Int, Double)]): Seq[(String, String)] = {
+    val probeMed = probes.map(_._2).sorted.apply(probes.size / 2)
+    def hot(p: Double) = p > 2 * probeMed + 0.05
+    results.zipWithIndex.flatMap { case ((k, _, err, rs), i) =>
+      if (err.isDefined) None
+      else {
+        val ts = rs.sorted
+        val spread = ts.size >= 2 && ts(1) > ts(0) * 1.4 + 0.05
+        // a probe at index i runs BEFORE query i, so it opens the
+        // window that query i sits in
+        val before = probes.filter(_._1 <= i).maxBy(_._1)._2
+        val after = probes.filter(_._1 > i).minBy(_._1)._2
+        if (spread) Some(k -> "rep-spread")
+        else if (hot(before) || hot(after)) Some(k -> "hot-window")
+        else None
+      }
+    }
+  }
+
   /** Compact JSON number: fixed `dp` decimals, trailing zeros (and a bare
     * trailing point) trimmed. Locale.ROOT explicitly — a default-locale
     * format would emit comma decimals ("12,34") on de_DE/fr_FR boxes:
@@ -255,32 +297,13 @@ object Bench {
         val repsJson = results.map { case (k, _, _, rs) =>
           jstr(k) + ":[" + rs.map(num(_, 3)).mkString(",") + "]"
         }.mkString("{", ",", "}")
-        // derived taint flags, two heuristics:
-        //   rep-spread  — the best two reps never agreed within the
-        //                 settle band even after extra reps, so even
-        //                 the recorded min may be inflated;
-        //   hot-window  — a bounding calibration probe (cal0, ladder,
-        //                 cal1) ran >2x the run's median probe, so the
-        //                 whole neighborhood was externally loaded.
+        // derived taint flags — the suspectsOf heuristics (rep-spread /
+        // hot-window), spec-pinned in BenchSuspectSpec
         val probeSeq = ((0, cal0) +: calLadder.map(l => (l._1, l._3))) :+
           (results.size, cal1)
-        val probeMed = probeSeq.map(_._2).sorted.apply(probeSeq.size / 2)
-        def hot(p: Double) = p > 2 * probeMed + 0.05
-        val suspects = results.zipWithIndex.flatMap { case ((k, _, err, rs), i) =>
-          if (err.isDefined) None
-          else {
-            val ts = rs.sorted
-            val spread = ts.size >= 2 && ts(1) > ts(0) * 1.4 + 0.05
-            // a ladder probe at index i runs BEFORE query i, so it
-            // opens the window that query i sits in
-            val before = probeSeq.filter(_._1 <= i).maxBy(_._1)._2
-            val after = probeSeq.filter(_._1 > i).minBy(_._1)._2
-            if (spread) Some(jstr(k) + ":" + jstr("rep-spread"))
-            else if (hot(before) || hot(after))
-              Some(jstr(k) + ":" + jstr("hot-window"))
-            else None
-          }
-        }.mkString("{", ",", "}")
+        val suspects = suspectsOf(results, probeSeq)
+          .map { case (k, why) => jstr(k) + ":" + jstr(why) }
+          .mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
           s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail,"queries_reps":$repsJson,"suspect":$suspects}""" + "\n")
       } else System.err.println(

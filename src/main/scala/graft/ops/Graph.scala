@@ -672,6 +672,49 @@ object Graph {
     }
   }
 
+  /** [[hopDistanceFrom]] at the WEIGHTED family — warm-continue a
+    * committed (node, dist) relation through `rounds` more min-plus
+    * relaxation rounds over the current weighted edge table. The
+    * soundness contract is STRICTLY NARROWER than the unit form's, and
+    * the difference is exactly the weights: warm start is exact only
+    * when the edge set GROWS and every pre-existing edge keeps its
+    * weight (new edges and new parallel-edge alternatives only lower
+    * the min-plus fixpoint, so committed distances stay valid upper
+    * bounds). A weight INCREASE on an existing edge can raise true
+    * distances, which a stale low bound never re-rises to — that
+    * mutation demands a cold re-run, same as edge removal in the unit
+    * form. Note the shared maintenance stream merges edge deltas by
+    * weight SUM (an increase), so this twin is a BATCH maintenance
+    * read, deliberately not wired into runDistanceStream (the unit
+    * family, whose semantics ignore weights, stays the streaming leg).
+    */
+  def hopDistanceWeightedFrom(state: DataFrame, nodes: DataFrame,
+                              edges: DataFrame, seeds: DataFrame,
+                              rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    graft.withLoopAqeOff(nodes.sparkSession) {
+    val guarded = when(col("weight") >= 0, col("weight"))
+      .otherwise(raise_error(format_string(
+        "hopDistanceWeightedFrom needs non-negative weights; got %d",
+        col("weight"))).cast("long"))
+    val edgeTbl = graft.CacheScope.pin(
+      edges.select(col("src"), col("dst"), guarded.as("weight"))
+        .groupBy("src", "dst").agg(min("weight").as("weight"))
+        .repartition(col("src")))
+    val nodeTbl = graft.CacheScope.pin(nodes.select(col("node")))
+    val init = nodeTbl
+      .join(state.select(col("node"), col("dist")), Seq("node"), "left")
+      .join(seeds.select(col("node")).distinct()
+        .select(col("node"), lit(true).as("_seed")), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_seed"), lit(0L)).otherwise(col("dist")).as("dist"))
+      .filter(col("dist").isNotNull)
+    val fin = minPlusLoop(nodeTbl, edgeTbl, init, rounds, None)
+    nodeTbl.join(fin, Seq("node"), "left")
+      .select(col("node"), col("dist"))
+    }
+  }
+
   /** Build-and-commit the hop-distance relation as a versioned Manifest
     * snapshot (the [[authorityRefresh]] idiom — cold [[hopDistance]]
     * from the seed set). Returns the version. */

@@ -503,6 +503,40 @@ class GraphSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L, 3L, 1L, 0L), s"got $rows")
   }
 
+  test("hopDistanceWeightedFrom: warm-start converges to cold under " +
+    "edge ADDITIONS (new edges + cheaper parallel alternatives); " +
+    "converged state passes through unchanged") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    // k1: 1→2 (10), 2→3 (10), 1→3 direct (100) — weighted dist(3) = 20
+    val k1 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L))
+      .toDF("src", "dst", "weight")
+    // k2 adds a cheaper parallel 1→3 (5) and extends reach 3→4 (1):
+    // dist(3) must RE-IMPROVE 20→5, dist(4) fills 6, 5 stays null
+    val k12 = k1.unionByName(
+      Seq((1L, 3L, 5L), (3L, 4L, 1L)).toDF("src", "dst", "weight"))
+    val seeds = Seq(1L).toDF("node")
+    def asMap(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      CacheScope.release(spark)
+      m
+    }
+    val cold12 = asMap(Graph.hopDistanceWeighted(ns, k12, seeds,
+      maxRounds = 6))
+    assert(cold12 == Map(1L -> Some(0L), 2L -> Some(10L), 3L -> Some(5L),
+      4L -> Some(6L), 5L -> None), s"fixture: $cold12")
+    val warm = asMap(Graph.hopDistanceWeightedFrom(
+      Graph.hopDistanceWeighted(ns, k1, seeds, maxRounds = 6),
+      ns, k12, seeds, rounds = 4))
+    assert(warm == cold12, s"warm must converge to cold: $warm")
+    // min-plus idempotence: another warm pass on unchanged edges is a
+    // bit-for-bit pass-through
+    val again = asMap(Graph.hopDistanceWeightedFrom(
+      Graph.hopDistanceWeighted(ns, k12, seeds, maxRounds = 6),
+      ns, k12, seeds, rounds = 2))
+    assert(again == cold12)
+  }
+
   test("distance registry: warm-start converges to cold " +
     "(from(cold(k1), k1+k2) == cold(k1+k2)); converged state passes " +
     "through unchanged; refresh/update commit versions") {
