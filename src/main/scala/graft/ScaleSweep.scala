@@ -118,6 +118,10 @@ object ScaleSweep {
     // r15: trigram KN — one order up from q_kn_score (two extra count
     // relations, five serve joins; still one pass + combinable aggs)
     "q_kn3_score",
+    // r16: the 5-gram order — same cost class claimed as kn/kn3 (count
+    // joins + one scalar broadcast, all combinable/keyed); the sweep
+    // row is the evidence the four-tier chain stays linear at 20× docs
+    "q_kn5_score",
     // r12 session 4 graph family: the authority rounds (3 Pregel-shaped
     // iterations over the co-purchase graph; edge build dominates), the
     // seeded twin (same joins, gated teleport), and the triangle census
