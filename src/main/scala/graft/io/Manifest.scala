@@ -223,14 +223,29 @@ object Manifest {
           s"claim mid-write (this version was indistinguishable from a " +
           s"crashed writer's); retry the commit")
     }
-    writeFn(dir)
-    if (!f.exists(claim)) abortVacuumed()
-    // replace-vs-append fence: the epoch moves BEFORE this replace
-    // becomes visible, so an in-flight append can never observe the new
-    // marker under the old epoch (see currentEpoch / append)
-    bumpEpoch(f, table, spark)
-    val out = f.create(marker, false)
-    out.close()
+    // cleanup-on-throw (r16): a FAILED write (disk full, bad schema, a
+    // crashing expression inside writeFn) must release its claim and
+    // leavings instead of wedging the version slot until a vacuum — a
+    // claim should outlive its writer only on a process CRASH, which no
+    // in-process handler can see. The epoch bump is deliberately NOT
+    // rolled back on a post-bump failure: a concurrent append may have
+    // read it, and a spurious bump only fails an append loudly (the
+    // safe direction, see bumpEpoch).
+    try {
+      writeFn(dir)
+      if (!f.exists(claim)) abortVacuumed()
+      // replace-vs-append fence: the epoch moves BEFORE this replace
+      // becomes visible, so an in-flight append can never observe the
+      // new marker under the old epoch (see currentEpoch / append)
+      bumpEpoch(f, table, spark)
+      f.create(marker, false).close()
+    } catch {
+      case t: Throwable =>
+        f.delete(marker, false)
+        f.delete(new Path(dir), true)
+        f.delete(claim, false)
+        throw t
+    }
     // the claim is deleted FIRST by vacuum, the dir second — so a claim
     // still present here proves no vacuum touched this version before
     // the marker landed, and the marker now shields it from any later one
@@ -377,15 +392,27 @@ object Manifest {
           case Some(_) => read(spark, table).unionByName(df)
           case None    => df
         }
-        next.write.parquet(dir)
-        tag.foreach { t =>
-          val out = f.create(new Path(s"$dir/$TagFile"), false)
-          try out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+        // cleanup-on-throw (r16): a FAILED write releases the CAS slot
+        // instead of wedging every future append until a vacuum — only
+        // a process CRASH should leave a claim behind (the commit()
+        // rationale verbatim)
+        try {
+          next.write.parquet(dir)
+          tag.foreach { t =>
+            val out = f.create(new Path(s"$dir/$TagFile"), false)
+            try out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          // the claim-as-vacuum-lease re-verification, the commit() dance
+          if (!f.exists(claim)) abortVacuumed()
+          f.create(marker, false).close()
+        } catch {
+          case t: Throwable =>
+            f.delete(marker, false)
+            f.delete(new Path(dir), true)
+            f.delete(claim, false)
+            throw t
         }
-        // the claim-as-vacuum-lease re-verification, the commit() dance
-        if (!f.exists(claim)) abortVacuumed()
-        f.create(marker, false).close()
         if (!f.exists(claim)) abortVacuumed()
         // post-publish epoch fence: a replace bumps the epoch BEFORE
         // its marker, so an unchanged epoch here PROVES no replace

@@ -352,6 +352,31 @@ class ManifestSpec extends SparkSpec {
       s"the shadowed append's rows must survive in v2 for re-append: $preserved")
   }
 
+  test("a FAILED write releases its claim and leavings: the slot is " +
+    "immediately reusable instead of wedged until a vacuum") {
+    val t = tmp()
+    assert(Manifest.append(Seq((1L, "a")).toDF("id", "who"), t) == 1)
+    // an append whose df evaluation throws mid-write (the disk-full /
+    // crashing-expression class) must not leave _claim-v2 behind
+    val bad = spark.range(1).selectExpr(
+      "CAST(raise_error('boom') AS BIGINT) AS id", "'x' AS who")
+    intercept[Exception] { Manifest.append(bad, t) }
+    assert(!new java.io.File(s"$t/_claim-v2").exists(),
+      "a failed append must release its CAS slot")
+    assert(!new java.io.File(s"$t/v2").exists(), "and its partial dir")
+    // the very next append wins the same slot with no vacuum needed
+    assert(Manifest.append(Seq((2L, "b")).toDF("id", "who"), t) == 2)
+    assert(Manifest.read(spark, t).count() == 2)
+    // same for the wholesale commit path
+    intercept[Exception] {
+      Manifest.commit(spark, t) { dir => bad.write.parquet(dir) }
+    }
+    assert(!new java.io.File(s"$t/_claim-v3").exists() &&
+      !new java.io.File(s"$t/v3").exists(),
+      "a failed commit must release its claim and dir")
+    assert(Manifest.write((1L to 3L).toDF("x"), t) == 3)
+  }
+
   test("vacuum reclaims AGED stale claims above the newest marker " +
     "(the wedged-append remediation) and spares fresh in-flight ones") {
     val t = tmp()
