@@ -1194,6 +1194,39 @@ ORDER BY vec_inc, vec_corp"""
       |            greatest(c2 - 0.75, 0.0) / cv +
       |            0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v)))))""".stripMargin
 
+  /** Thresholded twins of the order-≥3 count CTEs — TextStats.knPrune
+    * as SQL (a pure WHERE per tier; the bigram tier is never pruned,
+    * the chain must bottom out on a positive floor). Thresholds match
+    * kn5ModelPruned's production default (singletons dropped).
+    */
+  private val Kn5PrunedCtes: String =
+    """trip AS (SELECT * FROM tri WHERE c3 >= 2),
+      |ctx2p AS (SELECT * FROM ctx2 WHERE cuv >= 2),
+      |q4p AS (SELECT * FROM q4 WHERE c4 >= 2),
+      |ctx3p AS (SELECT * FROM ctx3 WHERE cuvw >= 2),
+      |q5p AS (SELECT * FROM q5 WHERE c5 >= 2),
+      |ctx4p AS (SELECT * FROM ctx4 WHERE cuvwx >= 2)""".stripMargin
+
+  /** The four-tier tree with LIVE backoff branches — kn5Scored's
+    * when/otherwise chain verbatim (null context ⇒ the lower tier's
+    * whole expression; surviving context + missed gram ⇒
+    * greatest(coalesce(c,0)−d, 0) zeroes the direct-mass term).
+    * Tiers ≤ 2 keep Kn5ProbTree's seen form: the bigram relations are
+    * never pruned and the corpus is self-scored, so those joins
+    * always hit — same arithmetic, same parenthesization.
+    */
+  private val Kn5BackoffTree: String = {
+    val p2 = "greatest(c2 - 0.75, 0.0) / cv + " +
+      "0.75 * nf / cv * ((npc + 0.4) / (types + 0.4 * v))"
+    def tier(c: String, ctx: String, nf: String, lower: String): String =
+      s"CASE WHEN $ctx IS NULL THEN ($lower) ELSE " +
+        s"greatest(coalesce($c, 0) - 0.75, 0.0) / $ctx + " +
+        s"0.75 * $nf / $ctx * ($lower) END"
+    tier("c5", "cuvwx", "nf4",
+      tier("c4", "cuvw", "nf3",
+        tier("c3", "cuv", "nf2", p2)))
+  }
+
   /** The RM3 oracle — shared verbatim by q_bm25_rm3 (inline) and
     * q_rm3_served (postings-only: fit + serve of the same index must
     * change nothing).
@@ -2859,6 +2892,27 @@ res$sfx AS (SELECT '$qid' AS query_id,
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id", "pos")
     }),
+
+    // Count-pruned 5-gram KN (r17) — the production KenLM size lever:
+    // singletons dropped at every order ≥ 3 (kn5ModelPruned). The
+    // scoring tree is UNCHANGED — a pruned count row misses its left
+    // join exactly like an unseen n-gram and degrades through the
+    // committed lower tiers, so the oracle is the same four-tier tree
+    // with null-guarded CASE branches over thresholded count CTEs.
+    "q_kn5_pruned" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.kn5ScoreWith(d, TextStats.kn5ModelPruned(d))
+        .select(col("doc_id"), col("n_5grams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // The lever's price tag (r17): one row of model-size benefit
+    // (rows before/after pruning) against score-drift cost (exact-
+    // decimal |Δ| totals over the self-scored corpus) — so the
+    // pruning default is measured, not guessed.
+    "q_kn5_drift" -> ((s, dir) =>
+      TextStats.kn5PruneDrift(t(s, dir, "documents"))),
 
     // The LM as a served artifact: fit the model table, score through
     // the serve joins — on the training corpus this must EQUAL
@@ -7084,6 +7138,73 @@ ORDER BY "window""""
           |  sc5.n_5grams, round(sc5.avg_logp, 6) AS avg_logp
           |FROM l LEFT JOIN sc5 ON l.doc_id = sc5.doc_id AND l.pos = sc5.pos
           |ORDER BY l.doc_id, l.pos""".stripMargin),
+
+    // Count-pruned kn5 (r17): the SAME model CTEs thresholded per
+    // tier (Kn5PrunedCtes), scored through the null-guarded tree
+    // (Kn5BackoffTree) with LEFT joins on the prunable tiers — a
+    // pruned row misses exactly like an unseen n-gram.
+    "q_kn5_pruned" ->
+      (s"WITH $Kn5ModelCtes," + "\n" + s"$Kn5PrunedCtes," + "\n" +
+        s"""scored AS (
+          |  SELECT g.doc_id, CAST(count(*) AS INT) AS n_5grams,
+          |    avg(ln(
+          |      $Kn5BackoffTree
+          |    )) AS avg_logp
+          |  FROM g5d g LEFT JOIN q5p USING (fg) LEFT JOIN ctx4p USING (c4k)
+          |    LEFT JOIN q4p USING (g4) LEFT JOIN ctx3p USING (c3k)
+          |    LEFT JOIN trip USING (tg) LEFT JOIN ctx2p USING (c2k)
+          |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+          |  CROSS JOIN tys CROSS JOIN voc
+          |  GROUP BY g.doc_id)
+          |SELECT d.doc_id, s.n_5grams, round(s.avg_logp, 6) AS avg_logp
+          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+
+    // The pruning price tag (r17): unpruned (Kn5ProbTree, inner
+    // joins — self-trained, every join hits) vs pruned
+    // (Kn5BackoffTree, left joins) scorings of the same corpus,
+    // folded to one row of size-benefit + exact-decimal drift-cost.
+    "q_kn5_drift" ->
+      (s"WITH $Kn5ModelCtes," + "\n" + s"$Kn5PrunedCtes," + "\n" +
+        s"""su AS (
+          |  SELECT g.doc_id, round(avg(ln(
+          |      $Kn5ProbTree
+          |    )), 6) AS lp_full
+          |  FROM g5d g JOIN q5 USING (fg) JOIN ctx4 USING (c4k)
+          |    JOIN q4 USING (g4) JOIN ctx3 USING (c3k)
+          |    JOIN tri USING (tg) JOIN ctx2 USING (c2k)
+          |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+          |  CROSS JOIN tys CROSS JOIN voc
+          |  GROUP BY g.doc_id),
+          |sp AS (
+          |  SELECT g.doc_id, round(avg(ln(
+          |      $Kn5BackoffTree
+          |    )), 6) AS lp_pruned
+          |  FROM g5d g LEFT JOIN q5p USING (fg) LEFT JOIN ctx4p USING (c4k)
+          |    LEFT JOIN q4p USING (g4) LEFT JOIN ctx3p USING (c3k)
+          |    LEFT JOIN trip USING (tg) LEFT JOIN ctx2p USING (c2k)
+          |    JOIN bi USING (bg) JOIN ctx USING (w1) JOIN pc USING (w2)
+          |  CROSS JOIN tys CROSS JOIN voc
+          |  GROUP BY g.doc_id),
+          |sz AS (SELECT
+          |  (SELECT count(*) FROM bi) + (SELECT count(*) FROM ctx)
+          |  + (SELECT count(*) FROM pc) + 2
+          |  + (SELECT count(*) FROM tri) + (SELECT count(*) FROM ctx2)
+          |  + (SELECT count(*) FROM q4) + (SELECT count(*) FROM ctx3)
+          |  + (SELECT count(*) FROM q5) + (SELECT count(*) FROM ctx4) AS model_rows,
+          |  (SELECT count(*) FROM bi) + (SELECT count(*) FROM ctx)
+          |  + (SELECT count(*) FROM pc) + 2
+          |  + (SELECT count(*) FROM trip) + (SELECT count(*) FROM ctx2p)
+          |  + (SELECT count(*) FROM q4p) + (SELECT count(*) FROM ctx3p)
+          |  + (SELECT count(*) FROM q5p) + (SELECT count(*) FROM ctx4p) AS pruned_rows),
+          |dr AS (SELECT CAST(abs(sp.lp_pruned - su.lp_full) AS DECIMAL(18,6)) AS drift
+          |       FROM su JOIN sp USING (doc_id))
+          |SELECT sz.model_rows, sz.pruned_rows,
+          |  CAST(count(*) AS INT) AS n_scored,
+          |  CAST(CAST(sum(drift) AS DECIMAL(18,6)) AS DOUBLE) AS sum_abs_drift,
+          |  CAST(max(drift) AS DOUBLE) AS max_abs_drift
+          |FROM dr CROSS JOIN sz
+          |GROUP BY sz.model_rows, sz.pruned_rows""".stripMargin),
 
     // The q_lm_score model CTEs (trained on FULL docs) scoring the
     // newline-ified corpus's lines: every within-line bigram also

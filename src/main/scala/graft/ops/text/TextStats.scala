@@ -437,7 +437,7 @@ object TextStats {
     * construction generalizes the same way (one `kind` pair per extra
     * order), order 3 being where the backoff chain becomes non-trivial.
     */
-  def kn3Model(documents: DataFrame): DataFrame = {
+  def kn3Model(documents: DataFrame, minCount3: Long = 1L): DataFrame = {
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val tg = toks.select(explode(shingles(col("t"), 3)).as("tg"))
       .withColumn("c2k", substring_index(col("tg"), " ", 2))
@@ -449,12 +449,59 @@ object TextStats {
       .agg(count(lit(1)).as("cnt"), count_distinct(col("w3")).as("cnt2"))
       .select(lit("ctx2").as("kind"), col("c2k").as("key"), col("cnt"),
         col("cnt2"))
-    knModel(documents).unionByName(tri).unionByName(ctx2)
+    knPrune(knModel(documents).unionByName(tri).unionByName(ctx2),
+      minCount3)
   }
 
   /** Train-and-commit [[kn3Model]] (the knRefresh idiom). */
-  def kn3Refresh(documents: DataFrame, table: String): Int =
-    graft.io.Manifest.write(kn3Model(documents), table)
+  def kn3Refresh(documents: DataFrame, table: String,
+                 minCount3: Long = 1L): Int =
+    graft.io.Manifest.write(kn3Model(documents, minCount3), table)
+
+  /** Count-pruning lever for the served KN artifacts (r17) — the
+    * production KenLM-class size control: drop order-≥3 count rows
+    * below a per-tier threshold. Pruning is a pure WHERE over the
+    * kind-tagged relation, so it composes anywhere in the lifecycle:
+    * before a [[kn3Refresh]]/[[kn5Refresh]] commit (smaller artifact)
+    * or over an already-served snapshot (cheaper reader).
+    *
+    * Semantics are exactly the backoff contract: a pruned n-gram row
+    * makes its count join miss, and the shared scoring trees
+    * ([[kn3Scored]]/[[kn5Scored]]) already treat a missed count as
+    * UNSEEN — `coalesce(cnt, 0)` zeroes the direct-mass term, so the
+    * gram scores precisely `d·N1+(ctx·)/c(ctx) · P_lower`, the value
+    * an unseen continuation of the same context gets. A context row
+    * below threshold can only ever orphan grams that are themselves
+    * pruned (c(ctx) = Σ_w c(ctx·w) ≥ every single gram count), so
+    * pruning grams and contexts at one threshold is self-consistent:
+    * the scoring tree then degrades that context's grams wholesale to
+    * the committed lower order, the unseen-context branch.
+    *
+    * Two documented departures from textbook KenLM pruning, both in
+    * the conservative direction: surviving context rows keep their
+    * TRUE c(ctx)/N1+ statistics (computed before the WHERE), so the
+    * discount mass routed to backoff stays sized by the full follower
+    * diversity rather than being re-normalized over survivors; and
+    * the bigram tier is never pruned (the chain must bottom out on a
+    * positive floor — KenLM likewise refuses to prune unigrams).
+    *
+    * Thresholds are per order (order 3 / 4 / 5); `1` keeps every row
+    * (cnt ≥ 1 always) so the default path is bit-identical to the
+    * unpruned artifact and the standalone-order parity contract is
+    * undisturbed. Kind names that a lower-order model lacks filter
+    * vacuously, so one lever serves [[kn3Model]] and [[kn5Model]].
+    */
+  def knPrune(model: DataFrame, minCount3: Long,
+              minCount4: Long = 1L, minCount5: Long = 1L): DataFrame = {
+    require(minCount3 >= 1 && minCount4 >= 1 && minCount5 >= 1,
+      s"minCounts ($minCount3,$minCount4,$minCount5) must be >= 1")
+    if (minCount3 == 1 && minCount4 == 1 && minCount5 == 1) model
+    else model.filter(
+      when(col("kind").isin("tri", "ctx2"), col("cnt") >= minCount3)
+        .when(col("kind").isin("g4", "ctx3"), col("cnt") >= minCount4)
+        .when(col("kind").isin("g5", "ctx4"), col("cnt") >= minCount5)
+        .otherwise(lit(true)))
+  }
 
   /** Score documents under a persisted [[kn3Model]] — interpolated
     * trigram Kneser–Ney BACKING OFF THROUGH THE BIGRAM TIER:
@@ -592,7 +639,8 @@ object TextStats {
     * same kind-tagged layout; model size is bounded by the corpus's
     * distinct-5-gram count, the same envelope every KenLM build pays.
     */
-  def kn5Model(documents: DataFrame): DataFrame = {
+  def kn5Model(documents: DataFrame, minCount3: Long = 1L,
+               minCount4: Long = 1L, minCount5: Long = 1L): DataFrame = {
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     def tier(n: Int, gramKind: String, ctxKind: String): DataFrame = {
       val g = toks.select(explode(shingles(col("t"), n)).as("g"))
@@ -607,14 +655,29 @@ object TextStats {
           col("cnt2"))
       gc.unionByName(cc)
     }
-    kn3Model(documents)
-      .unionByName(tier(4, "g4", "ctx3"))
-      .unionByName(tier(5, "g5", "ctx4"))
+    knPrune(
+      kn3Model(documents)
+        .unionByName(tier(4, "g4", "ctx3"))
+        .unionByName(tier(5, "g5", "ctx4")),
+      minCount3, minCount4, minCount5)
   }
 
+  /** [[kn5Model]] at the production pruning default — singletons
+    * dropped at every order ≥ 3 (the KenLM `--prune 0 0 1 1 1`
+    * posture). At 100 TB the unpruned upper tiers are themselves
+    * corpus-scale relations dominated by hapax n-grams; this is the
+    * standard size lever. Price the quality cost with
+    * [[kn5PruneDrift]] rather than guessing.
+    */
+  def kn5ModelPruned(documents: DataFrame): DataFrame =
+    kn5Model(documents, 2L, 2L, 2L)
+
   /** Train-and-commit [[kn5Model]] (the knRefresh idiom). */
-  def kn5Refresh(documents: DataFrame, table: String): Int =
-    graft.io.Manifest.write(kn5Model(documents), table)
+  def kn5Refresh(documents: DataFrame, table: String,
+                 minCount3: Long = 1L, minCount4: Long = 1L,
+                 minCount5: Long = 1L): Int =
+    graft.io.Manifest.write(
+      kn5Model(documents, minCount3, minCount4, minCount5), table)
 
   /** Score documents under a persisted [[kn5Model]] — interpolated
     * 5-gram Kneser–Ney backing off order by order THROUGH THE COMMITTED
@@ -760,6 +823,49 @@ object TextStats {
   def kn5Score(documents: DataFrame, discount: Double = 0.75,
                alphaC: Double = 0.4): DataFrame =
     kn5ScoreWith(documents, kn5Model(documents), discount, alphaC)
+
+  /** Price the [[knPrune]] lever instead of guessing (r17): ONE row
+    * comparing the corpus self-scored under the unpruned vs the pruned
+    * [[kn5Model]] — model size before/after (the lever's benefit) next
+    * to the score drift it costs:
+    *
+    *   (model_rows, pruned_rows, n_scored,
+    *    sum_abs_drift, max_abs_drift)
+    *
+    * Per-doc drift is |Δ| of the two 6-dp-rounded avg_logp values cast
+    * through the exact-decimal sum policy (graft.sumMeasure's dec6
+    * discipline), so the corpus total is order-independent and
+    * hash-comparable cross-engine; n_scored counts docs long enough to
+    * carry a 5-gram (both scorings agree on that set by construction).
+    *
+    * Scale posture: the pruned scoring is the SAME nine-join tree —
+    * pruning shrinks the count relations it joins against, so the
+    * instrument's cost is ≤ 2× one scoring pass plus two metadata
+    * counts; nothing here is pairwise.
+    */
+  def kn5PruneDrift(documents: DataFrame, minCount3: Long = 2L,
+                    minCount4: Long = 2L, minCount5: Long = 2L,
+                    discount: Double = 0.75,
+                    alphaC: Double = 0.4): DataFrame = {
+    val full = kn5Model(documents)
+    val pruned = knPrune(full, minCount3, minCount4, minCount5)
+    val lpFull = kn5ScoreWith(documents, full, discount, alphaC)
+      .filter(col("avg_logp").isNotNull)
+      .select(col("doc_id"), round(col("avg_logp"), 6).as("lp_full"))
+    val lpPruned = kn5ScoreWith(documents, pruned, discount, alphaC)
+      .select(col("doc_id"), round(col("avg_logp"), 6).as("lp_pruned"))
+    val drift = lpFull.join(lpPruned, Seq("doc_id"))
+      .select(graft.dec6(abs(col("lp_pruned") - col("lp_full"))).as("drift"))
+    val sizes = full.agg(count(lit(1)).as("model_rows"))
+      .crossJoin(pruned.agg(count(lit(1)).as("pruned_rows"))) // 1 × 1 rows
+    drift.agg(
+      count(lit(1)).cast("int").as("n_scored"),
+      graft.sumMeasure(col("drift")).as("sum_abs_drift"),
+      max(col("drift")).as("max_abs_drift"))
+      .crossJoin(sizes)
+      .select(col("model_rows"), col("pruned_rows"), col("n_scored"),
+        col("sum_abs_drift"), col("max_abs_drift"))
+  }
 
   /** Language-ID heuristic: per-language stopword/character-class evidence
     * counts with a fixed-precedence argmax. Unigram variant of n-gram

@@ -1090,6 +1090,71 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("avg_logp")))
   }
 
+  test("knPrune: a pruned trigram scores EXACTLY its backoff value; a " +
+    "pruned context degrades wholesale to the lower tier; the default " +
+    "threshold is the identity") {
+    import spark.implicits._
+    // the kn3 fixture: tri "a b c"x2, "a b d"x1; ctx2("a b") = (3, 2);
+    // bigram tier (never pruned): ctx(b) = (3, 2); types = 3, V = 4
+    val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    def score(text: String, model: org.apache.spark.sql.DataFrame) =
+      TextStats.kn3ScoreWith(
+        Seq((9L, text)).toDF("doc_id", "text"), model).head().getDouble(2)
+    // threshold 2: the singleton trigram "a b d" is pruned (1 row),
+    // its surviving context keeps the TRUE (cuv, nf2) = (3, 2) stats
+    val full = TextStats.kn3Model(corpus)
+    val pruned = TextStats.kn3Model(corpus, minCount3 = 2)
+    assert(full.count() - pruned.count() == 1,
+      "threshold 2 must drop exactly the singleton tri row")
+    assert(pruned.filter(col("kind").isin("tri", "ctx2") &&
+      col("cnt") < 2).count() == 0)
+    // the pruned trigram's direct-mass term zeroes; what remains is
+    // exactly d·nf2/cuv · P2(d|b) — the value an UNSEEN continuation
+    // of the same context gets
+    val pcD = (1 + 0.4) / (3 + 0.4 * 4)
+    val p2db = (1 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcD
+    assert(score("a b d", pruned) == math.log(0.75 * 2 / 3.0 * p2db),
+      "pruned trigram must score exactly its backoff value")
+    // the surviving trigram still scores its full-model value
+    assert(score("a b c", pruned) == score("a b c", full))
+    // threshold 4 prunes the CONTEXT row too: the whole ctx2 tier
+    // degrades wholesale to the committed bigram tier
+    val ctxPruned = TextStats.kn3Model(corpus, minCount3 = 4)
+    val pcC = (1 + 0.4) / (3 + 0.4 * 4)
+    val p2cb = (2 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcC
+    assert(score("a b c", ctxPruned) == math.log(p2cb),
+      "pruned context must degrade to exactly the bigram tier")
+    // default thresholds are the identity (knPrune returns the model)
+    assert(TextStats.knPrune(full, 1L, 1L, 1L) eq full)
+    // kn5: singletons pruned at every order >= 3 (kn5ModelPruned) —
+    // "a b c d f" loses its g5/g4/tri rows but every context row
+    // survives, so the score is the three-deep backoff chain onto the
+    // unpruned bigram tier
+    val corpus5 = Seq((1L, "a b c d e"), (2L, "a b c d f"),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    val p5 = TextStats.kn5ModelPruned(corpus5)
+    val pcF = (1 + 0.4) / (5 + 0.4 * 6)
+    val p2f = (1 - 0.75) / 3.0 + 0.75 * 2 / 3.0 * pcF // P2(f|d)
+    val expected = 0.75 * 2 / 3.0 *
+      (0.75 * 2 / 3.0 * (0.75 * 2 / 3.0 * p2f))
+    val got = TextStats.kn5ScoreWith(
+      Seq((9L, "a b c d f")).toDF("doc_id", "text"), p5).head().getDouble(2)
+    assert(got == math.log(expected),
+      "kn5 singleton must backoff through every pruned tier exactly")
+    // and the drift instrument prices it: one row, pruned smaller,
+    // only the doc carrying the singleton drifts
+    val drift = TextStats.kn5PruneDrift(corpus5).head()
+    assert(drift.getLong(drift.fieldIndex("model_rows")) >
+      drift.getLong(drift.fieldIndex("pruned_rows")))
+    assert(drift.getInt(drift.fieldIndex("n_scored")) == 3)
+    val sumD = drift.getDecimal(drift.fieldIndex("sum_abs_drift"))
+    val maxD = drift.getDecimal(drift.fieldIndex("max_abs_drift"))
+    assert(sumD.compareTo(maxD) == 0,
+      "exactly one of the three docs should drift")
+    assert(maxD.signum() > 0)
+  }
+
   test("lmRefresh: Manifest round-trip serves the committed model exactly") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
