@@ -57,8 +57,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (wanted(name)) {
-        try doubleize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          doubleize(df).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // free localCheckpoint frames the result view pins (the
+          // trajectory/loop operators) — clearCache doesn't cover them
+          graft.releaseCheckpoints(df)
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -420,12 +420,22 @@ object Manifest {
         // may already be invisible behind a replacement snapshot —
         // fail loudly instead of returning a silently-shadowed success
         if (currentEpoch(spark, table) != epoch0)
+          // NOTE v IS fully committed at this point (its marker landed)
+          // — the moved epoch only proves a replace INTERLEAVED, not
+          // that its marker landed. The remediation must branch on
+          // currentVersion, or the spurious-bump case (interleaver
+          // crashed between its bump and its marker) double-applies
+          // rows that are already in the current snapshot.
           throw new IllegalStateException(
             s"append published v$v under $table but a concurrent " +
               "wholesale replace interleaved (epoch moved " +
               s"$epoch0 -> ${currentEpoch(spark, table)}); the appended " +
-              s"rows are preserved in $dir but may be shadowed by the " +
-              "replacement — re-append them against the new snapshot")
+              s"rows are preserved in $dir. Check currentVersion before " +
+              s"acting: if a replace marker landed ABOVE v$v, the rows " +
+              "are shadowed — re-append them against the new snapshot; " +
+              s"if currentVersion is still v$v the interleaver crashed " +
+              "before its marker (a spurious bump) and v's rows are " +
+              "already live — do NOT re-append, that would double-apply")
         committed = v
       }
     }
@@ -528,8 +538,19 @@ object Manifest {
     * with the same claim-first / marker-recheck / dir-last dance, so a
     * genuinely live writer that slow finds its claim gone and aborts
     * loudly via the lease handshake instead of publishing torn state.
-    * The TTL must comfortably exceed the longest legitimate
-    * claim-to-marker window (a full snapshot write); default 15 min.
+    *
+    * SIZING `claimTtlMs` (r17): the TTL must comfortably exceed the
+    * longest LEGITIMATE claim-to-marker window — that is the full
+    * read-union-rewrite an append pays on the table, which grows with
+    * the table; default 15 min fits fixture-scale tables. At 100 TB
+    * measure the observed claim-to-marker latency of real appends
+    * (claim file mtime vs marker mtime on recent versions) and set the
+    * TTL to a safe multiple (≥ 4×) of the worst case: an undersized TTL
+    * turns a slow live append into a spurious loud abort (the lease
+    * handshake keeps it SAFE — no torn commit — but the append must be
+    * retried). Claim ages are measured against the FILESYSTEM's own
+    * clock (a probe file's mtime), not this host's, so cross-host clock
+    * skew on a shared FS cannot mis-age a claim.
     * Old `_epoch-<K>` fence files below the newest are trimmed too.
     * A never-written table path is a no-op.
     */
@@ -579,7 +600,21 @@ object Manifest {
     // CAS slot (or a crashed commit's leavings); reclaim it claim-first
     // so a pathologically slow live writer aborts via the lease
     // handshake rather than publishing over a half-vacuumed version.
-    val now = System.currentTimeMillis()
+    // "now" is the FILESYSTEM's clock, not this host's: claim mtimes
+    // were stamped by the writers' filesystem, so ageing them against a
+    // freshly created probe file's mtime measures age on ONE clock —
+    // cross-host skew on a shared FS can no longer make a just-written
+    // claim look aged (or an aged one look fresh). Falls back to the
+    // local clock only if the probe cannot be created.
+    val now = {
+      val probe = new Path(
+        s"$table/_vacuum-probe-${java.util.UUID.randomUUID()}")
+      try {
+        f.create(probe, false).close()
+        try f.getFileStatus(probe).getModificationTime
+        finally f.delete(probe, false)
+      } catch { case _: java.io.IOException => System.currentTimeMillis() }
+    }
     listing.foreach { st =>
       st.getPath.getName match {
         case ClaimRe(n) if st.isFile && n.toInt > newest &&

@@ -162,4 +162,27 @@ package object graft {
         lr.rdd.unpersist(blocking = false)
       case _ => df.unpersist()
     }
+
+  /** Release EVERY localCheckpoint frame a result still references —
+    * the lifecycle hook for checkpoint-backed views (r17, closes the
+    * r16 ADVICE leak). The iterative operators (labelPropTrajectory /
+    * linkRankTrajectory / the weighted-hop state view / the gated LPA
+    * result) return plans over per-round `localCheckpoint` frames;
+    * CacheScope.release only unpins `persist()`ed tables, so without
+    * this hook each call leaks block-manager storage for the session
+    * lifetime. Call it AFTER the result is materialized somewhere
+    * durable (parquet write, collect) — the memoizing `materialized`
+    * path and the Bench/Verify harness loops do so automatically; a
+    * library caller holding the raw view calls it when done. Safe on
+    * any DataFrame: persist()ed tables (InMemoryRelation) and parquet
+    * scans are untouched; re-invoking the operator rebuilds frames
+    * (the operators are pure), so release-then-reuse degrades to
+    * recompute, never to wrong answers.
+    */
+  def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

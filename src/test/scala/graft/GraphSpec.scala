@@ -764,6 +764,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("releaseCheckpoints frees every localCheckpoint frame a " +
+    "trajectory view pins, and a released operator re-run still " +
+    "answers (the library-caller lifecycle hook)") {
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("node")
+    val es = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "weight")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val traj = Graph.labelPropTrajectory(ns, es, 3)
+    val n = traj.count()
+    CacheScope.release(spark)
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty,
+      "the trajectory view must be backed by checkpoint frames")
+    graft.releaseCheckpoints(traj)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"every frame must be released, still pinned: $leaked")
+    // the operators are pure: a fresh call after release rebuilds
+    val again = Graph.labelPropTrajectory(ns, es, 3)
+    assert(again.count() == n)
+    graft.releaseCheckpoints(again)
+    CacheScope.release(spark)
+  }
+
   test("community registry: warm-start composes exactly (from(cold(k1), " +
     "k2) == cold(k1+k2)); refresh/update commit versions; new nodes " +
     "start at their own id") {
