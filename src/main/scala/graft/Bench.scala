@@ -61,6 +61,61 @@ object Bench {
     }
   }
 
+  /** Cross-round LEVEL control (r17) — the detector for the taint class
+    * rep-spread and hot-window are both blind to: BOTH reps of one
+    * query co-inflating between two clean probes (the r15
+    * q_linkrank_residual and r16 q_dup_spans/q_edit_incr artifact rows
+    * — two rounds running, the only thing between the artifact and the
+    * measurement). The control is a committed quiet-box reference
+    * detail (BENCH_REF.json): a query whose recorded min sits more
+    * than `factor`× above its reference min (+`floorSec` absolute, so
+    * centisecond queries can't trip on noise) is flagged `level-shift`.
+    * Thresholds sized against the r16 evidence: the four adjudicated
+    * taint rows sat 1.9–3.2× over their settled references while quiet-
+    * box run-to-run noise stays within ~1.2× — 1.5× + 0.2 s catches all
+    * four with margin on both sides.
+    * The flag marks a measurement anomaly to ADJUDICATE, not a
+    * regression verdict: a query whose code genuinely changed this
+    * round shifts legitimately — the reader checks the round's diff
+    * (and the round summary should name deliberate costs). Queries
+    * absent from the reference (new this round) and errored queries
+    * are never flagged. Pure function — BenchSuspectSpec pins it.
+    */
+  private[graft] def levelShiftsOf(
+      results: Seq[(String, Double, Option[String], Seq[Double])],
+      reference: Map[String, Double],
+      factor: Double = 1.5, floorSec: Double = 0.2): Seq[(String, String)] =
+    results.flatMap { case (k, v, err, _) =>
+      reference.get(k) match {
+        case Some(ref) if err.isEmpty && v > ref * factor + floorSec =>
+          Some(k -> s"level-shift(ref=${num(ref, 3)}s)")
+        case _ => None
+      }
+    }
+
+  /** Parse the per-query min map out of a committed detail artifact
+    * (BENCH_REF.json / BENCH_DETAIL.json). The files are written by
+    * this object with a fixed flat shape, so a targeted extraction of
+    * the "queries_ms_precision" object is sound; returns empty when the
+    * file is absent, unreadable, or records a different sf/cpus config
+    * (a reference from another box/scale is not a level control).
+    */
+  private[graft] def referenceMins(path: String, sfName: String,
+                                   cpus: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val sfOk = s""""sf":"$sfName"""".r.findFirstIn(text).isDefined
+      val cpusOk = s""""cpus":$cpus[,}]""".r.findFirstIn(text).isDefined
+      if (!sfOk || !cpusOk) Map.empty
+      else {
+        val obj = """"queries_ms_precision":\{([^}]*)\}""".r
+          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   /** Compact JSON number: fixed `dp` decimals, trailing zeros (and a bare
     * trailing point) trimmed. Locale.ROOT explicitly — a default-locale
     * format would emit comma decimals ("12,34") on de_DE/fr_FR boxes:
@@ -314,10 +369,18 @@ object Bench {
           jstr(k) + ":[" + rs.map(num(_, 3)).mkString(",") + "]"
         }.mkString("{", ",", "}")
         // derived taint flags — the suspectsOf heuristics (rep-spread /
-        // hot-window), spec-pinned in BenchSuspectSpec
+        // hot-window) plus the cross-round level control against the
+        // committed quiet-box reference; window heuristics win on
+        // overlap (they carry the sharper diagnosis). Spec-pinned in
+        // BenchSuspectSpec.
         val probeSeq = ((0, cal0) +: calLadder.map(l => (l._1, l._3))) :+
           (results.size, cal1)
-        val suspects = suspectsOf(results, probeSeq)
+        val windowFlags = suspectsOf(results, probeSeq)
+        val flagged = windowFlags.map(_._1).toSet
+        val levelFlags = levelShiftsOf(results,
+          referenceMins("BENCH_REF.json", sfName, cpus))
+          .filterNot { case (k, _) => flagged(k) }
+        val suspects = (windowFlags ++ levelFlags)
           .map { case (k, why) => jstr(k) + ":" + jstr(why) }
           .mkString("{", ",", "}")
         // measurement-semantics flag (r17): queries priced as READS of

@@ -56,4 +56,55 @@ class BenchSuspectSpec extends AnyFunSuite {
     val rs = Seq(q("a", 1.0, 1.0))
     assert(Bench.suspectsOf(rs, Seq((0, 0.01), (1, 0.05))).isEmpty)
   }
+
+  test("level-shift: co-inflated reps that fooled rep-spread and a " +
+    "clean probe window still flag against the committed reference") {
+    // the r16 q_dup_spans shape VERBATIM: official reps 4.68/6.28
+    // (inside the 1.4x settle band: 6.28 <= 4.68*1.4+0.05 = 6.602),
+    // clean probes — the r16 artifact shipped this row unflagged
+    val blind = Seq(q("q_dup_spans", 4.68, 6.28), q("q_ok", 1.5, 1.55))
+    assert(Bench.suspectsOf(blind, cleanProbes(2)).isEmpty,
+      "the window heuristics must be blind to this shape")
+    val ref = Map("q_dup_spans" -> 1.46, "q_ok" -> 1.5)
+    val got = Bench.levelShiftsOf(blind, ref).toMap
+    assert(got == Map("q_dup_spans" -> "level-shift(ref=1.46s)"),
+      s"got $got")
+    // the defaults must catch ALL FOUR adjudicated r16 taint rows
+    val r16 = Seq(q("q_dup_spans", 4.68, 6.28), q("q_edit_incr", 4.76, 4.9),
+      q("q_kmeans_sweep", 2.73, 2.8), q("q_contain_recall", 2.70, 2.75))
+    val r16ref = Map("q_dup_spans" -> 1.46, "q_edit_incr" -> 1.50,
+      "q_kmeans_sweep" -> 1.45, "q_contain_recall" -> 1.36)
+    assert(Bench.levelShiftsOf(r16, r16ref).size == 4,
+      "every adjudicated r16 taint row must flag at the defaults")
+  }
+
+  test("level-shift: new queries (absent from the reference), errored " +
+    "queries, and sub-floor drifts are never flagged") {
+    val rs = Seq(
+      q("q_new", 9.0, 9.1), // not in ref
+      ("q_err", -1.0, Some("boom"), Seq(9.0, 9.0)),
+      q("q_small", 0.45, 0.46), // 0.45 <= 0.2*1.5+0.2 — floor guards it
+      q("q_fine", 1.95, 2.0)) // 1.95 <= 1.2*1.5+0.2
+    val ref = Map("q_err" -> 0.5, "q_small" -> 0.2, "q_fine" -> 1.2)
+    assert(Bench.levelShiftsOf(rs, ref).isEmpty)
+  }
+
+  test("referenceMins: parses this repo's committed artifact shape, " +
+    "rejects a different sf or cpus config, and survives a missing file") {
+    val dir = java.nio.file.Files.createTempDirectory("benchref")
+    val p = dir.resolve("ref.json")
+    java.nio.file.Files.writeString(p,
+      """{"total_sec":174.273,"sf":"sf0.1","cpus":32,"failures":0,""" +
+        """"cal_ladder_before_query":{"q_x":0.279},""" +
+        """"queries_ms_precision":{"q_a":0.354,"q_b":2.77},""" +
+        """"queries_reps":{"q_a":[0.354,0.41]},"suspect":{}}""")
+    assert(Bench.referenceMins(p.toString, "sf0.1", "32") ==
+      Map("q_a" -> 0.354, "q_b" -> 2.77))
+    assert(Bench.referenceMins(p.toString, "sf0.01", "32").isEmpty,
+      "a reference at another scale is not a level control")
+    assert(Bench.referenceMins(p.toString, "sf0.1", "8").isEmpty,
+      "a reference from another cpu config is not a level control")
+    assert(Bench.referenceMins(dir.resolve("nope.json").toString,
+      "sf0.1", "32").isEmpty)
+  }
 }
