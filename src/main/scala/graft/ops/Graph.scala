@@ -683,10 +683,12 @@ object Graph {
     * bounds). A weight INCREASE on an existing edge can raise true
     * distances, which a stale low bound never re-rises to — that
     * mutation demands a cold re-run, same as edge removal in the unit
-    * form. Note the shared maintenance stream merges edge deltas by
-    * weight SUM (an increase), so this twin is a BATCH maintenance
-    * read, deliberately not wired into runDistanceStream (the unit
-    * family, whose semantics ignore weights, stays the streaming leg).
+    * form. The live loop exists since r17:
+    * [[graft.streaming.IncrementalStream.runWeightedDistanceStream]]
+    * merges edge deltas by weight MIN per (src, dst) — monotonically
+    * non-increasing registry weights, so the warm contract holds
+    * batch after batch (the shared loop's default SUM-merge is what
+    * kept this family batch-only through r16).
     */
   def hopDistanceWeightedFrom(state: DataFrame, nodes: DataFrame,
                               edges: DataFrame, seeds: DataFrame,

@@ -1013,15 +1013,79 @@ object IncrementalStream {
         }
       })
 
+  /** [[runDistanceStream]] at the WEIGHTED family (r17 — the last
+    * live-loop asymmetry in the graph registries closed): per edge
+    * micro-batch, merge the delta into the persisted weighted edge
+    * registry BY MIN WEIGHT per (src, dst), then warm-continue the
+    * committed distances through `rounds` more min-plus rounds
+    * ([[graft.ops.Graph.hopDistanceWeightedFrom]]; first batch
+    * cold-starts via [[graft.ops.Graph.hopDistanceWeighted]] at
+    * `maxRounds`).
+    *
+    * WHY the per-family merge makes the warm start sound here: the
+    * shared maintenance loop's default SUM-merge INCREASES an existing
+    * (src, dst) weight when the pair re-arrives — and a weight increase
+    * can raise true distances, which a committed (now stale-low) bound
+    * never re-rises to (hopDistanceWeightedFrom's documented narrower
+    * contract; the reason r16 left this family batch-only). Under
+    * MIN-merge the registry weight per pair is monotonically
+    * NON-INCREASING across batches — new pairs and cheaper parallel
+    * alternatives only lower the min-plus fixpoint — so committed
+    * distances remain valid upper bounds and warm relaxation from them
+    * is exact. The semantic fit: for distances a repeated (src, dst)
+    * observation is an alternative route offer, not an accumulating
+    * interaction — only the cheapest can matter. Edge REMOVAL (or an
+    * authoritative weight increase) still demands a cold
+    * [[graft.ops.Graph.distanceRefresh]], same as the unit family.
+    *
+    * Streamed state equals the batch chain
+    * `hopDistanceWeightedFrom(hopDistanceWeighted(g1, maxRounds),
+    * g1 ⊎min g2, seeds, rounds)` bit-for-bit — StreamingSpec pins it,
+    * including a committed distance re-improved by a cheaper wave-2
+    * route. Exactly-once posture, tag scoping, and the
+    * single-maintenance-writer OWNERSHIP contract: the
+    * [[runGraphMaintenanceStream]] argument verbatim.
+    */
+  def runWeightedDistanceStream(edgeStream: DataFrame,
+                                edgeTable: String, distanceTable: String,
+                                checkpoint: String, seeds: Seq[Long],
+                                rounds: Int = 2, maxRounds: Int = 6,
+                                tagScope: Option[String] = None)
+      : StreamingQuery =
+    runGraphMaintenanceStream(edgeStream, edgeTable, distanceTable,
+      checkpoint, "wdistance", tagScope,
+      advance = (nodes, edges, state) => {
+        val sp = nodes.sparkSession
+        import sp.implicits._
+        val seedDf = seeds.toDF("node")
+        state match {
+          case Some(s) =>
+            graft.ops.Graph.hopDistanceWeightedFrom(s, nodes, edges,
+              seedDf, rounds)
+          case None =>
+            graft.ops.Graph.hopDistanceWeighted(nodes, edges, seedDf,
+              maxRounds)
+        }
+      },
+      edgeMerge = _.groupBy("src", "dst")
+        .agg(min("weight").as("weight")))
+
   /** The two-leg graph maintenance loop shared by the authority and
     * community streams — one body, one replay-idempotency proof:
     *
     *   1. EDGE MERGE — union the batch's (src, dst, weight) delta into
-    *      the persisted edge registry and re-aggregate; skipped when
+    *      the persisted edge registry and re-aggregate through the
+    *      family's `edgeMerge` closure (r17): weight SUM for the
+    *      mass/affinity families (LPA, authority — repeated
+    *      interactions add up), weight MIN for the distance family
+    *      (parallel alternatives: only the cheapest can matter, and a
+    *      min-merged weight never increases, which is exactly the
+    *      monotonicity the warm min-plus contract needs). Skipped when
     *      the current edge version already carries THIS batch's tag
-    *      (crash-replay after the edge commit: re-merging would union
-    *      the same delta twice and the groupBy-sum would double-count
-    *      its weights — permanent corruption).
+    *      (crash-replay after the edge commit: re-merging would apply
+    *      the same delta twice — under SUM that double-counts weights,
+    *      permanent corruption; MIN is idempotent but skips anyway,
+    *      one proof for all families).
     *   2. STATE ADVANCE — derive the node set from the merged registry
     *      (src ∪ dst, so vertices appear as soon as an edge lands),
     *      warm-continue the committed state via `advance` (None on the
@@ -1045,7 +1109,10 @@ object IncrementalStream {
                                         checkpoint: String,
                                         familyTag: String,
                                         tagScope: Option[String],
-                                        advance: (DataFrame, DataFrame, Option[DataFrame]) => DataFrame)
+                                        advance: (DataFrame, DataFrame, Option[DataFrame]) => DataFrame,
+                                        edgeMerge: DataFrame => DataFrame =
+                                          _.groupBy("src", "dst")
+                                            .agg(sum("weight").as("weight")))
       : StreamingQuery = {
     val scope = tagScopeOf(checkpoint, tagScope)
     val q = edgeStream.writeStream
@@ -1061,11 +1128,12 @@ object IncrementalStream {
             else None
           if (!tagOf(edgeTable).contains(tag)) {
             val delta = batch.select(col("src"), col("dst"), col("weight"))
-            val merged = (graft.io.Manifest.currentVersion(sp, edgeTable) match {
-              case Some(_) =>
-                graft.io.Manifest.read(sp, edgeTable).unionByName(delta)
-              case None => delta
-            }).groupBy("src", "dst").agg(sum("weight").as("weight"))
+            val merged = edgeMerge(
+              graft.io.Manifest.currentVersion(sp, edgeTable) match {
+                case Some(_) =>
+                  graft.io.Manifest.read(sp, edgeTable).unionByName(delta)
+                case None => delta
+              })
             graft.io.Manifest.writeTagged(merged, edgeTable, tag)
           }
           if (!tagOf(stateTable).contains(tag)) {

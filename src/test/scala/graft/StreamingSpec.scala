@@ -1751,6 +1751,88 @@ class StreamingSpec extends SparkSpec {
     CacheScope.release(spark)
   }
 
+  test("streaming WEIGHTED distance maintenance: min-merged edge " +
+    "registry keeps the warm contract; warm min-plus rounds equal the " +
+    "batch replay chain (including a committed distance re-improved " +
+    "by a cheaper route AND a re-sent pair at a cheaper weight); " +
+    "replay never double-advances") {
+    import graft.ops.Graph
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wdistance").toString
+    val edgeTable = s"$root/edges"
+    val distTable = s"$root/distances"
+    // wave 1: 1→2 (5), 2→3 (5), 1→4 (20). wave 2: a cheaper PARALLEL
+    // offer for 1→4 (weight 7 < 20 — the min-merge case SUM would
+    // corrupt: 20+7=27 raises the registry weight and breaks the warm
+    // bound) plus the extension 4→5 (1)
+    val wave1 = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 4L, 20L))
+    val wave2 = Seq((1L, 4L, 7L), (4L, 5L, 1L))
+    val seeds = Seq(1L)
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    def drain(): Unit =
+      IncrementalStream.runWeightedDistanceStream(
+        mem.toDF().toDF("src", "dst", "weight"),
+        edgeTable, distTable, s"$root/ckpt", seeds,
+        rounds = 4, maxRounds = 6, tagScope = Some("t"))
+    mem.addData(wave1: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, distTable).contains(1))
+    mem.addData(wave2: _*)
+    drain()
+    assert(graft.io.Manifest.currentVersion(spark, distTable).contains(2))
+    // the registry must hold the MIN weight for the re-sent pair
+    val regW = graft.io.Manifest.read(spark, edgeTable)
+      .filter(col("src") === 1L && col("dst") === 4L)
+      .select("weight").head().getLong(0)
+    assert(regW == 7L, s"min-merge must keep the cheaper offer, got $regW")
+    // streamed distances == the batch chain over the MIN-merged graph
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    def graph(edges: Seq[(Long, Long, Long)]) = {
+      val e = edges.toDF("src", "dst", "weight")
+        .groupBy("src", "dst").agg(min("weight").as("weight"))
+      val n = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      (n, e)
+    }
+    val (n1, g1) = graph(wave1)
+    val (nAll, gAll) = graph(wave1 ++ wave2)
+    val want = asMap(Graph.hopDistanceWeightedFrom(
+      Graph.hopDistanceWeighted(n1, g1, seeds.toDF("node"), maxRounds = 6),
+      nAll, gAll, seeds.toDF("node"), rounds = 4))
+    val got = asMap(graft.io.Manifest.read(spark, distTable))
+    CacheScope.release(spark)
+    assert(got == want, "stream must equal the batch replay chain")
+    assert(got(4L) == Some(7L),
+      "node 4's committed distance (20) must re-improve to the cheaper offer")
+    assert(got(5L) == Some(8L), "the wave-2 extension must be reached")
+    // replay leg: a fully-committed single batch replayed from a FRESH
+    // checkpoint under the same scope skips both legs (MIN-merge is
+    // idempotent, but the tag skip is the shared proof — no extra
+    // versions, no extra warm rounds)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_wdist_replay").toString
+    def drainReplay(ckpt: String): Unit = {
+      val m = MemoryStream[(Long, Long, Long)](spark)
+      m.addData(wave1: _*)
+      IncrementalStream.runWeightedDistanceStream(
+        m.toDF().toDF("src", "dst", "weight"),
+        s"$root2/edges", s"$root2/distances", ckpt, seeds,
+        rounds = 4, maxRounds = 6, tagScope = Some("t"))
+      ()
+    }
+    drainReplay(s"$root2/ckpt1")
+    val dist1 = asMap(graft.io.Manifest.read(spark, s"$root2/distances"))
+    drainReplay(s"$root2/ckpt2")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/edges")
+      .contains(1), "replayed merge must skip")
+    assert(graft.io.Manifest.currentVersion(spark, s"$root2/distances")
+      .contains(1), "replayed distance leg must skip")
+    assert(asMap(graft.io.Manifest.read(spark, s"$root2/distances")) == dist1)
+    CacheScope.release(spark)
+  }
+
   test("authority stream replay-idempotency: a fully-committed batch " +
     "replays as a no-op (no double-counted weights, no extra rounds)") {
     val root = Files.createTempDirectory("graft_auth_replay").toString
