@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.ops.{Relational, Sessionize, Similarity}
-import graft.ops.text.{Bpe, Corpus, Dedup, TextStats}
+import graft.ops.text.{Bpe, Corpus, Dedup, Domains, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,30 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(spark, dir, name)
+
+  /** Deterministic URL per document for the domain family (r17) — the
+    * fixture carries no URL column, so the query and its oracle derive
+    * one from existing columns with the SAME CASE expression (the
+    * events-as-graph-edges convention). Five classes by doc_id % 5:
+    * subdomained mixed-case .com, ported co.uk under a cdn label,
+    * userinfo'd .org with a fragment, an IPv4 literal, and a dotless
+    * bare host — one per edge the extractor must handle.
+    */
+  private def withUrl(d: DataFrame): DataFrame =
+    d.withColumn("url",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("https://www."), col("source"),
+          lit("-Example.COM/a/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://cdn."), col("source"),
+            lit("-mirror.co.uk:8080/x?y=1")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://user@"), col("source"),
+            lit(".org/path#frag")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://192.168."),
+            (col("doc_id") % 200).cast("string"), lit(".7/raw")))
+        .otherwise(concat(lit("intranet-"), col("source"))))
 
   /** Session-scoped materialized intermediates: the dedup family's pair
     * tables are the classic shared stage of a real pipeline — a 100 TB
@@ -1171,6 +1195,67 @@ ORDER BY vec_inc, vec_corp"""
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The domain family's shared oracle CTEs (r17): the withUrl CASE
+    * verbatim (u), host normalization (h), label split (d), and the
+    * registrable-domain CASE over the SAME suffix literal list the
+    * Spark expression compiles in (dom) — interpolated from
+    * Domains.DefaultTwoLabelSuffixes so the two sides cannot drift.
+    */
+  private val DomainCtes: String = {
+    val suffixes = Domains.DefaultTwoLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""u AS (SELECT doc_id, text, source, CASE
+      |  WHEN doc_id % 5 = 0 THEN 'https://www.' || source || '-Example.COM/a/' || doc_id
+      |  WHEN doc_id % 5 = 1 THEN 'http://cdn.' || source || '-mirror.co.uk:8080/x?y=1'
+      |  WHEN doc_id % 5 = 2 THEN 'https://user@' || source || '.org/path#frag'
+      |  WHEN doc_id % 5 = 3 THEN 'http://192.168.' || (doc_id % 200) || '.7/raw'
+      |  ELSE 'intranet-' || source END AS url FROM documents),
+      |h AS (SELECT doc_id, url,
+      |  lower(regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '^[a-z][a-zA-Z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', ''), ':\\d+$$', '')) AS host FROM u),
+      |d AS (SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h),
+      |dom AS (SELECT doc_id, url, host,
+      |  CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$') OR len(ls) <= 1 THEN host
+      |       WHEN (ls[-2] || '.' || ls[-1]) IN ($suffixes) THEN
+      |         CASE WHEN len(ls) >= 3 THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1] ELSE host END
+      |       ELSE ls[-2] || '.' || ls[-1] END AS domain FROM d)""".stripMargin
+  }
+
+  /** [[DomainCtes]] + the q_source_stats rollup re-keyed by domain —
+    * shared by q_domain_stats / q_domain_decisions / q_domain_gate.
+    */
+  private val DomainStatsCtes: String =
+    DomainCtes + ",\n" +
+      """q AS (SELECT doc_id,
+        |   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |     + CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS DOUBLE)
+        |       / len(string_split(text, ' ')) * 0.3
+        |     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) * 0.2 AS quality_score
+        |  FROM documents),
+        |f AS (SELECT doc_id, domain,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   count(*) OVER (PARTITION BY md5(lower(text))) > 1
+        |     AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_drop
+        |  FROM documents JOIN dom USING (doc_id)),
+        |st AS (SELECT domain,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
+        | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+        |FROM f JOIN q USING (doc_id) GROUP BY domain)""".stripMargin
+
+  /** The decision fold over `st` — reason precedence verbatim from
+    * Domains.domainDecisions at the q_domain_* thresholds.
+    */
+  private val DomainDecisionCte: String =
+    """dc AS (SELECT domain, (reason IN ('allowlist', 'ok')) AS allowed, reason FROM (
+      |  SELECT domain, CASE WHEN domain IN ('src16-mirror.co.uk') THEN 'blocklist'
+      |    WHEN domain IN ('192.168.38.7') THEN 'allowlist'
+      |    WHEN dup_ratio > 0.5 THEN 'dup_ratio'
+      |    WHEN avg_quality < 0.35 THEN 'quality'
+      |    ELSE 'ok' END AS reason FROM st))""".stripMargin
+
   /** The shared 5-gram-KN model CTE block (bigram → 5-gram count tiers,
     * trained on the FULL documents) — composed into q_kn5_score and
     * q_kn5_lines so the two oracles' model arithmetic cannot drift,
@@ -1972,6 +2057,47 @@ res$sfx AS (SELECT '$qid' AS query_id,
     // Per-source curation dashboard: volume, mean quality, exact-dup rate.
     "q_source_stats" -> ((s, dir) =>
       TextStats.sourceStats(t(s, dir, "documents")).orderBy("source")),
+
+    // Domain-grain curation (r17): registrable-domain extraction over
+    // the deterministic URL derivation (withUrl — the fixture carries
+    // no URL column; the oracle replays the same CASE verbatim).
+    // Exercises scheme/userinfo/port/path stripping, case folding, a
+    // two-label public suffix, an IPv4 literal, and a dotless host.
+    "q_domain_extract" -> ((s, dir) =>
+      withUrl(t(s, dir, "documents"))
+        .select(col("doc_id"), col("url"),
+          Domains.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")),
+
+    // Per-domain corpus health: sourceStats re-keyed to the
+    // registrable domain (volume, exact-decimal mean quality,
+    // corpus-wide exact-dup rate).
+    "q_domain_stats" -> ((s, dir) =>
+      Domains.domainStats(withUrl(t(s, dir, "documents")))
+        .orderBy("domain")),
+
+    // The per-domain keep/drop fold with its audit trail — every
+    // reason branch live on the fixture: one blocklisted domain, one
+    // allowlisted sub-threshold IP, the quality threshold catching the
+    // low-quality IP slices, 'ok' for the rest.
+    "q_domain_decisions" -> ((s, dir) =>
+      Domains.domainDecisions(
+        Domains.domainStats(withUrl(t(s, dir, "documents"))),
+        maxDupRatio = 0.5, minAvgQuality = 0.35,
+        blocklist = Seq("src16-mirror.co.uk"),
+        allowlist = Seq("192.168.38.7")).orderBy("domain")),
+
+    // The ingest gate itself: documents surviving the domain decision
+    // table (broadcast dim join — no shuffle added to ingest).
+    "q_domain_gate" -> ((s, dir) => {
+      val d = withUrl(t(s, dir, "documents"))
+      val dec = Domains.domainDecisions(Domains.domainStats(d),
+        maxDupRatio = 0.5, minAvgQuality = 0.35,
+        blocklist = Seq("src16-mirror.co.uk"),
+        allowlist = Seq("192.168.38.7"))
+      Domains.domainGateWith(d, dec)
+        .select(col("doc_id"), col("domain")).orderBy("doc_id")
+    }),
 
     // Embedding-table health: the validation pass before ANN indexing.
     "q_embedding_stats" -> ((s, dir) =>
@@ -4614,6 +4740,26 @@ res$sfx AS (SELECT '$qid' AS query_id,
         | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
         |FROM f JOIN q USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Domain family (r17): shared DomainCtes/DomainStatsCtes so the
+    // extraction, rollup, decisions, and gate cannot drift.
+    "q_domain_extract" ->
+      (s"WITH $DomainCtes" + "\n" +
+        "SELECT doc_id, url, domain FROM dom ORDER BY doc_id"),
+
+    "q_domain_stats" ->
+      (s"WITH $DomainStatsCtes" + "\n" +
+        """SELECT domain, n_docs, total_tokens, avg_quality, n_dup_docs,
+          | dup_ratio FROM st ORDER BY domain""".stripMargin),
+
+    "q_domain_decisions" ->
+      (s"WITH $DomainStatsCtes," + "\n" + DomainDecisionCte + "\n" +
+        "SELECT domain, allowed, reason FROM dc ORDER BY domain"),
+
+    "q_domain_gate" ->
+      (s"WITH $DomainStatsCtes," + "\n" + DomainDecisionCte + "\n" +
+        """SELECT dom.doc_id, dom.domain FROM dom JOIN dc USING (domain)
+          | WHERE allowed ORDER BY dom.doc_id""".stripMargin),
 
     "q_lang_id" ->
       """WITH s AS (
