@@ -158,10 +158,18 @@ object ScaleSweep {
     "q_curation_report", "q_curation_classified", "q_curation_budget",
     "q_curation_batch")
 
+  /** Custom measurement legs that are not SparkEntry query names — part
+    * of the DEFAULT roster since r17 (previously an unlisted custom leg
+    * silently ran nothing unless named explicitly, the trap the r16
+    * sweep notes warn about).
+    */
+  val customLegs: Seq[String] = Seq("bpe_encode_sweep", "curation_sweep",
+    "image_dedup_sweep", "distance_registry_sweep", "embed_ingest_sweep")
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val wanted = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(heavyQueries.toSet)
+      .getOrElse(heavyQueries.toSet ++ customLegs)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -373,6 +381,135 @@ object ScaleSweep {
       case e: Exception =>
         failures += 1
         println(s"[sweep] image_dedup_sweep FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // r17: the distance-registry economics rows — warm continuation
+    // over a committed distance relation after an edge-APPEND wave vs
+    // the cold rebuild the registry replaces, on the sf1 power-law
+    // co-purchase graph. Wave split by orderkey: ~90% of orders form
+    // g1 (the committed snapshot), the rest arrive as the append wave
+    // (new lineitems only ADD co-purchase pairs, the unit family's
+    // exact-warm precondition). The weighted twin derives STABLE
+    // per-pair hash weights instead of co-occurrence counts — a wave
+    // then only adds pairs and never raises an existing weight, which
+    // is hopDistanceWeightedFrom's (and the r17 min-merge stream's)
+    // contract; count weights would grow with the wave and void it.
+    if (wanted("distance_registry_sweep")) try {
+      import org.apache.spark.sql.functions._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[sweep] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      }
+      val li = io.Sources.table(spark, outDir, "lineitem")
+      val nodes = io.Sources.table(spark, outDir, "part")
+        .select(col("p_partkey").as("node"))
+      val seeds = nodes.filter(col("node") % 20L === 0)
+      val e1 = SparkEntry.coPurchaseEdges(li.filter(col("l_orderkey") % 10 =!= 0))
+      val eAll = SparkEntry.coPurchaseEdges(li)
+      // the loop operators materialize rounds EAGERLY at construction,
+      // so every row times construction + materialization together
+      var state: org.apache.spark.sql.DataFrame = null
+      time("dist: cold g1 (h=4)") {
+        state = graft.CacheScope.pin(
+          ops.Graph.hopDistance(nodes, e1, seeds, maxHops = 4))
+        state.count()
+      }
+      time("dist: warm +wave (r=2)")(
+        ops.Graph.hopDistanceFrom(state, nodes, eAll, seeds, rounds = 2)
+          .count())
+      time("dist: cold g1+wave (h=4)")(
+        ops.Graph.hopDistance(nodes, eAll, seeds, maxHops = 4).count())
+      def wEdges(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("src"), col("dst"),
+          (pmod(xxhash64(col("src"), col("dst")), lit(50L)) + 1)
+            .as("weight"))
+      var wstate: org.apache.spark.sql.DataFrame = null
+      time("wdist: cold g1 (r=6)") {
+        wstate = graft.CacheScope.pin(
+          ops.Graph.hopDistanceWeighted(nodes, wEdges(e1), seeds,
+            maxRounds = 6))
+        wstate.count()
+      }
+      time("wdist: warm +wave (r=2)")(
+        ops.Graph.hopDistanceWeightedFrom(wstate, nodes, wEdges(eAll),
+          seeds, rounds = 2).count())
+      time("wdist: cold g1+wave (r=6)")(
+        ops.Graph.hopDistanceWeighted(nodes, wEdges(eAll), seeds,
+          maxRounds = 6).count())
+      graft.CacheScope.release(spark)
+    } catch {
+      case e: Exception =>
+        failures += 1
+        println(s"[sweep] distance_registry_sweep FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // r17: the embed asymmetric INGEST LOOP at sweep scale — the
+    // end-to-end probe→accept→update cost per wave against the
+    // persisted band registry over the full 20k-vector corpus (the
+    // streaming family's economics row; q_embed_incr/q_embed_served
+    // above price the probe alone). Two waves so the second row is
+    // steady-state: 1k incoming each, ~30% near-copies of corpus
+    // vectors (must drop) + fresh Gaussians (must accept and become
+    // probe-able for wave 2).
+    if (wanted("embed_ingest_sweep")) try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[sweep] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      }
+      val rngE = new Random(4217)
+      val root = s"$outDir/embed_ingest"
+      // fresh state per invocation: registry versions, the AvailableNow
+      // checkpoint, and accepted subdirs would otherwise replay-skip a
+      // rerun into confusing no-ops
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val corpus = io.Sources.table(spark, outDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      corpus.write.mode("overwrite").parquet(s"$root/corpus")
+      // threshold 0.8, NOT the operator's 0.35 default: at dim 64 a
+      // random-pair cosine is ~N(0, 1/8), so against a 20k-vector
+      // corpus every fresh probe would clear 0.35 by chance alone
+      // (P[max of 20k ≥ 2.8σ] ≈ 1) and the gate would reject the whole
+      // wave — the verify threshold must sit ABOVE the corpus-size-
+      // dependent noise floor max_n(random cosine), which GROWS with
+      // corpus size. The near-copy class sits at ~0.9999, far above.
+      val thr = 0.8
+      time("embed ingest: refresh (20k)")(
+        ops.Similarity.embedSignatureRefresh(
+          spark.read.parquet(s"$root/corpus"), s"$root/registry").toLong)
+      // bounded collect: 600 corpus vectors seed the near-copy classes
+      val nearSeeds = spark.read.parquet(s"$root/corpus")
+        .filter(col("vec_id") % 33 === 0).limit(600)
+        .as[(Long, Array[Float])].collect()
+      def wave(ids: Range, nearFrom: Array[(Long, Array[Float])]) =
+        ids.map { k =>
+          if (k % 10 < 3) {
+            val (_, v) = nearFrom(rngE.nextInt(nearFrom.length))
+            (k.toLong, v.map(x => x + (rngE.nextGaussian() * 0.01).toFloat))
+          } else
+            (k.toLong, Array.fill(64)(rngE.nextGaussian().toFloat))
+        }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])](spark)
+      def drain(): Long = {
+        streaming.IncrementalStream.runEmbedIngest(
+          mem.toDF().toDF("vec_id", "embedding"), s"$root/corpus",
+          s"$root/registry", s"$root/accepted", s"$root/ckpt",
+          threshold = thr, tagScope = Some("sweep"))
+        spark.read.parquet(s"$root/accepted").count()
+      }
+      mem.addData(wave(100000 until 101000, nearSeeds): _*)
+      time("embed ingest: wave 1 (1k)")(drain())
+      mem.addData(wave(101000 until 102000, nearSeeds): _*)
+      time("embed ingest: wave 2 (1k)")(drain())
+      graft.CacheScope.release(spark)
+    } catch {
+      case e: Exception =>
+        failures += 1
+        println(s"[sweep] embed_ingest_sweep FAILED: " +
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
     println(f"[sweep] TOTAL ${(System.nanoTime() - total0) / 1e9}%.1f s  failures=$failures")

@@ -1617,7 +1617,7 @@ res$sfx AS (SELECT '$qid' AS query_id,
     * at [[LrMaxItemsPerOrder]], see [[coPurchaseItems]]), linear in
     * lineitems at any scale.
     */
-  private def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+  private[graft] def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = coPurchaseItems(lineitem)
     li.select(col("ok"), col("l_partkey").as("src"))
       .join(li.select(col("ok"), col("l_partkey").as("dst")), "ok")
