@@ -43,6 +43,32 @@ object SparkEntry {
             (col("doc_id") % 200).cast("string"), lit(".7/raw")))
         .otherwise(concat(lit("intranet-"), col("source"))))
 
+  /** q_domain_psl's deterministic URL derivation — eight classes by
+    * doc_id % 8, one per PSL rule kind/depth the FULL algorithm must
+    * handle beyond the literal subset: a cased co.uk subdomain (normal
+    * 2-label rule), a `*.ck` wildcard host, the `!www.ck` exception
+    * (behind userinfo+port), a deep `*.kawasaki.jp` wildcard, the
+    * `!city.kawasaki.jp` exception, a three-label `k12.ma.us` suffix,
+    * an unknown TLD (the prevailing-`*` default), and an IPv4 literal.
+    */
+  private def withPslUrl(d: DataFrame): DataFrame =
+    d.withColumn("url",
+      when(col("doc_id") % 8 === 0,
+        concat(lit("https://A.B."), col("source"), lit("-web.CO.UK/x/"),
+          col("doc_id").cast("string")))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("http://"), col("source"), lit(".acme.ck/p")))
+        .when(col("doc_id") % 8 === 2, lit("https://user@www.ck:8443/q#f"))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("http://x."), col("source"), lit(".kawasaki.jp/")))
+        .when(col("doc_id") % 8 === 4, lit("https://sub.city.kawasaki.jp/r?a=1"))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("http://school."), col("source"), lit(".K12.MA.US/z")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("https://deep."), col("source"), lit(".example.zz/")))
+        .otherwise(concat(lit("http://10.1."),
+          (col("doc_id") % 200).cast("string"), lit(".5/raw"))))
+
   /** Session-scoped materialized intermediates: the dedup family's pair
     * tables are the classic shared stage of a real pipeline — a 100 TB
     * deployment materializes the MinHash/PPJoin pair table ONCE and every
@@ -1256,6 +1282,56 @@ ORDER BY vec_inc, vec_corp"""
       |    WHEN avg_quality < 0.35 THEN 'quality'
       |    ELSE 'ok' END AS reason FROM st))""".stripMargin
 
+  /** q_domain_psl's oracle CTEs (r17): the withPslUrl CASE verbatim,
+    * the host normalization, the candidate-key UNION over suffix
+    * lengths 2..max rule depth, the rule dim as VALUES rows generated
+    * from the SAME [[Domains.parsedPslRules]] the Spark join
+    * broadcasts, the struct-max prevailing fold (exception beats all,
+    * then most labels — identical lexicographic struct compare in both
+    * engines), and the final registrable CASE.
+    */
+  private val DomainPslCtes: String = {
+    val parsed = Domains.parsedPslRules(Domains.DefaultPslRules)
+    val maxL = parsed.map(_._3).max
+    val ruleRows = parsed
+      .map { case (k, e, m, p) => s"('$k', $e, $m, $p)" }
+      .mkString(",\n  ")
+    val candLegs = (2 to maxL).flatMap { i =>
+      Seq(
+        s"SELECT doc_id, 's:' || array_to_string(ls[n-${i - 1}:n], '.') AS key" +
+          s" FROM dpl WHERE NOT is_ip AND n >= $i",
+        s"SELECT doc_id, 'w:' || array_to_string(ls[n-${i - 2}:n], '.') AS key" +
+          s" FROM dpl WHERE NOT is_ip AND n >= $i")
+    }.mkString("\n  UNION ALL ")
+    s"""upl AS (SELECT doc_id, source, CASE
+      |  WHEN doc_id % 8 = 0 THEN 'https://A.B.' || source || '-web.CO.UK/x/' || doc_id
+      |  WHEN doc_id % 8 = 1 THEN 'http://' || source || '.acme.ck/p'
+      |  WHEN doc_id % 8 = 2 THEN 'https://user@www.ck:8443/q#f'
+      |  WHEN doc_id % 8 = 3 THEN 'http://x.' || source || '.kawasaki.jp/'
+      |  WHEN doc_id % 8 = 4 THEN 'https://sub.city.kawasaki.jp/r?a=1'
+      |  WHEN doc_id % 8 = 5 THEN 'http://school.' || source || '.K12.MA.US/z'
+      |  WHEN doc_id % 8 = 6 THEN 'https://deep.' || source || '.example.zz/'
+      |  ELSE 'http://10.1.' || (doc_id % 200) || '.5/raw' END AS url FROM documents),
+      |hpl AS (SELECT doc_id, url,
+      |  lower(regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '^[a-z][a-zA-Z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', ''), ':\\d+$$', '')) AS host FROM upl),
+      |dpl AS (SELECT doc_id, url, host, string_split(host, '.') AS ls,
+      |  len(string_split(host, '.')) AS n,
+      |  regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$') AS is_ip FROM hpl),
+      |rpl(r_key, r_exc, r_ml, r_psl) AS (VALUES
+      |  $ruleRows),
+      |kpl AS (
+      |  $candLegs),
+      |mpl AS (SELECT doc_id,
+      |  max(struct_pack(e := r_exc, m := r_ml, p := r_psl)) AS pv
+      |  FROM kpl JOIN rpl ON key = r_key GROUP BY doc_id),
+      |dompl AS (SELECT d.doc_id, d.url,
+      |  CASE WHEN d.is_ip OR d.n <= 1 THEN d.host
+      |       WHEN d.n > coalesce(struct_extract(pv, 'p'), 1)
+      |         THEN array_to_string(d.ls[d.n - coalesce(struct_extract(pv, 'p'), 1):d.n], '.')
+      |       ELSE d.host END AS domain
+      |  FROM dpl d LEFT JOIN mpl ON d.doc_id = mpl.doc_id)""".stripMargin
+  }
+
   /** The shared 5-gram-KN model CTE block (bigram → 5-gram count tiers,
     * trained on the FULL documents) — composed into q_kn5_score and
     * q_kn5_lines so the two oracles' model arithmetic cannot drift,
@@ -2098,6 +2174,32 @@ res$sfx AS (SELECT '$qid' AS query_id,
       Domains.domainGateWith(d, dec)
         .select(col("doc_id"), col("domain")).orderBy("doc_id")
     }),
+
+    // Full-PSL registrable-domain extraction (r17): the suffix-DIM
+    // scale path of q_domain_extract, with the rule kinds the literal
+    // subset declares out of scope live on the fixture — wildcard
+    // (*.ck, *.kawasaki.jp), exception (!www.ck, !city.kawasaki.jp),
+    // and a three-label suffix (k12.ma.us).
+    "q_domain_psl" -> ((s, dir) =>
+      Domains.withRegistrableDomainPsl(withPslUrl(t(s, dir, "documents")))
+        .select(col("doc_id"), col("url"), col("domain"))
+        .orderBy("doc_id")),
+
+    // Per-domain share cap (RefinedWeb's anti-monoculture resample):
+    // keep-rate min(1, cap/n_domain_docs) decided by the stable md5
+    // draw — big source-keyed domains cap, the long tail keeps whole.
+    "q_domain_cap" -> ((s, dir) =>
+      Domains.domainCapResample(withUrl(t(s, dir, "documents")), cap = 10)
+        .select(col("doc_id"), col("domain"), col("n_domain_docs"),
+          col("keep_rate"), col("sample_u"), col("is_sampled"))
+        .orderBy("doc_id")),
+
+    // Verify-threshold calibration for the embedding ingest loop: the
+    // random-cosine noise floor from md5-picked probe × sample slices
+    // (the embed_ingest_sweep's measured lesson as an operator).
+    "q_embed_noise" -> ((s, dir) =>
+      Similarity.embedNoiseFloor(t(s, dir, "embeddings"),
+        nProbes = 32, nSamples = 256)),
 
     // Embedding-table health: the validation pass before ANN indexing.
     "q_embedding_stats" -> ((s, dir) =>
@@ -4760,6 +4862,46 @@ res$sfx AS (SELECT '$qid' AS query_id,
       (s"WITH $DomainStatsCtes," + "\n" + DomainDecisionCte + "\n" +
         """SELECT dom.doc_id, dom.domain FROM dom JOIN dc USING (domain)
           | WHERE allowed ORDER BY dom.doc_id""".stripMargin),
+
+    // Full-PSL extraction: candidate-key UNION joined to the generated
+    // rule VALUES, struct-max prevailing fold (see DomainPslCtes).
+    "q_domain_psl" ->
+      (s"WITH $DomainPslCtes" + "\n" +
+        "SELECT doc_id, url, domain FROM dompl ORDER BY doc_id"),
+
+    // Per-domain cap: the DomainCtes extraction, a domain count, the
+    // double-division rate, and the weightedSample md5 draw verbatim.
+    "q_domain_cap" ->
+      (s"WITH $DomainCtes," + "\n" +
+        """cnt AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_domain_docs
+          |  FROM dom GROUP BY domain),
+          |rr AS (SELECT doc_id, dom.domain, n_domain_docs,
+          |  least(1.0, 10.0 / n_domain_docs) AS keep_rate,
+          |  CAST(CAST(concat('0x', substr(md5(concat('dcap', ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS DOUBLE)
+          |    / 65536.0 AS sample_u
+          |  FROM dom JOIN cnt ON dom.domain = cnt.domain)
+          |SELECT doc_id, domain, n_domain_docs, keep_rate, sample_u,
+          | sample_u < keep_rate AS is_sampled
+          |FROM rr ORDER BY doc_id""".stripMargin),
+
+    // Noise-floor calibration: md5-ranked disjoint probe/sample slices,
+    // per-probe max ordered-fold cosine, max + q90 selection (both are
+    // selections, not accumulations — raw doubles replay exactly).
+    "q_embed_noise" ->
+      s"""WITH r AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, embedding
+FROM embeddings ORDER BY h, vec_id LIMIT 288),
+p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM r ORDER BY h, vec_id LIMIT 32),
+sm AS (SELECT vec_id AS sample_id, embedding AS s_emb FROM r
+  WHERE vec_id NOT IN (SELECT probe_id FROM p)),
+pp AS (SELECT probe_id,
+    max(${duckDot("p_emb", "s_emb")} /
+      (sqrt(${duckDot("p_emb", "p_emb")}) * sqrt(${duckDot("s_emb", "s_emb")}))) AS max_cos
+  FROM p CROSS JOIN sm GROUP BY probe_id)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+  (SELECT CAST(count(*) AS BIGINT) FROM sm) AS n_samples,
+  max(max_cos) AS floor_max,
+  list_sort(list(max_cos))[CAST(greatest(1, ceil(count(*) * 0.9)) AS INT)] AS floor_q90
+FROM pp""",
 
     "q_lang_id" ->
       """WITH s AS (

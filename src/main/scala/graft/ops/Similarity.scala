@@ -586,6 +586,59 @@ object Similarity {
       .select("band_idx", "n_buckets", "max_bucket", "candidate_pairs",
         "candidates_per_vector")
 
+  /** Random-cosine noise-floor calibration (r17) — the measured lesson
+    * of the embed-ingest sweep made an operator: the max of n random
+    * cosines GROWS with n (extreme-value, ≈ √(2·ln n / dim) for
+    * direction-random vectors), so a verify threshold that cleanly
+    * separates near-dups from noise at a 1k corpus silently rejects
+    * every fresh document against a 20k one. This estimates the floor
+    * empirically from the table itself: `nProbes` probe vectors × a
+    * DISJOINT `nSamples`-vector sample (both picked by the stable md5
+    * order — deterministic, engine-portable, no rand()), per-probe max
+    * cosine, and the distribution's top — ONE row
+    * (n_probes, n_samples, floor_max, floor_q90). Size ingest verify
+    * thresholds ABOVE `floor_max` at the SERVING candidate count: the
+    * floor scales with how many corpus vectors a probe is compared
+    * against, so calibrate with `nSamples` at (or extrapolate to) the
+    * registry's per-probe candidate volume.
+    *
+    * Scale: the expensive part is a (nProbes × nSamples) bounded
+    * eval-slice cross — caller-capped like every recall certificate in
+    * this repo, never corpus×corpus; the candidates ride one
+    * TakeOrderedAndProject over the scan.
+    */
+  def embedNoiseFloor(embeddings: DataFrame, nProbes: Int = 32,
+                      nSamples: Int = 256): DataFrame = {
+    require(nProbes >= 1 && nProbes <= 1024,
+      s"nProbes must be in [1, 1024], got $nProbes")
+    require(nSamples >= 1 && nSamples <= 8192,
+      s"nSamples must be in [1, 8192], got $nSamples")
+    val ranked = embeddings
+      .select(md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id"), col("embedding"))
+      .orderBy("h", "vec_id").limit(nProbes + nSamples)
+    val probes = ranked.orderBy("h", "vec_id").limit(nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val samples = ranked
+      .join(probes.select(col("probe_id")),
+        col("vec_id") === col("probe_id"), "left_anti")
+      .select(col("vec_id").as("sample_id"), col("embedding").as("s_emb"))
+    val perProbe = probes.crossJoin(broadcast(samples))
+      .select(col("probe_id"), cosine(col("p_emb"), col("s_emb")).as("cos"))
+      .groupBy("probe_id").agg(max(col("cos")).as("max_cos"))
+    val sCount = samples.agg(count(lit(1)).as("n_samples"))
+    perProbe
+      .agg(
+        count(lit(1)).as("n_probes"),
+        max(col("max_cos")).as("floor_max"),
+        sort_array(collect_list(col("max_cos"))).as("sorted"))
+      .crossJoin(broadcast(sCount))
+      .withColumn("q_idx",
+        greatest(lit(1L), ceil(col("n_probes") * lit(0.9)).cast("long")))
+      .select(col("n_probes"), col("n_samples"), col("floor_max"),
+        element_at(col("sorted"), col("q_idx").cast("int")).as("floor_q90"))
+  }
+
   /** The audit's pre-projection census — keeps `n_vectors`, which
     * [[autoPlanes]] needs in the same collect (the public audit schema
     * is oracle-locked without it).

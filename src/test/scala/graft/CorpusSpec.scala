@@ -812,6 +812,74 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("withRegistrableDomainPsl: the FULL PSL algorithm — wildcard, " +
+    "exception, 3-label suffix, precedence, the * default — on the " +
+    "canonical publicsuffix.org vectors; and agreement with the " +
+    "literal-subset extractor on the subset's own cases") {
+    import graft.ops.text.Domains
+    val cases = Seq(
+      ("http://a.b.ck/x", "a.b.ck"), // *.ck: b.ck is the public suffix
+      ("http://www.ck/", "www.ck"), // !www.ck exception: suffix is ck
+      ("https://sub.www.ck/", "www.ck"), // exception under a subdomain
+      ("http://x.y.kawasaki.jp/", "x.y.kawasaki.jp"), // deep wildcard
+      ("https://z.city.kawasaki.jp/", "city.kawasaki.jp"), // deep exception
+      ("http://school.area.k12.ma.us/", "area.k12.ma.us"), // 3-label rule
+      ("https://www.example.co.uk/", "example.co.uk"), // 2-label rule
+      ("http://co.uk/", "co.uk"), // host IS a suffix: itself
+      ("http://ck/", "ck"), // dotless: itself (wildcard must NOT fire)
+      ("http://10.2.3.4/", "10.2.3.4"), // IPv4 literal
+      ("unknown.weirdtld/x", "unknown.weirdtld")) // * default: last label
+    val df = cases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("i", "url")
+    val got = Domains.withRegistrableDomainPsl(df)
+      .orderBy("i").select("domain").as[String].collect().toSeq
+    cases.zip(got).foreach { case ((u, want), d) =>
+      assert(d == want, s"url=$u expected $want got $d")
+    }
+    // on URLs only the subset's rules touch, the dim-join path and the
+    // literal-IN path are the same function
+    val subsetUrls = Seq("https://www.news.example.co.uk/a", "http://Example.COM/x",
+      "https://a.b.c.deep.example.com:8443/p", "http://192.168.3.77:8080/raw",
+      "intranet-host/docs", "http://shop.co.nz/", "unknown.weirdtld/x")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("i", "url")
+    val viaPsl = Domains.withRegistrableDomainPsl(subsetUrls)
+      .orderBy("i").select("domain").as[String].collect().toSeq
+    val viaSubset = subsetUrls
+      .select(col("i"), Domains.registrableDomain(col("url")).as("d"))
+      .orderBy("i").select("d").as[String].collect().toSeq
+    assert(viaPsl == viaSubset)
+  }
+
+  test("domainCapResample: rate = min(1, cap/n_domain_docs); the keep " +
+    "decision replays the md5 draw exactly (independent Scala digest); " +
+    "small domains keep everything; the flag form preserves row count") {
+    import graft.ops.text.Domains
+    val big = (1L to 40L).map(i => (i, s"doc $i", s"https://big.example.com/$i"))
+    val small = (101L to 103L).map(i => (i, s"doc $i", s"https://tiny.example.org/$i"))
+    val d = (big ++ small).toDF("doc_id", "text", "url")
+    val out = Domains.domainCapResample(d, cap = 10)
+      .select("doc_id", "domain", "n_domain_docs", "keep_rate", "is_sampled")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 43, "flag form must keep every row")
+    assert(out(1L)._1 == "example.com" && out(1L)._2 == 40L
+      && out(1L)._3 == 0.25)
+    assert(out(101L)._3 == 1.0 && small.forall(s => out(s._1)._4),
+      "a domain under the cap keeps all rows")
+    // independent replay of the weightedSample draw: first 16 bits of
+    // md5("dcap:<id>") as a uniform in [0,1)
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dcap:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16).toDouble / 65536.0
+    }
+    big.foreach { case (id, _, _) =>
+      assert(out(id)._4 == (u(id) < 0.25), s"doc $id keep decision")
+    }
+  }
+
   test("domain gate: decisions serve through Manifest exactly; a domain " +
     "UNKNOWN to the decision table is kept (no evidence against it); " +
     "every reason branch fires") {

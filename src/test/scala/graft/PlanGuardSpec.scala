@@ -92,6 +92,12 @@ class PlanGuardSpec extends SparkSpec {
       "q_kn3_score", "q_kn3_lines",
       // ...as does the 5-gram tier (one scalar row regardless of order)
       "q_kn5_score", "q_kn5_lines",
+      // the pruned twin scores through the same tree (same scalar cross)
+      "q_kn5_pruned",
+      // the drift instrument: both scorings' 1-row scalar builds plus
+      // the final 1-row drift aggregate crossed with the 1-row
+      // model-size counts (the q_graph_audit 1-row × 1-row census shape)
+      "q_kn5_drift",
       // cooccurrence's 1-row (N positions, P pair slots) totals broadcast
       // over the pair-count table (the corpus-stats pattern again)
       "q_cooccur",
@@ -116,7 +122,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_simhash_recall", "q_simhash_sweep",
       // the SNM certificate: eval-sized all-pairs Levenshtein truth
       // cross + 1-row count crosses (per window for the sweep)
-      "q_snm_recall", "q_snm_sweep")
+      "q_snm_recall", "q_snm_sweep",
+      // the noise-floor calibration: a caller-capped probe × sample
+      // eval-slice cross (32×256 default, the q_knn_label shape) plus
+      // the 1-row sample-count cross into the summary row
+      "q_embed_noise")
   // NOTE: q_kmeans_assign / q_semantic_dedup no longer appear here — the
   // r8 literal-fold argmin removed the centroid crossJoin entirely, so
   // their plans must be join-free on the assignment side.

@@ -13,6 +13,44 @@ class SimilaritySpec extends SparkSpec {
   private lazy val queries = emb.filter($"vec_id" < 5)
     .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
 
+  test("embedNoiseFloor: md5-deterministic disjoint slices replayed " +
+    "exactly by an independent Scala digest+fold; the floor is " +
+    "monotone in sample count (the max-of-n ingest lesson)") {
+    val out = Similarity.embedNoiseFloor(emb, nProbes = 8, nSamples = 16)
+      .collect()(0)
+    assert(out.getLong(0) == 8L && out.getLong(1) == 16L)
+    // independent replay: md5 rank, disjoint split, ordered-fold cosine
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val ranked = vecs.map { case (id, e) => (md5hex(id.toString), id, e) }
+      .sortBy(t => (t._1, t._2)).take(24)
+    val probes = ranked.take(8)
+    val samples = ranked.drop(8)
+    def fold(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var d = 0.0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      fold(a, b) / (math.sqrt(fold(a, a)) * math.sqrt(fold(b, b)))
+    val perProbe = probes.map { case (_, _, p) =>
+      samples.map { case (_, _, s) => cos(p, s) }.max
+    }
+    val floorMax = perProbe.max
+    val q90 = perProbe.sorted.apply(math.ceil(0.9 * 8).toInt - 1)
+    assert(out.getDouble(2) == floorMax, "floor_max must replay exactly")
+    assert(out.getDouble(3) == q90, "floor_q90 must replay exactly")
+    // more samples can only raise a per-probe max: the 16-sample slice
+    // is a prefix-subset of the 64-sample slice under the same ranking
+    val wide = Similarity.embedNoiseFloor(emb, nProbes = 8, nSamples = 64)
+      .collect()(0)
+    assert(wide.getDouble(2) >= out.getDouble(2),
+      "the noise floor is monotone in the compared-sample count")
+  }
+
   test("embeddingStats: zero/non-finite counts, dim spread, norm range") {
     val rows = Seq(
       (1L, Array(3f, 4f), 0),        // norm exactly 5
