@@ -69,6 +69,22 @@ object SparkEntry {
         .otherwise(concat(lit("http://10.1."),
           (col("doc_id") % 200).cast("string"), lit(".5/raw"))))
 
+  /** q_curation_domains' URL derivation — mirrors CurUrlCase: domains
+    * span the even/odd corpus-batch split, with fresh-1/-3 odd-only
+    * (the unknown-domain-kept branch).
+    */
+  private def withCurUrl(d: DataFrame): DataFrame =
+    d.withColumn("url",
+      when(col("doc_id") % 3 === 0,
+        concat(lit("https://cdn.mirror"), (col("doc_id") % 5).cast("string"),
+          lit(".com/a/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://farm"), (col("doc_id") % 7).cast("string"),
+            lit(".net/b")))
+        .otherwise(
+          concat(lit("https://fresh"), (col("doc_id") % 4).cast("string"),
+            lit(".org/c"))))
+
   /** Session-scoped materialized intermediates: the dedup family's pair
     * tables are the classic shared stage of a real pipeline — a 100 TB
     * deployment materializes the MinHash/PPJoin pair table ONCE and every
@@ -1065,7 +1081,41 @@ ORDER BY doc_inc, doc_corp"""
     * the EVEN side only — the served-artifact semantics), and the
     * q_decontaminate overlap scan, rolled into one 5-row funnel.
     */
-  private lazy val CurationBatchOracleSql: String = {
+  private lazy val CurationBatchOracleSql: String =
+    curationBatchOracleSql(domainGated = false)
+
+  /** The same funnel with the r17 DOMAIN GATE as stage 0: decisions
+    * folded from EVEN-corpus domain stats (the served-artifact
+    * semantics, like the quality thresholds), the batch gated
+    * allowed-or-unknown BEFORE the signature chain, and a
+    * `domain_kept` funnel row after `input`.
+    */
+  private def curationBatchOracleSql(domainGated: Boolean): String = {
+    val gateCtes =
+      if (!domainGated) ""
+      else domainStatsCtes("g", "TRUE", "doc_id % 2 = 0", CurUrlCase) + ",\n" +
+        curDomainDecisionCte("g") + ",\n" +
+        """x0 AS (
+  SELECT d0.doc_id FROM
+    (SELECT doc_id, domain FROM domg WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0) d0
+  LEFT JOIN dcg ON d0.domain = dcg.domain
+  WHERE dcg.allowed IS NULL OR dcg.allowed),
+"""
+    val batchPred =
+      if (domainGated) "doc_id IN (SELECT doc_id FROM x0)"
+      else "doc_id % 2 = 1 AND doc_id % 97 <> 0"
+    val funnel = (Seq(
+      "input" ->
+        "(SELECT count(*) FROM documents WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0)") ++
+      (if (domainGated) Seq("domain_kept" -> "(SELECT count(*) FROM x0)")
+       else Nil) ++
+      Seq("exact_kept" -> "(SELECT count(*) FROM x1)",
+        "near_dup_kept" -> "(SELECT count(*) FROM x2)",
+        "quality_kept" -> "(SELECT count(*) FROM x3)",
+        "accepted" -> "(SELECT count(*) FROM x4)"))
+      .zipWithIndex.map { case ((n, c), i) =>
+        s"SELECT $i AS stage_idx, '$n' AS stage, $c AS n_docs"
+      }.mkString("\n  UNION ALL ")
     val p = Dedup.MinhashP
     val sigExprs = (0 until 32)
       .map(i => s"min((${Dedup.permA(i)}*h + ${Dedup.permB(i)}) % $p) AS sig_$i")
@@ -1090,9 +1140,9 @@ sigs AS (
   FROM hashes GROUP BY doc_id),
 bands AS (
   $bandSelects),
-x1 AS (
+${gateCtes}x1 AS (
   SELECT min(doc_id) AS doc_id FROM documents
-  WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0
+  WHERE $batchPred
   GROUP BY md5(lower(text))),
 cand AS (
   SELECT DISTINCT i.doc_id AS doc_inc, c.doc_id AS doc_corp
@@ -1139,13 +1189,7 @@ x4 AS (
   SELECT x3.doc_id FROM x3 LEFT JOIN ov ON x3.doc_id = ov.doc_id
   WHERE coalesce(ov.n_overlap, 0) < 2)
 SELECT * FROM (
-  SELECT 0 AS stage_idx, 'input' AS stage,
-    (SELECT count(*) FROM documents
-     WHERE doc_id % 2 = 1 AND doc_id % 97 <> 0) AS n_docs
-  UNION ALL SELECT 1, 'exact_kept', (SELECT count(*) FROM x1)
-  UNION ALL SELECT 2, 'near_dup_kept', (SELECT count(*) FROM x2)
-  UNION ALL SELECT 3, 'quality_kept', (SELECT count(*) FROM x3)
-  UNION ALL SELECT 4, 'accepted', (SELECT count(*) FROM x4))
+  $funnel)
 ORDER BY stage_idx"""
   }
 
@@ -1227,60 +1271,112 @@ ORDER BY vec_inc, vec_corp"""
     * Spark expression compiles in (dom) — interpolated from
     * Domains.DefaultTwoLabelSuffixes so the two sides cannot drift.
     */
-  private val DomainCtes: String = {
-    val suffixes = Domains.DefaultTwoLabelSuffixes
-      .map(s => s"'$s'").mkString(", ")
-    s"""u AS (SELECT doc_id, text, source, CASE
+  /** The withUrl derivation as its oracle CASE (shared by every
+    * domain-family CTE builder so the two sides cannot drift).
+    */
+  private val WithUrlCase: String =
+    """CASE
       |  WHEN doc_id % 5 = 0 THEN 'https://www.' || source || '-Example.COM/a/' || doc_id
       |  WHEN doc_id % 5 = 1 THEN 'http://cdn.' || source || '-mirror.co.uk:8080/x?y=1'
       |  WHEN doc_id % 5 = 2 THEN 'https://user@' || source || '.org/path#frag'
       |  WHEN doc_id % 5 = 3 THEN 'http://192.168.' || (doc_id % 200) || '.7/raw'
-      |  ELSE 'intranet-' || source END AS url FROM documents),
-      |h AS (SELECT doc_id, url,
-      |  lower(regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '^[a-z][a-zA-Z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', ''), ':\\d+$$', '')) AS host FROM u),
-      |d AS (SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h),
-      |dom AS (SELECT doc_id, url, host,
+      |  ELSE 'intranet-' || source END""".stripMargin
+
+  /** q_curation_domains' URL derivation (withCurUrl): REGISTRABLE
+    * domains must span the even/odd corpus-batch split (source =
+    * src{doc_id % 20} makes every withUrl domain parity-pure, so a
+    * gate over that derivation could never drop a batch row — and the
+    * variation must sit in the eTLD+1 label itself, not a subdomain,
+    * or everything folds to one registrable domain). mirror{0..4}.com
+    * / farm{0..6}.net appear on both sides of the split;
+    * fresh1/fresh3.org (doc_id % 4 odd) exist ONLY in the odd batch
+    * and exercise the unknown-domain-kept branch.
+    */
+  private val CurUrlCase: String =
+    """CASE
+      |  WHEN doc_id % 3 = 0 THEN 'https://cdn.mirror' || (doc_id % 5) || '.com/a/' || doc_id
+      |  WHEN doc_id % 3 = 1 THEN 'http://farm' || (doc_id % 7) || '.net/b'
+      |  ELSE 'https://fresh' || (doc_id % 4) || '.org/c' END""".stripMargin
+
+  private def domainCtes(sfx: String = "", pred: String = "TRUE",
+                         urlCase: String = WithUrlCase): String = {
+    val suffixes = Domains.DefaultTwoLabelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""u$sfx AS (SELECT doc_id, text, source, $urlCase AS url FROM documents WHERE $pred),
+      |h$sfx AS (SELECT doc_id, url,
+      |  lower(regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '^[a-z][a-zA-Z0-9+.-]*://', ''), '^([^/?#]*)', 1), '^.*@', ''), ':\\d+$$', '')) AS host FROM u$sfx),
+      |d$sfx AS (SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h$sfx),
+      |dom$sfx AS (SELECT doc_id, url, host,
       |  CASE WHEN regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$') OR len(ls) <= 1 THEN host
       |       WHEN (ls[-2] || '.' || ls[-1]) IN ($suffixes) THEN
       |         CASE WHEN len(ls) >= 3 THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1] ELSE host END
-      |       ELSE ls[-2] || '.' || ls[-1] END AS domain FROM d)""".stripMargin
+      |       ELSE ls[-2] || '.' || ls[-1] END AS domain FROM d$sfx)""".stripMargin
   }
+
+  private val DomainCtes: String = domainCtes()
 
   /** [[DomainCtes]] + the q_source_stats rollup re-keyed by domain —
     * shared by q_domain_stats / q_domain_decisions / q_domain_gate.
     */
-  private val DomainStatsCtes: String =
-    DomainCtes + ",\n" +
-      """q AS (SELECT doc_id,
+  private def domainStatsCtes(sfx: String = "", pred: String = "TRUE",
+                              statsPred: String = "TRUE",
+                              urlCase: String = WithUrlCase): String =
+    domainCtes(sfx, pred, urlCase) + ",\n" +
+      s"""q$sfx AS (SELECT doc_id,
         |   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
-        |     + CAST(len(regexp_extract_all(text, '\b(the|and|of|is|in|to|a)\b')) AS DOUBLE)
+        |     + CAST(len(regexp_extract_all(text, '\\b(the|and|of|is|in|to|a)\\b')) AS DOUBLE)
         |       / len(string_split(text, ' ')) * 0.3
         |     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |       / len(string_split(text, ' ')) * 0.2 AS quality_score
-        |  FROM documents),
-        |f AS (SELECT doc_id, domain,
+        |  FROM documents WHERE $statsPred),
+        |f$sfx AS (SELECT doc_id, domain,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |   count(*) OVER (PARTITION BY md5(lower(text))) > 1
         |     AND doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_drop
-        |  FROM documents JOIN dom USING (doc_id)),
-        |st AS (SELECT domain,
+        |  FROM documents JOIN dom$sfx USING (doc_id) WHERE $statsPred),
+        |st$sfx AS (SELECT domain,
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality,
         | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         | CAST(sum(CASE WHEN is_drop THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
-        |FROM f JOIN q USING (doc_id) GROUP BY domain)""".stripMargin
+        |FROM f$sfx JOIN q$sfx USING (doc_id) GROUP BY domain)""".stripMargin
+
+  private val DomainStatsCtes: String = domainStatsCtes()
 
   /** The decision fold over `st` — reason precedence verbatim from
     * Domains.domainDecisions at the q_domain_* thresholds.
     */
-  private val DomainDecisionCte: String =
-    """dc AS (SELECT domain, (reason IN ('allowlist', 'ok')) AS allowed, reason FROM (
-      |  SELECT domain, CASE WHEN domain IN ('src16-mirror.co.uk') THEN 'blocklist'
-      |    WHEN domain IN ('192.168.38.7') THEN 'allowlist'
+  private def domainDecisionCte(sfx: String = "",
+      blocklist: Seq[String] = Seq("src16-mirror.co.uk"),
+      allowlist: Seq[String] = Seq("192.168.38.7")): String = {
+    val bl = blocklist.map(s => s"'$s'").mkString(", ")
+    val al = allowlist.map(s => s"'$s'").mkString(", ")
+    // list entries ABSENT from the stats still get their row (the
+    // never-crawled-blocklist contract, Domains.domainDecisions r17)
+    val unseen = (blocklist.map(s => (s, "false", "blocklist")) ++
+      allowlist.map(s => (s, "true", "allowlist")))
+      .map { case (d, keep, reason) =>
+        s"  UNION ALL SELECT '$d', $keep, '$reason' " +
+          s"WHERE '$d' NOT IN (SELECT domain FROM st$sfx)"
+      }.mkString("\n")
+    s"""dc$sfx AS (SELECT domain, (reason IN ('allowlist', 'ok')) AS allowed, reason FROM (
+      |  SELECT domain, CASE WHEN domain IN ($bl) THEN 'blocklist'
+      |    WHEN domain IN ($al) THEN 'allowlist'
       |    WHEN dup_ratio > 0.5 THEN 'dup_ratio'
       |    WHEN avg_quality < 0.35 THEN 'quality'
-      |    ELSE 'ok' END AS reason FROM st))""".stripMargin
+      |    ELSE 'ok' END AS reason FROM st$sfx)
+      |$unseen)""".stripMargin
+  }
+
+  private val DomainDecisionCte: String = domainDecisionCte()
+
+  /** q_curation_domains' decision fold: blocklist the cross-parity
+    * mirror domain, allowlist one farm domain (both branches live in
+    * the gated batch).
+    */
+  private def curDomainDecisionCte(sfx: String): String =
+    domainDecisionCte(sfx, Seq("mirror1.com"), Seq("farm2.net"))
 
   /** q_domain_psl's oracle CTEs (r17): the withPslUrl CASE verbatim,
     * the host normalization, the candidate-key UNION over suffix
@@ -2969,6 +3065,35 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "quality_score", "lang", p = 0.5)
       val (_, report) = pipeline.Curation.curateBatch(
         batch, corpus, registry, thresholds, benchmark)
+      report.orderBy("stage_idx")
+    }),
+
+    // The ingest DAG with the r17 DOMAIN GATE as stage 0: decisions
+    // folded from the EVEN corpus's domain stats (served-artifact
+    // semantics, exactly like the quality thresholds), the odd-id
+    // batch gated allowed-or-unknown BEFORE any per-document work.
+    // Uses the withCurUrl derivation (registrable domains span the
+    // parity split); the blocklisted mirror1.com drops its batch docs,
+    // fresh1/fresh3.org never occur in the even corpus and pass as
+    // unknown.
+    "q_curation_domains" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val batch = withCurUrl(d).filter(col("doc_id") % 2 === 1 &&
+        col("doc_id") % 97 =!= 0)
+      val benchmark = d.filter(col("doc_id") % 97 === 0)
+      val registry = minhashSigReg(s, dir)
+      val thresholds = Corpus.quantileThresholds(
+        TextStats.qualityScore(corpus, Seq("lang")),
+        "quality_score", "lang", p = 0.5)
+      val dec = Domains.domainDecisions(
+        Domains.domainStats(withCurUrl(corpus)),
+        maxDupRatio = 0.5, minAvgQuality = 0.35,
+        blocklist = Seq("mirror1.com"),
+        allowlist = Seq("farm2.net"))
+      val (_, report) = pipeline.Curation.curateBatch(
+        batch, corpus, registry, thresholds, benchmark,
+        domainDecisions = Some(dec))
       report.orderBy("stage_idx")
     }),
 
@@ -5622,6 +5747,10 @@ ORDER BY doc_a, doc_b""",
     // q_decontaminate overlap scan, and the hashSplit bucket CASE —
     // each stage's count compared against the Spark pipeline's funnel.
     "q_curation_batch" -> CurationBatchOracleSql,
+
+    // The gated funnel: same chain with the domain-gate CTEs spliced
+    // in front (see curationBatchOracleSql).
+    "q_curation_domains" -> curationBatchOracleSql(domainGated = true),
 
     "q_curation_report" -> ("WITH RECURSIVE\n" +
       "csrc AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),\n" +

@@ -230,18 +230,24 @@ object Domains {
     * names the reason, so the table doubles as the audit). The lists
     * are exact registrable domains (operator-curated); the thresholds
     * act on the rolled-up signals, which are hash-stable doubles, so
-    * both engines decide identically.
+    * both engines decide identically. List entries ABSENT from the
+    * stats still receive their row (r17): a curated blocklist must
+    * bind before the domain is ever crawled — without this, a
+    * never-seen blocked domain would ride [[domainGateWith]]'s
+    * unknown-domain-kept rule straight through the gate.
     */
   def domainDecisions(stats: DataFrame,
                       maxDupRatio: Double = 0.5,
                       minAvgQuality: Double = 0.0,
                       blocklist: Seq[String] = Nil,
                       allowlist: Seq[String] = Nil): DataFrame = {
+    val spark = stats.sparkSession
+    import spark.implicits._
     val blocked =
       if (blocklist.isEmpty) lit(false) else col("domain").isin(blocklist: _*)
     val allowed =
       if (allowlist.isEmpty) lit(false) else col("domain").isin(allowlist: _*)
-    stats.select(col("domain"),
+    val fromStats = stats.select(col("domain"),
       when(blocked, lit("blocklist"))
         .when(allowed, lit("allowlist"))
         .when(col("dup_ratio") > maxDupRatio, lit("dup_ratio"))
@@ -250,6 +256,14 @@ object Domains {
       .withColumn("allowed",
         col("reason").isin("allowlist", "ok"))
       .select(col("domain"), col("allowed"), col("reason"))
+    def unseen(entries: Seq[String], keep: Boolean, reason: String) =
+      entries.toDF("domain")
+        .join(stats.select("domain"), Seq("domain"), "left_anti")
+        .select(col("domain"), lit(keep).as("allowed"),
+          lit(reason).as("reason"))
+    fromStats
+      .unionByName(unseen(blocklist, keep = false, "blocklist"))
+      .unionByName(unseen(allowlist, keep = true, "allowlist"))
   }
 
   /** Build-and-commit the domain decision table as a versioned

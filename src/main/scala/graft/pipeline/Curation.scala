@@ -171,6 +171,12 @@ object Curation {
     * instead of recomputing it, so per-batch cost is O(batch +
     * candidates) regardless of corpus size:
     *
+    *   0. (optional, r17) served DOMAIN gate
+    *      ([[graft.ops.text.Domains.domainGateWith]] against a
+    *      committed decision table — C4/RefinedWeb's pre-content
+    *      filter: one broadcast dim join drops every doc from a
+    *      blocklisted/dup-farmed/low-quality domain BEFORE any
+    *      per-document work is spent; unknown domains pass),
     *   1. within-batch exact dedup ([[Dedup.exactDedup]] fingerprints,
     *      keep-first by doc_id),
     *   2. cross-corpus near-dup drop ([[Dedup.nearDupAgainstSigs]]
@@ -184,7 +190,8 @@ object Curation {
     *
     * Returns (accepted, report): accepted = (doc_id, lang,
     * quality_score) batch survivors; report = the 5-row ingest funnel
-    * (input, exact_kept, near_dup_kept, quality_kept, accepted). On
+    * (input, exact_kept, near_dup_kept, quality_kept, accepted; with
+    * the domain gate a `domain_kept` row follows `input`). On
     * acceptance the caller closes the maintenance loop —
     * `Dedup.signatureUpdate(table, accepted batch)` commits the next
     * registry version ([[graft.ops.text.Dedup.signatureRetract]] is
@@ -197,11 +204,20 @@ object Curation {
   def curateBatch(batch: DataFrame, corpus: DataFrame, registry: DataFrame,
                   thresholds: DataFrame, benchmark: DataFrame,
                   k: Int = 32, bands: Int = 8, dupThreshold: Double = 0.5,
-                  ngram: Int = 3, minOverlap: Int = 2)
+                  ngram: Int = 3, minOverlap: Int = 2,
+                  domainDecisions: Option[DataFrame] = None,
+                  urlCol: String = "url")
   : (DataFrame, DataFrame) = {
+    // 0. (optional) served domain gate — before any per-document work
+    val kept0 = domainDecisions match {
+      case Some(dec) => graft.CacheScope.pin(
+        graft.ops.text.Domains.domainGateWith(batch, dec, urlCol)
+          .drop("domain"))
+      case None => batch
+    }
     // 1. within-batch exact dedup (keep-first)
-    val kept1 = graft.CacheScope.pin(batch.join(
-      Dedup.exactDedup(batch).select(col("keep_doc_id").as("doc_id")),
+    val kept1 = graft.CacheScope.pin(kept0.join(
+      Dedup.exactDedup(kept0).select(col("keep_doc_id").as("doc_id")),
       "doc_id"))
     // 2. cross-corpus near-dup drop through the persisted registry
     val pairs = Dedup.nearDupAgainstSigs(registry, corpus, kept1,
@@ -224,9 +240,10 @@ object Curation {
     def stage(i: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
-    val report = Seq(
-      ("input", batch), ("exact_kept", kept1), ("near_dup_kept", kept2),
-      ("quality_kept", kept3), ("accepted", accepted))
+    val report = (Seq(("input", batch)) ++
+      (if (domainDecisions.isDefined) Seq(("domain_kept", kept0)) else Nil) ++
+      Seq(("exact_kept", kept1), ("near_dup_kept", kept2),
+        ("quality_kept", kept3), ("accepted", accepted)))
       .zipWithIndex
       .map { case ((name, df), i) => stage(i, name, df) }
       .reduce(_ unionByName _)

@@ -804,6 +804,10 @@ object IncrementalStream {
     * version, so a batch-2 near-copy of a batch-1 ACCEPTED doc is
     * dropped (StreamingSpec pins exactly that). The corpus each batch
     * dedups against is the seed corpus plus everything accepted so far.
+    * With `domainDecisionsTable` set (r17), the committed domain
+    * decision table gates each batch as curateBatch's stage 0 — read
+    * per micro-batch, so a `domainRefresh` between batches serves at
+    * the next one.
     *
     * Exactly-once posture, closed over EVERY crash window: accepted
     * docs land in a batchId-named subdirectory with overwrite
@@ -836,7 +840,9 @@ object IncrementalStream {
                         acceptedPath: String, checkpoint: String,
                         k: Int = 32, bands: Int = 8,
                         dupThreshold: Double = 0.5,
-                        tagScope: Option[String] = None): StreamingQuery = {
+                        tagScope: Option[String] = None,
+                        domainDecisionsTable: Option[String] = None,
+                        urlCol: String = "url"): StreamingQuery = {
     val scope = tagScopeOf(checkpoint, tagScope)
     val q = batchStream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -861,9 +867,15 @@ object IncrementalStream {
                 sp.read.parquet(acceptedPath).select(seed.columns.map(col): _*))
             else seed
           val registry = graft.io.Manifest.read(sp, registryTable)
+          // r17: the served DOMAIN gate as stage 0 — read per batch so
+          // a decision-table refresh between batches takes effect at
+          // the next micro-batch without restarting the stream
+          val decisions = domainDecisionsTable
+            .map(t => graft.io.Manifest.read(sp, t))
           val (accepted, _) = graft.pipeline.Curation.curateBatch(
             batch, corpus, registry, thresholds, benchmark,
-            k = k, bands = bands, dupThreshold = dupThreshold)
+            k = k, bands = bands, dupThreshold = dupThreshold,
+            domainDecisions = decisions, urlCol = urlCol)
           val acceptedDocs = accepted
             .join(batch.select("doc_id", "text"), "doc_id")
           if (!acceptedDocs.isEmpty) {

@@ -923,6 +923,13 @@ class CorpusSpec extends SparkSpec {
       graft.io.Manifest.read(spark, table))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(9L), "unknown domain must be kept, not dropped")
+    // a blocklisted domain the corpus never saw still gets its drop
+    // row — the blocklist must bind before the domain is crawled
+    val dec2 = Domains.domainDecisions(stats,
+      blocklist = Seq("never-crawled.example"))
+    assert(dec2.filter(col("domain") === "never-crawled.example")
+      .select("allowed", "reason").as[(Boolean, String)]
+      .collect().toSeq == Seq((false, "blocklist")))
   }
 
   test("lineStats: heavy-hitter lines with occurrence and doc counts") {

@@ -126,6 +126,52 @@ class CurationSpec extends SparkSpec {
     assert(accepted.select("doc_id").as[Long].collect().toSeq == Seq(21L))
   }
 
+  test("curateBatch domain gate: a blocklisted-domain doc drops at " +
+    "domain_kept BEFORE any content stage; an unknown domain passes; " +
+    "decisions=None leaves the funnel shape and results unchanged") {
+    import graft.ops.text.{Corpus, Dedup, TextStats, Domains}
+    val corp = Seq(
+      (10L, "the cat and the dog ran in the park with the red ball",
+        "en", "https://mirror1.com/a"),
+      (12L, "the fox and the hen sat in the barn with the old hat",
+        "en", "https://farm2.net/b"))
+      .toDF("doc_id", "text", "lang", "url")
+    val goodText = "the weather in the mountains is mild and the rain " +
+      "falls in the valley near the lake"
+    val batch = Seq(
+      (21L, goodText, "en", "https://fresh9.org/x"), // unknown -> passes
+      (23L, "the snow on the hills is deep and the wind blows over the " +
+        "ridge near the cabin", "en", "https://www.mirror1.com/y"))
+      .toDF("doc_id", "text", "lang", "url")
+    val registry = Dedup.signatureTable(corp, k = 32, bands = 8)
+    val thresholds = Corpus.quantileThresholds(
+      TextStats.qualityScore(corp, Seq("lang")),
+      "quality_score", "lang", p = 0.5)
+    val dec = Domains.domainDecisions(Domains.domainStats(corp),
+      blocklist = Seq("mirror1.com"))
+    val (accepted, report) = Curation.curateBatch(
+      batch, corp, registry, thresholds, benchmark,
+      domainDecisions = Some(dec))
+    val stages = report.orderBy("stage_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(stages.map(_._2) == Seq("input", "domain_kept", "exact_kept",
+      "near_dup_kept", "quality_kept", "accepted"), s"funnel: $stages")
+    val byStage = stages.map(s => s._2 -> s._3).toMap
+    assert(byStage("input") == 2L && byStage("domain_kept") == 1L,
+      s"exactly the blocklisted-domain doc drops at the gate: $byStage")
+    assert(accepted.select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the unknown-domain doc must pass the gate and be accepted")
+    // None leaves the default funnel: both docs enter the content stages
+    val (_, plain) = Curation.curateBatch(
+      batch, corp, registry, thresholds, benchmark)
+    val p = plain.orderBy("stage_idx").as[(Int, String, Long)]
+      .collect().toSeq
+    assert(p.map(_._2) == Seq("input", "exact_kept", "near_dup_kept",
+      "quality_kept", "accepted"), "decisions=None must not add a stage")
+    assert(p.map(s => s._2 -> s._3).toMap.apply("exact_kept") == 2L,
+      "without the gate the blocklisted-domain doc reaches the content stages")
+  }
+
   test("curate with a persisted dedup resolution equals the inline build") {
     import graft.ops.text.Dedup
     val canon = Dedup.resolveCanonical(corpus,

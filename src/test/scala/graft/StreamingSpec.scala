@@ -248,6 +248,69 @@ class StreamingSpec extends SparkSpec {
       Set(10L, 12L, 21L, 33L))
   }
 
+  test("streaming ingest curation with the served domain gate: a " +
+    "blocklisted-domain doc drops at stage 0; a decision-table refresh " +
+    "between waves serves at the next micro-batch") {
+    import graft.ops.text.{Corpus, Dedup, Domains, TextStats}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_doming").toString
+    // the streamed corpus stays url-free (the accepted parquet carries
+    // no url, and the per-batch corpus read re-selects seed columns);
+    // the URL-bearing twin exists only to build the decision table
+    val corpusUrls = Seq(
+      (10L, "the cat and the dog ran in the park with the red ball",
+        "en", "https://mirror1.com/a"),
+      (12L, "the fox and the hen sat in the barn with the old hat",
+        "en", "https://farm2.net/b"))
+      .toDF("doc_id", "text", "lang", "url")
+    val corpusSeed = corpusUrls.drop("url")
+    corpusSeed.write.parquet(s"$root/corpus")
+    val registryTable = s"$root/sigs"
+    assert(Dedup.signatureRefresh(corpusSeed, registryTable,
+      k = 32, bands = 8) == 1)
+    val thresholds = Corpus.quantileThresholds(
+      TextStats.qualityScore(corpusSeed, Seq("lang")),
+      "quality_score", "lang", p = 0.5)
+    val benchmark = Seq((100L,
+      "the physics question is about the speed of light and the mass of the sun",
+      "en")).toDF("doc_id", "text", "lang")
+    val decisionsTable = s"$root/domains"
+    Domains.domainRefresh(corpusUrls, decisionsTable,
+      blocklist = Seq("mirror1.com"))
+    val novelA = "the weather in the mountains is mild and the rain " +
+      "falls in the valley near the lake"
+    val novelB = "the wind and the rain came in the night and the door " +
+      "of the house shut"
+    val mem = MemoryStream[(Long, String, String, String)](spark)
+    def drain(): Unit =
+      IncrementalStream.runCurationIngest(spark,
+        mem.toDF().toDF("doc_id", "text", "lang", "url"),
+        s"$root/corpus", registryTable, thresholds, benchmark,
+        s"$root/accepted", s"$root/ckpt",
+        domainDecisionsTable = Some(decisionsTable))
+    // wave 1: unknown-domain novel doc accepted; the blocklisted-domain
+    // doc drops at the gate even though its text is novel
+    mem.addData(
+      (21L, novelA, "en", "https://fresh9.org/x"),
+      (23L, novelB, "en", "https://www.mirror1.com/y"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSeq == Seq(21L),
+      "the blocklisted-domain doc must not be admitted")
+    // refresh the decisions between waves: fresh9.org is now
+    // blocklisted too — the NEXT batch must see the new snapshot
+    Domains.domainRefresh(corpusUrls, decisionsTable,
+      blocklist = Seq("mirror1.com", "fresh9.org"))
+    val novelC = "the ship sailed over the sea and the crew watched " +
+      "the stars from the deck at night"
+    mem.addData(
+      (31L, novelC, "en", "https://fresh9.org/z"))
+    drain()
+    assert(spark.read.parquet(s"$root/accepted")
+      .select("doc_id").as[Long].collect().toSet == Set(21L),
+      "the refreshed decision table must gate the next micro-batch")
+  }
+
   test("streaming fuzzy ingest: the segment registry advances between " +
     "batches, so a wave-2 near-copy of a wave-1 ACCEPT drops") {
     import graft.ops.text.Fuzzy
