@@ -3086,11 +3086,18 @@ res$sfx AS (SELECT '$qid' AS query_id,
       val thresholds = Corpus.quantileThresholds(
         TextStats.qualityScore(corpus, Seq("lang")),
         "quality_score", "lang", p = 0.5)
-      val dec = Domains.domainDecisions(
-        Domains.domainStats(withCurUrl(corpus)),
-        maxDupRatio = 0.5, minAvgQuality = 0.35,
-        blocklist = Seq("mirror1.com"),
-        allowlist = Seq("farm2.net"))
+      // the decision table is read from its materialized artifact —
+      // the SERVED posture (runCurationIngest reads Manifest the same
+      // way), and the analysis-time fix: inlining the stats+decision
+      // subtree under every funnel leg blows the plan to ~600
+      // exchanges and makes Catalyst planning itself the dominant cost
+      val dec = materialized(s, dir, "cur_domain_decisions") {
+        Domains.domainDecisions(
+          Domains.domainStats(withCurUrl(corpus)),
+          maxDupRatio = 0.5, minAvgQuality = 0.35,
+          blocklist = Seq("mirror1.com"),
+          allowlist = Seq("farm2.net"))
+      }
       val (_, report) = pipeline.Curation.curateBatch(
         batch, corpus, registry, thresholds, benchmark,
         domainDecisions = Some(dec))

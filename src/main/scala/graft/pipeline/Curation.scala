@@ -208,10 +208,16 @@ object Curation {
                   domainDecisions: Option[DataFrame] = None,
                   urlCol: String = "url")
   : (DataFrame, DataFrame) = {
-    // 0. (optional) served domain gate — before any per-document work
+    // 0. (optional) served domain gate — before any per-document work.
+    // The decision table is pinned: it is domain-cardinality, and every
+    // downstream funnel leg re-references the gate — without the pin an
+    // INLINE-built decision table (stats rollup + window) would recompute
+    // under each re-reference (the served Manifest path reads parquet
+    // either way).
     val kept0 = domainDecisions match {
       case Some(dec) => graft.CacheScope.pin(
-        graft.ops.text.Domains.domainGateWith(batch, dec, urlCol)
+        graft.ops.text.Domains.domainGateWith(batch,
+          graft.CacheScope.pin(dec), urlCol)
           .drop("domain"))
       case None => batch
     }
