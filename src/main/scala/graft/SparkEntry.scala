@@ -189,7 +189,26 @@ object SparkEntry {
     // reads, not the shared rounds
     communityTrajectory(s, dir).count()
     authorityTrajectory(s, dir).count()
+    // the curation domain-decision table (r17): the gated funnel reads
+    // the committed artifact, never pays the stats rollup
+    curDomainDec(s, dir)
   }
+
+  /** The even-corpus domain decision table q_curation_domains gates
+    * through — materialized because production SERVES it (Manifest /
+    * parquet), and because inlining its stats subtree under every
+    * funnel leg makes Catalyst planning itself the dominant query cost
+    * (614 → 206 exchanges, ~18 s → ~5 s at sf0.01, measured r17).
+    */
+  private def curDomainDec(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "cur_domain_decisions") {
+      Domains.domainDecisions(
+        Domains.domainStats(withCurUrl(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0))),
+        maxDupRatio = 0.5, minAvgQuality = 0.35,
+        blocklist = Seq("mirror1.com"),
+        allowlist = Seq("farm2.net"))
+    }
 
   /** Training hyperparameters — the SINGLE source of truth shared by the
     * Scala call sites and the recursive-CTE oracle replays below
@@ -3088,19 +3107,10 @@ res$sfx AS (SELECT '$qid' AS query_id,
         "quality_score", "lang", p = 0.5)
       // the decision table is read from its materialized artifact —
       // the SERVED posture (runCurationIngest reads Manifest the same
-      // way), and the analysis-time fix: inlining the stats+decision
-      // subtree under every funnel leg blows the plan to ~600
-      // exchanges and makes Catalyst planning itself the dominant cost
-      val dec = materialized(s, dir, "cur_domain_decisions") {
-        Domains.domainDecisions(
-          Domains.domainStats(withCurUrl(corpus)),
-          maxDupRatio = 0.5, minAvgQuality = 0.35,
-          blocklist = Seq("mirror1.com"),
-          allowlist = Seq("farm2.net"))
-      }
+      // way); see curDomainDec for the measured planning-cost rationale
       val (_, report) = pipeline.Curation.curateBatch(
         batch, corpus, registry, thresholds, benchmark,
-        domainDecisions = Some(dec))
+        domainDecisions = Some(curDomainDec(s, dir)))
       report.orderBy("stage_idx")
     }),
 
