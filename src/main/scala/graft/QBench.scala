@@ -19,8 +19,16 @@ object QBench {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       println(f"[qbench] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      // match Bench's per-rep cold-cache methodology (r17): release the
+      // operator pins and checkpoint frames so rep N+1 can't read rep N's
+      // materialized intermediates — without this, pinned-model operators
+      // time their cache REUSE from rep 2 on, not the query
+      graft.releaseCheckpoints(df)
+      CacheScope.release(spark)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

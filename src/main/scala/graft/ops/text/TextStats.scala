@@ -286,6 +286,11 @@ object TextStats {
     * version through [[knScoreWith]].
     */
   def knModel(documents: DataFrame): DataFrame = {
+    // inline tokenize per count branch, deliberately: both a pinned
+    // toks AND a shared repartitioned toks were measured SLOWER at
+    // sf0.1 (cache reads / exchange barriers lose to the concurrent
+    // fused scan→tokenize→partial-agg pipelines the branches get when
+    // left alone; r17 non-win, do not re-litigate)
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks.select(explode(shingles(col("t"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -366,10 +371,16 @@ object TextStats {
       .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
     val npC = model.filter(col("kind") === "np")
       .select(col("key").as("pw"), col("cnt").as("np"))
-    val scalars = model.filter(col("kind") === "types")
-      .select(col("cnt").as("types"))
-      .crossJoin(model.filter(col("kind") === "vocab")
-        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
+    // both 1-row sides broadcast EXPLICITLY (r17): over a CACHED model
+    // the kind filter no longer constant-folds the union down to one
+    // 1-partition branch, and an unhinted crossJoin of two N-partition
+    // cache reads plans as an N×N CartesianProduct (84,100 tasks at one
+    // measured drift run) — broadcasting each side keeps it a trivial
+    // nested-loop over however the model arrives
+    val scalars = broadcast(model.filter(col("kind") === "types")
+      .select(col("cnt").as("types")))
+      .crossJoin(broadcast(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v")))) // 1 × 1 rows — broadcast scalar
     val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
       (col("types") + lit(alphaC) * col("v"))
     val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
@@ -496,12 +507,19 @@ object TextStats {
     require(minCount3 >= 1 && minCount4 >= 1 && minCount5 >= 1,
       s"minCounts ($minCount3,$minCount4,$minCount5) must be >= 1")
     if (minCount3 == 1 && minCount4 == 1 && minCount5 == 1) model
-    else model.filter(
-      when(col("kind").isin("tri", "ctx2"), col("cnt") >= minCount3)
-        .when(col("kind").isin("g4", "ctx3"), col("cnt") >= minCount4)
-        .when(col("kind").isin("g5", "ctx4"), col("cnt") >= minCount5)
-        .otherwise(lit(true)))
+    else model.filter(knPruneKeep(minCount3, minCount4, minCount5))
   }
+
+  /** [[knPrune]]'s keep predicate as a reusable Column — shared with
+    * [[kn5PruneDrift]]'s single-pass survivor count so the two can
+    * never disagree on what pruning keeps.
+    */
+  private[text] def knPruneKeep(minCount3: Long, minCount4: Long,
+                                minCount5: Long): Column =
+    when(col("kind").isin("tri", "ctx2"), col("cnt") >= minCount3)
+      .when(col("kind").isin("g4", "ctx3"), col("cnt") >= minCount4)
+      .when(col("kind").isin("g5", "ctx4"), col("cnt") >= minCount5)
+      .otherwise(lit(true))
 
   /** Score documents under a persisted [[kn3Model]] — interpolated
     * trigram Kneser–Ney BACKING OFF THROUGH THE BIGRAM TIER:
@@ -561,10 +579,16 @@ object TextStats {
       .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
     val npC = model.filter(col("kind") === "np")
       .select(col("key").as("pw"), col("cnt").as("np"))
-    val scalars = model.filter(col("kind") === "types")
-      .select(col("cnt").as("types"))
-      .crossJoin(model.filter(col("kind") === "vocab")
-        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
+    // both 1-row sides broadcast EXPLICITLY (r17): over a CACHED model
+    // the kind filter no longer constant-folds the union down to one
+    // 1-partition branch, and an unhinted crossJoin of two N-partition
+    // cache reads plans as an N×N CartesianProduct (84,100 tasks at one
+    // measured drift run) — broadcasting each side keeps it a trivial
+    // nested-loop over however the model arrives
+    val scalars = broadcast(model.filter(col("kind") === "types")
+      .select(col("cnt").as("types")))
+      .crossJoin(broadcast(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v")))) // 1 × 1 rows — broadcast scalar
     // the bigram tier, knScored's tree verbatim
     val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
       (col("types") + lit(alphaC) * col("v"))
@@ -723,6 +747,23 @@ object TextStats {
                         groupCols: Seq[String], discount: Double,
                         alphaC: Double): DataFrame = {
     require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    kn5JoinedCounts(grams0, model)
+      .withColumn("logp", log(kn5Prob(discount, alphaC, col)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_5grams"),
+        avg(col("logp")).as("avg_logp"))
+  }
+
+  /** The nine count joins of the 5-gram scoring tail, without the
+    * probability tree — every 5-gram row decorated with its model
+    * counts (c5/cuvwx/nf4/c4/cuvw/nf3/c3/cuv/nf2/c2/cv/nf/np + the
+    * types/vocab scalars), nulls where the model lacks the key. Split
+    * out (r17) so [[kn5PruneDrift]] can score BOTH the full and the
+    * pruned model from ONE joined pass — pruning is a WHERE on the
+    * count relations, so a pruned row is exactly a null-guarded count.
+    */
+  private def kn5JoinedCounts(grams0: DataFrame,
+                              model: DataFrame): DataFrame = {
     val grams = grams0
       .withColumn("c4k", substring_index(col("fg"), " ", 4))
       .withColumn("g4", substring_index(col("fg"), " ", -4))
@@ -753,28 +794,16 @@ object TextStats {
       .select(col("key").as("cw"), col("cnt").as("cv"), col("cnt2").as("nf"))
     val npC = model.filter(col("kind") === "np")
       .select(col("key").as("pw"), col("cnt").as("np"))
-    val scalars = model.filter(col("kind") === "types")
-      .select(col("cnt").as("types"))
-      .crossJoin(model.filter(col("kind") === "vocab")
-        .select(col("cnt").as("v"))) // 1 × 1 rows — broadcast scalar
-    // tiers 2 and 3: knScored's / kn3Scored's trees verbatim
-    val pcont = (coalesce(col("np"), lit(0L)) + lit(alphaC)) /
-      (col("types") + lit(alphaC) * col("v"))
-    val pSeen = greatest(coalesce(col("c2"), lit(0L)) - lit(discount),
-      lit(0.0)) / col("cv") +
-      lit(discount) * col("nf") / col("cv") * pcont
-    val p2 = when(col("cv").isNull, pcont).otherwise(pSeen)
-    val p3Seen = greatest(coalesce(col("c3"), lit(0L)) - lit(discount),
-      lit(0.0)) / col("cuv") +
-      lit(discount) * col("nf2") / col("cuv") * p2
-    val p3 = when(col("cuv").isNull, p2).otherwise(p3Seen)
-    val p4Seen = greatest(coalesce(col("c4"), lit(0L)) - lit(discount),
-      lit(0.0)) / col("cuvw") +
-      lit(discount) * col("nf3") / col("cuvw") * p3
-    val p4 = when(col("cuvw").isNull, p3).otherwise(p4Seen)
-    val p5Seen = greatest(coalesce(col("c5"), lit(0L)) - lit(discount),
-      lit(0.0)) / col("cuvwx") +
-      lit(discount) * col("nf4") / col("cuvwx") * p4
+    // both 1-row sides broadcast EXPLICITLY (r17): over a CACHED model
+    // the kind filter no longer constant-folds the union down to one
+    // 1-partition branch, and an unhinted crossJoin of two N-partition
+    // cache reads plans as an N×N CartesianProduct (84,100 tasks at one
+    // measured drift run) — broadcasting each side keeps it a trivial
+    // nested-loop over however the model arrives
+    val scalars = broadcast(model.filter(col("kind") === "types")
+      .select(col("cnt").as("types")))
+      .crossJoin(broadcast(model.filter(col("kind") === "vocab")
+        .select(col("cnt").as("v")))) // 1 × 1 rows — broadcast scalar
     grams
       .join(g5C.hint("shuffle_hash"), Seq("fg"), "left")
       .join(ctx4C.hint("shuffle_hash"), Seq("c4k"), "left")
@@ -786,10 +815,36 @@ object TextStats {
       .join(ctxC.hint("shuffle_hash"), col("w1") === col("cw"), "left")
       .join(npC.hint("shuffle_hash"), col("w2") === col("pw"), "left")
       .crossJoin(broadcast(scalars))
-      .withColumn("logp", log(when(col("cuvwx").isNull, p4).otherwise(p5Seen)))
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).cast("int").as("n_5grams"),
-        avg(col("logp")).as("avg_logp"))
+  }
+
+  /** The four-tier interpolated-KN probability over a
+    * [[kn5JoinedCounts]] row, every count column read through the
+    * resolver `c` — `col` gives the committed tree verbatim;
+    * [[kn5PruneDrift]] passes a threshold-guarding resolver so a
+    * pruned count degrades EXACTLY like an unseen one (null count →
+    * backoff branch). Tiers 2 and 3 are knScored's / kn3Scored's
+    * trees verbatim.
+    */
+  private def kn5Prob(discount: Double, alphaC: Double,
+                      c: String => Column): Column = {
+    val pcont = (coalesce(c("np"), lit(0L)) + lit(alphaC)) /
+      (c("types") + lit(alphaC) * c("v"))
+    val pSeen = greatest(coalesce(c("c2"), lit(0L)) - lit(discount),
+      lit(0.0)) / c("cv") +
+      lit(discount) * c("nf") / c("cv") * pcont
+    val p2 = when(c("cv").isNull, pcont).otherwise(pSeen)
+    val p3Seen = greatest(coalesce(c("c3"), lit(0L)) - lit(discount),
+      lit(0.0)) / c("cuv") +
+      lit(discount) * c("nf2") / c("cuv") * p2
+    val p3 = when(c("cuv").isNull, p2).otherwise(p3Seen)
+    val p4Seen = greatest(coalesce(c("c4"), lit(0L)) - lit(discount),
+      lit(0.0)) / c("cuvw") +
+      lit(discount) * c("nf3") / c("cuvw") * p3
+    val p4 = when(c("cuvw").isNull, p3).otherwise(p4Seen)
+    val p5Seen = greatest(coalesce(c("c5"), lit(0L)) - lit(discount),
+      lit(0.0)) / c("cuvwx") +
+      lit(discount) * c("nf4") / c("cuvwx") * p4
+    when(c("cuvwx").isNull, p4).otherwise(p5Seen)
   }
 
   /** Per-LINE 5-gram-KN scoring under a served [[kn5Model]] —
@@ -847,17 +902,42 @@ object TextStats {
                     minCount4: Long = 2L, minCount5: Long = 2L,
                     discount: Double = 0.75,
                     alphaC: Double = 0.4): DataFrame = {
+    // ONE nine-join scoring pass for BOTH trees (r17; was two full
+    // kn5ScoreWith passes — 17.4 s at sf0.1 vs ~1 s for one pass):
+    // pruning is a WHERE on the count relations, so the pruned score
+    // is computable from the SAME joined row by reading every order-≥3
+    // count through a threshold guard — `when(cnt >= min, cnt)` is
+    // null exactly where the pruned model's left join would have
+    // missed, and [[kn5Prob]] then takes the identical backoff branch.
+    // The context guards key on the CONTEXT row's own count (cuv/cuvw/
+    // cuvwx), and the follower-diversity columns (nf2/nf3/nf4) ride
+    // with their context row, matching knPrune dropping the whole row.
     val full = kn5Model(documents)
-    val pruned = knPrune(full, minCount3, minCount4, minCount5)
-    val lpFull = kn5ScoreWith(documents, full, discount, alphaC)
-      .filter(col("avg_logp").isNotNull)
-      .select(col("doc_id"), round(col("avg_logp"), 6).as("lp_full"))
-    val lpPruned = kn5ScoreWith(documents, pruned, discount, alphaC)
-      .select(col("doc_id"), round(col("avg_logp"), 6).as("lp_pruned"))
-    val drift = lpFull.join(lpPruned, Seq("doc_id"))
+    val grams = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"), 5)).as("fg"))
+    val guard: String => Column = {
+      case n @ "c3" => when(col(n) >= minCount3, col(n))
+      case n @ ("cuv" | "nf2") => when(col("cuv") >= minCount3, col(n))
+      case n @ "c4" => when(col(n) >= minCount4, col(n))
+      case n @ ("cuvw" | "nf3") => when(col("cuvw") >= minCount4, col(n))
+      case n @ "c5" => when(col(n) >= minCount5, col(n))
+      case n @ ("cuvwx" | "nf4") => when(col("cuvwx") >= minCount5, col(n))
+      case n => col(n) // bigram tier and scalars are never pruned
+    }
+    val perDoc = kn5JoinedCounts(grams, full)
+      .withColumn("lp_f", log(kn5Prob(discount, alphaC, col)))
+      .withColumn("lp_p", log(kn5Prob(discount, alphaC, guard)))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp_f")), 6).as("lp_full"),
+        round(avg(col("lp_p")), 6).as("lp_pruned"))
+    val drift = perDoc
       .select(graft.dec6(abs(col("lp_pruned") - col("lp_full"))).as("drift"))
-    val sizes = full.agg(count(lit(1)).as("model_rows"))
-      .crossJoin(pruned.agg(count(lit(1)).as("pruned_rows"))) // 1 × 1 rows
+    // both model sizes from ONE pass over the count relation — the
+    // pruned survivor count is knPrune's own keep predicate
+    val sizes = full.agg(count(lit(1)).as("model_rows"),
+      count(when(knPruneKeep(minCount3, minCount4, minCount5), lit(1)))
+        .as("pruned_rows")) // 1 row — broadcast scalar
     drift.agg(
       count(lit(1)).cast("int").as("n_scored"),
       graft.sumMeasure(col("drift")).as("sum_abs_drift"),
