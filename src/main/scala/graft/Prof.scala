@@ -59,6 +59,10 @@ object Prof {
       lap("physical")
       val n = df.count()
       lap(s"execute(rows=$n)")
+      // cold-cache between reps, matching Bench/QBench methodology (r17)
+      graft.releaseCheckpoints(df)
+      CacheScope.release(spark)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

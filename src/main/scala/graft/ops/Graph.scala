@@ -1599,9 +1599,13 @@ object Graph {
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
     require(base > 0, s"base mass must be positive, got $base")
     graft.withLoopAqeOff(nodeTbl.sparkSession) {
-    val nNodes = nodeTbl.count()
+    // one setup job for both counts (r17; was two driver actions —
+    // each is a full job-latency at local scale, and the node table is
+    // pinned so the second scan bought nothing)
+    val nRow = nodeTbl.agg(count(lit(1)).as("n"),
+      count(when(col("is_seed"), lit(1))).as("s")).first()
+    val (nNodes, nSeeds) = (nRow.getLong(0), nRow.getLong(1))
     require(nNodes > 0, "empty node set")
-    val nSeeds = nodeTbl.filter(col("is_seed")).count()
     require(nSeeds > 0, "empty teleport target set")
     // conserved-total overflow guard (object doc): every mass is bounded
     // by n·base + n·teleport ≤ 2·n·base, so the damped sum stays in Long
