@@ -438,9 +438,17 @@ object Relational {
     * window row count — deterministic across engines.
     */
   def revenueTrend(lineitem: DataFrame, part: DataFrame, fromDate: String): DataFrame = {
+    // broadcast(part) EXPLICIT (r18): this was the one part-dim join in
+    // the family left to the planner's size estimate — every sibling
+    // (productRanks, smallQtyRevenue, topProducts) pins it. The r17
+    // driver box ran this query at ~2.95 s vs 0.21 s settled with no
+    // code diff anywhere near it; an estimate-driven broadcast-miss
+    // (SortMergeJoin flip shuffling lineitem) is the one plan-level
+    // mechanism that reproduces that signature, and the hint removes
+    // the estimate from the decision on every box.
     val daily = lineitem
       .filter(col("l_shipdate") >= to_date(lit(fromDate)))
-      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
       .groupBy(col("p_type").as("category"), to_date(col("l_shipdate")).as("ship_date"))
       .agg(sumMoney(col("l_extendedprice")).as("revenue"))
     val w = Window.partitionBy("category").orderBy("ship_date").rowsBetween(-6, 0)

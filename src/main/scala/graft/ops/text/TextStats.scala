@@ -290,7 +290,19 @@ object TextStats {
     // toks AND a shared repartitioned toks were measured SLOWER at
     // sf0.1 (cache reads / exchange barriers lose to the concurrent
     // fused scan→tokenize→partial-agg pipelines the branches get when
-    // left alone; r17 non-win, do not re-litigate)
+    // left alone; r17 non-win, do not re-litigate). r18 re-litigated
+    // two more shapes and REFUTED both (OPTIMIZATION_r18.md): (a)
+    // deriving ctx/np/types as exact rollups of the gram-count
+    // aggregate — neutral at sf0.1 (Prof build/optimize/execute all
+    // within noise) because consumer-specific column pruning
+    // de-canonicalizes the shared gram aggregate, so runtime
+    // ReuseExchange consolidates almost nothing (2 of ~11 candidate
+    // reuses fired; executed q_kn5_drift plan kept all 44 scans); (b)
+    // CacheScope-pinning the assembled kn5Model for the drift
+    // instrument — 29–59 s/rep vs 6.2 s baseline even WITH the r17
+    // broadcast hints (cache materialization serializes the branch
+    // pipelines and the cached union defeats kind-filter constant
+    // folding on every one of the 11 consumer references).
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks.select(explode(shingles(col("t"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -902,6 +914,13 @@ object TextStats {
                     minCount4: Long = 2L, minCount5: Long = 2L,
                     discount: Double = 0.75,
                     alphaC: Double = 0.4): DataFrame = {
+    // r17 ADVICE: the single-pass path no longer routes through
+    // knPrune/kn5Scored, so it must re-state their loud parameter
+    // contracts — without these, discount=1.5 or minCount3=0 yields
+    // silent NaN log-probs / meaningless survivor counts.
+    require(discount > 0 && discount < 1, s"discount=$discount not in (0,1)")
+    require(minCount3 >= 1 && minCount4 >= 1 && minCount5 >= 1,
+      s"minCounts ($minCount3,$minCount4,$minCount5) must be >= 1")
     // ONE nine-join scoring pass for BOTH trees (r17; was two full
     // kn5ScoreWith passes — 17.4 s at sf0.1 vs ~1 s for one pass):
     // pruning is a WHERE on the count relations, so the pruned score
