@@ -1,6 +1,6 @@
 package graft.ops.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import TextFns._
@@ -1587,27 +1587,99 @@ object Dedup {
     */
   def containmentIndexUpdate(table: String, accepted: DataFrame,
                              n: Int = 3,
-                             tag: Option[String] = None): Int = {
+                             tag: Option[String] = None,
+                             dfTable: Option[String] = None): Int = {
     val spark = accepted.sparkSession
-    val next = graft.io.Manifest.read(spark, table)
-      .unionByName(containmentIndex(accepted, n))
+    // one batch-postings computation feeds BOTH commits when a df
+    // sidecar rides along (+count per appended posting's shingle) —
+    // pinned so the sidecar merge does not re-run the batch's shingle
+    // pipeline; batch-sized, released with the session scope
+    val batchRows =
+      if (dfTable.isDefined) graft.CacheScope.pin(containmentIndex(accepted, n))
+      else containmentIndex(accepted, n)
+    dfTable.foreach { dt =>
+      // replay-idempotency (the runAsymIngest guard, sidecar-local): a
+      // crash between the sidecar merge and the registry commit replays
+      // the batch — an unguarded second merge would double-count every
+      // shingle. The tag names one committing batch; equal tag = merged.
+      val alreadyMerged = tag.exists(t =>
+        graft.io.Manifest.currentTag(spark, dt).contains(t))
+      if (!alreadyMerged) dfSidecarMerge(spark, dt, registryDf(batchRows), tag)
+    }
+    val next = graft.io.Manifest.read(spark, table).unionByName(batchRows)
     tag match {
       case Some(t) => graft.io.Manifest.writeTagged(next, table, t)
       case None    => graft.io.Manifest.write(next, table)
     }
   }
 
+  /** Per-shingle document frequency over a containment/jaccard posting
+    * registry — the exact relation [[jaccardAgainstIndex]] ranks its
+    * rare-first prefixes with. ONE definition shared by the probe's
+    * inline fallback, the committed sidecar build, and the sidecar's
+    * incremental maintenance ([[containmentIndexUpdate]] /
+    * [[containmentIndexRetract]] with `dfTable`), so the three can
+    * never drift: df(s) = #(s, doc_id, sz) posting rows carrying s.
+    */
+  def registryDf(registry: DataFrame): DataFrame =
+    registry.groupBy("s").agg(count(lit(1)).as("df"))
+
+  /** Build-and-commit the df SIDECAR for a committed containment/jaccard
+    * registry — posting-list lengths as index metadata, the relation a
+    * production inverted index stores beside its postings so a probe
+    * never re-aggregates the corpus-scale registry to rank prefixes
+    * (r17 VERDICT top-next). Rebuild form; steady-state maintenance is
+    * the `dfTable` leg of [[containmentIndexUpdate]] (+1 per appended
+    * posting) and [[containmentIndexRetract]] (−1, zero rows dropped).
+    * Returns the committed sidecar version.
+    */
+  def containmentDfRefresh(spark: SparkSession, registryTable: String,
+                           dfTable: String): Int =
+    graft.io.Manifest.write(
+      registryDf(graft.io.Manifest.read(spark, registryTable)), dfTable)
+
+  /** The df-sidecar MERGE step shared by update and retract: add
+    * `delta` (s, d) counts into the committed sidecar, drop rows at or
+    * below zero (a shingle with no surviving postings has no df row —
+    * exactly [[registryDf]] recomputed), commit the next version.
+    */
+  private def dfSidecarMerge(spark: SparkSession, dfTable: String,
+                             delta: DataFrame, tag: Option[String]): Int = {
+    val cur = graft.io.Manifest.read(spark, dfTable)
+      .select(col("s"), col("df").as("df_cur"))
+    val next = cur.join(delta.select(col("s"), col("df").as("df_d"))
+        .hint("shuffle_hash"), Seq("s"), "full_outer")
+      .select(col("s"),
+        (coalesce(col("df_cur"), lit(0L)) + coalesce(col("df_d"), lit(0L)))
+          .as("df"))
+      .filter(col("df") > 0)
+    tag match {
+      case Some(t) => graft.io.Manifest.writeTagged(next, dfTable, t)
+      case None    => graft.io.Manifest.write(next, dfTable)
+    }
+  }
+
   /** Registry DELETE — [[containmentIndexUpdate]]'s inverse: drop a
     * removed batch's rows by doc_id and commit (the signatureRetract
     * contract: rows are per-document, an id anti-join IS the exact
-    * retraction). Returns the new version.
+    * retraction). Returns the new version. `dfTable`, when given, also
+    * decrements the df sidecar by the removed docs' own posting counts
+    * (computed from the registry BEFORE the delete — one semi join),
+    * keeping the sidecar exactly [[registryDf]] of the new snapshot.
     */
-  def containmentIndexRetract(table: String, removedIds: DataFrame): Int = {
+  def containmentIndexRetract(table: String, removedIds: DataFrame,
+                              dfTable: Option[String] = None): Int = {
     val spark = removedIds.sparkSession
+    val ids = broadcast(removedIds.select(col("doc_id")))
+    val cur = graft.io.Manifest.read(spark, table)
+    dfTable.foreach { dt =>
+      val removedCounts = registryDf(
+        cur.join(ids, Seq("doc_id"), "left_semi"))
+        .select(col("s"), (-col("df")).as("df"))
+      dfSidecarMerge(spark, dt, removedCounts, None)
+    }
     graft.io.Manifest.write(
-      graft.io.Manifest.read(spark, table)
-        .join(broadcast(removedIds.select(col("doc_id"))), Seq("doc_id"),
-          "left_anti")
+      cur.join(ids, Seq("doc_id"), "left_anti")
         // the anti-join fronts its key — restore the registry schema so
         // every committed version reads (s, doc_id, sz)
         .select("s", "doc_id", "sz"),
@@ -1637,8 +1709,14 @@ object Dedup {
       s"threshold=$threshold not in (0,1]")
     val spark = incoming.sparkSession
     val eps = 1e-9
-    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n)
-      .filter(size(col("sh")) > 0))
+    // filter ABOVE the pin (r18 — the jaccardNearDup pushdown hazard,
+    // reproduced here by measurement: with the filter inside the pinned
+    // plan, predicate pushdown drags the full shingle expression beneath
+    // the repartition exchange and the whole incoming pipeline re-runs
+    // serially inside the single-partition file scan — a 2.4 s 1-task
+    // stage at sf0.1, the probe's largest serial wall)
+    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n))
+      .filter(size(col("sh")) > 0)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("s"))
     val a = setsI
@@ -1655,7 +1733,13 @@ object Dedup {
     val candCorpus = corpus
       .join(candidates.select(col("doc_corp").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    val setsC = hashedShingleSets(candCorpus, n, spread = false)
+    // spread = true (r18): the candidate-corpus tokenize/shingle/hash
+    // pipeline otherwise fuses into the corpus scan's own partitioning —
+    // ONE task at fixture file counts (measured: a 3.3 s serial wall, the
+    // single largest stage of the served probes). The spread shuffle
+    // moves raw candidate text (batch-scale) and its doc_id partitioning
+    // IS the verify join's key, so the join's exchange reuses it.
+    val setsC = hashedShingleSets(candCorpus, n)
       .select(col("doc_id").as("doc_corp"), col("sh").as("sh_b"))
     candidates
       .join(setsI.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
@@ -1709,17 +1793,27 @@ object Dedup {
     */
   def jaccardAgainstIndex(registry: DataFrame, corpus: DataFrame,
                           incoming: DataFrame, n: Int = 3,
-                          threshold: Double = 0.6): DataFrame = {
+                          threshold: Double = 0.6,
+                          registryDfStats: Option[DataFrame] = None)
+      : DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold=$threshold not in (0,1]")
     val eps = 1e-9
-    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n)
-      .filter(size(col("sh")) > 0))
+    // filter ABOVE the pin (r18): see containmentAgainstIndex.
+    val setsI = graft.CacheScope.pin(hashedShingleSets(incoming, n))
+      .filter(size(col("sh")) > 0)
     // registry df per shingle: rare-first prefix ranking (see scaladoc);
     // a shingle ABSENT from the registry matches nothing — rank it
-    // rarest of all (df 0), it costs the posting join zero rows
-    val dfStats = graft.CacheScope.pin(
-      registry.groupBy("s").agg(count(lit(1)).as("df")))
+    // rarest of all (df 0), it costs the posting join zero rows.
+    // `registryDfStats`, when given, is the COMMITTED df sidecar
+    // ([[containmentDfRefresh]] / the dfTable legs of update+retract) —
+    // the production posture, where posting-list lengths are index
+    // metadata and the probe never re-aggregates the corpus-scale
+    // registry (r18; the inline aggregate remains the fallback and the
+    // sidecar is maintained to equal it exactly, so output is identical
+    // either way — TextOpsSpec pins both equalities).
+    val dfStats = registryDfStats.getOrElse(graft.CacheScope.pin(
+      registryDf(registry)))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("s"))
     val a = setsI
@@ -1738,7 +1832,9 @@ object Dedup {
     val candCorpus = corpus
       .join(candidates.select(col("doc_corp").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-    val setsC = hashedShingleSets(candCorpus, n, spread = false)
+    // spread = true (r18): see containmentAgainstIndex — un-spread, the
+    // candidate-corpus shingle pipeline is a serial single-task wall.
+    val setsC = hashedShingleSets(candCorpus, n)
       .select(col("doc_id").as("doc_corp"), col("sh").as("sh_b"))
     candidates
       .join(setsI.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))

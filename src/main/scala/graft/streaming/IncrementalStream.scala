@@ -1293,18 +1293,27 @@ object IncrementalStream {
                        corpusPath: String, registryTable: String,
                        acceptedPath: String, checkpoint: String,
                        n: Int = 3, threshold: Double = 0.6,
-                       tagScope: Option[String] = None): StreamingQuery =
+                       tagScope: Option[String] = None,
+                       dfTable: Option[String] = None): StreamingQuery =
     runAsymIngest(batchStream, registryTable, acceptedPath, checkpoint,
       "doc_id", "text", "jaccard-ingest", tagScope,
       probe = (registry, deduped) => {
         val sp = deduped.sparkSession
+        // `dfTable`, when given, is the committed df SIDECAR this same
+        // loop maintains below (r18): the probe ranks prefixes from
+        // posting-list-length metadata instead of re-aggregating the
+        // full registry each micro-batch. Values equal the inline
+        // aggregate by the sidecar maintenance contract, so accepted
+        // sets are identical either way.
         graft.ops.text.Dedup.jaccardAgainstIndex(registry,
           corpusWithAccepted(sp, corpusPath, acceptedPath), deduped,
-          n, threshold)
+          n, threshold,
+          registryDfStats = dfTable.map(dt =>
+            graft.io.Manifest.read(sp, dt)))
       },
       matchIncCol = "doc_inc",
       update = (accepted, tag) => graft.ops.text.Dedup.containmentIndexUpdate(
-        registryTable, accepted, n, tag = Some(tag)))
+        registryTable, accepted, n, tag = Some(tag), dfTable = dfTable))
 
   /** [[runFuzzyIngest]]'s loop at the EMBEDDING family (r15, closing
     * the registry-loop symmetry across every near-dup family): probe

@@ -343,6 +343,62 @@ class TextOpsSpec extends SparkSpec {
       "sides must not self-pair")
   }
 
+  test("containment df sidecar (r18): maintained through update+retract " +
+    "it equals registryDf recomputed, and the sidecar-served probe " +
+    "equals the inline-df probe exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_jdf").toString
+    val table = root + "/jidx"
+    val dfTable = root + "/jidx_df"
+    assert(Dedup.containmentIndexRefresh(corpus, table) == 1)
+    assert(Dedup.containmentDfRefresh(spark, table, dfTable) == 1)
+    def sidecar(): Set[(Long, Long)] = graft.io.Manifest
+      .read(spark, dfTable).as[(Long, Long)].collect().toSet
+    def recomputed(): Set[(Long, Long)] = Dedup.registryDf(
+      graft.io.Manifest.read(spark, table))
+      .as[(Long, Long)].collect().toSet
+    assert(sidecar() == recomputed(), "refresh must equal the aggregate")
+    // probe equality: sidecar-served output == inline-df output
+    val registry = graft.io.Manifest.read(spark, table)
+    val viaSidecar = Dedup.jaccardAgainstIndex(registry, corpus, incoming,
+      registryDfStats = Some(graft.io.Manifest.read(spark, dfTable)))
+      .as[(Long, Long, Double)].collect().toSet
+    CacheScope.release(spark)
+    val viaInline = Dedup.jaccardAgainstIndex(registry, corpus, incoming)
+      .as[(Long, Long, Double)].collect().toSet
+    CacheScope.release(spark)
+    assert(viaSidecar == viaInline,
+      s"sidecar=${viaSidecar.size} inline=${viaInline.size}")
+    assert(viaSidecar.nonEmpty, "fixture must exercise at least one pair")
+    // +1 per appended posting: update with the sidecar leg keeps it the
+    // exact aggregate of the NEW snapshot
+    val batch = incoming.filter($"doc_id" < 20)
+    assert(Dedup.containmentIndexUpdate(table, batch,
+      tag = Some("t-b1"), dfTable = Some(dfTable)) == 2)
+    CacheScope.release(spark)
+    assert(sidecar() == recomputed(), "update must keep the sidecar exact")
+    // retract decrements and drops zero rows — exact against the
+    // post-delete snapshot
+    assert(Dedup.containmentIndexRetract(table,
+      batch.select($"doc_id"), dfTable = Some(dfTable)) > 0)
+    assert(sidecar() == recomputed(),
+      "retract must keep the sidecar exact")
+    // crash-replay guard: a same-tag re-merge is a no-op on the sidecar
+    // (the window where the sidecar committed but the registry commit
+    // crashed — the registry append replays, the merge must not)
+    assert(Dedup.containmentIndexUpdate(table, batch,
+      tag = Some("t-b2"), dfTable = Some(dfTable)) > 0)
+    CacheScope.release(spark)
+    val beforeReplay = sidecar()
+    Dedup.containmentIndexUpdate(table, batch,
+      tag = Some("t-b2"), dfTable = Some(dfTable))
+    CacheScope.release(spark)
+    assert(sidecar() == beforeReplay,
+      "same-tag replay must not double-count the sidecar")
+  }
+
   test("containmentDfSweep: per-config rows equal the single-config " +
     "certificate; truth shared; candidates monotone in maxDf") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
