@@ -1293,8 +1293,20 @@ object Graph {
     * untouched; the caller reselects.
     */
   private def relabel(edgeSlice: DataFrame, cur: DataFrame): DataFrame = {
+    // ONE exchange per relabel (r18, guide §2.4): partition the joined
+    // edges by dst ONCE — HashPartitioning(dst) satisfies the weight
+    // aggregate's ClusteredDistribution(dst, label), the argmax's
+    // ClusteredDistribution(dst), AND (as node) the carry join's key,
+    // so the (dst,label)-agg → dst-argmax → node-join chain that
+    // previously planned THREE exchanges per sub-step now plans none
+    // beyond this. Trade: the shuffle carries raw labeled-edge rows
+    // instead of (dst,label) partials — near-identical volume here
+    // ((dst,label) pairs ≈ edges once parallel edges are merged, which
+    // symmetrized already did). Measured at sf0.1/32c: semisync loop
+    // jobs/round 17.5 → ~8, wall −40% (OPTIMIZATION_r18.md).
     val nb = edgeSlice
       .join(cur.select(col("node").as("src"), col("label")), "src")
+      .repartition(col("dst"))
       .groupBy(col("dst"), col("label"))
       .agg(sum("weight").as("w"))
     val best = nb
@@ -1463,11 +1475,20 @@ object Graph {
     require(numColors >= 2, s"need at least two colors, got $numColors")
     graft.withLoopAqeOff(nodes.sparkSession) {
     val sym = graft.CacheScope.pin(symmetrized(edges))
+    // per-color edge SLICES pinned once over the pinned base (r18):
+    // every round's sub-step c previously re-read and re-filtered the
+    // FULL pinned edge table — C·rounds cached scans of |E| rows each;
+    // the slice pins make that rounds·|E|/C per color (one base read
+    // per slice at materialization). Costs a second |E| of cache — the
+    // slices partition the base — which is the same trade the loop
+    // already makes per checkpointed round frame.
+    val symC = (0 until numColors).map(c =>
+      graft.CacheScope.pin(sym.filter(col("dst") % numColors === c)))
     // one color class recomputes its argmax from `cur` via the shared
     // [[relabel]] kernel; `best` carries only that color's nodes, so
     // the coalesce is the carry for the rest
     def substep(cur: DataFrame, color: Int): DataFrame =
-      relabel(sym.filter(col("dst") % numColors === color), cur)
+      relabel(symC(color), cur)
         .select(col("node"),
           coalesce(col("nb_label"), col("label")).as("label"),
           col("_prev"))
