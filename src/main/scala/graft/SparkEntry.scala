@@ -3096,8 +3096,12 @@ res$sfx AS (SELECT '$qid' AS query_id,
       // the same (even-corpus, 32/8) signature registry q_minhash_served
       // probes — read from its committed artifact (r14)
       val registry = minhashSigReg(s, dir)
+      // spread the corpus for the reference-bar regex pass (r18): the
+      // quality scan otherwise fuses into the one-file corpus scan and
+      // runs serially (the Curation.curate few-fat-files rationale)
       val thresholds = Corpus.quantileThresholds(
-        TextStats.qualityScore(corpus, Seq("lang")),
+        TextStats.qualityScore(corpus.repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")), Seq("lang")),
         "quality_score", "lang", p = 0.5)
       val (_, report) = pipeline.Curation.curateBatch(
         batch, corpus, registry, thresholds, benchmark)
@@ -3119,8 +3123,11 @@ res$sfx AS (SELECT '$qid' AS query_id,
         col("doc_id") % 97 =!= 0)
       val benchmark = d.filter(col("doc_id") % 97 === 0)
       val registry = minhashSigReg(s, dir)
+      // corpus spread for the reference-bar regex pass — see
+      // q_curation_batch
       val thresholds = Corpus.quantileThresholds(
-        TextStats.qualityScore(corpus, Seq("lang")),
+        TextStats.qualityScore(corpus.repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")), Seq("lang")),
         "quality_score", "lang", p = 0.5)
       // the decision table is read from its materialized artifact —
       // the SERVED posture (runCurationIngest reads Manifest the same

@@ -86,7 +86,16 @@ object Curation {
         threshold = 0.5)
       graft.CacheScope.pin(Dedup.resolveCanonical(documents, pairs))
     }
-    val kept1 = documents
+    // few-fat-files spread ONCE for every map-heavy consumer (r18 — the
+    // shingleSets idiom at the pipeline head): un-spread, the quality
+    // regex pass, the classifier scoring pass, and the decontamination
+    // shingle pass each fuse into the corpus scan's own partitioning —
+    // at fixture file counts, three ~3 s single-task serial walls that
+    // were most of the funnel's wall (Prof, OPTIMIZATION_r18.md). The
+    // spread's doc_id key is also every downstream join's key.
+    val docs = documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val kept1 = docs
       .join(canon.filter(col("is_kept")).select("doc_id", "canonical_id"),
         "doc_id")
     // 2. per-language quality gate at the p-quantile
@@ -106,7 +115,7 @@ object Curation {
     val kept2c = classifierWeights match {
       case Some(w) =>
         val scored = graft.ops.Classifier.score(
-          kept2.join(documents.select("doc_id", "text"), "doc_id"),
+          kept2.join(docs.select("doc_id", "text"), "doc_id"),
           lit(false), w, dim = w.length - 1)
         graft.CacheScope.pin(kept2.join(
           scored.filter(col("score") >= classifierMin).select("doc_id"),
@@ -115,7 +124,7 @@ object Curation {
     }
     // 3. benchmark decontamination over the survivors
     val dec = Corpus.decontaminate(
-      kept2c.join(documents.select("doc_id", "text"), "doc_id"),
+      kept2c.join(docs.select("doc_id", "text"), "doc_id"),
       benchmark, ngram, minOverlap)
     val kept3 = kept2c
       .join(dec.filter(!col("contaminated")).select("doc_id"), "doc_id")
@@ -214,12 +223,18 @@ object Curation {
     // INLINE-built decision table (stats rollup + window) would recompute
     // under each re-reference (the served Manifest path reads parquet
     // either way).
+    // few-fat-files spread at the batch head (r18 — see curate()): the
+    // exact-dedup fingerprint pass, the quality regex pass, and the
+    // decontamination shingle pass otherwise fuse into the batch scan's
+    // own partitioning and run serially at fixture file counts.
+    val batchSpread = batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val kept0 = domainDecisions match {
       case Some(dec) => graft.CacheScope.pin(
-        graft.ops.text.Domains.domainGateWith(batch,
+        graft.ops.text.Domains.domainGateWith(batchSpread,
           graft.CacheScope.pin(dec), urlCol)
           .drop("domain"))
-      case None => batch
+      case None => batchSpread
     }
     // 1. within-batch exact dedup (keep-first)
     val kept1 = graft.CacheScope.pin(kept0.join(
@@ -239,7 +254,7 @@ object Curation {
       .select("doc_id", "lang", "quality_score"))
     // 4. decontamination over the survivors
     val dec = Corpus.decontaminate(
-      kept3.join(batch.select("doc_id", "text"), "doc_id"),
+      kept3.join(batchSpread.select("doc_id", "text"), "doc_id"),
       benchmark, ngram, minOverlap)
     val accepted = graft.CacheScope.pin(kept3.join(
       dec.filter(!col("contaminated")).select("doc_id"), "doc_id"))
