@@ -141,12 +141,28 @@ object Bench {
       // scale, where partitions dwarf 64k.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate EXCLUDED (r18): the rule synthesizes a
+      // pushable `size(e) > 0` filter below every explode; for COMPUTED
+      // generator inputs (every shingle/gram pipeline here) that clones
+      // the full tokenize+shingle expression into the filter — evaluated
+      // a second time per row, and, pushed below a spread repartition,
+      // re-run serially inside the file scan (measured: q_minhash_audit
+      // 5.2 s -> 1.4 s from this exclusion alone). Results are unchanged
+      // by construction: the inferred filter only pre-drops rows the
+      // explode drops anyway.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // harness decision: the intended per-round checkpoint frees must not
     // flood the recorded log (graft package object doc)
     graft.squelchIntendedUnpersistWarn()
+    // warmup wall time recorded into BENCH_DETAIL as `warmup_sec` (r18 —
+    // r17 VERDICT #3): the served registries / shared intermediates are
+    // built here, so their amortized build cost is a VISIBLE number next
+    // to the per-query reads that price only the probe.
+    val warmupT0 = System.nanoTime()
     // Session warmup: first-job scheduler/codegen/parquet-reader init would
     // otherwise land entirely on whichever query happens to run first and
     // distort its number (~5s on this box). Steady-state per-query times
@@ -186,6 +202,7 @@ object Bench {
       SparkEntry.warmIntermediates(spark, sfDir)
       spark.catalog.clearCache()
     }
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
     // Fixed-cost calibration, timed at bench START and END: a pure
     // codegen'd range+hash scan whose uncontended time is a property of
     // the box, not the engine. When the machine is externally loaded
@@ -389,7 +406,7 @@ object Bench {
         val served = servedNames.toSeq.sorted.map(jstr)
           .mkString("[", ",", "]")
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail,"queries_reps":$repsJson,"suspect":$suspects,"served":$served}""" + "\n")
+          s"""{"total_sec":${num(total, 3)},"sf":"$sfName","cpus":$cpus,"failures":$failures,"warmup_sec":${num(warmupSec, 3)},"cal0_sec":${num(cal0, 3)},"cal1_sec":${num(cal1, 3)},"cal_ladder_before_query":$ladder,"queries_ms_precision":$detail,"queries_reps":$repsJson,"suspect":$suspects,"served":$served}""" + "\n")
       } else System.err.println(
         "[bench] cwd is not the repo root; skipping BENCH_DETAIL.json")
     } catch { case _: Exception => () } // detail file is best-effort

@@ -16,6 +16,12 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate excluded (r18): see Bench.scala — the
+      // inferred pre-explode filter re-evaluates computed shingle/gram
+      // expressions (serially when pushed below a spread exchange);
+      // excluding it changes no results.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

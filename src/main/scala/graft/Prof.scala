@@ -15,6 +15,12 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MINPART", "1m"))
+      // InferFiltersFromGenerate excluded (r18): see Bench.scala — the
+      // inferred pre-explode filter re-evaluates computed shingle/gram
+      // expressions (serially when pushed below a spread exchange);
+      // excluding it changes no results.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

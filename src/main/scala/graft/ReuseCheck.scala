@@ -30,9 +30,9 @@ object ReuseCheck {
       val stages = "ShuffleQueryStage".r.findAllIn(p).size
       val scans = "Scan parquet".r.findAllIn(p).size
       println(s"QE reused=$reused stages=$stages scans=$scans len=${p.length}")
-      if (p.length > 20000)
+      if (p.length > 3000)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("/tmp/r18_drift_exec_plan.txt"), p)
+          java.nio.file.Paths.get("/tmp/r18_exec_plan.txt"), p)
     }
     spark.stop()
   }

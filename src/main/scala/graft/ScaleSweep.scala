@@ -177,6 +177,12 @@ object ScaleSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate excluded (r18): see Bench.scala — the
+      // inferred pre-explode filter re-evaluates computed shingle/gram
+      // expressions (serially when pushed below a spread exchange);
+      // excluding it changes no results.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
